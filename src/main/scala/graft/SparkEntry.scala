@@ -1,13 +1,74 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.{CoreQueries => C, PipelineQueries => P}
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    C.q3JoinAgg(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- core delegated-SQL surface (SURVEY §2.2, 2.4-2.8, 2.11) ---
+    "q1_pricing_summary"  -> (C.q1PricingSummary _),
+    "q2_filter_pushdown"  -> (C.q2FilterPushdown _),
+    "q3_join_agg"         -> (C.q3JoinAgg _),
+    "q4_star_join"        -> (C.q4StarJoin _),
+    "q5_topk"             -> (C.q5TopK _),
+    "q6_window_rank"      -> (C.q6WindowRank _),
+    "q7_window_running"   -> (C.q7WindowRunning _),
+    "q8_window_lag"       -> (C.q8WindowLag _),
+    "q9_null_stats"       -> (C.q9NullStats _),
+    "q10_semi_anti_join"  -> (C.q10SemiAnti _),
+    "q11_set_ops"         -> (C.q11SetOps _),
+    "q12_rollup"          -> (C.q12Rollup _),
+    "q13_json_extract"    -> (C.q13Json _),
+    "q14_scalar_funcs"    -> (C.q14Scalars _),
+    "q15_event_windows"   -> (C.q15EventWindows _),
+    "q16_sessionization"  -> (C.q16Sessions _),
+    // --- ELT pipeline: write strategies, state, evolution (§2.3, 2.9, 2.10) ---
+    "q20_merge_upsert"    -> (P.q20Merge _),
+    "q21_append"          -> (P.q21Append _),
+    "q22_replace"         -> (P.q22Replace _),
+    "q23_auto_strategy"   -> (P.q23AutoStrategy _),
+    "q24_schema_evolution" -> (P.q24SchemaEvolution _),
+    "q25_incremental_cursor" -> (P.q25Incremental _),
+    "q26_record_normalize" -> (P.q26RecordNormalize _),
+    "q27_name_normalize"  -> (P.q27NameNormalize _),
+    "q28_sql_passthrough" -> (P.q28SqlPassthrough _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary"  -> C.q1Sql,
+    "q2_filter_pushdown"  -> C.q2Sql,
+    "q3_join_agg"         -> C.q3Sql,
+    "q4_star_join"        -> C.q4Sql,
+    "q5_topk"             -> C.q5Sql,
+    "q6_window_rank"      -> C.q6Sql,
+    "q7_window_running"   -> C.q7Sql,
+    "q8_window_lag"       -> C.q8Sql,
+    "q9_null_stats"       -> C.q9Sql,
+    "q10_semi_anti_join"  -> C.q10Sql,
+    "q11_set_ops"         -> C.q11Sql,
+    "q12_rollup"          -> C.q12Sql,
+    "q13_json_extract"    -> C.q13Sql,
+    "q14_scalar_funcs"    -> C.q14Sql,
+    "q15_event_windows"   -> C.q15Sql,
+    "q16_sessionization"  -> C.q16Sql,
+    "q20_merge_upsert"    -> P.q20Sql,
+    "q21_append"          -> P.q21Sql,
+    "q22_replace"         -> P.q22Sql,
+    "q23_auto_strategy"   -> P.q23Sql,
+    "q24_schema_evolution" -> P.q24Sql,
+    "q25_incremental_cursor" -> P.q25Sql,
+    "q26_record_normalize" -> P.q26Sql,
+    "q27_name_normalize"  -> P.q27Sql,
+    "q28_sql_passthrough" -> P.q28Sql,
+  )
 }

@@ -1,0 +1,225 @@
+package graft.cache
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.{Records, WriteStrategies}
+import graft.protocol.{ConfiguredCatalog, WriteStrategy}
+
+/**
+ * The cache: a Spark database holding one managed parquet table per
+ * stream, plus two internal metadata tables.
+ *
+ * Reference: `CacheBase` (PyAirbyte `airbyte/caches/base.py:45-477`) backed
+ * by a SQL database; internal tables `_airbyte_streams`
+ * (`airbyte/caches/_catalog_backend.py:33-247`) and `_airbyte_state`
+ * (`airbyte/caches/_state_backend.py:31-278`).
+ *
+ * Spark-first: tables are managed parquet tables in the session warehouse —
+ * at cluster scale the same code writes to a shared metastore + object
+ * store, with writes parallel across executors. All metadata operations
+ * are tiny driver-side tables; all data paths are distributed.
+ */
+final class SparkCache(
+    val spark: SparkSession,
+    val database: String = "graft_cache",
+    val tablePrefix: String = "",
+    val location: Option[String] = None) {
+
+  val StreamsTable = "_airbyte_streams"
+  val StateTable = "_airbyte_state"
+
+  ensureDatabase()
+
+  private def ensureDatabase(): Unit = {
+    // known-schemas memo equivalent (reference sql_processor.py:561-586):
+    // CREATE DATABASE IF NOT EXISTS is already idempotent + cheap in Spark.
+    val loc = location.map(l => s" LOCATION '$l'").getOrElse("")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$database`$loc")
+    if (!spark.catalog.tableExists(s"`$database`.`$StreamsTable`")) {
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("source_name", StringType),
+          StructField("stream_name", StringType),
+          StructField("table_name", StringType),
+          StructField("catalog_json", StringType),
+          StructField("registered_at", TimestampType))))
+        .write.mode(SaveMode.ErrorIfExists)
+        .saveAsTable(s"`$database`.`$StreamsTable`")
+    }
+    if (!spark.catalog.tableExists(s"`$database`.`$StateTable`")) {
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("source_name", StringType),
+          StructField("stream_name", StringType),
+          StructField("state_json", StringType),
+          StructField("updated_at", TimestampType))))
+        .write.mode(SaveMode.ErrorIfExists)
+        .saveAsTable(s"`$database`.`$StateTable`")
+    }
+  }
+
+  def tableName(streamName: String): String =
+    s"`$database`.`$tablePrefix${graft.names.NameNormalizer.normalize(streamName)}`"
+
+  def tableExists(streamName: String): Boolean =
+    spark.catalog.tableExists(tableName(streamName))
+
+  /** Full-table dataset for a stream (reference `get_records`, Q5). */
+  def table(streamName: String): DataFrame = spark.table(tableName(streamName))
+
+  def streams: Seq[String] = {
+    import spark.implicits._
+    spark.table(s"`$database`.`$StreamsTable`")
+      .select("stream_name").distinct().as[String].collect().toSeq
+  }
+
+  // ------------------------------------------------------------------
+  // Schema evolution (reference sql_processor.py:934-981; SURVEY §1.2):
+  // new columns auto-added; type changes NOT migrated; replace rebuilds.
+  // ------------------------------------------------------------------
+
+  /** Add any columns present in `incoming` but missing from the table. */
+  def addMissingColumns(streamName: String, incoming: StructType): Unit = {
+    if (!tableExists(streamName)) return
+    val existing = spark.table(tableName(streamName)).schema
+    val have = existing.fieldNames.map(_.toLowerCase).toSet
+    val missing = incoming.fields.filterNot(f => have.contains(f.name.toLowerCase))
+    if (missing.nonEmpty) {
+      val colsDdl = missing
+        .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+      spark.sql(s"ALTER TABLE ${tableName(streamName)} ADD COLUMNS ($colsDdl)")
+      spark.catalog.refreshTable(tableName(streamName))
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Write strategies (SURVEY §2.10; reference sql_processor.py:983-1208)
+  // ------------------------------------------------------------------
+
+  /**
+   * Land a batch of records into a stream's final table using the given
+   * strategy (AUTO resolved via the catalog). Returns rows written.
+   */
+  def writeStream(
+      streamName: String,
+      batch: DataFrame,
+      catalog: ConfiguredCatalog,
+      strategy: WriteStrategy = WriteStrategy.Auto): Long = {
+    val method = catalog.resolveWriteMethod(streamName, strategy)
+    val t = tableName(streamName)
+    method match {
+      case WriteStrategy.Append =>
+        if (tableExists(streamName)) {
+          addMissingColumns(streamName, batch.schema)
+          val aligned = Records.project(batch, spark.table(t).schema)
+          aligned.write.mode(SaveMode.Append).saveAsTable(t)
+        } else batch.write.saveAsTable(t)
+      case WriteStrategy.Replace =>
+        batch.write.mode(SaveMode.Overwrite)
+          .option("overwriteSchema", "true").saveAsTable(t)
+      case WriteStrategy.Merge =>
+        val pks = catalog.primaryKeys(streamName)
+        if (!tableExists(streamName)) {
+          WriteStrategies.dedupLatest(batch, pks).write.saveAsTable(t)
+        } else {
+          addMissingColumns(streamName, batch.schema)
+          val existing = spark.table(t)
+          val merged = WriteStrategies.merge(Some(existing), batch, pks)
+          // Parquet overwrite of a table being read requires staging:
+          // checkpoint-by-temp-table swap, the analog of the reference's
+          // rename dance (sql_processor.py:1061-1087).
+          val tmp = s"`$database`.`__merge_tmp_${System.nanoTime()}`"
+          merged.write.saveAsTable(tmp)
+          spark.table(tmp).write.mode(SaveMode.Overwrite)
+            .option("overwriteSchema", "true").saveAsTable(t)
+        spark.sql(s"DROP TABLE IF EXISTS $tmp")
+        }
+      case WriteStrategy.Auto => throw new IllegalStateException("unreachable")
+    }
+    registerStream(streamName)
+    spark.table(t).count()
+  }
+
+  private def registerStream(streamName: String, sourceName: String = "default"): Unit = {
+    import spark.implicits._
+    val row = Seq((sourceName, streamName, tableName(streamName), "{}"))
+      .toDF("source_name", "stream_name", "table_name", "catalog_json")
+      .withColumn("registered_at", current_timestamp())
+    row.write.mode(SaveMode.Append).saveAsTable(s"`$database`.`$StreamsTable`")
+  }
+
+  // ------------------------------------------------------------------
+  // State backend (reference _state_backend.py; last-write-wins per
+  // (source, stream); SURVEY ST2/ST3)
+  // ------------------------------------------------------------------
+
+  def writeState(sourceName: String, streamName: String, stateJson: String): Unit = {
+    import spark.implicits._
+    Seq((sourceName, streamName, stateJson))
+      .toDF("source_name", "stream_name", "state_json")
+      .withColumn("updated_at", current_timestamp())
+      .write.mode(SaveMode.Append).saveAsTable(s"`$database`.`$StateTable`")
+  }
+
+  /** Latest state per stream for a source (last-write-wins). */
+  def latestState(sourceName: String, streamName: String): Option[String] = {
+    import spark.implicits._
+    spark.table(s"`$database`.`$StateTable`")
+      .filter(col("source_name") === sourceName && col("stream_name") === streamName)
+      .orderBy(col("updated_at").desc)
+      .select("state_json").as[String].take(1).headOption
+  }
+
+  // ------------------------------------------------------------------
+  // SQL pass-through (reference caches/base.py:195-241 + read-only guard
+  // mcp/local.py:753-786; Q1/Q2/P6)
+  // ------------------------------------------------------------------
+
+  private val ReadOnlyPrefixes = Seq("select", "describe", "show", "explain", "with")
+
+  /** Reject non-read-only / multi-statement SQL (reference P6 guard). */
+  def checkReadOnly(sql: String): Unit = {
+    val trimmed = sql.trim
+    val body = if (trimmed.endsWith(";")) trimmed.dropRight(1) else trimmed
+    if (body.contains(";"))
+      throw new IllegalArgumentException("Multiple statements are not allowed")
+    val first = body.split("\\s+").headOption.map(_.toLowerCase).getOrElse("")
+    if (!ReadOnlyPrefixes.contains(first))
+      throw new IllegalArgumentException(
+        s"Only read-only queries are allowed (got: $first)")
+  }
+
+  /** `run_sql_query` equivalent: guarded, optional row cap. */
+  def runSqlQuery(sql: String, maxRecords: Option[Int] = None): DataFrame = {
+    checkReadOnly(sql)
+    spark.sql(s"USE `$database`")
+    val df = spark.sql(sql.trim.stripSuffix(";"))
+    maxRecords.map(df.limit).getOrElse(df)
+  }
+
+  def dropAll(): Unit =
+    spark.sql(s"DROP DATABASE IF EXISTS `$database` CASCADE")
+}
+
+object SparkCache {
+
+  /**
+   * Create a cache database guaranteed fresh even when a previous JVM left
+   * files behind: `DROP DATABASE` in a new session's in-memory catalog
+   * does not remove an unregistered leftover warehouse directory, so a
+   * later `CREATE TABLE` would fail with LOCATION_ALREADY_EXISTS. We give
+   * the database an explicit location and physically clear it.
+   */
+  def fresh(spark: SparkSession, name: String): SparkCache = {
+    spark.sql(s"DROP DATABASE IF EXISTS `$name` CASCADE")
+    val base = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), s"$name.db")
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(base)) fs.delete(base, true)
+    new SparkCache(spark, name)
+  }
+}

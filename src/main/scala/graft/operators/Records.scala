@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.names.NameNormalizer
+
+/**
+ * Record normalization: raw connector JSON → declared-schema DataFrame
+ * with Airbyte metadata columns.
+ *
+ * Mirrors the reference's `StreamRecord` projection semantics
+ * (PyAirbyte `airbyte/records.py:93-171,200-241`):
+ *   - fields are matched case-insensitively against the declared schema
+ *   - missing declared fields surface as NULL
+ *   - undeclared fields are pruned
+ *   - top-level names are normalized (lowercase/underscore)
+ *   - three metadata columns are appended
+ *     (`airbyte/constants.py:16-39`, `airbyte/shared/sql_processor.py:742-744`)
+ *
+ * Where the reference does this per-record in Python dicts, we do it as a
+ * single vectorized `from_json` projection — Catalyst's JSON parser already
+ * implements null-for-missing + prune-extra, and the whole pipeline stays
+ * inside whole-stage codegen. At 100 TB this runs fully parallel across
+ * executors with no driver involvement.
+ */
+object Records {
+
+  val RawIdColumn = "_airbyte_raw_id"
+  val ExtractedAtColumn = "_airbyte_extracted_at"
+  val MetaColumn = "_airbyte_meta"
+  val InternalColumns: Seq[String] = Seq(RawIdColumn, ExtractedAtColumn, MetaColumn)
+
+  /** Declared schema + metadata columns, as materialized in cache tables. */
+  def withMetadataFields(declared: StructType): StructType =
+    StructType(declared.fields.toSeq ++ Seq(
+      StructField(RawIdColumn, StringType, nullable = false),
+      StructField(ExtractedAtColumn, TimestampType, nullable = true),
+      StructField(MetaColumn, StringType, nullable = true)))
+
+  /**
+   * Parse a dataset of raw JSON record payloads against the declared
+   * schema and append metadata columns.
+   *
+   * @param json        one JSON object per element (`data` payload)
+   * @param declared    declared schema with already-normalized names
+   * @param extractedAt column giving emitted-at; defaults to now()
+   */
+  def normalize(
+      json: Dataset[String],
+      declared: StructType,
+      extractedAt: Option[Column] = None): DataFrame = {
+    val spark = json.sparkSession
+    val parsed = json.toDF("_raw_json")
+      .select(from_json(col("_raw_json"), declared).as("r"))
+      .select(col("r.*"))
+    addMetadata(parsed, extractedAt)
+  }
+
+  /** Append the three metadata columns to an already-shaped DataFrame. */
+  def addMetadata(df: DataFrame, extractedAt: Option[Column] = None): DataFrame =
+    df.withColumn(RawIdColumn, graft.functions.functions.uuid7())
+      .withColumn(ExtractedAtColumn,
+        extractedAt.getOrElse(current_timestamp()).cast(TimestampType))
+      .withColumn(MetaColumn, lit("{}"))
+
+  /**
+   * Project an arbitrary DataFrame onto a declared schema:
+   * case-insensitive match, null-fill missing, prune extras, cast to the
+   * declared type. (`records.py` P1/P2 as one `select`.)
+   */
+  def project(df: DataFrame, declared: StructType): DataFrame = {
+    val byLower = df.columns.map(c => c.toLowerCase -> c).toMap
+    val cols = declared.fields.map { f =>
+      byLower.get(f.name.toLowerCase) match {
+        case Some(actual) => col(actual).cast(f.dataType).as(f.name)
+        case None         => lit(null).cast(f.dataType).as(f.name)
+      }
+    }
+    df.select(cols.toSeq: _*)
+  }
+
+  /** Rename top-level columns via the normalizer (P3). */
+  def normalizeColumnNames(df: DataFrame): DataFrame = {
+    val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+    val names = df.columns.map { c =>
+      val n = NameNormalizer.normalize(c)
+      // disambiguate collisions deterministically
+      var candidate = n
+      var i = 1
+      while (!seen.add(candidate)) { candidate = s"${n}_$i"; i += 1 }
+      candidate
+    }
+    df.toDF(names.toSeq: _*)
+  }
+
+  /** Drop internal `_airbyte_*` columns for display paths (P5). */
+  def dropInternalColumns(df: DataFrame): DataFrame =
+    df.drop(InternalColumns: _*)
+}

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Stream finalization: how a batch of new records lands in the final table.
+ *
+ * Reference semantics (PyAirbyte):
+ *   - append:  `INSERT INTO final SELECT * FROM temp`
+ *     (`airbyte/shared/sql_processor.py:1042-1059`)
+ *   - replace: temp/final table swap (`:1061-1087`)
+ *   - merge:   `MERGE INTO ... ON pk` native (`:1089-1127`) or emulated
+ *     UPDATE+INSERT (`:1148-1208`); last write wins per PK.
+ *
+ * Behavioral contract (reference
+ * `tests/integration_tests/test_all_cache_types.py:177-252`):
+ *   append twice ⇒ 2N rows; replace twice ⇒ N; merge re-run ⇒ idempotent N.
+ *
+ * Spark-first design: there is no MERGE on plain parquet tables, so merge =
+ * union(existing, incoming) → window dedup by PK keeping the latest
+ * (`_airbyte_extracted_at` desc, `_airbyte_raw_id` desc tiebreak — v7 IDs
+ * are time-ordered) → overwrite. At scale the window is one hash shuffle by
+ * PK — the same shuffle a SQL MERGE's join would do — and AQE handles skew.
+ * For very large final tables a real deployment would use a MERGE-capable
+ * table format (Delta/Iceberg); the dedup-window algorithm is identical.
+ */
+object WriteStrategies {
+
+  /** Dedup by PK keeping the latest version of each key. */
+  def dedupLatest(
+      df: DataFrame,
+      pks: Seq[String],
+      orderCols: Seq[String] = Seq(Records.ExtractedAtColumn, Records.RawIdColumn)): DataFrame = {
+    require(pks.nonEmpty, "merge/dedup requires primary keys")
+    val present = orderCols.filter(df.columns.map(_.toLowerCase).contains(_))
+    val w = Window.partitionBy(pks.map(col): _*)
+      .orderBy(present.map(c => col(c).desc_nulls_last): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Merge incoming into existing: last-wins per PK, idempotent. */
+  def merge(existing: Option[DataFrame], incoming: DataFrame, pks: Seq[String]): DataFrame = {
+    val unioned = existing match {
+      case Some(e) => e.unionByName(incoming, allowMissingColumns = true)
+      case None    => incoming
+    }
+    dedupLatest(unioned, pks)
+  }
+}

@@ -1,0 +1,197 @@
+package graft.protocol
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.types.StructType
+
+import graft.names.NameNormalizer
+import graft.types.JsonSchemaConverter
+
+/**
+ * The connector wire protocol and configured-catalog model, re-expressed
+ * as Scala case classes.
+ *
+ * Reference: PyAirbyte wraps `airbyte_protocol` models — message loop
+ * `airbyte/shared/sql_processor.py:305-378`, catalog provider
+ * `airbyte/shared/catalog_providers.py:31-226`, write-strategy resolution
+ * `airbyte/shared/catalog_providers.py:183-208` and
+ * `airbyte/strategies.py:18-92`.
+ *
+ * Messages travel as JSON lines (connector stdout). We parse with Spark's
+ * bundled jackson; record payloads stay as raw JSON text so executors can
+ * parse them vectorized via `from_json` with the declared schema instead of
+ * driver-side dict munging.
+ */
+object MessageType extends Enumeration {
+  val RECORD, STATE, TRACE, CATALOG, SPEC, LOG, CONNECTION_STATUS, CONTROL = Value
+}
+
+/** One protocol message. `raw` keeps the original line for passthrough. */
+final case class AirbyteMessage(
+    messageType: MessageType.Value,
+    streamName: Option[String],
+    /** For RECORD: the `data` payload as JSON text. */
+    dataJson: Option[String],
+    /** For RECORD: emitted_at epoch millis. */
+    emittedAt: Option[Long],
+    /** For STATE: the whole state message as JSON text. */
+    stateJson: Option[String],
+    /** For TRACE: stream status (STARTED/RUNNING/COMPLETE/...). */
+    streamStatus: Option[String],
+    raw: String)
+
+object AirbyteMessage {
+  private val mapper = new ObjectMapper()
+
+  /** Parse one JSONL protocol line. Unknown/garbage lines → None. */
+  def parse(line: String): Option[AirbyteMessage] = {
+    if (line == null || line.isEmpty || line.charAt(0) != '{') return None
+    try {
+      val n = mapper.readTree(line)
+      val t = Option(n.get("type")).map(_.asText()).getOrElse(return None)
+      val mt =
+        try MessageType.withName(t)
+        catch { case _: NoSuchElementException => return None }
+      mt match {
+        case MessageType.RECORD =>
+          val rec = n.get("record")
+          Some(AirbyteMessage(mt,
+            streamName = Option(rec.get("stream")).map(_.asText()),
+            dataJson = Option(rec.get("data")).map(_.toString),
+            emittedAt = Option(rec.get("emitted_at")).map(_.asLong()),
+            stateJson = None, streamStatus = None, raw = line))
+        case MessageType.STATE =>
+          val st = n.get("state")
+          val sName = Option(st.get("stream"))
+            .flatMap(s => Option(s.get("stream_descriptor")))
+            .flatMap(d => Option(d.get("name"))).map(_.asText())
+          Some(AirbyteMessage(mt, sName, None, None,
+            stateJson = Some(st.toString), streamStatus = None, raw = line))
+        case MessageType.TRACE =>
+          val status = Option(n.get("trace"))
+            .flatMap(tr => Option(tr.get("stream_status")))
+          val sName = status.flatMap(s => Option(s.get("stream_descriptor")))
+            .flatMap(d => Option(d.get("name"))).map(_.asText())
+          val st = status.flatMap(s => Option(s.get("status"))).map(_.asText())
+          Some(AirbyteMessage(mt, sName, None, None, None, st, line))
+        case _ =>
+          Some(AirbyteMessage(mt, None, None, None, None, None, line))
+      }
+    } catch { case _: Exception => None }
+  }
+}
+
+/** Sync modes (subset relevant to the engine). */
+object SyncMode extends Enumeration {
+  val FullRefresh = Value("full_refresh")
+  val Incremental = Value("incremental")
+}
+
+/**
+ * Write strategies (reference `airbyte/strategies.py:18-92`).
+ * AUTO resolves per stream: PK ⇒ merge; else cursor ⇒ append; else replace.
+ */
+sealed trait WriteStrategy
+object WriteStrategy {
+  case object Append extends WriteStrategy
+  case object Replace extends WriteStrategy
+  case object Merge extends WriteStrategy
+  case object Auto extends WriteStrategy
+
+  def fromString(s: String): WriteStrategy = s.toLowerCase match {
+    case "append"  => Append
+    case "replace" => Replace
+    case "merge"   => Merge
+    case "auto"    => Auto
+    case other => throw new IllegalArgumentException(s"Unknown write strategy: $other")
+  }
+}
+
+/** One configured stream: schema + sync config. */
+final case class ConfiguredStream(
+    name: String,
+    /** Declared schema (already converted; names normalized). */
+    schema: StructType,
+    /** Normalized primary-key column names (top-level only). */
+    primaryKeys: Seq[String] = Seq.empty,
+    cursorField: Option[String] = None,
+    syncMode: SyncMode.Value = SyncMode.FullRefresh)
+
+/**
+ * Catalog of configured streams + resolution logic.
+ * Mirrors `CatalogProvider` (`airbyte/shared/catalog_providers.py`).
+ */
+final case class ConfiguredCatalog(streams: Seq[ConfiguredStream]) {
+  private val byName: Map[String, ConfiguredStream] =
+    streams.map(s => s.name.toLowerCase -> s).toMap
+
+  def streamNames: Seq[String] = streams.map(_.name)
+
+  def apply(streamName: String): ConfiguredStream =
+    byName.getOrElse(streamName.toLowerCase,
+      throw new NoSuchElementException(s"Stream not found: $streamName"))
+
+  /**
+   * Normalized, validated primary keys for a stream. Nested (multi-node)
+   * PKs are rejected (reference `catalog_providers.py:146-172`).
+   */
+  def primaryKeys(streamName: String): Seq[String] =
+    apply(streamName).primaryKeys.map { pk =>
+      if (pk.contains(".")) throw new IllegalArgumentException(
+        s"Nested primary keys are not supported: $pk")
+      NameNormalizer.normalize(pk)
+    }
+
+  /**
+   * Resolve the effective write method for a stream
+   * (reference `resolve_write_method`, `catalog_providers.py:183-208`):
+   *  - explicit MERGE without a PK is an error
+   *  - AUTO: PK ⇒ merge; else cursor ⇒ append; else replace.
+   */
+  def resolveWriteMethod(streamName: String, strategy: WriteStrategy): WriteStrategy = {
+    val s = apply(streamName)
+    strategy match {
+      case WriteStrategy.Merge if s.primaryKeys.isEmpty =>
+        throw new IllegalArgumentException(
+          s"Merge strategy requires a primary key for stream $streamName")
+      case WriteStrategy.Auto =>
+        if (s.primaryKeys.nonEmpty) WriteStrategy.Merge
+        else if (s.cursorField.nonEmpty) WriteStrategy.Append
+        else WriteStrategy.Replace
+      case explicit => explicit
+    }
+  }
+}
+
+object ConfiguredCatalog {
+
+  /**
+   * Build from an Airbyte `discover` catalog JSON document:
+   * `{"streams":[{"name":..., "json_schema":{...},
+   *   "source_defined_primary_key":[["id"]], "default_cursor_field":[...]}]}`
+   */
+  def fromCatalogJson(json: String): ConfiguredCatalog = {
+    import scala.jdk.CollectionConverters._
+    val mapper = new ObjectMapper()
+    val root = mapper.readTree(json)
+    val streams = Option(root.get("streams")).toSeq
+      .flatMap(_.elements().asScala)
+      .map { s =>
+        val name = s.get("name").asText()
+        val schema = Option(s.get("json_schema"))
+          .map(js => JsonSchemaConverter.schemaJsonToStructType(js.toString))
+          .getOrElse(new StructType())
+        val pks: Seq[String] = Option(s.get("source_defined_primary_key")).toSeq
+          .flatMap(_.elements().asScala)
+          .flatMap { path =>
+            val parts = path.elements().asScala.map(_.asText()).toSeq
+            if (parts.size == 1) Some(parts.head) else Some(parts.mkString("."))
+          }
+        val cursor = Option(s.get("default_cursor_field"))
+          .flatMap(_.elements().asScala.toSeq.headOption).map(_.asText())
+        ConfiguredStream(NameNormalizer.normalize(name), schema, pks, cursor)
+      }
+    ConfiguredCatalog(streams)
+  }
+
+  private def nodeToStream(s: JsonNode): Unit = ()
+}

@@ -1,0 +1,228 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.cache.SparkCache
+import graft.operators.Records
+import graft.protocol._
+import graft.sources.Tables
+
+/**
+ * ELT pipeline queries: these run the REAL engine paths — SparkCache,
+ * write strategies, state backend, schema evolution, record
+ * normalization — end-to-end, then emit a small deterministic summary a
+ * DuckDB oracle can reproduce from the raw tables.
+ *
+ * Contract mirrored (reference
+ * `tests/integration_tests/test_all_cache_types.py:177-252`):
+ * append twice ⇒ 2N; replace twice ⇒ N(last); merge re-run ⇒ idempotent.
+ *
+ * Each query uses its own cache database and drops it first, so reruns
+ * are hermetic. Metadata columns are stamped with fixed extracted-at
+ * timestamps so merge ordering is deterministic.
+ */
+object PipelineQueries {
+
+  private def freshCache(spark: SparkSession, name: String): SparkCache =
+    SparkCache.fresh(spark, name)
+
+  private def stamp(df: DataFrame, at: String): DataFrame =
+    Records.addMetadata(df, Some(lit(at).cast(TimestampType)))
+
+  private val ordersCatalog = ConfiguredCatalog(Seq(
+    ConfiguredStream("orders", new StructType(), primaryKeys = Seq("o_orderkey")),
+    ConfiguredStream("orders_nopk", new StructType())))
+
+  /** Merge/upsert (J1/J2): initial load + updated batch for 1/3 of the
+    * keys, run TWICE to prove idempotency; last-wins per PK. */
+  def q20Merge(spark: SparkSession, dir: String): DataFrame = {
+    val cache = freshCache(spark, "graft_q20")
+    val orders = Tables.orders(spark, dir)
+    cache.writeStream("orders", stamp(orders, "2020-01-01 00:00:00"),
+      ordersCatalog, WriteStrategy.Merge)
+    val incoming = orders.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + lit(100.0))
+    // run the same merge twice — second run must be a no-op (idempotent)
+    cache.writeStream("orders", stamp(incoming, "2021-01-01 00:00:00"),
+      ordersCatalog, WriteStrategy.Merge)
+    cache.writeStream("orders", stamp(incoming, "2021-01-01 00:00:00"),
+      ordersCatalog, WriteStrategy.Merge)
+    cache.table("orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 4))).cast(DoubleType).as("total"))
+  }
+
+  val q20Sql: String =
+    """SELECT o_orderstatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 100.0 ELSE o_totalprice END AS DECIMAL(18,4))) AS DOUBLE) AS total
+      |FROM orders GROUP BY o_orderstatus""".stripMargin
+
+  /** Append strategy (U1): two appends ⇒ doubled counts. */
+  def q21Append(spark: SparkSession, dir: String): DataFrame = {
+    val cache = freshCache(spark, "graft_q21")
+    val orders = Tables.orders(spark, dir)
+    cache.writeStream("orders_nopk", stamp(orders, "2020-01-01 00:00:00"),
+      ordersCatalog, WriteStrategy.Append)
+    cache.writeStream("orders_nopk", stamp(orders, "2020-01-02 00:00:00"),
+      ordersCatalog, WriteStrategy.Append)
+    cache.table("orders_nopk")
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+  }
+
+  val q21Sql: String =
+    """SELECT o_orderstatus, COUNT(*) AS n
+      |FROM (SELECT * FROM orders UNION ALL SELECT * FROM orders) t
+      |GROUP BY o_orderstatus""".stripMargin
+
+  /** Replace strategy (U2): second replace wins entirely. */
+  def q22Replace(spark: SparkSession, dir: String): DataFrame = {
+    val cache = freshCache(spark, "graft_q22")
+    val orders = Tables.orders(spark, dir)
+    cache.writeStream("orders_nopk", stamp(orders, "2020-01-01 00:00:00"),
+      ordersCatalog, WriteStrategy.Replace)
+    cache.writeStream("orders_nopk",
+      stamp(orders.filter(col("o_orderkey") % 2 === 0), "2020-01-02 00:00:00"),
+      ordersCatalog, WriteStrategy.Replace)
+    cache.table("orders_nopk")
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+  }
+
+  val q22Sql: String =
+    """SELECT o_orderstatus, COUNT(*) AS n
+      |FROM orders WHERE o_orderkey % 2 = 0 GROUP BY o_orderstatus""".stripMargin
+
+  /** AUTO strategy resolution (§2.10): PK ⇒ merge, no PK ⇒ replace —
+    * verified by behavior: rerunning AUTO on orders (PK) is idempotent. */
+  def q23AutoStrategy(spark: SparkSession, dir: String): DataFrame = {
+    val cache = freshCache(spark, "graft_q23")
+    val orders = Tables.orders(spark, dir)
+    cache.writeStream("orders", stamp(orders, "2020-01-01 00:00:00"), ordersCatalog)
+    cache.writeStream("orders", stamp(orders, "2020-01-02 00:00:00"), ordersCatalog)
+    cache.writeStream("orders_nopk", stamp(orders, "2020-01-01 00:00:00"), ordersCatalog)
+    cache.writeStream("orders_nopk", stamp(orders, "2020-01-02 00:00:00"), ordersCatalog)
+    cache.table("orders").agg(count(lit(1)).as("n_merged"))
+      .crossJoin(cache.table("orders_nopk").agg(count(lit(1)).as("n_replaced")))
+  }
+
+  val q23Sql: String =
+    """SELECT (SELECT COUNT(*) FROM orders) AS n_merged,
+      |       (SELECT COUNT(*) FROM orders) AS n_replaced""".stripMargin
+
+  /** Schema evolution (§1.2): first batch lacks a column, second batch
+    * adds it ⇒ auto ALTER TABLE ADD COLUMNS, old rows read as NULL. */
+  def q24SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val cache = freshCache(spark, "graft_q24")
+    val orders = Tables.orders(spark, dir)
+    val batch1 = orders.filter(col("o_orderkey") % 2 === 0).drop("o_orderpriority")
+    val batch2 = orders.filter(col("o_orderkey") % 2 === 1)
+    cache.writeStream("orders_nopk", stamp(batch1, "2020-01-01 00:00:00"),
+      ordersCatalog, WriteStrategy.Append)
+    cache.writeStream("orders_nopk", stamp(batch2, "2020-01-02 00:00:00"),
+      ordersCatalog, WriteStrategy.Append)
+    cache.table("orders_nopk").agg(
+      count(lit(1)).as("total"),
+      count(col("o_orderpriority")).as("nn_priority"))
+  }
+
+  val q24Sql: String =
+    """SELECT COUNT(*) AS total,
+      |  COUNT(CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END) AS nn_priority
+      |FROM orders""".stripMargin
+
+  /** Cursor-incremental sync (ST4/ST5): two incremental batches split on
+    * the cursor; state checkpointed after each finalize and used to
+    * filter the next read. Exactly-once despite overlapping input. */
+  def q25Incremental(spark: SparkSession, dir: String): DataFrame = {
+    val cache = freshCache(spark, "graft_q25")
+    val ev = Tables.events(spark, dir)
+    val catalog = ConfiguredCatalog(Seq(
+      ConfiguredStream("events", new StructType(),
+        cursorField = Some("ts"), syncMode = SyncMode.Incremental)))
+    val cutoff = lit("2024-01-15 00:00:00").cast(TimestampType)
+
+    // batch 1: everything before the cutoff
+    val b1 = ev.filter(col("ts") < cutoff)
+    cache.writeStream("events", stamp(b1, "2020-01-01 00:00:00"), catalog)
+    val cursor1 = b1.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    cache.writeState("src", "events", s"""{"cursor":"$cursor1"}""")
+
+    // batch 2: source re-emits EVERYTHING, engine filters by saved cursor
+    val saved = cache.latestState("src", "events").get
+    val cursorVal = saved.split("\"")(3) // {"cursor":"..."}
+    val b2 = ev.filter(col("ts") > lit(cursorVal).cast(TimestampType))
+    cache.writeStream("events", stamp(b2, "2020-01-02 00:00:00"), catalog)
+
+    cache.table("events")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+  }
+
+  val q25Sql: String =
+    """SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type""".stripMargin
+
+  /** Record normalization (P1-P3, F6, S1/S5): rows → JSONL (the connector
+    * wire format) → from_json against a DECLARED schema: missing declared
+    * field ⇒ NULL, undeclared field pruned, number ⇒ DECIMAL(38,9). */
+  def q26RecordNormalize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val jsonl = ev.select(to_json(struct(ev.columns.map(col).toSeq: _*)).as("j")).as[String]
+    val declared = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DecimalType(38, 9)),
+      StructField("missing_col", StringType))) // declared but absent ⇒ NULL
+    val normalized = Records.normalize(jsonl, declared,
+      extractedAt = Some(lit("2020-01-01 00:00:00").cast(TimestampType)))
+    Records.dropInternalColumns(normalized)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        count(col("missing_col")).as("nn_missing"),
+        sum(col("value")).cast(DoubleType).as("sum_value"))
+  }
+
+  val q26Sql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(0 AS BIGINT) AS nn_missing,
+      |  CAST(SUM(CAST(value AS DECIMAL(38,9))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY event_type""".stripMargin
+
+  /** Name normalization (F1/P3): messy source identifiers → normalized
+    * snake_case columns, then a grouped count over the renamed frame. */
+  def q27NameNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .withColumnRenamed("o_orderstatus", "O Order-Status!")
+      .withColumnRenamed("o_orderkey", "1OrderKey")
+    val norm = Records.normalizeColumnNames(o)
+    norm.groupBy(col("o_order_status_"))
+      .agg(count(lit(1)).as("n"), max(col("_1orderkey")).as("max_key"))
+  }
+
+  val q27Sql: String =
+    """SELECT o_orderstatus AS o_order_status_, COUNT(*) AS n,
+      |  MAX(o_orderkey) AS max_key
+      |FROM orders GROUP BY o_orderstatus""".stripMargin
+
+  /** SQL pass-through with read-only guard (Q1/P6): the cache's
+    * `run_sql_query` surface over registered stream tables. */
+  def q28SqlPassthrough(spark: SparkSession, dir: String): DataFrame = {
+    val cache = freshCache(spark, "graft_q28")
+    cache.writeStream("orders_nopk",
+      stamp(Tables.orders(spark, dir), "2020-01-01 00:00:00"),
+      ordersCatalog, WriteStrategy.Replace)
+    // guard must reject writes
+    val rejected =
+      try { cache.runSqlQuery("DROP TABLE orders_nopk"); false }
+      catch { case _: IllegalArgumentException => true }
+    require(rejected, "read-only guard failed to reject DROP")
+    cache.runSqlQuery(
+      """SELECT o_orderpriority, COUNT(*) AS n, MAX(o_orderkey) AS max_key
+        |FROM orders_nopk GROUP BY o_orderpriority""".stripMargin)
+  }
+
+  val q28Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n, MAX(o_orderkey) AS max_key
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+}
