@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries => C, PipelineQueries => P}
+import graft.queries.{CoreQueries => C, LlmQueries => L, PipelineQueries => P}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -40,6 +40,19 @@ object SparkEntry {
     "q26_record_normalize" -> (P.q26RecordNormalize _),
     "q27_name_normalize"  -> (P.q27NameNormalize _),
     "q28_sql_passthrough" -> (P.q28SqlPassthrough _),
+    // --- LLM-pipeline operators (north-star; BASELINE.json) ---
+    "q30_dedup_exact"     -> (L.q30DedupExact _),
+    "q31_dedup_minhash_lsh" -> (L.q31MinhashLsh _),
+    "q32_simhash"         -> (L.q32Simhash _),
+    "q33_ngram_jaccard"   -> (L.q33NgramJaccard _),
+    "q34_embed_near_dups" -> (L.q34EmbedNearDups _),
+    "q35_cosine_topk"     -> (L.q35CosineTopK _),
+    "q36_langid"          -> (L.q36LangId _),
+    "q37_quality_score"   -> (L.q37Quality _),
+    "q38_token_count"     -> (L.q38TokenCount _),
+    "q39_fingerprint"     -> (L.q39Fingerprint _),
+    "q40_multimodal_features" -> (L.q40Multimodal _),
+    "q41_frame_sample"    -> (L.q41FrameSample _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -70,5 +83,17 @@ object SparkEntry {
     "q26_record_normalize" -> P.q26Sql,
     "q27_name_normalize"  -> P.q27Sql,
     "q28_sql_passthrough" -> P.q28Sql,
+    "q30_dedup_exact"     -> L.q30Sql,
+    "q31_dedup_minhash_lsh" -> L.q31Sql,
+    "q32_simhash"         -> L.q32Sql,
+    "q33_ngram_jaccard"   -> L.q33Sql,
+    "q34_embed_near_dups" -> L.q34Sql,
+    "q35_cosine_topk"     -> L.q35Sql,
+    "q36_langid"          -> L.q36Sql,
+    "q37_quality_score"   -> L.q37Sql,
+    "q38_token_count"     -> L.q38Sql,
+    "q39_fingerprint"     -> L.q39Sql,
+    "q40_multimodal_features" -> L.q40Sql,
+    "q41_frame_sample"    -> L.q41Sql,
   )
 }

@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Approximate-nearest-neighbor similarity search over embedding columns
+ * (`Array[Float]`). North-star addition (BASELINE.json).
+ *
+ * Two paths:
+ *  - Brute-force top-k: broadcast the (small) query set against the
+ *    corpus — a broadcast nested-loop with a codegen'd dot product, then
+ *    per-query top-k via window. Exact; the baseline.
+ *  - LSH-bucketed: random-hyperplane signatures (deterministic seeded
+ *    planes from md5) bucket the corpus; candidates come only from
+ *    matching buckets — the scale path: corpus shuffles once on the
+ *    bucket key instead of crossing with every query.
+ *
+ * All float math is done in double with a FIXED left-to-right fold
+ * (`aggregate`), so results are deterministic regardless of
+ * partitioning — a requirement for oracle comparison and for stable
+ * re-runs at scale.
+ */
+object Similarity {
+
+  /** Sequential-fold dot product of two float arrays, in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm (sequential fold). */
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast(DoubleType) * x.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v))
+
+  /** Cosine similarity, 0 where either vector is zero. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val nn = norm(a) * norm(b)
+    when(nn > 0, d / nn).otherwise(lit(0.0))
+  }
+
+  /**
+   * Exact brute-force top-k neighbors for each query vector.
+   * `queries` is expected to be small (it is broadcast); the corpus side
+   * never shuffles for the join — only the final per-query top-k windows
+   * on the (tiny) candidate set.
+   *
+   * Ranking uses cosine ROUNDED to `roundDigits` with id ascending as
+   * tiebreak — fully deterministic across engines and partitionings.
+   */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame,
+      corpusId: String, corpusVec: String,
+      queryId: String, queryVec: String,
+      k: Int = 3, roundDigits: Int = 4): DataFrame = {
+    val joined = corpus.crossJoin(broadcast(queries))
+      .filter(col(queryId) =!= col(corpusId))
+      .withColumn("sim", round(cosine(col(corpusVec), col(queryVec)), roundDigits))
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("sim").desc, col(corpusId).asc)
+    joined.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col(queryId).as("query_id"), col(corpusId).as("neighbor_id"),
+        col("rank"), col("sim"))
+  }
+
+  /**
+   * Deterministic pseudo-random hyperplane component for (plane, dim):
+   * Rademacher ±1 drawn from the first md5 hex char (≥ '8' → +1).
+   * Sign-projection LSH with ±1 components is a standard random-
+   * hyperplane family, and the formulation is portable to SQL oracles
+   * (no hex→int conversion needed).
+   */
+  private def planeComponent(plane: Int, dim: Column): Column = {
+    val h = md5(concat(lit(s"plane$plane:"), dim.cast(StringType)))
+    when(substring(h, 1, 1) >= "8", lit(1.0)).otherwise(lit(-1.0))
+  }
+
+  /** Random-hyperplane signature: one sign bit per plane → bit string. */
+  def lshSignature(vec: Column, planes: Int = 16): Column = {
+    val bits = (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x.cast(DoubleType) * planeComponent(p, i)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, lit("1")).otherwise(lit("0"))
+    }
+    concat(bits: _*)
+  }
+
+  /**
+   * LSH-bucketed approximate top-k: signature match (optionally on a
+   * prefix) prunes candidates, exact cosine reranks within buckets.
+   * Recall < 1.0 by construction; the scale path for 100 TB corpora
+   * where brute force is infeasible.
+   */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame,
+      corpusId: String, corpusVec: String,
+      queryId: String, queryVec: String,
+      k: Int = 3, planes: Int = 16, prefixBits: Int = 8,
+      roundDigits: Int = 4): DataFrame = {
+    val c = corpus.withColumn("bucket",
+      substring(lshSignature(col(corpusVec), planes), 1, prefixBits))
+    val q = queries.withColumn("bucket",
+      substring(lshSignature(col(queryVec), planes), 1, prefixBits))
+    val joined = c.join(broadcast(q), Seq("bucket"))
+      .filter(col(queryId) =!= col(corpusId))
+      .withColumn("sim", round(cosine(col(corpusVec), col(queryVec)), roundDigits))
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("sim").desc, col(corpusId).asc)
+    joined.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col(queryId).as("query_id"), col(corpusId).as("neighbor_id"),
+        col("rank"), col("sim"))
+  }
+
+  /** Embedding near-duplicate pairs: cosine ≥ threshold, via LSH-prefix
+    * bucketing (same-bucket candidates only) — never O(n²). */
+  def embeddingNearDups(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, planes: Int = 16, prefixBits: Int = 8,
+      roundDigits: Int = 4): DataFrame = {
+    val withBucket = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("bucket", substring(lshSignature(col("vec"), planes), 1, prefixBits))
+    val a = withBucket.alias("a")
+    val b = withBucket.alias("b")
+    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .withColumn("sim", round(cosine(col("a.vec"), col("b.vec")), roundDigits))
+      .filter(col("sim") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("sim"))
+  }
+}

@@ -1,0 +1,289 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.sources.Tables
+
+/**
+ * LLM-training-data pipeline queries (north-star additions per
+ * BASELINE.json): dedup family, similarity search, text analysis,
+ * multimodal plumbing — each over the documents/embeddings tables with a
+ * DuckDB oracle replicating the same deterministic algorithm.
+ */
+object LlmQueries {
+
+  // language-marker lists (inputs to the algorithm, chosen from the
+  // synthetic corpus vocabulary; ties resolve to the LAST language code)
+  val Markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "fast", "slow"),
+    "es" -> Seq("order", "sort", "data"),
+    "zh" -> Seq("spark", "query", "table"))
+
+  val Stopwords: Seq[String] = Seq("the", "a", "and", "of", "to")
+
+  /** Exact dedup (hash-groupBy): one shuffle on the content hash. */
+  def q30DedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables.documents(spark, dir), "doc_id", "text")
+
+  val q30Sql: String =
+    """SELECT sha256(text) AS content_hash, MIN(doc_id) AS keep_id,
+      |  COUNT(*) AS n_copies
+      |FROM documents GROUP BY sha256(text)""".stripMargin
+
+  /** MinHash+LSH near-dup pairs: banded signatures → bucket self-join →
+    * exact Jaccard verify. The only shuffle is on the band key. */
+  def q31MinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDups(Tables.documents(spark, dir), "doc_id", "text",
+      threshold = 0.35, numHashes = 9, bands = 3, shingle = 3)
+
+  val q31Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+      |      i -> concat_ws(' ', t[i], t[i+1], t[i+2])) AS shingles
+      |  FROM toks),
+      |sig AS (
+      |  SELECT doc_id, shingles,
+      |    list_transform(range(0, 9),
+      |      j -> list_min(list_transform(shingles, s -> md5(j || ':' || s)))) AS sig
+      |  FROM sh WHERE len(shingles) > 0),
+      |banded AS (
+      |  SELECT doc_id, shingles, unnest(list_transform(range(0, 3),
+      |    b -> md5(concat_ws('|', sig[b*3+1], sig[b*3+2], sig[b*3+3], CAST(b AS VARCHAR))))) AS band_key
+      |  FROM sig),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    a.shingles AS sh_a, b.shingles AS sh_b
+      |  FROM banded a JOIN banded b
+      |    ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
+      |SELECT id_a, id_b,
+      |  CAST(len(list_distinct(list_intersect(sh_a, sh_b))) AS DOUBLE)
+      |    / CAST(len(list_distinct(sh_a || sh_b)) AS DOUBLE) AS jaccard
+      |FROM cand
+      |WHERE CAST(len(list_distinct(list_intersect(sh_a, sh_b))) AS DOUBLE)
+      |    / CAST(len(list_distinct(sh_a || sh_b)) AS DOUBLE) >= 0.35""".stripMargin
+
+  /** SimHash fingerprints, grouped by 8-bit prefix (the banding used for
+    * hamming-neighbor candidate generation). */
+  def q32Simhash(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), Dedup.simhashBits(col("text")).as("simhash"))
+    docs.groupBy(substring(col("simhash"), 1, 8).as("prefix"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
+  }
+
+  val q32Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      |bits AS (
+      |  SELECT doc_id, j,
+      |    SUM(CASE WHEN (CAST(strpos('0123456789abcdef',
+      |        substr(md5(t), CAST(j // 4 AS INT) + 1, 1)) AS INT) - 1)
+      |        // CAST(pow(2, j % 4) AS INT) % 2 = 1
+      |      THEN 1 ELSE -1 END) AS s
+      |  FROM tok CROSS JOIN range(64) r(j)
+      |  GROUP BY doc_id, j),
+      |sim AS (
+      |  SELECT doc_id,
+      |    string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
+      |  FROM bits GROUP BY doc_id)
+      |SELECT substr(simhash, 1, 8) AS prefix, COUNT(*) AS n_docs,
+      |  MIN(doc_id) AS min_doc
+      |FROM sim GROUP BY 1""".stripMargin
+
+  /** n-gram Jaccard similarity pairs within the same language. */
+  def q33NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        array_distinct(Dedup.wordShingles(col("text"), 3)).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val a = docs.alias("a")
+    val b = docs.alias("b")
+    a.join(b, col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+      .withColumn("jaccard", Dedup.jaccard(col("a.sh"), col("b.sh")))
+      .filter(col("jaccard") >= 0.2)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"), col("jaccard"))
+  }
+
+  val q33Sql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, lang,
+      |    list_distinct(list_transform(
+      |      range(1, greatest(len(string_split(text,' ')) - 2, 0) + 1),
+      |      i -> concat_ws(' ', string_split(text,' ')[i],
+      |                          string_split(text,' ')[i+1],
+      |                          string_split(text,' ')[i+2]))) AS s
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    CAST(len(list_distinct(list_intersect(a.s, b.s))) AS DOUBLE)
+      |      / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) AS jaccard
+      |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |  WHERE len(a.s) > 0 AND len(b.s) > 0)
+      |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.2""".stripMargin
+
+  /** Embedding near-dup pairs via LSH buckets + cosine threshold. */
+  def q34EmbedNearDups(spark: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingNearDups(Tables.embeddings(spark, dir),
+      "vec_id", "embedding", threshold = 0.2, planes = 8, prefixBits = 4)
+
+  val q34Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |proj AS (
+      |  SELECT e.vec_id, p.p,
+      |    SUM(e.v[CAST(i.i AS INT) + 1] *
+      |      CASE WHEN substr(md5('plane' || p.p || ':' || i.i), 1, 1) >= '8'
+      |           THEN 1.0 ELSE -1.0 END) AS pr
+      |  FROM e CROSS JOIN range(8) p(p) CROSS JOIN range(64) i(i)
+      |  GROUP BY e.vec_id, p.p),
+      |sig AS (
+      |  SELECT vec_id,
+      |    substr(string_agg(CASE WHEN pr >= 0 THEN '1' ELSE '0' END, '' ORDER BY p), 1, 4) AS bucket
+      |  FROM proj GROUP BY vec_id),
+      |withv AS (
+      |  SELECT s.vec_id, s.bucket, e.v FROM sig s JOIN e ON s.vec_id = e.vec_id)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  ROUND(list_dot_product(a.v, b.v) /
+      |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS sim
+      |FROM withv a JOIN withv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      |WHERE ROUND(list_dot_product(a.v, b.v) /
+      |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.2""".stripMargin
+
+  /** Brute-force cosine top-k: every vec_id<10 queries the corpus. */
+  def q35CosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_vec_id"), col("embedding").as("qvec"))
+    Similarity.bruteForceTopK(emb, queries,
+      "vec_id", "embedding", "query_vec_id", "qvec", k = 3)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
+  }
+
+  val q35Sql: String =
+    """WITH q AS (SELECT vec_id AS query_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      |  FROM embeddings WHERE vec_id < 10),
+      |c AS (SELECT vec_id AS neighbor_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      |  FROM embeddings),
+      |sims AS (
+      |  SELECT query_id, neighbor_id,
+      |    ROUND(list_dot_product(qv, cv) /
+      |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 4) AS sim
+      |  FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+      |  FROM sims)
+      |SELECT query_id, neighbor_id, rank, sim FROM ranked WHERE rank <= 3""".stripMargin
+
+  /** Language ID vs the labeled lang column: confusion counts. */
+  def q36LangId(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("lang_pred", TextAnalysis.langId(col("text"), Markers))
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+
+  val q36Sql: String = {
+    def hits(lang: String): String = {
+      val set = Markers.toMap.apply(lang).map(m => s"'$m'").mkString(", ")
+      s"len(list_filter(string_split(text, ' '), w -> w IN ($set)))"
+    }
+    s"""WITH scored AS (
+       |  SELECT lang, ${hits("en")} AS h_en, ${hits("es")} AS h_es, ${hits("zh")} AS h_zh
+       |  FROM documents)
+       |SELECT lang,
+       |  CASE WHEN h_zh >= h_es AND h_zh >= h_en AND h_zh > 0 THEN 'zh'
+       |       WHEN h_es >= h_en AND h_es > 0 THEN 'es'
+       |       WHEN h_en > 0 THEN 'en'
+       |       ELSE 'und' END AS lang_pred,
+       |  COUNT(*) AS n
+       |FROM scored GROUP BY 1, 2""".stripMargin
+  }
+
+  /** Quality scoring: token stats + stopword ratio per document. */
+  def q37Quality(spark: SparkSession, dir: String): DataFrame = {
+    val q = TextAnalysis.qualityStruct(col("text"), Stopwords)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), q.getField("n_tokens").cast(LongType).as("n_tokens"),
+        q.getField("mean_token_len").as("mean_token_len"),
+        q.getField("stopword_ratio").as("stopword_ratio"))
+      .filter(col("n_tokens") >= 5)
+  }
+
+  val q37Sql: String = {
+    val sw = Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""SELECT doc_id,
+       |  len(string_split(text, ' ')) AS n_tokens,
+       |  CAST(list_sum(list_transform(string_split(text, ' '), t -> len(t))) AS DOUBLE)
+       |    / CAST(greatest(len(string_split(text, ' ')), 1) AS DOUBLE) AS mean_token_len,
+       |  CAST(len(list_filter(string_split(text, ' '), w -> w IN ($sw))) AS DOUBLE)
+       |    / CAST(greatest(len(string_split(text, ' ')), 1) AS DOUBLE) AS stopword_ratio
+       |FROM documents
+       |WHERE len(string_split(text, ' ')) >= 5""".stripMargin
+  }
+
+  /** Token counting: whitespace tokens + BPE-ish subword units. */
+  def q38TokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(
+        sum(TextAnalysis.tokenCount(col("text"))).cast(LongType).as("total_tokens"),
+        sum(TextAnalysis.subwordCount(col("text"))).cast(LongType).as("total_subwords"),
+        count(lit(1)).as("n_docs"))
+
+  val q38Sql: String =
+    """SELECT source,
+      |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+      |  CAST(SUM(list_sum(list_transform(string_split(text, ' '),
+      |    t -> (len(t) + 3) // 4))) AS BIGINT) AS total_subwords,
+      |  COUNT(*) AS n_docs
+      |FROM documents GROUP BY source""".stripMargin
+
+  /** Document fingerprint: min-MD5 over char 8-gram shingles. */
+  def q39Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text"), 8).as("fp"))
+
+  val q39Sql: String =
+    """SELECT doc_id,
+      |  list_min(list_transform(range(1, greatest(len(text) - 7, 1) + 1),
+      |    i -> md5(substr(text, i, 8)))) AS fp
+      |FROM documents""".stripMargin
+
+  /** Multimodal plumbing: text → binary payload → batched feature
+    * extraction (decode stubbed; schema/batching real). */
+  def q40Multimodal(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.asBinaryColumn(
+      Tables.documents(spark, dir), "doc_id", "text", "text/plain")
+    Multimodal.extractFeatures(media).toDF()
+      .select(col("media_id"), col("n_bytes"), col("checksum"), col("ok"))
+  }
+
+  val q40Sql: String =
+    """SELECT doc_id AS media_id,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  md5(text) AS checksum,
+      |  CAST(1 AS BOOLEAN) AS ok
+      |FROM documents""".stripMargin
+
+  /** Frame-sampling arithmetic over binary payloads (chunk/stride). */
+  def q41FrameSample(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.asBinaryColumn(
+      Tables.documents(spark, dir), "doc_id", "text", "text/plain")
+    Multimodal.sampleChunks(media, chunkSize = 64, stride = 4)
+  }
+
+  val q41Sql: String =
+    """SELECT doc_id AS media_id,
+      |  CAST(ceil(CAST(octet_length(encode(text)) AS DOUBLE) / 64) AS BIGINT) AS n_chunks,
+      |  CAST((greatest(CAST(ceil(CAST(octet_length(encode(text)) AS DOUBLE) / 64) AS BIGINT) - 1, 0)) // 4 + 1 AS INT) AS n_sampled
+      |FROM documents""".stripMargin
+}

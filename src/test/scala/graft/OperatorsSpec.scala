@@ -1,0 +1,164 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.{Dedup, Multimodal, Records, Similarity, TextAnalysis}
+
+/** Unit coverage for the LLM-pipeline operators on hand-built inputs
+  * with known answers. */
+class OperatorsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val df = Seq((1L, "hello world"), (2L, "hello world"), (3L, "unique"))
+      .toDF("id", "text")
+    val out = Dedup.exact(df, "id", "text")
+      .select("keep_id", "n_copies").as[(Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("word shingles produce n-token windows") {
+    val df = Seq(Tuple1("a b c d")).toDF("text")
+    val sh = df.select(Dedup.wordShingles(col("text"), 3).as("sh"))
+      .as[Seq[String]].head()
+    assert(sh == Seq("a b c", "b c d"))
+    val short = Seq(Tuple1("a b")).toDF("text")
+      .select(Dedup.wordShingles(col("text"), 3).as("sh")).as[Seq[String]].head()
+    assert(short.isEmpty)
+  }
+
+  test("minhash LSH finds near-duplicates, not unrelated docs") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val near = base.replace("today", "tomorrow") // 1-word edit
+    val far = "completely different content about spark engines and parquet files here"
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDups(df, "doc_id", "text", threshold = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("identical docs have identical simhash; different docs differ") {
+    val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "omega psi chi phi")).toDF("id", "text")
+    val hashes = df.select(col("id"), Dedup.simhashBits(col("text")).as("h"))
+      .as[(Long, String)].collect().toMap
+    assert(hashes(1L) == hashes(2L))
+    assert(hashes(1L) != hashes(3L))
+    assert(hashes(1L).length == 64)
+    assert(hashes(1L).forall(c => c == '0' || c == '1'))
+  }
+
+  test("hamming distance counts differing bit positions") {
+    val df = Seq(("1100", "1010")).toDF("a", "b")
+    val d = df.select(Dedup.hammingDistance(col("a"), col("b"))).as[Int].head()
+    assert(d == 2)
+  }
+
+  test("jaccard: exact set semantics") {
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+    val j = df.select(Dedup.jaccard(col("x"), col("y"))).as[Double].head()
+    assert(math.abs(j - 0.5) < 1e-12) // |{b,c}| / |{a,b,c,d}|
+  }
+
+  test("cosine similarity: orthogonal=0, identical=1, deterministic fold") {
+    val df = Seq(
+      (Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)),
+      (Seq(1.0f, 2.0f), Seq(1.0f, 2.0f)),
+      (Seq(0.0f, 0.0f), Seq(1.0f, 1.0f))).toDF("a", "b")
+    val sims = df.select(Similarity.cosine(col("a"), col("b"))).as[Double].collect()
+    assert(math.abs(sims(0)) < 1e-12)
+    assert(math.abs(sims(1) - 1.0) < 1e-12)
+    assert(sims(2) == 0.0) // zero vector guard
+  }
+
+  test("brute-force top-k returns k nearest, excludes self") {
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(0.0f, 1.0f)), (3L, Seq(1.0f, 0.05f)))
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val out = Similarity.bruteForceTopK(corpus, queries,
+      "vec_id", "embedding", "qid", "qvec", k = 2)
+      .select("neighbor_id", "rank").as[(Long, Long)].collect().sortBy(_._2)
+    assert(out.map(_._1).toSeq == Seq(3L, 1L)) // 3 is closer to (1,0) than 1
+  }
+
+  test("LSH signature is deterministic and bucket-joins find matches") {
+    val vecs = Seq((0L, Seq.fill(8)(1.0f)), (1L, Seq.fill(8)(1.0f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val sigs = df.select(Similarity.lshSignature(col("embedding"), 8).as("s"))
+      .as[String].collect()
+    assert(sigs(0) == sigs(1))
+    assert(sigs(0).length == 8)
+  }
+
+  test("token count, subwords, stopword ratio, mean token length") {
+    val df = Seq(Tuple1("the cat sat on the mat")).toDF("text")
+    val row = df.select(
+      TextAnalysis.tokenCount(col("text")).as("n"),
+      TextAnalysis.subwordCount(col("text")).as("sub"),
+      TextAnalysis.stopwordRatio(col("text"), Seq("the", "on")).as("sw"),
+      TextAnalysis.meanTokenLength(col("text")).as("mean"))
+      .as[(Int, Long, Double, Double)].head()
+    assert(row._1 == 6)
+    assert(row._2 == 6) // all tokens ≤4 chars → 1 subword each
+    assert(math.abs(row._3 - 0.5) < 1e-12) // the, on, the
+    assert(math.abs(row._4 - 17.0 / 6) < 1e-12)
+  }
+
+  test("langId picks the best-scoring language, und when no hits") {
+    val markers = Seq("en" -> Seq("the", "dog"), "fr" -> Seq("le", "chien"))
+    val df = Seq(Tuple1("the dog runs"), Tuple1("le chien court"), Tuple1("xyzzy")).toDF("text")
+    val langs = df.select(TextAnalysis.langId(col("text"), markers)).as[String].collect()
+    assert(langs.toSeq == Seq("en", "fr", "und"))
+  }
+
+  test("fingerprint: identical prefix/content collides, edits elsewhere keep min") {
+    val df = Seq((1L, "abcdefghij"), (2L, "abcdefghij")).toDF("id", "text")
+    val fps = df.select(TextAnalysis.fingerprint(col("text"), 8)).as[String].collect()
+    assert(fps(0) == fps(1))
+  }
+
+  test("multimodal: binary wrap + batched feature extraction round-trips") {
+    val docs = Seq((1L, "hello"), (2L, "world!")).toDF("doc_id", "text")
+    val media = Multimodal.asBinaryColumn(docs, "doc_id", "text", "text/plain")
+    assert(media.schema("content").dataType == BinaryType)
+    val feats = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    assert(feats.length == 2)
+    assert(feats(0).n_bytes == 5 && feats(1).n_bytes == 6)
+    assert(feats.forall(_.ok))
+    assert(feats.forall(f => f.width > 0 && f.height > 0))
+    // checksum matches md5 of the utf-8 payload
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest("hello".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(feats(0).checksum == expected)
+  }
+
+  test("record projection: case-insensitive match, null-fill, prune, cast") {
+    val df = Seq((1, "A", "extra")).toDF("ID", "Name", "Undeclared")
+    val declared = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("missing", StringType)))
+    val out = Records.project(df, declared)
+    assert(out.schema.fieldNames.toSeq == Seq("id", "name", "missing"))
+    assert(out.schema("id").dataType == LongType)
+    val row = out.head()
+    assert(row.getLong(0) == 1L && row.getString(1) == "A" && row.isNullAt(2))
+  }
+
+  test("uuid7 is unique, time-ordered across batches, RFC shaped") {
+    val ids = spark.range(1000)
+      .select(graft.functions.functions.uuid7().as("id")).as[String].collect()
+    assert(ids.distinct.length == 1000)
+    assert(ids.forall(_.matches(
+      "[0-9a-f]{8}-[0-9a-f]{4}-7[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}")))
+    val before = graft.functions.Uuid7.next()
+    Thread.sleep(5)
+    val after = graft.functions.Uuid7.next()
+    assert(before < after) // time-sortable (constants.py:23-33 rationale)
+  }
+}

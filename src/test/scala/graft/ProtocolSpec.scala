@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.protocol._
+
+/** Protocol parsing + catalog resolution (SURVEY §1.1, §2.10). */
+class ProtocolSpec extends AnyFunSuite {
+
+  test("RECORD message parses stream, data payload, emitted_at") {
+    val line =
+      """{"type":"RECORD","record":{"stream":"users","data":{"id":1,"name":"a"},"emitted_at":1700000000000}}"""
+    val m = AirbyteMessage.parse(line).get
+    assert(m.messageType == MessageType.RECORD)
+    assert(m.streamName.contains("users"))
+    assert(m.dataJson.contains("""{"id":1,"name":"a"}"""))
+    assert(m.emittedAt.contains(1700000000000L))
+  }
+
+  test("STATE message carries stream descriptor and state blob") {
+    val line =
+      """{"type":"STATE","state":{"type":"STREAM","stream":{"stream_descriptor":{"name":"users"},"stream_state":{"cursor":5}}}}"""
+    val m = AirbyteMessage.parse(line).get
+    assert(m.messageType == MessageType.STATE)
+    assert(m.streamName.contains("users"))
+    assert(m.stateJson.exists(_.contains(""""cursor":5""")))
+  }
+
+  test("TRACE stream_status COMPLETE parses") {
+    val line =
+      """{"type":"TRACE","trace":{"type":"STREAM_STATUS","stream_status":{"stream_descriptor":{"name":"users"},"status":"COMPLETE"}}}"""
+    val m = AirbyteMessage.parse(line).get
+    assert(m.messageType == MessageType.TRACE)
+    assert(m.streamName.contains("users"))
+    assert(m.streamStatus.contains("COMPLETE"))
+  }
+
+  test("garbage and non-JSON lines are skipped, not fatal") {
+    assert(AirbyteMessage.parse("not json").isEmpty)
+    assert(AirbyteMessage.parse("").isEmpty)
+    assert(AirbyteMessage.parse("""{"type":"BOGUS"}""").isEmpty)
+    assert(AirbyteMessage.parse("""{"no_type":1}""").isEmpty)
+  }
+
+  test("catalog JSON → configured streams with schema, PK, cursor") {
+    val catalogJson =
+      """{"streams":[
+        |  {"name":"Users","json_schema":{"properties":{"id":{"type":"integer"},"name":{"type":"string"}}},
+        |   "source_defined_primary_key":[["id"]],"default_cursor_field":["updated_at"]},
+        |  {"name":"events","json_schema":{"properties":{"ts":{"type":"string","format":"date-time"}}}}
+        |]}""".stripMargin
+    val cat = ConfiguredCatalog.fromCatalogJson(catalogJson)
+    assert(cat.streamNames == Seq("users", "events"))
+    assert(cat("users").primaryKeys == Seq("id"))
+    assert(cat("users").cursorField.contains("updated_at"))
+    assert(cat("users").schema.fieldNames.toSeq == Seq("id", "name"))
+    assert(cat.resolveWriteMethod("users", WriteStrategy.Auto) == WriteStrategy.Merge)
+    assert(cat.resolveWriteMethod("events", WriteStrategy.Auto) == WriteStrategy.Replace)
+  }
+
+  test("nested primary keys are rejected (catalog_providers.py:146-172)") {
+    val cat = ConfiguredCatalog(Seq(ConfiguredStream("s",
+      new org.apache.spark.sql.types.StructType(), primaryKeys = Seq("a.b"))))
+    assertThrows[IllegalArgumentException](cat.primaryKeys("s"))
+  }
+}

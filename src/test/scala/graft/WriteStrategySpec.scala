@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.cache.SparkCache
+import graft.operators.{Records, WriteStrategies}
+import graft.protocol._
+
+/**
+ * Behavioral contract from the reference
+ * (`tests/integration_tests/test_all_cache_types.py:136-319`):
+ * append twice ⇒ 2N; replace twice ⇒ N; merge re-run ⇒ idempotent,
+ * last-wins per PK; merge without PK ⇒ error; new columns auto-added.
+ */
+class WriteStrategySpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def df(rows: (Long, String, Double)*) =
+    Records.addMetadata(
+      rows.toDF("id", "name", "score"),
+      Some(lit("2020-01-01 00:00:00").cast(TimestampType)))
+
+  private def dfAt(at: String, rows: (Long, String, Double)*) =
+    Records.addMetadata(
+      rows.toDF("id", "name", "score"),
+      Some(lit(at).cast(TimestampType)))
+
+  private val catalog = ConfiguredCatalog(Seq(
+    ConfiguredStream("s_pk", new StructType(), primaryKeys = Seq("id")),
+    ConfiguredStream("s_nopk", new StructType())))
+
+  test("append twice doubles the row count") {
+    val cache = SparkCache.fresh(spark, "graft_test_append")
+    cache.writeStream("s_nopk", df((1L, "a", 1.0)), catalog, WriteStrategy.Append)
+    cache.writeStream("s_nopk", df((1L, "a", 1.0)), catalog, WriteStrategy.Append)
+    assert(cache.table("s_nopk").count() == 2)
+    cache.dropAll()
+  }
+
+  test("replace twice keeps only the last batch") {
+    val cache = SparkCache.fresh(spark, "graft_test_replace")
+    cache.writeStream("s_nopk", df((1L, "a", 1.0), (2L, "b", 2.0)), catalog, WriteStrategy.Replace)
+    cache.writeStream("s_nopk", df((3L, "c", 3.0)), catalog, WriteStrategy.Replace)
+    val rows = cache.table("s_nopk").select("id").as[Long].collect().sorted
+    assert(rows.toSeq == Seq(3L))
+    cache.dropAll()
+  }
+
+  test("merge is idempotent and last-wins per PK") {
+    val cache = SparkCache.fresh(spark, "graft_test_merge")
+    cache.writeStream("s_pk",
+      dfAt("2020-01-01 00:00:00", (1L, "a", 1.0), (2L, "b", 2.0)),
+      catalog, WriteStrategy.Merge)
+    // update id=2, add id=3 — run twice
+    val incoming = dfAt("2021-01-01 00:00:00", (2L, "b2", 20.0), (3L, "c", 3.0))
+    cache.writeStream("s_pk", incoming, catalog, WriteStrategy.Merge)
+    cache.writeStream("s_pk", incoming, catalog, WriteStrategy.Merge)
+    val out = cache.table("s_pk").select("id", "name", "score")
+      .as[(Long, String, Double)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, "a", 1.0), (2L, "b2", 20.0), (3L, "c", 3.0)))
+    cache.dropAll()
+  }
+
+  test("merge without PK is an error (reference resolve_write_method)") {
+    assertThrows[IllegalArgumentException](
+      catalog.resolveWriteMethod("s_nopk", WriteStrategy.Merge))
+  }
+
+  test("AUTO resolves: PK ⇒ merge, cursor ⇒ append, neither ⇒ replace") {
+    val c = ConfiguredCatalog(Seq(
+      ConfiguredStream("pk", new StructType(), primaryKeys = Seq("id")),
+      ConfiguredStream("cur", new StructType(), cursorField = Some("ts")),
+      ConfiguredStream("plain", new StructType())))
+    assert(c.resolveWriteMethod("pk", WriteStrategy.Auto) == WriteStrategy.Merge)
+    assert(c.resolveWriteMethod("cur", WriteStrategy.Auto) == WriteStrategy.Append)
+    assert(c.resolveWriteMethod("plain", WriteStrategy.Auto) == WriteStrategy.Replace)
+  }
+
+  test("schema evolution: appending a batch with a new column adds it, old rows NULL") {
+    val cache = SparkCache.fresh(spark, "graft_test_evolve")
+    cache.writeStream("s_nopk", df((1L, "a", 1.0)), catalog, WriteStrategy.Append)
+    val withExtra = Records.addMetadata(
+      Seq((2L, "b", 2.0, "extra")).toDF("id", "name", "score", "note"),
+      Some(lit("2020-01-02 00:00:00").cast(TimestampType)))
+    cache.writeStream("s_nopk", withExtra, catalog, WriteStrategy.Append)
+    val t = cache.table("s_nopk")
+    assert(t.columns.contains("note"))
+    assert(t.count() == 2)
+    assert(t.filter(col("note").isNull).count() == 1)
+    cache.dropAll()
+  }
+
+  test("dedupLatest breaks ties by raw_id (uuid7 time-ordered)") {
+    val d = df((1L, "first", 1.0), (1L, "second", 2.0))
+    val out = WriteStrategies.dedupLatest(d, Seq("id"))
+    assert(out.count() == 1)
+  }
+
+  test("state backend: last write wins per (source, stream)") {
+    val cache = SparkCache.fresh(spark, "graft_test_state")
+    cache.writeState("src", "s1", """{"cursor": 1}""")
+    Thread.sleep(5)
+    cache.writeState("src", "s1", """{"cursor": 2}""")
+    assert(cache.latestState("src", "s1").contains("""{"cursor": 2}"""))
+    assert(cache.latestState("src", "missing").isEmpty)
+    cache.dropAll()
+  }
+
+  test("read-only SQL guard rejects writes and multi-statements") {
+    val cache = SparkCache.fresh(spark, "graft_test_guard")
+    assertThrows[IllegalArgumentException](cache.checkReadOnly("DROP TABLE x"))
+    assertThrows[IllegalArgumentException](cache.checkReadOnly("SELECT 1; SELECT 2"))
+    assertThrows[IllegalArgumentException](cache.checkReadOnly("INSERT INTO t VALUES (1)"))
+    cache.checkReadOnly("SELECT 1")
+    cache.checkReadOnly("  explain select 1")
+    cache.checkReadOnly("WITH t AS (SELECT 1) SELECT * FROM t;")
+    cache.dropAll()
+  }
+}
