@@ -1,0 +1,149 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Compiled text-hashing kernels as custom Catalyst expressions.
+ *
+ * The declarative formulations (`transform`/`aggregate` higher-order
+ * functions over md5) are semantically identical but run INTERPRETED —
+ * one Expression-tree walk per array element. At sf0.1 that made MinHash
+ * signatures (~27 s) and SimHash (~10 s) the bench bottleneck. These
+ * expressions do the whole tokenize → shingle → hash → fold loop in
+ * straight JVM code, one eval per row.
+ *
+ * OUTPUT PARITY IS CONTRACTUAL: each expression produces bit-identical
+ * results to the declarative version and to the DuckDB oracle SQL
+ * (`LlmQueries.q31Sql`/`q32Sql`) — same tokenization (`\s+` split), same
+ * lowercase-hex md5, same rotation family, same lexicographic min.
+ */
+private object TextHash {
+  def md5hex(s: String): String = {
+    val d = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+    val sb = new java.lang.StringBuilder(32)
+    var i = 0
+    while (i < d.length) {
+      sb.append(Character.forDigit((d(i) >> 4) & 0xF, 16))
+      sb.append(Character.forDigit(d(i) & 0xF, 16))
+      i += 1
+    }
+    sb.toString
+  }
+
+  def shingles(text: String, n: Int): Array[String] = {
+    val toks = text.split("\\s+", -1)
+    val count = toks.length - n + 1
+    if (count <= 0) return Array.empty
+    val out = new Array[String](count)
+    var i = 0
+    while (i < count) {
+      val sb = new java.lang.StringBuilder()
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = sb.toString
+      i += 1
+    }
+    out
+  }
+}
+
+/**
+ * `struct(shingles: array<string>, sig: array<string>)` — word n-gram
+ * shingles plus the k-component rotation-MinHash signature, one pass.
+ * `sig` is null when the text has fewer than `n` tokens.
+ */
+case class ShingleMinhashExpression(child: Expression, k: Int = 9, n: Int = 3)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("shingles", ArrayType(StringType), nullable = false),
+    StructField("sig", ArrayType(StringType), nullable = true)))
+
+  override def nullSafeEval(input: Any): Any = {
+    val sh = TextHash.shingles(input.toString, n)
+    val shArr: ArrayData =
+      new GenericArrayData(sh.map(s => UTF8String.fromString(s): Any))
+    if (sh.isEmpty) {
+      InternalRow(shArr, null)
+    } else {
+      val hashes = sh.map(TextHash.md5hex)
+      val sig = new Array[Any](k)
+      var j = 0
+      while (j < k) {
+        val rot = 3 * j
+        var min: String = null
+        var i = 0
+        while (i < hashes.length) {
+          val h = hashes(i)
+          val rotated = h.substring(rot) + h.substring(0, rot)
+          if (min == null || rotated.compareTo(min) < 0) min = rotated
+          i += 1
+        }
+        sig(j) = UTF8String.fromString(min)
+        j += 1
+      }
+      InternalRow(shArr, new GenericArrayData(sig))
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "shingle_minhash"
+}
+
+/**
+ * 64-char SimHash bitstring: per token, md5 hex chars supply 4 bits each
+ * (bit j of char j/4); sum ±1 across tokens; '1' where the sum is
+ * positive. Identical to `Dedup.simhashBits`'s declarative form and the
+ * q32 oracle.
+ */
+case class SimhashExpression(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.toString.split("\\s+", -1)
+    val sums = new Array[Int](64)
+    var t = 0
+    while (t < toks.length) {
+      val h = TextHash.md5hex(toks(t))
+      var j = 0
+      while (j < 64) {
+        val v = Character.digit(h.charAt(j / 4), 16)
+        val bit = (v >> (j % 4)) & 1
+        sums(j) += (if (bit == 1) 1 else -1)
+        j += 1
+      }
+      t += 1
+    }
+    val sb = new java.lang.StringBuilder(64)
+    var j = 0
+    while (j < 64) { sb.append(if (sums(j) > 0) '1' else '0'); j += 1 }
+    UTF8String.fromString(sb.toString)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "simhash"
+}
+
+object TextHashFunctions {
+  import org.apache.spark.sql.GraftBridge
+
+  def shingleMinhash(text: Column, k: Int = 9, n: Int = 3): Column =
+    GraftBridge.column(ShingleMinhashExpression(GraftBridge.expression(text), k, n))
+
+  def simhash(text: Column): Column =
+    GraftBridge.column(SimhashExpression(GraftBridge.expression(text)))
+}

@@ -56,9 +56,16 @@ object Similarity {
       corpusId: String, corpusVec: String,
       queryId: String, queryVec: String,
       k: Int = 3, roundDigits: Int = 4): DataFrame = {
-    val joined = corpus.crossJoin(broadcast(queries))
+    // norms are per-vector, not per-pair — compute each ONCE before the
+    // join (cosine() inline would refold both norms for every pair)
+    val c = corpus.withColumn("__cn", norm(col(corpusVec)))
+    val q = queries.withColumn("__qn", norm(col(queryVec)))
+    val joined = c.crossJoin(broadcast(q))
       .filter(col(queryId) =!= col(corpusId))
-      .withColumn("sim", round(cosine(col(corpusVec), col(queryVec)), roundDigits))
+      .withColumn("sim", round(
+        when(col("__cn") * col("__qn") > 0,
+          dot(col(corpusVec), col(queryVec)) / (col("__qn") * col("__cn")))
+          .otherwise(lit(0.0)), roundDigits))
     val w = Window.partitionBy(col(queryId))
       .orderBy(col("sim").desc, col(corpusId).asc)
     joined.withColumn("rank", row_number().over(w).cast(LongType))
@@ -73,18 +80,25 @@ object Similarity {
    * Sign-projection LSH with ±1 components is a standard random-
    * hyperplane family, and the formulation is portable to SQL oracles
    * (no hex→int conversion needed).
+   *
+   * Planes are CONSTANTS, so they are materialized driver-side once and
+   * shipped as literals — computing md5 per (row, plane, dim) inside the
+   * plan was pure waste (same value every row).
    */
-  private def planeComponent(plane: Int, dim: Column): Column = {
-    val h = md5(concat(lit(s"plane$plane:"), dim.cast(StringType)))
-    when(substring(h, 1, 1) >= "8", lit(1.0)).otherwise(lit(-1.0))
+  private def planeSign(plane: Int, dim: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"plane$plane:$dim".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    if (hex.charAt(0) >= '8') 1.0 else -1.0
   }
 
-  /** Random-hyperplane signature: one sign bit per plane → bit string. */
-  def lshSignature(vec: Column, planes: Int = 16): Column = {
+  /** Random-hyperplane signature: one sign bit per plane → bit string.
+    * `dims` is the (fixed) embedding dimensionality. */
+  def lshSignature(vec: Column, planes: Int = 16, dims: Int = 64): Column = {
     val bits = (0 until planes).map { p =>
+      val signs = typedLit((0 until dims).map(i => planeSign(p, i)))
       val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast(DoubleType) * planeComponent(p, i)),
+        zip_with(vec, signs, (x, s) => x.cast(DoubleType) * s),
         lit(0.0), (acc, v) => acc + v)
       when(proj >= 0, lit("1")).otherwise(lit("0"))
     }
@@ -104,12 +118,17 @@ object Similarity {
       k: Int = 3, planes: Int = 16, prefixBits: Int = 8,
       roundDigits: Int = 4): DataFrame = {
     val c = corpus.withColumn("bucket",
-      substring(lshSignature(col(corpusVec), planes), 1, prefixBits))
+        substring(lshSignature(col(corpusVec), planes), 1, prefixBits))
+      .withColumn("__cn", norm(col(corpusVec)))
     val q = queries.withColumn("bucket",
-      substring(lshSignature(col(queryVec), planes), 1, prefixBits))
+        substring(lshSignature(col(queryVec), planes), 1, prefixBits))
+      .withColumn("__qn", norm(col(queryVec)))
     val joined = c.join(broadcast(q), Seq("bucket"))
       .filter(col(queryId) =!= col(corpusId))
-      .withColumn("sim", round(cosine(col(corpusVec), col(queryVec)), roundDigits))
+      .withColumn("sim", round(
+        when(col("__cn") * col("__qn") > 0,
+          dot(col(corpusVec), col(queryVec)) / (col("__qn") * col("__cn")))
+          .otherwise(lit(0.0)), roundDigits))
     val w = Window.partitionBy(col(queryId))
       .orderBy(col("sim").desc, col(corpusId).asc)
     joined.withColumn("rank", row_number().over(w).cast(LongType))
@@ -124,12 +143,19 @@ object Similarity {
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, planes: Int = 16, prefixBits: Int = 8,
       roundDigits: Int = 4): DataFrame = {
+    // bucket + norm computed once per vector and materialized — the
+    // self-join would otherwise re-derive the signature for both sides
     val withBucket = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("bucket", substring(lshSignature(col("vec"), planes), 1, prefixBits))
+      .withColumn("norm", norm(col("vec")))
+      .localCheckpoint()
     val a = withBucket.alias("a")
     val b = withBucket.alias("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .withColumn("sim", round(cosine(col("a.vec"), col("b.vec")), roundDigits))
+      .withColumn("sim", round(
+        when(col("a.norm") * col("b.norm") > 0,
+          dot(col("a.vec"), col("b.vec")) / (col("a.norm") * col("b.norm")))
+          .otherwise(lit(0.0)), roundDigits))
       .filter(col("sim") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("sim"))
   }

