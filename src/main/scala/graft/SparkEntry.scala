@@ -30,6 +30,8 @@ object SparkEntry {
     "q14_scalar_funcs"    -> (C.q14Scalars _),
     "q15_event_windows"   -> (C.q15EventWindows _),
     "q16_sessionization"  -> (C.q16Sessions _),
+    "q17_column_stats"    -> (C.q17ColumnStats _),
+    "q18_cube"            -> (C.q18Cube _),
     // --- ELT pipeline: write strategies, state, evolution (§2.3, 2.9, 2.10) ---
     "q20_merge_upsert"    -> (P.q20Merge _),
     "q21_append"          -> (P.q21Append _),
@@ -74,6 +76,8 @@ object SparkEntry {
     "q14_scalar_funcs"    -> C.q14Sql,
     "q15_event_windows"   -> C.q15Sql,
     "q16_sessionization"  -> C.q16Sql,
+    "q17_column_stats"    -> C.q17Sql,
+    "q18_cube"            -> C.q18Sql,
     "q20_merge_upsert"    -> P.q20Sql,
     "q21_append"          -> P.q21Sql,
     "q22_replace"         -> P.q22Sql,

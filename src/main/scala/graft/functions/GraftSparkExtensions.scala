@@ -1,0 +1,36 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/**
+ * Session-extension hook registering graft's custom expressions as SQL
+ * functions, the idiomatic injection point for engine extensions:
+ *
+ *   SparkSession.builder()
+ *     .config("spark.sql.extensions", "graft.functions.GraftSparkExtensions")
+ *
+ * (or `.withExtensions(new GraftSparkExtensions)`). After that, SQL users
+ * get `uuid7()`, `simhash(text)`, `shingle_minhash(text)` directly in
+ * `spark.sql(...)` — same codegen/eval path as the Column API.
+ */
+class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("uuid7"),
+      new ExpressionInfo(classOf[Uuid7Expression].getName, "uuid7"),
+      (_: Seq[Expression]) => Uuid7Expression()))
+
+    ext.injectFunction((
+      FunctionIdentifier("simhash"),
+      new ExpressionInfo(classOf[SimhashExpression].getName, "simhash"),
+      (args: Seq[Expression]) => SimhashExpression(args.head)))
+
+    ext.injectFunction((
+      FunctionIdentifier("shingle_minhash"),
+      new ExpressionInfo(classOf[ShingleMinhashExpression].getName, "shingle_minhash"),
+      (args: Seq[Expression]) => ShingleMinhashExpression(args.head)))
+  }
+}

@@ -337,6 +337,43 @@ object CoreQueries {
       .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
   }
 
+  /** Column-statistics assembly (A4): min/max/avg/count per column in a
+    * single aggregation pass, decimal-exact. */
+  def q17ColumnStats(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.agg(
+      count(lit(1)).as("n"),
+      min(col("l_orderkey")).as("min_orderkey"),
+      max(col("l_orderkey")).as("max_orderkey"),
+      sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+      min(col("l_shipdate")).cast(DateType).as("min_shipdate"),
+      max(col("l_shipdate")).cast(DateType).as("max_shipdate"),
+      countDistinct(col("l_suppkey")).as("n_suppliers"))
+      .withColumn("avg_qty", col("sum_qty") / col("n"))
+  }
+
+  val q17Sql: String =
+    """SELECT COUNT(*) AS n,
+      |  MIN(l_orderkey) AS min_orderkey, MAX(l_orderkey) AS max_orderkey,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      |  CAST(MIN(l_shipdate) AS DATE) AS min_shipdate,
+      |  CAST(MAX(l_shipdate) AS DATE) AS max_shipdate,
+      |  COUNT(DISTINCT l_suppkey) AS n_suppliers,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty
+      |FROM lineitem""".stripMargin
+
+  /** CUBE grouping sets over two dimensions (delegated-SQL surface). */
+  def q18Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"))
+
+  val q18Sql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+
   val q16Sql: String =
     """SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
       |FROM (

@@ -27,10 +27,16 @@ object PlanCheck {
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (!skip.contains(name)) {
         val df = fn(spark, sfDir)
-        val plan = df.queryExecution.executedPlan.toString
+        // execute THIS df's own QueryExecution (a noop write would clone
+        // it) — under AQE the final plan with codegen spans only exists
+        // after the job runs
+        df.collect()
+        val plan = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.SimpleMode)
         val flags = Seq(
           ("CARTESIAN", plan.contains("CartesianProduct")),
-          ("NO_CODEGEN", !plan.contains("WholeStageCodegen")),
+          // whole-stage codegen spans show as "*(n)" in simple mode
+          ("NO_CODEGEN", !plan.contains("*(")),
           ("BNLJ_LARGE", plan.contains("BroadcastNestedLoopJoin") &&
             !Set("q10_semi_anti_join", "q11_set_ops", "q23_auto_strategy",
               "q35_cosine_topk").contains(name))

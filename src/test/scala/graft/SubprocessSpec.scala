@@ -1,0 +1,110 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.types._
+
+import graft.cache.SparkCache
+import graft.datasets.TableStatistics
+import graft.protocol._
+import graft.sources.{Destination, SubprocessSource}
+
+/**
+ * Scripted-connector end-to-end (the reference's source-test fixture
+ * pattern: a script printing a fixed protocol stream —
+ * `tests/integration_tests/fixtures/source-test`): subprocess scan →
+ * cache, early-stop semantics, destination replay, table statistics.
+ */
+class SubprocessSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private val usersSchema = StructType(Seq(
+    StructField("id", LongType), StructField("name", StringType)))
+  private val catalog = ConfiguredCatalog(Seq(
+    ConfiguredStream("users", usersSchema, primaryKeys = Seq("id"))))
+
+  /** Writes a shell-script connector emitting n records + state + trace. */
+  private def scriptedConnector(n: Int): Seq[String] = {
+    val script = Files.createTempFile("source-test", ".sh")
+    val lines = (1 to n).map(i =>
+      s"""echo '{"type":"RECORD","record":{"stream":"users","data":{"id":$i,"name":"user_$i"},"emitted_at":1700000000000}}'""")
+    val body = ("#!/bin/sh" +: lines :+
+      """echo '{"type":"STATE","state":{"type":"STREAM","stream":{"stream_descriptor":{"name":"users"},"stream_state":{"cursor":""" + n + """}}}}'""" :+
+      """echo '{"type":"TRACE","trace":{"type":"STREAM_STATUS","stream_status":{"stream_descriptor":{"name":"users"},"status":"COMPLETE"}}}'""")
+      .mkString("\n")
+    Files.write(script, body.getBytes("UTF-8"))
+    script.toFile.setExecutable(true)
+    Seq("/bin/sh", script.toString)
+  }
+
+  test("subprocess connector → cache → queryable dataset") {
+    val src = new SubprocessSource("scripted", catalog, scriptedConnector(25))
+    val cache = SparkCache.fresh(spark, "graft_test_subproc")
+    val result = src.read(cache, spark)
+    assert(result("users").count() == 25)
+    val names = result("users").withFilter("id <= 2").toDF
+      .select("name").as[String].collect().sorted
+    assert(names.toSeq == Seq("user_1", "user_2"))
+    cache.dropAll()
+  }
+
+  test("record limit stops the subprocess early (islice + stop event)") {
+    val src = new SubprocessSource("scripted", catalog, scriptedConnector(1000))
+    val taken = src.getRecords("users", limit = Some(5)).toList
+    assert(taken.size == 5)
+    assert(src.stopEvent.get) // producer was signalled to stop
+  }
+
+  test("protocol round trip: destination replay lines re-parse as RECORDs") {
+    val src = new SubprocessSource("scripted", catalog, scriptedConnector(3))
+    val cache = SparkCache.fresh(spark, "graft_test_replay")
+    src.read(cache, spark)
+    cache.writeState("scripted", "users", """{"cursor": 3}""")
+
+    val lines = Destination.recordMessages(cache, "users").collect()
+    assert(lines.length == 3)
+    val parsed = lines.flatMap(AirbyteMessage.parse)
+    assert(parsed.forall(_.messageType == MessageType.RECORD))
+    assert(parsed.forall(_.streamName.contains("users")))
+
+    val state = Destination.stateMessage(cache, "scripted", "users")
+    assert(state.exists(_.contains(""""cursor": 3""")))
+    assert(state.flatMap(AirbyteMessage.parse)
+      .exists(_.messageType == MessageType.STATE))
+    cache.dropAll()
+  }
+
+  test("destination subprocess pump delivers all records") {
+    val src = new SubprocessSource("scripted", catalog, scriptedConnector(10))
+    val cache = SparkCache.fresh(spark, "graft_test_pump")
+    src.read(cache, spark)
+    val sink = Files.createTempFile("dest-out", ".jsonl")
+    val n = Destination.writeToProcess(cache, "users", "scripted",
+      Seq("/bin/sh", "-c", s"cat > $sink"))
+    assert(n == 10)
+    val written = Files.readAllLines(sink)
+    assert(written.size == 10) // no state written (none checkpointed)
+    assert(written.asScala.forall(_.contains(""""type":"RECORD"""")))
+    cache.dropAll()
+  }
+
+  private implicit class JList[T](l: java.util.List[T]) {
+    def asScala: Seq[T] = {
+      val b = Seq.newBuilder[T]
+      l.forEach(e => b += e)
+      b.result()
+    }
+  }
+
+  test("table statistics: one-pass counts, nulls, approx distinct") {
+    val df = Seq((1L, Some("a")), (2L, None), (3L, Some("c")))
+      .toDF("id", "name")
+    val stats = TableStatistics.collect(df)
+    assert(stats.rowCount == 3)
+    val byName = stats.columns.map(c => c.name -> c).toMap
+    assert(byName("id").nonNullCount == 3 && byName("id").nullCount == 0)
+    assert(byName("name").nonNullCount == 2 && byName("name").nullCount == 1)
+    assert(byName("id").approxDistinct >= 3)
+  }
+}
