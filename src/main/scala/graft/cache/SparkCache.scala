@@ -129,14 +129,16 @@ final class SparkCache(
           addMissingColumns(streamName, batch.schema)
           val existing = spark.table(t)
           val merged = WriteStrategies.merge(Some(existing), batch, pks)
-          // Parquet overwrite of a table being read requires staging:
-          // checkpoint-by-temp-table swap, the analog of the reference's
-          // rename dance (sql_processor.py:1061-1087).
-          val tmp = s"`$database`.`__merge_tmp_${System.nanoTime()}`"
-          merged.write.saveAsTable(tmp)
-          spark.table(tmp).write.mode(SaveMode.Overwrite)
-            .option("overwriteSchema", "true").saveAsTable(t)
-        spark.sql(s"DROP TABLE IF EXISTS $tmp")
+          // Parquet can't overwrite a table its own plan reads, so stage
+          // once and swap by rename — the reference's swap dance
+          // (sql_processor.py:1061-1087), metadata-only, single data write.
+          val stamp = System.nanoTime()
+          val tmpName = s"__merge_tmp_$stamp"
+          val oldName = s"__merge_old_$stamp"
+          merged.write.saveAsTable(s"`$database`.`$tmpName`")
+          spark.sql(s"ALTER TABLE $t RENAME TO `$database`.`$oldName`")
+          spark.sql(s"ALTER TABLE `$database`.`$tmpName` RENAME TO $t")
+          spark.sql(s"DROP TABLE IF EXISTS `$database`.`$oldName`")
         }
       case WriteStrategy.Auto => throw new IllegalStateException("unreachable")
     }

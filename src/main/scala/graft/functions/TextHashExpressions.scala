@@ -138,6 +138,33 @@ case class SimhashExpression(child: Expression)
   override def prettyName: String = "simhash"
 }
 
+/**
+ * Min-MD5 fingerprint over character n-gram shingles (winnowing-lite),
+ * identical to `TextAnalysis.fingerprint`'s declarative form and the q39
+ * oracle: min over i ∈ [1, max(len−n+1, 1)] of md5(substr(text, i, n)).
+ */
+case class FingerprintExpression(child: Expression, n: Int = 8)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.toString
+    val count = math.max(s.length - n + 1, 1)
+    var min: String = null
+    var i = 0
+    while (i < count) {
+      val h = TextHash.md5hex(s.substring(i, math.min(i + n, s.length)))
+      if (min == null || h.compareTo(min) < 0) min = h
+      i += 1
+    }
+    UTF8String.fromString(min)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "min_shingle_fingerprint"
+}
+
 object TextHashFunctions {
   import org.apache.spark.sql.GraftBridge
 
@@ -146,4 +173,7 @@ object TextHashFunctions {
 
   def simhash(text: Column): Column =
     GraftBridge.column(SimhashExpression(GraftBridge.expression(text)))
+
+  def fingerprint(text: Column, n: Int = 8): Column =
+    GraftBridge.column(FingerprintExpression(GraftBridge.expression(text), n))
 }

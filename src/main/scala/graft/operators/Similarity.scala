@@ -66,13 +66,26 @@ object Similarity {
         when(col("__cn") * col("__qn") > 0,
           dot(col(corpusVec), col(queryVec)) / (col("__qn") * col("__cn")))
           .otherwise(lit(0.0)), roundDigits))
-    val w = Window.partitionBy(col(queryId))
-      .orderBy(col("sim").desc, col(corpusId).asc)
-    joined.withColumn("rank", row_number().over(w).cast(LongType))
-      .filter(col("rank") <= k)
-      .select(col(queryId).as("query_id"), col(corpusId).as("neighbor_id"),
-        col("rank"), col("sim"))
+    topKRows(joined, queryId, corpusId, k)
   }
+
+  /**
+   * Per-query top-k via the bounded TypedImperativeAggregate — map-side
+   * pruning: each partition forwards at most k candidates per query
+   * instead of shuffling every scored pair to a window. Ordering is
+   * identical to `row_number over (order by sim desc, id asc)`.
+   */
+  private def topKRows(scored: DataFrame, queryId: String, corpusId: String,
+      k: Int): DataFrame =
+    scored.groupBy(col(queryId))
+      .agg(graft.functions.TopKAggregate
+        .topK(col("sim"), col(corpusId).cast(LongType), k).as("top"))
+      .select(col(queryId).as("query_id"),
+        posexplode(col("top")).as(Seq("pos", "entry")))
+      .select(col("query_id"),
+        col("entry.id").as("neighbor_id"),
+        (col("pos") + 1).cast(LongType).as("rank"),
+        col("entry.score").as("sim"))
 
   /**
    * Deterministic pseudo-random hyperplane component for (plane, dim):
@@ -129,12 +142,7 @@ object Similarity {
         when(col("__cn") * col("__qn") > 0,
           dot(col(corpusVec), col(queryVec)) / (col("__qn") * col("__cn")))
           .otherwise(lit(0.0)), roundDigits))
-    val w = Window.partitionBy(col(queryId))
-      .orderBy(col("sim").desc, col(corpusId).asc)
-    joined.withColumn("rank", row_number().over(w).cast(LongType))
-      .filter(col("rank") <= k)
-      .select(col(queryId).as("query_id"), col(corpusId).as("neighbor_id"),
-        col("rank"), col("sim"))
+    topKRows(joined, queryId, corpusId, k)
   }
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold, via LSH-prefix

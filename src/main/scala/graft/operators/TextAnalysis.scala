@@ -77,8 +77,6 @@ object TextAnalysis {
    * minimizing shingle collide; robust to small edits elsewhere.
    * String min keeps it engine-portable (no numeric hash conversions).
    */
-  def fingerprint(text: Column, gram: Int = 8): Column = {
-    val n = greatest(length(text) - lit(gram - 1), lit(1))
-    array_min(transform(sequence(lit(1), n), i => md5(text.substr(i, lit(gram)))))
-  }
+  def fingerprint(text: Column, gram: Int = 8): Column =
+    graft.functions.TextHashFunctions.fingerprint(text, gram)
 }

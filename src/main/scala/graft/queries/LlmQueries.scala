@@ -111,11 +111,15 @@ object LlmQueries {
    * form is ~20×  faster and is the formulation that survives 100 TB.)
    */
   def q33NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    // compiled shingle kernel + checkpoint: the self-join below reads this
+    // frame twice, and interpreted shingling was the dominant cost
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
-        array_distinct(Dedup.wordShingles(col("text"), 3)).as("sh"))
+        array_distinct(graft.functions.TextHashFunctions
+          .shingleMinhash(col("text"), 1, 3).getField("shingles")).as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"), col("lang"), col("sh"), size(col("sh")).as("n_sh"))
+      .localCheckpoint()
 
     val inverted = docs.select(col("doc_id"), col("lang"), col("n_sh"),
       explode(col("sh")).as("shingle"))
