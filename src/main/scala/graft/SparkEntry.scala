@@ -42,6 +42,7 @@ object SparkEntry {
     "q26_record_normalize" -> (P.q26RecordNormalize _),
     "q27_name_normalize"  -> (P.q27NameNormalize _),
     "q28_sql_passthrough" -> (P.q28SqlPassthrough _),
+    "q29_bucketed_merge"  -> (P.q29BucketedMerge _),
     // --- LLM-pipeline operators (north-star; BASELINE.json) ---
     "q30_dedup_exact"     -> (L.q30DedupExact _),
     "q31_dedup_minhash_lsh" -> (L.q31MinhashLsh _),
@@ -87,6 +88,7 @@ object SparkEntry {
     "q26_record_normalize" -> P.q26Sql,
     "q27_name_normalize"  -> P.q27Sql,
     "q28_sql_passthrough" -> P.q28Sql,
+    "q29_bucketed_merge"  -> P.q29Sql,
     "q30_dedup_exact"     -> L.q30Sql,
     "q31_dedup_minhash_lsh" -> L.q31Sql,
     "q32_simhash"         -> L.q32Sql,

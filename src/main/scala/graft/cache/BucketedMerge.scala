@@ -1,0 +1,83 @@
+package graft.cache
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.WriteStrategies
+
+/**
+ * Partition-bucketed incremental merge: the 100 TB merge path.
+ *
+ * The plain merge (union + window + full rewrite) re-reads and re-writes
+ * the WHOLE final table per batch — fine for a cache, quadratic over a
+ * long sync at warehouse scale. Here the final table is partitioned by a
+ * stable hash bucket of the primary key (`__bucket = pmod(hash(pk), n)`),
+ * and each merge:
+ *
+ *   1. computes the DISTINCT buckets present in the incoming batch
+ *      (a tiny aggregate — incoming batches touch few buckets);
+ *   2. reads ONLY those partitions of the final table (partition
+ *      pruning at the scan — verified in the spec);
+ *   3. window-dedups union(existing-slice, batch) per PK, last-wins;
+ *   4. rewrites ONLY the touched partitions via dynamic partition
+ *      overwrite (`INSERT OVERWRITE ... PARTITION` semantics).
+ *
+ * Work per batch is proportional to touched data, not table size —
+ * the same contract a Delta/Iceberg MERGE gives, built from plain
+ * parquet partitions. The reference's semantics (merge idempotent,
+ * last-wins per PK — `shared/sql_processor.py:1089-1208`) hold
+ * unchanged.
+ */
+final class BucketedMerge(
+    cache: SparkCache,
+    val numBuckets: Int = 64) {
+
+  private val spark = cache.spark
+  val BucketCol = "__bucket"
+
+  private def bucketOf(pks: Seq[String]) =
+    pmod(hash(pks.map(col): _*), lit(numBuckets))
+
+  /** Merge a batch into `streamName`, creating the bucketed table on
+    * first write. Returns the number of touched buckets. */
+  def merge(streamName: String, batch: DataFrame, pks: Seq[String]): Int = {
+    require(pks.nonEmpty, "bucketed merge requires primary keys")
+    val t = cache.tableName(streamName)
+    val withBucket = batch.withColumn(BucketCol, bucketOf(pks))
+
+    if (!cache.tableExists(streamName)) {
+      WriteStrategies.dedupLatest(withBucket, pks)
+        .write.partitionBy(BucketCol).saveAsTable(t)
+      return numBuckets
+    }
+
+    val touched: Seq[Int] = withBucket
+      .select(BucketCol).distinct()
+      .collect().map(_.getInt(0)).toSeq
+
+    // partition-pruned read of only the touched slices
+    val existingSlice = spark.table(t)
+      .filter(col(BucketCol).isin(touched.map(i => i: Any): _*))
+
+    val merged = WriteStrategies.dedupLatest(
+      existingSlice.unionByName(withBucket, allowMissingColumns = true), pks)
+
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      // dynamic overwrite replaces ONLY partitions present in `merged`
+      merged.localCheckpoint() // break lineage on the table being overwritten
+        .write.mode(SaveMode.Overwrite).insertInto(t)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+    touched.size
+  }
+
+  /** The stream's table without the bucketing column. */
+  def table(streamName: String): DataFrame =
+    spark.table(cache.tableName(streamName)).drop(BucketCol)
+}

@@ -225,4 +225,25 @@ object PipelineQueries {
   val q28Sql: String =
     """SELECT o_orderpriority, COUNT(*) AS n, MAX(o_orderkey) AS max_key
       |FROM orders GROUP BY o_orderpriority""".stripMargin
+
+  /** Partition-bucketed incremental merge (the 100 TB merge path):
+    * same last-wins/idempotent contract as q20, but each batch rewrites
+    * only the hash-bucket partitions its keys touch. */
+  def q29BucketedMerge(spark: SparkSession, dir: String): DataFrame = {
+    val cache = freshCache(spark, "graft_q29")
+    val bm = new graft.cache.BucketedMerge(cache, numBuckets = 32)
+    val orders = Tables.orders(spark, dir)
+    bm.merge("orders", stamp(orders, "2020-01-01 00:00:00"), Seq("o_orderkey"))
+    val incoming = orders.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + lit(100.0))
+    bm.merge("orders", stamp(incoming, "2021-01-01 00:00:00"), Seq("o_orderkey"))
+    bm.merge("orders", stamp(incoming, "2021-01-01 00:00:00"), Seq("o_orderkey"))
+    bm.table("orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 4))).cast(DoubleType).as("total"))
+  }
+
+  // identical final state to q20 — same oracle
+  val q29Sql: String = q20Sql
 }
