@@ -56,6 +56,7 @@ object SparkEntry {
     "q39_fingerprint"     -> (L.q39Fingerprint _),
     "q40_multimodal_features" -> (L.q40Multimodal _),
     "q41_frame_sample"    -> (L.q41FrameSample _),
+    "q42_ivf_topk"        -> (L.q42IvfTopK _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -101,5 +102,6 @@ object SparkEntry {
     "q39_fingerprint"     -> L.q39Sql,
     "q40_multimodal_features" -> L.q40Sql,
     "q41_frame_sample"    -> L.q41Sql,
+    "q42_ivf_topk"        -> L.q42Sql,
   )
 }

@@ -145,6 +145,65 @@ object Similarity {
     topKRows(joined, queryId, corpusId, k)
   }
 
+  /**
+   * IVF (inverted-file) ANN: the partitioned-index scale path.
+   *
+   * Build: `nlist` seed centroids (deterministically, the lowest-id
+   * vectors — a production build would Lloyd-iterate them; the index
+   * structure and query path are identical), every corpus vector assigned
+   * to its nearest centroid — ONE broadcast join + bounded top-1, giving
+   * an inverted list per centroid. At scale the assignment is the
+   * partitioning key: each centroid's list lives together, so a query
+   * touches `nprobe` lists instead of the whole corpus.
+   *
+   * Query: route each query to its `nprobe` nearest centroids, join
+   * candidates from only those lists, exact-cosine rerank, bounded top-k.
+   * Deterministic end-to-end: rounded sims, id-ascending tiebreaks.
+   */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame,
+      corpusId: String, corpusVec: String,
+      queryId: String, queryVec: String,
+      k: Int = 3, nlist: Int = 16, nprobe: Int = 4,
+      roundDigits: Int = 4): DataFrame = {
+    import graft.functions.TopKAggregate
+
+    val centroids = corpus
+      .orderBy(col(corpusId).asc).limit(nlist)
+      .select(col(corpusId).as("cid"), col(corpusVec).as("cvec"))
+      .withColumn("__cvn", norm(col("cvec")))
+      .localCheckpoint()
+
+    def route(df: DataFrame, idC: String, vecC: String, n: Int, out: String) =
+      df.withColumn("__vn", norm(col(vecC)))
+        .crossJoin(broadcast(centroids))
+        .withColumn("__csim", round(
+          when(col("__vn") * col("__cvn") > 0,
+            dot(col(vecC), col("cvec")) / (col("__vn") * col("__cvn")))
+            .otherwise(lit(0.0)), roundDigits))
+        .groupBy(col(idC))
+        .agg(TopKAggregate.topK(col("__csim"), col("cid"), n).as("top"))
+        .select(col(idC), explode(col("top.id")).as(out))
+
+    // inverted lists: corpus vector → nearest centroid
+    val assignment = route(corpus, corpusId, corpusVec, 1, "cid")
+    val lists = corpus.join(assignment, corpusId)
+      .withColumn("__cn", norm(col(corpusVec)))
+
+    // query routing: nprobe lists each
+    val probes = queries.join(
+      route(queries, queryId, queryVec, nprobe, "cid"), queryId)
+      .withColumn("__qn", norm(col(queryVec)))
+
+    val scored = lists.join(probes, "cid")
+      .filter(col(queryId) =!= col(corpusId))
+      .withColumn("sim", round(
+        when(col("__cn") * col("__qn") > 0,
+          dot(col(corpusVec), col(queryVec)) / (col("__qn") * col("__cn")))
+          .otherwise(lit(0.0)), roundDigits))
+    topKRows(scored, queryId, corpusId, k)
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold, via LSH-prefix
     * bucketing (same-bucket candidates only) — never O(n²). */
   def embeddingNearDups(

@@ -213,6 +213,53 @@ object LlmQueries {
       |  FROM sims)
       |SELECT query_id, neighbor_id, rank, sim FROM ranked WHERE rank <= 3""".stripMargin
 
+  /** IVF ANN top-k (the partitioned-index scale path; q35 is the exact
+    * brute-force baseline over the same queries). */
+  def q42IvfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_vec_id"), col("embedding").as("qvec"))
+    Similarity.ivfTopK(emb, queries,
+      "vec_id", "embedding", "query_vec_id", "qvec",
+      k = 3, nlist = 16, nprobe = 4)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
+  }
+
+  val q42Sql: String =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |cent AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id ASC LIMIT 16),
+      |asgn AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT e.vec_id, cent.cid,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+      |        ROUND(list_dot_product(e.v, cent.cv) /
+      |          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv))), 4) DESC,
+      |        cent.cid ASC) AS rn
+      |    FROM e CROSS JOIN cent) t WHERE rn = 1),
+      |probes AS (
+      |  SELECT vec_id AS query_id, cid FROM (
+      |    SELECT e.vec_id, cent.cid,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+      |        ROUND(list_dot_product(e.v, cent.cv) /
+      |          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv))), 4) DESC,
+      |        cent.cid ASC) AS rn
+      |    FROM e CROSS JOIN cent WHERE e.vec_id < 10) t WHERE rn <= 4),
+      |scored AS (
+      |  SELECT p.query_id, a.vec_id AS neighbor_id,
+      |    ROUND(list_dot_product(q.v, c.v) /
+      |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 4) AS sim
+      |  FROM probes p
+      |  JOIN asgn a ON a.cid = p.cid
+      |  JOIN e q ON q.vec_id = p.query_id
+      |  JOIN e c ON c.vec_id = a.vec_id
+      |  WHERE a.vec_id <> p.query_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+      |  FROM scored)
+      |SELECT query_id, neighbor_id, rank, sim FROM ranked WHERE rank <= 3""".stripMargin
+
   /** Language ID vs the labeled lang column: confusion counts. */
   def q36LangId(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
