@@ -51,6 +51,41 @@ class StreamingSpec extends SparkTestBase {
     cache.dropAll()
   }
 
+  test("checkpoint resume across query restarts is exactly-once") {
+    val cache = SparkCache.fresh(spark, "graft_test_resume")
+    val catalog = ConfiguredCatalog(Seq(
+      ConfiguredStream("files", new StructType(), primaryKeys = Seq("id"))))
+    val checkpoint = Files.createTempDirectory("graft-ckpt2").toString
+    val srcDir = Files.createTempDirectory("graft-src")
+
+    def writeBatchFile(name: String, ids: Range): Unit =
+      Files.write(srcDir.resolve(name),
+        ids.map(i => s"""{"id":$i,"name":"n$i","ts":"2024-01-01T00:00:00Z"}""")
+          .mkString("\n").getBytes("UTF-8"))
+
+    def runOnce(): Unit = {
+      val stream = spark.readStream.textFile(srcDir.toString)
+      val q = StreamingIngest.ingestJsonl(stream, declared, cache, catalog,
+        "files", checkpointDir = checkpoint)
+      q.awaitTermination(60000)
+    }
+
+    writeBatchFile("b1.jsonl", 1 to 50)
+    runOnce()
+    assert(cache.table("files").count() == 50)
+
+    // restart with the SAME checkpoint after new files arrive: batch 1
+    // must not be reprocessed (file-source offsets in the checkpoint),
+    // and merge-by-PK absorbs any replay
+    writeBatchFile("b2.jsonl", 51 to 80)
+    runOnce()
+    assert(cache.table("files").count() == 80)
+    import spark.implicits._
+    assert(cache.table("files").select("id").as[Long].collect().toSet ==
+      (1L to 80L).toSet)
+    cache.dropAll()
+  }
+
   test("windowed aggregation with watermark produces hourly buckets") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String, Double)]
