@@ -30,20 +30,26 @@ import graft.operators.WriteStrategies
  */
 final class BucketedMerge(
     cache: SparkCache,
-    val numBuckets: Int = 64) {
+    val numBuckets: Int = 64,
+    /** Bucket expression over the input columns. Default: hash of the PK
+      * (uniform spread — best for point-update workloads). For
+      * cursor-incremental streams prefer a RANGE/time expression so new
+      * batches concentrate in few buckets and pruning actually skips
+      * partitions (hash spreads any batch across all of them). */
+    bucketExpr: Option[org.apache.spark.sql.Column] = None) {
 
   private val spark = cache.spark
   val BucketCol = "__bucket"
 
   private def bucketOf(pks: Seq[String]) =
-    pmod(hash(pks.map(col): _*), lit(numBuckets))
+    bucketExpr.getOrElse(pmod(hash(pks.map(col): _*), lit(numBuckets)))
 
   /** Merge a batch into `streamName`, creating the bucketed table on
     * first write. Returns the number of touched buckets. */
   def merge(streamName: String, batch: DataFrame, pks: Seq[String]): Int = {
     require(pks.nonEmpty, "bucketed merge requires primary keys")
     val t = cache.tableName(streamName)
-    val withBucket = batch.withColumn(BucketCol, bucketOf(pks))
+    val withBucket = batch.withColumn(BucketCol, bucketOf(pks).cast("int"))
 
     if (!cache.tableExists(streamName)) {
       WriteStrategies.dedupLatest(withBucket, pks)

@@ -231,10 +231,15 @@ object PipelineQueries {
     * only the hash-bucket partitions its keys touch. */
   def q29BucketedMerge(spark: SparkSession, dir: String): DataFrame = {
     val cache = freshCache(spark, "graft_q29")
-    val bm = new graft.cache.BucketedMerge(cache, numBuckets = 32)
+    // RANGE bucketing (contiguous 1000-key chunks): the incoming batch is
+    // a key range, so it touches few buckets and the merge prunes the rest
+    // — the pattern for cursor/time-incremental streams. Hash bucketing
+    // (the default) would spread any batch across every partition.
+    val bm = new graft.cache.BucketedMerge(cache, numBuckets = 32,
+      bucketExpr = Some(pmod(expr("o_orderkey div 1000"), lit(32))))
     val orders = Tables.orders(spark, dir)
     bm.merge("orders", stamp(orders, "2020-01-01 00:00:00"), Seq("o_orderkey"))
-    val incoming = orders.filter(col("o_orderkey") % 3 === 0)
+    val incoming = orders.filter(col("o_orderkey") < 3000)
       .withColumn("o_totalprice", col("o_totalprice") + lit(100.0))
     bm.merge("orders", stamp(incoming, "2021-01-01 00:00:00"), Seq("o_orderkey"))
     bm.merge("orders", stamp(incoming, "2021-01-01 00:00:00"), Seq("o_orderkey"))
@@ -244,6 +249,8 @@ object PipelineQueries {
         sum(col("o_totalprice").cast(DecimalType(18, 4))).cast(DoubleType).as("total"))
   }
 
-  // identical final state to q20 — same oracle
-  val q29Sql: String = q20Sql
+  val q29Sql: String =
+    """SELECT o_orderstatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(CASE WHEN o_orderkey < 3000 THEN o_totalprice + 100.0 ELSE o_totalprice END AS DECIMAL(18,4))) AS DOUBLE) AS total
+      |FROM orders GROUP BY o_orderstatus""".stripMargin
 }
