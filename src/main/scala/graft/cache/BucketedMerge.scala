@@ -52,7 +52,11 @@ final class BucketedMerge(
     val withBucket = batch.withColumn(BucketCol, bucketOf(pks).cast("int"))
 
     if (!cache.tableExists(streamName)) {
+      // repartition on the bucket key first: otherwise every write task
+      // emits a file per partition value it happens to hold (tasks ×
+      // buckets small files); this way each bucket is one task's output
       WriteStrategies.dedupLatest(withBucket, pks)
+        .repartition(col(BucketCol))
         .write.partitionBy(BucketCol).saveAsTable(t)
       return numBuckets
     }
@@ -73,6 +77,7 @@ final class BucketedMerge(
     try {
       // dynamic overwrite replaces ONLY partitions present in `merged`
       merged.localCheckpoint() // break lineage on the table being overwritten
+        .repartition(col(BucketCol)) // one task per touched bucket
         .write.mode(SaveMode.Overwrite).insertInto(t)
     } finally {
       prev match {

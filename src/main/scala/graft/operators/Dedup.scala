@@ -10,6 +10,13 @@ import org.apache.spark.sql.types._
  * SimHash, and n-gram Jaccard. North-star additions (BASELINE.json) on top
  * of the reference's PK-merge dedup (SURVEY §2.3 J2).
  *
+ * Algorithms follow the published literature: MinHash resemblance
+ * (Broder, "On the resemblance and containment of documents", 1997),
+ * LSH banding (Leskovec/Rajaraman/Ullman, Mining of Massive Datasets
+ * ch. 3), SimHash (Charikar, "Similarity estimation techniques from
+ * rounding algorithms", STOC 2002; Manku et al., WWW 2007 for near-dup
+ * detection at web scale).
+ *
  * Scale design:
  *  - Exact dedup is one hash shuffle on the content hash.
  *  - MinHash/LSH: signatures are computed as a pure map (higher-order

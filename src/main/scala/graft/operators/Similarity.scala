@@ -9,14 +9,15 @@ import org.apache.spark.sql.types._
  * Approximate-nearest-neighbor similarity search over embedding columns
  * (`Array[Float]`). North-star addition (BASELINE.json).
  *
- * Two paths:
+ * Three paths:
  *  - Brute-force top-k: broadcast the (small) query set against the
- *    corpus — a broadcast nested-loop with a codegen'd dot product, then
- *    per-query top-k via window. Exact; the baseline.
- *  - LSH-bucketed: random-hyperplane signatures (deterministic seeded
- *    planes from md5) bucket the corpus; candidates come only from
- *    matching buckets — the scale path: corpus shuffles once on the
- *    bucket key instead of crossing with every query.
+ *    corpus — exact; the baseline.
+ *  - LSH-bucketed: random-hyperplane sign signatures (Charikar, STOC
+ *    2002; Indyk/Motwani 1998 for the LSH framework) bucket the corpus;
+ *    candidates come only from matching buckets.
+ *  - IVF inverted lists (the coarse-quantizer stage of Jégou et al.,
+ *    "Product quantization for nearest neighbor search", TPAMI 2011):
+ *    centroid-routed partitions, nprobe lists per query.
  *
  * All float math is done in double with a FIXED left-to-right fold
  * (`aggregate`), so results are deterministic regardless of
