@@ -57,6 +57,7 @@ object SparkEntry {
     "q40_multimodal_features" -> (L.q40Multimodal _),
     "q41_frame_sample"    -> (L.q41FrameSample _),
     "q42_ivf_topk"        -> (L.q42IvfTopK _),
+    "q43_corpus_clean"    -> (L.q43CorpusClean _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -103,5 +104,6 @@ object SparkEntry {
     "q40_multimodal_features" -> L.q40Sql,
     "q41_frame_sample"    -> L.q41Sql,
     "q42_ivf_topk"        -> L.q42Sql,
+    "q43_corpus_clean"    -> L.q43Sql,
   )
 }

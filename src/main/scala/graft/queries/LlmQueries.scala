@@ -334,6 +334,86 @@ object LlmQueries {
       |    i -> md5(substr(text, i, 8)))) AS fp
       |FROM documents""".stripMargin
 
+  /**
+   * End-to-end corpus cleaning — the realistic LLM-training-data
+   * pipeline, composed from the proven operators:
+   *   1. quality gate (token count ≥ 10, stopword ratio ≤ 0.5)
+   *   2. exact dedup (keep the smallest doc_id per identical text)
+   *   3. near-dedup: MinHash-LSH candidates verified at Jaccard ≥ 0.6;
+   *      the larger id of each surviving pair is dropped
+   *   4. per-language kept-corpus stats.
+   * Every stage is a distributed plan; only LSH buckets shuffle.
+   */
+  def q43CorpusClean(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val q = TextAnalysis.qualityStruct(col("text"), Stopwords)
+    val quality = docs
+      .withColumn("n_tokens", q.getField("n_tokens"))
+      .withColumn("sw_ratio", q.getField("stopword_ratio"))
+      .filter(col("n_tokens") >= 10 && col("sw_ratio") <= 0.5)
+
+    val exactKept = quality
+      .withColumn("__h", sha2(col("text"), 256))
+      .withColumn("__rk", min(col("doc_id"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))))
+      .filter(col("doc_id") === col("__rk"))
+      .drop("__h", "__rk")
+
+    val nearPairs = Dedup.minhashNearDups(exactKept, "doc_id", "text",
+      threshold = 0.6, numHashes = 9, bands = 3, shingle = 3)
+    val dropIds = nearPairs.select(col("id_b").as("doc_id")).distinct()
+
+    exactKept.join(dropIds, Seq("doc_id"), "left_anti")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_tokens").cast(LongType)).cast(LongType).as("total_tokens"))
+  }
+
+  val q43Sql: String =
+    """WITH quality AS (
+      |  SELECT doc_id, lang, text,
+      |    len(string_split(text, ' ')) AS n_tokens
+      |  FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 10
+      |    AND CAST(len(list_filter(string_split(text, ' '),
+      |          w -> w IN ('the', 'a', 'and', 'of', 'to'))) AS DOUBLE)
+      |        / CAST(greatest(len(string_split(text, ' ')), 1) AS DOUBLE) <= 0.5),
+      |exact AS (
+      |  SELECT * FROM (
+      |    SELECT q.*, MIN(doc_id) OVER (PARTITION BY sha256(text)) AS rk
+      |    FROM quality q) t WHERE doc_id = rk),
+      |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM exact),
+      |sh AS (
+      |  SELECT doc_id, list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+      |    i -> concat_ws(' ', t[i], t[i+1], t[i+2])) AS shingles
+      |  FROM toks),
+      |hashed AS (
+      |  SELECT doc_id, shingles, list_transform(shingles, s -> md5(s)) AS hs
+      |  FROM sh WHERE len(shingles) > 0),
+      |sig AS (
+      |  SELECT doc_id, shingles,
+      |    list_transform(range(0, 9),
+      |      j -> list_min(list_transform(hs,
+      |        h -> substr(h, CAST(j*3+1 AS INT), 32) || substr(h, 1, CAST(j*3 AS INT))))) AS sig
+      |  FROM hashed),
+      |banded AS (
+      |  SELECT doc_id, shingles, unnest(list_transform(range(0, 3),
+      |    b -> md5(concat_ws('|', sig[b*3+1], sig[b*3+2], sig[b*3+3], CAST(b AS VARCHAR))))) AS band_key
+      |  FROM sig),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    a.shingles AS sh_a, b.shingles AS sh_b
+      |  FROM banded a JOIN banded b
+      |    ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+      |drops AS (
+      |  SELECT DISTINCT id_b AS doc_id FROM cand
+      |  WHERE CAST(len(list_distinct(list_intersect(sh_a, sh_b))) AS DOUBLE)
+      |      / CAST(len(list_distinct(sh_a || sh_b)) AS DOUBLE) >= 0.6)
+      |SELECT lang, COUNT(*) AS n_kept,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+      |FROM exact WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+      |GROUP BY lang""".stripMargin
+
   /** Multimodal plumbing: text → binary payload → batched feature
     * extraction (decode stubbed; schema/batching real). */
   def q40Multimodal(spark: SparkSession, dir: String): DataFrame = {
