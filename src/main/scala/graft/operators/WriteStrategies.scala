@@ -42,6 +42,28 @@ object WriteStrategies {
       .drop("__rn")
   }
 
+  /**
+   * Skew-safe dedup: a hot PK with millions of versions would pin one
+   * window partition (the classic merge hotspot at scale). Two phases:
+   * a salted window keeps the latest per (pk, salt) — bounding any
+   * partition to rows/salt — then the plain window picks the latest of
+   * the ≤`salt` survivors per pk. Latest-of-latests ≡ latest, so the
+   * result is identical to `dedupLatest`; cost is one extra (cheap,
+   * post-pruned) shuffle, only worth paying for skewed inputs.
+   */
+  def dedupLatestSalted(
+      df: DataFrame, pks: Seq[String], salt: Int = 16,
+      orderCols: Seq[String] = Seq(Records.ExtractedAtColumn, Records.RawIdColumn)): DataFrame = {
+    require(pks.nonEmpty, "merge/dedup requires primary keys")
+    val present = orderCols.filter(df.columns.map(_.toLowerCase).contains(_))
+    val saltCol = pmod(hash(present.map(col) :+ monotonically_increasing_id(): _*), lit(salt))
+    val w1 = Window.partitionBy((pks.map(col) :+ saltCol.as("__salt")): _*)
+      .orderBy(present.map(c => col(c).desc_nulls_last): _*)
+    val partial = df.withColumn("__rn", row_number().over(w1))
+      .filter(col("__rn") === 1).drop("__rn")
+    dedupLatest(partial, pks, orderCols)
+  }
+
   /** Merge incoming into existing: last-wins per PK, idempotent. */
   def merge(existing: Option[DataFrame], incoming: DataFrame, pks: Seq[String]): DataFrame = {
     val unioned = existing match {
