@@ -37,30 +37,35 @@ final class SparkCache(
     // CREATE DATABASE IF NOT EXISTS is already idempotent + cheap in Spark.
     val loc = location.map(l => s" LOCATION '$l'").getOrElse("")
     spark.sql(s"CREATE DATABASE IF NOT EXISTS `$database`$loc")
-    if (!spark.catalog.tableExists(s"`$database`.`$StreamsTable`")) {
+  }
+
+  // Metadata tables are created lazily on first use: an empty-table
+  // saveAsTable is a full Spark job + file commit (~0.3 s each), pure
+  // overhead for caches that never touch state or registration.
+  private def metaTableExists(name: String): Boolean =
+    spark.catalog.tableExists(s"`$database`.`$name`")
+
+  private def metaTable(name: String, schema: StructType): Unit = {
+    if (!metaTableExists(name)) {
       spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(
-          StructField("source_name", StringType),
-          StructField("stream_name", StringType),
-          StructField("table_name", StringType),
-          StructField("catalog_json", StringType),
-          StructField("registered_at", TimestampType))))
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
         .write.mode(SaveMode.ErrorIfExists)
-        .saveAsTable(s"`$database`.`$StreamsTable`")
-    }
-    if (!spark.catalog.tableExists(s"`$database`.`$StateTable`")) {
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(
-          StructField("source_name", StringType),
-          StructField("stream_name", StringType),
-          StructField("state_json", StringType),
-          StructField("updated_at", TimestampType))))
-        .write.mode(SaveMode.ErrorIfExists)
-        .saveAsTable(s"`$database`.`$StateTable`")
+        .saveAsTable(s"`$database`.`$name`")
     }
   }
+
+  private val streamsSchema = StructType(Seq(
+    StructField("source_name", StringType),
+    StructField("stream_name", StringType),
+    StructField("table_name", StringType),
+    StructField("catalog_json", StringType),
+    StructField("registered_at", TimestampType)))
+
+  private val stateSchema = StructType(Seq(
+    StructField("source_name", StringType),
+    StructField("stream_name", StringType),
+    StructField("state_json", StringType),
+    StructField("updated_at", TimestampType)))
 
   def tableName(streamName: String): String =
     s"`$database`.`$tablePrefix${graft.names.NameNormalizer.normalize(streamName)}`"
@@ -73,6 +78,7 @@ final class SparkCache(
 
   def streams: Seq[String] = {
     import spark.implicits._
+    if (!metaTableExists(StreamsTable)) return Seq.empty
     spark.table(s"`$database`.`$StreamsTable`")
       .select("stream_name").distinct().as[String].collect().toSeq
   }
@@ -102,13 +108,16 @@ final class SparkCache(
 
   /**
    * Land a batch of records into a stream's final table using the given
-   * strategy (AUTO resolved via the catalog). Returns rows written.
+   * strategy (AUTO resolved via the catalog). Row tallies are NOT
+   * computed here — a forced post-write count is an extra full-table job
+   * per sync; callers that want counts read the table lazily
+   * (`ReadResult.counts`).
    */
   def writeStream(
       streamName: String,
       batch: DataFrame,
       catalog: ConfiguredCatalog,
-      strategy: WriteStrategy = WriteStrategy.Auto): Long = {
+      strategy: WriteStrategy = WriteStrategy.Auto): Unit = {
     val method = catalog.resolveWriteMethod(streamName, strategy)
     val t = tableName(streamName)
     method match {
@@ -143,11 +152,16 @@ final class SparkCache(
       case WriteStrategy.Auto => throw new IllegalStateException("unreachable")
     }
     registerStream(streamName)
-    spark.table(t).count()
   }
+
+  // Registration is idempotent per (source, stream): memoize so repeat
+  // syncs of the same stream skip the 1-row append job (~0.3 s each).
+  private val registered = scala.collection.mutable.Set.empty[(String, String)]
 
   private def registerStream(streamName: String, sourceName: String = "default"): Unit = {
     import spark.implicits._
+    if (!registered.add((sourceName, streamName))) return
+    metaTable(StreamsTable, streamsSchema)
     val row = Seq((sourceName, streamName, tableName(streamName), "{}"))
       .toDF("source_name", "stream_name", "table_name", "catalog_json")
       .withColumn("registered_at", current_timestamp())
@@ -161,6 +175,7 @@ final class SparkCache(
 
   def writeState(sourceName: String, streamName: String, stateJson: String): Unit = {
     import spark.implicits._
+    metaTable(StateTable, stateSchema)
     Seq((sourceName, streamName, stateJson))
       .toDF("source_name", "stream_name", "state_json")
       .withColumn("updated_at", current_timestamp())
@@ -170,6 +185,7 @@ final class SparkCache(
   /** Latest state per stream for a source (last-write-wins). */
   def latestState(sourceName: String, streamName: String): Option[String] = {
     import spark.implicits._
+    if (!metaTableExists(StateTable)) return None
     spark.table(s"`$database`.`$StateTable`")
       .filter(col("source_name") === sourceName && col("stream_name") === streamName)
       .orderBy(col("updated_at").desc)

@@ -32,5 +32,15 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("shingle_minhash"),
       new ExpressionInfo(classOf[ShingleMinhashExpression].getName, "shingle_minhash"),
       (args: Seq[Expression]) => ShingleMinhashExpression(args.head)))
+
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[DotProductExpression].getName, "vec_dot"),
+      (args: Seq[Expression]) => DotProductExpression(args.head, args(1))))
+
+    ext.injectFunction((
+      FunctionIdentifier("vec_norm"),
+      new ExpressionInfo(classOf[L2NormExpression].getName, "vec_norm"),
+      (args: Seq[Expression]) => L2NormExpression(args.head)))
   }
 }

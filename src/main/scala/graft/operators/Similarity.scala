@@ -26,15 +26,17 @@ import org.apache.spark.sql.types._
  */
 object Similarity {
 
-  /** Sequential-fold dot product of two float arrays, in double. */
+  /** Sequential-fold dot product of two float arrays, in double.
+    * Compiled kernel ([[graft.functions.DotProductExpression]]) — the
+    * `aggregate(zip_with(...))` formulation is bit-identical but runs
+    * interpreted per element, which multiplies by candidates × dims
+    * inside pair joins. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorFunctions.vecDot(a, b)
 
-  /** L2 norm (sequential fold). */
+  /** L2 norm (sequential fold, compiled kernel). */
   def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast(DoubleType) * x.cast(DoubleType)),
-      lit(0.0), (acc, v) => acc + v))
+    graft.functions.VectorFunctions.vecNorm(a)
 
   /** Cosine similarity, 0 where either vector is zero. */
   def cosine(a: Column, b: Column): Column = {
@@ -88,36 +90,15 @@ object Similarity {
         (col("pos") + 1).cast(LongType).as("rank"),
         col("entry.score").as("sim"))
 
-  /**
-   * Deterministic pseudo-random hyperplane component for (plane, dim):
-   * Rademacher ±1 drawn from the first md5 hex char (≥ '8' → +1).
-   * Sign-projection LSH with ±1 components is a standard random-
-   * hyperplane family, and the formulation is portable to SQL oracles
-   * (no hex→int conversion needed).
-   *
-   * Planes are CONSTANTS, so they are materialized driver-side once and
-   * shipped as literals — computing md5 per (row, plane, dim) inside the
-   * plan was pure waste (same value every row).
-   */
-  private def planeSign(plane: Int, dim: Int): Double = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s"plane$plane:$dim".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-    if (hex.charAt(0) >= '8') 1.0 else -1.0
-  }
-
   /** Random-hyperplane signature: one sign bit per plane → bit string.
-    * `dims` is the (fixed) embedding dimensionality. */
-  def lshSignature(vec: Column, planes: Int = 16, dims: Int = 64): Column = {
-    val bits = (0 until planes).map { p =>
-      val signs = typedLit((0 until dims).map(i => planeSign(p, i)))
-      val proj = aggregate(
-        zip_with(vec, signs, (x, s) => x.cast(DoubleType) * s),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0, lit("1")).otherwise(lit("0"))
-    }
-    concat(bits: _*)
-  }
+    * `dims` is the (fixed) embedding dimensionality. Plane components
+    * are deterministic md5-derived Rademacher ±1 draws (first hex char
+    * ≥ '8' → +1) — a standard sign-projection family that is portable
+    * to SQL oracles. Compiled one-pass kernel
+    * ([[graft.functions.LshSignatureExpression]]), bit-identical to the
+    * per-plane `aggregate(zip_with(...))` folds it replaces. */
+  def lshSignature(vec: Column, planes: Int = 16, dims: Int = 64): Column =
+    graft.functions.VectorFunctions.lshSignature(vec, planes, dims)
 
   /**
    * LSH-bucketed approximate top-k: signature match (optionally on a

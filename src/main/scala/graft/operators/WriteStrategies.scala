@@ -28,8 +28,35 @@ import org.apache.spark.sql.functions._
  */
 object WriteStrategies {
 
-  /** Dedup by PK keeping the latest version of each key. */
+  /**
+   * Dedup by PK keeping the latest version of each key.
+   *
+   * Implemented as `max_by(struct(*), struct(orderCols))` — a hash
+   * aggregation, NOT a sort-window: partial (map-side) aggregation
+   * collapses every key to one row per mapper BEFORE the shuffle, so a
+   * hot PK with millions of versions shuffles ~one row per input
+   * partition instead of pinning a single sorted window partition. At
+   * 100 TB this is the difference between a bounded merge and a straggler.
+   * Struct comparison is field-order lexicographic with nulls-first, so
+   * `max_by` matches the old window's `desc_nulls_last` ordering.
+   */
   def dedupLatest(
+      df: DataFrame,
+      pks: Seq[String],
+      orderCols: Seq[String] = Seq(Records.ExtractedAtColumn, Records.RawIdColumn)): DataFrame = {
+    require(pks.nonEmpty, "merge/dedup requires primary keys")
+    val present = orderCols.filter(df.columns.map(_.toLowerCase).contains(_))
+    if (present.isEmpty) return dedupLatestWindow(df, pks, orderCols)
+    df.groupBy(pks.map(col): _*)
+      .agg(max_by(
+        struct(df.columns.map(col).toSeq: _*),
+        struct(present.map(col): _*)).as("__row"))
+      .select(col("__row.*"))
+  }
+
+  /** Sort-window formulation of [[dedupLatest]] (kept for parity tests
+    * and for callers that need explicit null-ordering control). */
+  def dedupLatestWindow(
       df: DataFrame,
       pks: Seq[String],
       orderCols: Seq[String] = Seq(Records.ExtractedAtColumn, Records.RawIdColumn)): DataFrame = {
@@ -56,11 +83,19 @@ object WriteStrategies {
       orderCols: Seq[String] = Seq(Records.ExtractedAtColumn, Records.RawIdColumn)): DataFrame = {
     require(pks.nonEmpty, "merge/dedup requires primary keys")
     val present = orderCols.filter(df.columns.map(_.toLowerCase).contains(_))
-    val saltCol = pmod(hash(present.map(col) :+ monotonically_increasing_id(): _*), lit(salt))
-    val w1 = Window.partitionBy((pks.map(col) :+ saltCol.as("__salt")): _*)
+    require(present.nonEmpty, "salted dedup requires at least one order column")
+    // The salt MUST be a deterministic function of row values, projected
+    // into a real column BEFORE the window: a nondeterministic expression
+    // (e.g. monotonically_increasing_id) inside a window sort key gets
+    // re-evaluated during sort comparisons — an inconsistent comparator
+    // ("Comparison method violates its general contract!") or silent
+    // misgrouping. The order columns are unique per row, so their hash
+    // spreads a hot key's versions evenly across salt groups.
+    val salted = df.withColumn("__salt", pmod(hash(present.map(col): _*), lit(salt)))
+    val w1 = Window.partitionBy((pks :+ "__salt").map(col): _*)
       .orderBy(present.map(c => col(c).desc_nulls_last): _*)
-    val partial = df.withColumn("__rn", row_number().over(w1))
-      .filter(col("__rn") === 1).drop("__rn")
+    val partial = salted.withColumn("__rn", row_number().over(w1))
+      .filter(col("__rn") === 1).drop("__rn", "__salt")
     dedupLatest(partial, pks, orderCols)
   }
 

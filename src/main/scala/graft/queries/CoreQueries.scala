@@ -82,13 +82,20 @@ object CoreQueries {
     val o = Tables.orders(spark, dir)
     val c = Tables.customer(spark, dir)
     val one = lit(1).cast(DecimalType(18, 4))
-    li.join(o, col("l_orderkey") === col("o_orderkey"))
+    // Aggregate-before-join: collapse lineitem to one row per order key
+    // FIRST (map-side partial agg does most of the work), so the join
+    // carries |orders| rows instead of |lineitem|, and n_orders becomes a
+    // plain count — no countDistinct expand. Decimal sums are exact and
+    // associative, so sum-of-per-order-sums ≡ the flat sum bit-for-bit.
+    val perOrder = li.groupBy(col("l_orderkey"))
+      .agg(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+        .as("order_rev"))
+    perOrder.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"), col("o_orderpriority"))
       .agg(
-        sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
-          .cast(DoubleType).as("revenue"),
-        countDistinct(col("o_orderkey")).as("n_orders"))
+        sum(col("order_rev")).cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_orders"))
   }
 
   val q3Sql: String =

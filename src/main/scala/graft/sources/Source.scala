@@ -38,24 +38,26 @@ trait Source {
       writeStrategy: WriteStrategy = WriteStrategy.Auto,
       forceFullRefresh: Boolean = false): ReadResult = {
     val selected = if (streams.isEmpty) catalog.streamNames else streams
-    val counts = selected.map { s =>
+    selected.foreach { s =>
       val jsonl = recordJsonl(spark, s)
       val declared = catalog(s).schema
       val normalized = Records.normalize(jsonl, declared)
       val strategy =
         if (forceFullRefresh) WriteStrategy.Replace else writeStrategy
-      val n = cache.writeStream(s, normalized, catalog, strategy)
-      s -> n
-    }.toMap
-    new ReadResult(cache, counts)
+      cache.writeStream(s, normalized, catalog, strategy)
+    }
+    new ReadResult(cache, selected)
   }
 }
 
-/** Result mapping stream name → CachedDataset (reference ReadResult). */
-final class ReadResult(val cache: SparkCache, val counts: Map[String, Long]) {
-  def streamNames: Seq[String] = counts.keys.toSeq
+/** Result mapping stream name → CachedDataset (reference ReadResult).
+  * Per-stream row tallies (A5 progress counters) are computed lazily —
+  * one count job per stream on first access, not per write. */
+final class ReadResult(val cache: SparkCache, val streamNames: Seq[String]) {
+  lazy val counts: Map[String, Long] =
+    streamNames.map(s => s -> cache.table(s).count()).toMap
   def apply(stream: String): CachedDataset = new CachedDataset(cache, stream)
-  def contains(stream: String): Boolean = counts.contains(stream)
+  def contains(stream: String): Boolean = streamNames.contains(stream)
 }
 
 /** Source over Airbyte-protocol JSONL files/datasets (S1/S3). */
@@ -103,7 +105,7 @@ final class FrameSource(
       writeStrategy: WriteStrategy,
       forceFullRefresh: Boolean): ReadResult = {
     val selected = if (streams.isEmpty) catalog.streamNames else streams
-    val counts = selected.map { s =>
+    selected.foreach { s =>
       val df = frames(s)(spark)
       val declared = catalog(s).schema
       val shaped =
@@ -111,8 +113,8 @@ final class FrameSource(
       val normalized = Records.addMetadata(shaped)
       val strategy =
         if (forceFullRefresh) WriteStrategy.Replace else writeStrategy
-      s -> cache.writeStream(s, normalized, catalog, strategy)
-    }.toMap
-    new ReadResult(cache, counts)
+      cache.writeStream(s, normalized, catalog, strategy)
+    }
+    new ReadResult(cache, selected)
   }
 }
