@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries => C, LlmQueries => L, PipelineQueries => P}
+import graft.queries.{AnalyticsQueries => A, CoreQueries => C, LlmQueries => L, PipelineQueries => P}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -58,6 +58,17 @@ object SparkEntry {
     "q41_frame_sample"    -> (L.q41FrameSample _),
     "q42_ivf_topk"        -> (L.q42IvfTopK _),
     "q43_corpus_clean"    -> (L.q43CorpusClean _),
+    // --- round-2 analytics surface: temporal/skew joins, grouping sets,
+    //     pivot, sampling, contamination, repetition, PII scrub ---
+    "q44_asof_join"       -> (A.q44AsofJoin _),
+    "q45_salted_join"     -> (A.q45SaltedJoin _),
+    "q46_stratified_sample" -> (A.q46StratifiedSample _),
+    "q47_contamination"   -> (A.q47Contamination _),
+    "q48_repetition"      -> (A.q48Repetition _),
+    "q49_distinctive_terms" -> (A.q49DistinctiveTerms _),
+    "q50_grouping_sets"   -> (A.q50GroupingSets _),
+    "q51_pivot"           -> (A.q51Pivot _),
+    "q52_pii_scrub"       -> (A.q52PiiScrub _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -105,5 +116,14 @@ object SparkEntry {
     "q41_frame_sample"    -> L.q41Sql,
     "q42_ivf_topk"        -> L.q42Sql,
     "q43_corpus_clean"    -> L.q43Sql,
+    "q44_asof_join"       -> A.q44Sql,
+    "q45_salted_join"     -> A.q45Sql,
+    "q46_stratified_sample" -> A.q46Sql,
+    "q47_contamination"   -> A.q47Sql,
+    "q48_repetition"      -> A.q48Sql,
+    "q49_distinctive_terms" -> A.q49Sql,
+    "q50_grouping_sets"   -> A.q50Sql,
+    "q51_pivot"           -> A.q51Sql,
+    "q52_pii_scrub"       -> A.q52Sql,
   )
 }

@@ -1,0 +1,277 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.{AsofJoin, SkewJoin}
+import graft.sources.Tables
+
+/**
+ * Round-2 analytics surface: temporal joins, skew-safe joins, grouping
+ * sets, pivot, PII scrubbing, and the training-data-pipeline additions
+ * (stratified sampling, benchmark contamination, within-doc repetition,
+ * distinctive terms).
+ *
+ * Oracle-parity discipline follows `CoreQueries.scala`: exact DECIMAL
+ * sums cast to DOUBLE at the end, BIGINT casts on DuckDB integer sums,
+ * integer-ratio divisions rounded to 4 digits, deterministic tiebreaks.
+ */
+object AnalyticsQueries {
+
+  private def dec(c: Column, p: Int = 18, s: Int = 4): Column =
+    c.cast(DecimalType(p, s))
+
+  // ------------------------------------------------------------------
+  // q44: as-of join (backward, inclusive) — click → most recent prior
+  // purchase per user. One shuffle + sort; see operators/AsofJoin.scala.
+  // ------------------------------------------------------------------
+  def q44AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    AsofJoin.backward(clicks, purchases, Seq("user_id"),
+        leftTs = "ts", rightTs = "ts",
+        payload = Seq("event_id", "value"), prefix = "prior_")
+      .select(col("event_id"), col("user_id"),
+        col("prior_event_id"), col("prior_value"))
+  }
+
+  // DuckDB TIMESTAMP is µs; CAST from the parquet TIMESTAMP_NS truncates
+  // exactly like Tables.load's `nanos div 1000` — both engines compare
+  // at microsecond precision.
+  val q44Sql: String =
+    """SELECT l.event_id, l.user_id,
+      |  r.event_id AS prior_event_id, r.value AS prior_value
+      |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      |      FROM events WHERE event_type = 'click') l
+      |ASOF LEFT JOIN
+      |     (SELECT event_id, user_id, value, CAST(ts AS TIMESTAMP) AS ts
+      |      FROM events WHERE event_type = 'purchase') r
+      |ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q45: salted skew join — orders ⋈ customer with an explicit per-row
+  // salt spreading each hot custkey over 8 reducers. Result is
+  // identical to the plain join (the oracle).
+  // ------------------------------------------------------------------
+  def q45SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    SkewJoin.saltedEquiJoin(o, c, "o_custkey", "c_custkey",
+        saltSrc = col("o_orderkey"), buckets = 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast(DoubleType).as("total"))
+  }
+
+  val q45Sql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q46: deterministic stratified sampling — md5-prefix Bernoulli gate
+  // per document, tallied per language stratum. Portable (same md5 hex
+  // both engines), reproducible, and partition-independent: the sample
+  // is a pure function of doc_id, so re-runs and re-partitions at
+  // 100 TB select the same rows.
+  // ------------------------------------------------------------------
+  def q46StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val inSample = md5(col("doc_id").cast(StringType)) < "28" // ≈ 15.6 %
+    docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(inSample, 1L).otherwise(0L)).as("n_sampled"),
+        min(when(inSample, col("doc_id"))).as("min_sampled_id"),
+        max(when(inSample, col("doc_id"))).as("max_sampled_id"))
+  }
+
+  val q46Sql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '28' THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+      |  MIN(CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '28' THEN doc_id END) AS min_sampled_id,
+      |  MAX(CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '28' THEN doc_id END) AS max_sampled_id
+      |FROM documents GROUP BY lang""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q47: benchmark contamination — corpus docs sharing ≥1 word-3-gram
+  // with a held-out "benchmark" slice (doc_id % 97 = 0), per language.
+  // The benchmark shingle set is tiny → broadcast; the corpus side is
+  // one explode + semi-join — no pairwise comparison, scales linearly.
+  // ------------------------------------------------------------------
+  def q47Contamination(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        array_distinct(graft.functions.TextHashFunctions
+          .shingleMinhash(col("text"), 1, 3).getField("shingles")).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val bench = sh.filter(col("doc_id") % 97 === 0)
+      .select(col("lang"), explode(col("sh")).as("shingle")).distinct()
+    val corpus = sh.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), col("lang"), explode(col("sh")).as("shingle"))
+    corpus.join(broadcast(bench), Seq("lang", "shingle"), "left_semi")
+      .select(col("lang"), col("doc_id")).distinct()
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_contaminated"))
+  }
+
+  val q47Sql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, lang,
+      |    list_distinct(list_transform(
+      |      range(1, greatest(len(string_split(text,' ')) - 2, 0) + 1),
+      |      i -> concat_ws(' ', string_split(text,' ')[i],
+      |                          string_split(text,' ')[i+1],
+      |                          string_split(text,' ')[i+2]))) AS s
+      |  FROM documents),
+      |b AS (SELECT DISTINCT lang, unnest(s) AS shingle FROM sh WHERE doc_id % 97 = 0 AND len(s) > 0),
+      |c AS (SELECT doc_id, lang, unnest(s) AS shingle FROM sh WHERE doc_id % 97 <> 0 AND len(s) > 0)
+      |SELECT c.lang, CAST(COUNT(DISTINCT c.doc_id) AS BIGINT) AS n_contaminated
+      |FROM c JOIN b ON c.lang = b.lang AND c.shingle = b.shingle
+      |GROUP BY c.lang""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q48: within-document repetition ratio (Gopher-style repetition
+  // signal): 1 − distinct/total word-3-grams. Pure per-row compute —
+  // no shuffle at all until the (absent) final exchange.
+  // ------------------------------------------------------------------
+  def q48Repetition(spark: SparkSession, dir: String): DataFrame = {
+    val raw = graft.functions.TextHashFunctions
+      .shingleMinhash(col("text"), 1, 3).getField("shingles")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), raw.as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), col("lang"),
+        size(col("sh")).cast(LongType).as("n_shingles"),
+        size(array_distinct(col("sh"))).cast(LongType).as("n_distinct"))
+      .withColumn("rep_ratio", round(
+        lit(1.0) - col("n_distinct").cast(DoubleType) / col("n_shingles").cast(DoubleType), 4))
+  }
+
+  val q48Sql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, lang,
+      |    list_transform(
+      |      range(1, greatest(len(string_split(text,' ')) - 2, 0) + 1),
+      |      i -> concat_ws(' ', string_split(text,' ')[i],
+      |                          string_split(text,' ')[i+1],
+      |                          string_split(text,' ')[i+2])) AS s
+      |  FROM documents)
+      |SELECT doc_id, lang,
+      |  CAST(len(s) AS BIGINT) AS n_shingles,
+      |  CAST(len(list_distinct(s)) AS BIGINT) AS n_distinct,
+      |  round(1.0 - CAST(len(list_distinct(s)) AS DOUBLE) / CAST(len(s) AS DOUBLE), 4) AS rep_ratio
+      |FROM sh WHERE len(s) > 0""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q49: distinctive terms per language — top-5 tokens by term frequency
+  // among tokens in ≤30 % of documents. Integer-only scoring (no ln) so
+  // the ranking is bit-portable; document frequency computed once over
+  // the corpus, joined back broadcast.
+  // ------------------------------------------------------------------
+  def q49DistinctiveTerms(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"), col("lang"),
+      explode(split(col("text"), " ")).as("tok"))
+    val docFreq = toks.select(col("doc_id"), col("tok")).distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_total"))
+    val tf = toks.groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("tf").desc, col("tok").asc)
+    tf.join(broadcast(docFreq), "tok")
+      .crossJoin(nDocs)
+      .filter(col("df") * 10 <= col("n_total") * 3)
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= 5)
+      .select(col("lang"), col("tok"), col("tf"), col("rank"))
+  }
+
+  val q49Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+      |tf AS (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY lang, tok),
+      |n AS (SELECT COUNT(*) AS n_total FROM documents)
+      |SELECT lang, tok, tf, rank FROM (
+      |  SELECT tf.lang, tf.tok, tf.tf,
+      |    CAST(row_number() OVER (PARTITION BY tf.lang ORDER BY tf.tf DESC, tf.tok ASC) AS BIGINT) AS rank
+      |  FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+      |  WHERE df.df * 10 <= n.n_total * 3)
+      |WHERE rank <= 5""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q50: GROUPING SETS + grouping_id (§2.4/§2.11 surface beyond
+  // rollup/cube): three explicit aggregation levels in one scan.
+  // ------------------------------------------------------------------
+  def q50GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_orders_v")
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM graft_orders_v
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        |""".stripMargin)
+  }
+
+  val q50Sql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q51: pivot — event values spread per type across user deciles.
+  // Spark's relational pivot; the oracle is the equivalent manual
+  // CASE-WHEN aggregation.
+  // ------------------------------------------------------------------
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  def q51Pivot(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .withColumn("bucket", pmod(col("user_id"), lit(10)))
+      .groupBy(col("bucket"))
+      .pivot("event_type", EventTypes)
+      .agg(sum(dec(col("value"))).cast(DoubleType))
+  }
+
+  val q51Sql: String = {
+    val cases = EventTypes.map(t =>
+      s"CAST(SUM(CASE WHEN event_type = '$t' THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS $t")
+      .mkString(",\n  ")
+    s"""SELECT user_id % 10 AS bucket,
+       |  $cases
+       |FROM events GROUP BY user_id % 10""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // q52: PII-style scrubbing over semi-structured props — digit masking
+  // with per-type redaction tallies. regexp_replace/regexp_count are
+  // codegen'd Spark natives; no UDF.
+  // ------------------------------------------------------------------
+  def q52PiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("props"),
+        regexp_replace(col("props"), "[0-9]", "#").as("scrubbed"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(regexp_count(col("props"), lit("[0-9]"))).as("n_digits_redacted"),
+        countDistinct(col("scrubbed")).as("n_patterns"))
+  }
+
+  val q52Sql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(len(regexp_extract_all(props, '[0-9]'))) AS BIGINT) AS n_digits_redacted,
+      |  COUNT(DISTINCT regexp_replace(props, '[0-9]', '#', 'g')) AS n_patterns
+      |FROM events GROUP BY event_type""".stripMargin
+}
