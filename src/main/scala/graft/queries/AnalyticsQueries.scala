@@ -274,4 +274,86 @@ object AnalyticsQueries {
       |  CAST(SUM(len(regexp_extract_all(props, '[0-9]'))) AS BIGINT) AS n_digits_redacted,
       |  COUNT(DISTINCT regexp_replace(props, '[0-9]', '#', 'g')) AS n_patterns
       |FROM events GROUP BY event_type""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q53: exact percentiles (data profiling) — Spark's `percentile` and
+  // DuckDB's `quantile_cont` both linear-interpolate at (n−1)·p; probed
+  // bit-identical on this data (including last-ulp artifacts).
+  // ------------------------------------------------------------------
+  def q53Percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(
+        percentile(col("n_chars"), lit(0.25)).as("p25"),
+        percentile(col("n_chars"), lit(0.5)).as("p50"),
+        percentile(col("n_chars"), lit(0.9)).as("p90"),
+        count(lit(1)).as("n"))
+
+  val q53Sql: String =
+    """SELECT lang,
+      |  quantile_cont(n_chars, 0.25) AS p25,
+      |  quantile_cont(n_chars, 0.5)  AS p50,
+      |  quantile_cont(n_chars, 0.9)  AS p90,
+      |  COUNT(*) AS n
+      |FROM documents GROUP BY lang""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q54: range (band) join — values bucketed into static intervals via
+  // a broadcast inequality join (BroadcastNestedLoop on a 5-row dim:
+  // the fact side never shuffles for the join).
+  // ------------------------------------------------------------------
+  def q54RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bands = Seq(
+      (0.0, 20.0, "b0_20"), (20.0, 40.0, "b20_40"), (40.0, 60.0, "b40_60"),
+      (60.0, 80.0, "b60_80"), (80.0, 1e9, "b80_plus"))
+      .toDF("lo", "hi", "band")
+    Tables.events(spark, dir)
+      .join(broadcast(bands), col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast(DoubleType).as("sum_value"))
+  }
+
+  val q54Sql: String =
+    """SELECT band, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events
+      |JOIN (VALUES (0.0, 20.0, 'b0_20'), (20.0, 40.0, 'b20_40'),
+      |             (40.0, 60.0, 'b40_60'), (60.0, 80.0, 'b60_80'),
+      |             (80.0, 1e9, 'b80_plus')) AS bands(lo, hi, band)
+      |  ON value >= lo AND value < hi
+      |GROUP BY band""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q55: ranking-function breadth — ntile/percent_rank/cume_dist (all
+  // integer-ratio outputs → bit-portable) summarized per quartile.
+  // ------------------------------------------------------------------
+  def q55WindowRanks(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), col("o_totalprice"),
+        ntile(4).over(w).cast(LongType).as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .groupBy(col("o_orderpriority"), col("quartile"))
+      .agg(count(lit(1)).as("n"),
+        round(max(col("pr")), 4).as("max_pr"),
+        round(max(col("cd")), 4).as("max_cd"),
+        sum(dec(col("o_totalprice"))).cast(DoubleType).as("total"))
+  }
+
+  val q55Sql: String =
+    """SELECT o_orderpriority, quartile, COUNT(*) AS n,
+      |  round(MAX(pr), 4) AS max_pr, round(MAX(cd), 4) AS max_cd,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+      |FROM (
+      |  SELECT o_orderpriority, o_totalprice,
+      |    CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      |    percent_rank() OVER w AS pr,
+      |    cume_dist() OVER w AS cd
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey ASC))
+      |GROUP BY o_orderpriority, quartile""".stripMargin
 }

@@ -1,0 +1,70 @@
+package graft.tools
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.cache.SparkCache
+import graft.protocol._
+import graft.sources.JsonlSource
+
+/**
+ * Ingest-throughput harness mirroring the reference's perf suite
+ * (`examples/run_perf_test_reads.py:202-288`: 5e5 records through
+ * source → cache, reporting records/s).
+ *
+ * Pipeline measured: Airbyte-protocol JSONL (one RECORD message per
+ * line, pre-staged on disk) → distributed envelope filter
+ * (`JsonlSource.recordJsonl`) → `from_json` normalization against the
+ * declared schema + metadata columns → parquet cache table (Append).
+ * This is the engine's S1→P1→U1 hot path end-to-end, all executors.
+ *
+ * Prints one JSON line: {"metric":"ingest","records":N,"sec":…,
+ * "records_per_sec":…}.
+ */
+object IngestBench {
+  def main(args: Array[String]): Unit = {
+    val n = sys.env.getOrElse("GRAFT_INGEST_RECORDS", "500000").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    // Stage the wire-format input OUTSIDE the timed section (the
+    // reference generates records before timing the read too).
+    val li = graft.sources.Tables.lineitem(spark, "/root/testdata/sf0.1").limit(n)
+    val payload = to_json(struct(li.columns.map(col).toSeq: _*))
+    val msg = concat(
+      lit("""{"type":"RECORD","record":{"stream":"lineitem","data":"""),
+      payload, lit(""","emitted_at":1700000000000}}"""))
+    val stage = "/tmp/graft_ingest_jsonl"
+    li.select(msg.as("value")).write.mode(SaveMode.Overwrite).text(stage)
+
+    val declared = StructType(li.schema.fields.map(f => f.copy(nullable = true)))
+    val catalog = ConfiguredCatalog(Seq(
+      ConfiguredStream("lineitem", declared)))
+    val source = new JsonlSource("perf", catalog,
+      s => s.read.textFile(stage))
+    val cache = SparkCache.fresh(spark, "graft_ingest_bench")
+
+    // one untimed warmup at small n would skew the Append table; instead
+    // warm the JVM on a read-only pass (filter+normalize, noop sink)
+    graft.operators.Records.normalize(
+        source.recordJsonl(spark, "lineitem"), declared)
+      .write.format("noop").mode("overwrite").save()
+
+    val t0 = System.nanoTime()
+    source.read(cache, spark, writeStrategy = WriteStrategy.Append)
+    val sec = (System.nanoTime() - t0) / 1e9
+    val written = cache.table("lineitem").count()
+    require(written == n, s"expected $n rows, got $written")
+    println(f"""{"metric":"ingest","records":$n,"sec":$sec%.3f,"records_per_sec":${(n / sec).toLong}}""")
+    spark.stop()
+  }
+}
