@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AnalyticsQueries => A, CoreQueries => C, LlmQueries => L, PipelineQueries => P}
+import graft.queries.{AnalyticsQueries => A, CoreQueries => C, LlmQueries => L, PipelineQueries => P, StatsQueries => S}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -72,6 +72,11 @@ object SparkEntry {
     "q53_percentiles"     -> (A.q53Percentiles _),
     "q54_range_join"      -> (A.q54RangeJoin _),
     "q55_window_ranks"    -> (A.q55WindowRanks _),
+    // --- statistical profiling: exact-moment corr/regression, fuzzy
+    //     entity matching, anomaly detection ---
+    "q56_corr_regression" -> (S.q56CorrRegression _),
+    "q57_fuzzy_match"     -> (S.q57FuzzyMatch _),
+    "q58_anomaly_zscore"  -> (S.q58AnomalyZscore _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -131,5 +136,8 @@ object SparkEntry {
     "q53_percentiles"     -> A.q53Sql,
     "q54_range_join"      -> A.q54Sql,
     "q55_window_ranks"    -> A.q55Sql,
+    "q56_corr_regression" -> S.q56Sql,
+    "q57_fuzzy_match"     -> S.q57Sql,
+    "q58_anomaly_zscore"  -> S.q58Sql,
   )
 }
