@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AnalyticsQueries => A, CoreQueries => C, LlmQueries => L, PipelineQueries => P, StatsQueries => S}
+import graft.queries.{AnalyticsQueries => A, ClusterQueries => K, CoreQueries => C, LlmQueries => L, PipelineQueries => P, StatsQueries => S}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -77,6 +77,9 @@ object SparkEntry {
     "q56_corr_regression" -> (S.q56CorrRegression _),
     "q57_fuzzy_match"     -> (S.q57FuzzyMatch _),
     "q58_anomaly_zscore"  -> (S.q58AnomalyZscore _),
+    // --- embedding clustering: SemDeDup semantic dedup + Lloyd k-means ---
+    "q59_semantic_dedup"  -> (K.q59SemanticDedup _),
+    "q60_kmeans_iter"     -> (K.q60KmeansIter _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -139,5 +142,7 @@ object SparkEntry {
     "q56_corr_regression" -> S.q56Sql,
     "q57_fuzzy_match"     -> S.q57Sql,
     "q58_anomaly_zscore"  -> S.q58Sql,
+    "q59_semantic_dedup"  -> K.q59Sql,
+    "q60_kmeans_iter"     -> K.q60Sql,
   )
 }

@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.{Clustering, Similarity}
+import graft.sources.Tables
+
+/**
+ * Embedding-clustering queries: SemDeDup-style semantic dedup and a
+ * full distributed Lloyd iteration — both bit-reproducible vs DuckDB
+ * (rounded cosine ranking, exact scaled-integer centroid means; see
+ * operators/Clustering.scala).
+ *
+ * The synthetic embeddings are near-orthogonal (max pairwise cosine
+ * ≈ 0.49), so the dedup threshold is 0.42 — the STRUCTURE (cluster →
+ * within-cluster prune) is what scales, the threshold is data-tuned.
+ */
+object ClusterQueries {
+
+  private val K = 8
+  private val Eps = 0.42
+
+  // ------------------------------------------------------------------
+  // q59: semantic dedup — cluster assignment (broadcast centroids, no
+  // corpus shuffle) → within-cluster pair prune (the cluster is the
+  // blocking key) → per-cluster keep/drop tallies.
+  // ------------------------------------------------------------------
+  def q59SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val cents = Clustering.seedCentroids(e, "vec_id", "embedding", K)
+    val side = e.join(
+        Clustering.assign(e, "vec_id", "embedding", cents)
+          .select(col("vec_id"), col("cluster")), "vec_id")
+      .select(col("vec_id").as("id"), col("cluster"), col("embedding").as("vec"))
+      .withColumn("n", Similarity.norm(col("vec")))
+      .localCheckpoint() // one computation, two join sides
+    val a = side.alias("a")
+    val b = side.alias("b")
+    val dropped = a.join(b,
+        col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
+      .withColumn("sim", round(
+        when(col("a.n") * col("b.n") > 0,
+          Similarity.dot(col("a.vec"), col("b.vec")) / (col("a.n") * col("b.n")))
+          .otherwise(lit(0.0)), 4))
+      .filter(col("sim") >= Eps)
+      .select(col("b.id").as("did")).distinct()
+    side.join(dropped, col("id") === col("did"), "left_outer")
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("did").isNotNull, 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("did").isNull, 1L).otherwise(0L)).as("n_kept"),
+        min(when(col("did").isNull, col("id"))).as("min_kept_id"))
+  }
+
+  val q59Sql: String =
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings),
+      |c0 AS (SELECT vec_id AS cid, vec AS cvec FROM v WHERE vec_id < $K),
+      |sims AS (SELECT v.vec_id, c0.cid,
+      |    ROUND(list_dot_product(v.vec, c0.cvec) /
+      |      (sqrt(list_dot_product(v.vec, v.vec)) * sqrt(list_dot_product(c0.cvec, c0.cvec))), 4) AS sim
+      |  FROM v CROSS JOIN c0),
+      |asg AS (SELECT vec_id, cid AS cluster FROM (SELECT vec_id, cid,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn FROM sims) WHERE rn = 1),
+      |side AS (SELECT a.vec_id AS id, a.cluster, v.vec FROM asg a JOIN v ON a.vec_id = v.vec_id),
+      |dropped AS (SELECT DISTINCT b.id AS did
+      |  FROM side a JOIN side b ON a.cluster = b.cluster AND a.id < b.id
+      |  WHERE ROUND(list_dot_product(a.vec, b.vec) /
+      |    (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))), 4) >= $Eps)
+      |SELECT cluster, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN did IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+      |  CAST(SUM(CASE WHEN did IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  MIN(CASE WHEN did IS NULL THEN id END) AS min_kept_id
+      |FROM side LEFT JOIN dropped ON id = did
+      |GROUP BY cluster""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q60: one full distributed Lloyd iteration — seed → assign →
+  // exact-mean centroid refine → reassign. The refine is a partial-
+  // aggregable groupBy on (cluster, component); only k×dims doubles
+  // ever leave the aggregation. Dims fixed at 64 (the oracle unrolls
+  // positions via generate_series).
+  // ------------------------------------------------------------------
+  def q60KmeansIter(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val c0 = Clustering.seedCentroids(e, "vec_id", "embedding", K)
+    val a0 = Clustering.assign(e, "vec_id", "embedding", c0)
+    val c1 = Clustering.refineCentroids(e, "vec_id", "embedding", a0)
+    val a1 = Clustering.assign(e, "vec_id", "embedding", c1)
+    a1.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"),
+        min(col("sim")).as("min_sim"),
+        max(col("sim")).as("max_sim"))
+  }
+
+  val q60Sql: String =
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings),
+      |c0 AS (SELECT vec_id AS cid, vec AS cvec FROM v WHERE vec_id < $K),
+      |s0 AS (SELECT v.vec_id, c0.cid,
+      |    ROUND(list_dot_product(v.vec, c0.cvec) /
+      |      (sqrt(list_dot_product(v.vec, v.vec)) * sqrt(list_dot_product(c0.cvec, c0.cvec))), 4) AS sim
+      |  FROM v CROSS JOIN c0),
+      |a0 AS (SELECT vec_id, cid AS cluster FROM (SELECT vec_id, cid,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn FROM s0) WHERE rn = 1),
+      |comp AS (SELECT a0.cluster, g.pos,
+      |    CAST(round(v.vec[CAST(g.pos AS INT)] * 1000000.0) AS BIGINT) AS c
+      |  FROM a0 JOIN v USING (vec_id) CROSS JOIN generate_series(1, 64) g(pos)),
+      |means AS (SELECT cluster, pos,
+      |    CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS m
+      |  FROM comp GROUP BY cluster, pos),
+      |c1 AS (SELECT cluster AS cid, list(m ORDER BY pos) AS cvec FROM means GROUP BY cluster),
+      |s1 AS (SELECT v.vec_id, c1.cid,
+      |    ROUND(list_dot_product(v.vec, c1.cvec) /
+      |      (sqrt(list_dot_product(v.vec, v.vec)) * sqrt(list_dot_product(c1.cvec, c1.cvec))), 4) AS sim
+      |  FROM v CROSS JOIN c1),
+      |a1 AS (SELECT vec_id, cluster, sim FROM (SELECT vec_id, cid AS cluster, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn FROM s1) WHERE rn = 1)
+      |SELECT cluster, COUNT(*) AS n, MIN(sim) AS min_sim, MAX(sim) AS max_sim
+      |FROM a1 GROUP BY cluster""".stripMargin
+}
