@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.{Clustering, Similarity}
+import graft.operators.{Clustering, ConnectedComponents, Similarity}
 import graft.sources.Tables
 
 /**
@@ -118,4 +118,58 @@ object ClusterQueries {
       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn FROM s1) WHERE rn = 1)
       |SELECT cluster, COUNT(*) AS n, MIN(sim) AS min_sim, MAX(sim) AS max_sim
       |FROM a1 GROUP BY cluster""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q61: dedup clusters — near-dup pair edges (LSH-bucketed, q34's
+  // exact edge set) → connected components (transitive closure: A~B,
+  // B~C ⇒ one group) → cluster-size histogram. The Spark side iterates
+  // min-label propagation (one shuffle per round); the oracle replays
+  // it as a recursive CTE.
+  // ------------------------------------------------------------------
+  def q61DedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val edges = Similarity.embeddingNearDups(e, "vec_id", "embedding",
+        threshold = 0.2, planes = 8, prefixBits = 4)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val labels = ConnectedComponents.minLabel(
+      e.select(col("vec_id").as("id")), edges)
+    ConnectedComponents.clusters(labels)
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        min(col("canonical_id")).as("min_canonical_id"))
+  }
+
+  val q61Sql: String =
+    """WITH RECURSIVE
+      |e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |proj AS (
+      |  SELECT e.vec_id, p.p,
+      |    SUM(e.v[CAST(i.i AS INT) + 1] *
+      |      CASE WHEN substr(md5('plane' || p.p || ':' || i.i), 1, 1) >= '8'
+      |           THEN 1.0 ELSE -1.0 END) AS pr
+      |  FROM e CROSS JOIN range(8) p(p) CROSS JOIN range(64) i(i)
+      |  GROUP BY e.vec_id, p.p),
+      |sig AS (
+      |  SELECT vec_id,
+      |    substr(string_agg(CASE WHEN pr >= 0 THEN '1' ELSE '0' END, '' ORDER BY p), 1, 4) AS bucket
+      |  FROM proj GROUP BY vec_id),
+      |withv AS (
+      |  SELECT s.vec_id, s.bucket, e.v FROM sig s JOIN e ON s.vec_id = e.vec_id),
+      |pairs AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM withv a JOIN withv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      |  WHERE ROUND(list_dot_product(a.v, b.v) /
+      |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.2),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION ALL SELECT id_b, id_a FROM pairs),
+      |reach(a, b) AS (
+      |  SELECT vec_id, vec_id FROM embeddings
+      |  UNION
+      |  SELECT r.a, g.dst FROM reach r JOIN edges g ON r.b = g.src),
+      |labels AS (SELECT a AS id, MIN(b) AS label FROM reach GROUP BY a),
+      |clusters AS (SELECT label, COUNT(*) AS cluster_size FROM labels GROUP BY label)
+      |SELECT cluster_size, COUNT(*) AS n_clusters, MIN(label) AS min_canonical_id
+      |FROM clusters GROUP BY cluster_size""".stripMargin
 }
