@@ -1,0 +1,60 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.StatefulOps
+import graft.streaming.StatefulOps.{Session, SessionEvent}
+
+/** Keyed-state streaming operators: gap sessionization + arrival dedup. */
+class StatefulOpsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+
+  test("streaming sessionization closes sessions on gaps and event-time timeouts") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val q = StatefulOps.sessionize(input.toDS(), gapMs = 5 * 60 * 1000)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    // batch 1: user 1 session (10:00-10:02), user 2 session (10:05)
+    input.addData(
+      SessionEvent(1L, ts(0), 1.0), SessionEvent(1L, ts(2), 2.0),
+      SessionEvent(2L, ts(5), 16.0))
+    q.processAllAvailable()
+    // batch 2: user 1 reappears at 10:30 — closes its first session via
+    // the in-function gap check AND advances the watermark to 10:29,
+    // which fires user 2's event-time timeout (10:05 + 5 min < 10:29).
+    input.addData(SessionEvent(1L, ts(30), 4.0))
+    q.processAllAvailable()
+    // one more empty-ish batch so timeouts registered in batch 2 run
+    input.addData(SessionEvent(3L, ts(31), 0.5))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("sessions").as[Session].collect()
+      .map(s => (s.userId, s.sessionStart, s.sessionEnd, s.nEvents, s.sumValue)).toSet
+    assert(out.contains((1L, ts(0), ts(2), 2L, 3.0)))
+    assert(out.contains((2L, ts(5), ts(5), 1L, 16.0)))
+    // user 1's second session (10:30) and user 3's are still open
+    assert(!out.exists(s => s._1 == 3L))
+    assert(out.size == 2)
+  }
+
+  test("dedupWithinWatermark drops re-delivered keys") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    input.addData((1L, ts(0), "a"), (1L, ts(1), "a-redelivered"),
+      (2L, ts(2), "b"), (3L, ts(3), "c"), (3L, ts(3), "c-redelivered"))
+    val deduped = StatefulOps.dedupWithinWatermark(
+      input.toDF().toDF("id", "ts", "payload"), Seq("id"), "ts", "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("deduped")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val ids = spark.table("deduped").select("id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L))
+  }
+}
