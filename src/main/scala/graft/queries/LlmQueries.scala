@@ -442,4 +442,72 @@ object LlmQueries {
       |  CAST(ceil(CAST(octet_length(encode(text)) AS DOUBLE) / 64) AS BIGINT) AS n_chunks,
       |  CAST((greatest(CAST(ceil(CAST(octet_length(encode(text)) AS DOUBLE) / 64) AS BIGINT) - 1, 0)) // 4 + 1 AS INT) AS n_sampled
       |FROM documents""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q62: segment-level dedup (C4's line dedup, adapted to the corpus's
+  // space-separated text): split each doc into 8-word segments, keep
+  // only the globally FIRST occurrence of each distinct segment
+  // (min (doc_id, seg_idx), encoded as doc_id*1000+seg_idx), reassemble
+  // surviving segments in order. One hash-agg on the segment string —
+  // partial (map-side) aggregation collapses repeats before the
+  // shuffle, so a viral segment repeated 10^6× moves ~one row per
+  // mapper, not 10^6 rows (same skew-immunity argument as the merge
+  // dedup). Reassembly is a per-doc sort of ≤13 surviving segments.
+  // ------------------------------------------------------------------
+  def q62SegmentDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val segs = docs
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
+      .withColumn("s", explode(sequence(lit(0),
+        floor((size(col("w")) - 1) / 8).cast(IntegerType))))
+      .select(col("doc_id"), col("lang"), col("s").as("seg_idx"),
+        array_join(slice(col("w"), col("s") * 8 + 1, lit(8)), " ").as("seg"))
+      .localCheckpoint() // reused: winner agg + kept join + per-doc tally
+    val winners = segs.groupBy("seg")
+      .agg(min(col("doc_id") * 1000 + col("seg_idx")).as("win_key"))
+    val kept = segs.join(winners, Seq("seg"))
+      .filter(col("doc_id") * 1000 + col("seg_idx") === col("win_key"))
+    val perDocKept = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+          s => s.getField("seg")), " ").as("clean"))
+    segs.groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_segs"))
+      .join(perDocKept, Seq("doc_id"), "left_outer")
+      .select(col("lang"), col("n_segs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean"), lit("")).as("clean"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_kept") < col("n_segs"), 1L).otherwise(0L)).as("n_changed"),
+        sum(length(col("clean")).cast(LongType)).as("sum_clean_chars"),
+        countDistinct(col("clean")).as("n_distinct_clean"))
+  }
+
+  val q62Sql: String =
+    """WITH words AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+      |segs AS (
+      |  SELECT doc_id, lang, g.s AS seg_idx,
+      |    array_to_string(w[CAST(g.s*8+1 AS INT):CAST(g.s*8+8 AS INT)], ' ') AS seg
+      |  FROM words CROSS JOIN generate_series(0, 31) g(s)
+      |  WHERE len(w) > g.s*8),
+      |winners AS (SELECT seg, MIN(doc_id*1000 + seg_idx) AS win_key
+      |  FROM segs GROUP BY seg),
+      |kept AS (SELECT s.doc_id, s.seg_idx, s.seg
+      |  FROM segs s JOIN winners ww
+      |    ON s.seg = ww.seg AND s.doc_id*1000 + s.seg_idx = ww.win_key),
+      |perdoc AS (
+      |  SELECT d.doc_id, d.lang, d.n_segs,
+      |    COALESCE(k.n_kept, 0) AS n_kept, COALESCE(k.clean, '') AS clean
+      |  FROM (SELECT doc_id, lang, COUNT(*) AS n_segs FROM segs GROUP BY 1, 2) d
+      |  LEFT JOIN (SELECT doc_id, COUNT(*) AS n_kept,
+      |      string_agg(seg, ' ' ORDER BY seg_idx) AS clean
+      |    FROM kept GROUP BY doc_id) k USING (doc_id))
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN n_kept < n_segs THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+      |  CAST(SUM(length(clean)) AS BIGINT) AS sum_clean_chars,
+      |  CAST(COUNT(DISTINCT clean) AS BIGINT) AS n_distinct_clean
+      |FROM perdoc GROUP BY lang""".stripMargin
 }
