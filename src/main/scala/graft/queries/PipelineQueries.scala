@@ -253,4 +253,31 @@ object PipelineQueries {
     """SELECT o_orderstatus, COUNT(*) AS n,
       |  CAST(SUM(CAST(CASE WHEN o_orderkey < 3000 THEN o_totalprice + 100.0 ELSE o_totalprice END AS DECIMAL(18,4))) AS DOUBLE) AS total
       |FROM orders GROUP BY o_orderstatus""".stripMargin
+
+  /** Time-partitioned table layout + partition-pruned scan — the 100 TB
+    * fact-table pattern: daily `partitionBy` directories, so a 3-day
+    * query LISTS AND READS 3/30 of the data (`PartitionFilters` in the
+    * scan; `PartitionPruningSpec` asserts it). The repartition by the
+    * partition column before the write keeps file count = partitions,
+    * not tasks×partitions. */
+  def q63PartitionPruning(spark: SparkSession, dir: String): DataFrame = {
+    val cache = freshCache(spark, "graft_q63")
+    val ev = Tables.events(spark, dir)
+      .withColumn("event_date", to_date(col("ts")))
+    ev.repartition(col("event_date"))
+      .write.partitionBy("event_date")
+      .saveAsTable(cache.tableName("events_by_day"))
+    spark.table(cache.tableName("events_by_day"))
+      .filter(col("event_date").between("2024-01-10", "2024-01-12"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_value"))
+  }
+
+  val q63Sql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events
+      |WHERE CAST(ts AS DATE) BETWEEN '2024-01-10' AND '2024-01-12'
+      |GROUP BY event_type""".stripMargin
 }
