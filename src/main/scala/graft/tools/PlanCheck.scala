@@ -37,9 +37,16 @@ object PlanCheck {
           ("CARTESIAN", plan.contains("CartesianProduct")),
           // whole-stage codegen spans show as "*(n)" in simple mode
           ("NO_CODEGEN", !plan.contains("*(")),
+          // BNLJ is the INTENDED plan when the build side is a tiny
+          // broadcast dim and the condition is non-equi: q54's 5-row
+          // band table, q35/q42/q60's k-row query/centroid sets (routed
+          // via crossJoin(broadcast(...))), q49's DF-gate term list.
+          // The flag is for ACCIDENTAL nested loops over two large sides.
           ("BNLJ_LARGE", plan.contains("BroadcastNestedLoopJoin") &&
             !Set("q10_semi_anti_join", "q11_set_ops", "q23_auto_strategy",
-              "q35_cosine_topk").contains(name))
+              "q35_cosine_topk", "q42_ivf_topk", "q49_distinctive_terms",
+              "q54_range_join", "q59_semantic_dedup", "q60_kmeans_iter",
+              "q61_dedup_clusters").contains(name))
         ).collect { case (f, true) => f }
         val scans = plan.linesIterator
           .filter(l => l.contains("PushedFilters") || l.contains("ReadSchema"))
