@@ -34,7 +34,12 @@ object CoreQueries {
       .agg(
         sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
         sum(dec(col("l_extendedprice"))).cast(DoubleType).as("sum_base_price"),
-        sum(disc).cast(DoubleType).as("sum_disc_price"),
+        // rescale the exact scale-8 sum to scale 4 BEFORE the double
+        // cast: DuckDB's decimal→double is two-step (int128→double,
+        // then ÷10^scale) and mis-rounds once the unscaled value tops
+        // 2^53; at scale 4 the unscaled sum stays exact in double.
+        // The rescale itself is exact here (products end in 0000).
+        sum(disc).cast(DecimalType(38, 4)).cast(DoubleType).as("sum_disc_price"),
         count(lit(1)).as("count_order"))
       .withColumn("avg_qty", col("sum_qty") / col("count_order"))
   }
@@ -43,7 +48,7 @@ object CoreQueries {
     """SELECT l_returnflag, l_linestatus,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price,
       |  COUNT(*) AS count_order,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty
       |FROM lineitem

@@ -180,13 +180,16 @@ object PipelineQueries {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         count(col("missing_col")).as("nn_missing"),
-        sum(col("value")).cast(DoubleType).as("sum_value"))
+        // rescale 9→4 before the double cast (see q1: DuckDB's decimal→
+        // double mis-rounds past 2^53 unscaled; values have 2dp so the
+        // rescale is exact)
+        sum(col("value")).cast(DecimalType(38, 4)).cast(DoubleType).as("sum_value"))
   }
 
   val q26Sql: String =
     """SELECT event_type, COUNT(*) AS n,
       |  CAST(0 AS BIGINT) AS nn_missing,
-      |  CAST(SUM(CAST(value AS DECIMAL(38,9))) AS DOUBLE) AS sum_value
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(38,9))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_value
       |FROM events GROUP BY event_type""".stripMargin
 
   /** Name normalization (F1/P3): messy source identifiers → normalized
