@@ -43,7 +43,14 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // reference-harness-shaped ingest throughput (5e5 protocol records
+    // end-to-end; see tools/IngestBench + BASELINE.md)
+    val ingestRps =
+      try graft.tools.IngestBench.measure(spark, 500000)._2
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] ingest failed: ${e.getMessage}"); -1L
+      }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ingest_records_per_sec":$ingestRps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

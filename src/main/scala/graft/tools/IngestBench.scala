@@ -23,21 +23,11 @@ import graft.sources.JsonlSource
  * "records_per_sec":…}.
  */
 object IngestBench {
-  def main(args: Array[String]): Unit = {
-    val n = sys.env.getOrElse("GRAFT_INGEST_RECORDS", "500000").toInt
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    import spark.implicits._
 
-    // Stage the wire-format input OUTSIDE the timed section (the
-    // reference generates records before timing the read too).
+  /** Stage the wire format (untimed, like the reference's generator),
+    * warm the JVM on a read-only pass, then time the full sync.
+    * Returns (seconds, records/s). */
+  def measure(spark: SparkSession, n: Int): (Double, Long) = {
     val li = graft.sources.Tables.lineitem(spark, "/root/testdata/sf0.1").limit(n)
     val payload = to_json(struct(li.columns.map(col).toSeq: _*))
     val msg = concat(
@@ -64,7 +54,22 @@ object IngestBench {
     val sec = (System.nanoTime() - t0) / 1e9
     val written = cache.table("lineitem").count()
     require(written == n, s"expected $n rows, got $written")
-    println(f"""{"metric":"ingest","records":$n,"sec":$sec%.3f,"records_per_sec":${(n / sec).toLong}}""")
+    (sec, (n / sec).toLong)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = sys.env.getOrElse("GRAFT_INGEST_RECORDS", "500000").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val (sec, rps) = measure(spark, n)
+    println(f"""{"metric":"ingest","records":$n,"sec":$sec%.3f,"records_per_sec":$rps}""")
     spark.stop()
   }
 }

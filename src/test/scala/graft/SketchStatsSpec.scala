@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Sketch-based profiling (the 100 TB stats path): HLL++ distinct
+  * counts and quantile sketches are partial-aggregable one-pass
+  * aggregates — no exact-distinct shuffle, no global sort. Accuracy is
+  * contract-tested against exact answers on the test corpus. */
+class SketchStatsSpec extends SparkTestBase {
+
+  test("approx_count_distinct within 5% of exact") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val r = docs.agg(
+      countDistinct(col("text")).as("exact"),
+      approx_count_distinct(col("text"), rsd = 0.02).as("approx"))
+      .collect()(0)
+    val (exact, approx) = (r.getLong(0), r.getLong(1))
+    assert(math.abs(approx - exact) <= exact * 0.05,
+      s"approx=$approx exact=$exact")
+  }
+
+  test("approx_percentile within 2% relative error of exact percentile") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.01")
+    val r = ev.agg(
+      percentile(col("value"), lit(0.5)).as("exact_p50"),
+      percentile_approx(col("value"), lit(0.5), lit(10000)).as("approx_p50"))
+      .collect()(0)
+    val (exact, approx) = (r.getDouble(0), r.getDouble(1))
+    assert(math.abs(approx - exact) <= math.abs(exact) * 0.02,
+      s"approx=$approx exact=$exact")
+  }
+}
