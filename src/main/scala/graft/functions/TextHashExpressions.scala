@@ -165,6 +165,38 @@ case class FingerprintExpression(child: Expression, n: Int = 8)
   override def prettyName: String = "min_shingle_fingerprint"
 }
 
+/**
+ * Count of the doc's most frequent whitespace token — the Gopher
+ * "fraction of the document that is the single most common word" signal
+ * (Rae et al. 2021, appendix A1.1), as a per-row compiled kernel:
+ * ZERO-shuffle at any corpus size (the explode+groupBy formulation
+ * shuffles every word of every doc).
+ */
+case class TopWordCountExpression(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.toString.split("\\s+", -1)
+    val counts = new java.util.HashMap[String, Int](toks.length * 2)
+    var best = 0
+    var t = 0
+    while (t < toks.length) {
+      val tok = toks(t)
+      if (tok.nonEmpty) {
+        val c = counts.merge(tok, 1, (a, b) => a + b)
+        if (c > best) best = c
+      }
+      t += 1
+    }
+    best
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "top_word_count"
+}
+
 object TextHashFunctions {
   import org.apache.spark.sql.GraftBridge
 
@@ -176,4 +208,7 @@ object TextHashFunctions {
 
   def fingerprint(text: Column, n: Int = 8): Column =
     GraftBridge.column(FingerprintExpression(GraftBridge.expression(text), n))
+
+  def topWordCount(text: Column): Column =
+    GraftBridge.column(TopWordCountExpression(GraftBridge.expression(text)))
 }
