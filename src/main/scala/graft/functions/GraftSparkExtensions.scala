@@ -42,5 +42,10 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_norm"),
       new ExpressionInfo(classOf[L2NormExpression].getName, "vec_norm"),
       (args: Seq[Expression]) => L2NormExpression(args.head)))
+
+    ext.injectFunction((
+      FunctionIdentifier("top_word_count"),
+      new ExpressionInfo(classOf[TopWordCountExpression].getName, "top_word_count"),
+      (args: Seq[Expression]) => TopWordCountExpression(args.head)))
   }
 }
