@@ -125,6 +125,61 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /**
+   * Persistent LSH index for INCREMENTAL dedup: (id, shingles,
+   * band_key) — one row per (doc, band). At scale this is computed once
+   * per corpus and stored as a table bucketed by `band_key`; new
+   * batches probe it without re-hashing the corpus.
+   */
+  def signatureIndex(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 9, bands: Int = 3, shingle: Int = 3): DataFrame = {
+    val rows = numHashes / bands
+    df.select(
+        col(idCol).as("id"),
+        graft.functions.TextHashFunctions
+          .shingleMinhash(col(textCol), numHashes, shingle).as("sm"))
+      .localCheckpoint()
+      .select(col("id"), col("sm.shingles").as("shingles"), col("sm.sig").as("sig"))
+      .filter(size(col("shingles")) > 0)
+      .select(col("id"), col("shingles"),
+        explode(array((0 until bands).map(b => bandKey(col("sig"), b, rows)): _*))
+          .as("band_key"))
+  }
+
+  /**
+   * Probe an incoming batch against a prebuilt [[signatureIndex]]: the
+   * batch-vs-corpus shape of production dedup — a sync's new documents
+   * check against the full history WITHOUT re-hashing it. The incoming
+   * side is typically tiny relative to the index, so its banded form
+   * broadcasts and the corpus index never shuffles (with a bucketed
+   * index table even the probe join is co-located). Candidates carry
+   * ids only; exact Jaccard verifies survivors.
+   *
+   * @return (new_id, corpus_id, jaccard ≥ threshold)
+   */
+  def probeNearDups(
+      incoming: DataFrame, index: DataFrame,
+      idCol: String, textCol: String,
+      threshold: Double = 0.5,
+      numHashes: Int = 9, bands: Int = 3, shingle: Int = 3): DataFrame = {
+    val probe = signatureIndex(incoming, idCol, textCol, numHashes, bands, shingle)
+    val candidates = probe.select(col("id").as("new_id"), col("band_key"))
+      .join(index.select(col("id").as("corpus_id"), col("band_key")), "band_key")
+      .select(col("new_id"), col("corpus_id"))
+      .dropDuplicates("new_id", "corpus_id")
+    val newSets = probe.select(col("id").as("new_id"), col("shingles").as("sh_n"))
+      .dropDuplicates("new_id")
+    val corpusSets = index.select(col("id").as("corpus_id"), col("shingles").as("sh_c"))
+      .dropDuplicates("corpus_id")
+    candidates
+      .join(newSets, "new_id")
+      .join(corpusSets, "corpus_id")
+      .withColumn("jaccard", jaccard(col("sh_n"), col("sh_c")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("corpus_id"), col("jaccard"))
+  }
+
   /** md5 hex char → 0-15 via a literal lookup map (codegen-friendly,
     * portable — no engine-specific hex parsing). */
   private def hexVal(c: Column): Column = {

@@ -510,4 +510,53 @@ object LlmQueries {
       |  CAST(SUM(length(clean)) AS BIGINT) AS sum_clean_chars,
       |  CAST(COUNT(DISTINCT clean) AS BIGINT) AS n_distinct_clean
       |FROM perdoc GROUP BY lang""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q66: incremental dedup — a new batch (doc_id % 10 = 0) probes the
+  // corpus's prebuilt LSH signature index (everything else) WITHOUT
+  // re-hashing the corpus: the production batch-vs-history shape. Same
+  // signature/band/Jaccard semantics as q31.
+  // ------------------------------------------------------------------
+  def q66IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val index = Dedup.signatureIndex(
+      docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
+    Dedup.probeNearDups(
+      docs.filter(col("doc_id") % 10 === 0), index,
+      "doc_id", "text", threshold = 0.35)
+  }
+
+  val q66Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+      |      i -> concat_ws(' ', t[i], t[i+1], t[i+2])) AS shingles
+      |  FROM toks),
+      |hashed AS (
+      |  SELECT doc_id, shingles, list_transform(shingles, s -> md5(s)) AS hs
+      |  FROM sh WHERE len(shingles) > 0),
+      |sig AS (
+      |  SELECT doc_id, shingles,
+      |    list_transform(range(0, 9),
+      |      j -> list_min(list_transform(hs,
+      |        h -> substr(h, CAST(j*3+1 AS INT), 32) || substr(h, 1, CAST(j*3 AS INT))))) AS sig
+      |  FROM hashed),
+      |banded AS (
+      |  SELECT doc_id, shingles, unnest(list_transform(range(0, 3),
+      |    b -> md5(concat_ws('|', sig[b*3+1], sig[b*3+2], sig[b*3+3], CAST(b AS VARCHAR))))) AS band_key
+      |  FROM sig),
+      |cand AS (
+      |  SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id,
+      |    n.shingles AS sh_n, c.shingles AS sh_c
+      |  FROM banded n JOIN banded c
+      |    ON n.band_key = c.band_key
+      |   AND n.doc_id % 10 = 0 AND c.doc_id % 10 <> 0)
+      |SELECT new_id, corpus_id,
+      |  CAST(len(list_distinct(list_intersect(sh_n, sh_c))) AS DOUBLE)
+      |    / CAST(len(list_distinct(sh_n || sh_c)) AS DOUBLE) AS jaccard
+      |FROM cand
+      |WHERE CAST(len(list_distinct(list_intersect(sh_n, sh_c))) AS DOUBLE)
+      |    / CAST(len(list_distinct(sh_n || sh_c)) AS DOUBLE) >= 0.35""".stripMargin
 }

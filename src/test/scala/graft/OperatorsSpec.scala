@@ -40,6 +40,18 @@ class OperatorsSpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("incremental probe against a prebuilt index matches batch-vs-corpus dups") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val near = base.replace("today", "tomorrow") // near-dup of corpus doc 1
+    val far = "completely different content about spark engines and parquet files here"
+    val corpus = Seq((1L, base), (2L, far)).toDF("doc_id", "text")
+    val incoming = Seq((10L, near), (11L, "brand new unrelated text with nothing shared at all whatsoever")).toDF("doc_id", "text")
+    val index = Dedup.signatureIndex(corpus, "doc_id", "text")
+    val hits = Dedup.probeNearDups(incoming, index, "doc_id", "text", threshold = 0.3)
+      .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(hits == Set((10L, 1L)))
+  }
+
   test("identical docs have identical simhash; different docs differ") {
     val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
       (3L, "omega psi chi phi")).toDF("id", "text")
