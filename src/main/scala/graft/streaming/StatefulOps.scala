@@ -99,4 +99,23 @@ object StatefulOps {
       watermark: String): DataFrame =
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
+
+  /**
+   * Stream-stream interval join: correlate two live streams on a key
+   * within an event-time window (right event within [left, left+gap]).
+   * Both sides are watermarked so the join STATE is bounded — buffered
+   * rows evict once the watermark passes their joinable horizon; state
+   * is sharded by the join key across executors. The streaming dual of
+   * the batch as-of/range join family.
+   */
+  def intervalJoin(
+      left: DataFrame, leftTs: String,
+      right: DataFrame, rightTs: String,
+      keyExpr: String, gap: String,
+      watermark: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r, expr(
+      s"$keyExpr AND $rightTs >= $leftTs AND $rightTs <= $leftTs + interval $gap"))
+  }
 }

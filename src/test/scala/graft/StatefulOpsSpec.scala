@@ -44,6 +44,27 @@ class StatefulOpsSpec extends SparkTestBase {
     assert(out.size == 2)
   }
 
+  test("stream-stream interval join correlates within the event-time window") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val buys = MemoryStream[(Long, Timestamp, Double)]
+    val joined = graft.streaming.StatefulOps.intervalJoin(
+      clicks.toDF().toDF("user_id", "click_ts"), "click_ts",
+      buys.toDF().toDF("buy_user", "buy_ts", "amount"), "buy_ts",
+      keyExpr = "user_id = buy_user", gap = "5 minutes",
+      watermark = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("attributed")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    // user 1: buy 3 min after click (in window); user 2: buy 20 min
+    // after click (outside); user 3: buy with no click
+    clicks.addData((1L, ts(0)), (2L, ts(0)))
+    buys.addData((1L, ts(3), 10.0), (2L, ts(20), 20.0), (3L, ts(1), 30.0))
+    q.awaitTermination()
+    val out = spark.table("attributed")
+      .select("user_id", "amount").as[(Long, Double)].collect().toSet
+    assert(out == Set((1L, 10.0)))
+  }
+
   test("dedupWithinWatermark drops re-delivered keys") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String)]
