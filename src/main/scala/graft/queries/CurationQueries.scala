@@ -131,4 +131,80 @@ object CurationQueries {
       |  round(MAX(t.rate), 4) AS rate
       |FROM documents d JOIN thr t ON d.lang = t.lang
       |GROUP BY d.lang""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q70: BM25-style keyword retrieval (Robertson/Sparck Jones) — tf is
+  // a per-row array scan (zero shuffle; no exploded posting list for a
+  // 3-term query), df/N/avgdl are ONE tiny corpus aggregate broadcast
+  // back, and the global top-10 is TakeOrderedAndProject (map-side
+  // pruned). Uses the RATIONAL idf (N−df+0.5)/(df+0.5) rather than its
+  // log: `ln` is not bit-identical across libm implementations, while
+  // rational-of-integers doubles are — monotonicity (and therefore
+  // ranking) is unchanged. k1=1.2, b=0.75.
+  // ------------------------------------------------------------------
+  private val QueryTerms = Seq("spark", "merge", "vector")
+
+  def q70KeywordSearch(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val withTf = QueryTerms.zipWithIndex.foldLeft(
+        docs.withColumn("dl", size(col("w")).cast(LongType))) {
+      case (df, (t, i)) => df.withColumn(s"tf$i",
+        size(filter(col("w"), x => x === lit(t))).cast(LongType))
+    }
+    val corpusAggs = Seq(
+      count(lit(1)).as("n_docs_total"),
+      sum(col("dl")).as("sum_dl")) ++
+      QueryTerms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val corpus = withTf.agg(corpusAggs.head, corpusAggs.tail: _*)
+    val scored = withTf.crossJoin(broadcast(corpus))
+      .withColumn("avgdl",
+        col("sum_dl").cast(DoubleType) / col("n_docs_total").cast(DoubleType))
+    val score = QueryTerms.indices.map { i =>
+      val tf = col(s"tf$i").cast(DoubleType)
+      val dfT = col(s"df$i").cast(DoubleType)
+      val n = col("n_docs_total").cast(DoubleType)
+      val idf = (n - dfT + lit(0.5)) / (dfT + lit(0.5))
+      idf * (tf * lit(2.2)) /
+        (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast(DoubleType) / col("avgdl")))
+    }.reduce(_ + _)
+    scored.withColumn("score", round(score, 4))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(10)
+      .select(col("doc_id"), col("score"))
+  }
+
+  val q70Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |tf AS (
+      |  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+      |    CAST(len(list_filter(w, x -> x = 'spark')) AS BIGINT) AS tf0,
+      |    CAST(len(list_filter(w, x -> x = 'merge')) AS BIGINT) AS tf1,
+      |    CAST(len(list_filter(w, x -> x = 'vector')) AS BIGINT) AS tf2
+      |  FROM d),
+      |corpus AS (
+      |  SELECT COUNT(*) AS n_docs_total, CAST(SUM(dl) AS BIGINT) AS sum_dl,
+      |    CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+      |    CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+      |    CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+      |  FROM tf),
+      |scored AS (
+      |  SELECT doc_id,
+      |    round(
+      |      ((CAST(n_docs_total AS DOUBLE) - CAST(df0 AS DOUBLE) + 0.5) / (CAST(df0 AS DOUBLE) + 0.5))
+      |        * (CAST(tf0 AS DOUBLE) * 2.2)
+      |        / (CAST(tf0 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs_total AS DOUBLE)))) +
+      |      ((CAST(n_docs_total AS DOUBLE) - CAST(df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5))
+      |        * (CAST(tf1 AS DOUBLE) * 2.2)
+      |        / (CAST(tf1 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs_total AS DOUBLE)))) +
+      |      ((CAST(n_docs_total AS DOUBLE) - CAST(df2 AS DOUBLE) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5))
+      |        * (CAST(tf2 AS DOUBLE) * 2.2)
+      |        / (CAST(tf2 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs_total AS DOUBLE)))), 4) AS score
+      |  FROM tf CROSS JOIN corpus)
+      |SELECT doc_id, score FROM scored
+      |WHERE score > 0
+      |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin
 }
