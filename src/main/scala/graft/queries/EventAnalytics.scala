@@ -119,4 +119,38 @@ object EventAnalytics {
       |  CAST(SUM(n) AS BIGINT) AS total_rare,
       |  MIN(CASE WHEN n = 0 THEN day END) AS first_gap_day
       |FROM filled""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q71: rolling 7-day window — a RANGE frame over epoch-day (current
+  // day + 6 preceding CALENDAR days, not 6 preceding rows), the shape
+  // rows-frames get wrong whenever days are missing. Pre-aggregating to
+  // daily grain first keeps the window input tiny (days × types), so
+  // the sort-window cost is independent of raw event volume.
+  // ------------------------------------------------------------------
+  def q71RollingWindow(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+    val daily = ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 4))).as("dval"))
+      .withColumn("ed", unix_date(col("day")).cast(LongType))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ed"))
+      .rangeBetween(-6, 0)
+    daily.select(col("event_type"), col("day"), col("n"),
+        sum(col("n")).over(w).as("rolling_n"),
+        sum(col("dval")).over(w).cast(DoubleType).as("rolling_value"))
+  }
+
+  val q71Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n,
+      |    SUM(CAST(value AS DECIMAL(18,4))) AS dval,
+      |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS ed
+      |  FROM events GROUP BY 1, 2, date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)))
+      |SELECT event_type, day, n,
+      |  CAST(SUM(n) OVER w AS BIGINT) AS rolling_n,
+      |  CAST(SUM(dval) OVER w AS DOUBLE) AS rolling_value
+      |FROM daily
+      |WINDOW w AS (PARTITION BY event_type ORDER BY ed
+      |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin
 }

@@ -46,7 +46,10 @@ object PlanCheck {
             !Set("q10_semi_anti_join", "q11_set_ops", "q23_auto_strategy",
               "q35_cosine_topk", "q42_ivf_topk", "q49_distinctive_terms",
               "q54_range_join", "q59_semantic_dedup", "q60_kmeans_iter",
-              "q61_dedup_clusters").contains(name))
+              "q61_dedup_clusters",
+              // one-row corpus-stats / tiny-dim cross joins by design
+              "q65_domain_mix", "q68_funnel", "q70_keyword_search")
+              .contains(name))
         ).collect { case (f, true) => f }
         val scans = plan.linesIterator
           .filter(l => l.contains("PushedFilters") || l.contains("ReadSchema"))
