@@ -221,6 +221,58 @@ final class SparkCache(
 
   def dropAll(): Unit =
     spark.sql(s"DROP DATABASE IF EXISTS `$database` CASCADE")
+
+  // ------------------------------------------------------------------
+  // Maintenance: the two table-ops a long-lived cache needs at scale.
+  // Append/merge syncs accrete small files (tasks × syncs); old
+  // partitions accrete forever. Compaction rewrites once and swaps by
+  // rename (same metadata-only dance as merge); retention drops whole
+  // partition DIRECTORIES — no data rewrite at all.
+  // ------------------------------------------------------------------
+
+  /**
+   * Rewrite a stream's table into ≈`targetFileBytes`-sized files
+   * (small-file compaction). One data pass + a metadata rename swap.
+   * Returns the file count after compaction.
+   */
+  def compactTable(streamName: String, targetFileBytes: Long = 128L << 20): Int = {
+    val t = tableName(streamName)
+    val df = spark.table(t)
+    val fs = new org.apache.hadoop.fs.Path(df.inputFiles.headOption.getOrElse(
+      throw new IllegalStateException(s"$t has no files")))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = df.inputFiles.map(f =>
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen).sum
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val stamp = System.nanoTime()
+    val tmpName = s"__compact_tmp_$stamp"
+    val oldName = s"__compact_old_$stamp"
+    df.repartition(nFiles).write.saveAsTable(s"`$database`.`$tmpName`")
+    spark.sql(s"ALTER TABLE $t RENAME TO `$database`.`$oldName`")
+    spark.sql(s"ALTER TABLE `$database`.`$tmpName` RENAME TO $t")
+    spark.sql(s"DROP TABLE IF EXISTS `$database`.`$oldName`")
+    spark.table(t).inputFiles.length
+  }
+
+  /**
+   * Retention for a partitioned stream table: drop every partition whose
+   * value sorts strictly below `cutoff` (ISO dates compare
+   * lexicographically). Partition-directory deletes only — cost is
+   * proportional to partitions dropped, not table size.
+   * Returns the dropped partition values.
+   */
+  def expirePartitions(streamName: String, partCol: String, cutoff: String): Seq[String] = {
+    import spark.implicits._
+    val t = tableName(streamName)
+    val parts = spark.sql(s"SHOW PARTITIONS $t").as[String].collect().toSeq
+      .map(_.stripPrefix(s"$partCol="))
+      .filter(_ < cutoff)
+    parts.foreach { v =>
+      spark.sql(s"ALTER TABLE $t DROP IF EXISTS PARTITION (`$partCol` = '$v')")
+    }
+    spark.catalog.refreshTable(t)
+    parts
+  }
 }
 
 object SparkCache {
