@@ -118,4 +118,19 @@ class WriteStrategySpec extends SparkTestBase {
     cache.checkReadOnly("WITH t AS (SELECT 1) SELECT * FROM t;")
     cache.dropAll()
   }
+
+  test("table-prefix isolation: two prefixed caches over one database don't collide") {
+    // reference: prefix isolation tests, test_source_test_fixture.py:433+
+    val base = SparkCache.fresh(spark, "graft_test_prefix")
+    val a = new SparkCache(spark, "graft_test_prefix", tablePrefix = "a_")
+    val b = new SparkCache(spark, "graft_test_prefix", tablePrefix = "b_")
+    a.writeStream("s_nopk", df((1L, "from-a", 1.0)), catalog, WriteStrategy.Replace)
+    b.writeStream("s_nopk", df((2L, "from-b", 2.0), (3L, "also-b", 3.0)),
+      catalog, WriteStrategy.Replace)
+    assert(a.table("s_nopk").count() == 1)
+    assert(b.table("s_nopk").count() == 2)
+    assert(a.tableName("s_nopk").contains("a_s_nopk"))
+    assert(spark.sql("SHOW TABLES IN graft_test_prefix").count() >= 2)
+    base.dropAll()
+  }
 }
