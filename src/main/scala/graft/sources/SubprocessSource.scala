@@ -30,6 +30,39 @@ final class SubprocessSource(
   /** Stop event: set to halt the subprocess mid-stream (ST6). */
   val stopEvent = new AtomicBoolean(false)
 
+  /**
+   * Connection check (reference S2: `Source.check`,
+   * `airbyte/sources/base.py:367-393`): run the connector's `check`
+   * command, read its CONNECTION_STATUS message; SUCCEEDED ⇒ (),
+   * FAILED or no status ⇒ exception carrying the connector's message.
+   */
+  def check(checkCmd: Seq[String]): Unit = {
+    val pb = new ProcessBuilder(checkCmd: _*)
+    pb.redirectErrorStream(false)
+    val proc = pb.start()
+    try {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val lines = scala.io.Source.fromInputStream(proc.getInputStream).getLines()
+      val status = lines.flatMap(AirbyteMessage.parse)
+        .collectFirst {
+          case m if m.messageType == MessageType.CONNECTION_STATUS =>
+            val cs = mapper.readTree(m.raw).get("connectionStatus")
+            (Option(cs.get("status")).map(_.asText()).getOrElse(""),
+              Option(cs.get("message")).map(_.asText()).getOrElse(""))
+        }
+      status match {
+        case Some(("SUCCEEDED", _)) => ()
+        case Some((s, msg)) => throw new IllegalStateException(
+          s"Connection check failed ($s): $msg")
+        case None => throw new IllegalStateException(
+          "Connector emitted no CONNECTION_STATUS")
+      }
+    } finally {
+      proc.destroy()
+      proc.waitFor()
+    }
+  }
+
   /** Pull protocol messages from the subprocess, lazily. */
   def messages(limit: Option[Long] = None): Iterator[AirbyteMessage] = {
     val pb = new ProcessBuilder(cmd: _*)

@@ -38,6 +38,22 @@ class SubprocessSpec extends SparkTestBase {
     Seq("/bin/sh", script.toString)
   }
 
+  test("check() succeeds on SUCCEEDED status, fails with connector message otherwise") {
+    def statusConnector(json: String): Seq[String] = {
+      val script = Files.createTempFile("check-test", ".sh")
+      Files.write(script, s"#!/bin/sh\necho '$json'".getBytes("UTF-8"))
+      script.toFile.setExecutable(true)
+      Seq("/bin/sh", script.toString)
+    }
+    val src = new SubprocessSource("t", catalog, Seq("/bin/true"))
+    src.check(statusConnector(
+      """{"type":"CONNECTION_STATUS","connectionStatus":{"status":"SUCCEEDED"}}"""))
+    val failed = intercept[IllegalStateException](src.check(statusConnector(
+      """{"type":"CONNECTION_STATUS","connectionStatus":{"status":"FAILED","message":"bad credentials"}}""")))
+    assert(failed.getMessage.contains("bad credentials"))
+    intercept[IllegalStateException](src.check(Seq("/bin/true"))) // no status at all
+  }
+
   test("subprocess connector → cache → queryable dataset") {
     val src = new SubprocessSource("scripted", catalog, scriptedConnector(25))
     val cache = SparkCache.fresh(spark, "graft_test_subproc")
