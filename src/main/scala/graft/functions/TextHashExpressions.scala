@@ -25,7 +25,7 @@ import org.apache.spark.unsafe.types.UTF8String
  * (`LlmQueries.q31Sql`/`q32Sql`) — same tokenization (`\s+` split), same
  * lowercase-hex md5, same rotation family, same lexicographic min.
  */
-private object TextHash {
+private[graft] object TextHash {
   def md5hex(s: String): String = {
     val d = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
     val sb = new java.lang.StringBuilder(32)
