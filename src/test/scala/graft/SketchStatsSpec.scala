@@ -21,6 +21,19 @@ class SketchStatsSpec extends SparkTestBase {
       s"approx=$approx exact=$exact")
   }
 
+  test("incremental distinct: union of per-batch sketches ≈ global exact") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.01")
+    // batches = days: sketch each day independently (as successive syncs
+    // would), then merge the STORED sketches — no re-scan of raw data
+    val sketches = graft.datasets.TableStatistics.distinctSketches(
+      ev.withColumn("day", to_date(col("ts"))), "day", "user_id")
+    assert(sketches.count() == 30) // one persisted sketch per batch
+    val merged = graft.datasets.TableStatistics.mergeDistinct(sketches)
+    val exact = ev.select("user_id").distinct().count()
+    assert(math.abs(merged - exact) <= math.max(1L, exact / 20),
+      s"merged=$merged exact=$exact")
+  }
+
   test("approx_percentile within 2% relative error of exact percentile") {
     val ev = Tables.events(spark, "/root/testdata/sf0.01")
     val r = ev.agg(
