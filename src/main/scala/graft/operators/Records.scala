@@ -58,6 +58,36 @@ object Records {
     addMetadata(parsed, extractedAt)
   }
 
+  /**
+   * Normalize with DEAD-LETTER routing: records whose payload fails to
+   * parse against the declared schema land in a rejects frame (raw line
+   * + error tag) instead of silently nulling out. One pass, one
+   * `from_json` evaluation; the split is a filter on the same plan —
+   * at scale both sides stay distributed and the happy path pays
+   * nothing extra. (`from_json` in PERMISSIVE mode yields an all-null
+   * struct for unparsable input; a record of actual nulls keeps its
+   * raw text distinguishable via the corrupt-record marker.)
+   */
+  def normalizeWithRejects(
+      json: Dataset[String],
+      declared: StructType,
+      extractedAt: Option[Column] = None): (DataFrame, DataFrame) = {
+    val withCorrupt = StructType(declared.fields :+
+      StructField("_corrupt_record", StringType))
+    val parsed = json.toDF("_raw_json")
+      .withColumn("r", from_json(col("_raw_json"), withCorrupt,
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt_record")))
+      .localCheckpoint() // evaluate the parse ONCE for both splits
+    val bad = parsed
+      .filter(col("r").isNull || col("r._corrupt_record").isNotNull)
+      .select(col("_raw_json").as("raw"),
+        lit("JSON_PARSE_ERROR").as("reject_reason"))
+    val good = parsed
+      .filter(col("r").isNotNull && col("r._corrupt_record").isNull)
+      .select(col("r.*")).drop("_corrupt_record")
+    (addMetadata(good, extractedAt), bad)
+  }
+
   /** Append the three metadata columns to an already-shaped DataFrame. */
   def addMetadata(df: DataFrame, extractedAt: Option[Column] = None): DataFrame =
     df.withColumn(RawIdColumn, graft.functions.functions.uuid7())

@@ -22,6 +22,24 @@ class SourceSpec extends SparkTestBase {
   private val catalog = ConfiguredCatalog(Seq(
     ConfiguredStream("users", usersSchema, primaryKeys = Seq("id"))))
 
+  test("dead-letter routing: malformed payloads split to rejects, good rows survive") {
+    val jsonl = Seq(
+      """{"id": 1, "name": "ok", "score": 1.5}""",
+      """not json at all""",
+      """{"id": 2, "name": "also-ok", "score": 2.5}""",
+      """{"id": 3, "name": "trailing garbage"!!!}""").toDS()
+    val (good, bad) = graft.operators.Records.normalizeWithRejects(
+      jsonl, usersSchema,
+      Some(lit("2020-01-01 00:00:00").cast(TimestampType)))
+    val ids = good.select("id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 2L))
+    assert(good.columns.contains("_airbyte_raw_id"))
+    val rejects = bad.select("raw", "reject_reason").as[(String, String)].collect()
+    assert(rejects.length == 2)
+    assert(rejects.forall(_._2 == "JSON_PARSE_ERROR"))
+    assert(rejects.map(_._1).exists(_.contains("not json")))
+  }
+
   test("JsonlSource: protocol lines → cache tables → CachedDataset") {
     val lines = Seq(
       """{"type":"RECORD","record":{"stream":"users","data":{"id":1,"name":"a","score":1.5},"emitted_at":1700000000000}}""",
