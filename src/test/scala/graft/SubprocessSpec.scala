@@ -54,6 +54,22 @@ class SubprocessSpec extends SparkTestBase {
     intercept[IllegalStateException](src.check(Seq("/bin/true"))) // no status at all
   }
 
+  test("connector crash mid-stream yields the records emitted so far, no hang") {
+    // emits 5 records then SIGKILLs itself — the stream must end cleanly
+    // (at-least-once: the sync's state checkpoint was never written, so
+    // the next run re-reads; what must NOT happen is a hang or exception)
+    val script = Files.createTempFile("crash-test", ".sh")
+    val lines = (1 to 5).map(i =>
+      s"""echo '{"type":"RECORD","record":{"stream":"users","data":{"id":$i,"name":"u$i"},"emitted_at":1700000000000}}'""")
+    Files.write(script,
+      (("#!/bin/sh" +: lines) :+ "kill -9 $$").mkString("\n").getBytes("UTF-8"))
+    script.toFile.setExecutable(true)
+    val src = new SubprocessSource("crashy", catalog, Seq("/bin/sh", script.toString))
+    val got = src.getRecords("users").toSeq
+    assert(got.length == 5)
+    assert(got.forall(_.contains("\"id\"")))
+  }
+
   test("subprocess connector → cache → queryable dataset") {
     val src = new SubprocessSource("scripted", catalog, scriptedConnector(25))
     val cache = SparkCache.fresh(spark, "graft_test_subproc")
