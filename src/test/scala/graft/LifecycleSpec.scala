@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.cache.SparkCache
+import graft.datasets.TableStatistics
+import graft.operators.Records
+import graft.protocol._
+import graft.sources.FrameSource
+
+/** Whole-engine lifecycle in one flow: initial sync → incremental merge
+  * → state checkpoint → maintenance (compaction) → statistics. The
+  * parts are unit-tested elsewhere; this proves they compose. */
+class LifecycleSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("sync → incremental merge → state → compaction → stats compose") {
+    val cache = SparkCache.fresh(spark, "graft_test_lifecycle")
+    val catalog = ConfiguredCatalog(Seq(
+      ConfiguredStream("users", new StructType(), primaryKeys = Seq("id"),
+        cursorField = Some("updated_at"))))
+
+    // sync 1: initial load
+    val batch1 = Seq(
+      (1L, "alice", "2024-01-01"), (2L, "bob", "2024-01-01"),
+      (3L, "carol", "2024-01-02")).toDF("id", "name", "updated_at")
+    new FrameSource("crm", catalog, Map("users" -> ((_: org.apache.spark.sql.SparkSession) => batch1))).read(cache, spark)
+    cache.writeState("crm", "users", """{"cursor":"2024-01-02"}""")
+    assert(cache.table("users").count() == 3)
+
+    // sync 2: cursor-filtered increment (2 updated + 1 new), merge last-wins
+    val feed = Seq(
+      (2L, "bob-v2", "2024-01-03"), (3L, "carol-v2", "2024-01-03"),
+      (4L, "dave", "2024-01-04"),
+      (1L, "alice-stale", "2024-01-01")).toDF("id", "name", "updated_at")
+    val cursor = cache.latestState("crm", "users").get.split("\"")(3)
+    val batch2 = feed.filter(col("updated_at") > cursor)
+    new FrameSource("crm", catalog, Map("users" -> ((_: org.apache.spark.sql.SparkSession) => batch2))).read(cache, spark)
+    cache.writeState("crm", "users", """{"cursor":"2024-01-04"}""")
+
+    val after = cache.table("users")
+      .select("id", "name").as[(Long, String)].collect().toMap
+    assert(after == Map(1L -> "alice", 2L -> "bob-v2", 3L -> "carol-v2", 4L -> "dave"))
+
+    // maintenance: compact the accreted files; data must be unchanged
+    val files = cache.compactTable("users")
+    assert(files >= 1)
+    val recheck = cache.table("users")
+      .select("id", "name").as[(Long, String)].collect().toMap
+    assert(recheck == after)
+
+    // statistics over the final table
+    val stats = TableStatistics.collect(
+      Records.dropInternalColumns(cache.table("users")))
+    assert(stats.rowCount == 4)
+    assert(stats.columns.find(_.name == "id").get.nullCount == 0)
+    assert(cache.latestState("crm", "users").get.contains("2024-01-04"))
+    cache.dropAll()
+  }
+}
