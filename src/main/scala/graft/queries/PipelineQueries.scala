@@ -283,4 +283,28 @@ object PipelineQueries {
       |FROM events
       |WHERE CAST(ts AS DATE) BETWEEN '2024-01-10' AND '2024-01-12'
       |GROUP BY event_type""".stripMargin
+
+  /** Sorted range-partitioned layout (`cache/SortedWrite.scala`): write
+    * orders sorted by price into files with disjoint ranges, then run a
+    * selective range query — at scale the scan skips every row group
+    * whose min/max lies outside the predicate (`SortedWriteSpec` proves
+    * the disjoint-range property; this query gates the read path). */
+  def q72SortedLayout(spark: SparkSession, dir: String): DataFrame = {
+    val cache = freshCache(spark, "graft_q72")
+    graft.cache.SortedWrite.writeSorted(
+      Tables.orders(spark, dir), cache.tableName("orders_nopk"),
+      Seq("o_totalprice"), numFiles = 8)
+    spark.table(cache.tableName("orders_nopk"))
+      .filter(col("o_totalprice") >= 100000.0 && col("o_totalprice") < 150000.0)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 4))).cast(DoubleType).as("total"))
+  }
+
+  val q72Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+      |FROM orders
+      |WHERE o_totalprice >= 100000.0 AND o_totalprice < 150000.0
+      |GROUP BY o_orderpriority""".stripMargin
 }
