@@ -233,11 +233,19 @@ final class SparkCache(
   /**
    * Rewrite a stream's table into ≈`targetFileBytes`-sized files
    * (small-file compaction). One data pass + a metadata rename swap.
-   * Returns the file count after compaction.
+   * A partitioned table keeps its partition spec: rows are clustered by
+   * the partition columns (one output file per partition directory) and
+   * rewritten with the same `partitionBy`, so `SHOW PARTITIONS` /
+   * partition pruning keep working after compaction. The swap is
+   * rollback-safe: if the new table can't take the original name, the
+   * original is restored and the temp dropped. Returns the file count
+   * after compaction.
    */
   def compactTable(streamName: String, targetFileBytes: Long = 128L << 20): Int = {
     val t = tableName(streamName)
     val df = spark.table(t)
+    val partCols = spark.catalog.listColumns(t).collect()
+      .filter(_.isPartition).map(_.name).toSeq
     val fs = new org.apache.hadoop.fs.Path(df.inputFiles.headOption.getOrElse(
       throw new IllegalStateException(s"$t has no files")))
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -247,10 +255,36 @@ final class SparkCache(
     val stamp = System.nanoTime()
     val tmpName = s"__compact_tmp_$stamp"
     val oldName = s"__compact_old_$stamp"
-    df.repartition(nFiles).write.saveAsTable(s"`$database`.`$tmpName`")
-    spark.sql(s"ALTER TABLE $t RENAME TO `$database`.`$oldName`")
-    spark.sql(s"ALTER TABLE `$database`.`$tmpName` RENAME TO $t")
+    val writer =
+      if (partCols.isEmpty) df.repartition(nFiles).write
+      else df.repartition(partCols.map(org.apache.spark.sql.functions.col): _*)
+        .write.partitionBy(partCols: _*)
+    writer.saveAsTable(s"`$database`.`$tmpName`")
+    // Partition metadata stores ABSOLUTE directory paths and a table
+    // rename does not rewrite them — so after each rename the moved
+    // table must be re-synced from its new directory (metadata-only
+    // listing), or a later DROP would purge the paths its stale
+    // metadata still points at: the *new* table's data.
+    def repair(name: String): Unit =
+      if (partCols.nonEmpty)
+        spark.sql(s"MSCK REPAIR TABLE `$database`.`$name` SYNC PARTITIONS")
+    try spark.sql(s"ALTER TABLE $t RENAME TO `$database`.`$oldName`")
+    catch {
+      case e: Throwable =>
+        spark.sql(s"DROP TABLE IF EXISTS `$database`.`$tmpName`"); throw e
+    }
+    repair(oldName)
+    try spark.sql(s"ALTER TABLE `$database`.`$tmpName` RENAME TO $t")
+    catch {
+      case e: Throwable => // restore the original under its name
+        spark.sql(s"ALTER TABLE `$database`.`$oldName` RENAME TO $t")
+        if (partCols.nonEmpty) spark.sql(s"MSCK REPAIR TABLE $t SYNC PARTITIONS")
+        spark.sql(s"DROP TABLE IF EXISTS `$database`.`$tmpName`")
+        throw e
+    }
+    if (partCols.nonEmpty) spark.sql(s"MSCK REPAIR TABLE $t SYNC PARTITIONS")
     spark.sql(s"DROP TABLE IF EXISTS `$database`.`$oldName`")
+    spark.catalog.refreshTable(t)
     spark.table(t).inputFiles.length
   }
 
@@ -264,11 +298,23 @@ final class SparkCache(
   def expirePartitions(streamName: String, partCol: String, cutoff: String): Seq[String] = {
     import spark.implicits._
     val t = tableName(streamName)
-    val parts = spark.sql(s"SHOW PARTITIONS $t").as[String].collect().toSeq
-      .map(_.stripPrefix(s"$partCol="))
+    val rows = spark.sql(s"SHOW PARTITIONS $t").as[String].collect().toSeq
+    // Single-level `partCol=value` specs only: a multi-column partition
+    // spec (contains '/') or a different leading column would otherwise
+    // silently mis-parse into bogus DROP statements.
+    val bad = rows.filterNot(r => r.startsWith(s"$partCol=") && !r.contains("/"))
+    if (bad.nonEmpty)
+      throw new IllegalArgumentException(
+        s"expirePartitions needs single-column `$partCol=` partitions; got: ${bad.head}")
+    // SHOW PARTITIONS prints path-escaped values (' → %27): unescape
+    // before comparing/dropping or special characters silently no-op
+    val parts = rows.map(r =>
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(r.stripPrefix(s"$partCol=")))
       .filter(_ < cutoff)
     parts.foreach { v =>
-      spark.sql(s"ALTER TABLE $t DROP IF EXISTS PARTITION (`$partCol` = '$v')")
+      val esc = v.replace("'", "''") // SQL string-literal escape
+      spark.sql(s"ALTER TABLE $t DROP IF EXISTS PARTITION (`$partCol` = '$esc')")
     }
     spark.catalog.refreshTable(t)
     parts

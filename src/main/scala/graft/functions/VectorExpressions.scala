@@ -21,7 +21,10 @@ import org.apache.spark.unsafe.types.UTF8String
  * OUTPUT PARITY IS CONTRACTUAL: accumulation is the same left-to-right
  * double fold as the declarative version and the DuckDB oracles
  * (`LlmQueries.q34Sql`/`q35Sql`/`q42Sql`) — identical bits, partition-
- * independent.
+ * independent. That includes null semantics: `aggregate(zip_with(x, y,
+ * (a,b) -> a*b), ...)` yields NULL when the lengths differ (zip_with
+ * pads with null) or any element is null, so the kernels return null in
+ * those cases rather than silently folding over garbage.
  */
 private object VecOps {
   /** Element accessor tolerant of float or double arrays. */
@@ -39,16 +42,19 @@ case class DotProductExpression(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // ragged/null-element inputs → null
   private lazy val lFloat = VecOps.isFloatArray(left.dataType)
   private lazy val rFloat = VecOps.isFloatArray(right.dataType)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       s += VecOps.elem(x, i, lFloat) * VecOps.elem(y, i, rFloat)
       i += 1
     }
@@ -65,6 +71,7 @@ case class L2NormExpression(child: Expression)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // null element → null, as the fold would
   private lazy val isFloat = VecOps.isFloatArray(child.dataType)
 
   override def nullSafeEval(input: Any): Any = {
@@ -73,6 +80,7 @@ case class L2NormExpression(child: Expression)
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i)) return null
       val v = VecOps.elem(x, i, isFloat)
       s += v * v
       i += 1

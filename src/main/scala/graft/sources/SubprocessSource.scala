@@ -31,6 +31,32 @@ final class SubprocessSource(
   val stopEvent = new AtomicBoolean(false)
 
   /**
+   * Drain a subprocess's stderr on a daemon thread, keeping only the
+   * tail. Without this, a connector that logs more than the OS pipe
+   * buffer (~64 KiB) to stderr before emitting its protocol output
+   * blocks on write — and we block forever on its stdout. The captured
+   * tail feeds failure diagnostics.
+   */
+  private def drainStderr(proc: Process): () => String = {
+    val buf = new java.lang.StringBuilder
+    val t = new Thread(() => {
+      val r = new java.io.BufferedReader(
+        new java.io.InputStreamReader(proc.getErrorStream, "UTF-8"))
+      var line = r.readLine()
+      while (line != null) {
+        buf.synchronized {
+          buf.append(line).append('\n')
+          if (buf.length > 8192) buf.delete(0, buf.length - 8192)
+        }
+        line = r.readLine()
+      }
+    }, s"graft-stderr-drain-$name")
+    t.setDaemon(true)
+    t.start()
+    () => buf.synchronized(buf.toString)
+  }
+
+  /**
    * Connection check (reference S2: `Source.check`,
    * `airbyte/sources/base.py:367-393`): run the connector's `check`
    * command, read its CONNECTION_STATUS message; SUCCEEDED ⇒ (),
@@ -40,22 +66,29 @@ final class SubprocessSource(
     val pb = new ProcessBuilder(checkCmd: _*)
     pb.redirectErrorStream(false)
     val proc = pb.start()
+    val stderrTail = drainStderr(proc)
     try {
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       val lines = scala.io.Source.fromInputStream(proc.getInputStream).getLines()
       val status = lines.flatMap(AirbyteMessage.parse)
         .collectFirst {
           case m if m.messageType == MessageType.CONNECTION_STATUS =>
-            val cs = mapper.readTree(m.raw).get("connectionStatus")
-            (Option(cs.get("status")).map(_.asText()).getOrElse(""),
-              Option(cs.get("message")).map(_.asText()).getOrElse(""))
+            Option(mapper.readTree(m.raw).get("connectionStatus")) match {
+              case Some(cs) =>
+                (Option(cs.get("status")).map(_.asText()).getOrElse(""),
+                  Option(cs.get("message")).map(_.asText()).getOrElse(""))
+              case None => ("", "malformed message: no connectionStatus node")
+            }
         }
       status match {
         case Some(("SUCCEEDED", _)) => ()
         case Some((s, msg)) => throw new IllegalStateException(
           s"Connection check failed ($s): $msg")
-        case None => throw new IllegalStateException(
-          "Connector emitted no CONNECTION_STATUS")
+        case None =>
+          val err = stderrTail()
+          throw new IllegalStateException(
+            "Connector emitted no CONNECTION_STATUS" +
+              (if (err.nonEmpty) s"; stderr tail:\n$err" else ""))
       }
     } finally {
       proc.destroy()
@@ -68,6 +101,7 @@ final class SubprocessSource(
     val pb = new ProcessBuilder(cmd: _*)
     pb.redirectErrorStream(false)
     val proc = pb.start()
+    drainStderr(proc) // keep a chatty connector from blocking on stderr
     val reader = new java.io.BufferedReader(
       new java.io.InputStreamReader(proc.getInputStream, "UTF-8"))
 

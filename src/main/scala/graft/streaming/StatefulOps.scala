@@ -27,64 +27,75 @@ object StatefulOps {
       userId: Long, sessionStart: Timestamp, sessionEnd: Timestamp,
       nEvents: Long, sumValue: Double)
 
-  /** Internal per-key state (public: encoder codegen constructs it). */
+  /** One tentative session (public: encoder codegen constructs it). */
   case class SessionState(
       start: Long, last: Long, n: Long, total: Double)
 
+  /** Per-key state: every session not yet past the watermark horizon. */
+  case class SessionBuffer(sessions: Seq[SessionState])
+
   /**
    * Gap-based sessionization with EVENT-TIME timeouts: events
-   * accumulate per user; when the watermark passes `last event + gap`,
-   * the session closes and is EMITTED. Event-time (not processing-time)
-   * makes the operator deterministic and replayable — a backfill
-   * produces the same sessions as the live run. State per key is O(1)
-   * (four numbers) — bounded regardless of stream length; keys are
-   * sharded by the groupBy hash across executors; the watermark bounds
-   * how long an idle key's state survives.
-   *
-   * Batch equivalent (same semantics, one pass): `q16_sessionization`'s
-   * lag-window formulation. This is the streaming dual.
+   * accumulate per user; a session is emitted only once the WATERMARK
+   * passes `last event + gap` — never merely because a gap appeared
+   * within one micro-batch. Until then it stays buffered in state, so
+   * an out-of-order event arriving in a later batch (still inside the
+   * watermark) that falls into — or bridges — an apparent gap merges
+   * into the buffered session(s). That makes the output independent of
+   * batch boundaries: a backfill produces the same sessions as the
+   * live run, matching the batch lag-window dual
+   * (`q16_sessionization`). State per key is O(open sessions), each
+   * four numbers, and the watermark horizon bounds how long any
+   * session can stay open; keys are sharded by the groupBy hash across
+   * executors.
    */
   def sessionize(
       events: Dataset[SessionEvent],
       gapMs: Long,
       watermarkDelay: String = "1 minute"): Dataset[Session] = {
     implicit val sessionEnc = Encoders.product[Session]
-    implicit val stateEnc = Encoders.product[SessionState]
+    implicit val stateEnc = Encoders.product[SessionBuffer]
     implicit val longEnc = Encoders.scalaLong
     events
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.userId)
-      .flatMapGroupsWithState[SessionState, Session](
+      .flatMapGroupsWithState[SessionBuffer, Session](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (userId: Long, batch: Iterator[SessionEvent], state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            // watermark passed last + gap: close and emit the session
-            val s = state.get
-            state.remove()
-            Iterator(Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.total))
-          } else {
-            val sorted = batch.toSeq.sortBy(_.ts.getTime)
-            var closed = List.empty[Session]
-            var cur = state.getOption
-            for (e <- sorted) {
-              val t = e.ts.getTime
-              cur match {
-                case Some(s) if t - s.last <= gapMs =>
-                  cur = Some(SessionState(s.start, t, s.n + 1, s.total + e.value))
-                case Some(s) => // gap within the batch: close, start anew
-                  closed ::= Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.total)
-                  cur = Some(SessionState(t, t, 1, e.value))
-                case None =>
-                  cur = Some(SessionState(t, t, 1, e.value))
-              }
+        (userId: Long, batch: Iterator[SessionEvent], state: GroupState[SessionBuffer]) =>
+          val wm = state.getCurrentWatermarkMs()
+          // fold the batch into the buffered sessions: an event touching
+          // one-or-more sessions (within gap of their span) merges them
+          var sessions = state.getOption.map(_.sessions).getOrElse(Seq.empty)
+          for (e <- batch) {
+            val t = e.ts.getTime
+            val (touch, rest) = sessions.partition(
+              s => t >= s.start - gapMs && t <= s.last + gapMs)
+            val merged = touch.foldLeft(SessionState(t, t, 1, e.value)) { (a, s) =>
+              SessionState(math.min(a.start, s.start), math.max(a.last, s.last),
+                a.n + s.n, a.total + s.total)
             }
-            cur.foreach { s =>
-              state.update(s)
-              // fire once the event-time watermark passes the gap horizon
-              state.setTimeoutTimestamp(s.last + gapMs)
-            }
-            closed.reverseIterator
+            sessions = rest :+ merged
           }
+          // coalesce sessions that now sit within gap of each other
+          val coalesced = sessions.sortBy(_.start)
+            .foldLeft(List.empty[SessionState]) {
+              case (prev :: acc, s) if s.start - prev.last <= gapMs =>
+                SessionState(prev.start, math.max(prev.last, s.last),
+                  prev.n + s.n, prev.total + s.total) :: acc
+              case (acc, s) => s :: acc
+            }.reverse
+          // watermark passed last+gap ⇒ no in-watermark event can touch
+          // the session any more: emit it; keep the rest buffered
+          val (ripe, open) = coalesced.partition(_.last + gapMs <= wm)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(SessionBuffer(open))
+            // fire when the earliest horizon passes (must be > watermark)
+            state.setTimeoutTimestamp(
+              math.max(open.map(_.last + gapMs).min, wm + 1))
+          }
+          ripe.sortBy(_.start).iterator.map(s =>
+            Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.total))
       }
   }
 

@@ -29,6 +29,50 @@ class MaintenanceSpec extends SparkTestBase {
     cache.dropAll()
   }
 
+  test("compaction preserves a partitioned table's partition spec") {
+    val cache = SparkCache.fresh(spark, "graft_test_compact_part")
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("event_date", to_date(col("ts")).cast("string"))
+    // many small files per partition dir (5 tasks × days)
+    ev.repartition(5).write.partitionBy("event_date")
+      .saveAsTable(cache.tableName("events_by_day"))
+    val t = cache.tableName("events_by_day")
+    val beforeCount = spark.table(t).count()
+    val beforeParts = spark.sql(s"SHOW PARTITIONS $t").count()
+    val beforeFiles = spark.table(t).inputFiles.length
+
+    cache.compactTable("events_by_day")
+    // partition spec survives the rewrite: SHOW PARTITIONS still works
+    assert(spark.sql(s"SHOW PARTITIONS $t").count() == beforeParts)
+    assert(spark.table(t).count() == beforeCount)
+    // clustered by partition col → at most one file per partition dir
+    assert(spark.table(t).inputFiles.length <= beforeParts && beforeFiles > beforeParts)
+    // and retention (directory-level drop) still works afterwards
+    val days = spark.table(t).select("event_date").distinct()
+      .as[String].collect().sorted
+    val dropped = cache.expirePartitions("events_by_day", "event_date", days(1))
+    assert(dropped == Seq(days(0)))
+    assert(spark.table(t).select("event_date").distinct().count() == days.length - 1)
+    cache.dropAll()
+  }
+
+  test("retention escapes quoted values and rejects multi-column partition specs") {
+    val cache = SparkCache.fresh(spark, "graft_test_expire_edge")
+    import spark.implicits._
+    Seq(("a'b", 1L), ("m", 2L), ("zz", 3L)).toDF("day", "v")
+      .write.partitionBy("day").saveAsTable(cache.tableName("quoted"))
+    // the quoted value sorts below "m" and must drop without breaking SQL
+    val dropped = cache.expirePartitions("quoted", "day", "m")
+    assert(dropped == Seq("a'b"))
+    assert(spark.table(cache.tableName("quoted")).count() == 2)
+
+    Seq(("2024", "x", 1L)).toDF("y", "c", "v")
+      .write.partitionBy("y", "c").saveAsTable(cache.tableName("multi"))
+    intercept[IllegalArgumentException](
+      cache.expirePartitions("multi", "y", "2025"))
+    cache.dropAll()
+  }
+
   test("retention drops only partitions below the cutoff") {
     val cache = SparkCache.fresh(spark, "graft_test_expire")
     val ev = Tables.events(spark, "/root/testdata/sf0.001")

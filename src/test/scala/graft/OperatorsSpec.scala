@@ -99,6 +99,28 @@ class OperatorsSpec extends SparkTestBase {
     assert(out.map(_._1).toSeq == Seq(3L, 1L)) // 3 is closer to (1,0) than 1
   }
 
+  test("vector kernels match the declarative fold, including null semantics") {
+    val df = Seq(
+      (Seq[java.lang.Float](1f, 2f), Seq[java.lang.Float](3f, 4f)), // clean
+      (Seq[java.lang.Float](1f, 2f), Seq[java.lang.Float](3f)),     // ragged → null
+      (Seq[java.lang.Float](1f, null), Seq[java.lang.Float](3f, 4f)) // null elem → null
+    ).toDF("a", "b")
+    val rows = df.select(
+      graft.functions.VectorFunctions.vecDot(col("a"), col("b")).as("k"),
+      expr("aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * y)," +
+        " 0D, (acc, v) -> acc + v)").as("d"),
+      graft.functions.VectorFunctions.vecNorm(col("a")).as("nk"),
+      expr("sqrt(aggregate(transform(a, x -> CAST(x AS DOUBLE) * x)," +
+        " 0D, (acc, v) -> acc + v))").as("nd")).collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1))
+      if (!r.isNullAt(0)) assert(r.getDouble(0) == r.getDouble(1))
+      assert(r.isNullAt(2) == r.isNullAt(3))
+      if (!r.isNullAt(2)) assert(r.getDouble(2) == r.getDouble(3))
+    }
+    assert(rows(0).getDouble(0) == 11.0 && rows(1).isNullAt(0) && rows(2).isNullAt(0))
+  }
+
   test("LSH signature is deterministic and bucket-joins find matches") {
     val vecs = Seq((0L, Seq.fill(8)(1.0f)), (1L, Seq.fill(8)(1.0f)))
     val df = vecs.toDF("vec_id", "embedding")

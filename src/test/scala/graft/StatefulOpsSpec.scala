@@ -44,6 +44,34 @@ class StatefulOpsSpec extends SparkTestBase {
     assert(out.size == 2)
   }
 
+  test("out-of-order event inside the watermark bridges sessions across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val q = StatefulOps.sessionize(input.toDS(), gapMs = 5 * 60 * 1000,
+      watermarkDelay = "30 minutes")
+      .writeStream.format("memory").queryName("bridged")
+      .outputMode("append").start()
+    // batch 1: 10:00 and 10:08 — an 8-min gap, two tentative sessions.
+    // Nothing may be emitted yet (watermark is far behind).
+    input.addData(SessionEvent(1L, ts(0), 1.0), SessionEvent(1L, ts(8), 2.0))
+    q.processAllAvailable()
+    // batch 2: out-of-order 10:04 (inside the 30-min watermark) lands in
+    // the gap and bridges both tentative sessions into one.
+    input.addData(SessionEvent(1L, ts(4), 4.0))
+    q.processAllAvailable()
+    // advance the watermark past 10:08+gap so the merged session closes
+    input.addData(SessionEvent(2L, ts(90), 0.0))
+    q.processAllAvailable()
+    input.addData(SessionEvent(2L, ts(95), 0.0)) // extra batch: timeouts fire
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("bridged").as[Session].collect()
+      .filter(_.userId == 1L)
+      .map(s => (s.sessionStart, s.sessionEnd, s.nEvents, s.sumValue)).toSeq
+    // ONE session 10:00–10:08 with all three events — not two split ones
+    assert(out == Seq((ts(0), ts(8), 3L, 7.0)))
+  }
+
   test("stream-stream interval join correlates within the event-time window") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Long, Timestamp)]

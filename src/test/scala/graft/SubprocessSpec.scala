@@ -52,6 +52,29 @@ class SubprocessSpec extends SparkTestBase {
       """{"type":"CONNECTION_STATUS","connectionStatus":{"status":"FAILED","message":"bad credentials"}}""")))
     assert(failed.getMessage.contains("bad credentials"))
     intercept[IllegalStateException](src.check(Seq("/bin/true"))) // no status at all
+    // malformed message (no connectionStatus node) → diagnostic, not NPE
+    val malformed = intercept[IllegalStateException](src.check(statusConnector(
+      """{"type":"CONNECTION_STATUS"}""")))
+    assert(malformed.getMessage.contains("connectionStatus"))
+  }
+
+  test("check() survives a connector flooding stderr past the pipe buffer") {
+    // >64 KiB of stderr before the status: without a drain thread the
+    // child blocks on a full pipe and check() hangs forever.
+    val script = Files.createTempFile("check-chatty", ".sh")
+    val body =
+      """#!/bin/sh
+        |i=0
+        |while [ $i -lt 2000 ]; do
+        |  echo "log line $i padding-padding-padding-padding-padding-padding" >&2
+        |  i=$((i+1))
+        |done
+        |echo '{"type":"CONNECTION_STATUS","connectionStatus":{"status":"SUCCEEDED"}}'
+        |""".stripMargin
+    Files.write(script, body.getBytes("UTF-8"))
+    script.toFile.setExecutable(true)
+    val src = new SubprocessSource("t", catalog, Seq("/bin/true"))
+    src.check(Seq("/bin/sh", script.toString)) // must return, not hang
   }
 
   test("connector crash mid-stream yields the records emitted so far, no hang") {
