@@ -356,4 +356,124 @@ object AnalyticsQueries {
       |  FROM orders
       |  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey ASC))
       |GROUP BY o_orderpriority, quartile""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q73: contamination screen at scale — Bloom-filter pre-screen.
+  // q47's broadcast semi-join still EXPLODES every corpus shingle into
+  // the join; at 100 TB that's trillions of probe rows flowing through
+  // the join operator. Here a Bloom filter over the benchmark shingles
+  // (one tiny aggregate job → ~KBs, broadcast once) screens shingles
+  // MAP-SIDE: ~99% of corpus shingles fail `mightContain` and are
+  // dropped before any join machinery. The survivors (bench hits +
+  // ~1% false positives) go through the same exact broadcast semi-join,
+  // which removes the false positives — so the final answer is EXACT
+  // and oracle-checkable; the bloom is purely a work filter.
+  // ------------------------------------------------------------------
+  def q73BloomContamination(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        array_distinct(graft.functions.TextHashFunctions
+          .shingleMinhash(col("text"), 1, 3).getField("shingles")).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val bench = sh.filter(col("doc_id") % 89 === 0)
+      .select(explode(col("sh")).as("shingle")).distinct()
+    val bloom = bench.stat.bloomFilter("shingle", 1000000L, 0.01)
+    val bloomBc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((s: String) =>
+      s != null && bloomBc.value.mightContainString(s))
+    sh.filter(col("doc_id") % 89 =!= 0)
+      .select(col("doc_id"), col("source"), explode(col("sh")).as("shingle"))
+      .filter(mightContain(col("shingle"))) // map-side: no-hit shingles never reach the join
+      .join(broadcast(bench), Seq("shingle"), "left_semi") // exact: kills bloom FPs
+      .select(col("source"), col("doc_id")).distinct()
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_contaminated"))
+  }
+
+  val q73Sql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, source,
+      |    list_distinct(list_transform(
+      |      range(1, greatest(len(string_split(text,' ')) - 2, 0) + 1),
+      |      i -> concat_ws(' ', string_split(text,' ')[i],
+      |                          string_split(text,' ')[i+1],
+      |                          string_split(text,' ')[i+2]))) AS s
+      |  FROM documents),
+      |b AS (SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE doc_id % 89 = 0 AND len(s) > 0),
+      |c AS (SELECT doc_id, source, unnest(s) AS shingle FROM sh WHERE doc_id % 89 <> 0 AND len(s) > 0)
+      |SELECT c.source, CAST(COUNT(DISTINCT c.doc_id) AS BIGINT) AS n_contaminated
+      |FROM c JOIN b ON c.shingle = b.shingle
+      |GROUP BY c.source""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q74: exact k-per-group sample (deterministic reservoir dual). The
+  // window formulation (`row_number() over (partition by g order by
+  // md5)`) shuffles EVERY row to its group's partition before ranking;
+  // the bounded TopKAggregate keeps ≤k rows per group per map task, so
+  // only k·groups·partitions tiny heap entries cross the wire — at
+  // 100 TB, a per-group sample without a corpus-wide shuffle. Rank key
+  // is an md5 prefix (portable, partition-independent); the first 12
+  // hex digits fit 2^48 < 2^53, so the negated double score is exact
+  // and the aggregate's (score DESC, id ASC) order equals the oracle's
+  // (hex ASC, doc_id ASC).
+  // ------------------------------------------------------------------
+  def q74GroupSample(spark: SparkSession, dir: String): DataFrame = {
+    val k = 3
+    val hk = conv(substring(md5(col("doc_id").cast(StringType)), 1, 12), 16, 10)
+      .cast(LongType)
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"), negate(hk.cast(DoubleType)).as("score"))
+      .groupBy(col("lang"))
+      .agg(graft.functions.TopKAggregate.topK(col("score"), col("doc_id"), k).as("picks"))
+      .select(col("lang"), posexplode(col("picks")))
+      .select(col("lang"), (col("pos") + 1).cast(LongType).as("rank"),
+        col("col.id").as("doc_id"))
+  }
+
+  val q74Sql: String =
+    """WITH r AS (
+      |  SELECT lang, doc_id,
+      |    row_number() OVER (
+      |      PARTITION BY lang
+      |      ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 12), doc_id) AS rank
+      |  FROM documents)
+      |SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id
+      |FROM r WHERE rank <= 3""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q76: window-frame breadth — first/nth/last_value with explicit
+  // ROWS frames plus a bounded running sum, per customer order
+  // history. Exact-decimal sums cast to DOUBLE at the end (the frame
+  // picks WHICH rows; decimal addition makes the fold order-proof).
+  // ------------------------------------------------------------------
+  def q76WindowFrames(spark: SparkSession, dir: String): DataFrame = {
+    val grow = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val upToHere = grow.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val full = grow.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val last3 = grow.rowsBetween(-2, Window.currentRow)
+    val price = dec(col("o_totalprice"))
+    Tables.orders(spark, dir)
+      .filter(col("o_custkey") < 200)
+      .select(col("o_custkey"), col("o_orderkey"),
+        first(price).over(upToHere).cast(DoubleType).as("first_price"),
+        nth_value(price, 2).over(upToHere).cast(DoubleType).as("second_price"),
+        last(price).over(full).cast(DoubleType).as("last_price"),
+        sum(price).over(last3).cast(DoubleType).as("sum_last3"))
+  }
+
+  val q76Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(first_value(CAST(o_totalprice AS DECIMAL(18,4))) OVER upToHere AS DOUBLE) AS first_price,
+      |  CAST(nth_value(CAST(o_totalprice AS DECIMAL(18,4)), 2) OVER upToHere AS DOUBLE) AS second_price,
+      |  CAST(last_value(CAST(o_totalprice AS DECIMAL(18,4))) OVER wfull AS DOUBLE) AS last_price,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER last3 AS DOUBLE) AS sum_last3
+      |FROM orders WHERE o_custkey < 200
+      |WINDOW
+      |  upToHere AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |  wfull AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+      |  last3 AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+      |            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin
 }

@@ -207,4 +207,60 @@ object CurationQueries {
       |SELECT doc_id, score FROM scored
       |WHERE score > 0
       |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q75: training-sequence packing — assign each document to the
+  // fixed-size context window (2048 tokens) in which it STARTS when
+  // the corpus is laid out in a deterministic order (md5 of doc_id).
+  // The naive formulation is a running sum over ONE global ordering —
+  // a single-partition window sort, the classic scale killer. Here the
+  // prefix sum is DISTRIBUTED two-phase: the first hex digit of the
+  // order key forms 16 lexicographic buckets that partition the global
+  // order; phase 1 aggregates per-bucket token totals (tiny — 16 rows)
+  // and turns them into exclusive prefix offsets on the driver; phase 2
+  // runs the running sum WITHIN each bucket in parallel (+ its bucket's
+  // offset). Same recurrence a 1000-executor scan would use, and the
+  // result is identical to the global window by construction.
+  // ------------------------------------------------------------------
+  def q75SequencePack(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ctx = 2048L
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(col("doc_id").cast(StringType)).as("ord"),
+        size(split(col("text"), " ")).cast(LongType).as("tokens"))
+      .withColumn("bucket", substring(col("ord"), 1, 1))
+    // phase 1: per-bucket totals → exclusive prefix offsets (16 rows)
+    val totals = docs.groupBy(col("bucket")).agg(sum(col("tokens")).as("btok"))
+      .orderBy(col("bucket")).collect()
+    var acc = 0L
+    val offsets = totals.map { r =>
+      val o = (r.getString(0), acc); acc += r.getLong(1); o
+    }.toSeq
+    val offDf = spark.createDataFrame(offsets).toDF("bucket", "offset")
+    // phase 2: within-bucket running sums, parallel across buckets
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(col("ord").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.join(broadcast(offDf), Seq("bucket"))
+      .withColumn("cum", sum(col("tokens")).over(w) + col("offset"))
+      .withColumn("seq_id", expr(s"(cum - tokens) div $ctx").cast(LongType))
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("n_tokens"))
+  }
+
+  val q75Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS ord,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, tokens,
+      |    SUM(tokens) OVER (ORDER BY ord ASC, doc_id ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM d)
+      |SELECT CAST((cum - tokens) // 2048 AS BIGINT) AS seq_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(tokens) AS BIGINT) AS n_tokens
+      |FROM c GROUP BY 1""".stripMargin
 }
