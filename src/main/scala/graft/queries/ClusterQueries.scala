@@ -172,4 +172,59 @@ object ClusterQueries {
       |clusters AS (SELECT label, COUNT(*) AS cluster_size FROM labels GROUP BY label)
       |SELECT cluster_size, COUNT(*) AS n_clusters, MIN(label) AS min_canonical_id
       |FROM clusters GROUP BY cluster_size""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q79: link-graph centrality — three unrolled PageRank iterations
+  // over a supplier→supplier graph derived from lineitem. The scale
+  // shape: the EDGE list (∝ data) stays put and is reused every
+  // iteration (localCheckpoint — computed once); the RANK vector
+  // (∝ nodes ≪ edges) is broadcast to the edges each iteration, so the
+  // only shuffle per iteration is the per-destination partial-sum
+  // aggregate. All arithmetic is scaled-integer (ranks ×10⁶, damping
+  // 0.85 as ×85 div 100, truncating integer division both engines) —
+  // bit-identical cross-engine, no float accumulation order issues.
+  // ------------------------------------------------------------------
+  def q79PageRank(spark: SparkSession, dir: String): DataFrame = {
+    val sup = Tables.supplier(spark, dir).select(col("s_suppkey").as("node"))
+    val ns = sup.count()
+    val edges = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey").as("src"),
+        (col("l_partkey") % ns + 1L).as("dst"))
+      .distinct()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val edgeDeg = edges.join(deg, "src").localCheckpoint() // static across iters
+    var ranks = sup.select(col("node"), lit(1000000L).as("r"))
+    for (_ <- 1 to 3) {
+      val contrib = edgeDeg
+        .join(broadcast(ranks.withColumnRenamed("node", "src")), "src")
+        .select(col("dst"), expr("r div d").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      ranks = sup.join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"),
+          (lit(150000L) + expr("(85 * coalesce(s, 0L)) div 100")).as("r"))
+    }
+    ranks.orderBy(col("r").desc, col("node").asc).limit(20)
+      .select(col("node"), col("r").as("rank_scaled"))
+  }
+
+  val q79Sql: String =
+    """WITH ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM supplier),
+      |e AS (SELECT DISTINCT l_suppkey AS src,
+      |        (l_partkey % (SELECT n FROM ns)) + 1 AS dst FROM lineitem),
+      |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY src),
+      |r0 AS (SELECT s_suppkey AS node, CAST(1000000 AS BIGINT) AS r FROM supplier),
+      |c1 AS (SELECT e.dst AS node, SUM(r0.r // deg.d) AS s
+      |       FROM e JOIN deg USING (src) JOIN r0 ON r0.node = e.src GROUP BY e.dst),
+      |r1 AS (SELECT r0.node, CAST(150000 + (85 * COALESCE(c1.s, 0)) // 100 AS BIGINT) AS r
+      |       FROM r0 LEFT JOIN c1 USING (node)),
+      |c2 AS (SELECT e.dst AS node, SUM(r1.r // deg.d) AS s
+      |       FROM e JOIN deg USING (src) JOIN r1 ON r1.node = e.src GROUP BY e.dst),
+      |r2 AS (SELECT r1.node, CAST(150000 + (85 * COALESCE(c2.s, 0)) // 100 AS BIGINT) AS r
+      |       FROM r1 LEFT JOIN c2 USING (node)),
+      |c3 AS (SELECT e.dst AS node, SUM(r2.r // deg.d) AS s
+      |       FROM e JOIN deg USING (src) JOIN r2 ON r2.node = e.src GROUP BY e.dst),
+      |r3 AS (SELECT r2.node, CAST(150000 + (85 * COALESCE(c3.s, 0)) // 100 AS BIGINT) AS r
+      |       FROM r2 LEFT JOIN c3 USING (node))
+      |SELECT node, r AS rank_scaled FROM r3
+      |ORDER BY r DESC, node ASC LIMIT 20""".stripMargin
 }

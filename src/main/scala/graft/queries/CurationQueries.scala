@@ -263,4 +263,46 @@ object CurationQueries {
       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
       |  CAST(SUM(tokens) AS BIGINT) AS n_tokens
       |FROM c GROUP BY 1""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q77: overlapping document chunking (RAG / context-window prep) —
+  // split each document into 32-word chunks with 8 words of overlap
+  // (stride 24). Pure per-row compute: the chunk index range is a
+  // `sequence` exploded per document and each chunk is an array slice —
+  // zero shuffle, fully codegen'd, embarrassingly parallel at any
+  // scale. Chunk content parity is proven by md5 of the re-joined
+  // words; chunk count = ceil(max(n−overlap,1) / stride) in pure
+  // integer arithmetic.
+  // ------------------------------------------------------------------
+  def q77Chunk(spark: SparkSession, dir: String): DataFrame = {
+    val (chunk, overlap) = (32, 8)
+    val step = chunk - overlap
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .withColumn("n", size(col("words")).cast(LongType))
+      .withColumn("nc", expr(s"(greatest(n - $overlap, 1) + ${step - 1}) div $step"))
+      .select(col("doc_id"), col("words"), col("n"),
+        explode(expr("sequence(0, nc - 1)")).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        least(lit(chunk.toLong), col("n") - col("chunk_id") * step)
+          .as("n_chunk_tokens"),
+        md5(array_join(slice(col("words"),
+          (col("chunk_id") * step + 1).cast(IntegerType), lit(chunk)), " "))
+          .as("chunk_md5"))
+  }
+
+  val q77Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS words,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      |  FROM documents),
+      |x AS (
+      |  SELECT doc_id, words, n,
+      |    unnest(range(0, (greatest(n - 8, 1) + 23) // 24)) AS chunk_id
+      |  FROM d)
+      |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+      |  CAST(least(32, n - chunk_id * 24) AS BIGINT) AS n_chunk_tokens,
+      |  md5(array_to_string(
+      |    list_slice(words, chunk_id * 24 + 1, chunk_id * 24 + 32), ' ')) AS chunk_md5
+      |FROM x""".stripMargin
 }

@@ -159,4 +159,40 @@ object StatsQueries {
       |FROM events JOIN s ON event_type = mt
       |WHERE (value - mean) * (value - mean) > 4.0 * variance
       |GROUP BY event_type""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q78: equi-width histogram profiling — the distribution summary a
+  // data-quality dashboard wants for every numeric column. Two passes:
+  // a tiny (min,max) aggregate COLLECTED to the driver (2 longs), then
+  // a literal-only integer bucket assignment + count — no join in the
+  // big-table pass at all, and the shuffle is ≤20 partial-count rows
+  // per task regardless of table size. All-bigint arithmetic (width
+  // rounds UP via truncating division + 1) so bucket edges are
+  // bit-identical cross-engine.
+  // ------------------------------------------------------------------
+  def q78Histogram(spark: SparkSession, dir: String): DataFrame = {
+    val nBins = 20L
+    val row = Tables.documents(spark, dir)
+      .agg(min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi")).head()
+    val (lo, hi) = (row.getLong(0), row.getLong(1))
+    val width = (hi - lo) / nBins + 1 // positive longs: truncation = floor
+    Tables.documents(spark, dir)
+      .withColumn("bucket", expr(s"(n_chars - $lo) div $width"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("bucket_lo", lit(lo) + col("bucket") * width)
+      .withColumn("bucket_hi", lit(lo) + (col("bucket") + 1) * width - 1)
+  }
+
+  val q78Sql: String =
+    """WITH b AS (
+      |  SELECT CAST(MIN(n_chars) AS BIGINT) AS lo, CAST(MAX(n_chars) AS BIGINT) AS hi
+      |  FROM documents),
+      |w AS (SELECT lo, hi, (hi - lo) // 20 + 1 AS width FROM b)
+      |SELECT (n_chars - lo) // width AS bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(MIN(lo + ((n_chars - lo) // width) * width) AS BIGINT) AS bucket_lo,
+      |  CAST(MIN(lo + ((n_chars - lo) // width + 1) * width - 1) AS BIGINT) AS bucket_hi
+      |FROM documents CROSS JOIN w
+      |GROUP BY 1""".stripMargin
 }
