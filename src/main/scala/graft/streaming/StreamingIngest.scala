@@ -84,4 +84,19 @@ object StreamingIngest {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
+
+  /**
+   * Stream-static enrichment: join a live stream with a slowly-changing
+   * dimension table. The static side is re-resolved per micro-batch (a
+   * refreshed dim table is picked up on the next trigger) and broadcast
+   * — each batch is a map-side hash join, no stream-side shuffle and no
+   * join state to checkpoint (unlike stream-stream joins). The 100 TB
+   * shape for enriching an event firehose against reference data.
+   */
+  def enrichWithStatic(
+      stream: DataFrame,
+      dim: DataFrame,
+      keys: Seq[String],
+      joinType: String = "left"): DataFrame =
+    stream.join(broadcast(dim), keys, joinType)
 }

@@ -77,6 +77,44 @@ class SubprocessSpec extends SparkTestBase {
     src.check(Seq("/bin/sh", script.toString)) // must return, not hang
   }
 
+  test("partitioned fan-out runs one connector per shard on the executors") {
+    // shard-parameterized scripted connector: shard i emits ids
+    // [i*10+1 .. i*10+5] — distinct per shard, union must be complete
+    val script = Files.createTempFile("sharded-source", ".sh")
+    val body =
+      """#!/bin/sh
+        |S=$1
+        |i=1
+        |while [ $i -le 5 ]; do
+        |  ID=$((S * 10 + i))
+        |  echo '{"type":"RECORD","record":{"stream":"users","data":{"id":'$ID',"name":"u'$ID'"},"emitted_at":1700000000000}}'
+        |  i=$((i+1))
+        |done
+        |echo '{"type":"TRACE","trace":{"type":"STREAM_STATUS","stream_status":{"stream_descriptor":{"name":"users"},"status":"COMPLETE"}}}'
+        |""".stripMargin
+    Files.write(script, body.getBytes("UTF-8"))
+    script.toFile.setExecutable(true)
+    val nShards = 4
+    val scriptPath = script.toString // plain String: the λ must serialize
+    val src = new graft.sources.PartitionedSubprocessSource(
+      "sharded", catalog,
+      shard => Seq("/bin/sh", scriptPath, shard.toString), nShards)
+    val jsonl = src.recordJsonl(spark, "users")
+    // one shard per partition: connector I/O parallelism == nShards
+    assert(jsonl.rdd.getNumPartitions == nShards)
+    val ids = jsonl.select(org.apache.spark.sql.functions.get_json_object(
+        org.apache.spark.sql.functions.col("value"), "$.id").cast("long"))
+      .as[Long].collect().sorted
+    val expected = (0 until nShards).flatMap(s => (1 to 5).map(i => s * 10L + i)).sorted
+    assert(ids.toSeq == expected)
+
+    // end-to-end: fan-out source → cache via the standard read pipeline
+    val cache = SparkCache.fresh(spark, "graft_test_fanout")
+    src.read(cache, spark)
+    assert(cache.table("users").count() == nShards * 5L)
+    cache.dropAll()
+  }
+
   test("connector crash mid-stream yields the records emitted so far, no hang") {
     // emits 5 records then SIGKILLs itself — the stream must end cleanly
     // (at-least-once: the sync's state checkpoint was never written, so
