@@ -78,6 +78,12 @@ object AirbyteMessage {
       }
     } catch { case _: Exception => None }
   }
+
+  /** The `type` of a STATE message body (STREAM/GLOBAL/LEGACY);
+    * None when absent — the protocol treats typeless state as LEGACY. */
+  def stateType(stateJson: String): Option[String] =
+    try Option(mapper.readTree(stateJson).get("type")).map(_.asText())
+    catch { case _: Exception => None }
 }
 
 /** Sync modes (subset relevant to the engine). */

@@ -160,4 +160,107 @@ final class SubprocessSource(
         m.streamName.exists(_.equalsIgnoreCase(stream))) m.dataJson
       else None
     }
+
+  /**
+   * The reference's full message loop (ST1/ST2,
+   * `airbyte/shared/sql_processor.py:305-378`): ONE connector run
+   * demultiplexed across all selected streams — unlike `read`, which
+   * pulls each stream's records separately (and would re-run the
+   * connector per stream).
+   *
+   *  - RECORD → buffered per stream, spilled to local JSONL files every
+   *    `chunkSize` records (the reference's 100k batch files,
+   *    `_writers/file_writers.py:33` — driver memory stays bounded);
+   *  - STATE → pending, keyed by stream (STREAM type) or `_GLOBAL` /
+   *    `_LEGACY` (`sql_processor.py:344-360`), LAST message wins;
+   *  - TRACE stream COMPLETE → finalize that stream now: spilled files +
+   *    tail buffer → normalize → write strategy → THEN write its pending
+   *    state (at-least-once: state lands only after data does, ST2);
+   *  - end of input → finalize remaining streams, then `_GLOBAL` /
+   *    `_LEGACY` states.
+   */
+  def sync(
+      cache: graft.cache.SparkCache,
+      spark: SparkSession,
+      streams: Seq[String] = Seq.empty,
+      writeStrategy: WriteStrategy = WriteStrategy.Auto): ReadResult = {
+    import scala.collection.mutable
+    import spark.implicits._
+    val selected = if (streams.isEmpty) catalog.streamNames else streams
+    // wire names match case-insensitively; buffers key on canonical names
+    val canonical = selected.map(s => s.toLowerCase -> s).toMap
+    val spills = mutable.Map.empty[String, mutable.ArrayBuffer[java.nio.file.Path]]
+    val buffers = mutable.Map.empty[String, mutable.ArrayBuffer[String]]
+    val pending = mutable.Map.empty[String, String]
+    val finalized = mutable.Set.empty[String]
+
+    def spill(stream: String): Unit = {
+      val buf = buffers(stream)
+      val f = java.nio.file.Files.createTempFile(s"graft-batch-$stream", ".jsonl")
+      java.nio.file.Files.write(f,
+        buf.mkString("\n").getBytes("UTF-8"))
+      spills.getOrElseUpdate(stream, mutable.ArrayBuffer.empty) += f
+      buf.clear()
+    }
+
+    def finalizeStream(stream: String): Unit = if (!finalized(stream)) {
+      finalized += stream
+      val files = spills.getOrElse(stream, mutable.ArrayBuffer.empty).toSeq
+      val tail = buffers.getOrElse(stream, mutable.ArrayBuffer.empty).toSeq
+      val jsonl =
+        if (files.isEmpty) spark.createDataset(tail)
+        else {
+          val spilled = spark.read.textFile(files.map(_.toString): _*)
+          if (tail.isEmpty) spilled else spilled.union(spark.createDataset(tail))
+        }
+      val normalized = graft.operators.Records.normalize(jsonl, catalog(stream).schema)
+      cache.writeStream(stream, normalized, catalog, writeStrategy)
+      pending.remove(stream).foreach(cache.writeState(name, stream, _))
+      files.foreach(java.nio.file.Files.deleteIfExists)
+    }
+
+    for (m <- messages()) m.messageType match {
+      case MessageType.RECORD =>
+        m.streamName.flatMap(n => canonical.get(n.toLowerCase)).foreach { s =>
+          val buf = buffers.getOrElseUpdate(s, mutable.ArrayBuffer.empty)
+          m.dataJson.foreach(buf += _)
+          if (buf.size >= chunkSize) spill(s)
+        }
+      case MessageType.STATE =>
+        val key = m.streamName.flatMap(n => canonical.get(n.toLowerCase))
+          .getOrElse {
+            // stream-less state: GLOBAL, or LEGACY when typeless
+            val t = m.stateJson.flatMap(AirbyteMessage.stateType)
+            if (t.contains("GLOBAL")) "_GLOBAL" else "_LEGACY"
+          }
+        m.stateJson.foreach(pending(key) = _)
+      case MessageType.TRACE if m.streamStatus.contains("COMPLETE") =>
+        m.streamName.flatMap(n => canonical.get(n.toLowerCase))
+          .foreach(finalizeStream)
+      case _ => ()
+    }
+    selected.foreach(finalizeStream)
+    Seq("_GLOBAL", "_LEGACY").foreach(k =>
+      pending.remove(k).foreach(cache.writeState(name, k, _)))
+    new ReadResult(cache, selected)
+  }
+
+  /**
+   * ST4 state replay: serialize the latest checkpointed states to a
+   * `--state` artifact (JSON array of state bodies) for the next
+   * incremental run (reference `sources/base.py:775-795`,
+   * `state_providers.py:79-93`). Caller appends
+   * `--state <path>` to the connector command.
+   */
+  def writeStateArtifact(
+      cache: graft.cache.SparkCache,
+      streams: Seq[String] = Seq.empty): java.nio.file.Path = {
+    val selected = if (streams.isEmpty) catalog.streamNames else streams
+    val states = (selected ++ Seq("_GLOBAL", "_LEGACY"))
+      .flatMap(s => cache.latestState(name, s))
+    val f = java.nio.file.Files.createTempFile("graft-state", ".json")
+    java.nio.file.Files.write(f,
+      states.mkString("[", ",", "]").getBytes("UTF-8"))
+    f
+  }
 }

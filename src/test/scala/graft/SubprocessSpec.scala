@@ -77,6 +77,48 @@ class SubprocessSpec extends SparkTestBase {
     src.check(Seq("/bin/sh", script.toString)) // must return, not hang
   }
 
+  test("sync(): one connector run demultiplexes streams, checkpoints protocol state") {
+    // two interleaved streams + per-stream STATE + a GLOBAL state +
+    // TRACE COMPLETE for users midway; an invocation counter proves the
+    // connector ran ONCE (read() would have run it once per stream)
+    val counter = Files.createTempFile("sync-invocations", ".txt")
+    val script = Files.createTempFile("multi-stream", ".sh")
+    val body =
+      s"""#!/bin/sh
+         |echo x >> $counter
+         |echo '{"type":"RECORD","record":{"stream":"users","data":{"id":1,"name":"u1"},"emitted_at":1700000000000}}'
+         |echo '{"type":"RECORD","record":{"stream":"orders","data":{"id":10,"name":"o10"},"emitted_at":1700000000000}}'
+         |echo '{"type":"STATE","state":{"type":"STREAM","stream":{"stream_descriptor":{"name":"users"},"stream_state":{"cursor":1}}}}'
+         |echo '{"type":"RECORD","record":{"stream":"users","data":{"id":2,"name":"u2"},"emitted_at":1700000000000}}'
+         |echo '{"type":"STATE","state":{"type":"STREAM","stream":{"stream_descriptor":{"name":"users"},"stream_state":{"cursor":2}}}}'
+         |echo '{"type":"TRACE","trace":{"type":"STREAM_STATUS","stream_status":{"stream_descriptor":{"name":"users"},"status":"COMPLETE"}}}'
+         |echo '{"type":"RECORD","record":{"stream":"orders","data":{"id":11,"name":"o11"},"emitted_at":1700000000000}}'
+         |echo '{"type":"STATE","state":{"type":"GLOBAL","global":{"shared_state":{"wm":"2024-01-01"}}}}'
+         |""".stripMargin
+    Files.write(script, body.getBytes("UTF-8"))
+    script.toFile.setExecutable(true)
+    val twoStreams = ConfiguredCatalog(Seq(
+      ConfiguredStream("users", usersSchema, primaryKeys = Seq("id")),
+      ConfiguredStream("orders", usersSchema, primaryKeys = Seq("id"))))
+    val cache = SparkCache.fresh(spark, "graft_test_sync")
+    val src = new SubprocessSource("multi", twoStreams,
+      Seq("/bin/sh", script.toString), chunkSize = 2) // force a spill
+    val result = src.sync(cache, spark)
+
+    assert(Files.readAllLines(counter).size == 1) // ONE connector run
+    assert(result.counts == Map("users" -> 2L, "orders" -> 2L))
+    // last pending state per stream won; global state keyed _GLOBAL
+    assert(src.writeStateArtifact(cache, Seq.empty) != null)
+    assert(cache.latestState("multi", "users").exists(_.contains(""""cursor":2""")))
+    assert(cache.latestState("multi", "_GLOBAL").exists(_.contains("wm")))
+    assert(cache.latestState("multi", "orders").isEmpty) // none emitted
+    // the replay artifact carries both states for the next --state run
+    val artifact = new String(Files.readAllBytes(
+      src.writeStateArtifact(cache)), "UTF-8")
+    assert(artifact.contains(""""cursor":2""") && artifact.contains("wm"))
+    cache.dropAll()
+  }
+
   test("partitioned fan-out runs one connector per shard on the executors") {
     // shard-parameterized scripted connector: shard i emits ids
     // [i*10+1 .. i*10+5] — distinct per shard, union must be complete
