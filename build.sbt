@@ -14,6 +14,9 @@ run / fork := true
 // Pass forked-run stdout straight through (no "[info] " prefix) so the
 // driver can parse Bench's single JSON output line.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// Suppress the trailing "[success] Total time: ..." line so Bench's JSON
+// stays the last line of output (the driver parses a 2000-char tail).
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
