@@ -197,6 +197,49 @@ case class TopWordCountExpression(child: Expression)
   override def prettyName: String = "top_word_count"
 }
 
+/**
+ * Shannon entropy (bits) of the doc's token distribution — the
+ * "gibberish vs natural text" curation signal (low entropy = repeated
+ * boilerplate, high = random noise). Per-row compiled kernel, zero
+ * shuffle; the explode+groupBy(doc,word) formulation shuffles every
+ * token of every document.
+ *
+ * Parity: tokenization is a single-space split with empties dropped
+ * (matching the oracle's `string_split(text, ' ') ... WHERE w <> ''`),
+ * and the float expression is the SAME shape both sides —
+ * `log2(n) − Σ c·log2(c) / n` — so engines differ by at most an ulp;
+ * callers round (6 dp) as with every float-emitting query.
+ */
+case class WordEntropyExpression(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.toString.split(" ", -1)
+    val counts = new java.util.HashMap[String, Int](toks.length * 2)
+    var n = 0
+    var t = 0
+    while (t < toks.length) {
+      val tok = toks(t)
+      if (tok.nonEmpty) { counts.merge(tok, 1, (a, b) => a + b); n += 1 }
+      t += 1
+    }
+    if (n == 0) return 0.0
+    val ln2 = math.log(2.0)
+    var acc = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next().toDouble
+      acc += c * (math.log(c) / ln2)
+    }
+    math.log(n.toDouble) / ln2 - acc / n
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "word_entropy"
+}
+
 object TextHashFunctions {
   import org.apache.spark.sql.GraftBridge
 
@@ -211,4 +254,7 @@ object TextHashFunctions {
 
   def topWordCount(text: Column): Column =
     GraftBridge.column(TopWordCountExpression(GraftBridge.expression(text)))
+
+  def wordEntropy(text: Column): Column =
+    GraftBridge.column(WordEntropyExpression(GraftBridge.expression(text)))
 }

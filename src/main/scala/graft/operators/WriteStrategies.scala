@@ -107,4 +107,35 @@ object WriteStrategies {
     }
     dedupLatest(unioned, pks)
   }
+
+  /**
+   * CDC-aware merge: last-wins per PK like [[merge]], and a key whose
+   * WINNING version is a delete marker (`deleteCol` non-null, the
+   * Debezium/Airbyte `_ab_cdc_deleted_at` convention) is dropped from
+   * the final table — hard-delete propagation, which plain last-wins
+   * merge cannot express. Ordering comes from `orderCols` (the CDC
+   * cursor: LSN / commit timestamp), NOT arrival time, so out-of-order
+   * redelivery within a batch cannot resurrect a deleted row. Same
+   * hash-agg shape as [[dedupLatest]] (partial map-side collapse,
+   * skew-immune), plus one codegen'd filter — idempotent under replay.
+   *
+   * `keepTombstones = true` RETAINS the winning delete rows (readers
+   * filter `deleteCol IS NULL`): required when later batches can
+   * redeliver pre-delete versions out of order — with the tombstone
+   * gone, a stale redelivered row would win its key back. Our sync loop
+   * checkpoints the cursor after finalize (ST2), so in-order batch
+   * feeds can safely drop tombstones (the default).
+   */
+  def mergeCdc(
+      existing: Option[DataFrame], incoming: DataFrame, pks: Seq[String],
+      deleteCol: String,
+      orderCols: Seq[String] = Seq(Records.ExtractedAtColumn, Records.RawIdColumn),
+      keepTombstones: Boolean = false): DataFrame = {
+    val unioned = existing match {
+      case Some(e) => e.unionByName(incoming, allowMissingColumns = true)
+      case None    => incoming
+    }
+    val merged = dedupLatest(unioned, pks, orderCols)
+    if (keepTombstones) merged else merged.filter(col(deleteCol).isNull)
+  }
 }

@@ -291,6 +291,117 @@ object CurationQueries {
           .as("chunk_md5"))
   }
 
+  // ------------------------------------------------------------------
+  // q83: token-distribution Shannon entropy — the "boilerplate vs
+  // natural text vs noise" curation signal. Per-row COMPILED kernel
+  // (WordEntropyExpression): one pass over each doc's tokens, ZERO
+  // shuffle at any corpus size; the relational formulation the oracle
+  // uses (explode → count per (doc, word) → entropy fold) shuffles
+  // every token of every document. Float parity: both engines compute
+  // the SAME expression shape, log2(n) − Σ c·log2(c)/n, rounded 6 dp.
+  // ------------------------------------------------------------------
+  def q83TokenEntropy(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(filter(split(col("text"), " "), w => w =!= "")).cast(LongType)
+          .as("n_tokens"),
+        round(TextHashFunctions.wordEntropy(col("text")), 6).as("entropy"))
+
+  val q83Sql: String =
+    """WITH words AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |counts AS (
+      |  SELECT doc_id, w, COUNT(*) AS c FROM words WHERE w <> ''
+      |  GROUP BY doc_id, w),
+      |per_doc AS (
+      |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |    round(log2(CAST(SUM(c) AS DOUBLE))
+      |      - SUM(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) / CAST(SUM(c) AS DOUBLE),
+      |      6) AS entropy
+      |  FROM counts GROUP BY doc_id)
+      |SELECT doc_id, n_tokens, entropy FROM per_doc""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q85: inverted-index (posting-list) construction — term → document
+  // frequency, total term frequency, and a bounded sample of postings.
+  // The explode→groupBy(term) shuffle IS the index build; df/tf are
+  // plain counts (map-side partial aggregation collapses each term per
+  // mapper before the shuffle) and the posting sample is collect_set →
+  // sort_array → slice, bounded at 20 ids so no term's state grows with
+  // corpus size. At 100 TB the full index shards by term — this is one
+  // shard's computation; the capped sample stands in for the
+  // segment-local posting list a search engine actually materializes.
+  // ------------------------------------------------------------------
+  def q85PostingLists(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("tf_total"),
+        countDistinct(col("doc_id")).as("df"),
+        array_join(slice(sort_array(collect_set(col("doc_id"))), 1, 20), ",")
+          .as("postings_sample"))
+
+  val q85Sql: String =
+    """WITH words AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      |SELECT term, COUNT(*) AS tf_total,
+      |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+      |  array_to_string(list_slice(list_sort(list(DISTINCT doc_id)), 1, 20), ',')
+      |    AS postings_sample
+      |FROM words WHERE term <> ''
+      |GROUP BY term""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q86: length-curriculum binning — bucket documents by token count
+  // into quartiles for curriculum scheduling / packing efficiency. The
+  // naive ntile() is a GLOBAL single-partition window sort (the scale
+  // killer); instead the three quartile boundaries come from ONE exact
+  // percentile aggregate (q53 proved percentile ≡ quantile_cont bit
+  // parity) and each row's bin is pure comparison arithmetic against
+  // the broadcast boundaries — the corpus scan never shuffles a full
+  // sort, and the result is partition-count independent.
+  // ------------------------------------------------------------------
+  def q86LengthBins(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("tokens"))
+    val bounds = toks.agg(
+      expr("percentile(tokens, 0.25)").as("p25"),
+      expr("percentile(tokens, 0.5)").as("p50"),
+      expr("percentile(tokens, 0.75)").as("p75"))
+    toks.crossJoin(broadcast(bounds))
+      .withColumn("bin",
+        when(col("tokens").cast(DoubleType) <= col("p25"), 0L)
+          .when(col("tokens").cast(DoubleType) <= col("p50"), 1L)
+          .when(col("tokens").cast(DoubleType) <= col("p75"), 2L)
+          .otherwise(3L))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("tokens")).as("min_tokens"),
+        max(col("tokens")).as("max_tokens"),
+        sum(col("tokens")).as("total_tokens"))
+  }
+
+  val q86Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+      |  FROM documents),
+      |bounds AS (
+      |  SELECT quantile_cont(tokens, 0.25) AS p25,
+      |    quantile_cont(tokens, 0.5) AS p50,
+      |    quantile_cont(tokens, 0.75) AS p75
+      |  FROM toks)
+      |SELECT CAST(CASE WHEN CAST(tokens AS DOUBLE) <= p25 THEN 0
+      |  WHEN CAST(tokens AS DOUBLE) <= p50 THEN 1
+      |  WHEN CAST(tokens AS DOUBLE) <= p75 THEN 2
+      |  ELSE 3 END AS BIGINT) AS bin,
+      |  COUNT(*) AS n_docs,
+      |  MIN(tokens) AS min_tokens, MAX(tokens) AS max_tokens,
+      |  CAST(SUM(tokens) AS BIGINT) AS total_tokens
+      |FROM toks CROSS JOIN bounds
+      |GROUP BY 1""".stripMargin
+
   val q77Sql: String =
     """WITH d AS (
       |  SELECT doc_id, string_split(text, ' ') AS words,

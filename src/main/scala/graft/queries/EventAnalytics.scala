@@ -153,4 +153,106 @@ object EventAnalytics {
       |FROM daily
       |WINDOW w AS (PARTITION BY event_type ORDER BY ed
       |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q81: SCD Type-2 history build — collapse each user's event stream
+  // into validity intervals of its `event_type` attribute (classic
+  // gaps-and-islands: change flag via lag, island id via running sum,
+  // interval close via lead over the islands). Everything partitions by
+  // user_id: ONE hash shuffle, then both window passes and the island
+  // aggregation reuse the same exchange (Catalyst ReusedExchange); the
+  // final lead() runs over the already-collapsed islands (tiny). This
+  // is the dimension-table maintenance a warehouse does on every sync.
+  // ------------------------------------------------------------------
+  def q81Scd2(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+    val wSeq = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val flagged = ev.withColumn("chg",
+      when(lag(col("event_type"), 1).over(wSeq).isNull ||
+        lag(col("event_type"), 1).over(wSeq) =!= col("event_type"), 1L)
+        .otherwise(0L))
+      .withColumn("grp", sum(col("chg")).over(
+        wSeq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val islands = flagged.groupBy(col("user_id"), col("event_type"), col("grp"))
+      .agg(min(col("ts")).as("valid_from"), count(lit(1)).as("n_events"))
+    val wIsl = Window.partitionBy(col("user_id")).orderBy(col("valid_from").asc)
+    islands.select(col("user_id"), col("event_type"), col("valid_from"),
+        col("n_events"),
+        lead(col("valid_from"), 1).over(wIsl).as("valid_to"))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
+  val q81Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+      |  FROM events),
+      |flagged AS (
+      |  SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+      |      OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+      |grouped AS (
+      |  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      |  FROM flagged),
+      |islands AS (
+      |  SELECT user_id, event_type, grp, MIN(ts) AS valid_from,
+      |    COUNT(*) AS n_events
+      |  FROM grouped GROUP BY user_id, event_type, grp)
+      |SELECT user_id, event_type, valid_from, n_events,
+      |  lead(valid_from) OVER w2 AS valid_to,
+      |  lead(valid_from) OVER w2 IS NULL AS is_current
+      |FROM islands
+      |WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from ASC)""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q82: snapshot reconciliation — diff each user's state (latest
+  // event) before vs after a cutoff: who appeared, who went quiet, and
+  // whose state changed. Each snapshot is a hash aggregation with
+  // map-side partial `max_by` (never a global sort), the diff is one
+  // full-outer join on the (already small) per-user states, and the
+  // classification is pure CASE arithmetic. This is the cache-vs-cache
+  // audit an ELT system runs after a backfill.
+  // ------------------------------------------------------------------
+  def q82SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("2024-01-15 00:00:00").cast(TimestampType)
+    val ev = Tables.events(spark, dir)
+    def stateOf(df: DataFrame, prefix: String): DataFrame =
+      df.groupBy(col("user_id"))
+        .agg(max_by(col("event_type"), struct(col("ts"), col("event_id")))
+          .as(s"${prefix}_type"))
+    val before = stateOf(ev.filter(col("ts") < cutoff), "old")
+    val after = stateOf(ev.filter(col("ts") >= cutoff), "new")
+    before.join(after, Seq("user_id"), "full_outer")
+      .withColumn("class",
+        when(col("old_type").isNull, "appeared")
+          .when(col("new_type").isNull, "quiet")
+          .when(col("old_type") =!= col("new_type"), "changed")
+          .otherwise("unchanged"))
+      .groupBy(col("class"))
+      .agg(count(lit(1)).as("n_users"), min(col("user_id")).as("min_user"))
+  }
+
+  val q82Sql: String =
+    """WITH b AS (
+      |  SELECT user_id, event_type AS old_type, row_number() OVER
+      |    (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+      |  FROM events WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-15 00:00:00'),
+      |a AS (
+      |  SELECT user_id, event_type AS new_type, row_number() OVER
+      |    (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+      |  FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-15 00:00:00'),
+      |d AS (
+      |  SELECT COALESCE(bb.user_id, aa.user_id) AS user_id, bb.old_type, aa.new_type
+      |  FROM (SELECT user_id, old_type FROM b WHERE rn = 1) bb
+      |  FULL OUTER JOIN (SELECT user_id, new_type FROM a WHERE rn = 1) aa
+      |    ON bb.user_id = aa.user_id)
+      |SELECT CASE WHEN old_type IS NULL THEN 'appeared'
+      |  WHEN new_type IS NULL THEN 'quiet'
+      |  WHEN old_type <> new_type THEN 'changed'
+      |  ELSE 'unchanged' END AS class,
+      |  COUNT(*) AS n_users, MIN(user_id) AS min_user
+      |FROM d GROUP BY 1""".stripMargin
 }

@@ -307,4 +307,66 @@ object PipelineQueries {
       |FROM orders
       |WHERE o_totalprice >= 100000.0 AND o_totalprice < 150000.0
       |GROUP BY o_orderpriority""".stripMargin
+
+  /** CDC apply with hard deletes (`WriteStrategies.mergeCdc`): the event
+    * stream is replayed as a CDC feed over per-user profile rows —
+    * pk = user_id, cursor = (ts, event_id), `error` events act as delete
+    * markers (`_cdc_deleted_at`, the Airbyte/Debezium convention). The
+    * surviving table is the latest non-deleted state per key; a key whose
+    * LAST change is a delete vanishes — semantics plain last-wins merge
+    * cannot express. Applied twice to prove replay idempotency, then
+    * landed in a real cache table. */
+  def q80CdcDeletes(spark: SparkSession, dir: String): DataFrame = {
+    val cache = freshCache(spark, "graft_q80")
+    val feed = Tables.events(spark, dir).select(
+      col("user_id"), col("event_type"), col("value"), col("ts"), col("event_id"),
+      when(col("event_type") === "error", col("ts")).as("_cdc_deleted_at"))
+    val applied = graft.operators.WriteStrategies.mergeCdc(
+      None, feed, Seq("user_id"), "_cdc_deleted_at", Seq("ts", "event_id"))
+    // replay the same feed against the applied state — must be a no-op
+    val replayed = graft.operators.WriteStrategies.mergeCdc(
+      Some(applied), feed, Seq("user_id"), "_cdc_deleted_at", Seq("ts", "event_id"))
+    replayed.write.mode("overwrite").saveAsTable(cache.tableName("profiles"))
+    spark.table(cache.tableName("profiles"))
+      .select(col("user_id"), col("event_type").as("last_type"),
+        col("value").as("last_value"))
+  }
+
+  val q80Sql: String =
+    """WITH ranked AS (
+      |  SELECT user_id, event_type, value,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+      |  FROM events)
+      |SELECT user_id, event_type AS last_type, value AS last_value
+      |FROM ranked WHERE rn = 1 AND event_type <> 'error'""".stripMargin
+
+  /** Z-ordered (Morton-interleaved) layout (`SortedWrite.writeZOrdered`):
+    * events clustered on BOTH user_id and day, then a 2-D selective query.
+    * A single-column sort keeps tight min/max stats only on its leading
+    * column; the Morton key keeps them tight on both, so either predicate
+    * prunes row groups at scale (Delta/Iceberg ZORDER, from stock Spark).
+    * `ZOrderSpec` proves the rectangle-compactness property; this query
+    * gates the read path end-to-end. */
+  def q84ZorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    val cache = freshCache(spark, "graft_q84")
+    val ev = Tables.events(spark, dir)
+      .withColumn("day", unix_date(to_date(col("ts"))).cast(LongType))
+    graft.cache.SortedWrite.writeZOrdered(
+      ev, cache.tableName("events_z"), "user_id", "day", numFiles = 16)
+    spark.table(cache.tableName("events_z"))
+      .filter(col("user_id").between(10, 19) &&
+        col("day").between(19728, 19734)) // 2024-01-06 .. 2024-01-12
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_value"))
+  }
+
+  val q84Sql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events
+      |WHERE user_id BETWEEN 10 AND 19
+      |  AND date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) BETWEEN 19728 AND 19734
+      |GROUP BY event_type""".stripMargin
 }

@@ -144,6 +144,19 @@ class OperatorsSpec extends SparkTestBase {
     assert(math.abs(row._4 - 17.0 / 6) < 1e-12)
   }
 
+  test("word entropy: uniform=log2(n), repeated=0, empty=0, mixed exact") {
+    val df = Seq(Tuple1("a b c d"), Tuple1("a a a a"), Tuple1(""), Tuple1("a a b"))
+      .toDF("text")
+    val h = df.select(graft.functions.TextHashFunctions.wordEntropy(col("text")))
+      .as[Double].collect()
+    assert(math.abs(h(0) - 2.0) < 1e-12)  // 4 distinct → log2(4)
+    assert(h(1) == 0.0)                   // single repeated token
+    assert(h(2) == 0.0)                   // no tokens
+    // {a:2, b:1}: log2(3) − (2·log2(2) + 1·0)/3
+    val expected = math.log(3.0) / math.log(2.0) - 2.0 / 3.0
+    assert(math.abs(h(3) - expected) < 1e-12)
+  }
+
   test("langId picks the best-scoring language, und when no hits") {
     val markers = Seq("en" -> Seq("the", "dog"), "fr" -> Seq("le", "chien"))
     val df = Seq(Tuple1("the dog runs"), Tuple1("le chien court"), Tuple1("xyzzy")).toDF("text")

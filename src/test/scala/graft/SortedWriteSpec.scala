@@ -42,4 +42,41 @@ class SortedWriteSpec extends SparkTestBase {
     assert(pushed.contains("PushedFilters") && pushed.contains("o_totalprice"))
     cache.dropAll()
   }
+
+  test("mortonKey interleaves bits: x→even positions, y→odd") {
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (5L, 3L))
+      .toDF("x", "y")
+      .select(SortedWrite.mortonKey(col("x"), col("y"), 8).as("z"))
+    // morton(5,3): x=101 → bits 0,4; y=011 → bits 1,3 ⇒ 1+2+8+16 = 27
+    assert(df.as[Long].collect().toSeq == Seq(0L, 1L, 2L, 3L, 27L))
+  }
+
+  test("z-ordered layout keeps data intact and bounds both dimensions per file") {
+    val cache = SparkCache.fresh(spark, "graft_test_zorder")
+    val ev = Tables.events(spark, sf())
+      .withColumn("day", unix_date(to_date(col("ts"))).cast("long"))
+    SortedWrite.writeZOrdered(ev, cache.tableName("events_z"),
+      "user_id", "day", numFiles = 4)
+
+    val t = spark.table(cache.tableName("events_z"))
+    assert(t.count() == ev.count())
+    assert(!t.columns.contains("__z"), "morton key must not leak into the table")
+
+    // each file must cover a rectangle strictly smaller than the global
+    // extent in at least one dimension (z-clustering compactness) —
+    // a random layout would give every file the full global range
+    val global = ev.agg(
+      (max(col("user_id")) - min(col("user_id"))).as("uspan"),
+      (max(col("day")) - min(col("day"))).as("dspan"))
+      .as[(Long, Long)].head()
+    val tighter = t.inputFiles.count { f =>
+      val (us, ds) = spark.read.parquet(f).agg(
+        (max(col("user_id")) - min(col("user_id"))).as("us"),
+        (max(col("day")) - min(col("day"))).as("ds"))
+        .as[(Long, Long)].head()
+      us < global._1 || ds < global._2
+    }
+    assert(tighter > 0, "no file has sub-global min/max spans on either dimension")
+    cache.dropAll()
+  }
 }

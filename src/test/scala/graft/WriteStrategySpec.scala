@@ -98,6 +98,37 @@ class WriteStrategySpec extends SparkTestBase {
     assert(out.count() == 1)
   }
 
+  test("mergeCdc: winning delete removes the key; replay cannot resurrect it") {
+    // feed keyed by id, cursor = ver; id=2's LAST change is a delete
+    val feed = Seq(
+      (1L, "a", 1L, null.asInstanceOf[String]),
+      (2L, "b", 1L, null.asInstanceOf[String]),
+      (2L, "b2", 2L, "2021-06-01"),         // delete marker, latest for id=2
+      (3L, "c", 1L, "2021-01-01"),          // deleted...
+      (3L, "c2", 2L, null.asInstanceOf[String])) // ...then re-created
+      .toDF("id", "name", "ver", "_cdc_deleted_at")
+    val applied = WriteStrategies.mergeCdc(
+      None, feed, Seq("id"), "_cdc_deleted_at", Seq("ver"))
+    val got = applied.select("id", "name").as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a"), (3L, "c2")))
+
+    // replay the SAME feed (at-least-once redelivery): no resurrection,
+    // no duplicates — the delete marker still outranks by cursor
+    val replayed = WriteStrategies.mergeCdc(
+      Some(applied), feed, Seq("id"), "_cdc_deleted_at", Seq("ver"))
+    assert(replayed.select("id", "name").as[(Long, String)].collect().toSet == got)
+
+    // cross-batch OUT-OF-ORDER redelivery of a stale pre-delete version:
+    // with tombstones retained, the delete still outranks by cursor
+    val withTombstones = WriteStrategies.mergeCdc(
+      None, feed, Seq("id"), "_cdc_deleted_at", Seq("ver"), keepTombstones = true)
+    val stale = Seq((2L, "b", 1L, null.asInstanceOf[String]))
+      .toDF("id", "name", "ver", "_cdc_deleted_at")
+    val after = WriteStrategies.mergeCdc(
+      Some(withTombstones), stale, Seq("id"), "_cdc_deleted_at", Seq("ver"))
+    assert(after.select("id").as[Long].collect().toSet == Set(1L, 3L))
+  }
+
   test("state backend: last write wins per (source, stream)") {
     val cache = SparkCache.fresh(spark, "graft_test_state")
     cache.writeState("src", "s1", """{"cursor": 1}""")
