@@ -54,7 +54,8 @@ object Bench {
       "q47_contamination", "q53_percentiles", "q60_kmeans_iter",
       "q61_dedup_clusters", "q63_partition_pruning", "q64_gopher_rules",
       "q70_keyword_search", "q73_bloom_contamination", "q75_sequence_pack",
-      "q79_pagerank")
+      "q79_pagerank", "q80_cdc_deletes", "q84_zorder_layout",
+      "q85_posting_lists", "q86_length_bins")
     def ms(v: Double): Double = math.round(v * 1000).toDouble / 1000
     val qs = results.collect { case (k, v) if headline(k) =>
       "\"" + k + "\":" + ms(v)

@@ -137,21 +137,42 @@ final class SparkCache(
         } else {
           addMissingColumns(streamName, batch.schema)
           val existing = spark.table(t)
-          val merged = WriteStrategies.merge(Some(existing), batch, pks)
-          // Parquet can't overwrite a table its own plan reads, so stage
-          // once and swap by rename — the reference's swap dance
-          // (sql_processor.py:1061-1087), metadata-only, single data write.
-          val stamp = System.nanoTime()
-          val tmpName = s"__merge_tmp_$stamp"
-          val oldName = s"__merge_old_$stamp"
-          merged.write.saveAsTable(s"`$database`.`$tmpName`")
-          spark.sql(s"ALTER TABLE $t RENAME TO `$database`.`$oldName`")
-          spark.sql(s"ALTER TABLE `$database`.`$tmpName` RENAME TO $t")
-          spark.sql(s"DROP TABLE IF EXISTS `$database`.`$oldName`")
+          stageAndSwap(WriteStrategies.merge(Some(existing), batch, pks), t)
+        }
+      case WriteStrategy.CdcDelete =>
+        val pks = catalog.primaryKeys(streamName)
+        val stream = catalog(streamName)
+        val deleteCol = stream.cdcDeletedAtField.getOrElse("_ab_cdc_deleted_at")
+        // CDC ordering: the stream's cursor (LSN / commit ts) outranks
+        // arrival metadata — an out-of-order redelivery within the batch
+        // must not resurrect a deleted key.
+        val orderCols = stream.cursorField.toSeq ++
+          Seq(Records.ExtractedAtColumn, Records.RawIdColumn)
+        if (!tableExists(streamName)) {
+          WriteStrategies.mergeCdc(None, batch, pks, deleteCol, orderCols)
+            .write.saveAsTable(t)
+        } else {
+          addMissingColumns(streamName, batch.schema)
+          val existing = spark.table(t)
+          stageAndSwap(
+            WriteStrategies.mergeCdc(Some(existing), batch, pks, deleteCol, orderCols), t)
         }
       case WriteStrategy.Auto => throw new IllegalStateException("unreachable")
     }
     registerStream(streamName)
+  }
+
+  /** Parquet can't overwrite a table its own plan reads, so stage the
+    * result once and swap by rename — the reference's swap dance
+    * (sql_processor.py:1061-1087), metadata-only, single data write. */
+  private def stageAndSwap(result: DataFrame, t: String): Unit = {
+    val stamp = System.nanoTime()
+    val tmpName = s"__merge_tmp_$stamp"
+    val oldName = s"__merge_old_$stamp"
+    result.write.saveAsTable(s"`$database`.`$tmpName`")
+    spark.sql(s"ALTER TABLE $t RENAME TO `$database`.`$oldName`")
+    spark.sql(s"ALTER TABLE `$database`.`$tmpName` RENAME TO $t")
+    spark.sql(s"DROP TABLE IF EXISTS `$database`.`$oldName`")
   }
 
   // Registration is idempotent per (source, stream): memoize so repeat

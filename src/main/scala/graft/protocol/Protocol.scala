@@ -101,12 +101,20 @@ object WriteStrategy {
   case object Append extends WriteStrategy
   case object Replace extends WriteStrategy
   case object Merge extends WriteStrategy
+
+  /** Merge that also propagates CDC hard deletes: a key whose latest
+    * version (by cursor) carries a non-null deleted-at marker is
+    * REMOVED from the final table. Beyond the reference's enum —
+    * PyAirbyte's merge keeps CDC tombstone rows as data — but the
+    * natural strategy for Debezium-style feeds (`_ab_cdc_deleted_at`). */
+  case object CdcDelete extends WriteStrategy
   case object Auto extends WriteStrategy
 
   def fromString(s: String): WriteStrategy = s.toLowerCase match {
     case "append"  => Append
     case "replace" => Replace
     case "merge"   => Merge
+    case "cdc_delete" | "cdcdelete" => CdcDelete
     case "auto"    => Auto
     case other => throw new IllegalArgumentException(s"Unknown write strategy: $other")
   }
@@ -120,7 +128,10 @@ final case class ConfiguredStream(
     /** Normalized primary-key column names (top-level only). */
     primaryKeys: Seq[String] = Seq.empty,
     cursorField: Option[String] = None,
-    syncMode: SyncMode.Value = SyncMode.FullRefresh)
+    syncMode: SyncMode.Value = SyncMode.FullRefresh,
+    /** CDC delete-marker column (e.g. `_ab_cdc_deleted_at`); when set,
+      * AUTO resolves to [[WriteStrategy.CdcDelete]] for PK streams. */
+    cdcDeletedAtField: Option[String] = None)
 
 /**
  * Catalog of configured streams + resolution logic.
@@ -159,8 +170,13 @@ final case class ConfiguredCatalog(streams: Seq[ConfiguredStream]) {
       case WriteStrategy.Merge if s.primaryKeys.isEmpty =>
         throw new IllegalArgumentException(
           s"Merge strategy requires a primary key for stream $streamName")
+      case WriteStrategy.CdcDelete if s.primaryKeys.isEmpty =>
+        throw new IllegalArgumentException(
+          s"CDC-delete strategy requires a primary key for stream $streamName")
       case WriteStrategy.Auto =>
-        if (s.primaryKeys.nonEmpty) WriteStrategy.Merge
+        if (s.primaryKeys.nonEmpty)
+          if (s.cdcDeletedAtField.nonEmpty) WriteStrategy.CdcDelete
+          else WriteStrategy.Merge
         else if (s.cursorField.nonEmpty) WriteStrategy.Append
         else WriteStrategy.Replace
       case explicit => explicit

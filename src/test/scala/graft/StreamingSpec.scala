@@ -84,15 +84,46 @@ class StreamingSpec extends SparkTestBase {
     cache.dropAll()
   }
 
+  test("streaming CDC: a delete arriving in a later micro-batch removes the key") {
+    implicit val sqlCtx = spark.sqlContext
+    val cache = SparkCache.fresh(spark, "graft_test_stream_cdc")
+    val cdcDeclared = declared.add(StructField("deleted_at", TimestampType))
+    val catalog = ConfiguredCatalog(Seq(
+      ConfiguredStream("live", new StructType(), primaryKeys = Seq("id"),
+        cursorField = Some("ts"), cdcDeletedAtField = Some("deleted_at"))))
+    val checkpoint = Files.createTempDirectory("graft-ckpt-cdc").toString
+    val input = MemoryStream[String]
+    val q = StreamingIngest.ingestJsonl(
+      input.toDS(), cdcDeclared, cache, catalog, "live",
+      cursorField = Some("ts"), checkpointDir = checkpoint)
+    input.addData(
+      """{"id":1,"name":"a","ts":"2024-01-01T00:00:00Z"}""",
+      """{"id":2,"name":"b","ts":"2024-01-01T00:00:00Z"}""")
+    q.awaitTermination(60000)
+    // later batch: tombstone for id=2 (Debezium-style deleted_at), new id=3
+    input.addData(
+      """{"id":2,"name":"b","ts":"2024-01-01T02:00:00Z","deleted_at":"2024-01-01T02:00:00Z"}""",
+      """{"id":3,"name":"c","ts":"2024-01-01T03:00:00Z"}""")
+    val q2 = StreamingIngest.ingestJsonl(
+      input.toDS(), cdcDeclared, cache, catalog, "live",
+      cursorField = Some("ts"), checkpointDir = checkpoint)
+    q2.awaitTermination(60000)
+    val ids = cache.table("live").select("id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 3L), "deleted key must vanish from the cache table")
+    cache.dropAll()
+  }
+
   test("stream-static enrichment broadcast-joins each micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
     val input = MemoryStream[(Long, Double)]
     val enriched = StreamingIngest.enrichWithStatic(
       input.toDF().toDF("user_id", "amount"), dim, Seq("user_id"))
+    // data must exist BEFORE start: AvailableNow snapshots the available
+    // offsets when the query starts, so later addData may see zero batches
+    input.addData((1L, 10.0), (2L, 20.0), (9L, 30.0))
     val q = enriched.writeStream.format("memory").queryName("enriched")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    input.addData((1L, 10.0), (2L, 20.0), (9L, 30.0))
     q.awaitTermination()
     val out = spark.table("enriched")
       .select("user_id", "tier").as[(Long, Option[String])].collect().toSet

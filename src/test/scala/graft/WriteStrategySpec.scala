@@ -129,6 +129,33 @@ class WriteStrategySpec extends SparkTestBase {
     assert(after.select("id").as[Long].collect().toSet == Set(1L, 3L))
   }
 
+  test("CdcDelete strategy: deletes land through the cache; AUTO picks it for CDC streams") {
+    val cache = SparkCache.fresh(spark, "graft_test_cdc")
+    val cdcCatalog = ConfiguredCatalog(Seq(
+      ConfiguredStream("users", new StructType(), primaryKeys = Seq("id"),
+        cursorField = Some("ver"), cdcDeletedAtField = Some("deleted_at"))))
+    assert(cdcCatalog.resolveWriteMethod("users", WriteStrategy.Auto) == WriteStrategy.CdcDelete)
+
+    def batch(at: String, rows: (Long, String, Long, String)*) =
+      Records.addMetadata(
+        rows.toDF("id", "name", "ver", "deleted_at"),
+        Some(lit(at).cast(TimestampType)))
+
+    cache.writeStream("users",
+      batch("2020-01-01 00:00:00", (1L, "a", 1L, null), (2L, "b", 1L, null)),
+      cdcCatalog, WriteStrategy.Auto)
+    // second batch: update id=1, delete id=2 — applied twice (replay)
+    val b2 = batch("2020-01-02 00:00:00",
+      (1L, "a2", 2L, null), (2L, "b", 2L, "2020-01-02"))
+    cache.writeStream("users", b2, cdcCatalog, WriteStrategy.Auto)
+    cache.writeStream("users", b2, cdcCatalog, WriteStrategy.Auto)
+
+    val out = cache.table("users").select("id", "name")
+      .as[(Long, String)].collect().toSet
+    assert(out == Set((1L, "a2")))
+    cache.dropAll()
+  }
+
   test("state backend: last write wins per (source, stream)") {
     val cache = SparkCache.fresh(spark, "graft_test_state")
     cache.writeState("src", "s1", """{"cursor": 1}""")
