@@ -310,6 +310,29 @@ final class SparkCache(
   }
 
   /**
+   * Compute table + column statistics for Catalyst's cost-based
+   * optimizer. After a large sync, row counts / sizes / per-column NDV
+   * and min-max let the planner pick broadcast sides and join orders
+   * from DATA rather than the 10 MB `autoBroadcastJoinThreshold` file-
+   * size guess — the difference between a broadcast and a 100 TB
+   * sort-merge when a filtered dimension shrinks below the threshold.
+   * One scan (`ANALYZE ... FOR ALL COLUMNS` computes every column in a
+   * single aggregation pass). Returns the catalog row count.
+   */
+  def analyzeTable(streamName: String, columns: Boolean = true): Option[Long] = {
+    val t = tableName(streamName)
+    if (columns)
+      spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS")
+    else
+      spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS")
+    spark.sql(s"DESCRIBE EXTENDED $t").collect()
+      .find(_.getString(0) == "Statistics")
+      .flatMap { r =>
+        "(\\d+) rows".r.findFirstMatchIn(r.getString(1)).map(_.group(1).toLong)
+      }
+  }
+
+  /**
    * Retention for a partitioned stream table: drop every partition whose
    * value sorts strictly below `cutoff` (ISO dates compare
    * lexicographically). Partition-directory deletes only — cost is

@@ -59,6 +59,42 @@ object Records {
   }
 
   /**
+   * ONE-PASS protocol-envelope normalization — the ingest hot path.
+   *
+   * Parses each protocol JSONL line ONCE with the full envelope schema
+   * (type, stream, the TYPED `data` payload, emitted_at), filters to
+   * RECORD messages of the target stream, projects the payload, and
+   * stamps `_airbyte_extracted_at` from the record's own emitted_at
+   * (reference `records.py:256`), falling back to now() when absent.
+   *
+   * The two-pass alternative (a Jackson envelope parse inside a typed
+   * `mapPartitions`, then a second `from_json` over the re-extracted
+   * payload text) parses every byte twice and round-trips through
+   * Dataset[String] serialization between the passes. This path is one
+   * codegen'd `from_json` + filter + projection — at 100 TB the JSON
+   * decode is the ingest bottleneck, so halving it doubles throughput.
+   */
+  def normalizeProtocol(
+      lines: Dataset[String],
+      stream: String,
+      declared: StructType): DataFrame = {
+    val envelope = StructType(Seq(
+      StructField("type", StringType),
+      StructField("record", StructType(Seq(
+        StructField("stream", StringType),
+        StructField("data", declared),
+        StructField("emitted_at", LongType))))))
+    val shaped = lines.toDF("_raw")
+      .select(from_json(col("_raw"), envelope).as("m"))
+      .filter(col("m.type") === "RECORD" &&
+        lower(col("m.record.stream")) === stream.toLowerCase)
+      .select(col("m.record.data.*"),
+        coalesce(timestamp_millis(col("m.record.emitted_at")),
+          current_timestamp()).as("__extracted_src"))
+    addMetadata(shaped, Some(col("__extracted_src"))).drop("__extracted_src")
+  }
+
+  /**
    * Normalize with DEAD-LETTER routing: records whose payload fails to
    * parse against the declared schema land in a rejects frame (raw line
    * + error tag) instead of silently nulling out. One pass, one

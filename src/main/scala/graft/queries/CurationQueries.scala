@@ -324,22 +324,28 @@ object CurationQueries {
   // ------------------------------------------------------------------
   // q85: inverted-index (posting-list) construction — term → document
   // frequency, total term frequency, and a bounded sample of postings.
-  // The explode→groupBy(term) shuffle IS the index build; df/tf are
-  // plain counts (map-side partial aggregation collapses each term per
-  // mapper before the shuffle) and the posting sample is collect_set →
-  // sort_array → slice, bounded at 20 ids so no term's state grows with
-  // corpus size. At 100 TB the full index shards by term — this is one
-  // shard's computation; the capped sample stands in for the
-  // segment-local posting list a search engine actually materializes.
+  // Two-level aggregation: (term, doc) first — map-side partials
+  // collapse a doc's repeated terms before the shuffle and the result
+  // IS the posting-list entry (term, doc, tf) — then per-term counts
+  // plus a BOUNDED min-id sample via the TopKAggregate heap (score
+  // −doc_id ⇒ ascending ids). No per-term state ever exceeds 20
+  // entries, where collect_set+sort_array would buffer every posting
+  // of a viral term (the full index shards by term at 100 TB; the
+  // capped sample is the segment-local list a search engine serves).
   // ------------------------------------------------------------------
   def q85PostingLists(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .filter(col("term") =!= "")
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf_in_doc"))
       .groupBy(col("term"))
-      .agg(count(lit(1)).as("tf_total"),
-        countDistinct(col("doc_id")).as("df"),
-        array_join(slice(sort_array(collect_set(col("doc_id"))), 1, 20), ",")
+      .agg(sum(col("tf_in_doc")).as("tf_total"),
+        count(lit(1)).as("df"),
+        graft.functions.TopKAggregate.topK(
+          -col("doc_id").cast(DoubleType), col("doc_id"), 20).as("top"))
+      .select(col("term"), col("tf_total"), col("df"),
+        expr("array_join(transform(top, x -> cast(x.id as string)), ',')")
           .as("postings_sample"))
 
   val q85Sql: String =

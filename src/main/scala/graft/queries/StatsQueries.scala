@@ -195,4 +195,112 @@ object StatsQueries {
       |  CAST(MIN(lo + ((n_chars - lo) // width + 1) * width - 1) AS BIGINT) AS bucket_hi
       |FROM documents CROSS JOIN w
       |GROUP BY 1""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q87: robust outliers via median absolute deviation — the outlier
+  // screen that survives the contamination that wrecks z-scores (one
+  // extreme value inflates mean AND variance; the median/MAD pair is
+  // 50%-breakdown robust). Two grouped EXACT percentile aggregates
+  // (median of value, then median of |value − median|) with the tiny
+  // per-group stats riding broadcasts back onto the scan — the fact
+  // table itself never shuffles, the same second-pass shape as q58.
+  // Exact percentile holds per-group values in memory: right for the
+  // oracle gate; the 100 TB path swaps in percentile_approx
+  // (TableStatistics' sketch) with identical plan shape.
+  // ------------------------------------------------------------------
+  def q87MadOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val med = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("med"))
+      .withColumnRenamed("event_type", "mt")
+    val withDev = ev.join(broadcast(med), col("event_type") === col("mt"))
+      .withColumn("adev", abs(col("value") - col("med")))
+    val mad = withDev.groupBy(col("event_type"))
+      .agg(expr("percentile(adev, 0.5)").as("mad"))
+      .withColumnRenamed("event_type", "dt")
+    withDev.join(broadcast(mad), col("event_type") === col("dt"))
+      .filter(col("adev") > lit(3.0) * col("mad"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_outliers"),
+        sum(dec(col("value"))).cast(DoubleType).as("sum_outlier_value"),
+        min(col("event_id")).as("min_outlier_id"))
+  }
+
+  val q87Sql: String =
+    """WITH med AS (
+      |  SELECT event_type AS mt, quantile_cont(value, 0.5) AS med
+      |  FROM events GROUP BY event_type),
+      |dev AS (
+      |  SELECT e.*, abs(e.value - m.med) AS adev
+      |  FROM events e JOIN med m ON e.event_type = m.mt),
+      |mad AS (
+      |  SELECT event_type AS dt, quantile_cont(adev, 0.5) AS mad
+      |  FROM dev GROUP BY event_type)
+      |SELECT d.event_type, COUNT(*) AS n_outliers,
+      |  CAST(SUM(CAST(d.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_outlier_value,
+      |  MIN(d.event_id) AS min_outlier_id
+      |FROM dev d JOIN mad ON d.event_type = mad.dt
+      |WHERE d.adev > 3.0 * mad.mad
+      |GROUP BY d.event_type""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q88: bigram collocations by PMI lift — the corpus-analytics query
+  // behind phrase mining and tokenizer-vocabulary induction. Bigrams
+  // come from a PER-ROW zip of adjacent tokens (zero shuffle until the
+  // count aggregation, where map-side partials collapse repeated
+  // bigrams before the exchange); unigram counts and the two corpus
+  // totals are small aggregates joined back. Scoring uses the RATIONAL
+  // lift p(ab)/(p(a)p(b)) rather than its log (q70's rule: libm `ln`
+  // is not bit-portable, rational-of-counts doubles are; ordering is
+  // unchanged), rounded 4 dp, ties broken lexicographically.
+  // ------------------------------------------------------------------
+  def q88BigramPmi(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(split(col("text"), " ").as("w"))
+    val pairs = d.filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> struct(w[i] AS a, w[i+1] AS b))"))
+        .as("z"))
+      .select(col("z.a"), col("z.b"))
+      .filter(col("a") =!= "" && col("b") =!= "")
+    val bg = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+    val uc = d.select(explode(col("w")).as("t")).filter(col("t") =!= "")
+      .groupBy(col("t")).agg(count(lit(1)).as("cu"))
+    val totals = uc.agg(sum(col("cu")).as("n"))
+      .crossJoin(bg.agg(sum(col("c")).as("mm")))
+    // the unigram vocabulary is bounded (≪ corpus size) — broadcast it
+    // so the bigram-count side never reshuffles for the two lookups
+    val scored = bg
+      .join(broadcast(uc.select(col("t").as("ta"), col("cu").as("ca"))), col("a") === col("ta"))
+      .join(broadcast(uc.select(col("t").as("tb"), col("cu").as("cb"))), col("b") === col("tb"))
+      .crossJoin(broadcast(totals))
+      .filter(col("c") >= 20)
+      .withColumn("lift", round(
+        (col("c").cast(DoubleType) / col("mm").cast(DoubleType)) /
+          ((col("ca").cast(DoubleType) / col("n").cast(DoubleType)) *
+            (col("cb").cast(DoubleType) / col("n").cast(DoubleType))), 4))
+    scored.select(concat_ws(" ", col("a"), col("b")).as("bigram"),
+        col("c").as("n_pair"), col("lift"))
+      .orderBy(col("lift").desc, col("bigram").asc)
+      .limit(20)
+  }
+
+  val q88Sql: String =
+    """WITH d AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+      |pairs AS (
+      |  SELECT unnest(list_zip(list_slice(w, 1, len(w)-1), list_slice(w, 2, len(w)))) AS z
+      |  FROM d WHERE len(w) >= 2),
+      |bg AS (SELECT z[1] AS a, z[2] AS b, COUNT(*) AS c
+      |  FROM pairs WHERE z[1] <> '' AND z[2] <> '' GROUP BY 1, 2),
+      |uni AS (SELECT unnest(w) AS t FROM d),
+      |uc AS (SELECT t, COUNT(*) AS cu FROM uni WHERE t <> '' GROUP BY t),
+      |tot AS (SELECT CAST(SUM(cu) AS BIGINT) AS n FROM uc),
+      |m AS (SELECT CAST(SUM(c) AS BIGINT) AS mm FROM bg)
+      |SELECT bg.a || ' ' || bg.b AS bigram, bg.c AS n_pair,
+      |  round((CAST(bg.c AS DOUBLE) / CAST(mm AS DOUBLE)) /
+      |    ((CAST(ua.cu AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(ub.cu AS DOUBLE) / CAST(n AS DOUBLE))), 4) AS lift
+      |FROM bg JOIN uc ua ON bg.a = ua.t JOIN uc ub ON bg.b = ub.t
+      |CROSS JOIN tot CROSS JOIN m
+      |WHERE bg.c >= 20
+      |ORDER BY lift DESC, bigram ASC LIMIT 20""".stripMargin
 }

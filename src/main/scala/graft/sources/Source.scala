@@ -82,6 +82,27 @@ final class JsonlSource(
       }
     }
   }
+
+  /** Hot-path override: one codegen'd envelope parse per line
+    * (`Records.normalizeProtocol`) instead of recordJsonl's Jackson
+    * pass + second `from_json` — same projection semantics, half the
+    * JSON decoding. `recordJsonl` stays for the raw-payload surface
+    * (S3 message iterators). */
+  override def read(
+      cache: SparkCache,
+      spark: SparkSession,
+      streams: Seq[String],
+      writeStrategy: WriteStrategy,
+      forceFullRefresh: Boolean): ReadResult = {
+    val selected = if (streams.isEmpty) catalog.streamNames else streams
+    selected.foreach { s =>
+      val normalized = Records.normalizeProtocol(lines(spark), s, catalog(s).schema)
+      val strategy =
+        if (forceFullRefresh) WriteStrategy.Replace else writeStrategy
+      cache.writeStream(s, normalized, catalog, strategy)
+    }
+    new ReadResult(cache, selected)
+  }
 }
 
 /** Source over pre-loaded DataFrames (tests, parquet bulk loads). */

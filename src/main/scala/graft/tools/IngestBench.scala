@@ -34,7 +34,13 @@ object IngestBench {
       lit("""{"type":"RECORD","record":{"stream":"lineitem","data":"""),
       payload, lit(""","emitted_at":1700000000000}}"""))
     val stage = "/tmp/graft_ingest_jsonl"
-    li.select(msg.as("value")).write.mode(SaveMode.Overwrite).text(stage)
+    // limit() collapses to one partition; stage as one file per core or
+    // the whole timed sync (parse AND parquet write) runs single-threaded
+    // — the realistic wire shape is many connector batch files anyway
+    // (reference file_writers.py:33 rotates every 100k records).
+    val cores = spark.sparkContext.defaultParallelism
+    li.select(msg.as("value")).repartition(cores)
+      .write.mode(SaveMode.Overwrite).text(stage)
 
     val declared = StructType(li.schema.fields.map(f => f.copy(nullable = true)))
     val catalog = ConfiguredCatalog(Seq(
@@ -44,9 +50,10 @@ object IngestBench {
     val cache = SparkCache.fresh(spark, "graft_ingest_bench")
 
     // one untimed warmup at small n would skew the Append table; instead
-    // warm the JVM on a read-only pass (filter+normalize, noop sink)
-    graft.operators.Records.normalize(
-        source.recordJsonl(spark, "lineitem"), declared)
+    // warm the JVM on a read-only pass (the same one-pass envelope
+    // normalization the timed sync uses, noop sink)
+    graft.operators.Records.normalizeProtocol(
+        spark.read.textFile(stage), "lineitem", declared)
       .write.format("noop").mode("overwrite").save()
 
     val t0 = System.nanoTime()

@@ -1,0 +1,49 @@
+package graft
+
+/**
+ * Shuffle-budget regression gate: each scale-critical query's executed
+ * plan must not contain more Exchange (shuffle) operators than its
+ * design budget. A refactor that silently adds a shuffle — the thing
+ * that actually hurts at 100 TB — fails here even though correctness
+ * stays green. Budgets are the DESIGNED shuffle counts documented in
+ * each query's header comment, measured on the final AQE plan.
+ */
+class ExchangeBudgetSpec extends SparkTestBase {
+
+  private def exchanges(name: String): Int = {
+    val df = SparkEntry.queries(name)(spark, sf())
+    df.collect() // materialize so AQE settles on the final physical plan
+    // AQE's tree string prints the FINAL plan followed by the Initial
+    // Plan it replaced — count only the final section, and only lines
+    // that EXECUTE a shuffle: ReusedExchange re-prints the exchange
+    // text but reads the already-shuffled output, and BroadcastExchange
+    // is the cheap dimension path we WANT queries to take.
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    plan.linesIterator
+      .filterNot(_.contains("ReusedExchange"))
+      .count("Exchange (hash|range|Single)".r.findFirstIn(_).isDefined)
+  }
+
+  // (query, max shuffles) — tight by design, see query header comments
+  private val budgets = Seq(
+    "q2_filter_pushdown" -> 1,  // one final agg
+    "q5_topk"            -> 1,  // TakeOrderedAndProject, no global sort
+    "q30_dedup_exact"    -> 2,  // hash-group by content + winner join
+    "q37_quality_score"  -> 0,  // pure per-row scoring
+    "q48_repetition"     -> 0,  // per-row compiled shingles
+    "q64_gopher_rules"   -> 1,  // per-row rules + one lang tally
+    "q77_chunk"          -> 0,  // per-row explode, zero shuffle
+    "q83_token_entropy"  -> 0,  // per-row compiled kernel
+    "q86_length_bins"    -> 2,  // percentile agg + final bin tally
+    "q88_bigram_pmi"     -> 4)  // bigram counts, unigram counts (reused
+                                // for the second lookup), two one-row
+                                // totals gathers
+
+  budgets.foreach { case (name, budget) =>
+    test(s"$name stays within its shuffle budget of $budget") {
+      val n = exchanges(name)
+      assert(n <= budget, s"$name has $n shuffle exchanges (budget $budget)")
+    }
+  }
+}

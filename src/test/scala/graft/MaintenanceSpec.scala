@@ -29,6 +29,23 @@ class MaintenanceSpec extends SparkTestBase {
     cache.dropAll()
   }
 
+  test("analyzeTable records CBO row counts and column stats in the catalog") {
+    val cache = SparkCache.fresh(spark, "graft_test_analyze")
+    val o = Tables.orders(spark, "/root/testdata/sf0.001")
+    o.write.saveAsTable(cache.tableName("orders_nopk"))
+    val expected = o.count()
+
+    val rows = cache.analyzeTable("orders_nopk")
+    assert(rows.contains(expected), s"catalog rows=$rows expected=$expected")
+    // column-level stats (NDV / min-max) must be present for the CBO
+    val desc = spark.sql(
+      s"DESCRIBE EXTENDED ${cache.tableName("orders_nopk")} o_orderkey")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(desc.get("distinct_count").exists(_ != "NULL"), desc.toString)
+    assert(desc.get("max").exists(_ != "NULL"))
+    cache.dropAll()
+  }
+
   test("compaction preserves a partitioned table's partition spec") {
     val cache = SparkCache.fresh(spark, "graft_test_compact_part")
     val ev = Tables.events(spark, "/root/testdata/sf0.001")

@@ -51,6 +51,22 @@ class SortedWriteSpec extends SparkTestBase {
     assert(df.as[Long].collect().toSeq == Seq(0L, 1L, 2L, 3L, 27L))
   }
 
+  test("mortonKey is a bijection: decoding the key recovers (x, y)") {
+    val rng = new scala.util.Random(42)
+    val pts = Seq.fill(200)((rng.nextInt(1 << 16).toLong, rng.nextInt(1 << 16).toLong))
+    val zs = pts.toDF("x", "y")
+      .select(col("x"), col("y"), SortedWrite.mortonKey(col("x"), col("y"), 16).as("z"))
+      .as[(Long, Long, Long)].collect()
+    zs.foreach { case (x, y, z) =>
+      var (dx, dy) = (0L, 0L)
+      (0 until 16).foreach { i =>
+        dx |= ((z >> (2 * i)) & 1L) << i
+        dy |= ((z >> (2 * i + 1)) & 1L) << i
+      }
+      assert((dx, dy) == (x, y), s"morton($x,$y)=$z decoded to ($dx,$dy)")
+    }
+  }
+
   test("z-ordered layout keeps data intact and bounds both dimensions per file") {
     val cache = SparkCache.fresh(spark, "graft_test_zorder")
     val ev = Tables.events(spark, sf())

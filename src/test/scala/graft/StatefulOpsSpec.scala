@@ -81,12 +81,14 @@ class StatefulOpsSpec extends SparkTestBase {
       buys.toDF().toDF("buy_user", "buy_ts", "amount"), "buy_ts",
       keyExpr = "user_id = buy_user", gap = "5 minutes",
       watermark = "10 minutes")
-    val q = joined.writeStream.format("memory").queryName("attributed")
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    // data must exist BEFORE start: AvailableNow snapshots the available
+    // offsets at query start, so later addData may see zero batches.
     // user 1: buy 3 min after click (in window); user 2: buy 20 min
     // after click (outside); user 3: buy with no click
     clicks.addData((1L, ts(0)), (2L, ts(0)))
     buys.addData((1L, ts(3), 10.0), (2L, ts(20), 20.0), (3L, ts(1), 30.0))
+    val q = joined.writeStream.format("memory").queryName("attributed")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     val out = spark.table("attributed")
       .select("user_id", "amount").as[(Long, Double)].collect().toSet
