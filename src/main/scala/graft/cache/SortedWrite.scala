@@ -56,10 +56,25 @@ object SortedWrite {
    */
   def writeZOrdered(
       df: DataFrame, tableName: String,
-      xCol: String, yCol: String, numFiles: Int, bits: Int = 16): Unit =
-    df.withColumn("__z", mortonKey(col(xCol), col(yCol), bits))
+      xCol: String, yCol: String, numFiles: Int, bits: Int = 16): Unit = {
+    // Min-max scale each dimension into the bit budget first: raw
+    // interleave of values beyond 2^bits silently drops high bits
+    // (arbitrary 64-bit ids would alias and lose all locality). One
+    // tiny 4-number aggregate; scaling is approximate by design — the
+    // key only drives LAYOUT, results are unaffected.
+    val r = df.agg(
+      min(col(xCol)).cast("double"), max(col(xCol)).cast("double"),
+      min(col(yCol)).cast("double"), max(col(yCol)).cast("double")).head()
+    val hi = (1L << bits) - 1
+    def scaled(c: org.apache.spark.sql.Column, lo: Double, span: Double) =
+      ((c.cast("double") - lit(lo)) / lit(math.max(span, 1.0)) * lit(hi.toDouble))
+        .cast("long")
+    val sx = scaled(col(xCol), r.getDouble(0), r.getDouble(1) - r.getDouble(0))
+    val sy = scaled(col(yCol), r.getDouble(2), r.getDouble(3) - r.getDouble(2))
+    df.withColumn("__z", mortonKey(sx, sy, bits))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
       .write.mode(SaveMode.Overwrite).saveAsTable(tableName)
+  }
 }

@@ -48,7 +48,10 @@ object PlanCheck {
               "q54_range_join", "q59_semantic_dedup", "q60_kmeans_iter",
               "q61_dedup_clusters",
               // one-row corpus-stats / tiny-dim cross joins by design
-              "q65_domain_mix", "q68_funnel", "q70_keyword_search")
+              "q65_domain_mix", "q68_funnel", "q70_keyword_search",
+              // q86: one-row percentile-bounds broadcast; q88: one-row
+              // corpus-totals broadcast
+              "q86_length_bins", "q88_bigram_pmi")
               .contains(name))
         ).collect { case (f, true) => f }
         val scans = plan.linesIterator
