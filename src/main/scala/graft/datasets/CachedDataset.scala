@@ -57,6 +57,13 @@ final class CachedDataset private (
   /** Records without the `_airbyte_*` metadata columns (P5). */
   def withoutInternalColumns: DataFrame = Records.dropInternalColumns(plan)
 
+  /** Chunked Arrow IPC export (reference S11 `to_arrow`, 100k-row
+    * chunks): self-describing record batches produced in parallel on
+    * executors; consume distributed or `collect()` for a driver-side
+    * Arrow table's worth of bytes. */
+  def toArrowBatches(maxRecordsPerBatch: Long = 100000L): org.apache.spark.rdd.RDD[Array[Byte]] =
+    org.apache.spark.sql.GraftBridge.toArrowBatches(plan, maxRecordsPerBatch)
+
   /** Column names, internal columns excluded. */
   def columnNames: Seq[String] =
     plan.columns.toSeq.filterNot(Records.InternalColumns.contains)

@@ -408,6 +408,46 @@ object CurationQueries {
       |FROM toks CROSS JOIN bounds
       |GROUP BY 1""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q89: unigram LM surprisal scoring — the CCNet-style "how unlikely
+  // is this document under the corpus language model" curation signal
+  // (high = noise/outlier, low = boilerplate). Corpus unigram
+  // log-probs are a vocabulary-sized table BROADCAST back onto the
+  // token stream (the fact side never reshuffles for the lookup); the
+  // per-doc fold is one hash aggregation. Float parity: each token's
+  // log2 p is rounded to 6 dp FIRST (identical addends both engines,
+  // so summation order cannot drift more than final-ulp), then the
+  // per-doc mean rounds to 4.
+  // ------------------------------------------------------------------
+  def q89LmSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "")
+    val uc = tok.groupBy(col("t")).agg(count(lit(1)).as("cu"))
+    val tot = uc.agg(sum(col("cu")).as("n"))
+    val lp = uc.crossJoin(broadcast(tot))
+      .select(col("t").as("lt"),
+        round(log2(col("cu").cast(DoubleType) / col("n").cast(DoubleType)), 6)
+          .as("l2p"))
+    tok.join(broadcast(lp), col("t") === col("lt"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(-sum(col("l2p")) / count(lit(1)), 4).as("avg_surprisal"))
+  }
+
+  val q89Sql: String =
+    """WITH words AS (
+      |  SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents),
+      |tok AS (SELECT doc_id, t FROM words WHERE t <> ''),
+      |uc AS (SELECT t, COUNT(*) AS cu FROM tok GROUP BY t),
+      |tot AS (SELECT CAST(SUM(cu) AS BIGINT) AS n FROM uc),
+      |lp AS (
+      |  SELECT t, round(log2(CAST(cu AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS l2p
+      |  FROM uc CROSS JOIN tot)
+      |SELECT d.doc_id, COUNT(*) AS n_tokens,
+      |  round(-SUM(l.l2p) / COUNT(*), 4) AS avg_surprisal
+      |FROM tok d JOIN lp l ON d.t = l.t GROUP BY d.doc_id""".stripMargin
+
   val q77Sql: String =
     """WITH d AS (
       |  SELECT doc_id, string_split(text, ' ') AS words,

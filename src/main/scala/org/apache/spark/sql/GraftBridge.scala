@@ -12,4 +12,37 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /**
+   * Distributed Arrow IPC export (reference S11, `caches/base.py:292-322`
+   * — chunked `to_arrow`): each partition's rows become self-describing
+   * Arrow record batches of ≤`maxRecordsPerBatch` rows (the reference's
+   * 100k chunk default), produced IN PARALLEL on executors. The bytes
+   * are the standard IPC wire format any Arrow client (pandas, polars,
+   * DuckDB, Flight) consumes. `private[sql]` machinery, hence this shim.
+   */
+  def toArrowBatches(
+      df: DataFrame,
+      maxRecordsPerBatch: Long = 100000L): org.apache.spark.rdd.RDD[Array[Byte]] = {
+    val schema = df.schema
+    val tz = df.sparkSession.sessionState.conf.sessionLocalTimeZone
+    df.queryExecution.toRdd.mapPartitions { it =>
+      execution.arrow.ArrowConverters.toBatchWithSchemaIterator(
+        it, schema, maxRecordsPerBatch, Long.MaxValue, tz,
+        true, false)
+    }
+  }
+
+  /** Inverse of [[toArrowBatches]]: self-describing Arrow batches back
+    * to a DataFrame (schema read from the batches themselves). */
+  def fromArrowBatches(spark: SparkSession, batches: Iterator[Array[Byte]]): DataFrame = {
+    val (rows, schema) =
+      execution.arrow.ArrowConverters.fromBatchWithSchemaIterator(batches, null)
+    val session = spark.asInstanceOf[classic.SparkSession]
+    // batch-backed rows are reused buffers — copy through a projection
+    val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(schema)
+    val copied = rows.map(r =>
+      proj(r).copy().asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]).toSeq
+    session.internalCreateDataFrame(session.sparkContext.parallelize(copied), schema)
+  }
 }

@@ -144,6 +144,21 @@ class OperatorsSpec extends SparkTestBase {
     assert(math.abs(row._4 - 17.0 / 6) < 1e-12)
   }
 
+  test("arrow export: chunked IPC batches round-trip rows and schema") {
+    import org.apache.spark.sql.GraftBridge
+    val df = graft.sources.Tables.documents(spark, sf())
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val batches = GraftBridge.toArrowBatches(df, maxRecordsPerBatch = 16).collect()
+    // chunking: 100 docs at ≤16 rows per batch ⇒ several batches
+    assert(batches.length >= math.ceil(df.count() / 16.0).toInt / df.rdd.getNumPartitions)
+    val back = GraftBridge.fromArrowBatches(spark, batches.iterator)
+    assert(back.count() == df.count())
+    assert(back.schema.fieldNames.toSeq == Seq("doc_id", "lang", "n_chars"))
+    val a = df.orderBy("doc_id").collect().map(_.toSeq)
+    val b = back.orderBy("doc_id").collect().map(_.toSeq)
+    assert(a.sameElements(b))
+  }
+
   test("word entropy: uniform=log2(n), repeated=0, empty=0, mixed exact") {
     val df = Seq(Tuple1("a b c d"), Tuple1("a a a a"), Tuple1(""), Tuple1("a a b"))
       .toDF("text")
