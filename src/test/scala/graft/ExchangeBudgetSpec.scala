@@ -36,9 +36,17 @@ class ExchangeBudgetSpec extends SparkTestBase {
     "q77_chunk"          -> 0,  // per-row explode, zero shuffle
     "q83_token_entropy"  -> 0,  // per-row compiled kernel
     "q86_length_bins"    -> 2,  // percentile agg + final bin tally
-    "q88_bigram_pmi"     -> 4)  // bigram counts, unigram counts (reused
+    "q88_bigram_pmi"     -> 4,  // bigram counts, unigram counts (reused
                                 // for the second lookup), two one-row
                                 // totals gathers
+    "q31_dedup_minhash_lsh" -> 2, // band-bucket candidates are id-only;
+                                  // one pair aggregation (+ broadcasts)
+    "q44_asof_join"      -> 1,  // union-tag + ONE user_id shuffle
+    "q75_sequence_pack"  -> 3,  // bucket window, offsets broadcast,
+                                // final seq tally
+    "q85_posting_lists"  -> 2,  // (term,doc) partials then per-term
+    "q89_lm_surprisal"   -> 3)  // vocab counts, one-row total, per-doc
+                                // fold (vocab broadcast back)
 
   budgets.foreach { case (name, budget) =>
     test(s"$name stays within its shuffle budget of $budget") {
