@@ -131,9 +131,15 @@ object WriteStrategies {
       deleteCol: String,
       orderCols: Seq[String] = Seq(Records.ExtractedAtColumn, Records.RawIdColumn),
       keepTombstones: Boolean = false): DataFrame = {
+    // a batch with no deletes often arrives without the marker column
+    // at all — treat it as all-null rather than failing analysis
+    def ensureMarker(df: DataFrame): DataFrame =
+      if (df.columns.exists(_.equalsIgnoreCase(deleteCol))) df
+      else df.withColumn(deleteCol, lit(null).cast("timestamp"))
     val unioned = existing match {
-      case Some(e) => e.unionByName(incoming, allowMissingColumns = true)
-      case None    => incoming
+      case Some(e) => ensureMarker(e).unionByName(ensureMarker(incoming),
+        allowMissingColumns = true)
+      case None    => ensureMarker(incoming)
     }
     val merged = dedupLatest(unioned, pks, orderCols)
     if (keepTombstones) merged else merged.filter(col(deleteCol).isNull)

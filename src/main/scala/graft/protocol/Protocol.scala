@@ -210,7 +210,13 @@ object ConfiguredCatalog {
           }
         val cursor = Option(s.get("default_cursor_field"))
           .flatMap(_.elements().asScala.toSeq.headOption).map(_.asText())
-        ConfiguredStream(NameNormalizer.normalize(name), schema, pks, cursor)
+        // CDC sources declare the Debezium-convention delete marker in
+        // their discovered schema; detecting it here lets AUTO resolve
+        // to the hard-delete merge without per-stream configuration
+        val cdcDeleted = schema.fieldNames
+          .find(_.equalsIgnoreCase("_ab_cdc_deleted_at"))
+        ConfiguredStream(NameNormalizer.normalize(name), schema, pks, cursor,
+          cdcDeletedAtField = cdcDeleted)
       }
     ConfiguredCatalog(streams)
   }

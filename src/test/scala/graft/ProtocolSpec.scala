@@ -58,6 +58,23 @@ class ProtocolSpec extends AnyFunSuite {
     assert(cat.resolveWriteMethod("events", WriteStrategy.Auto) == WriteStrategy.Replace)
   }
 
+  test("CDC delete marker in a discovered schema drives AUTO to CdcDelete") {
+    val catalogJson =
+      """{"streams":[
+        |  {"name":"accounts","json_schema":{"properties":{
+        |     "id":{"type":"integer"},"name":{"type":"string"},
+        |     "_ab_cdc_deleted_at":{"type":["null","string"],"format":"date-time"}}},
+        |   "source_defined_primary_key":[["id"]],"default_cursor_field":["_ab_cdc_lsn"]},
+        |  {"name":"logs","json_schema":{"properties":{
+        |     "_ab_cdc_deleted_at":{"type":["null","string"]}}}}
+        |]}""".stripMargin
+    val cat = ConfiguredCatalog.fromCatalogJson(catalogJson)
+    assert(cat("accounts").cdcDeletedAtField.contains("_ab_cdc_deleted_at"))
+    assert(cat.resolveWriteMethod("accounts", WriteStrategy.Auto) == WriteStrategy.CdcDelete)
+    // CDC marker without a PK cannot merge — falls through to cursor/replace
+    assert(cat.resolveWriteMethod("logs", WriteStrategy.Auto) == WriteStrategy.Replace)
+  }
+
   test("nested primary keys are rejected (catalog_providers.py:146-172)") {
     val cat = ConfiguredCatalog(Seq(ConfiguredStream("s",
       new org.apache.spark.sql.types.StructType(), primaryKeys = Seq("a.b"))))

@@ -127,6 +127,13 @@ class WriteStrategySpec extends SparkTestBase {
     val after = WriteStrategies.mergeCdc(
       Some(withTombstones), stale, Seq("id"), "_cdc_deleted_at", Seq("ver"))
     assert(after.select("id").as[Long].collect().toSet == Set(1L, 3L))
+
+    // a delete-free batch usually arrives WITHOUT the marker column —
+    // it must merge as all-null markers, not fail analysis
+    val noMarker = Seq((4L, "d", 1L)).toDF("id", "name", "ver")
+    val widened = WriteStrategies.mergeCdc(
+      Some(applied), noMarker, Seq("id"), "_cdc_deleted_at", Seq("ver"))
+    assert(widened.select("id").as[Long].collect().toSet == Set(1L, 3L, 4L))
   }
 
   test("CdcDelete strategy: deletes land through the cache; AUTO picks it for CDC streams") {
