@@ -255,4 +255,49 @@ object EventAnalytics {
       |  ELSE 'unchanged' END AS class,
       |  COUNT(*) AS n_users, MIN(user_id) AS min_user
       |FROM d GROUP BY 1""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q90: time-weighted average — the event-time INTEGRAL of a
+  // piecewise-constant signal (each reading holds until the next),
+  // which a plain row-mean gets wrong whenever sampling is irregular:
+  // a sensor quiet for an hour at value 5 must weigh 3600× a burst of
+  // 1-second readings. One lead() window per type (a single hash
+  // shuffle) yields interval durations; the integral is EXACT integer
+  // arithmetic — value in cents × duration in µs, summed through
+  // DECIMAL(38,0)/HUGEINT — with ONE final double division, the same
+  // expression shape both engines (CoreQueries float-parity rule).
+  // ------------------------------------------------------------------
+  def q90TimeWeightedAvg(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val withDur = ev
+      .withColumn("next_us", unix_micros(lead(col("ts"), 1).over(w)))
+      .withColumn("dur_us", col("next_us") - unix_micros(col("ts")))
+      .filter(col("dur_us").isNotNull)
+      .withColumn("cents", round(col("value") * 100).cast(LongType))
+    withDur.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum((col("cents") * col("dur_us")).cast(DecimalType(38, 0))).as("num"),
+        sum(col("dur_us").cast(DecimalType(38, 0))).as("den"))
+      .select(col("event_type"), col("n_intervals"),
+        round((col("num").cast(DoubleType) / col("den").cast(DoubleType)) / 100.0, 4)
+          .as("twa_value"))
+  }
+
+  val q90Sql: String =
+    """WITH e AS (
+      |  SELECT event_type, event_id, value, CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events),
+      |d AS (
+      |  SELECT event_type,
+      |    epoch_us(lead(ts) OVER w) - epoch_us(ts) AS dur_us,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM e WINDOW w AS (PARTITION BY event_type ORDER BY ts ASC, event_id ASC))
+      |SELECT event_type, COUNT(*) AS n_intervals,
+      |  round((CAST(SUM(CAST(cents AS HUGEINT) * dur_us) AS DOUBLE) /
+      |         CAST(SUM(CAST(dur_us AS HUGEINT)) AS DOUBLE)) / 100.0, 4) AS twa_value
+      |FROM d WHERE dur_us IS NOT NULL
+      |GROUP BY event_type""".stripMargin
 }
