@@ -448,6 +448,48 @@ object CurationQueries {
       |  round(-SUM(l.l2p) / COUNT(*), 4) AS avg_surprisal
       |FROM tok d JOIN lp l ON d.t = l.t GROUP BY d.doc_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q91: duplication inflation — the corpus-level "how much would
+  // exact dedup shrink this" audit run before committing to a dedup
+  // pass: clusters of identical content, removable copies, and the
+  // token mass they carry. One content-hash aggregation (map-side
+  // partials collapse repeats per mapper — a viral doc ships one row
+  // per partition, not one per copy) followed by a one-row summary.
+  // Copies in a cluster are identical, so removable tokens are exactly
+  // (size−1) · tokens-per-copy — all BIGINT arithmetic, one final
+  // rounded division for the percentage.
+  // ------------------------------------------------------------------
+  def q91DupInflation(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = Tables.documents(spark, dir)
+      .select(md5(col("text")).as("h"),
+        size(split(col("text"), " ")).cast(LongType).as("toks"))
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("sz"), max(col("toks")).as("toks"))
+    clusters.agg(
+        sum(col("sz")).as("n_docs"),
+        count(lit(1)).as("n_clusters"),
+        sum(col("sz") - 1).as("n_removable_docs"),
+        sum(col("sz") * col("toks")).as("n_tokens"),
+        sum((col("sz") - 1) * col("toks")).as("n_removable_tokens"))
+      .withColumn("removable_pct", round(
+        col("n_removable_tokens").cast(DoubleType) * 100.0 /
+          col("n_tokens").cast(DoubleType), 4))
+  }
+
+  val q91Sql: String =
+    """WITH clusters AS (
+      |  SELECT md5(text) AS h, COUNT(*) AS sz,
+      |    MAX(CAST(len(string_split(text, ' ')) AS BIGINT)) AS toks
+      |  FROM documents GROUP BY md5(text))
+      |SELECT CAST(SUM(sz) AS BIGINT) AS n_docs,
+      |  COUNT(*) AS n_clusters,
+      |  CAST(SUM(sz - 1) AS BIGINT) AS n_removable_docs,
+      |  CAST(SUM(sz * toks) AS BIGINT) AS n_tokens,
+      |  CAST(SUM((sz - 1) * toks) AS BIGINT) AS n_removable_tokens,
+      |  round(CAST(SUM((sz - 1) * toks) AS DOUBLE) * 100.0 /
+      |    CAST(SUM(sz * toks) AS DOUBLE), 4) AS removable_pct
+      |FROM clusters""".stripMargin
+
   val q77Sql: String =
     """WITH d AS (
       |  SELECT doc_id, string_split(text, ' ') AS words,
