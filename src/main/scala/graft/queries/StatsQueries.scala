@@ -303,4 +303,29 @@ object StatsQueries {
       |CROSS JOIN tot CROSS JOIN m
       |WHERE bg.c >= 20
       |ORDER BY lift DESC, bigram ASC LIMIT 20""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q92: daily percentile bands (P50/P90/P99) per event type — the SLO
+  // dashboard query. Exact grouped percentiles (q53's bit-parity rule:
+  // Spark `percentile` ≡ DuckDB `quantile_cont`, identical linear
+  // interpolation) in ONE aggregation pass per (type, day): group count
+  // is days × types, so the exact-percentile state stays tiny while the
+  // scan parallelizes fully. At raw 100 TB grain the same plan swaps in
+  // percentile_approx sketches (partial-aggregable) unchanged.
+  // ------------------------------------------------------------------
+  def q92PercentileBands(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99"))
+
+  val q92Sql: String =
+    """SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n,
+      |  round(quantile_cont(value, 0.5), 4) AS p50,
+      |  round(quantile_cont(value, 0.9), 4) AS p90,
+      |  round(quantile_cont(value, 0.99), 4) AS p99
+      |FROM events
+      |GROUP BY event_type, CAST(ts AS DATE)""".stripMargin
 }
