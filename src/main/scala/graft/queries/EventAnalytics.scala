@@ -286,6 +286,50 @@ object EventAnalytics {
           .as("twa_value"))
   }
 
+  // ------------------------------------------------------------------
+  // q93: funnel latency — how long users take from first view to first
+  // purchase-after-view, summarized as exact percentiles. Two per-user
+  // aggregations (the q68 broadcast-funnel shape: the fact scan never
+  // shuffles, qualified-user maps broadcast back) produce one duration
+  // per converting user; integer seconds keep the percentile input
+  // exact, and q53's rule gives bit-identical interpolation across
+  // engines. The percentile state is ≤ one value per converting user —
+  // the tiny end of the funnel, not the corpus.
+  // ------------------------------------------------------------------
+  def q93FunnelLatency(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(broadcast(v), "user_id").filter(col("ts") >= col("v_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+    v.join(p, "user_id")
+      .withColumn("sec", // integer div both engines — `/` would be double
+        expr("(unix_micros(p_ts) - unix_micros(v_ts)) div 1000000"))
+      .agg(count(lit(1)).as("n_converted"),
+        round(expr("percentile(sec, 0.5)"), 4).as("p50_sec"),
+        round(expr("percentile(sec, 0.9)"), 4).as("p90_sec"),
+        min(col("sec")).as("min_sec"),
+        max(col("sec")).as("max_sec"))
+  }
+
+  val q93Sql: String =
+    """WITH v AS (SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS v_ts
+      |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+      |p AS (SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS p_ts
+      |  FROM events e JOIN v USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) >= v.v_ts
+      |  GROUP BY e.user_id),
+      |d AS (
+      |  SELECT (epoch_us(p.p_ts) - epoch_us(v.v_ts)) // 1000000 AS sec
+      |  FROM v JOIN p USING (user_id))
+      |SELECT COUNT(*) AS n_converted,
+      |  round(quantile_cont(sec, 0.5), 4) AS p50_sec,
+      |  round(quantile_cont(sec, 0.9), 4) AS p90_sec,
+      |  CAST(MIN(sec) AS BIGINT) AS min_sec,
+      |  CAST(MAX(sec) AS BIGINT) AS max_sec
+      |FROM d""".stripMargin
+
   val q90Sql: String =
     """WITH e AS (
       |  SELECT event_type, event_id, value, CAST(ts AS TIMESTAMP) AS ts

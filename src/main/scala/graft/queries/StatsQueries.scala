@@ -328,4 +328,52 @@ object StatsQueries {
       |  round(quantile_cont(value, 0.99), 4) AS p99
       |FROM events
       |GROUP BY event_type, CAST(ts AS DATE)""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q94: data-quality drift monitor — per-day profile (volume, null
+  // rate of the payload field, distinct event types, value bounds)
+  // flagged against the corpus-wide profile. The daily profile is one
+  // grouped pass; the corpus profile is one row broadcast back; the
+  // drift flag is pure integer arithmetic (a day drifts when its
+  // scaled null-permille differs from the corpus by > 20). This is
+  // the sync-health check an ELT cache runs after every load; all
+  // decisions integer-exact, so both engines flag identical days.
+  // ------------------------------------------------------------------
+  def q94QualityDrift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("day", to_date(col("ts")))
+    val daily = ev.groupBy(col("day")).agg(
+      count(lit(1)).as("n"),
+      sum(when(col("props").isNull, 1L).otherwise(0L)).as("n_null_props"),
+      countDistinct(col("event_type")).as("n_types"),
+      round(min(col("value")), 4).as("min_value"),
+      round(max(col("value")), 4).as("max_value"))
+    val corpus = daily.agg(
+      sum(col("n")).as("tn"), sum(col("n_null_props")).as("tnull"))
+    daily.crossJoin(broadcast(corpus))
+      // integer div both engines — Spark's `/` on longs yields double
+      .withColumn("day_permille", expr("n_null_props * 1000 div n"))
+      .withColumn("corpus_permille", expr("tnull * 1000 div tn"))
+      .withColumn("drifted",
+        abs(col("day_permille") - col("corpus_permille")) > 20L)
+      .select(col("day"), col("n"), col("n_null_props"), col("n_types"),
+        col("min_value"), col("max_value"), col("day_permille"), col("drifted"))
+  }
+
+  val q94Sql: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n,
+      |    CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_props,
+      |    CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+      |    round(MIN(value), 4) AS min_value,
+      |    round(MAX(value), 4) AS max_value
+      |  FROM events GROUP BY 1),
+      |corpus AS (
+      |  SELECT CAST(SUM(n) AS BIGINT) AS tn,
+      |    CAST(SUM(n_null_props) AS BIGINT) AS tnull
+      |  FROM daily)
+      |SELECT day, n, n_null_props, n_types, min_value, max_value,
+      |  n_null_props * 1000 // n AS day_permille,
+      |  abs(n_null_props * 1000 // n - tnull * 1000 // tn) > 20 AS drifted
+      |FROM daily CROSS JOIN corpus""".stripMargin
 }
