@@ -184,6 +184,57 @@ object ClusterQueries {
   // 0.85 as ×85 div 100, truncating integer division both engines) —
   // bit-identical cross-engine, no float accumulation order issues.
   // ------------------------------------------------------------------
+  // ------------------------------------------------------------------
+  // q95: link-graph structure metrics — the degree/reciprocity profile
+  // that accompanies centrality (q79) in any link-graph quality audit
+  // (crawl-graph spam signals, dedup-cluster shape checks). Same edge
+  // derivation as q79; out-degree histogram in power-of-two buckets
+  // (integer shift arithmetic, no float), reciprocal-edge rate via a
+  // self-join on the reversed pair. Edges are distinct-deduped with
+  // map-side partials; the reversal join co-shuffles once on the key.
+  // ------------------------------------------------------------------
+  def q95GraphDegrees(spark: SparkSession, dir: String): DataFrame = {
+    val ns = Tables.supplier(spark, dir).count()
+    val edges = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey").as("src"),
+        (col("l_partkey") % ns + 1L).as("dst"))
+      .distinct().localCheckpoint()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    // power-of-two bucket = floor(log2(d)), but computed as an INTEGER
+    // comparison ladder: float log2 can land an ulp under an integer at
+    // exact powers of two and floor differently across libms
+    val bucketExpr = (1 to 20).foldLeft(when(col("d") < 2L, 0L)) {
+      case (acc, k) => acc.when(col("d") < (1L << (k + 1)), k.toLong)
+    }.otherwise(21L)
+    val hist = deg
+      .withColumn("bucket", bucketExpr)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("d")).as("n_edges"))
+    val recip = edges.as("a").join(edges.as("b"),
+        col("a.src") === col("b.dst") && col("a.dst") === col("b.src"))
+      .agg(count(lit(1)).as("n_recip"))
+    hist.crossJoin(broadcast(recip))
+      .select(col("bucket"), col("n_nodes"), col("n_edges"), col("n_recip"))
+  }
+
+  val q95Sql: String = {
+    val ladder = (1 to 20)
+      .map(k => s"WHEN d < ${1L << (k + 1)} THEN ${k}").mkString(" ")
+    s"""WITH ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM supplier),
+      |e AS (SELECT DISTINCT l_suppkey AS src,
+      |        (l_partkey % (SELECT n FROM ns)) + 1 AS dst FROM lineitem),
+      |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY src),
+      |hist AS (
+      |  SELECT CAST(CASE WHEN d < 2 THEN 0 $ladder ELSE 21 END AS BIGINT) AS bucket,
+      |    COUNT(*) AS n_nodes, CAST(SUM(d) AS BIGINT) AS n_edges
+      |  FROM deg GROUP BY 1),
+      |recip AS (
+      |  SELECT COUNT(*) AS n_recip
+      |  FROM e a JOIN e b ON a.src = b.dst AND a.dst = b.src)
+      |SELECT bucket, n_nodes, n_edges, n_recip
+      |FROM hist CROSS JOIN recip""".stripMargin
+  }
+
   def q79PageRank(spark: SparkSession, dir: String): DataFrame = {
     val sup = Tables.supplier(spark, dir).select(col("s_suppkey").as("node"))
     val ns = sup.count()
