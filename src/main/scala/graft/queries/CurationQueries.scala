@@ -490,6 +490,78 @@ object CurationQueries {
       |    CAST(SUM(sz * toks) AS DOUBLE), 4) AS removable_pct
       |FROM clusters""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q96: per-source corpus skew audit — the "which sources dominate,
+  // and do their documents look different" check run before fixing a
+  // training mixture (q65 then consumes the rates). One grouped pass
+  // per source (exact percentile state bounded by docs-per-source)
+  // plus a one-row corpus total broadcast back; share in integer
+  // permille so both engines cut identical values.
+  // ------------------------------------------------------------------
+  def q96SourceSkew(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"),
+        size(split(col("text"), " ")).cast(LongType).as("toks"))
+    val per = docs.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("toks")).as("n_tokens"),
+      min(col("toks")).as("min_tokens"),
+      round(expr("percentile(toks, 0.5)"), 4).as("median_tokens"),
+      max(col("toks")).as("max_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).as("tt"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("token_permille", expr("n_tokens * 1000 div tt"))
+      .drop("tt")
+  }
+
+  val q96Sql: String =
+    """WITH d AS (
+      |  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+      |  FROM documents),
+      |per AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(toks) AS BIGINT) AS n_tokens,
+      |    CAST(MIN(toks) AS BIGINT) AS min_tokens,
+      |    round(quantile_cont(toks, 0.5), 4) AS median_tokens,
+      |    CAST(MAX(toks) AS BIGINT) AS max_tokens
+      |  FROM d GROUP BY source),
+      |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tt FROM per)
+      |SELECT source, n_docs, n_tokens, min_tokens, median_tokens, max_tokens,
+      |  n_tokens * 1000 // tt AS token_permille
+      |FROM per CROSS JOIN tot""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q97: partition-balance audit — measure how evenly a candidate
+  // shuffle key spreads rows across buckets BEFORE betting a 100 TB
+  // join on it (the skew pre-check that decides between a plain
+  // shuffle and q45's salting). Rows bucket by key modulo (the
+  // deterministic stand-in for the engine hash, which is not
+  // cross-engine portable); the summary reports bucket extremes and a
+  // permille imbalance ratio, all integer arithmetic.
+  // ------------------------------------------------------------------
+  def q97PartitionBalance(spark: SparkSession, dir: String): DataFrame = {
+    val buckets = Tables.lineitem(spark, dir)
+      .select(pmod(col("l_orderkey"), lit(32L)).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+    buckets.agg(
+        count(lit(1)).as("n_buckets"),
+        sum(col("n")).as("n_rows"),
+        min(col("n")).as("min_bucket"),
+        max(col("n")).as("max_bucket"))
+      .withColumn("imbalance_permille",
+        expr("(max_bucket - min_bucket) * 1000 div max_bucket"))
+  }
+
+  val q97Sql: String =
+    """WITH b AS (
+      |  SELECT l_orderkey % 32 AS bucket, COUNT(*) AS n
+      |  FROM lineitem GROUP BY 1)
+      |SELECT COUNT(*) AS n_buckets, CAST(SUM(n) AS BIGINT) AS n_rows,
+      |  CAST(MIN(n) AS BIGINT) AS min_bucket,
+      |  CAST(MAX(n) AS BIGINT) AS max_bucket,
+      |  (MAX(n) - MIN(n)) * 1000 // MAX(n) AS imbalance_permille
+      |FROM b""".stripMargin
+
   val q77Sql: String =
     """WITH d AS (
       |  SELECT doc_id, string_split(text, ' ') AS words,
