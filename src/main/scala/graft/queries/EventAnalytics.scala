@@ -330,6 +330,111 @@ object EventAnalytics {
       |  CAST(MAX(sec) AS BIGINT) AS max_sec
       |FROM d""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q98: behavioral transition matrix — counts of consecutive
+  // (from_type → to_type) steps per user stream, the first-order
+  // Markov model behind next-action prediction and anomalous-flow
+  // detection. One lag() window per user (single hash shuffle — the
+  // same exchange the SCD2/sessionization family rides), then a tiny
+  // (types × types) count aggregation with integer-permille shares.
+  // ------------------------------------------------------------------
+  def q98TransitionMatrix(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val steps = Tables.events(spark, dir)
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+    val counts = steps.groupBy(col("from_type"),
+        col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("from_type")).agg(sum(col("n")).as("t"))
+    counts.join(broadcast(totals), "from_type")
+      .withColumn("permille", expr("n * 1000 div t"))
+      .select(col("from_type"), col("to_type"), col("n"), col("permille"))
+  }
+
+  val q98Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+      |  FROM events),
+      |steps AS (
+      |  SELECT lag(event_type) OVER
+      |      (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS from_type,
+      |    event_type AS to_type
+      |  FROM e),
+      |counts AS (
+      |  SELECT from_type, to_type, COUNT(*) AS n
+      |  FROM steps WHERE from_type IS NOT NULL GROUP BY 1, 2),
+      |totals AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS t
+      |  FROM counts GROUP BY from_type)
+      |SELECT c.from_type, c.to_type, c.n, c.n * 1000 // t.t AS permille
+      |FROM counts c JOIN totals t USING (from_type)""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q99: RFM customer segmentation — recency / frequency / monetary
+  // quartile codes, the classic lifecycle-marketing partition of a
+  // customer base. One per-customer aggregation (map-side partials),
+  // exact quartile boundaries from ONE percentile aggregate broadcast
+  // back (q86's no-global-ntile rule), integer day recency, and the
+  // final segment code is pure comparison arithmetic — identical cuts
+  // both engines.
+  // ------------------------------------------------------------------
+  def q99RfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val asOf = o.agg(max(to_date(col("o_orderdate"))).as("d1"))
+    val per = o.groupBy(col("o_custkey"))
+      .agg(max(to_date(col("o_orderdate"))).as("last_day"),
+        count(lit(1)).as("freq"),
+        sum(col("o_totalprice").cast(DecimalType(18, 4))).as("monetary"))
+      .crossJoin(broadcast(asOf))
+      .select(col("o_custkey"),
+        expr("datediff(d1, last_day)").cast(LongType).as("recency_days"),
+        col("freq"),
+        col("monetary").cast(DoubleType).as("monetary"))
+    val bounds = per.agg(
+      expr("percentile(recency_days, 0.5)").as("r50"),
+      expr("percentile(freq, 0.5)").as("f50"),
+      expr("percentile(monetary, 0.5)").as("m50"))
+    per.crossJoin(broadcast(bounds))
+      .withColumn("seg", concat(
+        when(col("recency_days").cast(DoubleType) <= col("r50"), "R1").otherwise("R0"),
+        when(col("freq").cast(DoubleType) > col("f50"), "F1").otherwise("F0"),
+        when(col("monetary") > col("m50"), "M1").otherwise("M0")))
+      .groupBy(col("seg"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("freq")).as("n_orders"),
+        round(sum(col("monetary").cast(DecimalType(18, 4))).cast(DoubleType), 4)
+          .as("total_value"))
+  }
+
+  val q99Sql: String =
+    """WITH per AS (
+      |  SELECT o_custkey, MAX(CAST(o_orderdate AS DATE)) AS last_day,
+      |    COUNT(*) AS freq,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS monetary
+      |  FROM orders GROUP BY o_custkey),
+      |cutoff AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS d1 FROM orders),
+      |feat AS (
+      |  SELECT o_custkey,
+      |    CAST(date_diff('day', last_day, d1) AS BIGINT) AS recency_days,
+      |    freq, CAST(monetary AS DOUBLE) AS monetary
+      |  FROM per CROSS JOIN cutoff),
+      |bounds AS (
+      |  SELECT quantile_cont(recency_days, 0.5) AS r50,
+      |    quantile_cont(freq, 0.5) AS f50,
+      |    quantile_cont(monetary, 0.5) AS m50
+      |  FROM feat)
+      |SELECT
+      |  (CASE WHEN CAST(recency_days AS DOUBLE) <= r50 THEN 'R1' ELSE 'R0' END ||
+      |   CASE WHEN CAST(freq AS DOUBLE) > f50 THEN 'F1' ELSE 'F0' END ||
+      |   CASE WHEN monetary > m50 THEN 'M1' ELSE 'M0' END) AS seg,
+      |  COUNT(*) AS n_customers,
+      |  CAST(SUM(freq) AS BIGINT) AS n_orders,
+      |  round(CAST(SUM(CAST(monetary AS DECIMAL(18,4))) AS DOUBLE), 4) AS total_value
+      |FROM feat CROSS JOIN bounds
+      |GROUP BY 1""".stripMargin
+
   val q90Sql: String =
     """WITH e AS (
       |  SELECT event_type, event_id, value, CAST(ts AS TIMESTAMP) AS ts
