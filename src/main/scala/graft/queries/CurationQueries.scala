@@ -562,6 +562,102 @@ object CurationQueries {
       |  (MAX(n) - MIN(n)) * 1000 // MAX(n) AS imbalance_permille
       |FROM b""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q100: the full training-data preparation pipeline as ONE
+  // distributed plan — the capstone composition of this engine's
+  // curation stages, each individually oracle-proven:
+  //   1. quality gate (q64's integer Gopher rules R1-R3),
+  //   2. exact dedup among survivors (q30: canonical = min doc_id per
+  //      content hash, map-side partial min),
+  //   3. mixture balancing toward a uniform language target over the
+  //      CANONICAL corpus (q65's md5-uniform vs 24-bit threshold —
+  //      deterministic at any partitioning),
+  //   4. per-language funnel accounting (raw → quality → canonical →
+  //      sampled, with sampled token mass).
+  // Everything flows through per-doc flags folded in a single final
+  // aggregation; the only shuffles are the dedup hash-agg, the tiny
+  // per-lang rate aggregate (broadcast back), and the final tally.
+  // ------------------------------------------------------------------
+  def q100Pipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val nWords = size(split(col("text"), " ")).cast(LongType)
+    val nWordChars = (length(col("text")) - (nWords - 1)).cast(LongType)
+    val padded = concat(lit(" "), col("text"), lit(" "))
+    val nStop = Seq("the", "a", "and", "of")
+      .map(w => when(padded.contains(s" $w "), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val flagged = docs.select(col("doc_id"), col("lang"), col("text"),
+        nWords.as("toks"),
+        (nWords >= 50 && nWordChars >= nWords * 3 &&
+          nWordChars <= nWords * 10 && nStop >= 2).as("quality"))
+      .withColumn("h", md5(col("text")))
+    // canonical = min doc_id per content hash among QUALITY docs
+    val canon = flagged.filter(col("quality"))
+      .groupBy(col("h")).agg(min(col("doc_id")).as("canon_id"))
+    // canon scales with the corpus — a co-shuffled join on the content
+    // hash, never a broadcast (AQE may still broadcast at small SF)
+    val staged = flagged.join(canon, Seq("h"), "left")
+      .withColumn("canonical",
+        col("quality") && col("doc_id") === col("canon_id"))
+    // uniform-mix acceptance rates over the canonical corpus (q65 shape)
+    val counts = staged.filter(col("canonical"))
+      .groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(sum(col("cnt")).as("total"),
+      count(lit(1)).as("n_langs"))
+    val rates = counts.crossJoin(broadcast(totals))
+      .withColumn("rate", least(lit(1.0),
+        col("total").cast(DoubleType) /
+          (col("n_langs").cast(DoubleType) * col("cnt").cast(DoubleType))))
+      .select(col("lang").as("rl"),
+        format_string("%06x",
+          floor(col("rate") * 16777216.0).cast(LongType)).as("thr"))
+    staged.join(broadcast(rates), col("lang") === col("rl"), "left")
+      .withColumn("sampled", col("canonical") &&
+        substring(md5(col("doc_id").cast(StringType)), 1, 6) < col("thr"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_raw"),
+        sum(when(col("quality"), 1L).otherwise(0L)).as("n_quality"),
+        sum(when(col("canonical"), 1L).otherwise(0L)).as("n_canonical"),
+        sum(when(col("sampled"), 1L).otherwise(0L)).as("n_sampled"),
+        sum(when(col("sampled"), col("toks")).otherwise(0L)).as("sampled_tokens"))
+  }
+
+  val q100Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id, lang, text, md5(text) AS h,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+      |    (len(string_split(text, ' ')) >= 50
+      |     AND length(text) - (len(string_split(text, ' ')) - 1) >= len(string_split(text, ' ')) * 3
+      |     AND length(text) - (len(string_split(text, ' ')) - 1) <= len(string_split(text, ' ')) * 10
+      |     AND (CASE WHEN ' ' || text || ' ' LIKE '% the %' THEN 1 ELSE 0 END +
+      |          CASE WHEN ' ' || text || ' ' LIKE '% a %' THEN 1 ELSE 0 END +
+      |          CASE WHEN ' ' || text || ' ' LIKE '% and %' THEN 1 ELSE 0 END +
+      |          CASE WHEN ' ' || text || ' ' LIKE '% of %' THEN 1 ELSE 0 END) >= 2) AS quality
+      |  FROM documents),
+      |canon AS (
+      |  SELECT h, MIN(doc_id) AS canon_id FROM base WHERE quality GROUP BY h),
+      |staged AS (
+      |  SELECT b.*, b.quality AND b.doc_id = c.canon_id AS canonical
+      |  FROM base b LEFT JOIN canon c USING (h)),
+      |counts AS (
+      |  SELECT lang, COUNT(*) AS cnt FROM staged WHERE canonical GROUP BY lang),
+      |totals AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total, COUNT(*) AS n_langs FROM counts),
+      |rates AS (
+      |  SELECT lang AS rl,
+      |    printf('%06x', CAST(floor(least(1.0,
+      |      CAST(total AS DOUBLE) / (CAST(n_langs AS DOUBLE) * CAST(cnt AS DOUBLE)))
+      |      * 16777216.0) AS BIGINT)) AS thr
+      |  FROM counts CROSS JOIN totals),
+      |final AS (
+      |  SELECT s.*, s.canonical AND substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 6) < r.thr AS sampled
+      |  FROM staged s LEFT JOIN rates r ON s.lang = r.rl)
+      |SELECT lang, COUNT(*) AS n_raw,
+      |  CAST(SUM(CASE WHEN quality THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+      |  CAST(SUM(CASE WHEN canonical THEN 1 ELSE 0 END) AS BIGINT) AS n_canonical,
+      |  CAST(SUM(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+      |  CAST(SUM(CASE WHEN sampled THEN toks ELSE 0 END) AS BIGINT) AS sampled_tokens
+      |FROM final GROUP BY lang""".stripMargin
+
   val q77Sql: String =
     """WITH d AS (
       |  SELECT doc_id, string_split(text, ' ') AS words,
