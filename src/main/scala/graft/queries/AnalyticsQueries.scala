@@ -476,4 +476,88 @@ object AnalyticsQueries {
       |            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
       |  last3 AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
       |            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q101: market-basket co-occurrence lift — which parts ship together
+  // in the same order more often than their popularity predicts. The
+  // pair generation is a WITHIN-GROUP self-join on the order key (one
+  // co-shuffle; both sides arrive on the same exchange), bounded by
+  // basket size (≈4 lines/order), never a cross join; the a<b ordering
+  // dedupes mirrored pairs. Lift uses q88's rational-ratio rule (no
+  // logs), rounded 4 dp, top-15 with lexicographic tiebreak.
+  // ------------------------------------------------------------------
+  def q101BasketPairs(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val orders = li.select(col("ok")).distinct().count()
+    val freq = li.groupBy(col("pk")).agg(count(lit(1)).as("f"))
+    val pairs = li.as("a").join(li.as("b"), Seq("ok"))
+      .filter(col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+      .agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= 3)
+    // freq is part-dimension-sized (scales with SF) — plain joins, AQE
+    // broadcasts them at small scale and co-shuffles beyond
+    pairs
+      .join(freq.select(col("pk").as("pa"), col("f").as("fa")), "pa")
+      .join(freq.select(col("pk").as("pb"), col("f").as("fb")), "pb")
+      .withColumn("lift", round(
+        (col("n_both").cast(DoubleType) * lit(orders.toDouble)) /
+          (col("fa").cast(DoubleType) * col("fb").cast(DoubleType)), 4))
+      .select(col("pa"), col("pb"), col("n_both"), col("lift"))
+      .orderBy(col("lift").desc, col("pa").asc, col("pb").asc)
+      .limit(15)
+  }
+
+  val q101Sql: String =
+    """WITH li AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |orders AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n FROM li),
+      |freq AS (SELECT pk, COUNT(*) AS f FROM li GROUP BY pk),
+      |pairs AS (
+      |  SELECT a.pk AS pa, b.pk AS pb, COUNT(*) AS n_both
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+      |SELECT pa, pb, n_both,
+      |  round((CAST(n_both AS DOUBLE) * CAST(n AS DOUBLE)) /
+      |    (CAST(fa.f AS DOUBLE) * CAST(fb.f AS DOUBLE)), 4) AS lift
+      |FROM pairs
+      |JOIN freq fa ON pairs.pa = fa.pk
+      |JOIN freq fb ON pairs.pb = fb.pk
+      |CROSS JOIN orders
+      |ORDER BY lift DESC, pa ASC, pb ASC LIMIT 15""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q102: weekday seasonality profile — per (event_type, ISO weekday)
+  // volume against the flat-week expectation, deviation in integer
+  // permille so both engines flag identical cells. One grouped tally
+  // (7 × types rows) plus a per-type total broadcast back — the
+  // weekly-pattern fingerprint that catches pipeline gaps and bot
+  // traffic alike.
+  // ------------------------------------------------------------------
+  def q102WeekdayProfile(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("dow", dayofweek(col("ts")).cast(LongType)) // 1=Sun..7=Sat
+    val cell = ev.groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cell.groupBy(col("event_type")).agg(sum(col("n")).as("t"))
+    cell.join(broadcast(tot), "event_type")
+      .withColumn("share_permille", expr("n * 1000 div t"))
+      .withColumn("dev_permille", expr("n * 7000 div t - 1000"))
+      .select(col("event_type"), col("dow"), col("n"),
+        col("share_permille"), col("dev_permille"))
+  }
+
+  val q102Sql: String =
+    """WITH cell AS (
+      |  SELECT event_type,
+      |    CAST(dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS BIGINT) AS dow,
+      |    COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |tot AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS t
+      |  FROM cell GROUP BY event_type)
+      |SELECT c.event_type, c.dow, c.n,
+      |  c.n * 1000 // t.t AS share_permille,
+      |  c.n * 7000 // t.t - 1000 AS dev_permille
+      |FROM cell c JOIN tot t USING (event_type)""".stripMargin
 }
