@@ -1,0 +1,181 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+
+/**
+ * Corpus-similarity and dataset-assembly queries: the operators that sit
+ * between curation (CurationQueries) and the training run itself —
+ * sparse lexical similarity, weighted subset selection, and the
+ * train/valid/test cut with its leakage audit.
+ *
+ * Parity design (same contract as the rest of the suite): similarity
+ * numerators/denominators stay in exact integer arithmetic until ONE
+ * final double division (and at most one IEEE-exact sqrt), rounded to
+ * 4 dp; sampling draws its uniform from an md5 prefix (portable,
+ * partition-independent) and ranks by pure integer division.
+ */
+object CorpusQueries {
+
+  // ------------------------------------------------------------------
+  // q103: document-pair cosine in the RARE-BIGRAM subspace (lexical
+  // near-dup scoring, TF-IDF shape). Blocking term = word bigram; the
+  // gate keeps only bigrams in >=2 docs but <=~0.4% of the corpus
+  // (df*250 <= ndocs + slack), so it is RELATIVE: at any corpus size a
+  // posting list is bounded by eps*N and the per-term pair fan-out by
+  // (eps*N)^2/2 — the inverted-index self-join stays near-linear in N
+  // instead of quadratic. Same blocking idea as q31's LSH bands, but
+  // exact and lexical. Plan shape: one explode+tally for tf, a tiny
+  // gate dimension joined back (AQE broadcasts it), term-partitioned
+  // pair generation, one hash-agg accumulating integer dot products.
+  // Norms are integer sum-of-squares over the SAME kept-term subspace,
+  // so cosine = dot / sqrt(na*nb) is exact-integer → one IEEE sqrt →
+  // one division → round(4) — bit-identical across engines.
+  // ------------------------------------------------------------------
+  def q103TfidfCosine(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.count() // one tiny count, reused as a literal
+    val toks = docs
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w)-2), i -> concat(w[i], ' ', w[i+1]))"))
+        .as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfGate = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") * 250 <= lit(nDocs + 500))
+      .select(col("term"))
+    val kept = tf.join(dfGate, "term") // postings, term-partitioned
+    val norms = kept.groupBy(col("doc_id"))
+      .agg(sum(col("tf") * col("tf")).as("nrm"))
+    val pairs = kept.as("a").join(kept.as("b"), Seq("term"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(sum(col("a.tf") * col("b.tf")).as("dot"))
+    pairs
+      .join(norms.select(col("doc_id").as("da"), col("nrm").as("na")), "da")
+      .join(norms.select(col("doc_id").as("db"), col("nrm").as("nb")), "db")
+      .withColumn("cosine", round(
+        col("dot").cast(DoubleType) /
+          sqrt((col("na") * col("nb")).cast(DoubleType)), 4))
+      .orderBy(col("cosine").desc, col("da").asc, col("db").asc)
+      .limit(20)
+      .select(col("da"), col("db"), col("dot"), col("cosine"))
+  }
+
+  val q103Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |nd AS (SELECT COUNT(*) AS n FROM documents),
+      |toks AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS term
+      |  FROM d),
+      |tf AS (
+      |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM toks GROUP BY 1, 2),
+      |gate AS (
+      |  SELECT term FROM tf CROSS JOIN nd GROUP BY term, n
+      |  HAVING COUNT(*) >= 2 AND COUNT(*) * 250 <= n + 500),
+      |kept AS (SELECT tf.* FROM tf JOIN gate USING (term)),
+      |norms AS (
+      |  SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS nrm
+      |  FROM kept GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db,
+      |    CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+      |  FROM kept a JOIN kept b ON a.term = b.term AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT da, db, dot,
+      |    round(CAST(dot AS DOUBLE) /
+      |      sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)), 4) AS cosine
+      |  FROM pairs
+      |  JOIN norms na ON pairs.da = na.doc_id
+      |  JOIN norms nb ON pairs.db = nb.doc_id)
+      |SELECT da, db, dot, cosine FROM scored
+      |ORDER BY cosine DESC, da ASC, db ASC LIMIT 20""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q104: deterministic weighted priority sampling (A-ES shape, integer
+  // form): each doc draws a 24-bit uniform from its md5 prefix and is
+  // ranked by u*1000 div weight — inclusion probability grows with the
+  // weight (here n_chars: byte-budget selection), yet the chosen set is
+  // reproducible at ANY partitioning and any engine, because both the
+  // uniform and the rank are pure integer arithmetic. The top-k is a
+  // TakeOrderedAndProject: every task keeps a k-row heap, only k rows
+  // per task reach the driver — no global sort, no full shuffle.
+  // ------------------------------------------------------------------
+  def q104WeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .filter(col("n_chars") > 0)
+      .withColumn("u",
+        conv(substring(md5(col("doc_id").cast(StringType)), 1, 6), 16, 10)
+          .cast(LongType))
+      .withColumn("pri", expr("u * 1000 div n_chars"))
+    docs.orderBy(col("pri").asc, col("doc_id").asc).limit(100)
+      .select(col("doc_id"), col("n_chars"), col("pri"))
+  }
+
+  val q104Sql: String =
+    """SELECT doc_id, n_chars,
+      |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT)
+      |    * 1000 // n_chars AS pri
+      |FROM documents WHERE n_chars > 0
+      |ORDER BY pri ASC, doc_id ASC LIMIT 100""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q105: train/valid/test split + leakage audit. The split is an
+  // md5-permille gate (96/2/2), so membership is a pure function of
+  // doc_id — stable across runs, partitionings, and engines. The audit
+  // catches EXACT-duplicate leakage: texts whose duplicate cluster
+  // (md5 of content) spans more than one split would let the model see
+  // eval data at train time. One content-hash aggregate (cluster spans)
+  // joined back on the hash — co-shuffled hash join, cluster dimension
+  // is distinct-text-sized; the final tally is 3 rows.
+  // ------------------------------------------------------------------
+  def q105TrainSplit(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .withColumn("u",
+        conv(substring(md5(col("doc_id").cast(StringType)), 1, 6), 16, 10)
+          .cast(LongType))
+      .withColumn("split",
+        when(col("u") % 1000 < 960, "train")
+          .when(col("u") % 1000 < 980, "valid")
+          .otherwise("test"))
+      .withColumn("h", md5(col("text")))
+      .withColumn("toks", size(split(col("text"), " ")).cast(LongType))
+    val spans = base.groupBy(col("h"))
+      .agg(countDistinct(col("split")).as("nsplits"))
+    base.join(spans, "h")
+      .groupBy(col("split"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("n_tokens"),
+        sum(when(col("nsplits") > 1, 1L).otherwise(0L)).as("n_leaky_docs"))
+      .orderBy(col("split"))
+  }
+
+  val q105Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id, md5(text) AS h,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+      |    CASE
+      |      WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) % 1000 < 960 THEN 'train'
+      |      WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) % 1000 < 980 THEN 'valid'
+      |      ELSE 'test' END AS split
+      |  FROM documents),
+      |spans AS (
+      |  SELECT h, CAST(COUNT(DISTINCT split) AS BIGINT) AS nsplits
+      |  FROM base GROUP BY h)
+      |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(toks) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(CASE WHEN nsplits > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_leaky_docs
+      |FROM base JOIN spans USING (h)
+      |GROUP BY split ORDER BY split""".stripMargin
+}

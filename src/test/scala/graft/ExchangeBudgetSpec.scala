@@ -45,8 +45,14 @@ class ExchangeBudgetSpec extends SparkTestBase {
     "q75_sequence_pack"  -> 3,  // bucket window, offsets broadcast,
                                 // final seq tally
     "q85_posting_lists"  -> 2,  // (term,doc) partials then per-term
-    "q89_lm_surprisal"   -> 3)  // vocab counts, one-row total, per-doc
+    "q89_lm_surprisal"   -> 3,  // vocab counts, one-row total, per-doc
                                 // fold (vocab broadcast back)
+    "q103_tfidf_cosine"  -> 5,  // tf agg, df gate agg (broadcast back),
+                                // term repartition for the pair join,
+                                // pair agg, norm agg (broadcast back)
+    "q104_weighted_sample" -> 0, // TakeOrderedAndProject: per-task heaps
+    "q105_train_split"   -> 4)  // content-hash spans agg, co-shuffled
+                                // join back, 3-row split tally
 
   budgets.foreach { case (name, budget) =>
     test(s"$name stays within its shuffle budget of $budget") {
