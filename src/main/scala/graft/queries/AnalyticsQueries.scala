@@ -560,4 +560,83 @@ object AnalyticsQueries {
       |  c.n * 1000 // t.t AS share_permille,
       |  c.n * 7000 // t.t - 1000 AS dev_permille
       |FROM cell c JOIN tot t USING (event_type)""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q110: small-quantity revenue (TPC-H Q17 shape) — the classic
+  // correlated scalar subquery ("rows below 20% of that part's average
+  // quantity") DECORRELATED into a per-part aggregate joined back
+  // co-shuffled on the part key. The threshold test is pure integer
+  // cross-multiplication (5·q·cnt < Σq), not a float 0.2·avg — exact
+  // and portable. Prices stay in cents (BIGINT). The part dimension is
+  // broadcast; the two lineitem passes share one partitioning (the agg
+  // exchange is reused by the join side under AQE).
+  // ------------------------------------------------------------------
+  def q110SmallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"),
+        col("l_quantity").cast(LongType).as("q"),
+        round(col("l_extendedprice") * 100).cast(LongType).as("cents"))
+    val perPart = li.groupBy(col("l_partkey"))
+      .agg(sum(col("q")).as("sumq"), count(lit(1)).as("cnt"))
+    li.join(perPart, "l_partkey")
+      .filter(col("q") * 5 * col("cnt") < col("sumq"))
+      .join(broadcast(Tables.part(spark, dir)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_small"), sum(col("cents")).as("rev_cents"))
+  }
+
+  val q110Sql: String =
+    """WITH li AS (
+      |  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS q,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      |  FROM lineitem),
+      |pp AS (
+      |  SELECT l_partkey, CAST(SUM(q) AS BIGINT) AS sumq, COUNT(*) AS cnt
+      |  FROM li GROUP BY 1)
+      |SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_small,
+      |  CAST(SUM(cents) AS BIGINT) AS rev_cents
+      |FROM li JOIN pp USING (l_partkey)
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE q * 5 * cnt < sumq
+      |GROUP BY p_brand""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q111: cheapest-supplier-per-part (TPC-H Q2 shape) — the correlated
+  // "WHERE price = (SELECT MIN(price) ... same part)" decorrelated as
+  // min-aggregate + join-back on (part, price). Ties resolve to the
+  // lowest supplier key via a second aggregate, never an arbitrary
+  // first-row pick — deterministic on any engine and partitioning.
+  // Both lineitem passes shuffle on l_partkey (one exchange reused);
+  // the final top-20 is a TakeOrderedAndProject (per-task heaps).
+  // ------------------------------------------------------------------
+  def q111MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        round(col("l_extendedprice") * 100).cast(LongType).as("cents"))
+    val mins = li.groupBy(col("l_partkey")).agg(min(col("cents")).as("min_cents"))
+    li.join(mins, "l_partkey")
+      .filter(col("cents") === col("min_cents"))
+      .groupBy(col("l_partkey"))
+      .agg(min(col("l_suppkey")).as("winner_suppkey"),
+        min(col("min_cents")).as("min_cents"))
+      .orderBy(col("l_partkey").asc)
+      .limit(20)
+  }
+
+  val q111Sql: String =
+    """WITH li AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      |  FROM lineitem),
+      |mins AS (
+      |  SELECT l_partkey, CAST(MIN(cents) AS BIGINT) AS min_cents
+      |  FROM li GROUP BY 1)
+      |SELECT l_partkey, MIN(l_suppkey) AS winner_suppkey,
+      |  MIN(min_cents) AS min_cents
+      |FROM li JOIN mins USING (l_partkey)
+      |WHERE cents = min_cents
+      |GROUP BY l_partkey
+      |ORDER BY l_partkey ASC LIMIT 20""".stripMargin
 }

@@ -235,6 +235,68 @@ object ClusterQueries {
       |FROM hist CROSS JOIN recip""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // q107: embedding-space outlier pruning — the curation filter that
+  // drops vectors far from their class centroid (mislabeled / noisy
+  // examples; the per-cluster complement of q59's near-dup prune).
+  // Centroid = per-label component SUM vector in ×1e6 scaled integers
+  // (exact, order-independent); cosine is scale-invariant, so dividing
+  // by the count is never needed — cos(v, Σv) ≡ cos(v, mean). Products
+  // accumulate through DECIMAL(38,0)/HUGEINT (s is ∝ label size, so
+  // s·s overflows int64 at scale). Plan shape: posexplode keeps a
+  // vector's components co-located, so the per-vector dot/norm agg
+  // collapses map-side to ONE row per vector before its shuffle; the
+  // centroid table (labels × 64 rows) is broadcast — the corpus never
+  // shuffles at full width.
+  // ------------------------------------------------------------------
+  def q107EmbedOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val comp = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label").cast(LongType).as("label"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .withColumn("c", round(col("x").cast(DoubleType) * lit(1e6)).cast(LongType))
+    val cent = comp.groupBy(col("label"), col("pos"))
+      .agg(sum(col("c")).as("s"))
+    val cnorm = cent.groupBy(col("label"))
+      .agg(sum(col("s").cast(dec) * col("s")).as("ns"))
+    val dots = comp.join(broadcast(cent), Seq("label", "pos"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(col("c").cast(dec) * col("s")).as("dot"),
+        sum(col("c") * col("c")).as("nv"))
+    dots.join(broadcast(cnorm), "label")
+      .filter(col("nv") > 0)
+      .withColumn("cos", round(col("dot").cast(DoubleType) /
+        (sqrt(col("nv").cast(DoubleType)) * sqrt(col("ns").cast(DoubleType))), 4))
+      .orderBy(col("cos").asc, col("vec_id").asc)
+      .limit(20)
+      .select(col("vec_id"), col("label"), col("cos"))
+  }
+
+  val q107Sql: String =
+    """WITH v AS (
+      |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      |  FROM embeddings),
+      |comp AS (
+      |  SELECT vec_id, label, g.pos,
+      |    CAST(round(vec[CAST(g.pos AS INT)] * 1000000.0) AS BIGINT) AS c
+      |  FROM v CROSS JOIN generate_series(1, 64) g(pos)),
+      |cent AS (
+      |  SELECT label, pos, CAST(SUM(c) AS BIGINT) AS s
+      |  FROM comp GROUP BY 1, 2),
+      |cn AS (SELECT label, SUM(CAST(s AS HUGEINT) * s) AS ns FROM cent GROUP BY label),
+      |dots AS (
+      |  SELECT comp.vec_id, comp.label,
+      |    SUM(CAST(c AS HUGEINT) * s) AS dot,
+      |    CAST(SUM(c * c) AS BIGINT) AS nv
+      |  FROM comp JOIN cent USING (label, pos) GROUP BY 1, 2)
+      |SELECT vec_id, label,
+      |  round(CAST(dot AS DOUBLE) /
+      |    (sqrt(CAST(nv AS DOUBLE)) * sqrt(CAST(ns AS DOUBLE))), 4) AS cos
+      |FROM dots JOIN cn USING (label)
+      |WHERE nv > 0
+      |ORDER BY cos ASC, vec_id ASC LIMIT 20""".stripMargin
+
   def q79PageRank(spark: SparkSession, dir: String): DataFrame = {
     val sup = Tables.supplier(spark, dir).select(col("s_suppkey").as("node"))
     val ns = sup.count()

@@ -161,6 +161,119 @@ object CorpusQueries {
       .orderBy(col("split"))
   }
 
+  // ------------------------------------------------------------------
+  // q106: exact-substring duplication audit via OVERLAPPING rolling
+  // windows (the Lee et al. 2022 "Deduplicating Training Data Makes
+  // Language Models Better" signal, window-hash form). q62's segment
+  // dedup tiles the text in fixed 8-word blocks, which misses spans
+  // duplicated at a shifted offset; here every 8-word window (stride 1)
+  // is hashed, so a copied span is caught at ANY alignment. Per doc:
+  // how many of its window positions are shared with at least one
+  // OTHER doc, as an integer permille. Plan shape: windows collapse to
+  // (doc, hash) counts with map-side partials BEFORE anything wide;
+  // the span table (hash → doc count) joins back co-shuffled on the
+  // hash, so the corpus text itself never shuffles — only 32-char
+  // digests. Stride is the cost dial at 100 TB (stride s divides the
+  // window rows by s at the price of s-word detection granularity).
+  // ------------------------------------------------------------------
+  def q106SpanDedup(spark: SparkSession, dir: String): DataFrame = {
+    val w = 8
+    val wins = Tables.documents(spark, dir)
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= w)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(ws)-$w), i -> md5(array_join(slice(ws, i+1, $w), ' ')))"))
+        .as("h"))
+    val perDocHash = wins.groupBy(col("doc_id"), col("h"))
+      .agg(count(lit(1)).as("cnt"))
+    val spanDocs = perDocHash.groupBy(col("h"))
+      .agg(count(lit(1)).as("nd")) // docs containing this window
+    perDocHash.join(spanDocs, "h") // co-shuffled: same key as both aggs
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_windows"),
+        sum(when(col("nd") >= 2, col("cnt")).otherwise(0L)).as("n_shared"))
+      .withColumn("dup_permille", expr("n_shared * 1000 div n_windows"))
+      .orderBy(col("dup_permille").desc, col("doc_id").asc)
+      .limit(20)
+      .select(col("doc_id"), col("n_windows"), col("n_shared"),
+        col("dup_permille"))
+  }
+
+  val q106Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 8),
+      |wins AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(ws) - 6),
+      |      i -> md5(array_to_string(ws[i:i+7], ' ')))) AS h
+      |  FROM d),
+      |pdh AS (
+      |  SELECT doc_id, h, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM wins GROUP BY 1, 2),
+      |sd AS (SELECT h, COUNT(*) AS nd FROM pdh GROUP BY h)
+      |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_windows,
+      |  CAST(SUM(CASE WHEN nd >= 2 THEN cnt ELSE 0 END) AS BIGINT) AS n_shared,
+      |  CAST(SUM(CASE WHEN nd >= 2 THEN cnt ELSE 0 END) * 1000
+      |    // SUM(cnt) AS BIGINT) AS dup_permille
+      |FROM pdh JOIN sd USING (h)
+      |GROUP BY doc_id
+      |ORDER BY dup_permille DESC, doc_id ASC LIMIT 20""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q113: per-source boilerplate span detection — the C4/RefinedWeb
+  // cleanup signal: the 8-word span repeated across the most documents
+  // OF THE SAME SOURCE is almost always template boilerplate (nav
+  // bars, footers, license blurbs). Reuses q106's rolling windows but
+  // keyed by (source, span); per-span distinct-doc counts collapse in
+  // two hash-aggs (dedup rows first, then count — cheaper than a
+  // distinct-agg rewrite), and the per-source argmax is decorrelated
+  // as max + join-back + min(span) tiebreak — deterministic, no
+  // per-source window sort (a source is a SKEWED partition at scale).
+  // ------------------------------------------------------------------
+  def q113BoilerplateSpans(spark: SparkSession, dir: String): DataFrame = {
+    val w = 8
+    val wins = Tables.documents(spark, dir)
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= w)
+      .select(col("source"), col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(ws)-$w), i -> array_join(slice(ws, i+1, $w), ' '))"))
+        .as("span"))
+    val cnt = wins.groupBy(col("source"), col("span"), col("doc_id")).agg(lit(1))
+      .groupBy(col("source"), col("span"))
+      .agg(count(lit(1)).as("nd"))
+    val mx = cnt.groupBy(col("source"))
+      .agg(max(col("nd")).as("top_span_docs"), count(lit(1)).as("n_spans"))
+    cnt.join(mx, "source")
+      .filter(col("nd") === col("top_span_docs"))
+      .groupBy(col("source"), col("top_span_docs"), col("n_spans"))
+      .agg(min(col("span")).as("top_span"))
+      .select(col("source"), col("top_span_docs"), col("n_spans"),
+        col("top_span"))
+  }
+
+  val q113Sql: String =
+    """WITH d AS (
+      |  SELECT source, doc_id, string_split(text, ' ') AS ws FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 8),
+      |wins AS (
+      |  SELECT source, doc_id,
+      |    unnest(list_transform(range(1, len(ws) - 6),
+      |      i -> array_to_string(ws[i:i+7], ' '))) AS span
+      |  FROM d),
+      |u AS (SELECT DISTINCT source, span, doc_id FROM wins),
+      |cnt AS (
+      |  SELECT source, span, CAST(COUNT(*) AS BIGINT) AS nd
+      |  FROM u GROUP BY 1, 2),
+      |mx AS (
+      |  SELECT source, MAX(nd) AS top_span_docs,
+      |    CAST(COUNT(*) AS BIGINT) AS n_spans
+      |  FROM cnt GROUP BY source)
+      |SELECT source, top_span_docs, n_spans, MIN(span) AS top_span
+      |FROM cnt JOIN mx USING (source)
+      |WHERE nd = top_span_docs
+      |GROUP BY source, top_span_docs, n_spans""".stripMargin
+
   val q105Sql: String =
     """WITH base AS (
       |  SELECT doc_id, md5(text) AS h,

@@ -658,6 +658,122 @@ object CurationQueries {
       |  CAST(SUM(CASE WHEN sampled THEN toks ELSE 0 END) AS BIGINT) AS sampled_tokens
       |FROM final GROUP BY lang""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q108: phrase search via POSITIONAL postings — the operator q85's
+  // document-level posting lists can't express: "these words, adjacent,
+  // in this order". Postings are built for the query terms ONLY (the
+  // filter sits before any wide operation, so index state is ∝ the two
+  // terms' posting lists, not the corpus), then intersected on
+  // (doc, pos+1): an equi-join both engines hash — at scale the join
+  // keys are doc-partitioned so each task intersects locally. The
+  // naive dual (per-row substring count) is linear in the corpus per
+  // query; positional postings amortize across a query workload.
+  // ------------------------------------------------------------------
+  def q108PhraseSearch(spark: SparkSession, dir: String): DataFrame = {
+    val (w1, w2) = ("table", "hash")
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+    val a = toks.filter(col("w") === w1).select(col("doc_id"), col("pos"))
+    val b = toks.filter(col("w") === w2)
+      .select(col("doc_id"), (col("pos") - 1).as("pos"))
+    a.join(b, Seq("doc_id", "pos"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+      .orderBy(col("n_hits").desc, col("doc_id").asc)
+      .limit(15)
+  }
+
+  val q108Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |t AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS term
+      |  FROM d)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+      |FROM t WHERE term = 'table hash'
+      |GROUP BY doc_id
+      |ORDER BY n_hits DESC, doc_id ASC LIMIT 15""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q109: quality-signal ENSEMBLE — single heuristics (q37, q64) gate
+  // on absolute thresholds; production curation (FineWeb-style) blends
+  // several signals on their per-corpus DISTRIBUTION. Each signal maps
+  // to a quartile bucket against exact percentile boundaries computed
+  // once and broadcast back (q86's shape — no global sort, no window
+  // rank; partition-count independent), and the ensemble score is the
+  // integer bucket sum. At 100 TB the exact percentile swaps for
+  // percentile_approx with the identical plan. Signals are integer
+  // permilles, so bucketing is bit-portable.
+  // ------------------------------------------------------------------
+  def q109QualityEnsemble(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("toks", size(col("ws")).cast(LongType))
+      .filter(col("toks") > 0)
+      .withColumn("uniq_pm", expr("size(array_distinct(ws)) * 1000 div toks"))
+      .withColumn("mwl_pm", expr("n_chars * 1000 div toks"))
+      .select(col("doc_id"), col("toks"), col("uniq_pm"), col("mwl_pm"))
+    val bounds = base.agg(
+      expr("percentile(toks, 0.25)").as("t25"),
+      expr("percentile(toks, 0.5)").as("t50"),
+      expr("percentile(toks, 0.75)").as("t75"),
+      expr("percentile(uniq_pm, 0.25)").as("u25"),
+      expr("percentile(uniq_pm, 0.5)").as("u50"),
+      expr("percentile(uniq_pm, 0.75)").as("u75"),
+      expr("percentile(mwl_pm, 0.25)").as("m25"),
+      expr("percentile(mwl_pm, 0.5)").as("m50"),
+      expr("percentile(mwl_pm, 0.75)").as("m75"))
+    def bucket(s: String, p: String) =
+      when(col(s).cast(DoubleType) <= col(p + "25"), 0L)
+        .when(col(s).cast(DoubleType) <= col(p + "50"), 1L)
+        .when(col(s).cast(DoubleType) <= col(p + "75"), 2L)
+        .otherwise(3L)
+    base.crossJoin(broadcast(bounds))
+      .withColumn("score",
+        bucket("toks", "t") + bucket("uniq_pm", "u") + bucket("mwl_pm", "m"))
+      .groupBy(col("score"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("n_tokens"),
+        min(col("doc_id")).as("min_doc_id"))
+  }
+
+  val q109Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+      |    CAST(len(list_distinct(string_split(text, ' '))) * 1000
+      |      // len(string_split(text, ' ')) AS BIGINT) AS uniq_pm,
+      |    CAST(n_chars * 1000 // len(string_split(text, ' ')) AS BIGINT) AS mwl_pm
+      |  FROM documents
+      |  WHERE len(string_split(text, ' ')) > 0),
+      |bounds AS (
+      |  SELECT
+      |    quantile_cont(toks, 0.25) AS t25, quantile_cont(toks, 0.5) AS t50,
+      |    quantile_cont(toks, 0.75) AS t75,
+      |    quantile_cont(uniq_pm, 0.25) AS u25, quantile_cont(uniq_pm, 0.5) AS u50,
+      |    quantile_cont(uniq_pm, 0.75) AS u75,
+      |    quantile_cont(mwl_pm, 0.25) AS m25, quantile_cont(mwl_pm, 0.5) AS m50,
+      |    quantile_cont(mwl_pm, 0.75) AS m75
+      |  FROM base)
+      |SELECT score, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(toks) AS BIGINT) AS n_tokens,
+      |  MIN(doc_id) AS min_doc_id
+      |FROM (
+      |  SELECT doc_id, toks,
+      |    CAST(CASE WHEN CAST(toks AS DOUBLE) <= t25 THEN 0
+      |          WHEN CAST(toks AS DOUBLE) <= t50 THEN 1
+      |          WHEN CAST(toks AS DOUBLE) <= t75 THEN 2 ELSE 3 END
+      |     + CASE WHEN CAST(uniq_pm AS DOUBLE) <= u25 THEN 0
+      |            WHEN CAST(uniq_pm AS DOUBLE) <= u50 THEN 1
+      |            WHEN CAST(uniq_pm AS DOUBLE) <= u75 THEN 2 ELSE 3 END
+      |     + CASE WHEN CAST(mwl_pm AS DOUBLE) <= m25 THEN 0
+      |            WHEN CAST(mwl_pm AS DOUBLE) <= m50 THEN 1
+      |            WHEN CAST(mwl_pm AS DOUBLE) <= m75 THEN 2 ELSE 3 END AS BIGINT) AS score
+      |  FROM base CROSS JOIN bounds)
+      |GROUP BY score""".stripMargin
+
   val q77Sql: String =
     """WITH d AS (
       |  SELECT doc_id, string_split(text, ' ') AS words,

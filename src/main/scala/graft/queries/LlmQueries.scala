@@ -559,4 +559,86 @@ object LlmQueries {
       |FROM cand
       |WHERE CAST(len(list_distinct(list_intersect(sh_n, sh_c))) AS DOUBLE)
       |    / CAST(len(list_distinct(sh_n || sh_c)) AS DOUBLE) >= 0.35""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q112: near-dup dedup with QUALITY-AWARE canonical selection — q61
+  // keeps the lowest id per duplicate cluster; production pipelines
+  // keep the BEST copy (here: most characters, tie → lowest id).
+  // Same machinery (q31's MinHash-LSH edges → min-label connected
+  // components); the canonical pick is an argmax encoded as
+  // max(struct(n_chars, -id)) — a partial-aggregable ordinary
+  // aggregate, no per-cluster window sort, so it scales like any
+  // hash-agg. Oracle replays the components as a recursive CTE and the
+  // pick as a ROW_NUMBER qualify.
+  // ------------------------------------------------------------------
+  def q112DedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val edges = Dedup.minhashNearDups(docs, "doc_id", "text",
+        threshold = 0.35, numHashes = 9, bands = 3, shingle = 3)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val labels = graft.operators.ConnectedComponents.minLabel(
+      docs.select(col("doc_id").as("id")), edges)
+    labels.join(docs.select(col("doc_id").as("id"), col("n_chars")), "id")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("cluster_size"),
+        max(struct(col("n_chars").cast(LongType).as("nc"),
+          (-col("id")).as("negid"))).as("best"))
+      .filter(col("cluster_size") >= 2)
+      .select(col("label"), col("cluster_size"),
+        (-col("best.negid")).as("kept_id"),
+        col("best.nc").as("kept_chars"),
+        (col("cluster_size") - 1L).as("n_dropped"))
+  }
+
+  val q112Sql: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+      |      i -> concat_ws(' ', t[i], t[i+1], t[i+2])) AS shingles
+      |  FROM toks),
+      |hashed AS (
+      |  SELECT doc_id, shingles, list_transform(shingles, s -> md5(s)) AS hs
+      |  FROM sh WHERE len(shingles) > 0),
+      |sig AS (
+      |  SELECT doc_id, shingles,
+      |    list_transform(range(0, 9),
+      |      j -> list_min(list_transform(hs,
+      |        h -> substr(h, CAST(j*3+1 AS INT), 32) || substr(h, 1, CAST(j*3 AS INT))))) AS sig
+      |  FROM hashed),
+      |banded AS (
+      |  SELECT doc_id, shingles, unnest(list_transform(range(0, 3),
+      |    b -> md5(concat_ws('|', sig[b*3+1], sig[b*3+2], sig[b*3+3], CAST(b AS VARCHAR))))) AS band_key
+      |  FROM sig),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    a.shingles AS sh_a, b.shingles AS sh_b
+      |  FROM banded a JOIN banded b
+      |    ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+      |pairs AS (
+      |  SELECT id_a, id_b FROM cand
+      |  WHERE CAST(len(list_distinct(list_intersect(sh_a, sh_b))) AS DOUBLE)
+      |      / CAST(len(list_distinct(sh_a || sh_b)) AS DOUBLE) >= 0.35),
+      |eg AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION ALL SELECT id_b, id_a FROM pairs),
+      |reach(a, b) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT r.a, g.dst FROM reach r JOIN eg g ON r.b = g.src),
+      |labels AS (SELECT a AS id, MIN(b) AS label FROM reach GROUP BY a),
+      |sizes AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      |  FROM labels GROUP BY label),
+      |best AS (
+      |  SELECT label, doc_id AS kept_id, n_chars AS kept_chars
+      |  FROM (
+      |    SELECT l.label, d.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars,
+      |      ROW_NUMBER() OVER (PARTITION BY l.label
+      |        ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
+      |    FROM labels l JOIN documents d ON l.id = d.doc_id)
+      |  WHERE rn = 1)
+      |SELECT label, cluster_size, kept_id, kept_chars,
+      |  cluster_size - 1 AS n_dropped
+      |FROM sizes JOIN best USING (label)
+      |WHERE cluster_size >= 2""".stripMargin
 }

@@ -51,8 +51,24 @@ class ExchangeBudgetSpec extends SparkTestBase {
                                 // term repartition for the pair join,
                                 // pair agg, norm agg (broadcast back)
     "q104_weighted_sample" -> 0, // TakeOrderedAndProject: per-task heaps
-    "q105_train_split"   -> 4)  // content-hash spans agg, co-shuffled
+    "q105_train_split"   -> 4,  // content-hash spans agg, co-shuffled
                                 // join back, 3-row split tally
+    "q106_span_dedup"    -> 4,  // (doc,hash) partials, span-doc counts,
+                                // co-shuffled join back, per-doc tally
+    "q107_embed_outliers" -> 3, // centroid agg, its norm, per-vector
+                                // dot/norm agg (centroids broadcast)
+    "q108_phrase_search" -> 3,  // two term-posting sides + per-doc tally
+    "q109_quality_ensemble" -> 2, // one-row percentile bounds (broadcast
+                                  // back) + final score tally
+    "q110_small_qty_revenue" -> 2, // per-part agg exchange reused by the
+                                   // join-back; final brand tally
+    "q111_min_cost_supplier" -> 2, // min agg + join-back share the
+                                   // l_partkey partitioning; TakeOrdered
+    "q112_dedup_keep_best" -> 3,  // LSH/CC shuffles sit behind their own
+                                  // checkpoints (budgeted via q31/q61);
+                                  // here: label join + cluster agg
+    "q113_boilerplate_spans" -> 5) // span-doc dedup, span counts, source
+                                   // max, join-back, tiebreak agg
 
   budgets.foreach { case (name, budget) =>
     test(s"$name stays within its shuffle budget of $budget") {
