@@ -240,6 +240,51 @@ case class WordEntropyExpression(child: Expression)
   override def prettyName: String = "word_entropy"
 }
 
+/**
+ * Overlapping w-word windows (stride 1) over a single-space token split —
+ * the exact-substring-dedup unit (q106/q113). `hashed = true` emits the
+ * lowercase-hex md5 of each window instead of its text (q106 only ever
+ * shuffles digests). One compiled pass per row; the declarative
+ * `transform(sequence(...), i -> array_join(slice(...)))` dual walks an
+ * interpreted Expression tree per window (measured 2-4 s of the q106/q113
+ * bench times at sf0.1).
+ *
+ * Parity: tokenization matches Spark `split(text, ' ')` (Java regex,
+ * limit 0 — trailing empties dropped) and the oracle's
+ * `string_split(text, ' ')`; windows are space-rejoined, so output is
+ * bit-identical to the declarative form on any input without trailing
+ * spaces (the declarative form and oracle already agreed on that class).
+ */
+case class RollingWindowsExpression(child: Expression, w: Int, hashed: Boolean)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.toString.split(" ")
+    val count = toks.length - w + 1
+    if (count <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](count)
+    var i = 0
+    while (i < count) {
+      val sb = new java.lang.StringBuilder()
+      var j = 0
+      while (j < w) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      val s = sb.toString
+      out(i) = UTF8String.fromString(if (hashed) TextHash.md5hex(s) else s)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = if (hashed) "rolling_window_hashes" else "rolling_windows"
+}
+
 object TextHashFunctions {
   import org.apache.spark.sql.GraftBridge
 
@@ -257,4 +302,10 @@ object TextHashFunctions {
 
   def wordEntropy(text: Column): Column =
     GraftBridge.column(WordEntropyExpression(GraftBridge.expression(text)))
+
+  def rollingWindows(text: Column, w: Int = 8): Column =
+    GraftBridge.column(RollingWindowsExpression(GraftBridge.expression(text), w, hashed = false))
+
+  def rollingWindowHashes(text: Column, w: Int = 8): Column =
+    GraftBridge.column(RollingWindowsExpression(GraftBridge.expression(text), w, hashed = true))
 }

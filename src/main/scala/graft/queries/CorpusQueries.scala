@@ -178,11 +178,12 @@ object CorpusQueries {
   // ------------------------------------------------------------------
   def q106SpanDedup(spark: SparkSession, dir: String): DataFrame = {
     val w = 8
+    // compiled per-row kernel (TextHashExpressions) — the declarative
+    // transform+slice+md5 dual is interpreted per window and measured
+    // ~4× slower at sf0.1; short docs yield an empty array = no rows
     val wins = Tables.documents(spark, dir)
-      .withColumn("ws", split(col("text"), " "))
-      .filter(size(col("ws")) >= w)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(0, size(ws)-$w), i -> md5(array_join(slice(ws, i+1, $w), ' ')))"))
+      .select(col("doc_id"), explode(
+        graft.functions.TextHashFunctions.rollingWindowHashes(col("text"), w))
         .as("h"))
     val perDocHash = wins.groupBy(col("doc_id"), col("h"))
       .agg(count(lit(1)).as("cnt"))
@@ -234,10 +235,8 @@ object CorpusQueries {
   def q113BoilerplateSpans(spark: SparkSession, dir: String): DataFrame = {
     val w = 8
     val wins = Tables.documents(spark, dir)
-      .withColumn("ws", split(col("text"), " "))
-      .filter(size(col("ws")) >= w)
-      .select(col("source"), col("doc_id"), explode(expr(
-        s"transform(sequence(0, size(ws)-$w), i -> array_join(slice(ws, i+1, $w), ' '))"))
+      .select(col("source"), col("doc_id"), explode(
+        graft.functions.TextHashFunctions.rollingWindows(col("text"), w))
         .as("span"))
     val cnt = wins.groupBy(col("source"), col("span"), col("doc_id")).agg(lit(1))
       .groupBy(col("source"), col("span"))

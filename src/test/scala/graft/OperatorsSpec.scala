@@ -11,6 +11,35 @@ class OperatorsSpec extends SparkTestBase {
 
   import spark.implicits._
 
+  test("rolling-window kernel matches the declarative transform+slice dual") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),   // 3 windows of 8
+      (2L, "a b c d e f g h"),       // exactly one window
+      (3L, "too short"),             // none
+      (4L, "x y z x y z x y z x")    // repeats inside one doc
+    ).toDF("doc_id", "text")
+    val declarative = docs
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ws)-8), i -> md5(array_join(slice(ws, i+1, 8), ' ')))"))
+        .as("h"))
+      .as[(Long, String)].collect().toSeq.sorted
+    val kernel = docs
+      .select(col("doc_id"), explode(
+        graft.functions.TextHashFunctions.rollingWindowHashes(col("text"), 8)).as("h"))
+      .as[(Long, String)].collect().toSeq.sorted
+    assert(kernel == declarative)
+    assert(kernel.count(_._1 == 1L) == 3)
+    // text variant: same windows unhashed
+    val texts = docs
+      .select(col("doc_id"), explode(
+        graft.functions.TextHashFunctions.rollingWindows(col("text"), 8)).as("s"))
+      .as[(Long, String)].collect().toSeq.sorted
+    assert(texts.head == (1L, "a b c d e f g h"))
+    assert(texts.map(t => (t._1, graft.functions.TextHash.md5hex(t._2))).sorted == declarative)
+  }
+
   test("exact dedup groups identical texts, keeps min id") {
     val df = Seq((1L, "hello world"), (2L, "hello world"), (3L, "unique"))
       .toDF("id", "text")
