@@ -273,6 +273,167 @@ object CorpusQueries {
       |WHERE nd = top_span_docs
       |GROUP BY source, top_span_docs, n_spans""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q114: EXACT set-similarity self-join via PREFIX FILTERING (the
+  // AllPairs/PPJoin family — Bayardo et al. 2007, Xiao et al. 2008).
+  // The LSH paths (q31/q34) are probabilistic: a pair can land in no
+  // common band and be missed. Prefix filtering is the exact,
+  // no-false-negative scale path: order each doc's shingle set by
+  // ascending document frequency (rarest first, df-then-token — one
+  // global total order), keep only the first ⌊|s|/2⌋+1 tokens (the
+  // Jaccard-½ prefix bound: two sets with J ≥ ½ MUST share a prefix
+  // token), and generate candidates only from prefix-token collisions.
+  // The threshold test 3·i ≥ |a|+|b| is integer cross-multiplication.
+  // Per-doc ranking is a bounded window (state ∝ doc length, never
+  // corpus); candidate verification counts common tokens relationally
+  // (no shingle arrays through the wide joins). Rare-first ordering
+  // makes posting fan-out smallest exactly where collisions are
+  // likeliest — the standard near-linear behavior of AllPairs.
+  // ------------------------------------------------------------------
+  def q114PrefixFilterJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(
+        graft.functions.TextHashFunctions
+          .shingleMinhash(col("text"), 1, 3).getField("shingles"))).as("tok"))
+      .localCheckpoint() // read by rank, candidate, and verify stages
+    val szs = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val dfc = sh.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val pref = sh.join(dfc, "tok")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))))
+      .join(szs, "doc_id")
+      .filter(col("rn") <= expr("sz div 2 + 1"))
+      .select(col("doc_id"), col("tok"), col("sz"))
+    // AllPairs length filter: J ≥ ½ forces min(|a|,|b|)·2 ≥ max(|a|,|b|) —
+    // prunes candidates before the (wider) verification joins; the
+    // surviving-pair set is unchanged, so the oracle needs no mirror
+    val cand = pref.as("a").join(pref.as("b"), Seq("tok"))
+      .filter(col("a.doc_id") < col("b.doc_id") &&
+        col("a.sz") * 2 >= col("b.sz") && col("b.sz") * 2 >= col("a.sz"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+    // verification: per-doc token sets are bounded (≪ corpus), so they
+    // BROADCAST and the intersection is a per-candidate-row array op —
+    // no token-level expansion join (candidates × |set| rows). On a
+    // corpus where the set dimension outgrows broadcast, swap this for
+    // the relational count (cand ⋈ toks ⋈ toks, groupBy pair) — same
+    // result, one more shuffle. Duplicate candidate rows (several
+    // shared prefix tokens) verify identically, so the cheap dedup
+    // happens on the ~constant-size survivor set, not the candidates.
+    val sets = sh.groupBy(col("doc_id"))
+      .agg(collect_list(col("tok")).as("set"), count(lit(1)).as("sz"))
+    cand
+      .join(broadcast(sets.select(col("doc_id").as("da"),
+        col("set").as("set_a"), col("sz").as("sza"))), "da")
+      .join(broadcast(sets.select(col("doc_id").as("db"),
+        col("set").as("set_b"), col("sz").as("szb"))), "db")
+      .withColumn("i", size(array_intersect(col("set_a"), col("set_b"))).cast(LongType))
+      .filter(col("i") * 3 >= col("sza") + col("szb"))
+      .select(col("da"), col("db"), col("i"), col("sza"), col("szb"))
+      .distinct()
+      .withColumn("jac", round(col("i").cast(DoubleType) /
+        (col("sza") + col("szb") - col("i")).cast(DoubleType), 4))
+      .orderBy(col("jac").desc, col("da").asc, col("db").asc)
+      .limit(30)
+  }
+
+  val q114Sql: String =
+    """WITH toks AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+      |      i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS tok
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+      |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM toks GROUP BY 1),
+      |dfc AS (SELECT tok, COUNT(*) AS df FROM toks GROUP BY 1),
+      |ranked AS (
+      |  SELECT t.doc_id, t.tok,
+      |    ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.tok) AS rn
+      |  FROM toks t JOIN dfc d USING (tok)),
+      |pref AS (
+      |  SELECT r.doc_id, r.tok FROM ranked r JOIN sz USING (doc_id)
+      |  WHERE rn <= sz // 2 + 1),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      |  FROM pref a JOIN pref b ON a.tok = b.tok AND a.doc_id < b.doc_id),
+      |inter AS (
+      |  SELECT da, db, CAST(COUNT(*) AS BIGINT) AS i
+      |  FROM cand
+      |  JOIN toks ta ON ta.doc_id = da
+      |  JOIN toks tb ON tb.doc_id = db AND ta.tok = tb.tok
+      |  GROUP BY 1, 2)
+      |SELECT da, db, i, sa.sz AS sza, sb.sz AS szb,
+      |  round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) AS jac
+      |FROM inter JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
+      |WHERE 3 * i >= sa.sz + sb.sz
+      |ORDER BY jac DESC, da ASC, db ASC LIMIT 30""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q116: LONGEST duplicated span per document — q106 tells you HOW
+  // MUCH of a doc is duplicated; this tells you the single worst
+  // stretch (the Lee et al. 2022 removal unit is the span itself).
+  // Shared window positions (≥2 docs) become gaps-and-islands: a run
+  // of consecutive shared positions is one duplicated span of
+  // run_len + w − 1 words. The per-doc window is bounded by document
+  // length (never corpus-sized); the per-doc argmax is the same
+  // partial-aggregable max(struct(...)) as q112 — no second window.
+  // ------------------------------------------------------------------
+  def q116LongestDupSpan(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = 8
+    val wins = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(
+        graft.functions.TextHashFunctions.rollingWindowHashes(col("text"), w))
+        .as(Seq("pos", "h")))
+    val shared = wins.select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select(col("h"))
+    val runs = wins.join(shared, Seq("h"), "left_semi")
+      .withColumn("grp", col("pos") - row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(count(lit(1)).as("run_len"),
+        min(col("pos")).cast(LongType).as("start_pos"))
+    runs.groupBy(col("doc_id"))
+      .agg(max(struct(col("run_len").as("rl"),
+        (-col("start_pos")).as("negstart"))).as("best"))
+      .select(col("doc_id"), col("best.rl").as("run_len"),
+        (-col("best.negstart")).as("start_pos"),
+        (col("best.rl") + (w - 1).toLong).as("span_words"))
+      .orderBy(col("run_len").desc, col("doc_id").asc)
+      .limit(20)
+  }
+
+  val q116Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 8),
+      |wu AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(ws) - 6),
+      |    i -> struct_pack(pos := i - 1,
+      |      h := md5(array_to_string(ws[i:i+7], ' '))))) AS u
+      |  FROM d),
+      |wins AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM wu),
+      |shared AS (
+      |  SELECT h FROM (SELECT DISTINCT doc_id, h FROM wins)
+      |  GROUP BY h HAVING COUNT(*) >= 2),
+      |sp AS (SELECT w.doc_id, w.pos FROM wins w JOIN shared s USING (h)),
+      |runs AS (
+      |  SELECT doc_id, grp, CAST(COUNT(*) AS BIGINT) AS run_len,
+      |    CAST(MIN(pos) AS BIGINT) AS start_pos
+      |  FROM (SELECT doc_id, pos,
+      |      pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      |    FROM sp)
+      |  GROUP BY 1, 2),
+      |best AS (
+      |  SELECT doc_id, run_len, start_pos FROM (
+      |    SELECT doc_id, run_len, start_pos,
+      |      ROW_NUMBER() OVER (PARTITION BY doc_id
+      |        ORDER BY run_len DESC, start_pos ASC) AS rn
+      |    FROM runs) WHERE rn = 1)
+      |SELECT doc_id, run_len, start_pos, run_len + 7 AS span_words
+      |FROM best
+      |ORDER BY run_len DESC, doc_id ASC LIMIT 20""".stripMargin
+
   val q105Sql: String =
     """WITH base AS (
       |  SELECT doc_id, md5(text) AS h,

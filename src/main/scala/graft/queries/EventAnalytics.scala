@@ -449,4 +449,35 @@ object EventAnalytics {
       |         CAST(SUM(CAST(dur_us AS HUGEINT)) AS DOUBLE)) / 100.0, 4) AS twa_value
       |FROM d WHERE dur_us IS NOT NULL
       |GROUP BY event_type""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q115: rolling 7-day DISTINCT active users — the DAU/WAU metric
+  // whose "distinct" makes naive windowing wrong at scale (distinct
+  // counts don't merge). Exact formulation: dedup to (day, user),
+  // fan each row out to the ≤7 window-end days it supports (a bounded
+  // ×7 explode, NOT a range join), dedup (target, user), tally.
+  // Restricting targets to observed days is a broadcast semi-join.
+  // At 100 TB the same plan swaps the second dedup+tally for per-day
+  // HLL sketches merged over the window (TableStatistics
+  // .distinctSketches) — exact here, mergeable there.
+  // ------------------------------------------------------------------
+  def q115RollingDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val du = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val days = du.select(col("day").as("target")).distinct()
+    du.select(explode(expr("sequence(day, date_add(day, 6))")).as("target"),
+        col("user_id"))
+      .join(broadcast(days), Seq("target"), "left_semi")
+      .distinct()
+      .groupBy(col("target"))
+      .agg(count(lit(1)).as("active_users_7d"))
+  }
+
+  val q115Sql: String =
+    """WITH du AS (
+      |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      |days AS (SELECT DISTINCT day AS target FROM du)
+      |SELECT d.target, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS active_users_7d
+      |FROM days d JOIN du u ON u.day BETWEEN d.target - 6 AND d.target
+      |GROUP BY 1""".stripMargin
 }

@@ -67,8 +67,18 @@ class ExchangeBudgetSpec extends SparkTestBase {
     "q112_dedup_keep_best" -> 3,  // LSH/CC shuffles sit behind their own
                                   // checkpoints (budgeted via q31/q61);
                                   // here: label join + cluster agg
-    "q113_boilerplate_spans" -> 5) // span-doc dedup, span counts, source
+    "q113_boilerplate_spans" -> 5, // span-doc dedup, span counts, source
                                    // max, join-back, tiebreak agg
+    "q114_prefix_filter_join" -> 10, // AllPairs stages: size/df aggs, df
+                                     // join, per-doc rank window, prefix
+                                     // self-join, candidate dedup, two
+                                     // verify joins, intersection tally
+    "q115_rolling_distinct" -> 4, // (day,user) dedup, day spine,
+                                  // (target,user) dedup, final tally
+    "q116_longest_dup_span" -> 5) // (doc,h) dedup, shared-h agg, semi
+                                  // join, per-doc position window,
+                                  // island tally (argmax rides the
+                                  // window partitioning)
 
   budgets.foreach { case (name, budget) =>
     test(s"$name stays within its shuffle budget of $budget") {
