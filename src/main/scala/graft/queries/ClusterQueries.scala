@@ -297,6 +297,87 @@ object ClusterQueries {
       |WHERE nv > 0
       |ORDER BY cos ASC, vec_id ASC LIMIT 20""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q117: triangle counting + global clustering coefficient over the
+  // strong-tie supplier graph (q79's edge derivation, kept only where
+  // the pair co-occurs ≥4 times — the co-occurrence graph is otherwise
+  // 70% dense and triangles are meaningless). The scale algorithm is
+  // DEGREE ORIENTATION (Chiba–Nishizeki / "forward" counting): orient
+  // every undirected edge from the lower-(degree, id) endpoint to the
+  // higher one, generate wedges only among OUT-neighbors, and probe
+  // them against the edge set. Out-degree is bounded by O(√m), so
+  // wedge count is O(m^1.5) worst case instead of Σ deg² — the
+  // difference between hub nodes exploding and not. All counts and the
+  // coefficient (3·tri·1000 div wedges) are integers.
+  // ------------------------------------------------------------------
+  def q117TriangleCount(spark: SparkSession, dir: String): DataFrame = {
+    val ns = Tables.supplier(spark, dir).count()
+    val und = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey").as("s"), (col("l_partkey") % ns + 1L).as("d"))
+      .filter(col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("u"),
+        greatest(col("s"), col("d")).as("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 4).select(col("u"), col("v"))
+      .localCheckpoint() // read by degree, orientation, and probe stages
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("dg"))
+    val orient = und
+      .join(broadcast(deg.select(col("node").as("u"), col("dg").as("du"))), "u")
+      .join(broadcast(deg.select(col("node").as("v"), col("dg").as("dv"))), "v")
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("a"), col("v").as("b")))
+          .otherwise(struct(col("v").as("a"), col("u").as("b"))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+    val wedges = orient.as("x").join(orient.as("y"),
+        col("x.a") === col("y.a") && col("x.b") < col("y.b"))
+      .select(col("x.b").as("u"), col("y.b").as("v"))
+    val tri = wedges.join(und, Seq("u", "v"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val stats = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(expr("dg * (dg - 1) div 2")).as("n_wedges"))
+    val edges = und.agg(count(lit(1)).as("n_edges"))
+    stats.crossJoin(broadcast(edges)).crossJoin(broadcast(tri))
+      .withColumn("clustering_permille",
+        expr("n_triangles * 3000 div n_wedges"))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"), col("clustering_permille"))
+  }
+
+  val q117Sql: String =
+    """WITH ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM supplier),
+      |e0 AS (SELECT l_suppkey AS s, (l_partkey % (SELECT n FROM ns)) + 1 AS d
+      |       FROM lineitem WHERE l_suppkey <> (l_partkey % (SELECT n FROM ns)) + 1),
+      |und AS (
+      |  SELECT LEAST(s, d) AS u, GREATEST(s, d) AS v
+      |  FROM e0 GROUP BY 1, 2 HAVING COUNT(*) >= 4),
+      |deg AS (
+      |  SELECT node, CAST(COUNT(*) AS BIGINT) AS dg FROM (
+      |    SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+      |  GROUP BY node),
+      |orient AS (
+      |  SELECT CASE WHEN (du.dg, und.u) < (dv.dg, und.v) THEN und.u ELSE und.v END AS a,
+      |         CASE WHEN (du.dg, und.u) < (dv.dg, und.v) THEN und.v ELSE und.u END AS b
+      |  FROM und JOIN deg du ON und.u = du.node JOIN deg dv ON und.v = dv.node),
+      |wedges AS (
+      |  SELECT x.b AS u, y.b AS v FROM orient x JOIN orient y
+      |  ON x.a = y.a AND x.b < y.b),
+      |tri AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+      |  FROM wedges w WHERE EXISTS (
+      |    SELECT 1 FROM und WHERE und.u = w.u AND und.v = w.v)),
+      |stats AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+      |    CAST(SUM(dg * (dg - 1) // 2) AS BIGINT) AS n_wedges
+      |  FROM deg),
+      |edges AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM und)
+      |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+      |  n_triangles * 3000 // n_wedges AS clustering_permille
+      |FROM stats CROSS JOIN edges CROSS JOIN tri""".stripMargin
+
   def q79PageRank(spark: SparkSession, dir: String): DataFrame = {
     val sup = Tables.supplier(spark, dir).select(col("s_suppkey").as("node"))
     val ns = sup.count()

@@ -461,6 +461,70 @@ object EventAnalytics {
   // HLL sketches merged over the window (TableStatistics
   // .distinctSketches) — exact here, mergeable there.
   // ------------------------------------------------------------------
+  // ------------------------------------------------------------------
+  // q118: TIMEOUT-bounded funnel — q68 asks "did the stages happen in
+  // order"; real conversion funnels ask "did each stage happen within
+  // the window of the previous one" (view → click within 24 h → purchase
+  // within 24 h of that click). Correlated mins decorrelate into three
+  // per-user aggregates chained by co-shuffled joins — every stage
+  // reuses the user_id partitioning, the fact table never re-shuffles.
+  // Durations are exact integer microseconds (unix_micros both engines)
+  // divided down to seconds; the median is an exact percentile over one
+  // value per converting user.
+  // ------------------------------------------------------------------
+  def q118TimedFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    def stage(t: String) = ev.filter(col("event_type") === t)
+    val t1 = stage("view").groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val t2 = stage("click").join(t1, "user_id")
+      .filter(col("ts") >= col("t1") &&
+        col("ts") <= col("t1") + expr("INTERVAL 24 HOURS"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"), min(col("t1")).as("t1"))
+    val t3 = stage("purchase").join(t2, "user_id")
+      .filter(col("ts") >= col("t2") &&
+        col("ts") <= col("t2") + expr("INTERVAL 24 HOURS"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"), min(col("t1")).as("t1"))
+      .withColumn("secs",
+        expr("(unix_micros(t3) - unix_micros(t1)) div 1000000"))
+    // one per-user funnel frame (left joins ride the same user_id
+    // partitioning), ONE global tally — counting each stage separately
+    // would recompute the chain per counter
+    t1.select(col("user_id"), col("t1"))
+      .join(t2.select(col("user_id"), col("t2")), Seq("user_id"), "left")
+      .join(t3.select(col("user_id"), col("secs")), Seq("user_id"), "left")
+      .agg(count(col("t1")).as("n_viewed"),
+        count(col("t2")).as("n_clicked_24h"),
+        count(col("secs")).as("n_purchased_24h"),
+        expr("percentile(secs, 0.5)").as("median_secs_to_convert"))
+  }
+
+  val q118Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |t1 AS (
+      |  SELECT user_id, MIN(ts) AS t1 FROM ev
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |t2 AS (
+      |  SELECT ev.user_id, MIN(ev.ts) AS t2, MIN(t1.t1) AS t1
+      |  FROM ev JOIN t1 ON ev.user_id = t1.user_id
+      |  WHERE ev.event_type = 'click'
+      |    AND ev.ts >= t1.t1 AND ev.ts <= t1.t1 + INTERVAL 24 HOUR
+      |  GROUP BY 1),
+      |t3 AS (
+      |  SELECT ev.user_id, MIN(ev.ts) AS t3, MIN(t2.t1) AS t1
+      |  FROM ev JOIN t2 ON ev.user_id = t2.user_id
+      |  WHERE ev.event_type = 'purchase'
+      |    AND ev.ts >= t2.t2 AND ev.ts <= t2.t2 + INTERVAL 24 HOUR
+      |  GROUP BY 1),
+      |d AS (
+      |  SELECT (epoch_us(t3) - epoch_us(t1)) // 1000000 AS secs FROM t3)
+      |SELECT
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM t1) AS n_viewed,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM t2) AS n_clicked_24h,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM t3) AS n_purchased_24h,
+      |  (SELECT quantile_cont(secs, 0.5) FROM d) AS median_secs_to_convert""".stripMargin
+
   def q115RollingDistinct(spark: SparkSession, dir: String): DataFrame = {
     val du = Tables.events(spark, dir)
       .select(to_date(col("ts")).as("day"), col("user_id")).distinct()

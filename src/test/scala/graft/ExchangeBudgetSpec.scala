@@ -75,10 +75,16 @@ class ExchangeBudgetSpec extends SparkTestBase {
                                      // verify joins, intersection tally
     "q115_rolling_distinct" -> 4, // (day,user) dedup, day spine,
                                   // (target,user) dedup, final tally
-    "q116_longest_dup_span" -> 5) // (doc,h) dedup, shared-h agg, semi
+    "q116_longest_dup_span" -> 5, // (doc,h) dedup, shared-h agg, semi
                                   // join, per-doc position window,
                                   // island tally (argmax rides the
                                   // window partitioning)
+    "q117_triangle_count" -> 6, // edge agg, degree tally (broadcast for
+                                // orientation), oriented self-join,
+                                // wedge-vs-edge probe, 1-row stats
+    "q118_timed_funnel" -> 5)   // three per-user stage aggs chained on
+                                // ONE reused user_id partitioning +
+                                // 1-row tallies
 
   budgets.foreach { case (name, budget) =>
     test(s"$name stays within its shuffle budget of $budget") {
