@@ -434,6 +434,54 @@ object CorpusQueries {
       |FROM best
       |ORDER BY run_len DESC, doc_id ASC LIMIT 20""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q119: Pareto skyline — multi-objective document selection: the
+  // docs for which no other doc is both shorter (≤ tokens) AND more
+  // lexically diverse (≥ distinct-token permille), one strict. The
+  // classic skyline formulation is a quadratic NOT EXISTS; the scale
+  // form here reduces it to (a) a per-token-count max (hash agg — the
+  // token count is a BOUNDED dimension, docs are capped), (b) a
+  // strict-prefix running max over that tiny dimension (window over
+  // dimension rows, never over the corpus), (c) one broadcast join
+  // back: doc is skyline ⇔ it attains its length's max diversity and
+  // beats every shorter length's. Corpus scans once, shuffles once.
+  // ------------------------------------------------------------------
+  def q119Skyline(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.documents(spark, dir)
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("toks", size(col("ws")).cast(LongType))
+      .filter(col("toks") > 0)
+      .withColumn("uniq_pm", expr("size(array_distinct(ws)) * 1000 div toks"))
+      .select(col("doc_id"), col("toks"), col("uniq_pm"))
+    val dim = base.groupBy(col("toks")).agg(max(col("uniq_pm")).as("mx"))
+      .withColumn("pref", max(col("mx")).over(
+        Window.orderBy(col("toks")).rowsBetween(Window.unboundedPreceding, -1)))
+    base.join(broadcast(dim), "toks")
+      .filter(col("uniq_pm") === col("mx") &&
+        (col("pref").isNull || col("uniq_pm") > col("pref")))
+      .select(col("doc_id"), col("toks"), col("uniq_pm"))
+      .orderBy(col("toks").asc, col("doc_id").asc)
+  }
+
+  val q119Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+      |    CAST(len(list_distinct(string_split(text, ' '))) * 1000
+      |      // len(string_split(text, ' ')) AS BIGINT) AS uniq_pm
+      |  FROM documents
+      |  WHERE len(string_split(text, ' ')) > 0),
+      |dim AS (
+      |  SELECT toks, MAX(uniq_pm) AS mx,
+      |    MAX(MAX(uniq_pm)) OVER (ORDER BY toks
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pref
+      |  FROM base GROUP BY toks)
+      |SELECT doc_id, toks, uniq_pm
+      |FROM base JOIN dim USING (toks)
+      |WHERE uniq_pm = mx AND (pref IS NULL OR uniq_pm > pref)
+      |ORDER BY toks ASC, doc_id ASC""".stripMargin
+
   val q105Sql: String =
     """WITH base AS (
       |  SELECT doc_id, md5(text) AS h,

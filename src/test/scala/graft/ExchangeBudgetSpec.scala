@@ -82,9 +82,12 @@ class ExchangeBudgetSpec extends SparkTestBase {
     "q117_triangle_count" -> 6, // edge agg, degree tally (broadcast for
                                 // orientation), oriented self-join,
                                 // wedge-vs-edge probe, 1-row stats
-    "q118_timed_funnel" -> 5)   // three per-user stage aggs chained on
+    "q118_timed_funnel" -> 5,   // three per-user stage aggs chained on
                                 // ONE reused user_id partitioning +
                                 // 1-row tallies
+    "q119_skyline" -> 4)        // per-length max agg, tiny-dimension
+                                // prefix window, broadcast join back,
+                                // output sort
 
   budgets.foreach { case (name, budget) =>
     test(s"$name stays within its shuffle budget of $budget") {
