@@ -49,4 +49,44 @@ class PropertySpec extends AnyFunSuite {
       assert(graft.functions.TextHash.md5hex(s) == jdk)
     }
   }
+
+  test("prefix filter (q114) is complete: every Jaccard-1/2 pair shares a prefix token") {
+    // pure re-implementation of the q114 candidate rule over random
+    // small set collections: rare-first (df, token) order, prefix
+    // length |s|/2 + 1 — the AllPairs bound must never miss a pair
+    // with 3·|a∩b| ≥ |a|+|b|
+    val setsGen = Gen.choose(2, 10).flatMap(n => Gen.listOfN(n,
+      Gen.choose(1, 8).flatMap(k =>
+        Gen.listOfN(k, Gen.choose('a', 'j').map(_.toString)).map(_.toSet))))
+    samples(setsGen, 200).foreach { sets =>
+      val dfm = sets.flatten.groupBy(identity).view.mapValues(_.size).toMap
+      def prefix(s: Set[String]): Set[String] =
+        s.toSeq.sortBy(t => (dfm(t), t)).take(s.size / 2 + 1).toSet
+      for (i <- sets.indices; j <- i + 1 until sets.size) {
+        val (a, b) = (sets(i), sets(j))
+        val inter = (a & b).size
+        if (3 * inter >= a.size + b.size)
+          assert((prefix(a) & prefix(b)).nonEmpty,
+            s"missed pair: $a vs $b (inter=$inter)")
+      }
+    }
+  }
+
+  test("skyline prefix-max reduction (q119) equals brute-force dominance") {
+    val ptsGen = Gen.choose(1, 40).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.choose(1L, 10L), Gen.choose(1L, 10L))))
+    samples(ptsGen, 300).foreach { pts =>
+      val brute = pts.filter { case (t, u) =>
+        !pts.exists { case (t2, u2) =>
+          t2 <= t && u2 >= u && (t2 < t || u2 > u) }
+      }.toSet
+      val byT = pts.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      val sortedT = byT.keys.toSeq.sorted
+      val pref = sortedT.zip(sortedT.scanLeft(Long.MinValue) {
+        case (acc, t) => math.max(acc, byT(t)) }).toMap // strict prefix max
+      val reduced = pts.filter { case (t, u) =>
+        u == byT(t) && u > pref(t) }.toSet
+      assert(reduced == brute, s"mismatch on $pts")
+    }
+  }
 }
