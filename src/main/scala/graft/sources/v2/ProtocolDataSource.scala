@@ -1,0 +1,236 @@
+package graft.sources.v2
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.protocol.{AirbyteMessage, ConfiguredCatalog, MessageType}
+
+/**
+ * DataSourceV2 packaging of the connector-protocol scan (SURVEY §2.1 S1):
+ *
+ * {{{
+ *   spark.read.format("graft.sources.v2.ProtocolDataSource")
+ *     .option("catalogJson", discoverOutput)   // declared schemas (S2)
+ *     .option("stream", "users")
+ *     .load("/staging/users")                  // JSONL or JSONL.gz files
+ * }}}
+ *
+ * The schema is DECLARED (from the connector's discover catalog), never
+ * inferred from data — the reference's core schema rule (§1.2); records
+ * are projected to it with null-fill for missing fields and pruning of
+ * undeclared ones (P1/P2), plus an `_airbyte_extracted_at` timestamp from
+ * the record's own `emitted_at` (§1.4). Spark-native behaviors:
+ *
+ *  - one InputPartition per staged file — the connector's batch-spill
+ *    unit (S4, ~100k records/file) is the parallelism unit, so a sync's
+ *    files fan out across executors;
+ *  - column pruning is pushed INTO the reader
+ *    (SupportsPushDownRequiredColumns): `select(one_col)` parses only
+ *    that field from each record's JSON;
+ *  - gzip (`.gz`) files stream-decode, matching the reference's
+ *    JSONL.gz spill format.
+ *
+ * Reference: airbyte/sources/base.py:758-806 (read loop),
+ * airbyte/_writers/jsonl.py:24-59 (spill format).
+ */
+class ProtocolDataSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ProtocolDataSource.schemaFor(options)
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new ProtocolTable(schema, new CaseInsensitiveStringMap(properties))
+
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+object ProtocolDataSource {
+  val ExtractedAt = "_airbyte_extracted_at"
+
+  def schemaFor(options: CaseInsensitiveStringMap): StructType = {
+    val catalogJson = Option(options.get("catalogJson")).getOrElse(
+      throw new IllegalArgumentException(
+        "graft protocol source needs option 'catalogJson' (discover output)"))
+    val stream = Option(options.get("stream")).getOrElse(
+      throw new IllegalArgumentException(
+        "graft protocol source needs option 'stream'"))
+    val declared = ConfiguredCatalog.fromCatalogJson(catalogJson)(stream).schema
+    StructType(declared.fields :+ StructField(ExtractedAt, TimestampType))
+  }
+
+  /** Staged files under the load path(s); deterministic order. */
+  def listFiles(options: CaseInsensitiveStringMap): Seq[String] = {
+    val mapper = new ObjectMapper()
+    val paths: Seq[String] =
+      Option(options.get("paths")).map { js =>
+        mapper.readTree(js).elements().asScala.map(_.asText()).toSeq
+      }.orElse(Option(options.get("path")).map(Seq(_)))
+        .getOrElse(throw new IllegalArgumentException("no path given"))
+    val conf = new Configuration()
+    paths.flatMap { p =>
+      val hp = new Path(p)
+      val fs = FileSystem.get(hp.toUri, conf)
+      val st = fs.getFileStatus(hp)
+      if (st.isDirectory)
+        fs.listStatus(hp).toSeq.filter(_.isFile).map(_.getPath.toString)
+          .filter(f => f.endsWith(".jsonl") || f.endsWith(".jsonl.gz") ||
+            f.endsWith(".json") || f.endsWith(".json.gz"))
+      else Seq(st.getPath.toString)
+    }.sorted
+  }
+}
+
+private[v2] class ProtocolTable(schema: StructType,
+    options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+
+  override def name(): String =
+    s"airbyte_protocol(${options.get("stream")})"
+  override def schema(): StructType = schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder = {
+    val merged = new util.HashMap[String, String]()
+    merged.putAll(options)
+    merged.putAll(caseInsensitiveOptions)
+    new ProtocolScanBuilder(schema, new CaseInsensitiveStringMap(merged))
+  }
+}
+
+private[v2] class ProtocolScanBuilder(full: StructType,
+    options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = full
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new ProtocolScan(required, options.get("stream"),
+      ProtocolDataSource.listFiles(options))
+}
+
+private[v2] case class ProtocolFilePartition(file: String) extends InputPartition
+
+private[v2] class ProtocolScan(required: StructType, stream: String,
+    files: Seq[String]) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft protocol scan: stream=$stream files=${files.size} " +
+      s"readSchema=${required.fieldNames.mkString(",")}"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    files.map(ProtocolFilePartition.apply).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ProtocolReaderFactory(required, stream)
+}
+
+private[v2] class ProtocolReaderFactory(required: StructType, stream: String)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new ProtocolFileReader(
+      partition.asInstanceOf[ProtocolFilePartition].file, required, stream)
+}
+
+/**
+ * Streams one staged JSONL(.gz) file: parse the protocol envelope, keep
+ * RECORDs of the target stream, convert the `data` payload to the
+ * required (possibly pruned) schema. Conversion rules follow the type
+ * system (SURVEY §1.3): missing → null, objects/arrays → canonical JSON
+ * text, unknown → string failover; field lookup is case-insensitive
+ * (F9). Runs on executors — the driver only lists files.
+ */
+private[v2] class ProtocolFileReader(file: String, required: StructType,
+    stream: String) extends PartitionReader[InternalRow] {
+
+  private val mapper = new ObjectMapper()
+  private val reader = {
+    val hp = new Path(file)
+    val fs = FileSystem.get(hp.toUri, new Configuration())
+    val in: java.io.InputStream =
+      if (file.endsWith(".gz")) new java.util.zip.GZIPInputStream(fs.open(hp))
+      else fs.open(hp)
+    new java.io.BufferedReader(new java.io.InputStreamReader(in, "UTF-8"))
+  }
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    var line = reader.readLine()
+    while (line != null) {
+      AirbyteMessage.parse(line) match {
+        case Some(m) if m.messageType == MessageType.RECORD &&
+            m.streamName.exists(_.equalsIgnoreCase(stream)) &&
+            m.dataJson.isDefined =>
+          row = convert(mapper.readTree(m.dataJson.get), m.emittedAt)
+          return true
+        case _ => ()
+      }
+      line = reader.readLine()
+    }
+    false
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = reader.close()
+
+  private def fieldNode(data: JsonNode, name: String): JsonNode = {
+    val exact = data.get(name)
+    if (exact != null) return exact
+    val it = data.fieldNames()
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.equalsIgnoreCase(name)) return data.get(f)
+    }
+    null
+  }
+
+  private def convert(data: JsonNode, emittedAt: Option[Long]): InternalRow = {
+    val values = new Array[Any](required.length)
+    var i = 0
+    while (i < required.length) {
+      val f = required(i)
+      values(i) =
+        if (f.name == ProtocolDataSource.ExtractedAt)
+          emittedAt.map(_ * 1000L).orNull // epoch millis → micros
+        else {
+          val n = fieldNode(data, f.name)
+          if (n == null || n.isNull) null
+          else f.dataType match {
+            case StringType =>
+              UTF8String.fromString(if (n.isValueNode) n.asText() else n.toString)
+            case LongType => java.lang.Long.valueOf(n.asLong())
+            case IntegerType => java.lang.Integer.valueOf(n.asInt())
+            case DoubleType => java.lang.Double.valueOf(n.asDouble())
+            case BooleanType => java.lang.Boolean.valueOf(n.asBoolean())
+            case d: DecimalType =>
+              org.apache.spark.sql.types.Decimal(
+                new java.math.BigDecimal(n.asText()), d.precision, d.scale)
+            case DateType =>
+              java.lang.Integer.valueOf(
+                java.time.LocalDate.parse(n.asText()).toEpochDay.toInt)
+            case TimestampType =>
+              java.lang.Long.valueOf(java.time.Instant.parse(n.asText())
+                .toEpochMilli * 1000L)
+            case _ => UTF8String.fromString(n.toString) // failover (§1.3)
+          }
+        }
+      i += 1
+    }
+    InternalRow.fromSeq(values.toIndexedSeq)
+  }
+}
