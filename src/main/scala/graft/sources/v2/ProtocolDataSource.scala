@@ -110,41 +110,108 @@ private[v2] class ProtocolTable(schema: StructType,
 
 private[v2] class ProtocolScanBuilder(full: StructType,
     options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+
+  import org.apache.spark.sql.sources._
 
   private var required: StructType = full
+  private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  /** Comparison filters on scalar declared fields evaluate inside the
+    * reader, BEFORE a row is materialized — the scan-level analog of the
+    * reference's lazy filter chain (P4) and the incremental cursor
+    * filter (ST5: `cursor > saved_state` skips already-synced records
+    * at parse time). All filters are also returned as residual, so
+    * Spark re-checks them — pushdown here is a row-materialization
+    * saving, never a correctness dependency. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(FilterEval.supported(full, _))
+    filters // residual: Spark re-evaluates everything post-scan
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
   override def build(): Scan =
     new ProtocolScan(required, options.get("stream"),
-      ProtocolDataSource.listFiles(options))
+      ProtocolDataSource.listFiles(options), pushed)
+}
+
+/** Evaluate pushed comparison filters against the parsed JSON payload. */
+private[v2] object FilterEval {
+  import org.apache.spark.sql.sources._
+
+  def supported(schema: StructType, f: Filter): Boolean = f match {
+    case EqualTo(a, _) => scalar(schema, a)
+    case GreaterThan(a, _) => scalar(schema, a)
+    case GreaterThanOrEqual(a, _) => scalar(schema, a)
+    case LessThan(a, _) => scalar(schema, a)
+    case LessThanOrEqual(a, _) => scalar(schema, a)
+    case IsNotNull(a) => schema.fieldNames.contains(a)
+    case IsNull(a) => schema.fieldNames.contains(a)
+    case _ => false
+  }
+
+  private def scalar(schema: StructType, name: String): Boolean =
+    schema.fields.find(_.name == name).exists(_.dataType match {
+      case LongType | IntegerType | DoubleType | StringType | BooleanType => true
+      case _ => false
+    })
+
+  /** null-safe comparison semantics: a null field fails every
+    * comparison filter (matching SQL) except IsNull. */
+  def eval(f: Filter, field: String => JsonNode): Boolean = f match {
+    case EqualTo(a, v) => cmp(field(a), v).contains(0)
+    case GreaterThan(a, v) => cmp(field(a), v).exists(_ > 0)
+    case GreaterThanOrEqual(a, v) => cmp(field(a), v).exists(_ >= 0)
+    case LessThan(a, v) => cmp(field(a), v).exists(_ < 0)
+    case LessThanOrEqual(a, v) => cmp(field(a), v).exists(_ <= 0)
+    case IsNotNull(a) => { val n = field(a); n != null && !n.isNull }
+    case IsNull(a) => { val n = field(a); n == null || n.isNull }
+    case _ => true
+  }
+
+  private def cmp(n: JsonNode, v: Any): Option[Int] = {
+    if (n == null || n.isNull) return None
+    v match {
+      case l: java.lang.Long => Some(java.lang.Long.compare(n.asLong(), l))
+      case i: java.lang.Integer => Some(java.lang.Long.compare(n.asLong(), i.longValue()))
+      case d: java.lang.Double => Some(java.lang.Double.compare(n.asDouble(), d))
+      case s: String => Some(n.asText().compareTo(s))
+      case b: java.lang.Boolean => Some(java.lang.Boolean.compare(n.asBoolean(), b))
+      case _ => None
+    }
+  }
 }
 
 private[v2] case class ProtocolFilePartition(file: String) extends InputPartition
 
 private[v2] class ProtocolScan(required: StructType, stream: String,
-    files: Seq[String]) extends Scan with Batch {
+    files: Seq[String],
+    pushed: Array[org.apache.spark.sql.sources.Filter]) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft protocol scan: stream=$stream files=${files.size} " +
-      s"readSchema=${required.fieldNames.mkString(",")}"
+      s"readSchema=${required.fieldNames.mkString(",")} " +
+      s"pushedFilters=[${pushed.mkString(", ")}]"
 
   override def planInputPartitions(): Array[InputPartition] =
     files.map(ProtocolFilePartition.apply).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ProtocolReaderFactory(required, stream)
+    new ProtocolReaderFactory(required, stream, pushed)
 }
 
-private[v2] class ProtocolReaderFactory(required: StructType, stream: String)
+private[v2] class ProtocolReaderFactory(required: StructType, stream: String,
+    pushed: Array[org.apache.spark.sql.sources.Filter])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new ProtocolFileReader(
-      partition.asInstanceOf[ProtocolFilePartition].file, required, stream)
+      partition.asInstanceOf[ProtocolFilePartition].file, required, stream, pushed)
 }
 
 /**
@@ -156,7 +223,9 @@ private[v2] class ProtocolReaderFactory(required: StructType, stream: String)
  * (F9). Runs on executors — the driver only lists files.
  */
 private[v2] class ProtocolFileReader(file: String, required: StructType,
-    stream: String) extends PartitionReader[InternalRow] {
+    stream: String,
+    pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+    extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper()
   private val reader = {
@@ -176,8 +245,11 @@ private[v2] class ProtocolFileReader(file: String, required: StructType,
         case Some(m) if m.messageType == MessageType.RECORD &&
             m.streamName.exists(_.equalsIgnoreCase(stream)) &&
             m.dataJson.isDefined =>
-          row = convert(mapper.readTree(m.dataJson.get), m.emittedAt)
-          return true
+          val data = mapper.readTree(m.dataJson.get)
+          if (pushed.forall(FilterEval.eval(_, fieldNode(data, _)))) {
+            row = convert(data, m.emittedAt)
+            return true
+          }
         case _ => ()
       }
       line = reader.readLine()

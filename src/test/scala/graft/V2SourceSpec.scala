@@ -75,4 +75,20 @@ class V2SourceSpec extends SparkTestBase {
       .linesIterator.find(_.contains("graft protocol scan")).getOrElse("")
     assert(scanLine.contains("readSchema=id"), s"not pruned: $scanLine")
   }
+
+  test("comparison filters push into the reader (cursor-incremental shape)") {
+    val dir = Files.createTempDirectory("graft-v2").toString
+    writeLines(s"$dir/c1.jsonl",
+      (1 to 10).map(i => rec("users", s"""{"id":$i,"name":"u$i"}""", i)) :+
+        rec("users", """{"name":"no_id"}""", 11)) // null cursor → filtered
+    val df = spark.read.format(fmt)
+      .option("catalogJson", catalogJson).option("stream", "users")
+      .load(s"$dir/c1.jsonl")
+      .filter(col("id") > 7 && col("name") =!= "u9")
+    assert(df.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(8L, 10L))
+    val scanLine = df.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("graft protocol scan")).getOrElse("")
+    assert(scanLine.contains("pushedFilters=[") &&
+      scanLine.contains("GreaterThan(id,7)"), s"not pushed: $scanLine")
+  }
 }
