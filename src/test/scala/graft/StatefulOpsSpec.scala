@@ -108,4 +108,52 @@ class StatefulOpsSpec extends SparkTestBase {
     val ids = spark.table("deduped").select("id").as[Long].collect().sorted
     assert(ids.toSeq == Seq(1L, 2L, 3L))
   }
+
+  test("streaming sessionize equals the native session_window batch dual on random events") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    // deterministic random events: 3 users, 60 events over ~3 hours,
+    // delivered shuffled across 3 micro-batches (all inside the
+    // generous watermark, so arrival order must not matter)
+    val rnd = new scala.util.Random(42)
+    val events = (1 to 60).map { _ =>
+      SessionEvent(1L + rnd.nextInt(3),
+        new Timestamp(ts(0).getTime + rnd.nextInt(180) * 60000L),
+        1.0 + rnd.nextInt(5))
+    }
+    val shuffled = rnd.shuffle(events)
+    val gapMs = 5 * 60 * 1000L
+    val input = MemoryStream[SessionEvent]
+    val q = StatefulOps.sessionize(input.toDS(), gapMs,
+        watermarkDelay = "2 days")
+      .writeStream.format("memory").queryName("rand_sessions")
+      .outputMode("append").start()
+    shuffled.grouped(20).foreach { b =>
+      input.addData(b: _*); q.processAllAvailable()
+    }
+    // sentinel advances the global watermark past every session's
+    // timeout so all real sessions close and emit
+    input.addData(SessionEvent(99L,
+      new Timestamp(ts(0).getTime + 10L * 86400000L), 0.0))
+    q.processAllAvailable()
+    input.addData(SessionEvent(99L,
+      new Timestamp(ts(0).getTime + 11L * 86400000L), 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("rand_sessions").as[Session].collect()
+      .filter(_.userId != 99L)
+      .map(s => (s.userId, s.sessionStart.getTime, s.sessionEnd.getTime,
+        s.nEvents, s.sumValue)).toSet
+    // the declarative dual: native session_window over the same events
+    val batch = events.toDF("userId", "ts", "value")
+      .groupBy(col("userId"), session_window(col("ts"), "5 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("userId"), col("w.start"), col("w.end"), col("n"), col("total"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        r.getTimestamp(2).getTime - gapMs, // window end = last event + gap
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(streamed == batch,
+      s"streamed=${streamed.size} batch=${batch.size} diff=${(streamed -- batch) ++ (batch -- streamed)}")
+  }
 }
