@@ -625,6 +625,86 @@ object AnalyticsQueries {
       .limit(20)
   }
 
+  // ------------------------------------------------------------------
+  // q120: hierarchy ratio-to-parent — revenue by region → nation with
+  // each nation's integer-permille share of its region. The fact table
+  // co-shuffles ONCE on the customer key; everything after the
+  // per-nation aggregate is dimension-sized (≤ nations rows), so the
+  // parent totals are one more tiny aggregate joined back broadcast.
+  // Exact cents end-to-end.
+  // ------------------------------------------------------------------
+  def q120HierarchyShare(spark: SparkSession, dir: String): DataFrame = {
+    val perNation = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        round(col("o_totalprice") * 100).cast(LongType).as("cents"))
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(sum(col("cents")).as("rev_cents"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name"), col("n_name"), col("rev_cents"))
+    val perRegion = perNation.groupBy(col("r_name"))
+      .agg(sum(col("rev_cents")).as("region_cents"))
+    perNation.join(broadcast(perRegion), "r_name")
+      .withColumn("share_permille", expr("rev_cents * 1000 div region_cents"))
+      .select(col("r_name"), col("n_name"), col("rev_cents"), col("share_permille"))
+  }
+
+  val q120Sql: String =
+    """WITH pn AS (
+      |  SELECT c_nationkey, CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1),
+      |named AS (
+      |  SELECT r_name, n_name, rev_cents
+      |  FROM pn JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey),
+      |pr AS (SELECT r_name, CAST(SUM(rev_cents) AS BIGINT) AS region_cents
+      |  FROM named GROUP BY 1)
+      |SELECT r_name, n_name, rev_cents,
+      |  rev_cents * 1000 // region_cents AS share_permille
+      |FROM named JOIN pr USING (r_name)""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q121: top-k per group via the custom bounded TopKAggregate — the
+  // relational use of the same TypedImperativeAggregate the ANN paths
+  // run on. Each task keeps at most k (score,id) entries PER GROUP in
+  // a heap, so only k·groups rows cross the shuffle — the window-rank
+  // dual shuffles every customer row and sorts each partition. Ties
+  // break to the lower id inside the aggregate itself (deterministic
+  // on any partitioning; the oracle mirrors with ORDER BY cents DESC,
+  // custkey ASC).
+  // ------------------------------------------------------------------
+  def q121TopKPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        round(col("o_totalprice") * 100).cast(LongType).as("cents"))
+      .groupBy(col("o_custkey")).agg(sum(col("cents")).as("cents"))
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+    perCust.groupBy(col("c_nationkey").as("nationkey"))
+      .agg(graft.functions.TopKAggregate
+        .topK(col("cents").cast(DoubleType), col("c_custkey"), 3).as("top"))
+      .select(col("nationkey"), posexplode(col("top")).as(Seq("r", "e")))
+      .select(col("nationkey"), (col("r") + 1).cast(LongType).as("rank"),
+        col("e.id").as("custkey"), col("e.score").cast(LongType).as("cents"))
+  }
+
+  val q121Sql: String =
+    """WITH pc AS (
+      |  SELECT o_custkey, CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |ranked AS (
+      |  SELECT c_nationkey AS nationkey, c_custkey AS custkey, cents,
+      |    ROW_NUMBER() OVER (PARTITION BY c_nationkey
+      |      ORDER BY cents DESC, c_custkey ASC) AS rank
+      |  FROM pc JOIN customer ON o_custkey = c_custkey)
+      |SELECT nationkey, CAST(rank AS BIGINT) AS rank, custkey, cents
+      |FROM ranked WHERE rank <= 3""".stripMargin
+
   val q111Sql: String =
     """WITH li AS (
       |  SELECT l_partkey, l_suppkey,

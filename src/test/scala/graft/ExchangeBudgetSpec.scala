@@ -85,9 +85,13 @@ class ExchangeBudgetSpec extends SparkTestBase {
     "q118_timed_funnel" -> 5,   // three per-user stage aggs chained on
                                 // ONE reused user_id partitioning +
                                 // 1-row tallies
-    "q119_skyline" -> 4)        // per-length max agg, tiny-dimension
+    "q119_skyline" -> 4,        // per-length max agg, tiny-dimension
                                 // prefix window, broadcast join back,
                                 // output sort
+    "q120_hierarchy_share" -> 3, // custkey co-shuffle, nation agg;
+                                 // dimension joins broadcast
+    "q121_topk_per_group" -> 3)  // per-customer agg, custkey join,
+                                 // bounded top-k heaps per nation
 
   budgets.foreach { case (name, budget) =>
     test(s"$name stays within its shuffle budget of $budget") {
