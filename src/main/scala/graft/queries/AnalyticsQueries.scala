@@ -489,6 +489,7 @@ object AnalyticsQueries {
   def q101BasketPairs(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      .localCheckpoint() // one distinct: reused by count, freq, both join sides
     val orders = li.select(col("ok")).distinct().count()
     val freq = li.groupBy(col("pk")).agg(count(lit(1)).as("f"))
     val pairs = li.as("a").join(li.as("b"), Seq("ok"))
