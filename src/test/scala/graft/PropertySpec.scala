@@ -50,6 +50,23 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("protocol parser never throws on arbitrary input, parses valid records") {
+    // fuzz: arbitrary strings, truncated JSON, wrong shapes → None, no throw
+    val junk: Gen[String] = Gen.oneOf(
+      weird,
+      weird.map("{" + _),
+      weird.map(s => s"""{"type":"$s"}"""),
+      weird.map(s => s"""{"type":"RECORD","record":$s}"""),
+      Gen.const("""{"type":"RECORD"}"""),
+      Gen.const("""{"type":"RECORD","record":{}}"""))
+    samples(junk, 400).foreach { s =>
+      graft.protocol.AirbyteMessage.parse(s) // must not throw
+    }
+    val ok = graft.protocol.AirbyteMessage.parse(
+      """{"type":"RECORD","record":{"stream":"s","data":{"a":1},"emitted_at":7}}""")
+    assert(ok.exists(m => m.streamName.contains("s") && m.emittedAt.contains(7L)))
+  }
+
   test("prefix filter (q114) is complete: every Jaccard-1/2 pair shares a prefix token") {
     // pure re-implementation of the q114 candidate rule over random
     // small set collections: rare-first (df, token) order, prefix
