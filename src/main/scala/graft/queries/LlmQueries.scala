@@ -561,6 +561,72 @@ object LlmQueries {
       |    / CAST(len(list_distinct(sh_n || sh_c)) AS DOUBLE) >= 0.35""".stripMargin
 
   // ------------------------------------------------------------------
+  // q122: collapse-then-block near-dup — the shipped answer to the 10×
+  // scale study's blow-up: LSH bucket pair generation is quadratic in
+  // bucket membership, so raw duplication factor d costs d² per bucket;
+  // collapsing exact duplicates FIRST (one content-hash agg) makes
+  // near-dup cost a function of DISTINCT contents only. Each surviving
+  // class pair reports its multiplicities and the count of underlying
+  // document pairs it stands for; within-class pairs are exact dups by
+  // construction (q30's output). Same LSH parameters and jaccard rule
+  // as q31 — on a duplicate-free corpus the pair set is identical.
+  // ------------------------------------------------------------------
+  def q122CollapsedNearDups(spark: SparkSession, dir: String): DataFrame = {
+    val classes = Dedup.exactCollapse(
+      Tables.documents(spark, dir), "doc_id", "text").localCheckpoint()
+    Dedup.minhashNearDups(classes, "rep_id", "text",
+        threshold = 0.35, numHashes = 9, bands = 3, shingle = 3)
+      .join(classes.select(col("rep_id").as("id_a"), col("copies").as("copies_a")), "id_a")
+      .join(classes.select(col("rep_id").as("id_b"), col("copies").as("copies_b")), "id_b")
+      .withColumn("implied_doc_pairs", col("copies_a") * col("copies_b"))
+      .select(col("id_a"), col("id_b"), col("jaccard"),
+        col("copies_a"), col("copies_b"), col("implied_doc_pairs"))
+  }
+
+  val q122Sql: String =
+    """WITH cls AS (
+      |  SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS copies,
+      |    MIN(text) AS text
+      |  FROM documents GROUP BY md5(text)),
+      |toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM cls),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+      |      i -> concat_ws(' ', t[i], t[i+1], t[i+2])) AS shingles
+      |  FROM toks),
+      |hashed AS (
+      |  SELECT doc_id, shingles, list_transform(shingles, s -> md5(s)) AS hs
+      |  FROM sh WHERE len(shingles) > 0),
+      |sig AS (
+      |  SELECT doc_id, shingles,
+      |    list_transform(range(0, 9),
+      |      j -> list_min(list_transform(hs,
+      |        h -> substr(h, CAST(j*3+1 AS INT), 32) || substr(h, 1, CAST(j*3 AS INT))))) AS sig
+      |  FROM hashed),
+      |banded AS (
+      |  SELECT doc_id, shingles, unnest(list_transform(range(0, 3),
+      |    b -> md5(concat_ws('|', sig[b*3+1], sig[b*3+2], sig[b*3+3], CAST(b AS VARCHAR))))) AS band_key
+      |  FROM sig),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    a.shingles AS sh_a, b.shingles AS sh_b
+      |  FROM banded a JOIN banded b
+      |    ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+      |pairs AS (
+      |  SELECT id_a, id_b,
+      |    CAST(len(list_distinct(list_intersect(sh_a, sh_b))) AS DOUBLE)
+      |      / CAST(len(list_distinct(sh_a || sh_b)) AS DOUBLE) AS jaccard
+      |  FROM cand
+      |  WHERE CAST(len(list_distinct(list_intersect(sh_a, sh_b))) AS DOUBLE)
+      |      / CAST(len(list_distinct(sh_a || sh_b)) AS DOUBLE) >= 0.35)
+      |SELECT id_a, id_b, jaccard, ca.copies AS copies_a, cb.copies AS copies_b,
+      |  ca.copies * cb.copies AS implied_doc_pairs
+      |FROM pairs
+      |JOIN cls ca ON id_a = ca.doc_id
+      |JOIN cls cb ON id_b = cb.doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
   // q112: near-dup dedup with QUALITY-AWARE canonical selection — q61
   // keeps the lowest id per duplicate cluster; production pipelines
   // keep the BEST copy (here: most characters, tie → lowest id).
