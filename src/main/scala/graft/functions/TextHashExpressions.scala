@@ -249,11 +249,12 @@ case class WordEntropyExpression(child: Expression)
  * interpreted Expression tree per window (measured 2-4 s of the q106/q113
  * bench times at sf0.1).
  *
- * Parity: tokenization matches Spark `split(text, ' ')` (Java regex,
- * limit 0 — trailing empties dropped) and the oracle's
- * `string_split(text, ' ')`; windows are space-rejoined, so output is
- * bit-identical to the declarative form on any input without trailing
- * spaces (the declarative form and oracle already agreed on that class).
+ * Parity: tokenization matches Spark `split(text, ' ')` (which defaults to
+ * limit -1, i.e. trailing empty tokens KEPT) and DuckDB's
+ * `string_split(text, ' ')` (also keeps trailing empties); windows are
+ * space-rejoined, so output is bit-identical to the declarative
+ * `transform(sequence(...))` form and to the oracle on every input,
+ * including texts with trailing spaces.
  */
 case class RollingWindowsExpression(child: Expression, w: Int, hashed: Boolean)
     extends UnaryExpression with CodegenFallback {
@@ -261,7 +262,7 @@ case class RollingWindowsExpression(child: Expression, w: Int, hashed: Boolean)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any = {
-    val toks = input.toString.split(" ")
+    val toks = input.toString.split(" ", -1)
     val count = toks.length - w + 1
     if (count <= 0) return new GenericArrayData(Array.empty[Any])
     val out = new Array[Any](count)

@@ -246,7 +246,7 @@ private[v2] class ProtocolFileReader(file: String, required: StructType,
             m.streamName.exists(_.equalsIgnoreCase(stream)) &&
             m.dataJson.isDefined =>
           val data = mapper.readTree(m.dataJson.get)
-          if (pushed.forall(FilterEval.eval(_, fieldNode(data, _)))) {
+          if (pushed.forall(FilterEval.eval(_, filterNode(data, m.emittedAt, _)))) {
             row = convert(data, m.emittedAt)
             return true
           }
@@ -259,6 +259,19 @@ private[v2] class ProtocolFileReader(file: String, required: StructType,
 
   override def get(): InternalRow = row
   override def close(): Unit = reader.close()
+
+  /** Field resolver for pushed-filter evaluation. `_airbyte_extracted_at`
+    * is NOT in the data payload — it comes from the protocol envelope's
+    * `emitted_at` — so it must be resolved there, or Spark's auto-inferred
+    * `IsNotNull(_airbyte_extracted_at)` would evaluate false for every
+    * record and the reader would drop all rows. Comparisons on it are
+    * never pushed (TimestampType is outside FilterEval.scalar), so a
+    * numeric stand-in node is only ever null-checked. */
+  private def filterNode(data: JsonNode, emittedAt: Option[Long],
+      name: String): JsonNode =
+    if (name.equalsIgnoreCase(ProtocolDataSource.ExtractedAt))
+      emittedAt.map(e => mapper.getNodeFactory.numberNode(e): JsonNode).orNull
+    else fieldNode(data, name)
 
   private def fieldNode(data: JsonNode, name: String): JsonNode = {
     val exact = data.get(name)

@@ -16,8 +16,9 @@ class OperatorsSpec extends SparkTestBase {
       (1L, "a b c d e f g h i j"),   // 3 windows of 8
       (2L, "a b c d e f g h"),       // exactly one window
       (3L, "too short"),             // none
-      (4L, "x y z x y z x y z x")    // repeats inside one doc
-    ).toDF("doc_id", "text")
+      (4L, "x y z x y z x y z x"),   // repeats inside one doc
+      (5L, "p q r s t u v w ")       // trailing space → empty token KEPT
+    ).toDF("doc_id", "text")          //   (Spark split limit -1 semantics)
     val declarative = docs
       .withColumn("ws", split(col("text"), " "))
       .filter(size(col("ws")) >= 8)

@@ -91,4 +91,23 @@ class V2SourceSpec extends SparkTestBase {
     assert(scanLine.contains("pushedFilters=[") &&
       scanLine.contains("GreaterThan(id,7)"), s"not pushed: $scanLine")
   }
+
+  test("filter on _airbyte_extracted_at keeps rows (envelope-resolved IsNotNull)") {
+    // Regression: Spark auto-infers IsNotNull(_airbyte_extracted_at) for any
+    // comparison on it; the reader must resolve that against the envelope's
+    // emitted_at (the column is never in the data payload), or every row is
+    // silently dropped at the scan.
+    val dir = Files.createTempDirectory("graft-v2").toString
+    writeLines(s"$dir/e1.jsonl",
+      (1 to 5).map(i => rec("users", s"""{"id":$i}""", 1700000000000L + i * 1000L)))
+    val df = spark.read.format(fmt)
+      .option("catalogJson", catalogJson).option("stream", "users")
+      .load(s"$dir/e1.jsonl")
+      .filter(col("_airbyte_extracted_at") >=
+        java.sql.Timestamp.valueOf("2023-11-14 00:00:00"))
+    assert(df.count() == 5, "extracted_at filter must not drop valid rows at the reader")
+    // explicit IsNotNull / IsNull on the metadata column also behave
+    assert(df.filter(col("_airbyte_extracted_at").isNotNull).count() == 5)
+    assert(df.filter(col("_airbyte_extracted_at").isNull).count() == 0)
+  }
 }
