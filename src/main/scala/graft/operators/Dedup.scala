@@ -73,9 +73,21 @@ object Dedup {
 
   /**
    * MinHash+LSH near-duplicate PAIRS:
-   * signature → explode band keys → self-join per bucket (the only
-   * shuffle, on band key) → distinct candidate pairs → exact Jaccard
-   * verify ≥ threshold.
+   * exact-duplicate collapse → signature → explode band keys →
+   * self-join per bucket (shuffles only class-representative ids) →
+   * distinct candidate pairs → exact Jaccard verify ≥ threshold →
+   * re-expand class pairs to document pairs.
+   *
+   * The up-front collapse (groupBy content) is the duplicate-blowup
+   * guard: LSH bucket pair generation is quadratic in bucket
+   * MEMBERSHIP, so a corpus with duplication factor d costs d² more per
+   * bucket raw (the 10× replica scale stress measured 15× wall).
+   * Collapsed, banding sees each distinct content once; exact-copy
+   * pairs are reconstructed as within-class pairs (Jaccard exactly 1.0
+   * — identical shingle sets) and a verified class pair (a, b) expands
+   * to members(a) × members(b) document pairs, all with the class-level
+   * Jaccard (the score depends only on text). Output is identical to
+   * the uncollapsed formulation; the expansion cost IS the output size.
    *
    * @param df      input with an id column and a text column
    * @return        (id_a, id_b, jaccard) with id_a < id_b
@@ -85,18 +97,23 @@ object Dedup {
       threshold: Double = 0.5,
       numHashes: Int = 9, bands: Int = 3, shingle: Int = 3): DataFrame = {
     val rows = numHashes / bands
-    // One compiled pass per row for shingles+signature (the declarative
+    // one content class per distinct text: representative id + members
+    val classes = df.groupBy(col(textCol).as("__text"))
+      .agg(min(col(idCol)).as("id"), collect_list(col(idCol)).as("members"))
+    // One compiled pass per class for shingles+signature (the declarative
     // higher-order form is interpreted per element — measured ~25 s at
     // sf0.1 vs ~1 s compiled). localCheckpoint materializes it once: the
-    // banded self-join references this frame on both sides, and the
-    // struct would otherwise be re-evaluated per projected field. On a
-    // cluster this is a cached intermediate / reliable checkpoint.
-    val withSig = df.select(
-      col(idCol).as("id"),
+    // banded self-join, the shingle re-join, and the member expansion all
+    // reference this frame, and the struct would otherwise be re-evaluated
+    // per projected field. On a cluster this is a cached intermediate /
+    // reliable checkpoint.
+    val withSig = classes.select(
+      col("id"), col("members"),
       graft.functions.TextHashFunctions
-        .shingleMinhash(col(textCol), numHashes, shingle).as("sm"))
+        .shingleMinhash(col("__text"), numHashes, shingle).as("sm"))
       .localCheckpoint()
-      .select(col("id"), col("sm.shingles").as("shingles"), col("sm.sig").as("sig"))
+      .select(col("id"), col("members"),
+        col("sm.shingles").as("shingles"), col("sm.sig").as("sig"))
       .filter(size(col("shingles")) > 0)
 
     // candidate generation carries ONLY ids through the band shuffle and
@@ -115,7 +132,7 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
 
     val shingleSets = withSig.select(col("id"), col("shingles"))
-    candidates
+    val classPairs = candidates
       .join(shingleSets.withColumnRenamed("id", "id_a")
         .withColumnRenamed("shingles", "sh_a"), "id_a")
       .join(shingleSets.withColumnRenamed("id", "id_b")
@@ -123,6 +140,32 @@ object Dedup {
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+
+    // cross-class expansion: every member pair inherits the class score;
+    // least/greatest restores the id_a < id_b orientation (classes
+    // partition ids arbitrarily, so a member of the "b" class can have
+    // the smaller id).
+    val membersOf = withSig.select(col("id"), col("members"))
+    val cross = classPairs
+      .join(membersOf.select(col("id").as("id_a"), col("members").as("ma")), "id_a")
+      .join(membersOf.select(col("id").as("id_b"), col("members").as("mb")), "id_b")
+      .select(explode(col("ma")).as("xa"), col("mb"), col("jaccard"))
+      .select(col("xa"), explode(col("mb")).as("xb"), col("jaccard"))
+      .select(least(col("xa"), col("xb")).as("id_a"),
+        greatest(col("xa"), col("xb")).as("id_b"), col("jaccard"))
+
+    // within-class pairs: identical texts share every band key and have
+    // Jaccard exactly 1.0, so the uncollapsed pipeline always emits them
+    // (when shingles are nonempty and the threshold admits 1.0).
+    val within = withSig
+      .filter(size(col("members")) > 1 && lit(1.0) >= lit(threshold))
+      .select(col("members"))
+      .select(explode(col("members")).as("xa"), col("members"))
+      .select(col("xa"), explode(col("members")).as("xb"))
+      .filter(col("xa") < col("xb"))
+      .select(col("xa").as("id_a"), col("xb").as("id_b"), lit(1.0).as("jaccard"))
+
+    cross.unionByName(within)
   }
 
   /**

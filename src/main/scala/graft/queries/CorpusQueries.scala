@@ -289,10 +289,25 @@ object CorpusQueries {
   // (no shingle arrays through the wide joins). Rare-first ordering
   // makes posting fan-out smallest exactly where collisions are
   // likeliest — the standard near-linear behavior of AllPairs.
+  //
+  // Exact-duplicate collapse guards the quadratic failure mode: prefix
+  // collisions (like LSH buckets) are quadratic in duplicate
+  // multiplicity, so the join runs on one representative per DISTINCT
+  // content and verified class pairs re-expand to document pairs at the
+  // end. A pair of identical contents is Jaccard 1.0 with i = sz by
+  // construction, so within-class pairs are emitted directly. The
+  // prefix bound holds for ANY global token order, so ranking by
+  // collapsed document frequency keeps the candidate set exact
+  // (no false negatives) — output is byte-identical to the
+  // uncollapsed formulation the oracle computes.
   // ------------------------------------------------------------------
   def q114PrefixFilterJoin(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = Tables.documents(spark, dir)
+    val classes = Tables.documents(spark, dir)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"), collect_list(col("doc_id")).as("members"))
+      .localCheckpoint() // read by the shingle stage and both expansions
+    val sh = classes
       .select(col("doc_id"), explode(array_distinct(
         graft.functions.TextHashFunctions
           .shingleMinhash(col("text"), 1, 3).getField("shingles"))).as("tok"))
@@ -308,29 +323,57 @@ object CorpusQueries {
     // AllPairs length filter: J ≥ ½ forces min(|a|,|b|)·2 ≥ max(|a|,|b|) —
     // prunes candidates before the (wider) verification joins; the
     // surviving-pair set is unchanged, so the oracle needs no mirror
+    // distinct BEFORE verification: a pair colliding on several prefix
+    // tokens must count its intersection once, and dedup here also keeps
+    // the expansion join below proportional to UNIQUE candidates.
     val cand = pref.as("a").join(pref.as("b"), Seq("tok"))
       .filter(col("a.doc_id") < col("b.doc_id") &&
         col("a.sz") * 2 >= col("b.sz") && col("b.sz") * 2 >= col("a.sz"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-    // verification: per-doc token sets are bounded (≪ corpus), so they
-    // BROADCAST and the intersection is a per-candidate-row array op —
-    // no token-level expansion join (candidates × |set| rows). On a
-    // corpus where the set dimension outgrows broadcast, swap this for
-    // the relational count (cand ⋈ toks ⋈ toks, groupBy pair) — same
-    // result, one more shuffle. Duplicate candidate rows (several
-    // shared prefix tokens) verify identically, so the cheap dedup
-    // happens on the ~constant-size survivor set, not the candidates.
-    val sets = sh.groupBy(col("doc_id"))
-      .agg(collect_list(col("tok")).as("set"), count(lit(1)).as("sz"))
-    cand
-      .join(broadcast(sets.select(col("doc_id").as("da"),
-        col("set").as("set_a"), col("sz").as("sza"))), "da")
-      .join(broadcast(sets.select(col("doc_id").as("db"),
-        col("set").as("set_b"), col("sz").as("szb"))), "db")
-      .withColumn("i", size(array_intersect(col("set_a"), col("set_b"))).cast(LongType))
+      .distinct()
+    // verification: relational intersection count — cand ⋈ toks(da) ⋈
+    // toks(db, tok), groupBy pair. Work is Σ_pairs |set(da)| expansion
+    // rows plus one co-shuffled join on (db, tok); everything stays
+    // partitioned, nothing is collected or broadcast, so the stage
+    // scales with candidates × avg set size, not with corpus size.
+    // (The previous broadcast-of-collect_list(sets) variant put the
+    // whole distinct-shingle corpus in every executor — 20× wall at the
+    // 10× scale stress and an OOM at any real corpus.)
+    val classPairs = cand
+      .join(sh.select(col("doc_id").as("da"), col("tok")), "da")
+      .join(sh.select(col("doc_id").as("db"), col("tok")), Seq("db", "tok"))
+      .groupBy(col("da"), col("db"))
+      .agg(count(lit(1)).as("i"))
+      .join(szs.select(col("doc_id").as("da"), col("sz").as("sza")), "da")
+      .join(szs.select(col("doc_id").as("db"), col("sz").as("szb")), "db")
       .filter(col("i") * 3 >= col("sza") + col("szb"))
       .select(col("da"), col("db"), col("i"), col("sza"), col("szb"))
-      .distinct()
+    // re-expand: a verified pair of content classes stands for every
+    // cross pair of their members (same i/sizes — the score is a
+    // function of content); sizes follow the min/max orientation.
+    val memb = classes.select(col("doc_id"), col("members"))
+    val cross = classPairs
+      .join(memb.select(col("doc_id").as("da"), col("members").as("ma")), "da")
+      .join(memb.select(col("doc_id").as("db"), col("members").as("mb")), "db")
+      .select(explode(col("ma")).as("xa"), col("mb"),
+        col("i"), col("sza"), col("szb"))
+      .select(col("xa"), explode(col("mb")).as("xb"),
+        col("i"), col("sza"), col("szb"))
+      .select(least(col("xa"), col("xb")).as("da"),
+        greatest(col("xa"), col("xb")).as("db"), col("i"),
+        when(col("xa") < col("xb"), col("sza")).otherwise(col("szb")).as("sza"),
+        when(col("xa") < col("xb"), col("szb")).otherwise(col("sza")).as("szb"))
+    // within-class pairs: identical shingle sets → i = sz, Jaccard 1.0;
+    // szs membership also enforces the nonempty-set rule (a doc with <3
+    // tokens has no shingle rows and never pairs, collapsed or not).
+    val within = szs.join(memb, "doc_id")
+      .filter(size(col("members")) > 1)
+      .select(col("sz"), explode(col("members")).as("xa"), col("members"))
+      .select(col("sz"), col("xa"), explode(col("members")).as("xb"))
+      .filter(col("xa") < col("xb"))
+      .select(col("xa").as("da"), col("xb").as("db"),
+        col("sz").as("i"), col("sz").as("sza"), col("sz").as("szb"))
+    cross.unionByName(within)
       .withColumn("jac", round(col("i").cast(DoubleType) /
         (col("sza") + col("szb") - col("i")).cast(DoubleType), 4))
       .orderBy(col("jac").desc, col("da").asc, col("db").asc)

@@ -70,6 +70,35 @@ class OperatorsSpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("minhash LSH on duplicate-heavy input: collapse guard keeps output exact") {
+    // 3 exact copies of base, 2 of near, 1 unrelated. The collapse guard
+    // bands each distinct content once; output must still be every
+    // document pair: within-class pairs at jaccard exactly 1.0, and all
+    // 3×2 cross pairs carrying the one class-level score.
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val near = base.replace("today", "tomorrow")
+    val far = "completely different content about spark engines and parquet files here"
+    val df = Seq((1L, base), (4L, base), (6L, base), (2L, near), (5L, near), (3L, far))
+      .toDF("doc_id", "text")
+    val out = Dedup.minhashNearDups(df, "doc_id", "text", threshold = 0.3)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+    val pairs = out.map(r => (r._1, r._2)).toSet
+    assert(out.length == pairs.size, "no duplicate pairs emitted")
+    // within-class: {1,4,6} and {2,5}, all at exactly 1.0
+    val withinExpected = Set((1L, 4L), (1L, 6L), (4L, 6L), (2L, 5L))
+    assert(withinExpected.subsetOf(pairs))
+    withinExpected.foreach { p =>
+      assert(out.find(r => (r._1, r._2) == p).get._3 == 1.0) }
+    // cross-class: every base×near member pair, one shared score < 1.0
+    val crossExpected = Set((1L, 2L), (1L, 5L), (2L, 4L), (4L, 5L), (2L, 6L), (5L, 6L))
+    assert(crossExpected.subsetOf(pairs))
+    val crossScores = crossExpected.map(p => out.find(r => (r._1, r._2) == p).get._3)
+    assert(crossScores.size == 1 && crossScores.head < 1.0 && crossScores.head >= 0.3)
+    // no pairs with the unrelated doc
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(pairs == withinExpected ++ crossExpected)
+  }
+
   test("incremental probe against a prebuilt index matches batch-vs-corpus dups") {
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     val near = base.replace("today", "tomorrow") // near-dup of corpus doc 1
