@@ -1,0 +1,354 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.ObjectNode
+import com.fasterxml.jackson.dataformat.yaml.YAMLMapper
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+import graft.names.NameNormalizer
+import graft.protocol.ConfiguredCatalog
+
+/**
+ * Declarative (low-code YAML manifest) source — the reference's
+ * manifest-only connector path re-expressed for Spark, without network
+ * egress.
+ *
+ * Reference surface: `airbyte/_executors/declarative.py:40-142`
+ * (DeclarativeExecutor wrapping the CDK's declarative source) and
+ * `airbyte/sources/util.py:107` (`get_source(..., source_manifest=...)`).
+ * The manifest shape interpreted here is the public Airbyte CDK
+ * declarative-component schema: `DeclarativeSource` with `spec`,
+ * `check.stream_names`, and `streams[]` of `DeclarativeStream`
+ * (`schema_loader`, `retriever.requester`, `retriever.record_selector
+ * .extractor.field_path`, `retriever.partition_router`), with
+ * `$ref: "#/definitions/..."` pointers and `{{ config['k'] }}` /
+ * `{{ stream_slice['k'] }}` interpolation.
+ *
+ * No-egress semantics: the requester resolves to LOCAL files.
+ *  - `file://` URLs and plain relative paths read from disk (relative
+ *    paths resolve against `fixtureRoot`).
+ *  - `http(s)://` URLs map into the fixture tree as
+ *    `<fixtureRoot>/<host>/<path>` — so a REAL connector manifest runs
+ *    unmodified against recorded API responses.
+ * Pagination is single-page per slice (a fixture file IS the full
+ * response); record filters and field transformations are out of scope
+ * and rejected loudly rather than silently ignored.
+ *
+ * Scale shape: slice resolution (pure string work on the manifest) is
+ * driver-side; record EXTRACTION is executor-side — slices parallelize
+ * one-per-partition and each partition parses its own response body, so
+ * a 10k-slice stream fans out like any other distributed scan. Records
+ * then ride the standard `Source.read` path (schema projection,
+ * metadata columns, write strategies) unchanged.
+ */
+final class DeclarativeSource(
+    val name: String,
+    manifestYaml: String,
+    config: Map[String, String] = Map.empty,
+    fixtureRoot: Option[String] = None) extends Source {
+
+  import DeclarativeSource._
+
+  private val manifest: JsonNode = resolveRefs(parseYaml(manifestYaml))
+
+  /** Manifest `version` (reference `declarative.py:82` reported_version). */
+  val version: Option[String] =
+    Option(manifest.get("version")).map(_.asText())
+
+  /** The connector's `spec` connection_specification JSON, if declared. */
+  def specJson: Option[String] =
+    Option(manifest.get("spec"))
+      .flatMap(s => Option(s.get("connection_specification")))
+      .map(_.toString)
+
+  private val streamNodes: Seq[JsonNode] =
+    Option(manifest.get("streams")).toSeq.flatMap(_.elements().asScala)
+      .map {
+        case t if t.isTextual && t.asText().startsWith("#/") =>
+          resolvePointer(manifest, t.asText())
+        case n => n
+      }
+
+  private def streamName(s: JsonNode): String =
+    Option(s.get("name")).map(_.asText()).getOrElse(
+      throw new IllegalArgumentException("declarative stream without a name"))
+
+  private def streamByName(stream: String): JsonNode =
+    streamNodes.find(s => streamName(s).equalsIgnoreCase(stream))
+      .orElse(streamNodes.find(s =>
+        NameNormalizer.normalize(streamName(s)) ==
+          NameNormalizer.normalize(stream)))
+      .getOrElse(throw new NoSuchElementException(s"Stream not found: $stream"))
+
+  /** Discover output: the same catalog JSON shape the subprocess path
+    * produces, so `ConfiguredCatalog.fromCatalogJson` (S2) is reused
+    * verbatim — one catalog model for both connector kinds. */
+  def discoverJson: String = {
+    val root = mapper.createObjectNode()
+    val arr = root.putArray("streams")
+    streamNodes.foreach { s =>
+      val out = arr.addObject()
+      out.put("name", streamName(s))
+      out.set[ObjectNode]("json_schema", streamSchema(s))
+      val pks = primaryKeyOf(s)
+      if (pks.nonEmpty) {
+        val pkArr = out.putArray("source_defined_primary_key")
+        pks.foreach(pk => pkArr.addArray().add(pk))
+      }
+      cursorFieldOf(s).foreach { c =>
+        out.putArray("default_cursor_field").add(c)
+      }
+    }
+    root.toString
+  }
+
+  override val catalog: ConfiguredCatalog =
+    ConfiguredCatalog.fromCatalogJson(discoverJson)
+
+  /** `check`: every `check.stream_names` stream must resolve and its
+    * first slice must parse to records (reference CheckStream). Throws
+    * with the failing detail, matching `SubprocessSource.check`. */
+  def check(): Unit = {
+    val names = Option(manifest.get("check")).toSeq
+      .flatMap(c => Option(c.get("stream_names")).toSeq)
+      .flatMap(_.elements().asScala).map(_.asText())
+    val toCheck = if (names.nonEmpty) names else streamNodes.map(streamName)
+    toCheck.foreach { s =>
+      val urls = sliceUrls(s)
+      if (urls.isEmpty)
+        throw new IllegalStateException(s"check failed for '$s': no slices")
+      val (url, slice) = urls.head
+      val body = readLocal(url, fixtureRoot)
+      val _ = slice
+      extractRecords(body, fieldPathOf(streamByName(s)))
+    }
+  }
+
+  /** Resolved (url, stream_slice) pairs for a stream — one per
+    * partition-router value, or a single unsliced pair. */
+  def sliceUrls(stream: String): Seq[(String, Map[String, String])] = {
+    val s = streamByName(stream)
+    val retriever = Option(s.get("retriever")).getOrElse(
+      throw new IllegalArgumentException(s"stream '$stream' has no retriever"))
+    val requester = Option(retriever.get("requester")).getOrElse(
+      throw new IllegalArgumentException(s"stream '$stream' has no requester"))
+    unsupported(retriever, "record_selector", "record_filter",
+      s"stream '$stream': record_filter")
+    Option(s.get("transformations")).foreach { _ =>
+      throw new UnsupportedOperationException(
+        s"stream '$stream': transformations are not supported by this interpreter")
+    }
+    val urlBase = Option(requester.get("url_base")).map(_.asText()).getOrElse("")
+    val path = Option(requester.get("path")).map(_.asText()).getOrElse("")
+    val slices: Seq[Map[String, String]] =
+      Option(retriever.get("partition_router")) match {
+        case None => Seq(Map.empty)
+        case Some(pr) =>
+          val t = Option(pr.get("type")).map(_.asText()).getOrElse("")
+          if (t != "ListPartitionRouter")
+            throw new UnsupportedOperationException(
+              s"stream '$stream': partition_router type '$t' not supported " +
+                "(ListPartitionRouter only)")
+          val cursor = pr.get("cursor_field").asText()
+          pr.get("values").elements().asScala.toSeq
+            .map(v => Map(cursor -> v.asText()))
+      }
+    slices.map { slice =>
+      val joined =
+        if (urlBase.nonEmpty && path.nonEmpty)
+          urlBase.stripSuffix("/") + "/" + path.stripPrefix("/")
+        else urlBase + path
+      (interpolate(joined, config, slice), slice)
+    }
+  }
+
+  private def fieldPathOf(s: JsonNode): Seq[String] =
+    Option(s.get("retriever"))
+      .flatMap(r => Option(r.get("record_selector")))
+      .flatMap(rs => Option(rs.get("extractor")))
+      .flatMap(e => Option(e.get("field_path")))
+      .toSeq.flatMap(_.elements().asScala).map(_.asText())
+
+  private def primaryKeyOf(s: JsonNode): Seq[String] =
+    Option(s.get("primary_key")).toSeq.flatMap {
+      case t if t.isTextual => Seq(t.asText())
+      case a if a.isArray => a.elements().asScala.map(_.asText()).toSeq
+      case _ => Seq.empty
+    }
+
+  private def cursorFieldOf(s: JsonNode): Option[String] =
+    Option(s.get("incremental_sync"))
+      .flatMap(i => Option(i.get("cursor_field"))).map(_.asText())
+
+  private def streamSchema(s: JsonNode): ObjectNode = {
+    val loader = Option(s.get("schema_loader")).getOrElse(
+      throw new IllegalArgumentException(
+        s"stream '${streamName(s)}' needs a schema_loader " +
+          "(InlineSchemaLoader or JsonFileSchemaLoader)"))
+    Option(loader.get("type")).map(_.asText()).getOrElse("") match {
+      case "InlineSchemaLoader" =>
+        loader.get("schema").deepCopy[ObjectNode]()
+      case "JsonFileSchemaLoader" =>
+        val p = interpolate(loader.get("file_path").asText(), config, Map.empty)
+        mapper.readTree(readLocal(p, fixtureRoot)).deepCopy[ObjectNode]()
+      case other =>
+        throw new UnsupportedOperationException(
+          s"schema_loader type '$other' not supported")
+    }
+  }
+
+  /** Record payload JSONL for one stream: slices fan out one-per-partition
+    * and each executor parses its own response body. */
+  override def recordJsonl(spark: SparkSession, stream: String): Dataset[String] = {
+    import spark.implicits._
+    val urls = sliceUrls(stream)
+    val fp = fieldPathOf(streamByName(stream))
+    val root = fixtureRoot
+    if (urls.isEmpty) return spark.emptyDataset[String]
+    spark.createDataset(urls.map { case (u, sl) => (u, sl.toSeq) })
+      .repartition(urls.size)
+      .mapPartitions { it =>
+        it.flatMap { case (url, _) =>
+          extractRecords(readLocal(url, root), fp)
+        }
+      }
+  }
+}
+
+object DeclarativeSource {
+  private val mapper = new ObjectMapper()
+  private val yamlMapper = new YAMLMapper()
+
+  def parseYaml(yaml: String): JsonNode = yamlMapper.readTree(yaml)
+
+  /** Load a manifest file (YAML) into a source; fixture-relative paths
+    * resolve against the manifest's own directory unless overridden. */
+  def fromFile(name: String, manifestPath: String,
+      config: Map[String, String] = Map.empty,
+      fixtureRoot: Option[String] = None): DeclarativeSource = {
+    val p = Paths.get(manifestPath)
+    new DeclarativeSource(name,
+      new String(Files.readAllBytes(p), "UTF-8"), config,
+      fixtureRoot.orElse(Option(p.getParent).map(_.toString)))
+  }
+
+  /** Expand `$ref: "#/..."` pointers (CDK manifest convention): the
+    * referenced node's fields merge under the referencing object, with
+    * sibling keys overriding (CDK semantics). Iterates to a fixpoint
+    * with a depth guard against cycles. */
+  def resolveRefs(root: JsonNode): JsonNode = {
+    var cur = root
+    var depth = 0
+    while (hasRef(cur) && depth < 16) { cur = expandOnce(cur, cur); depth += 1 }
+    if (hasRef(cur))
+      throw new IllegalArgumentException("manifest $ref depth/cycle exceeded")
+    cur
+  }
+
+  private def hasRef(n: JsonNode): Boolean = n match {
+    case o if o.isObject =>
+      o.has("$ref") || o.fields().asScala.exists(e => hasRef(e.getValue))
+    case a if a.isArray => a.elements().asScala.exists(hasRef)
+    case _ => false
+  }
+
+  private def expandOnce(n: JsonNode, root: JsonNode): JsonNode = n match {
+    case o if o.isObject && o.has("$ref") =>
+      val target = resolvePointer(root, o.get("$ref").asText()).deepCopy[JsonNode]()
+      val siblings = o.fields().asScala.filterNot(_.getKey == "$ref").toSeq
+      if (!target.isObject || siblings.isEmpty) target
+      else {
+        val merged = target.asInstanceOf[ObjectNode]
+        siblings.foreach(e => merged.set[ObjectNode](e.getKey, e.getValue))
+        merged
+      }
+    case o if o.isObject =>
+      val out = mapper.createObjectNode()
+      o.fields().asScala.foreach(e =>
+        out.set[ObjectNode](e.getKey, expandOnce(e.getValue, root)))
+      out
+    case a if a.isArray =>
+      val out = mapper.createArrayNode()
+      a.elements().asScala.foreach(e => out.add(expandOnce(e, root)))
+      out
+    case other => other
+  }
+
+  private[sources] def resolvePointer(root: JsonNode, ref: String): JsonNode = {
+    val parts = ref.stripPrefix("#").stripPrefix("/").split('/').filter(_.nonEmpty)
+    parts.foldLeft(root) { (n, p) =>
+      Option(n.get(p)).getOrElse(throw new IllegalArgumentException(
+        s"manifest ref not found: $ref (missing '$p')"))
+    }
+  }
+
+  /** `{{ config['k'] }}` / `{{ stream_slice['k'] }}` interpolation —
+    * the two contexts fixture reads need. Unknown keys fail loudly. */
+  private val interpPattern =
+    """\{\{\s*(config|stream_slice)\[['"]([^'"\]]+)['"]\]\s*\}\}""".r
+
+  def interpolate(template: String, config: Map[String, String],
+      slice: Map[String, String]): String =
+    interpPattern.replaceAllIn(template, m => {
+      val ctx = if (m.group(1) == "config") config else slice
+      java.util.regex.Matcher.quoteReplacement(
+        ctx.getOrElse(m.group(2), throw new NoSuchElementException(
+          s"interpolation key '${m.group(2)}' not in ${m.group(1)}")))
+    })
+
+  /** Resolve a requester URL to local bytes — the no-egress contract:
+    * file:// and relative paths read directly; http(s) URLs map to
+    * `<fixtureRoot>/<host>/<path>` recorded responses. */
+  def readLocal(url: String, fixtureRoot: Option[String]): String = {
+    val path =
+      if (url.startsWith("file://")) url.stripPrefix("file://")
+      else if (url.startsWith("http://") || url.startsWith("https://")) {
+        val rest = url.replaceFirst("^https?://", "")
+        val root = fixtureRoot.getOrElse(throw new IllegalArgumentException(
+          s"http(s) URL '$url' needs a fixtureRoot with recorded responses " +
+            "(this interpreter has no network egress)"))
+        s"${root.stripSuffix("/")}/$rest"
+      } else fixtureRoot match {
+        case Some(root) if !url.startsWith("/") => s"${root.stripSuffix("/")}/$url"
+        case _ => url
+      }
+    val p = Paths.get(path)
+    val candidate =
+      if (Files.exists(p)) p
+      else Paths.get(path + ".json") // host/path fixtures usually lack extension
+    if (!Files.exists(candidate))
+      throw new java.io.FileNotFoundException(
+        s"fixture for '$url' not found at '$path'")
+    new String(Files.readAllBytes(candidate), "UTF-8")
+  }
+
+  /** DpathExtractor: walk `field_path` into the response body (`*`
+    * fans out over arrays / object values); the landing node yields its
+    * elements when an array, itself when an object. Executor-side. */
+  def extractRecords(body: String, fieldPath: Seq[String]): Seq[String] = {
+    val rootNode = mapper.readTree(body)
+    val landed = fieldPath.foldLeft(Seq(rootNode)) { (nodes, step) =>
+      nodes.flatMap { n =>
+        if (step == "*")
+          (if (n.isArray) n.elements().asScala
+           else if (n.isObject) n.properties().asScala.map(_.getValue)
+           else Iterator.empty).toSeq
+        else Option(n.get(step)).toSeq
+      }
+    }
+    landed.flatMap { n =>
+      if (n.isArray) n.elements().asScala.toSeq else Seq(n)
+    }.filter(_.isObject).map(_.toString)
+  }
+
+  private def unsupported(node: JsonNode, child: String, grandchild: String,
+      what: String): Unit =
+    Option(node.get(child)).flatMap(c => Option(c.get(grandchild))).foreach { _ =>
+      throw new UnsupportedOperationException(
+        s"$what is not supported by this interpreter")
+    }
+}
