@@ -8,14 +8,16 @@ import org.apache.spark.sql.types._
  * Multimodal column plumbing: image/audio/video as opaque `binary`
  * columns with typed metadata, processed in partition-sized batches.
  *
- * The actual media decode is STUBBED (this container has no image/audio
- * codecs — see `DecodeStub`); everything around it — schema, batch
- * iteration, partition sizing, metadata extraction — is real and tested.
- * On a cluster the stub body is replaced by the codec call; the Spark
- * plumbing (the part that has to survive 100 TB) is unchanged:
- * `mapPartitions` processes rows in partition batches with one codec
- * context per partition (the Scala analog of `mapInPandas` batches), and
- * binary payloads never pass through the driver.
+ * Metadata extraction is REAL: [[ImageHeaders]] parses PNG/GIF/JPEG/BMP
+ * container headers for format + pixel dimensions without any codec
+ * library (dimension-from-header is how curation filters images by size
+ * without paying for a decode). Full-pixel decode remains
+ * deployment-specific — a payload that parses as no known container
+ * reports a null format, never a fake. The Spark plumbing (the part
+ * that has to survive 100 TB): `mapPartitions` processes rows in
+ * partition batches with one codec context per partition (the Scala
+ * analog of `mapInPandas` batches), and binary payloads never pass
+ * through the driver.
  */
 object Multimodal {
 
@@ -31,7 +33,8 @@ object Multimodal {
 
   final case class MediaFeatures(
       media_id: Long, n_bytes: Long, checksum: String,
-      width: Int, height: Int, ok: Boolean)
+      format: Option[String], width: Option[Int], height: Option[Int],
+      ok: Boolean)
 
   /** Wrap a text table as opaque binary media (UTF-8 payloads) — the
     * ingestion shape for any media source: (id, bytes, mime, size). */
@@ -44,26 +47,12 @@ object Multimodal {
       octet_length(col(payloadCol)).cast(LongType).as("n_bytes"))
 
   /**
-   * The decode stub: deterministic fake "decode" standing in for an
-   * image/audio codec. Real deployments swap the body for e.g. a JNI
-   * codec call; signature and batching stay identical.
-   */
-  object DecodeStub {
-    /** Fake decode: derives stable pseudo-dimensions from the payload. */
-    def decode(content: Array[Byte]): (Int, Int, Boolean) = {
-      if (content == null || content.isEmpty) (0, 0, false)
-      else {
-        // stand-in for codec output: dimensions derived deterministically
-        val h = java.util.Arrays.hashCode(content)
-        (math.abs(h % 1920) + 1, math.abs((h / 1920) % 1080) + 1, true)
-      }
-    }
-  }
-
-  /**
-   * Feature extraction over media batches: one codec context per
-   * partition, rows streamed through it (never materialized per-batch
-   * on the driver). Output is a typed Dataset.
+   * Feature extraction over media batches: one context per partition
+   * (the MessageDigest instance here; a JNI codec handle in a pixel
+   * deployment), rows streamed through it — never materialized
+   * per-batch on the driver. `ok` = payload present; format/dims come
+   * from the real container-header parse and are null for payloads
+   * that are not a recognized image — no fabricated metadata.
    */
   def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
     implicit val enc: Encoder[MediaFeatures] = Encoders.product[MediaFeatures]
@@ -71,13 +60,16 @@ object Multimodal {
     media.select("media_id", "content", "mime_type", "n_bytes")
       .as(Encoders.product[MediaRecord])
       .mapPartitions { rows =>
-        // per-partition "codec context" init happens here (stub: none)
+        val md = java.security.MessageDigest.getInstance("MD5")
         rows.map { r =>
-          val (w, h, ok) = DecodeStub.decode(r.content)
-          val checksum = java.security.MessageDigest.getInstance("MD5")
+          val meta = ImageHeaders.parse(r.content)
+          md.reset()
+          val checksum = md
             .digest(if (r.content == null) Array.emptyByteArray else r.content)
             .map("%02x".format(_)).mkString
-          MediaFeatures(r.media_id, r.n_bytes, checksum, w, h, ok)
+          MediaFeatures(r.media_id, r.n_bytes, checksum,
+            meta.map(_.format), meta.map(_.width), meta.map(_.height),
+            ok = r.content != null && r.content.nonEmpty)
         }
       }
   }

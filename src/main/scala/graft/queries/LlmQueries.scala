@@ -415,18 +415,22 @@ object LlmQueries {
       |GROUP BY lang""".stripMargin
 
   /** Multimodal plumbing: text → binary payload → batched feature
-    * extraction (decode stubbed; schema/batching real). */
+    * extraction. Header metadata is REAL (ImageHeaders container
+    * parse), so text payloads honestly report a null format — the
+    * oracle can state that exactly. */
   def q40Multimodal(spark: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.asBinaryColumn(
       Tables.documents(spark, dir), "doc_id", "text", "text/plain")
     Multimodal.extractFeatures(media).toDF()
-      .select(col("media_id"), col("n_bytes"), col("checksum"), col("ok"))
+      .select(col("media_id"), col("n_bytes"), col("checksum"),
+        col("format"), col("ok"))
   }
 
   val q40Sql: String =
     """SELECT doc_id AS media_id,
       |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
       |  md5(text) AS checksum,
+      |  CAST(NULL AS VARCHAR) AS format,
       |  CAST(1 AS BOOLEAN) AS ok
       |FROM documents""".stripMargin
 

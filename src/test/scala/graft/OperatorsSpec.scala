@@ -252,11 +252,46 @@ class OperatorsSpec extends SparkTestBase {
     assert(feats.length == 2)
     assert(feats(0).n_bytes == 5 && feats(1).n_bytes == 6)
     assert(feats.forall(_.ok))
-    assert(feats.forall(f => f.width > 0 && f.height > 0))
+    // text payloads are NOT images: no fabricated format or dimensions
+    assert(feats.forall(f => f.format.isEmpty && f.width.isEmpty && f.height.isEmpty))
     // checksum matches md5 of the utf-8 payload
     val expected = java.security.MessageDigest.getInstance("MD5")
       .digest("hello".getBytes("UTF-8")).map("%02x".format(_)).mkString
     assert(feats(0).checksum == expected)
+  }
+
+  test("multimodal: real container headers yield known fixture dimensions") {
+    import graft.operators.ImageHeaders
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    val png = b(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a, // signature
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',                        // IHDR chunk
+      0, 0, 0, 5, 0, 0, 0, 7)                                 // w=5 h=7 (BE)
+    val gif = b('G', 'I', 'F', '8', '9', 'a', 3, 0, 2, 0)     // w=3 h=2 (LE)
+    val jpg = b(0xff, 0xd8,                                   // SOI
+      0xff, 0xe0, 0x00, 0x04, 0x4a, 0x46,                     // APP0 (skipped)
+      0xff, 0xc0, 0x00, 0x0b, 0x08, 0x00, 0x07, 0x00, 0x05)   // SOF0 h=7 w=5
+    val bmp = ("BM" + " " * 16).getBytes("US-ASCII") ++
+      b(9, 0, 0, 0) ++ b(4, 0, 0, 0)                          // w=9 h=4 (LE)
+    assert(ImageHeaders.parse(png).contains(ImageHeaders.ImageMeta("png", 5, 7)))
+    assert(ImageHeaders.parse(gif).contains(ImageHeaders.ImageMeta("gif", 3, 2)))
+    assert(ImageHeaders.parse(jpg).contains(ImageHeaders.ImageMeta("jpeg", 5, 7)))
+    assert(ImageHeaders.parse(bmp).contains(ImageHeaders.ImageMeta("bmp", 9, 4)))
+    assert(ImageHeaders.parse("not an image at all".getBytes).isEmpty)
+    assert(ImageHeaders.parse(Array.emptyByteArray).isEmpty)
+    // end-to-end through the distributed extraction path
+    val rows = Seq((1L, png), (2L, gif), (3L, jpg), (4L, bmp),
+      (5L, "plain text".getBytes("UTF-8")))
+    val media = rows.toDF("media_id", "content")
+      .select(col("media_id"), col("content"),
+        lit("application/octet-stream").as("mime_type"),
+        octet_length(col("content")).cast(LongType).as("n_bytes"))
+    val feats = Multimodal.extractFeatures(media).collect()
+      .map(f => f.media_id -> ((f.format, f.width, f.height))).toMap
+    assert(feats(1L) == ((Some("png"), Some(5), Some(7))))
+    assert(feats(2L) == ((Some("gif"), Some(3), Some(2))))
+    assert(feats(3L) == ((Some("jpeg"), Some(5), Some(7))))
+    assert(feats(4L) == ((Some("bmp"), Some(9), Some(4))))
+    assert(feats(5L) == ((None, None, None)))
   }
 
   test("record projection: case-insensitive match, null-fill, prune, cast") {
