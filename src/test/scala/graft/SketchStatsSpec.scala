@@ -34,6 +34,25 @@ class SketchStatsSpec extends SparkTestBase {
       s"merged=$merged exact=$exact")
   }
 
+  test("q115 HLL variant: per-day merged sketches within 2% of exact, per target day") {
+    val dir = "/root/testdata/sf0.1"
+    val exact = graft.queries.EventAnalytics
+      .q115RollingDistinct(spark, dir)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    spark.conf.set("graft.q115.approx", "true")
+    try {
+      val approx = graft.queries.EventAnalytics
+        .q115RollingDistinct(spark, dir) // flag dispatches to the HLL plan
+        .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+      assert(approx.keySet == exact.keySet)
+      exact.foreach { case (day, ex) =>
+        val ap = approx(day)
+        assert(math.abs(ap - ex) <= math.max(1L, math.round(ex * 0.02)),
+          s"day=$day approx=$ap exact=$ex")
+      }
+    } finally spark.conf.unset("graft.q115.approx")
+  }
+
   test("approx_percentile within 2% relative error of exact percentile") {
     val ev = Tables.events(spark, "/root/testdata/sf0.01")
     val r = ev.agg(
