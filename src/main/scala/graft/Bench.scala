@@ -7,9 +7,12 @@ import org.apache.spark.sql.SparkSession
  * prints one JSON line {"metric":...,"queries":{...}}.
  *
  * Methodology: a full warmup pass at sf0.001 first (JIT + codegen cache +
- * session init), then one timed pass at the target scale factor. Queries
- * are forced through the `noop` sink so the whole plan executes (a bare
- * `count()` would let Catalyst prune aggregations).
+ * session init), then SPARK_GRAFT_BENCH_REPEATS (default 1) timed passes
+ * at the target scale factor; per-query time is the MEDIAN across passes
+ * and BENCH_FULL.json records min/max spread so sub-second movers can be
+ * told from run-to-run noise. Queries are forced through the `noop` sink
+ * so the whole plan executes (a bare `count()` would let Catalyst prune
+ * aggregations).
  */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -39,7 +42,15 @@ object Bench {
     // warmup at the smallest SF: JIT, codegen cache, parquet footer reads
     names.foreach(exec(_, "/root/testdata/sf0.001"))
 
-    val results = names.map(n => n -> exec(n, sfDir))
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "1").toInt
+    val passes: Seq[Map[String, Double]] =
+      (1 to repeats).map(_ => names.map(n => n -> exec(n, sfDir)).toMap)
+    def median(xs: Seq[Double]): Double =
+      if (xs.isEmpty) -1.0
+      else { val s = xs.sorted; s((s.size - 1) / 2) }
+    val byQuery: Map[String, Seq[Double]] =
+      names.map(n => n -> passes.map(_(n)).filter(_ >= 0)).toMap
+    val results = names.map(n => n -> median(byQuery(n)))
     // The driver captures only the last 2000 characters of output and
     // parses the JSON line out of that window, so the line must stay
     // well under 2000 chars: per-query detail is limited to a fixed
@@ -77,8 +88,15 @@ object Bench {
     val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${names.size},"n_failed":${failed.size},"queries":$qs,"ingest_records_per_sec":$ingestRps,"sf":"$sfDir"}"""
     try {
       val p = java.nio.file.Paths.get("BENCH_FULL.json")
+      val spread =
+        if (repeats <= 1) "{}"
+        else names.map { n =>
+          val xs = byQuery(n)
+          "\"" + n + "\":{\"min\":" + ms(if (xs.isEmpty) -1 else xs.min) +
+            ",\"max\":" + ms(if (xs.isEmpty) -1 else xs.max) + "}"
+        }.mkString("{", ",", "}")
       java.nio.file.Files.write(p,
-        s"""{"line":$line,"all_queries":$full,"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}}""".getBytes("UTF-8"))
+        s"""{"line":$line,"repeats":$repeats,"all_queries":$full,"spread":$spread,"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}}""".getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     println(line)
     spark.stop()
