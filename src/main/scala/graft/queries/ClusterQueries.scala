@@ -384,19 +384,42 @@ object ClusterQueries {
       |  n_triangles * 3000 // n_wedges AS clustering_permille
       |FROM stats CROSS JOIN edges CROSS JOIN tri""".stripMargin
 
+  /**
+   * Rank-vector distribution auto-switches on node count: a
+   * dimension-sized node set BROADCASTS the rank vector each iteration
+   * (edges never shuffle); a node set above `graft.pagerank
+   * .broadcastNodes` (default 5M — the point where a per-iteration
+   * broadcast stops fitting comfortably in executor memory) switches to
+   * the JOIN-based contribution shuffle: edges are hash-partitioned on
+   * `src` ONCE at checkpoint, each iteration co-shuffles only the rank
+   * vector into that partitioning. Same integer arithmetic, same
+   * output — PlanAssert test pins both shapes.
+   */
   def q79PageRank(spark: SparkSession, dir: String): DataFrame = {
     val sup = Tables.supplier(spark, dir).select(col("s_suppkey").as("node"))
     val ns = sup.count()
+    val broadcastLimit = spark.conf
+      .getOption("graft.pagerank.broadcastNodes").map(_.toLong)
+      .getOrElse(5000000L)
+    val useBroadcast = ns <= broadcastLimit
     val edges = Tables.lineitem(spark, dir)
       .select(col("l_suppkey").as("src"),
         (col("l_partkey") % ns + 1L).as("dst"))
       .distinct()
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
-    val edgeDeg = edges.join(deg, "src").localCheckpoint() // static across iters
+    // static across iterations; the join-based path pre-partitions on
+    // src ONCE so each iteration re-shuffles only the rank vector
+    val joinedEdges = edges.join(deg, "src")
+    val edgeDeg =
+      (if (useBroadcast) joinedEdges else joinedEdges.repartition(col("src")))
+        .localCheckpoint()
     var ranks = sup.select(col("node"), lit(1000000L).as("r"))
     for (_ <- 1 to 3) {
-      val contrib = edgeDeg
-        .join(broadcast(ranks.withColumnRenamed("node", "src")), "src")
+      val rankSide = ranks.withColumnRenamed("node", "src")
+      val joined =
+        if (useBroadcast) edgeDeg.join(broadcast(rankSide), "src")
+        else edgeDeg.join(rankSide, "src")
+      val contrib = joined
         .select(col("dst"), expr("r div d").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
       ranks = sup.join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")

@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
 /** Scale-stress runner: time queries at an arbitrary data dir (e.g. a
   * 10×-replicated copy of sf0.1) and compare against their sf0.1 times
   * in the same JVM — the local proxy for "does the plan scale linearly".
-  * Usage: runMain graft.tools.ScaleBench <bigDir> <q1,q2,...> */
+  * Usage: runMain graft.tools.ScaleBench <bigDir> <q1,q2,...> [conf=v ...] */
 object ScaleBench {
   def main(args: Array[String]): Unit = {
     val bigDir = if (args.nonEmpty) args(0) else "/tmp/graft_sf1"
@@ -15,12 +15,16 @@ object ScaleBench {
         "q75_sequence_pack", "q100_pipeline", "q106_span_dedup",
         "q114_prefix_filter_join", "q115_rolling_distinct",
         "q117_triangle_count", "q121_topk_per_group")
+    val confs = args.drop(2).map { kv =>
+      val Array(k, v) = kv.split("=", 2); (k, v)
+    }
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
 
     def time(q: String, dir: String): Double = {
       val t0 = System.nanoTime()

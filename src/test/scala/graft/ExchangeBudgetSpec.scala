@@ -99,4 +99,30 @@ class ExchangeBudgetSpec extends SparkTestBase {
       assert(n <= budget, s"$name has $n shuffle exchanges (budget $budget)")
     }
   }
+
+  test("q79 pagerank auto-switches rank distribution: broadcast vs co-shuffled join") {
+    // auto-broadcast off isolates the EXPLICIT rank-vector hint: below
+    // the node threshold the plan must broadcast (hints survive -1);
+    // above it, the pure shuffle contribution path must run broadcast-
+    // free — and both modes must produce identical ranks.
+    def run(thr: String): (String, Seq[org.apache.spark.sql.Row]) = {
+      spark.conf.set("graft.pagerank.broadcastNodes", thr)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val df = SparkEntry.queries("q79_pagerank")(spark, sf())
+        val rows = df.collect().toSeq
+        (df.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==").head, rows)
+      } finally {
+        spark.conf.unset("graft.pagerank.broadcastNodes")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }
+    val (bPlan, bRows) = run(Long.MaxValue.toString)
+    val (jPlan, jRows) = run("0")
+    assert(bPlan.contains("BroadcastExchange"), "dimension mode should broadcast ranks")
+    assert(!jPlan.contains("BroadcastExchange"),
+      "beyond-broadcast mode must not broadcast anything")
+    assert(bRows == jRows, "both distribution modes must rank identically")
+  }
 }
