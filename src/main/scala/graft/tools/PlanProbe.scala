@@ -2,23 +2,62 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Print the exchange operators of selected queries' executed plans
-  * (args = query names; default: the ExchangeBudgetSpec outliers). */
+/**
+ * The one parameterized plan/timing probe (absorbs the former
+ * per-round one-off tools):
+ *
+ *   runMain graft.tools.PlanProbe [--full] [--time] [--dir D] [--conf k=v] [query...]
+ *
+ *  - default prints just the exchange operators of each query's
+ *    executed plan (shuffle-budget debugging);
+ *  - `--full` prints the whole executed plan (explain-style probing);
+ *  - `--time` prints wall time per query (single-query bench probing;
+ *    use ScaleBench for two-dir ratio runs);
+ *  - `--dir` selects the data dir (default sf0.001);
+ *  - `--conf k=v` sets a session conf (repeatable — e.g. the
+ *    graft.pagerank.broadcastNodes or graft.q115.approx switches).
+ */
 object PlanProbe {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+    var full = false; var time = false
+    var dir = "/root/testdata/sf0.001"
+    val confs = Seq.newBuilder[(String, String)]
+    val names = Seq.newBuilder[String]
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "--full" => full = true
+        case "--time" => time = true
+        case "--dir" => dir = args(i + 1); i += 1
+        case "--conf" =>
+          val Array(k, v) = args(i + 1).split("=", 2)
+          confs += ((k, v)); i += 1
+        case q => names += q
+      }
+      i += 1
+    }
+    val qs = {
+      val ns = names.result()
+      if (ns.nonEmpty) ns
+      else Seq("q2_filter_pushdown", "q64_gopher_rules",
+        "q86_length_bins", "q88_bigram_pmi")
+    }
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val names = if (args.nonEmpty) args.toSeq
-      else Seq("q2_filter_pushdown", "q64_gopher_rules",
-        "q86_length_bins", "q88_bigram_pmi")
-    names.foreach { n =>
-      val df = graft.SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")
+    confs.result().foreach { case (k, v) => spark.conf.set(k, v) }
+    qs.foreach { n =>
+      val df = graft.SparkEntry.queries(n)(spark, dir)
+      val t0 = System.nanoTime()
       df.collect()
-      println(s"=== $n")
-      df.queryExecution.executedPlan.toString.linesIterator
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(s"=== $n" + (if (time) f" (${secs}%.2f s)" else ""))
+      val plan = df.queryExecution.executedPlan.toString
+      if (full) plan.linesIterator.foreach(l => println("  " + l))
+      else plan.linesIterator
         .filter(_.toLowerCase.contains("exchange"))
         .foreach(l => println("  " + l.trim.take(140)))
     }

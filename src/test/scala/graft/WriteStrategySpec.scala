@@ -92,6 +92,34 @@ class WriteStrategySpec extends SparkTestBase {
     cache.dropAll()
   }
 
+  test("schema evolution: type changes are NOT migrated — existing column type wins") {
+    // Reference contract (records.py:54-63, sql_processor.py:934-981):
+    // evolution is ADD-ONLY. A stream that re-declares an existing
+    // column with a widened type does not alter the table; incoming
+    // values are coerced to the EXISTING column type on append (Spark
+    // cast semantics — fractional parts truncate toward zero), and a
+    // full REPLACE is the documented way to take a new type.
+    val cache = SparkCache.fresh(spark, "graft_test_widen")
+    val intBatch = Records.addMetadata(
+      Seq((1L, 10L)).toDF("id", "qty"), // qty lands as BIGINT
+      Some(lit("2020-01-01 00:00:00").cast(TimestampType)))
+    cache.writeStream("s_nopk", intBatch, catalog, WriteStrategy.Append)
+    assert(cache.table("s_nopk").schema("qty").dataType == LongType)
+    val widened = Records.addMetadata(
+      Seq((2L, 2.9)).toDF("id", "qty"), // source now declares qty DOUBLE
+      Some(lit("2020-01-02 00:00:00").cast(TimestampType)))
+    cache.writeStream("s_nopk", widened, catalog, WriteStrategy.Append)
+    // table type unchanged; the widened value was coerced, not migrated
+    assert(cache.table("s_nopk").schema("qty").dataType == LongType)
+    assert(cache.table("s_nopk").select("id", "qty").as[(Long, Long)]
+      .collect().sortBy(_._1).toSeq == Seq((1L, 10L), (2L, 2L)))
+    // replace rebuilds with the new declared type (the documented path)
+    cache.writeStream("s_nopk", widened, catalog, WriteStrategy.Replace)
+    assert(cache.table("s_nopk").schema("qty").dataType == DoubleType)
+    assert(cache.table("s_nopk").select("qty").as[Double].collect().toSeq == Seq(2.9))
+    cache.dropAll()
+  }
+
   test("dedupLatest breaks ties by raw_id (uuid7 time-ordered)") {
     val d = df((1L, "first", 1.0), (1L, "second", 2.0))
     val out = WriteStrategies.dedupLatest(d, Seq("id"))
