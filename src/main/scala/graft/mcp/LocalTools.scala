@@ -1,0 +1,178 @@
+package graft.mcp
+
+import scala.jdk.CollectionConverters._
+import scala.util.{Failure, Success, Try}
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+import graft.cache.SparkCache
+import graft.protocol.WriteStrategy
+import graft.sources.{Destination, ReadResult, Secrets, Source}
+
+/**
+ * The local MCP tool surface (reference `airbyte/mcp/local.py:1-1011`)
+ * as a Scala facade: every tool is a thin, typed delegation onto a
+ * surface that already exists in this engine — the MCP server shell
+ * (FastMCP wiring, `mcp/server.py`) is transport, not capability, and
+ * is deliberately out of scope.
+ *
+ * | reference tool (local.py)        | here                           |
+ * |----------------------------------|--------------------------------|
+ * | validate_connector_config (:135) | validateConnectorConfig        |
+ * | list_connector_config_secrets (:214) | listConnectorConfigSecrets |
+ * | list_dotenv_secrets (:248)       | listDotenvSecrets              |
+ * | list_source_streams (:269)       | listSourceStreams              |
+ * | get_source_stream_json_schema (:336) | getSourceStreamJsonSchema  |
+ * | read_source_stream_records (:403)| readSourceStreamRecords        |
+ * | get_stream_previews (:494)       | getStreamPreviews              |
+ * | sync_source_to_cache (:607)      | syncSourceToCache              |
+ * | list_cached_streams (:717)       | listCachedStreams              |
+ * | describe_default_cache (:739)    | describeDefaultCache           |
+ * | run_sql_query (:794)             | runSqlQuery (read-only guard)  |
+ * | destination_smoke_test (:852)    | destinationSmokeTest           |
+ */
+object LocalTools {
+
+  private val mapper = new ObjectMapper()
+
+  // ---- connector introspection ------------------------------------
+
+  def listSourceStreams(source: Source): Seq[String] =
+    source.catalog.streamNames
+
+  /** Declared stream schema rendered back to JSON Schema (the MCP
+    * answer shape). Inverse of the §1.3 type mapping; containers that
+    * landed as JSON text report `object`/`array` faithfully. */
+  def getSourceStreamJsonSchema(source: Source, stream: String): String = {
+    val root = mapper.createObjectNode()
+    root.put("type", "object")
+    val props = root.putObject("properties")
+    source.catalog(stream).schema.fields.foreach { f =>
+      val p = props.putObject(f.name)
+      f.dataType match {
+        case LongType | IntegerType => p.put("type", "integer")
+        case DoubleType | FloatType | _: DecimalType => p.put("type", "number")
+        case BooleanType => p.put("type", "boolean")
+        case DateType => p.put("type", "string"); p.put("format", "date")
+        case TimestampType | TimestampNTZType =>
+          p.put("type", "string"); p.put("format", "date-time")
+        case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+          p.put("type", "array")
+          p.putObject("items").put("type", "number")
+        case _: ArrayType => p.put("type", "array")
+        case _: StructType | _: MapType => p.put("type", "object")
+        case _ => p.put("type", "string")
+      }
+    }
+    root.toString
+  }
+
+  /** First `limit` record payloads of one stream, as JSON text. */
+  def readSourceStreamRecords(
+      spark: SparkSession, source: Source, stream: String,
+      limit: Int = 1000): Seq[String] =
+    source.recordJsonl(spark, stream).limit(limit).collect().toSeq
+
+  /** Per-stream samples with the reference's on_error="ignore"
+    * semantics: a failing stream reports its error message instead of
+    * failing the whole preview call. `streams = Nil` means all. */
+  def getStreamPreviews(
+      spark: SparkSession, source: Source,
+      streams: Seq[String] = Nil, limit: Int = 10): Map[String, Either[String, Seq[String]]] = {
+    val targets = if (streams.isEmpty) source.catalog.streamNames else streams
+    targets.map { s =>
+      s -> (Try(readSourceStreamRecords(spark, source, s, limit)) match {
+        case Success(rows) => Right(rows)
+        case Failure(e) => Left(s"Could not retrieve stream samples for '$s': ${e.getMessage}")
+      })
+    }.toMap
+  }
+
+  // ---- config validation / secrets --------------------------------
+
+  /**
+   * Validate a config document against a connector spec
+   * (connection_specification JSON Schema): missing required keys and
+   * primitive type mismatches. Empty result = valid. The reference
+   * tool additionally round-trips through the connector's `check`;
+   * callers with a live source do that via `source.check()`.
+   */
+  def validateConnectorConfig(specJson: String, configJson: String): Seq[String] = {
+    val spec = mapper.readTree(specJson)
+    val config = mapper.readTree(configJson)
+    val problems = Seq.newBuilder[String]
+    Option(spec.get("required")).toSeq
+      .flatMap(_.elements().asScala).map(_.asText())
+      .filterNot(config.has)
+      .foreach(k => problems += s"missing required config key '$k'")
+    Option(spec.get("properties")).foreach { props =>
+      props.fields().asScala.foreach { e =>
+        val declared = Option(e.getValue.get("type")).map(_.asText()).getOrElse("")
+        Option(config.get(e.getKey)).foreach { v =>
+          val ok = declared match {
+            case "string" => v.isTextual
+            case "integer" => v.isIntegralNumber
+            case "number" => v.isNumber
+            case "boolean" => v.isBoolean
+            case "object" => v.isObject
+            case "array" => v.isArray
+            case _ => true
+          }
+          if (!ok) problems +=
+            s"config key '${e.getKey}' should be $declared, got ${v.getNodeType.toString.toLowerCase}"
+        }
+      }
+    }
+    problems.result()
+  }
+
+  /** Property names marked `airbyte_secret: true` in the spec —
+    * which config keys should come from a secret manager. */
+  def listConnectorConfigSecrets(specJson: String): Seq[String] = {
+    val spec = mapper.readTree(specJson)
+    Option(spec.get("properties")).toSeq.flatMap { props =>
+      props.fields().asScala
+        .filter(e => Option(e.getValue.get("airbyte_secret")).exists(_.asBoolean(false)))
+        .map(_.getKey).toSeq
+    }.sorted
+  }
+
+  /** Dotenv file → declared variable NAMES (values never returned). */
+  def listDotenvSecrets(dotenvPaths: Seq[String] = Seq(".env")): Map[String, Seq[String]] =
+    dotenvPaths.map { p =>
+      p -> new Secrets.DotenvSecretManager(p).listSecretNames
+    }.toMap
+
+  // ---- cache ------------------------------------------------------
+
+  def syncSourceToCache(
+      cache: SparkCache, spark: SparkSession, source: Source,
+      streams: Seq[String] = Nil,
+      strategy: WriteStrategy = WriteStrategy.Auto): ReadResult =
+    source.read(cache, spark, streams, strategy)
+
+  final case class CachedStreamInfo(streamName: String, tableName: String)
+
+  def listCachedStreams(cache: SparkCache): Seq[CachedStreamInfo] =
+    cache.streams.sorted.map(s => CachedStreamInfo(s, cache.tableName(s)))
+
+  def describeDefaultCache(cache: SparkCache): Map[String, String] = Map(
+    "cache_type" -> "spark",
+    "database" -> cache.database,
+    "stream_count" -> cache.streams.size.toString)
+
+  /** Read-only SQL over the cache — delegates to the guard
+    * (reference `run_sql_query` + `_is_safe_sql`, local.py:753-846). */
+  def runSqlQuery(cache: SparkCache, sql: String,
+      maxRecords: Option[Int] = Some(1000)): DataFrame =
+    cache.runSqlQuery(sql, maxRecords)
+
+  /** Round-trip a cached stream through a destination process
+    * speaking the protocol on stdin; returns records delivered. */
+  def destinationSmokeTest(
+      cache: SparkCache, streamName: String, cmd: Seq[String],
+      sourceName: String = "default"): Long =
+    Destination.writeToProcess(cache, streamName, sourceName, cmd)
+}

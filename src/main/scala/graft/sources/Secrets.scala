@@ -53,24 +53,27 @@ object Secrets {
 
   /** `DotenvSecretManager` (env_vars.py:31-67): KEY=VALUE lines, `#`
     * comments; a missing or unparsable file resolves nothing. */
-  final class DotenvSecretManager(dotenvPath: String = ".env")
+  final class DotenvSecretManager(val dotenvPath: String = ".env")
       extends SecretManager {
     val name = s"dotenv:$dotenvPath"
-    def getSecret(secretName: String): Option[SecretString] = {
+    private def entries: Map[String, String] = {
       val p = java.nio.file.Paths.get(dotenvPath)
-      if (!java.nio.file.Files.isReadable(p)) return None
-      val entries =
-        try {
-          java.nio.file.Files.readAllLines(p).toArray(Array.empty[String]).toSeq
-            .map(_.trim)
-            .filter(l => l.nonEmpty && !l.startsWith("#") && l.contains('='))
-            .map { l =>
-              val Array(k, v) = l.split("=", 2)
-              k.trim -> v.trim.stripPrefix("\"").stripSuffix("\"")
-            }.toMap
-        } catch { case _: Exception => return None }
-      entries.get(secretName).map(new SecretString(_))
+      if (!java.nio.file.Files.isReadable(p)) return Map.empty
+      try {
+        java.nio.file.Files.readAllLines(p).toArray(Array.empty[String]).toSeq
+          .map(_.trim)
+          .filter(l => l.nonEmpty && !l.startsWith("#") && l.contains('='))
+          .map { l =>
+            val Array(k, v) = l.split("=", 2)
+            k.trim -> v.trim.stripPrefix("\"").stripSuffix("\"")
+          }.toMap
+      } catch { case _: Exception => Map.empty }
     }
+    def getSecret(secretName: String): Option[SecretString] =
+      entries.get(secretName).map(new SecretString(_))
+    /** Names only, values never returned (reference
+      * `list_secrets_names`, env_vars.py; MCP `list_dotenv_secrets`). */
+    def listSecretNames: Seq[String] = entries.keys.toSeq.sorted
   }
 
   private[sources] val mapper = new ObjectMapper()
