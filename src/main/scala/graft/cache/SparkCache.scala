@@ -243,6 +243,39 @@ final class SparkCache(
   def dropAll(): Unit =
     spark.sql(s"DROP DATABASE IF EXISTS `$database` CASCADE")
 
+  /**
+   * Re-attach tables written by a PREVIOUS JVM. The reference re-opens
+   * a cache from its persisted catalog so it can be queried without
+   * the source present (`_catalog_backend.py:33-247`; SURVEY §1.2);
+   * Spark's in-memory session catalog forgets managed tables on
+   * restart even though the warehouse directories survive. Scans the
+   * database location and registers every parquet table directory the
+   * catalog doesn't know (schema inferred from the files; partitioned
+   * layouts get an MSCK REPAIR so pruning keeps working). Directories
+   * that can't be read as parquet are skipped, not fatal. Returns the
+   * re-attached table names.
+   */
+  def reopen(): Seq[String] = {
+    val dbPath = new org.apache.hadoop.fs.Path(
+      spark.catalog.getDatabase(database).locationUri)
+    val fs = dbPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dbPath)) return Seq.empty
+    fs.listStatus(dbPath).filter(_.isDirectory).toSeq.flatMap { st =>
+      val t = st.getPath.getName
+      if (t.startsWith("__")) None // merge/compaction staging leftovers
+      else if (spark.catalog.tableExists(s"`$database`.`$t`")) None
+      else
+        try {
+          val partitioned = fs.listStatus(st.getPath)
+            .exists(s => s.isDirectory && s.getPath.getName.contains("="))
+          spark.sql(
+            s"CREATE TABLE `$database`.`$t` USING PARQUET LOCATION '${st.getPath}'")
+          if (partitioned) spark.sql(s"MSCK REPAIR TABLE `$database`.`$t`")
+          Some(t)
+        } catch { case _: Exception => None }
+    }
+  }
+
   // ------------------------------------------------------------------
   // Maintenance: the two table-ops a long-lived cache needs at scale.
   // Append/merge syncs accrete small files (tasks × syncs); old

@@ -10,6 +10,38 @@ class MaintenanceSpec extends SparkTestBase {
 
   import spark.implicits._
 
+  test("reopen re-attaches tables written by a previous JVM (incl. partitioned)") {
+    // Write through one cache, then clone the warehouse directory to a
+    // database name THIS session has never registered — exactly what a
+    // fresh JVM sees: files on disk, nothing in the in-memory catalog.
+    val cacheA = SparkCache.fresh(spark, "graft_test_reopen_a")
+    Tables.orders(spark, "/root/testdata/sf0.001").limit(100)
+      .write.saveAsTable(cacheA.tableName("orders_plain"))
+    Tables.orders(spark, "/root/testdata/sf0.001").limit(100)
+      .withColumn("bucket", col("o_orderkey") % 4)
+      .write.partitionBy("bucket").saveAsTable(cacheA.tableName("orders_part"))
+    val srcDir = java.nio.file.Paths.get(java.net.URI.create(
+      spark.catalog.getDatabase("graft_test_reopen_a").locationUri))
+    val dstDir = srcDir.resolveSibling("graft_test_reopen_b.db")
+    org.apache.commons.io.FileUtils.deleteQuietly(dstDir.toFile)
+    org.apache.commons.io.FileUtils.copyDirectory(srcDir.toFile, dstDir.toFile)
+
+    val cacheB = new SparkCache(spark, "graft_test_reopen_b")
+    assert(!cacheB.tableExists("orders_plain"), "precondition: unknown to catalog")
+    val attached = cacheB.reopen().sorted
+    assert(attached == Seq("orders_part", "orders_plain"))
+    assert(cacheB.table("orders_plain").count() == 100)
+    // partitioned table keeps its spec: partitions discovered, pruning works
+    val part = cacheB.table("orders_part")
+    assert(part.filter(col("bucket") === 1).count() ==
+      cacheA.table("orders_part").filter(col("bucket") === 1).count())
+    assert(spark.sql(s"SHOW PARTITIONS ${cacheB.tableName("orders_part")}")
+      .count() == 4)
+    // idempotent: second reopen attaches nothing new
+    assert(cacheB.reopen().isEmpty)
+    cacheA.dropAll(); cacheB.dropAll()
+  }
+
   test("compaction shrinks file count without changing data") {
     val cache = SparkCache.fresh(spark, "graft_test_compact")
     val o = Tables.orders(spark, "/root/testdata/sf0.001")
