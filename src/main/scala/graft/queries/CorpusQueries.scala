@@ -169,30 +169,44 @@ object CorpusQueries {
   // duplicated at a shifted offset; here every 8-word window (stride 1)
   // is hashed, so a copied span is caught at ANY alignment. Per doc:
   // how many of its window positions are shared with at least one
-  // OTHER doc, as an integer permille. Plan shape: windows collapse to
-  // (doc, hash) counts with map-side partials BEFORE anything wide;
-  // the span table (hash → doc count) joins back co-shuffled on the
-  // hash, so the corpus text itself never shuffles — only 32-char
-  // digests. Stride is the cost dial at 100 TB (stride s divides the
-  // window rows by s at the price of s-word detection granularity).
+  // OTHER doc, as an integer permille. Plan shape: exact-duplicate
+  // collapse first (window hashing runs once per DISTINCT content —
+  // same guard as q31/q114; a class with ≥2 copies has every window
+  // shared by construction, and the span-level doc count is the
+  // copies-weighted class count, so output is byte-identical); then
+  // windows collapse to (class, hash) counts with map-side partials
+  // BEFORE anything wide; the span table (hash → doc count) joins back
+  // co-shuffled on the hash, so the corpus text shuffles exactly once
+  // (the collapse) and everything after moves 32-char digests. Stride
+  // is the cost dial at 100 TB (stride s divides the window rows by s
+  // at the price of s-word detection granularity).
   // ------------------------------------------------------------------
   def q106SpanDedup(spark: SparkSession, dir: String): DataFrame = {
     val w = 8
+    val classes = Tables.documents(spark, dir)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("rep"),
+        collect_list(col("doc_id")).as("members"),
+        count(lit(1)).as("copies"))
+      .localCheckpoint() // read by the window stage and the expansion
     // compiled per-row kernel (TextHashExpressions) — the declarative
     // transform+slice+md5 dual is interpreted per window and measured
     // ~4× slower at sf0.1; short docs yield an empty array = no rows
-    val wins = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(
+    val wins = classes
+      .select(col("rep"), col("copies"), explode(
         graft.functions.TextHashFunctions.rollingWindowHashes(col("text"), w))
         .as("h"))
-    val perDocHash = wins.groupBy(col("doc_id"), col("h"))
+    val perClassHash = wins.groupBy(col("rep"), col("copies"), col("h"))
       .agg(count(lit(1)).as("cnt"))
-    val spanDocs = perDocHash.groupBy(col("h"))
-      .agg(count(lit(1)).as("nd")) // docs containing this window
-    perDocHash.join(spanDocs, "h") // co-shuffled: same key as both aggs
-      .groupBy(col("doc_id"))
+    val spanDocs = perClassHash.groupBy(col("h"))
+      .agg(sum(col("copies")).as("nd")) // DOCS containing this window
+    perClassHash.join(spanDocs, "h") // co-shuffled: same key as both aggs
+      .groupBy(col("rep"))
       .agg(sum(col("cnt")).as("n_windows"),
         sum(when(col("nd") >= 2, col("cnt")).otherwise(0L)).as("n_shared"))
+      .join(classes.select(col("rep"), col("members")), "rep")
+      .select(explode(col("members")).as("doc_id"),
+        col("n_windows"), col("n_shared"))
       .withColumn("dup_permille", expr("n_shared * 1000 div n_windows"))
       .orderBy(col("dup_permille").desc, col("doc_id").asc)
       .limit(20)
