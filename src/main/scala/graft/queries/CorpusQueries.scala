@@ -433,27 +433,39 @@ object CorpusQueries {
   // run_len + w − 1 words. The per-doc window is bounded by document
   // length (never corpus-sized); the per-doc argmax is the same
   // partial-aggregable max(struct(...)) as q112 — no second window.
+  // Exact-duplicate collapse first (the q31/q114/q106 guard): islands
+  // compute once per DISTINCT content — a class's windows are shared
+  // when the copies-weighted doc count is ≥2, which equals the
+  // original per-doc rule, so the expanded output is byte-identical.
   // ------------------------------------------------------------------
   def q116LongestDupSpan(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = 8
-    val wins = Tables.documents(spark, dir)
-      .select(col("doc_id"), posexplode(
+    val classes = Tables.documents(spark, dir)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("rep"),
+        collect_list(col("doc_id")).as("members"),
+        count(lit(1)).as("copies"))
+      .localCheckpoint() // read by the window stage and the expansion
+    val wins = classes
+      .select(col("rep"), col("copies"), posexplode(
         graft.functions.TextHashFunctions.rollingWindowHashes(col("text"), w))
         .as(Seq("pos", "h")))
-    val shared = wins.select(col("doc_id"), col("h")).distinct()
-      .groupBy(col("h")).agg(count(lit(1)).as("nd"))
+    val shared = wins.select(col("rep"), col("copies"), col("h")).distinct()
+      .groupBy(col("h")).agg(sum(col("copies")).as("nd"))
       .filter(col("nd") >= 2).select(col("h"))
     val runs = wins.join(shared, Seq("h"), "left_semi")
       .withColumn("grp", col("pos") - row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
-      .groupBy(col("doc_id"), col("grp"))
+        Window.partitionBy(col("rep")).orderBy(col("pos"))))
+      .groupBy(col("rep"), col("grp"))
       .agg(count(lit(1)).as("run_len"),
         min(col("pos")).cast(LongType).as("start_pos"))
-    runs.groupBy(col("doc_id"))
+    runs.groupBy(col("rep"))
       .agg(max(struct(col("run_len").as("rl"),
         (-col("start_pos")).as("negstart"))).as("best"))
-      .select(col("doc_id"), col("best.rl").as("run_len"),
+      .join(classes.select(col("rep"), col("members")), "rep")
+      .select(explode(col("members")).as("doc_id"),
+        col("best.rl").as("run_len"),
         (-col("best.negstart")).as("start_pos"),
         (col("best.rl") + (w - 1).toLong).as("span_words"))
       .orderBy(col("run_len").desc, col("doc_id").asc)
