@@ -201,6 +201,54 @@ final class DeclarativeSource(
     }
   }
 
+  /**
+   * Incremental (cursor) sync — the manifest `incremental_sync`
+   * contract (DatetimeBasedCursor's observable behavior) on the
+   * engine's state backend: records at or below the saved per-stream
+   * cursor are filtered out BEFORE landing, the surviving batch
+   * appends, and the new high-water mark (max over saved + batch)
+   * checkpoints into `_airbyte_state` (ST3) so the next sync resumes.
+   * The cursor filter is a Spark predicate on the normalized frame —
+   * comparison happens in the cursor column's own type. Streams
+   * without a declared cursor fall back to the standard read path.
+   */
+  def syncIncremental(
+      cache: graft.cache.SparkCache,
+      spark: SparkSession,
+      streams: Seq[String] = Seq.empty): ReadResult = {
+    import org.apache.spark.sql.functions.{col, lit, max}
+    import graft.protocol.WriteStrategy
+    val selected = if (streams.isEmpty) catalog.streamNames else streams
+    selected.foreach { s =>
+      catalog(s).cursorField match {
+        case None =>
+          val normalized = graft.operators.Records
+            .normalize(recordJsonl(spark, s), catalog(s).schema)
+          cache.writeStream(s, normalized, catalog, WriteStrategy.Auto)
+        case Some(cursor) =>
+          val saved = cache.latestState(name, s).flatMap { js =>
+            Option(mapper.readTree(js).get("cursor")).map(_.asText())
+          }
+          val normalized = graft.operators.Records
+            .normalize(recordJsonl(spark, s), catalog(s).schema)
+          val cursorType = normalized.schema(cursor).dataType
+          val fresh = saved match {
+            case Some(v) => normalized.filter(col(cursor) > lit(v).cast(cursorType))
+            case None => normalized
+          }
+          cache.writeStream(s, fresh, catalog, WriteStrategy.Append)
+          val hw = fresh.agg(max(col(cursor))).collect()(0)
+          if (!hw.isNullAt(0)) {
+            val node = mapper.createObjectNode()
+            node.putArray("cursor_field").add(cursor)
+            node.put("cursor", hw.get(0).toString)
+            cache.writeState(name, s, node.toString)
+          }
+      }
+    }
+    new ReadResult(cache, selected)
+  }
+
   /** Record payload JSONL for one stream: slices fan out one-per-partition
     * and each executor parses its own response body. */
   override def recordJsonl(spark: SparkSession, stream: String): Dataset[String] = {

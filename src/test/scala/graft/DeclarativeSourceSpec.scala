@@ -175,6 +175,61 @@ class DeclarativeSourceSpec extends SparkTestBase {
     assert(msgs.contains("egress"), msgs)
   }
 
+  test("incremental sync: cursor filters replayed records, state checkpoints") {
+    val root = Files.createTempDirectory("graft-decl").toString
+    val incManifest =
+      """version: "0.29.0"
+        |type: DeclarativeSource
+        |streams:
+        |  - type: DeclarativeStream
+        |    name: tickets
+        |    schema_loader:
+        |      type: InlineSchemaLoader
+        |      schema:
+        |        type: object
+        |        properties:
+        |          id: {type: integer}
+        |          updated_at: {type: string}
+        |    incremental_sync:
+        |      type: DatetimeBasedCursor
+        |      cursor_field: updated_at
+        |    retriever:
+        |      type: SimpleRetriever
+        |      requester:
+        |        type: HttpRequester
+        |        url_base: "https://api.example.com/v1"
+        |        path: "/tickets"
+        |      record_selector:
+        |        type: RecordSelector
+        |        extractor:
+        |          type: DpathExtractor
+        |          field_path: ["tickets"]
+        |""".stripMargin
+    def stage(rows: String): Unit =
+      write(s"$root/api.example.com/v1/tickets.json", s"""{"tickets":[$rows]}""")
+    stage("""{"id":1,"updated_at":"2024-01-01"},{"id":2,"updated_at":"2024-01-05"}""")
+    val src = new DeclarativeSource("source-tickets", incManifest,
+      fixtureRoot = Some(root))
+    assert(src.catalog("tickets").cursorField.contains("updated_at"))
+    val cache = SparkCache.fresh(spark, "graft_test_decl_inc")
+    src.syncIncremental(cache, spark)
+    assert(cache.table("tickets").count() == 2)
+    assert(cache.latestState("source-tickets", "tickets").get.contains("2024-01-05"))
+    // the API now returns an OVERLAPPING window: old rows replay + one new
+    stage("""{"id":1,"updated_at":"2024-01-01"},{"id":2,"updated_at":"2024-01-05"},
+            |{"id":3,"updated_at":"2024-02-01"}""".stripMargin)
+    src.syncIncremental(cache, spark)
+    // replayed ids 1-2 filtered by the cursor; only id 3 appended
+    assert(cache.table("tickets").count() == 3)
+    assert(cache.table("tickets").select("id").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    assert(cache.latestState("source-tickets", "tickets").get.contains("2024-02-01"))
+    // a third run with no new data is a no-op
+    src.syncIncremental(cache, spark)
+    assert(cache.table("tickets").count() == 3)
+    cache.dropAll()
+  }
+
   test("Sources.getSource dispatches manifests like the reference get_source") {
     val root = Files.createTempDirectory("graft-decl").toString
     stageFixtures(root)
