@@ -89,6 +89,26 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("image header parser never throws on arbitrary bytes, dims always positive") {
+    import graft.operators.ImageHeaders
+    val rawBytes = Gen.choose(0, 64).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue)))
+    // plain fuzz + adversarial prefixes: valid magic numbers followed by junk
+    val magics = Seq(
+      Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte),
+      "GIF89a".getBytes("US-ASCII"), "GIF87a".getBytes("US-ASCII"),
+      Array(0xff, 0xd8).map(_.toByte), "BM".getBytes("US-ASCII"))
+    samples(rawBytes, 400).zipWithIndex.foreach { case (tail, i) =>
+      val candidates = tail.toArray +: magics.map(_ ++ tail.toArray)
+      candidates.foreach { bytes =>
+        ImageHeaders.parse(bytes).foreach { m => // must not throw, ever
+          assert(m.width > 0 && m.height > 0, s"case $i: bad dims $m")
+        }
+      }
+    }
+    assert(ImageHeaders.parse(null).isEmpty)
+  }
+
   test("skyline prefix-max reduction (q119) equals brute-force dominance") {
     val ptsGen = Gen.choose(1, 40).flatMap(n => Gen.listOfN(n,
       Gen.zip(Gen.choose(1L, 10L), Gen.choose(1L, 10L))))
