@@ -51,7 +51,16 @@ object PlanCheck {
               "q65_domain_mix", "q68_funnel", "q70_keyword_search",
               // q86: one-row percentile-bounds broadcast; q88: one-row
               // corpus-totals broadcast
-              "q86_length_bins", "q88_bigram_pmi")
+              "q86_length_bins", "q88_bigram_pmi",
+              // q89/q94: one-row corpus totals; q100: two one-row sync
+              // counters; q109: one-row percentile bounds; q117: one-row
+              // stats × edges × triangles scalars — all
+              // crossJoin(broadcast(<1-row aggregate>)) by construction
+              "q89_lm_surprisal", "q94_quality_drift", "q100_pipeline",
+              "q109_quality_ensemble", "q117_triangle_count",
+              // q95: one-row reciprocity count; q96: one-row token total;
+              // q99: one-row as-of date + one-row RFM median bounds
+              "q95_graph_degrees", "q96_source_skew", "q99_rfm_segments")
               .contains(name))
         ).collect { case (f, true) => f }
         val scans = plan.linesIterator
