@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/**
+ * Randomized equivalence gate for the round-4 exact-duplicate collapse
+ * rewrites: the collapsed operators must be BYTE-IDENTICAL to the
+ * uncollapsed round-3 formulation on corpora with heavy duplication,
+ * shared shingles, short docs, and empty-shingle edge cases. The
+ * uncollapsed MinHash+LSH reference is reimplemented here verbatim
+ * (band keys, id-only candidates, exact-Jaccard verify) so a
+ * regression in the collapse/expansion logic fails against ground
+ * truth rather than against itself.
+ */
+class CollapseEquivalenceSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  /** The round-3 (pre-collapse) minhashNearDups, kept as ground truth. */
+  private def uncollapsedNearDups(
+      df: DataFrame, threshold: Double,
+      numHashes: Int = 9, bands: Int = 3, shingle: Int = 3): DataFrame = {
+    val rows = numHashes / bands
+    val withSig = df.select(
+      col("doc_id").as("id"),
+      graft.functions.TextHashFunctions
+        .shingleMinhash(col("text"), numHashes, shingle).as("sm"))
+      .localCheckpoint()
+      .select(col("id"), col("sm.shingles").as("shingles"), col("sm.sig").as("sig"))
+      .filter(size(col("shingles")) > 0)
+    val banded = withSig.select(
+      col("id"),
+      explode(array((0 until bands).map(b =>
+        Dedup.bandKey(col("sig"), b, rows)): _*)).as("band_key"))
+    val candidates = banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.band_key") === col("b.band_key") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val sets = withSig.select(col("id"), col("shingles"))
+    candidates
+      .join(sets.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("shingles", "sh_a"), "id_a")
+      .join(sets.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("shingles", "sh_b"), "id_b")
+      .withColumn("jaccard", Dedup.jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  private def randomCorpus(seed: Int): Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(seed)
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    def sentence(n: Int) = Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val distinct = (0 until 6).map { _ =>
+      sentence(rnd.nextInt(12)) // includes <3-token docs (empty shingles)
+    }
+    // assign 1-4 exact copies of each distinct text, shuffled ids
+    val docs = distinct.flatMap(t => Seq.fill(1 + rnd.nextInt(4))(t))
+    rnd.shuffle(docs.zipWithIndex.map { case (t, i) => ((i + 1).toLong, t) })
+  }
+
+  test("collapsed minhashNearDups == uncollapsed round-3 formulation on random duplicate-heavy corpora") {
+    (1 to 8).foreach { seed =>
+      val df = randomCorpus(seed).toDF("doc_id", "text")
+      val got = Dedup.minhashNearDups(df, "doc_id", "text", threshold = 0.3)
+        .select("id_a", "id_b", "jaccard")
+        .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+      val want = uncollapsedNearDups(df, threshold = 0.3)
+        .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+      assert(got == want, s"divergence on seed $seed")
+    }
+  }
+
+  test("collapsed q106/q116 equal their uncollapsed duals on a duplicated corpus") {
+    // write a small duplicated corpus as the documents table, run the
+    // SHIPPED queries against it, and compare with inline uncollapsed
+    // plans computed from the same frame
+    val dir = java.nio.file.Files.createTempDirectory("graft-collapse").toString
+    val base = Seq(
+      "a b c d e f g h i j k l",
+      "a b c d e f g h i j k l", // exact copy of doc 1's text
+      "z y x w v u t s r q p o",
+      "a b c d e f g h zz yy xx", // shares a prefix span with 1/2
+      "short text only")
+    val docs = base.zipWithIndex.map { case (t, i) =>
+      ((i + 1).toLong, s"src${i % 2}", t)
+    }
+    docs.toDF("doc_id", "source", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+
+    val q106 = graft.queries.CorpusQueries.q106SpanDedup(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val q116 = graft.queries.CorpusQueries.q116LongestDupSpan(spark, dir)
+      .collect().map(_.toSeq).toSeq
+
+    // uncollapsed q106 dual
+    val w = 8
+    val wins = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(
+        graft.functions.TextHashFunctions.rollingWindowHashes(col("text"), w)).as("h"))
+    val pdh = wins.groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("cnt"))
+    val sd = pdh.groupBy(col("h")).agg(count(lit(1)).as("nd"))
+    val q106Want = pdh.join(sd, "h").groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_windows"),
+        sum(when(col("nd") >= 2, col("cnt")).otherwise(0L)).as("n_shared"))
+      .withColumn("dup_permille", expr("n_shared * 1000 div n_windows"))
+      .orderBy(col("dup_permille").desc, col("doc_id").asc).limit(20)
+      .select(col("doc_id"), col("n_windows"), col("n_shared"), col("dup_permille"))
+      .collect().map(_.toSeq).toSeq
+    assert(q106 == q106Want)
+
+    // uncollapsed q116 dual
+    import org.apache.spark.sql.expressions.Window
+    val pw = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(
+        graft.functions.TextHashFunctions.rollingWindowHashes(col("text"), w))
+        .as(Seq("pos", "h")))
+    val sh2 = pw.select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select(col("h"))
+    val runs = pw.join(sh2, Seq("h"), "left_semi")
+      .withColumn("grp", col("pos") - row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(count(lit(1)).as("run_len"),
+        min(col("pos")).cast("long").as("start_pos"))
+    val q116Want = runs.groupBy(col("doc_id"))
+      .agg(max(struct(col("run_len").as("rl"),
+        (-col("start_pos")).as("negstart"))).as("best"))
+      .select(col("doc_id"), col("best.rl").as("run_len"),
+        (-col("best.negstart")).as("start_pos"),
+        (col("best.rl") + (w - 1).toLong).as("span_words"))
+      .orderBy(col("run_len").desc, col("doc_id").asc).limit(20)
+      .collect().map(_.toSeq).toSeq
+    assert(q116 == q116Want)
+  }
+}
