@@ -68,7 +68,8 @@ object Bench {
       "q79_pagerank", "q80_cdc_deletes", "q84_zorder_layout",
       "q85_posting_lists", "q86_length_bins", "q88_bigram_pmi",
       "q89_lm_surprisal", "q91_dup_inflation", "q100_pipeline",
-      "q106_span_dedup", "q114_prefix_filter_join", "q117_triangle_count")
+      "q106_span_dedup", "q114_prefix_filter_join", "q117_triangle_count",
+      "q123_heavy_hitters", "q124_simhash_hamming_join")
     def ms(v: Double): Double = math.round(v * 1000).toDouble / 1000
     val qs = results.collect { case (k, v) if headline(k) =>
       "\"" + k + "\":" + ms(v)

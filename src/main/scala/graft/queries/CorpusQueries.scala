@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.functions.TextHashFunctions
+import graft.operators.Dedup
 import graft.sources.Tables
 
 /**
@@ -568,4 +570,138 @@ object CorpusQueries {
       |  CAST(SUM(CASE WHEN nsplits > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_leaky_docs
       |FROM base JOIN spans USING (h)
       |GROUP BY split ORDER BY split""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q124: EXACT Hamming-radius near-dup join over SimHash fingerprints
+  // (Manku–Jain–Sarma 2007's web-dedup scheme, done relationally).
+  // Split each 64-bit SimHash into 4 bands of 16 bits; any pair within
+  // Hamming distance ≤ 3 differs in ≤ 3 bands, so by pigeonhole it
+  // agrees EXACTLY on at least one band — the band-key equi-join is a
+  // complete (not approximate) candidate generator, and the Hamming
+  // verify makes the result exact.
+  //
+  // Scale shape: documents collapse to their distinct fingerprints
+  // FIRST (one hash-agg; duplicate-heavy corpora — the q31/q114 lesson
+  // — cost one fingerprint row per CLASS, not per copy), the band
+  // self-join runs over class representatives only, and member pairs
+  // are re-expanded afterwards: intra-class pairs at distance 0 plus
+  // cross-class pairs at the class distance. Output is identical to
+  // the naive all-docs join; the quadratic term survives only where
+  // the OUTPUT itself is quadratic.
+  // ------------------------------------------------------------------
+  def q124SimhashHammingJoin(spark: SparkSession, dir: String): DataFrame = {
+    val radius = 3
+    val classes = Tables.documents(spark, dir)
+      .select(col("doc_id"), Dedup.simhashBits(col("text")).as("sh"))
+      .groupBy(col("sh")).agg(collect_list(col("doc_id")).as("ids"))
+      .localCheckpoint() // SimHash kernel + class agg run once; read 3×
+
+    // intra-class: identical fingerprints ⇒ Hamming 0
+    val intra = classes
+      .filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("da"), col("ids"))
+      .select(col("da"), explode(col("ids")).as("db"))
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db"), lit(0L).as("hamming"))
+
+    // cross-class: band-key candidates over representatives, verified
+    val bands = classes.select(col("sh"), col("ids"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("bk", expr("substring(sh, band*16+1, 16)"))
+    val cross = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+          col("a.sh") < col("b.sh"))
+      .select(col("a.sh").as("sha"), col("b.sh").as("shb"),
+        col("a.ids").as("ids_a"), col("b.ids").as("ids_b"))
+      .distinct() // classes sharing >1 band pair once
+      .withColumn("hamming",
+        Dedup.hammingDistance(col("sha"), col("shb")).cast(LongType))
+      .filter(col("hamming") <= radius)
+      .select(explode(col("ids_a")).as("ia"), col("ids_b"), col("hamming"))
+      .select(col("ia"), explode(col("ids_b")).as("ib"), col("hamming"))
+      .select(least(col("ia"), col("ib")).as("da"),
+        greatest(col("ia"), col("ib")).as("db"), col("hamming"))
+
+    intra.unionByName(cross)
+  }
+
+  val q124Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      |bits AS (
+      |  SELECT doc_id, j,
+      |    SUM(CASE WHEN (CAST(strpos('0123456789abcdef',
+      |        substr(md5(t), CAST(j // 4 AS INT) + 1, 1)) AS INT) - 1)
+      |        // CAST(pow(2, j % 4) AS INT) % 2 = 1
+      |      THEN 1 ELSE -1 END) AS s
+      |  FROM tok CROSS JOIN range(64) r(j)
+      |  GROUP BY doc_id, j),
+      |sim AS (
+      |  SELECT doc_id,
+      |    string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS sh
+      |  FROM bits GROUP BY doc_id),
+      |banded AS (
+      |  SELECT doc_id, sh, b.b AS band, substr(sh, CAST(b.b*16+1 AS INT), 16) AS bk
+      |  FROM sim CROSS JOIN range(4) b(b)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, a.sh AS sha, b.sh AS shb
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
+      |ham AS (
+      |  SELECT da, db,
+      |    CAST((SELECT COUNT(*) FROM range(64) p(p)
+      |      WHERE substr(sha, CAST(p+1 AS INT), 1)
+      |         <> substr(shb, CAST(p+1 AS INT), 1)) AS BIGINT) AS hamming
+      |  FROM cand)
+      |SELECT da, db, hamming FROM ham WHERE hamming <= 3""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q125: cross-corpus novelty — for each document of an incoming
+  // batch (doc_id % 10 = 0, the q66 convention), how many of its
+  // distinct word-3-gram shingles were never seen in the existing
+  // corpus (every other document). The per-doc novelty ratio is the
+  // gate a crawl-refresh pipeline uses to decide what a new snapshot
+  // actually adds.
+  //
+  // Plan: corpus side is ONE hash-agg distinct over shingles (partial
+  // agg collapses the heavy repeats map-side); the batch side explodes
+  // its per-doc distinct shingles (compiled kernel + array_distinct —
+  // no groupBy) and LEFT ANTI joins the corpus set on the shingle key,
+  // so only batch shingles — the small side — ever move to the join,
+  // and nothing quadratic exists anywhere. Counts are exact integers.
+  // ------------------------------------------------------------------
+  def q125CrossCorpusNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        array_distinct(TextHashFunctions.shingleMinhash(col("text"), 1, 3)
+          .getField("shingles")).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val corpusSh = docs.filter(col("doc_id") % 10 =!= 0)
+      .select(explode(col("sh")).as("s")).distinct()
+    val newSh = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+    val novel = newSh.join(corpusSh, Seq("s"), "left_anti")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_novel"))
+    newSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+      .join(novel, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+  }
+
+  val q125Sql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(t)-2,0)+1),
+      |    i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+      |  FROM toks),
+      |corpus AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 <> 0),
+      |newsh AS (SELECT DISTINCT doc_id, s FROM sh WHERE doc_id % 10 = 0),
+      |novel AS (
+      |  SELECT n.doc_id, COUNT(*) AS n_novel
+      |  FROM newsh n LEFT JOIN corpus c ON n.s = c.s
+      |  WHERE c.s IS NULL GROUP BY n.doc_id)
+      |SELECT n.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+      |  CAST(COALESCE(MAX(v.n_novel),0) AS BIGINT) AS n_novel
+      |FROM newsh n LEFT JOIN novel v ON n.doc_id = v.doc_id
+      |GROUP BY n.doc_id""".stripMargin
 }

@@ -788,4 +788,72 @@ object CurationQueries {
       |  md5(array_to_string(
       |    list_slice(words, chunk_id * 24 + 1, chunk_id * 24 + 32), ' ')) AS chunk_md5
       |FROM x""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q122: vocabulary coverage cutoff (tokenizer-prep): the smallest
+  // frequency-ranked vocabulary covering 50/90/99% of all token
+  // occurrences. Plan: ONE hash-agg shuffle builds the word-count
+  // table (partial agg collapses repeats map-side — the corpus never
+  // shuffles, only its vocabulary); the cumulative-share window then
+  // runs over the counts table, which is |vocab| rows — orders of
+  // magnitude smaller than the corpus (a 100 TB crawl has a vocabulary
+  // in the tens of millions, fine for one sort), so the
+  // single-partition window is the intended plan, not an accident.
+  // Threshold selection is INTEGER arithmetic (cum*100 >= n*t) against
+  // a 3-row broadcast dimension; min_by picks the cumulative count at
+  // the cutoff rank. Deterministic tie-break: (count DESC, word ASC).
+  // ------------------------------------------------------------------
+  def q122VocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val counts = docs.select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("c").desc, col("w").asc)
+    val ordered = counts.select(col("w"), col("c"),
+      sum(col("c")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum"),
+      row_number().over(w).cast(LongType).as("rk"))
+    val total = broadcast(counts.agg(sum(col("c")).as("n")))
+    val thresholds = broadcast(Seq(50L, 90L, 99L).toDF("threshold_pct"))
+    ordered.crossJoin(total)
+      .join(thresholds, col("cum") * 100 >= col("n") * col("threshold_pct"))
+      .groupBy(col("threshold_pct"))
+      .agg(min(col("rk")).as("vocab_size"),
+        min_by(col("cum"), col("rk")).as("covered_tokens"),
+        max(col("n")).as("total_tokens"))
+  }
+
+  val q122Sql: String =
+    """WITH tok AS (SELECT unnest(string_split(text,' ')) AS w FROM documents),
+      |counts AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+      |ordered AS (SELECT w, c,
+      |    SUM(c) OVER (ORDER BY c DESC, w ROWS UNBOUNDED PRECEDING) AS cum,
+      |    ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rk
+      |  FROM counts),
+      |total AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM counts),
+      |th(t) AS (VALUES (CAST(50 AS BIGINT)), (90), (99))
+      |SELECT t AS threshold_pct,
+      |  CAST(MIN(rk) AS BIGINT) AS vocab_size,
+      |  CAST(MIN_BY(cum, rk) AS BIGINT) AS covered_tokens,
+      |  CAST(MAX(n) AS BIGINT) AS total_tokens
+      |FROM ordered CROSS JOIN total JOIN th ON cum*100 >= n*t
+      |GROUP BY t""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q123: exact heavy hitters via Misra–Gries pre-screen — see
+  // operators/HeavyHitters.scala for the sketch-then-exact-confirm
+  // plan and the superset proof. denom=64 ⇒ tokens holding a strict
+  // > 1/64 share of all occurrences, exactly.
+  // ------------------------------------------------------------------
+  def q123HeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.HeavyHitters.frequentTokens(
+      Tables.documents(spark, dir), "text", denom = 64)
+
+  val q123Sql: String =
+    """WITH tok AS (SELECT unnest(string_split(text,' ')) AS w FROM documents),
+      |counts AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+      |total AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM counts)
+      |SELECT w, CAST(c AS BIGINT) AS c
+      |FROM counts CROSS JOIN total WHERE c*64 > n""".stripMargin
 }

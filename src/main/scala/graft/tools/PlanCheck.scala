@@ -60,7 +60,10 @@ object PlanCheck {
               "q109_quality_ensemble", "q117_triangle_count",
               // q95: one-row reciprocity count; q96: one-row token total;
               // q99: one-row as-of date + one-row RFM median bounds
-              "q95_graph_degrees", "q96_source_skew", "q99_rfm_segments")
+              "q95_graph_degrees", "q96_source_skew", "q99_rfm_segments",
+              // q122: 1-row total + 3-row threshold dim, non-equi by
+              // construction (cum*100 >= n*t)
+              "q122_vocab_coverage")
               .contains(name))
         ).collect { case (f, true) => f }
         val scans = plan.linesIterator

@@ -90,8 +90,22 @@ class ExchangeBudgetSpec extends SparkTestBase {
                                 // output sort
     "q120_hierarchy_share" -> 3, // custkey co-shuffle, nation agg;
                                  // dimension joins broadcast
-    "q121_topk_per_group" -> 3)  // per-customer agg, custkey join,
+    "q121_topk_per_group" -> 3,  // per-customer agg, custkey join,
                                  // bounded top-k heaps per nation
+    "q122_vocab_coverage" -> 3,  // word counts (reused for the total),
+                                 // vocab-sized global window, 1-row
+                                 // total gather; thresholds broadcast
+    "q123_heavy_hitters"  -> 1,  // MG candidates are a map-only pass +
+                                 // driver collect; the one shuffle is
+                                 // the candidate-only exact count
+    "q124_simhash_hamming_join" -> 2, // class agg sits behind its own
+                                 // checkpoint; band self-join +
+                                 // candidate-pair dedup (join goes
+                                 // broadcast at this SF, co-shuffled
+                                 // beyond)
+    "q125_cross_corpus_novelty" -> 5) // corpus distinct, batch-shingle
+                                 // anti-join side, novel per-doc agg,
+                                 // totals per-doc agg, final join
 
   budgets.foreach { case (name, budget) =>
     test(s"$name stays within its shuffle budget of $budget") {
