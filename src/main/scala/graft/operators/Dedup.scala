@@ -242,10 +242,19 @@ object Dedup {
   def simhashBits(text: Column): Column =
     graft.functions.TextHashFunctions.simhash(text)
 
-  /** Hamming distance between two equal-length simhash bit strings. */
+  /** Hamming distance between two equal-length '0'/'1' bit strings.
+    * Folds 32-char chunks through conv(·,2,10) → XOR → bit_count, so a
+    * 64-bit fingerprint costs two popcounts instead of 64 per-position
+    * lambda evaluations — this runs inside band-join conditions where a
+    * skewed corpus can put 10^5+ candidate pairs through it (q124). */
   def hammingDistance(a: Column, b: Column): Column =
-    size(filter(sequence(lit(1), length(a)),
-      i => a.substr(i, lit(1)) =!= b.substr(i, lit(1))))
+    aggregate(
+      sequence(lit(0), floor((length(a) + 31) / 32).cast(IntegerType) - 1),
+      lit(0),
+      (acc, i) => acc + bit_count(
+        conv(a.substr(i * 32 + 1, lit(32)), 2, 10).cast(LongType)
+          .bitwiseXOR(
+            conv(b.substr(i * 32 + 1, lit(32)), 2, 10).cast(LongType))))
 
   /** Exact dedup: keep the smallest id per identical content hash. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =

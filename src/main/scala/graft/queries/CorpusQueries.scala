@@ -663,28 +663,40 @@ object CorpusQueries {
   // gate a crawl-refresh pipeline uses to decide what a new snapshot
   // actually adds.
   //
-  // Plan: corpus side is ONE hash-agg distinct over shingles (partial
-  // agg collapses the heavy repeats map-side); the batch side explodes
-  // its per-doc distinct shingles (compiled kernel + array_distinct —
-  // no groupBy) and LEFT ANTI joins the corpus set on the shingle key,
-  // so only batch shingles — the small side — ever move to the join,
-  // and nothing quadratic exists anywhere. Counts are exact integers.
+  // Plan: documents collapse to distinct-content classes FIRST (the
+  // q31/q106/q124 duplicate-collapse pattern — the shingle kernel runs
+  // once per distinct text and the class shuffle moves the text, which
+  // is ~4× smaller than its exploded shingle stream); the corpus side
+  // is then ONE hash-agg distinct over class shingles, the batch side
+  // LEFT ANTI joins it on the shingle key, and per-class novelty
+  // counts re-expand to member doc_ids at the end. A class can hold
+  // both corpus and batch members (the same text in both corpora), so
+  // membership is tracked per class, not per side. Counts are exact
+  // integers; nothing quadratic exists anywhere.
   // ------------------------------------------------------------------
   def q125CrossCorpusNovelty(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"),
+    val classes = Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("text")).as("text"),
+        // collect_list drops nulls: only batch-member ids survive
+        collect_list(when(col("doc_id") % 10 === 0, col("doc_id")))
+          .as("new_ids"),
+        max(when(col("doc_id") % 10 =!= 0, 1).otherwise(0)).as("in_corpus"))
+      .select(col("h"), col("new_ids"), col("in_corpus"),
         array_distinct(TextHashFunctions.shingleMinhash(col("text"), 1, 3)
           .getField("shingles")).as("sh"))
       .filter(size(col("sh")) > 0)
-    val corpusSh = docs.filter(col("doc_id") % 10 =!= 0)
+      .localCheckpoint() // kernel + class agg run once; read by 2 sides
+    val corpusSh = classes.filter(col("in_corpus") === 1)
       .select(explode(col("sh")).as("s")).distinct()
-    val newSh = docs.filter(col("doc_id") % 10 === 0)
-      .select(col("doc_id"), explode(col("sh")).as("s"))
+    val newSh = classes.filter(size(col("new_ids")) > 0)
+      .select(col("h"), col("new_ids"), explode(col("sh")).as("s"))
     val novel = newSh.join(corpusSh, Seq("s"), "left_anti")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_novel"))
-    newSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
-      .join(novel, Seq("doc_id"), "left_outer")
-      .select(col("doc_id"), col("n_shingles"),
+      .groupBy(col("h")).agg(count(lit(1)).as("n_novel"))
+    newSh.groupBy(col("h"), col("new_ids"))
+      .agg(count(lit(1)).as("n_shingles"))
+      .join(novel, Seq("h"), "left_outer")
+      .select(explode(col("new_ids")).as("doc_id"), col("n_shingles"),
         coalesce(col("n_novel"), lit(0L)).as("n_novel"))
   }
 

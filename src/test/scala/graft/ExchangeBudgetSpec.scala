@@ -103,9 +103,11 @@ class ExchangeBudgetSpec extends SparkTestBase {
                                  // candidate-pair dedup (join goes
                                  // broadcast at this SF, co-shuffled
                                  // beyond)
-    "q125_cross_corpus_novelty" -> 5) // corpus distinct, batch-shingle
-                                 // anti-join side, novel per-doc agg,
-                                 // totals per-doc agg, final join
+    "q125_cross_corpus_novelty" -> 5) // content-class agg sits behind
+                                 // its checkpoint; corpus-shingle
+                                 // distinct, batch anti-join side,
+                                 // novel per-class agg, totals
+                                 // per-class agg, final class join
 
   budgets.foreach { case (name, budget) =>
     test(s"$name stays within its shuffle budget of $budget") {
