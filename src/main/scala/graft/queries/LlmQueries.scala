@@ -213,6 +213,48 @@ object LlmQueries {
       |  FROM sims)
       |SELECT query_id, neighbor_id, rank, sim FROM ranked WHERE rank <= 3""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q126: mutual-kNN graph over embeddings — the edge set semantic-
+  // clustering pipelines build before community detection (SemDeDup's
+  // blocking graph, dataset-cartography neighborhoods): (a,b) is an
+  // edge iff b is in a's top-3 cosine neighbors AND a is in b's.
+  // Exact, over a vec_id%5 decimation: the all-pairs score matrix is
+  // the exact baseline (same contract as q35 vs q42 — brute force is
+  // the CORRECTNESS anchor; at corpus scale the identical mutual
+  // filter composes over `Similarity.ivfTopK`'s partitioned index
+  // instead of the broadcast cross join). Plan: one broadcast of the
+  // decimated query side, per-query bounded top-k heaps (map-side
+  // pruning, no global sort), then the mutuality semi-join on the
+  // directed edge set — each side of which is ≤ 3·n rows.
+  // ------------------------------------------------------------------
+  def q126MutualKnn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id"), col("embedding"))
+    val knn = Similarity.bruteForceTopK(emb,
+      emb.select(col("vec_id").as("qid"), col("embedding").as("qv")),
+      "vec_id", "embedding", "qid", "qv", k = 3)
+    val fwd = knn.filter(col("query_id") < col("neighbor_id"))
+      .select(col("query_id").as("a"), col("neighbor_id").as("b"), col("sim"))
+    val rev = knn.filter(col("query_id") > col("neighbor_id"))
+      .select(col("neighbor_id").as("a"), col("query_id").as("b"))
+    fwd.join(rev, Seq("a", "b"), "left_semi")
+  }
+
+  val q126Sql: String =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings WHERE vec_id % 5 = 0),
+      |sims AS (SELECT a.vec_id AS qa, b.vec_id AS qb,
+      |    ROUND(list_dot_product(a.v, b.v) /
+      |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS sim
+      |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+      |ranked AS (SELECT qa, qb, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY qa ORDER BY sim DESC, qb ASC) AS rk
+      |  FROM sims)
+      |SELECT r1.qa AS a, r1.qb AS b, r1.sim AS sim
+      |FROM ranked r1 JOIN ranked r2 ON r1.qa = r2.qb AND r1.qb = r2.qa
+      |WHERE r1.rk <= 3 AND r2.rk <= 3 AND r1.qa < r1.qb""".stripMargin
+
   /** IVF ANN top-k (the partitioned-index scale path; q35 is the exact
     * brute-force baseline over the same queries). */
   def q42IvfTopK(spark: SparkSession, dir: String): DataFrame = {

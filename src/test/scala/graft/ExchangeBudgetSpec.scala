@@ -103,6 +103,10 @@ class ExchangeBudgetSpec extends SparkTestBase {
                                  // candidate-pair dedup (join goes
                                  // broadcast at this SF, co-shuffled
                                  // beyond)
+    "q126_mutual_knn"     -> 1,  // broadcast cross-score feeds ONE
+                                 // per-query top-k heap shuffle, reused
+                                 // (ReusedExchange) by both sides of
+                                 // the mutuality semi-join
     "q125_cross_corpus_novelty" -> 5) // content-class agg sits behind
                                  // its checkpoint; corpus-shingle
                                  // distinct, batch anti-join side,

@@ -1,0 +1,64 @@
+package graft
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.StreamingDedup
+
+/** Incremental streaming near-dup: batches dedup within themselves and
+  * against everything already admitted, without re-hashing history. */
+class StreamingDedupSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  // shingle=3 word 3-grams; these pairs share most of their shingles
+  private val base = "the quick brown fox jumps over the lazy dog again and again"
+  private val nearBase = "the quick brown fox jumps over the lazy dog again and once"
+  private val other = "completely different content with no overlap whatsoever in this text"
+  private val nearOther = "completely different content with no overlap whatsoever in that text"
+  private val fresh = "entirely novel third document body that matches nothing else here today"
+
+  test("batch processing: intra-batch then cross-batch dedup, index grows only by survivors") {
+    val dedup = new StreamingDedup("doc_id", "text", threshold = 0.5)
+
+    // batch 1: base + its near-dup + other → near pair collapses to min id
+    val b1 = Seq((1L, base), (2L, nearBase), (3L, other)).toDF("doc_id", "text")
+    val s1 = dedup.processBatch(b1).select("doc_id").as[Long].collect().sorted
+    assert(s1.toSeq == Seq(1L, 3L), "near-dup of doc 1 must drop within the batch")
+    assert(dedup.indexedDocs == 2L)
+
+    // batch 2: re-delivery of a batch-1 near-dup + one novel doc
+    val b2 = Seq((10L, nearOther), (11L, fresh)).toDF("doc_id", "text")
+    val s2 = dedup.processBatch(b2).select("doc_id").as[Long].collect().sorted
+    assert(s2.toSeq == Seq(11L), "doc 10 near-dups doc 3 from batch 1")
+    assert(dedup.indexedDocs == 3L)
+
+    // batch 3: near-dups of both earlier corpora → everything drops
+    val b3 = Seq((20L, base), (21L, fresh)).toDF("doc_id", "text")
+    val s3 = dedup.processBatch(b3).select("doc_id").as[Long].collect()
+    assert(s3.isEmpty, "exact re-deliveries of admitted docs must drop")
+    assert(dedup.indexedDocs == 3L, "dropped docs must not enter the index")
+  }
+
+  test("foreachBatch harness: novel docs flow to the sink across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    input.addData((1L, base), (2L, nearBase))
+    val dedup = new StreamingDedup("doc_id", "text", threshold = 0.5)
+    val seen = mutable.ArrayBuffer.empty[Long]
+    val q = dedup.start(
+      input.toDF().toDF("doc_id", "text"),
+      batch => seen.synchronized {
+        seen ++= batch.select("doc_id").as[Long](org.apache.spark.sql.Encoders.scalaLong).collect()
+      })
+    try {
+      q.processAllAvailable()
+      input.addData((5L, base), (6L, fresh))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(seen.sorted == Seq(1L, 6L),
+      s"expected only novel docs 1 and 6, got ${seen.sorted}")
+  }
+}
