@@ -84,6 +84,21 @@ object AirbyteMessage {
   def stateType(stateJson: String): Option[String] =
     try Option(mapper.readTree(stateJson).get("type")).map(_.asText())
     catch { case _: Exception => None }
+
+  /** For CONTROL messages of orchestrator type CONNECTOR_CONFIG: the
+    * updated connector config as JSON text (reference
+    * `_connector_base.py:426-434` — the payload handed to
+    * `config_change_callback`, e.g. a refreshed OAuth token). None for
+    * any other message. */
+  def connectorConfig(m: AirbyteMessage): Option[String] = {
+    if (m.messageType != MessageType.CONTROL) return None
+    try {
+      val ctl = Option(mapper.readTree(m.raw).get("control")).getOrElse(return None)
+      if (!Option(ctl.get("type")).exists(_.asText() == "CONNECTOR_CONFIG")) return None
+      Option(ctl.get("connectorConfig")).flatMap(cc => Option(cc.get("config")))
+        .map(_.toString)
+    } catch { case _: Exception => None }
+  }
 }
 
 /** Sync modes (subset relevant to the engine). */

@@ -25,7 +25,14 @@ final class SubprocessSource(
     val name: String,
     val catalog: ConfiguredCatalog,
     cmd: Seq[String],
-    chunkSize: Int = 100000) extends Source {
+    chunkSize: Int = 100000,
+    /** Fired with the new config JSON whenever the connector emits a
+      * CONTROL/CONNECTOR_CONFIG message mid-run (reference
+      * `callbacks.py` + `_connector_base.py:426-434`) — the hook OAuth
+      * connectors use to persist refreshed tokens. Observed on every
+      * consumption path (read/sync/getRecords/check), like the
+      * reference's central message peek. */
+    configChangeCallback: Option[String => Unit] = None) extends Source {
 
   /** Stop event: set to halt the subprocess mid-stream (ST6). */
   val stopEvent = new AtomicBoolean(false)
@@ -122,7 +129,13 @@ final class SubprocessSource(
       def next(): String = { advance(); val l = nextLine; nextLine = null; l }
     }
 
-    val parsed = raw.flatMap(AirbyteMessage.parse)
+    val parsed = raw.flatMap(AirbyteMessage.parse).map { m =>
+      // config-change side channel: observe CONTROL/CONNECTOR_CONFIG on
+      // every consumption path, then pass the message through untouched
+      for (cb <- configChangeCallback; cfg <- AirbyteMessage.connectorConfig(m))
+        cb(cfg)
+      m
+    }
     limit match {
       case Some(n) =>
         // islice-equivalent: stop the producer once n records are taken

@@ -232,6 +232,26 @@ class SubprocessSpec extends SparkTestBase {
     }
   }
 
+  test("config-change callback fires on CONTROL/CONNECTOR_CONFIG with the new config") {
+    val script = Files.createTempFile("control-test", ".sh")
+    val body =
+      """#!/bin/sh
+        |echo '{"type":"RECORD","record":{"stream":"users","data":{"id":1,"name":"u1"},"emitted_at":1700000000000}}'
+        |echo '{"type":"CONTROL","control":{"type":"CONNECTOR_CONFIG","emitted_at":1700000000000,"connectorConfig":{"config":{"refresh_token":"tok-2","client_id":"abc"}}}}'
+        |echo '{"type":"CONTROL","control":{"type":"OTHER_ORCHESTRATOR_THING"}}'
+        |echo '{"type":"RECORD","record":{"stream":"users","data":{"id":2,"name":"u2"},"emitted_at":1700000000000}}'
+        |""".stripMargin
+    Files.write(script, body.getBytes("UTF-8"))
+    script.toFile.setExecutable(true)
+    val received = scala.collection.mutable.ArrayBuffer.empty[String]
+    val src = new SubprocessSource("cb", catalog, Seq("/bin/sh", script.toString),
+      configChangeCallback = Some(received += _))
+    // records still flow; the CONTROL messages are a side channel
+    assert(src.getRecords("users").size == 2)
+    assert(received.size == 1, "only CONNECTOR_CONFIG controls fire the callback")
+    assert(received.head.contains("\"refresh_token\":\"tok-2\""))
+  }
+
   test("table statistics: one-pass counts, nulls, approx distinct") {
     val df = Seq((1L, Some("a")), (2L, None), (3L, Some("c")))
       .toDF("id", "name")
