@@ -32,8 +32,9 @@ object HeavyHitters {
 
   /** Misra–Gries streaming summary of one partition: at most k counters.
     * Returns the surviving candidate tokens (counts are not needed —
-    * the exact pass recounts). */
-  private def misraGries(it: Iterator[String], k: Int): Iterator[String] = {
+    * the exact pass recounts). Package-private for the PropertySpec
+    * superset-guarantee gate. */
+  private[graft] def misraGries(it: Iterator[String], k: Int): Iterator[String] = {
     val counters = new java.util.HashMap[String, Long](k * 2)
     while (it.hasNext) {
       val w = it.next()

@@ -138,4 +138,70 @@ class CollapseEquivalenceSpec extends SparkTestBase {
       .collect().map(_.toSeq).toSeq
     assert(q116 == q116Want)
   }
+
+  test("collapsed q124 Hamming join == uncollapsed all-docs banding on random duplicate-heavy corpora") {
+    (1 to 5).foreach { seed =>
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-q124-$seed").toString
+      randomCorpus(seed).map { case (id, t) => (id, s"src${id % 3}", t) }
+        .toDF("doc_id", "source", "text").write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+
+      val got = graft.queries.CorpusQueries
+        .q124SimhashHammingJoin(spark, dir)
+        .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+
+      // uncollapsed dual: band-join every DOC (no class collapse)
+      val sims = graft.sources.Tables.documents(spark, dir)
+        .select(col("doc_id"), Dedup.simhashBits(col("text")).as("sh"))
+        .localCheckpoint()
+      val bands = sims.select(col("doc_id"), col("sh"),
+          explode(sequence(lit(0), lit(3))).as("band"))
+        .withColumn("bk", expr("substring(sh, band*16+1, 16)"))
+      val want = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+          col("a.sh").as("sha"), col("b.sh").as("shb"))
+        .distinct()
+        .withColumn("hamming",
+          Dedup.hammingDistance(col("sha"), col("shb")).cast("long"))
+        .filter(col("hamming") <= 3)
+        .select(col("da"), col("db"), col("hamming"))
+        .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+      assert(got == want, s"q124 divergence on seed $seed")
+    }
+  }
+
+  test("collapsed q125 novelty == uncollapsed per-doc shingling on random duplicate-heavy corpora") {
+    (1 to 5).foreach { seed =>
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-q125-$seed").toString
+      randomCorpus(seed).map { case (id, t) => (id, s"src${id % 3}", t) }
+        .toDF("doc_id", "source", "text").write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+
+      val got = graft.queries.CorpusQueries
+        .q125CrossCorpusNovelty(spark, dir)
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+
+      // uncollapsed dual: shingle every doc independently
+      val docs = graft.sources.Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          array_distinct(graft.functions.TextHashFunctions
+            .shingleMinhash(col("text"), 1, 3).getField("shingles")).as("sh"))
+        .filter(size(col("sh")) > 0)
+      val corpusSh = docs.filter(col("doc_id") % 10 =!= 0)
+        .select(explode(col("sh")).as("s")).distinct()
+      val newSh = docs.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), explode(col("sh")).as("s"))
+      val novel = newSh.join(corpusSh, Seq("s"), "left_anti")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_novel"))
+      val want = newSh.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"))
+        .join(novel, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("n_shingles"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(got == want, s"q125 divergence on seed $seed")
+    }
+  }
 }

@@ -126,4 +126,29 @@ class PropertySpec extends AnyFunSuite {
       assert(reduced == brute, s"mismatch on $pts")
     }
   }
+
+  test("Misra-Gries per-partition union is a superset of global heavy hitters for any partitioning") {
+    // the exactness guarantee HeavyHitters.frequentTokens rests on:
+    // count(w)*denom > n  ⇒  w survives MG(denom-1) in ≥1 partition
+    val gen = for {
+      denom <- Gen.choose(2, 12)
+      toks <- Gen.listOf(Gen.oneOf("a", "b", "c", "d", "e", "f", "g", "h"))
+      nParts <- Gen.choose(1, 5)
+      cutsSeed <- Gen.choose(0L, Long.MaxValue)
+    } yield (denom, toks, nParts, cutsSeed)
+    samples(gen, 400).foreach { case (denom, toks, nParts, cutsSeed) =>
+      val rnd = new scala.util.Random(cutsSeed)
+      // arbitrary contiguous partitioning (incl. empty partitions)
+      val parts = Array.fill(nParts)(
+        scala.collection.mutable.ArrayBuffer.empty[String])
+      toks.foreach(t => parts(rnd.nextInt(nParts)) += t)
+      val candidates = parts.flatMap(p =>
+        graft.operators.HeavyHitters.misraGries(p.iterator, denom - 1)).toSet
+      val n = toks.size.toLong
+      val heavy = toks.groupBy(identity)
+        .collect { case (w, ws) if ws.size.toLong * denom > n => w }.toSet
+      assert(heavy.subsetOf(candidates),
+        s"missed ${heavy -- candidates} (denom=$denom, n=$n, parts=$nParts)")
+    }
+  }
 }
