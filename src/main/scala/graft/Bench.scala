@@ -69,7 +69,9 @@ object Bench {
       "q85_posting_lists", "q86_length_bins", "q88_bigram_pmi",
       "q89_lm_surprisal", "q91_dup_inflation", "q100_pipeline",
       "q106_span_dedup", "q114_prefix_filter_join", "q117_triangle_count",
-      "q123_heavy_hitters", "q124_simhash_hamming_join")
+      "q123_heavy_hitters", "q124_simhash_hamming_join",
+      "q128_dsir_weights", "q132_embed_corr", "q134_decontaminate",
+      "q135_bpe_merges")
     def ms(v: Double): Double = math.round(v * 1000).toDouble / 1000
     val qs = results.collect { case (k, v) if headline(k) =>
       "\"" + k + "\":" + ms(v)

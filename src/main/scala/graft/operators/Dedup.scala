@@ -211,9 +211,17 @@ object Dedup {
       .join(index.select(col("id").as("corpus_id"), col("band_key")), "band_key")
       .select(col("new_id"), col("corpus_id"))
       .dropDuplicates("new_id", "corpus_id")
+    // Restrict to candidate ids BEFORE deduplicating shingle sets: the
+    // probe side may be the BIG side (q134 runs the whole training
+    // corpus against a tiny benchmark index), and dedup-then-join would
+    // shuffle every probe document's shingle array; semi-join first and
+    // only candidate survivors (a broadcast-sized set when the index
+    // side is small) reach the dedup exchange.
     val newSets = probe.select(col("id").as("new_id"), col("shingles").as("sh_n"))
+      .join(candidates.select(col("new_id")).distinct(), Seq("new_id"), "left_semi")
       .dropDuplicates("new_id")
     val corpusSets = index.select(col("id").as("corpus_id"), col("shingles").as("sh_c"))
+      .join(candidates.select(col("corpus_id")).distinct(), Seq("corpus_id"), "left_semi")
       .dropDuplicates("corpus_id")
     candidates
       .join(newSets, "new_id")

@@ -1,0 +1,465 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.GramAggregate
+import graft.operators.{Bpe, Dedup}
+import graft.sources.Tables
+
+/**
+ * Pretraining-data assembly queries: the corpus-level decisions made
+ * AFTER curation and dedup — how much of each source to sample, which
+ * documents match the target domain, what the tokenizer should learn,
+ * and whether the eval benchmarks leaked into the training set.
+ *
+ * Parity design (suite convention): integer arithmetic until one final
+ * division; IEEE-exact sqrt allowed; log2 addends rounded to 6 dp
+ * BEFORE summing (identical addends both engines — q89's contract);
+ * final floats rounded to 4 dp; any ordering used for top-k sorts on
+ * the ROUNDED value with an integer tiebreak.
+ */
+object PretrainQueries {
+
+  // ------------------------------------------------------------------
+  // q127: temperature-scaled source mixture (the multilingual/multi-
+  // source sampling rule of mT5/XLM-R: p_s ∝ n_s^α, here α = ½ so the
+  // power is an IEEE-exact sqrt). One tiny aggregation (sources), one
+  // one-row total broadcast back — nothing corpus-sized moves. `boost`
+  // is the up/down-sampling factor vs natural frequency: >1 means the
+  // source is repeated at training time, <1 means it is subsampled.
+  // ------------------------------------------------------------------
+  def q127MixtureWeights(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val tot = counts.agg(
+      sum(col("n_docs")).as("total"),
+      sum(sqrt(col("n_docs").cast(DoubleType))).as("z"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        round(sqrt(col("n_docs").cast(DoubleType)) / col("z"), 4).as("weight"),
+        round(sqrt(col("n_docs").cast(DoubleType)) / col("z")
+          * col("total").cast(DoubleType) / col("n_docs").cast(DoubleType), 4)
+          .as("boost"))
+  }
+
+  val q127Sql: String =
+    """WITH counts AS (
+      |  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+      |tot AS (
+      |  SELECT CAST(SUM(n_docs) AS BIGINT) AS total,
+      |    SUM(sqrt(CAST(n_docs AS DOUBLE))) AS z
+      |  FROM counts)
+      |SELECT source, n_docs,
+      |  round(sqrt(CAST(n_docs AS DOUBLE)) / z, 4) AS weight,
+      |  round(sqrt(CAST(n_docs AS DOUBLE)) / z
+      |    * CAST(total AS DOUBLE) / CAST(n_docs AS DOUBLE), 4) AS boost
+      |FROM counts CROSS JOIN tot""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q128: DSIR-style data selection (Xie et al. 2023, "Data Selection
+  // for Language Models via Importance Resampling"): documents scored
+  // by hashed-n-gram importance weights log p_target(f)/p_raw(f).
+  // Features are word unigrams hashed into 64 buckets (two md5 hex
+  // chars → ascii mix — portable to the SQL oracle, no engine-specific
+  // hex parsing). The bucket log-ratio table is 64 rows — it BROADCASTS
+  // onto the token stream and the corpus aggregates once per doc;
+  // nothing else shuffles. Laplace-smoothed (+½ per bucket) so buckets
+  // unseen in the target stay finite.
+  // ------------------------------------------------------------------
+  private val DsirTargetSources = Seq("src1", "src2", "src3")
+
+  private def dsirBucket(tok: Column): Column =
+    (ascii(substring(md5(tok), 1, 1)) * 31 + ascii(substring(md5(tok), 2, 1))) % 64
+
+  def q128DsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "")
+      .select(col("doc_id"), col("source"), dsirBucket(col("t")).as("b"))
+    // ONE corpus pass tallies raw and target counts together (the
+    // target tally is a conditional sum, not a second scan); totals are
+    // window sums over the 64-row bucket frame, so nothing corpus-sized
+    // is ever re-aggregated. Missing buckets contribute 0 to both.
+    val bucketCounts = toks.groupBy(col("b")).agg(
+      count(lit(1)).as("rc"),
+      sum(when(col("source").isin(DsirTargetSources: _*), 1L).otherwise(0L))
+        .as("tc"))
+    val allB = spark.range(64).select(col("id").cast(IntegerType).as("b"))
+    val w = Window.partitionBy()
+    val lambda = allB
+      .join(bucketCounts, Seq("b"), "left_outer")
+      .select(col("b"),
+        coalesce(col("rc"), lit(0L)).as("rc"),
+        coalesce(col("tc"), lit(0L)).as("tc"))
+      .withColumn("rt", sum(col("rc")).over(w))
+      .withColumn("tt", sum(col("tc")).over(w))
+      .select(col("b"),
+        round(
+          log2((col("tc").cast(DoubleType) + 0.5)
+            / (col("tt").cast(DoubleType) + 32.0))
+          - log2((col("rc").cast(DoubleType) + 0.5)
+            / (col("rt").cast(DoubleType) + 32.0)), 6).as("lam"))
+    toks.join(broadcast(lambda), "b")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        round(sum(col("lam")) / count(lit(1)), 4).as("dsir_score"))
+  }
+
+  val q128Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source,
+      |    (ascii(substr(md5(t), 1, 1)) * 31 + ascii(substr(md5(t), 2, 1))) % 64 AS b
+      |  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS t
+      |        FROM documents) u WHERE t <> ''),
+      |bc AS (
+      |  SELECT b, COUNT(*) AS rc,
+      |    CAST(SUM(CASE WHEN source IN ('src1', 'src2', 'src3')
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS tc
+      |  FROM toks GROUP BY b),
+      |filled AS (
+      |  SELECT r.range AS b,
+      |    CAST(COALESCE(rc, 0) AS BIGINT) AS rc,
+      |    CAST(COALESCE(tc, 0) AS BIGINT) AS tc
+      |  FROM range(64) r LEFT JOIN bc ON bc.b = r.range),
+      |lambda AS (
+      |  SELECT b,
+      |    round(log2((CAST(tc AS DOUBLE) + 0.5)
+      |        / (CAST(SUM(tc) OVER () AS DOUBLE) + 32.0))
+      |      - log2((CAST(rc AS DOUBLE) + 0.5)
+      |        / (CAST(SUM(rc) OVER () AS DOUBLE) + 32.0)), 6) AS lam
+      |  FROM filled)
+      |SELECT doc_id, COUNT(*) AS n_toks,
+      |  round(SUM(lam) / COUNT(*), 4) AS dsir_score
+      |FROM toks JOIN lambda USING (b)
+      |GROUP BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q129: per-domain document cap (RefinedWeb/Dolma-style: no single
+  // domain may contribute more than K documents, keeping the longest
+  // first). Top-K-per-group via a window — per-domain state is bounded
+  // by the domain's own row count; at 100 TB the same budget runs as
+  // a bounded-heap aggregate (TopKAggregate) keyed by domain. Output
+  // is the per-domain audit: kept/dropped counts and character mass.
+  // ------------------------------------------------------------------
+  private val DomainCap = 10
+
+  def q129DomainCap(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = Tables.documents(spark, dir)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("n_chars").desc, col("doc_id"))))
+    ranked.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("rn") <= DomainCap, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rn") <= DomainCap, col("n_chars")).otherwise(0L))
+          .as("kept_chars"),
+        sum(when(col("rn") > DomainCap, col("n_chars")).otherwise(0L))
+          .as("dropped_chars"))
+  }
+
+  val q129Sql: String =
+    s"""WITH ranked AS (
+      |  SELECT source, n_chars,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY n_chars DESC, doc_id) AS rn
+      |  FROM documents)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN rn <= $DomainCap THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN rn <= $DomainCap THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars,
+      |  CAST(SUM(CASE WHEN rn > $DomainCap THEN n_chars ELSE 0 END) AS BIGINT) AS dropped_chars
+      |FROM ranked GROUP BY source""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q130: population-stability-index drift between the first and second
+  // half of the event stream, per event type — the ingestion-monitoring
+  // check run before a new crawl snapshot joins the training mix. Bins
+  // are 10 equal-width slices of the GLOBAL per-type [min, max] (one
+  // tiny aggregate broadcast back); PSI_b = (p_b−q_b)·log2(p_b/q_b)
+  // with Laplace-smoothed shares, addends rounded to 6 dp before the
+  // 10-term sum (exact-addend parity), log2 variant of the classic ln
+  // definition. Zero corpus-sized shuffles: one pass to bin+count,
+  // then 100 rows of arithmetic.
+  // ------------------------------------------------------------------
+  def q130DriftPsi(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("2024-01-16").cast(TimestampType)
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("value"),
+        when(col("ts") < cutoff, lit("ref")).otherwise(lit("cur")).as("win"))
+    val ranges = ev.groupBy(col("event_type"))
+      .agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
+    val binned = ev.join(broadcast(ranges), "event_type")
+      .select(col("event_type"), col("win"),
+        least(floor((col("value") - col("mn")) * 10.0 / (col("mx") - col("mn")))
+          .cast(IntegerType), lit(9)).as("b"))
+    val counts = binned.groupBy(col("event_type"), col("b"))
+      .agg(sum(when(col("win") === "ref", 1L).otherwise(0L)).as("cr"),
+        sum(when(col("win") === "cur", 1L).otherwise(0L)).as("cc"))
+    val allBins = counts.select(col("event_type")).distinct()
+      .crossJoin(spark.range(10).select(col("id").cast(IntegerType).as("b")))
+    val totals = counts.groupBy(col("event_type"))
+      .agg(sum(col("cr")).as("tr"), sum(col("cc")).as("tc"))
+    allBins
+      .join(counts, Seq("event_type", "b"), "left_outer")
+      .join(broadcast(totals), "event_type")
+      .select(col("event_type"), col("tr"), col("tc"),
+        ((coalesce(col("cr"), lit(0L)).cast(DoubleType) + 0.5)
+          / (col("tr").cast(DoubleType) + 5.0)).as("p"),
+        ((coalesce(col("cc"), lit(0L)).cast(DoubleType) + 0.5)
+          / (col("tc").cast(DoubleType) + 5.0)).as("q"))
+      .select(col("event_type"), col("tr"), col("tc"),
+        round((col("p") - col("q")) * log2(col("p") / col("q")), 6).as("addend"))
+      .groupBy(col("event_type"))
+      .agg(max(col("tr")).as("n_ref"), max(col("tc")).as("n_cur"),
+        round(sum(col("addend")), 4).as("psi"))
+  }
+
+  val q130Sql: String =
+    """WITH ev AS (
+      |  SELECT event_type, value,
+      |    CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'ref' ELSE 'cur' END AS win
+      |  FROM events),
+      |ranges AS (
+      |  SELECT event_type, MIN(value) AS mn, MAX(value) AS mx
+      |  FROM ev GROUP BY event_type),
+      |binned AS (
+      |  SELECT ev.event_type, win,
+      |    least(CAST(floor((value - mn) * 10.0 / (mx - mn)) AS INT), 9) AS b
+      |  FROM ev JOIN ranges ON ev.event_type = ranges.event_type),
+      |counts AS (
+      |  SELECT event_type, b,
+      |    SUM(CASE WHEN win = 'ref' THEN 1 ELSE 0 END) AS cr,
+      |    SUM(CASE WHEN win = 'cur' THEN 1 ELSE 0 END) AS cc
+      |  FROM binned GROUP BY event_type, b),
+      |all_bins AS (
+      |  SELECT DISTINCT event_type, r.range AS b
+      |  FROM counts CROSS JOIN range(10) r),
+      |totals AS (
+      |  SELECT event_type, CAST(SUM(cr) AS BIGINT) AS tr,
+      |    CAST(SUM(cc) AS BIGINT) AS tc
+      |  FROM counts GROUP BY event_type),
+      |shares AS (
+      |  SELECT a.event_type, tr, tc,
+      |    (CAST(COALESCE(cr, 0) AS DOUBLE) + 0.5) / (CAST(tr AS DOUBLE) + 5.0) AS p,
+      |    (CAST(COALESCE(cc, 0) AS DOUBLE) + 0.5) / (CAST(tc AS DOUBLE) + 5.0) AS q
+      |  FROM all_bins a
+      |  LEFT JOIN counts c ON a.event_type = c.event_type AND a.b = c.b
+      |  JOIN totals t ON a.event_type = t.event_type)
+      |SELECT event_type, MAX(tr) AS n_ref, MAX(tc) AS n_cur,
+      |  round(SUM(round((p - q) * log2(p / q), 6)), 4) AS psi
+      |FROM shares GROUP BY event_type""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q131: Zipf rank-frequency slope per source — the power-law sanity
+  // check on a corpus's token distribution (natural text ≈ −1; a slope
+  // near 0 flags templated/synthetic content, steep flags boilerplate).
+  // One token tally (the only corpus-sized shuffle), a per-source rank
+  // window over the tally (vocabulary-sized), and a least-squares slope
+  // via regr_slope on log-log points (log2 values rounded to 6 dp →
+  // identical regression inputs in both engines).
+  // ------------------------------------------------------------------
+  def q131ZipfSlope(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy(col("source"), col("t")).agg(count(lit(1)).as("cnt"))
+    freq
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("cnt").desc, col("t"))))
+      .filter(col("rnk") <= 100)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_ranks"),
+        round(regr_slope(
+          round(log2(col("cnt").cast(DoubleType)), 6),
+          round(log2(col("rnk").cast(DoubleType)), 6)), 4).as("zipf_slope"))
+  }
+
+  val q131Sql: String =
+    """WITH toks AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS t FROM documents),
+      |freq AS (
+      |  SELECT source, t, COUNT(*) AS cnt FROM toks WHERE t <> ''
+      |  GROUP BY source, t),
+      |ranked AS (
+      |  SELECT source, cnt,
+      |    row_number() OVER (PARTITION BY source ORDER BY cnt DESC, t) AS rnk
+      |  FROM freq)
+      |SELECT source, COUNT(*) AS n_ranks,
+      |  round(regr_slope(round(log2(CAST(cnt AS DOUBLE)), 6),
+      |    round(log2(CAST(rnk AS DOUBLE)), 6)), 4) AS zipf_slope
+      |FROM ranked WHERE rnk <= 100
+      |GROUP BY source""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q132: embedding-dimension correlation audit — the top-10 most
+  // correlated dimension pairs, from a SINGLE-PASS Gram-matrix
+  // aggregate (GramAggregate: the corpus never shuffles; each partition
+  // folds its vectors into one d(d+1)/2+d+1 buffer and only ~32 partial
+  // buffers merge). The relational dual (posexplode² + self-join)
+  // shuffles n·d² rows — that is the oracle's formulation, fine at
+  // sf0.01, fatal at 100 TB. Pair arithmetic happens on a 2 016-row
+  // local frame joined to the ONE-row gram result. float32 inputs make
+  // every promoted product exact; ordering sorts the ROUNDED corr with
+  // an (i, j) tiebreak so final-ulp summation drift cannot reorder.
+  // ------------------------------------------------------------------
+  private val EmbDim = 64
+
+  def q132EmbedCorr(spark: SparkSession, dir: String): DataFrame = {
+    val d = EmbDim
+    val triLen = d * (d + 1) / 2
+    val g = Tables.embeddings(spark, dir)
+      .agg(GramAggregate.gram(col("embedding"), d).as("g"))
+    val pairs = spark.range(d).select(col("id").cast(IntegerType).as("i"))
+      .crossJoin(spark.range(d).select(col("id").cast(IntegerType).as("j")))
+      .filter(col("i") < col("j"))
+    def tri(i: Column, j: Column): Column = // 1-based index of Σ x_i·x_j
+      i * d - (i * (i - lit(1))).cast(LongType) / 2 + (j - i) + 1
+    def sx(i: Column): Column = element_at(col("g"), (lit(triLen) + i + 1).cast(IntegerType))
+    val n = element_at(col("g"), triLen + d + 1)
+    def cov(i: Column, j: Column): Column =
+      (element_at(col("g"), tri(i, j).cast(IntegerType)) - sx(i) * sx(j) / n) / n
+    pairs.crossJoin(broadcast(g))
+      .select(col("i"), col("j"),
+        round(cov(col("i"), col("j"))
+          / sqrt(cov(col("i"), col("i")) * cov(col("j"), col("j"))), 4)
+          .as("corr"))
+      .orderBy(col("corr").desc, col("i"), col("j"))
+      .limit(10)
+  }
+
+  val q132Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+      |    unnest(range(0, len(embedding))) AS i
+      |  FROM embeddings),
+      |sums AS (
+      |  SELECT a.i AS i, b.i AS j, SUM(a.x * b.x) AS sxy,
+      |    COUNT(*) AS n
+      |  FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+      |  GROUP BY a.i, b.i),
+      |marg AS (SELECT i, SUM(x) AS sx FROM e GROUP BY i),
+      |cov AS (
+      |  SELECT s.i, s.j,
+      |    (sxy - ma.sx * mb.sx / n) / n AS c
+      |  FROM sums s JOIN marg ma ON s.i = ma.i JOIN marg mb ON s.j = mb.i),
+      |corr AS (
+      |  SELECT CAST(o.i AS INT) AS i, CAST(o.j AS INT) AS j,
+      |    round(o.c / sqrt(di.c * dj.c), 4) AS corr
+      |  FROM cov o
+      |  JOIN cov di ON di.i = o.i AND di.j = o.i
+      |  JOIN cov dj ON dj.i = o.j AND dj.j = o.j
+      |  WHERE o.i < o.j)
+      |SELECT i, j, corr FROM corr
+      |ORDER BY corr DESC, i, j LIMIT 10""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q133: BPE pair statistics (iteration 0 of tokenizer training,
+  // Sennrich 2016): adjacent character-pair counts weighted by word
+  // frequency. The corpus collapses to its word vocabulary FIRST (one
+  // map-side-combined shuffle); pair extraction then runs on the
+  // vocabulary — at web scale that is millions of rows, not billions,
+  // which is why production BPE trainers all pre-tally words. Top-20
+  // by (count DESC, pair ASC) — integer-deterministic.
+  // ------------------------------------------------------------------
+  def q133CharPairs(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .filter(length(col("w")) >= 2)
+    words
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"), col("cnt"))
+      .groupBy(col("pair")).agg(sum(col("cnt")).as("pair_cnt"))
+      .orderBy(col("pair_cnt").desc, col("pair"))
+      .limit(20)
+  }
+
+  val q133Sql: String =
+    """WITH words AS (
+      |  SELECT w, COUNT(*) AS cnt
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) u
+      |  WHERE w <> '' GROUP BY w),
+      |pairs AS (
+      |  SELECT unnest(list_transform(range(1, len(w)),
+      |    i -> substr(w, CAST(i AS INT), 2))) AS pair, cnt
+      |  FROM words WHERE len(w) >= 2)
+      |SELECT pair, CAST(SUM(cnt) AS BIGINT) AS pair_cnt
+      |FROM pairs GROUP BY pair
+      |ORDER BY pair_cnt DESC, pair LIMIT 20""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q134: benchmark decontamination via cross-set MinHash-LSH — the
+  // "did the eval set leak into training" sweep (Brown et al. 2020
+  // App. C; Dodge et al. 2021). The benchmark side is TINY (eval sets
+  // are thousands of rows), so its signature index broadcasts and the
+  // training corpus streams through band-key probing WITHOUT ever
+  // shuffling — the same plan as q66's incremental probe with the
+  // roles flipped (index the small side, scan the big side). Exact
+  // Jaccard (integer intersect / union → one division) verifies each
+  // candidate. Benchmark membership here: doc_id ≡ 0 (mod 7);
+  // threshold 0.35 (q31's), the loose end of published n-gram-overlap
+  // decontamination rules.
+  // ------------------------------------------------------------------
+  def q134Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val bench = docs.filter(col("doc_id") % 7 === 0)
+    val train = docs.filter(col("doc_id") % 7 =!= 0)
+    val index = Dedup.signatureIndex(bench, "doc_id", "text")
+    Dedup.probeNearDups(train, index, "doc_id", "text", threshold = 0.35)
+      .select(col("new_id").as("train_id"), col("corpus_id").as("bench_id"),
+        col("jaccard"))
+  }
+
+  val q134Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+      |      i -> concat_ws(' ', t[i], t[i+1], t[i+2])) AS shingles
+      |  FROM toks),
+      |hashed AS (
+      |  SELECT doc_id, shingles, list_transform(shingles, s -> md5(s)) AS hs
+      |  FROM sh WHERE len(shingles) > 0),
+      |sig AS (
+      |  SELECT doc_id, shingles,
+      |    list_transform(range(0, 9),
+      |      j -> list_min(list_transform(hs,
+      |        h -> substr(h, CAST(j*3+1 AS INT), 32) || substr(h, 1, CAST(j*3 AS INT))))) AS sig
+      |  FROM hashed),
+      |banded AS (
+      |  SELECT doc_id, shingles, unnest(list_transform(range(0, 3),
+      |    b -> md5(concat_ws('|', sig[b*3+1], sig[b*3+2], sig[b*3+3], CAST(b AS VARCHAR))))) AS band_key
+      |  FROM sig),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS train_id, b.doc_id AS bench_id,
+      |    a.shingles AS sh_a, b.shingles AS sh_b
+      |  FROM banded a JOIN banded b
+      |    ON a.band_key = b.band_key
+      |   AND a.doc_id % 7 <> 0 AND b.doc_id % 7 = 0)
+      |SELECT train_id, bench_id,
+      |  CAST(len(list_distinct(list_intersect(sh_a, sh_b))) AS DOUBLE)
+      |    / CAST(len(list_distinct(sh_a || sh_b)) AS DOUBLE) AS jaccard
+      |FROM cand
+      |WHERE CAST(len(list_distinct(list_intersect(sh_a, sh_b))) AS DOUBLE)
+      |    / CAST(len(list_distinct(sh_a || sh_b)) AS DOUBLE) >= 0.35""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q135: learned BPE merge table (k = 5 iterations) — the driver-loop
+  // tokenizer-training surface over Bpe.learnMerges. Not expressible as
+  // one SQL statement (each merge rewrites the vocabulary the next
+  // iteration counts), so the driver records a rows-only check; the
+  // full semantics are pinned by BpeSpec against a sequential reference
+  // implementation.
+  // ------------------------------------------------------------------
+  def q135BpeMerges(spark: SparkSession, dir: String): DataFrame =
+    Bpe.learnMerges(Tables.documents(spark, dir), "text", 5)
+}

@@ -22,7 +22,11 @@ object PlanCheck {
     // pipeline queries (q2x) mutate cache tables — plan-audit the rest
     val skip = Set("q20_merge_upsert", "q21_append", "q22_replace",
       "q23_auto_strategy", "q24_schema_evolution", "q25_incremental_cursor",
-      "q28_sql_passthrough")
+      "q28_sql_passthrough",
+      // q135: driver-loop BPE — final frame is a LocalTableScan of the
+      // k learned merges (each iteration's distributed plans are the
+      // audited aggregate shapes of q133); nothing to plan-audit.
+      "q135_bpe_merges")
 
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (!skip.contains(name)) {
@@ -63,7 +67,13 @@ object PlanCheck {
               "q95_graph_degrees", "q96_source_skew", "q99_rfm_segments",
               // q122: 1-row total + 3-row threshold dim, non-equi by
               // construction (cum*100 >= n*t)
-              "q122_vocab_coverage")
+              "q122_vocab_coverage",
+              // q127: 1-row mixture totals; q128: 1-row feature totals;
+              // q130: 10-bin spine × event types; q132: 64² local index
+              // pairs × the ONE-row gram aggregate — all tiny-side
+              // crossJoin(broadcast(...)) by construction
+              "q127_mixture_weights", "q128_dsir_weights",
+              "q130_drift_psi", "q132_embed_corr")
               .contains(name))
         ).collect { case (f, true) => f }
         val scans = plan.linesIterator

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Bpe
+
+/**
+ * Pins the distributed BPE merge learner to a sequential reference
+ * implementation (the textbook algorithm run single-threaded on the
+ * driver): same word tally, same pair counts, same (count DESC, pair
+ * ASC) argmax, same greedy left-to-right non-overlapping rewrite.
+ */
+class BpeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Sequential reference: learn k merges from (word → count). */
+  private def referenceMerges(
+      words: Map[String, Long], k: Int): Seq[(Int, String, String, String, Long)] = {
+    var vocab: Map[Seq[String], Long] =
+      words.groupMapReduce { case (w, _) =>
+        w.map(_.toString).toSeq: Seq[String] } { case (_, c) => c }(_ + _)
+    val out = Seq.newBuilder[(Int, String, String, String, Long)]
+    for (step <- 1 to k) {
+      val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, cnt) =>
+        syms.indices.dropRight(1).foreach { i =>
+          val p = (syms(i), syms(i + 1))
+          pairs(p) = pairs.getOrElse(p, 0L) + cnt
+        }
+      }
+      if (pairs.nonEmpty) {
+        val ((l, r), c) = pairs.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+        out += ((step, l, r, l + r, c))
+        vocab = vocab.groupMapReduce { case (syms, _) =>
+          val m = Seq.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+              m += l + r; i += 2
+            } else { m += syms(i); i += 1 }
+          }
+          m.result()
+        } { case (_, c) => c }(_ + _)
+      }
+    }
+    out.result()
+  }
+
+  private def wordTally(texts: Seq[String]): Map[String, Long] =
+    texts.flatMap(_.split(" ")).filter(_.nonEmpty)
+      .groupMapReduce(identity)(_ => 1L)(_ + _)
+
+  test("learnMerges matches the sequential reference on a handcrafted corpus") {
+    // 'ab' dominant, then overlapping candidates (aa in 'aaa' counts once
+    // per non-overlapping scan), single-char words carry no pairs.
+    val texts = Seq(
+      "abab abc a b",
+      "aaa abab ab",
+      "xyz ab abc aaa")
+    val df = texts.toDF("text")
+    val got = Bpe.learnMerges(df, "text", 4)
+      .as[(Int, String, String, String, Long)].collect().sortBy(_._1).toSeq
+    val want = referenceMerges(wordTally(texts), 4)
+    assert(got == want)
+  }
+
+  test("learnMerges matches the sequential reference on sf0.001 documents") {
+    val docs = graft.sources.Tables.documents(spark, sf()).select(col("text"))
+    val got = Bpe.learnMerges(docs, "text", 5)
+      .as[(Int, String, String, String, Long)].collect().sortBy(_._1).toSeq
+    val want = referenceMerges(
+      wordTally(docs.as[String].collect().toSeq), 5)
+    assert(got == want)
+  }
+
+  test("merge rewrite is greedy non-overlapping (aaa + merge(a,a) -> [aa, a])") {
+    // "aaa" ×3: STATISTICS count overlapping occurrences ((a,a) twice
+    // per word → 6, Sennrich's get_stats), but the REWRITE is greedy
+    // non-overlapping, so each word becomes [aa, a] — and the next
+    // merge is (aa, a) with count 3.
+    val df = Seq("aaa aaa aaa").toDF("text")
+    val got = Bpe.learnMerges(df, "text", 2)
+      .as[(Int, String, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1, "a", "a", "aa", 6L), (2, "aa", "a", "aaa", 3L)))
+  }
+}

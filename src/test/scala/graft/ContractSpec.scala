@@ -10,11 +10,19 @@ class ContractSpec extends SparkTestBase {
 
   import spark.implicits._
 
+  // Queries DELIBERATELY without a DuckDB oracle (driver records a
+  // rows-only check) — each must carry its own reference-parity spec:
+  //   q135: iterative BPE merge learning — each merge rewrites the
+  //   vocabulary the next iteration counts, not one SQL statement;
+  //   pinned to a sequential reference implementation by BpeSpec.
+  private val rowsOnlyQueries = Set("q135_bpe_merges")
+
   test("every oracle key has a query; oracle SQL is single-statement SELECT-like") {
     val qs = SparkEntry.queries.keySet
     val os = SparkEntry.oracleSql.keySet
     assert(os.subsetOf(qs), s"oracles without queries: ${os -- qs}")
-    assert((qs -- os).isEmpty, s"queries without oracles (weaker rows-only check): ${qs -- os}")
+    assert((qs -- os) == rowsOnlyQueries,
+      s"queries without oracles (weaker rows-only check): ${qs -- os -- rowsOnlyQueries}")
     SparkEntry.oracleSql.values.foreach { sql =>
       val first = sql.trim.split("\\s+").head.toUpperCase
       assert(Set("SELECT", "WITH").contains(first), s"unexpected oracle start: $first")

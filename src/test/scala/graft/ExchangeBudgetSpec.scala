@@ -107,11 +107,37 @@ class ExchangeBudgetSpec extends SparkTestBase {
                                  // per-query top-k heap shuffle, reused
                                  // (ReusedExchange) by both sides of
                                  // the mutuality semi-join
-    "q125_cross_corpus_novelty" -> 5) // content-class agg sits behind
+    "q125_cross_corpus_novelty" -> 5, // content-class agg sits behind
                                  // its checkpoint; corpus-shingle
                                  // distinct, batch anti-join side,
                                  // novel per-class agg, totals
                                  // per-class agg, final class join
+    "q127_mixture_weights" -> 2, // source tally + 1-row totals gather;
+                                 // weights ride the broadcast back
+    "q128_dsir_weights"   -> 3,  // ONE combined raw+target bucket
+                                 // tally, 64-row window-total gather,
+                                 // per-doc score fold; the 64-row λ
+                                 // table broadcasts back
+    "q129_domain_cap"     -> 2,  // per-domain rank window + audit agg
+                                 // (same key — AQE may fuse to 1)
+    "q130_drift_psi"      -> 6,  // type range agg, (type,bin) counts,
+                                 // type spine distinct, totals, psi
+                                 // agg; all but the bin pass are
+                                 // dimension-sized
+    "q131_zipf_slope"     -> 3,  // token tally, per-source rank window,
+                                 // slope agg
+    "q132_embed_corr"     -> 1,  // ONE single-partition gram gather —
+                                 // the corpus never shuffles; pair
+                                 // arithmetic is local + TakeOrdered
+    "q133_char_pairs"     -> 2,  // word tally + pair tally; top-20 is
+                                 // TakeOrderedAndProject
+    "q134_decontaminate"  -> 5)  // signature build sits behind its
+                                 // checkpoint; candidate-pair dedup,
+                                 // two candidate-id distincts, two
+                                 // candidate/bench-restricted shingle
+                                 // dedups — every exchange is
+                                 // candidate- or benchmark-sized; the
+                                 // training corpus never shuffles
 
   budgets.foreach { case (name, budget) =>
     test(s"$name stays within its shuffle budget of $budget") {
