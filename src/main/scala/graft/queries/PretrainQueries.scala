@@ -410,12 +410,33 @@ object PretrainQueries {
   // ------------------------------------------------------------------
   def q134Decontaminate(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val bench = docs.filter(col("doc_id") % 7 === 0)
-    val train = docs.filter(col("doc_id") % 7 =!= 0)
-    val index = Dedup.signatureIndex(bench, "doc_id", "text")
-    Dedup.probeNearDups(train, index, "doc_id", "text", threshold = 0.35)
-      .select(col("new_id").as("train_id"), col("corpus_id").as("bench_id"),
-        col("jaccard"))
+    // Exact-duplicate collapse on BOTH sides first (the suite-wide
+    // duplicate-blowup guard): band-bucket candidate pairs are a cross
+    // product of bucket membership, so a corpus with duplication factor
+    // d costs d² more per collision raw (the 10× replica measured 7.6×
+    // wall uncollapsed, ~1× collapsed). The collapse is one map-side-
+    // combinable groupBy per side; band keys and Jaccard depend only on
+    // text, so probing representatives and re-expanding verified class
+    // pairs to member cross products is byte-identical to the
+    // uncollapsed formulation the oracle computes.
+    def classes(df: DataFrame) = df.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        collect_list(col("doc_id")).as("members"))
+      .localCheckpoint() // read by the probe AND the member expansion
+    val bench = classes(docs.filter(col("doc_id") % 7 === 0))
+    val train = classes(docs.filter(col("doc_id") % 7 =!= 0))
+    val index = Dedup.signatureIndex(bench.select(col("doc_id"), col("text")),
+      "doc_id", "text")
+    val classPairs = Dedup.probeNearDups(
+      train.select(col("doc_id"), col("text")), index,
+      "doc_id", "text", threshold = 0.35)
+    classPairs
+      .join(train.select(col("doc_id").as("new_id"), col("members").as("tm")),
+        "new_id")
+      .join(bench.select(col("doc_id").as("corpus_id"), col("members").as("bm")),
+        "corpus_id")
+      .select(explode(col("tm")).as("train_id"), col("bm"), col("jaccard"))
+      .select(col("train_id"), explode(col("bm")).as("bench_id"), col("jaccard"))
   }
 
   val q134Sql: String =

@@ -131,13 +131,14 @@ class ExchangeBudgetSpec extends SparkTestBase {
                                  // arithmetic is local + TakeOrdered
     "q133_char_pairs"     -> 2,  // word tally + pair tally; top-20 is
                                  // TakeOrderedAndProject
-    "q134_decontaminate"  -> 5)  // signature build sits behind its
-                                 // checkpoint; candidate-pair dedup,
-                                 // two candidate-id distincts, two
-                                 // candidate/bench-restricted shingle
-                                 // dedups — every exchange is
-                                 // candidate- or benchmark-sized; the
-                                 // training corpus never shuffles
+    "q134_decontaminate"  -> 5)  // content-class collapses sit behind
+                                 // their checkpoints (one map-side-
+                                 // combined groupBy per side — the
+                                 // dup-blowup guard); after them:
+                                 // candidate-pair dedup, candidate-id
+                                 // distincts, candidate/bench-
+                                 // restricted shingle dedups — all
+                                 // candidate- or benchmark-sized
 
   budgets.foreach { case (name, budget) =>
     test(s"$name stays within its shuffle budget of $budget") {
