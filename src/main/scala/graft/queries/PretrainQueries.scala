@@ -483,4 +483,51 @@ object PretrainQueries {
   // ------------------------------------------------------------------
   def q135BpeMerges(spark: SparkSession, dir: String): DataFrame =
     Bpe.learnMerges(Tables.documents(spark, dir), "text", 5)
+
+  // ------------------------------------------------------------------
+  // q136: quality-stratified epoch schedule — the "repeat good data,
+  // prune bad data" curriculum rule (quality-quantile repetition:
+  // high-quality quartiles see more epochs, the bottom quartile is
+  // pruned; cf. the multi-epoch scaling analyses of Muennighoff 2023).
+  // Quartiles come from ntile(4) over (n_chars DESC, doc_id) per
+  // source — an integer-ordered window with a total tiebreak, so the
+  // cut is deterministic in both engines; everything downstream is
+  // integer arithmetic. One corpus-sized window, one audit tally.
+  // ------------------------------------------------------------------
+  private val QuartileEpochs = Map(1 -> 4L, 2 -> 2L, 3 -> 1L, 4 -> 0L)
+
+  def q136EpochSchedule(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val epochs = QuartileEpochs.foldLeft(lit(0L)) { case (acc, (q, e)) =>
+      when(col("quartile") === q, lit(e)).otherwise(acc)
+    }
+    Tables.documents(spark, dir)
+      .withColumn("quartile", ntile(4).over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("n_chars").desc, col("doc_id")))
+        .cast(LongType)) // DuckDB ntile returns BIGINT; match dtype class
+      .withColumn("epochs", epochs)
+      .groupBy(col("source"), col("quartile"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("epochs")).as("epochs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("n_chars") * col("epochs")).as("effective_chars"))
+  }
+
+  val q136Sql: String =
+    """WITH ranked AS (
+      |  SELECT source, doc_id, n_chars,
+      |    ntile(4) OVER (PARTITION BY source
+      |      ORDER BY n_chars DESC, doc_id) AS quartile
+      |  FROM documents),
+      |sched AS (
+      |  SELECT source, quartile, n_chars,
+      |    CASE quartile WHEN 1 THEN 4 WHEN 2 THEN 2 WHEN 3 THEN 1
+      |      ELSE 0 END AS epochs
+      |  FROM ranked)
+      |SELECT source, quartile, COUNT(*) AS n_docs,
+      |  CAST(MAX(epochs) AS BIGINT) AS epochs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(SUM(n_chars * epochs) AS BIGINT) AS effective_chars
+      |FROM sched GROUP BY source, quartile""".stripMargin
 }

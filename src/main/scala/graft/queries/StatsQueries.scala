@@ -313,13 +313,22 @@ object StatsQueries {
   // scan parallelizes fully. At raw 100 TB grain the same plan swaps in
   // percentile_approx sketches (partial-aggregable) unchanged.
   // ------------------------------------------------------------------
-  def q92PercentileBands(spark: SparkSession, dir: String): DataFrame =
+  def q92PercentileBands(spark: SparkSession, dir: String): DataFrame = {
+    // 100 TB path, IMPLEMENTED behind `graft.q92.approx=true`: swap the
+    // exact per-group percentile state for `percentile_approx`'s
+    // mergeable KLL-style sketch (partial-aggregable, bounded memory
+    // per group regardless of group size). The oracle gates the exact
+    // default; SketchStatsSpec bounds the sketch plan's error vs it.
+    val pct: (Double, String) => Column =
+      if (spark.conf.getOption("graft.q92.approx").exists(_.toBoolean))
+        (p, n) => round(expr(s"percentile_approx(value, $p, 2500)"), 4).as(n)
+      else
+        (p, n) => round(expr(s"percentile(value, $p)"), 4).as(n)
     Tables.events(spark, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("n"),
-        round(expr("percentile(value, 0.5)"), 4).as("p50"),
-        round(expr("percentile(value, 0.9)"), 4).as("p90"),
-        round(expr("percentile(value, 0.99)"), 4).as("p99"))
+        pct(0.5, "p50"), pct(0.9, "p90"), pct(0.99, "p99"))
+  }
 
   val q92Sql: String =
     """SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n,

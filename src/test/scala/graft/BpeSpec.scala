@@ -73,6 +73,40 @@ class BpeSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  /** Sequential reference encoder: token count of one word. */
+  private def refEncode(w: String, merges: Seq[(String, String)]): Int = {
+    var syms: Seq[String] = w.map(_.toString).toSeq
+    merges.foreach { case (l, r) =>
+      val out = Seq.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          out += l + r; i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      syms = out.result()
+    }
+    syms.length
+  }
+
+  test("encode applies learned merges in order; counts match the reference") {
+    val docs = graft.sources.Tables.documents(spark, sf())
+      .select(col("doc_id"), col("text")).limit(50).cache()
+    val merges = Bpe.learnMerges(docs, "text", 5)
+      .as[(Int, String, String, String, Long)].collect().sortBy(_._1)
+      .map(m => (m._2, m._3)).toSeq
+    val got = Bpe.encode(docs, "doc_id", "text", merges)
+      .as[(Long, Long)].collect().toMap
+    val want = docs.as[(Long, String)].collect().map { case (id, t) =>
+      id -> t.split(" ").filter(_.nonEmpty).map(refEncode(_, merges).toLong).sum
+    }.toMap
+    assert(got == want)
+    // merges compress: token count strictly below char count overall
+    val chars = docs.as[(Long, String)].collect()
+      .map(_._2.split(" ").filter(_.nonEmpty).map(_.length.toLong).sum).sum
+    assert(got.values.sum < chars)
+  }
+
   test("merge rewrite is greedy non-overlapping (aaa + merge(a,a) -> [aa, a])") {
     // "aaa" ×3: STATISTICS count overlapping occurrences ((a,a) twice
     // per word → 6, Sennrich's get_stats), but the REWRITE is greedy

@@ -131,6 +131,8 @@ class ExchangeBudgetSpec extends SparkTestBase {
                                  // arithmetic is local + TakeOrdered
     "q133_char_pairs"     -> 2,  // word tally + pair tally; top-20 is
                                  // TakeOrderedAndProject
+    "q136_epoch_schedule" -> 2,  // per-source quartile window + audit
+                                 // tally (same key)
     "q134_decontaminate"  -> 5)  // content-class collapses sit behind
                                  // their checkpoints (one map-side-
                                  // combined groupBy per side — the

@@ -63,4 +63,45 @@ class SketchStatsSpec extends SparkTestBase {
     assert(math.abs(approx - exact) <= math.abs(exact) * 0.02,
       s"approx=$approx exact=$exact")
   }
+
+  test("q92 sketch variant: dense quantiles within 2.5%, tail within its rank bracket") {
+    val dir = "/root/testdata/sf0.1"
+    def collectBands(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map { r =>
+        (r.getString(0), r.getDate(1).toString) ->
+          (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      }.toMap
+    val exact = collectBands(
+      graft.queries.StatsQueries.q92PercentileBands(spark, dir))
+    // percentile_approx returns an actual group member under a RANK
+    // guarantee (no interpolation) while the exact plan interpolates
+    // between order statistics; in a ~600-row daily group the VALUE gap
+    // between adjacent tail order statistics is unbounded, so the
+    // principled p99 check is rank-based: the sketch value must land in
+    // the exact [p98.5, p99.5] value bracket.
+    val bracket = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(percentile(col("value"), lit(0.985)).as("lo"),
+        percentile(col("value"), lit(0.995)).as("hi"))
+      .collect().map { r =>
+        (r.getString(0), r.getDate(1).toString) ->
+          (r.getDouble(2), r.getDouble(3))
+      }.toMap
+    spark.conf.set("graft.q92.approx", "true")
+    try {
+      val approx = collectBands(
+        graft.queries.StatsQueries.q92PercentileBands(spark, dir))
+      assert(approx.keySet == exact.keySet)
+      exact.foreach { case (k, (e50, e90, _)) =>
+        val (a50, a90, a99) = approx(k)
+        Seq((e50, a50, "p50"), (e90, a90, "p90")).foreach { case (e, a, w) =>
+          assert(math.abs(a - e) <= math.abs(e) * 0.025 + 0.01,
+            s"group=$k $w approx=$a exact=$e")
+        }
+        val (lo, hi) = bracket(k)
+        assert(a99 >= lo - 0.01 && a99 <= hi + 0.01,
+          s"group=$k p99 approx=$a99 outside exact rank bracket [$lo, $hi]")
+      }
+    } finally spark.conf.unset("graft.q92.approx")
+  }
 }
