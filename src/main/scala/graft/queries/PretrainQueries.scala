@@ -485,6 +485,18 @@ object PretrainQueries {
     Bpe.learnMerges(Tables.documents(spark, dir), "text", 5)
 
   // ------------------------------------------------------------------
+  // q138: k-center greedy coreset over the embedding table — diverse
+  // representative subset selection (Sener & Savarese 2018). Driver
+  // loop like q135: k rounds, one corpus scan + one collected argmax
+  // row each; not one SQL statement (each round's distances depend on
+  // the previous pick), so the driver records a rows-only check and
+  // CoresetSpec pins the sequence to a sequential reference.
+  // ------------------------------------------------------------------
+  def q138Coreset(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Coreset.kCenterGreedy(
+      Tables.embeddings(spark, dir), "vec_id", "embedding", k = 8, seedId = 0L)
+
+  // ------------------------------------------------------------------
   // q136: quality-stratified epoch schedule — the "repeat good data,
   // prune bad data" curriculum rule (quality-quantile repetition:
   // high-quality quartiles see more epochs, the bottom quartile is
@@ -512,6 +524,109 @@ object PretrainQueries {
         max(col("epochs")).as("epochs"),
         sum(col("n_chars")).as("total_chars"),
         sum(col("n_chars") * col("epochs")).as("effective_chars"))
+  }
+
+  // ------------------------------------------------------------------
+  // q137: pretraining-assembly CAPSTONE — the end-to-end budget a data
+  // team actually signs off on: exact-dedup the training split, drop
+  // anything that near-matches the benchmark set (q134's cross-set
+  // LSH), stratify survivors into the quality curriculum (q136's
+  // quartile epochs), and emit the per-source effective-character
+  // budget with its temperature mixture weight (q127's α=½ rule).
+  // Composition shape: every stage reuses an already-audited operator
+  // plan; the only new work is dimension-sized bookkeeping joins.
+  // Dedup classes carry their copy counts so the audit reports how
+  // much each source shrank; contamination drops whole content
+  // classes (a contaminated text is contaminated in every copy).
+  // ------------------------------------------------------------------
+  def q137AssemblyPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val train = docs.filter(col("doc_id") % 7 =!= 0)
+    // exact dedup: one representative (min id) per distinct text, with
+    // the class copy count; source/n_chars ride the representative row.
+    val keepIds = train.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("copies"))
+    val kept = keepIds.join(docs.select(col("doc_id"), col("source"),
+      col("n_chars")), "doc_id")
+      .localCheckpoint() // read by the audit tally AND the curriculum branch
+    // contamination: any kept representative whose class near-matches a
+    // benchmark doc (q134's verified pairs include every train copy, so
+    // semi-joining representatives is exact).
+    val contamIds = q134Decontaminate(spark, dir)
+      .select(col("train_id").as("doc_id")).distinct()
+    val clean = kept.join(contamIds, Seq("doc_id"), "left_anti")
+    // quality curriculum on the CLEAN classes; epochs as in q136
+    val epochs = QuartileEpochs.foldLeft(lit(0L)) { case (acc, (q, e)) =>
+      when(col("quartile") === q, lit(e)).otherwise(acc)
+    }
+    val sched = clean
+      .withColumn("quartile", ntile(4).over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("n_chars").desc, col("doc_id"))).cast(LongType))
+      .withColumn("epochs", epochs)
+    val perSource = kept
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(col("copies") - 1).as("n_dup_dropped"))
+      .join(sched.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_clean"),
+          sum(col("n_chars") * col("epochs")).as("effective_chars")),
+        Seq("source"), "left_outer")
+      .select(col("source"), col("n_classes"),
+        col("n_dup_dropped"),
+        coalesce(col("n_clean"), lit(0L)).as("n_clean"),
+        (col("n_classes") - coalesce(col("n_clean"), lit(0L))).as("n_contam"),
+        coalesce(col("effective_chars"), lit(0L)).as("effective_chars"))
+    val z = perSource.agg(
+      sum(sqrt(col("effective_chars").cast(DoubleType))).as("z"))
+    perSource.crossJoin(broadcast(z))
+      .select(col("source"), col("n_classes"), col("n_dup_dropped"),
+        col("n_clean"), col("n_contam"), col("effective_chars"),
+        round(sqrt(col("effective_chars").cast(DoubleType)) / col("z"), 4)
+          .as("weight"))
+  }
+
+  val q137Sql: String = {
+    // contamination CTE chain = q134's oracle verbatim (uncollapsed
+    // dual), reused up to its verified-pairs SELECT
+    val contamChain = q134Sql
+      .replaceFirst("(?s)SELECT train_id.*$", "")
+      .trim.stripSuffix(",")
+    s"""$contamChain,
+      |contam AS (
+      |  SELECT DISTINCT train_id AS doc_id FROM cand
+      |  WHERE CAST(len(list_distinct(list_intersect(sh_a, sh_b))) AS DOUBLE)
+      |      / CAST(len(list_distinct(sh_a || sh_b)) AS DOUBLE) >= 0.35),
+      |keep AS (
+      |  SELECT text, MIN(doc_id) AS doc_id, COUNT(*) AS copies
+      |  FROM documents WHERE doc_id % 7 <> 0 GROUP BY text),
+      |kept AS (
+      |  SELECT k.doc_id, k.copies, d.source, d.n_chars
+      |  FROM keep k JOIN documents d USING (doc_id)),
+      |clean AS (
+      |  SELECT * FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+      |sched AS (
+      |  SELECT source, n_chars, doc_id,
+      |    CASE ntile(4) OVER (PARTITION BY source
+      |        ORDER BY n_chars DESC, doc_id)
+      |      WHEN 1 THEN 4 WHEN 2 THEN 2 WHEN 3 THEN 1 ELSE 0 END AS epochs
+      |  FROM clean),
+      |per_source AS (
+      |  SELECT k.source,
+      |    CAST(COUNT(*) AS BIGINT) AS n_classes,
+      |    CAST(SUM(copies - 1) AS BIGINT) AS n_dup_dropped,
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM clean c
+      |      WHERE c.source = k.source) AS n_clean,
+      |    (SELECT CAST(COALESCE(SUM(n_chars * epochs), 0) AS BIGINT)
+      |      FROM sched s WHERE s.source = k.source) AS effective_chars
+      |  FROM kept k GROUP BY k.source)
+      |SELECT source, n_classes, n_dup_dropped, n_clean,
+      |  n_classes - n_clean AS n_contam, effective_chars,
+      |  round(sqrt(CAST(effective_chars AS DOUBLE))
+      |    / (SELECT SUM(sqrt(CAST(effective_chars AS DOUBLE)))
+      |       FROM per_source), 4) AS weight
+      |FROM per_source""".stripMargin
   }
 
   val q136Sql: String =

@@ -15,7 +15,9 @@ class ContractSpec extends SparkTestBase {
   //   q135: iterative BPE merge learning — each merge rewrites the
   //   vocabulary the next iteration counts, not one SQL statement;
   //   pinned to a sequential reference implementation by BpeSpec.
-  private val rowsOnlyQueries = Set("q135_bpe_merges")
+  //   q138: k-center greedy coreset — round t's distances depend on
+  //   round t-1's pick; pinned to a sequential reference by CoresetSpec.
+  private val rowsOnlyQueries = Set("q135_bpe_merges", "q138_coreset")
 
   test("every oracle key has a query; oracle SQL is single-statement SELECT-like") {
     val qs = SparkEntry.queries.keySet
