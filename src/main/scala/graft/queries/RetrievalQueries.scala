@@ -1,0 +1,352 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+
+/**
+ * Ranked retrieval and model-based scoring over the corpus — the layer a
+ * training-data pipeline runs AFTER indexing (q85/q108 built postings;
+ * these queries RANK with them): BM25 top-k retrieval, CCNet-style
+ * n-gram-LM perplexity bucketing (Wenzek et al. 2020), weighted
+ * priority sampling (Efraimidis & Spirakis 2006 exponential clocks),
+ * and UniMax budget-capped mixture allocation (Chung et al. 2023).
+ *
+ * Parity design (suite convention, see PretrainQueries header): integer
+ * arithmetic wherever possible; ln/log2 addends rounded to 6 dp BEFORE
+ * any sum; final floats rounded to 4 dp; every ordering sorts on the
+ * ROUNDED value with an integer tiebreak.
+ */
+object RetrievalQueries {
+
+  // fixed retrieval workload over the synthetic vocabulary — a literal
+  // dimension table, exactly the shape of a production query log join
+  private val QueryTerms: Seq[(Long, String)] = Seq(
+    1L -> "spark", 1L -> "query", 1L -> "plan",
+    2L -> "hash", 2L -> "join", 2L -> "table",
+    3L -> "window", 3L -> "agg", 3L -> "row",
+    4L -> "slow", 4L -> "scan", 4L -> "filter",
+    5L -> "customer", 5L -> "order", 5L -> "value")
+
+  // ------------------------------------------------------------------
+  // q139: BM25 ranked retrieval (Robertson & Zaragoza 2009; Lucene's
+  // idf = ln(1 + (N - df + ½)/(df + ½)) so scores stay positive).
+  // Scale shape: the query-term table is broadcast into the term-
+  // frequency scan, so corpus-sized work is ∝ the POSTINGS OF THE
+  // QUERY TERMS, never the corpus; per-query top-k runs through the
+  // bounded-heap TopKAggregate (map-side k rows per partition — the
+  // window/row_number dual would shuffle every candidate). One-row
+  // corpus stats (N, avgdl) ride a broadcast cross join.
+  // k1 = 1.2, b = 0.75 (the standard defaults).
+  // ------------------------------------------------------------------
+  def q139Bm25(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val qterms = QueryTerms.toDF("qid", "term")
+    val words = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val dl = words.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      .localCheckpoint() // read by the 1-row stats agg AND the score join
+    val stats = dl.agg(count(lit(1)).as("n"),
+      avg(col("dl").cast(DoubleType)).as("avgdl"))
+    // postings restricted to query terms BEFORE any wide operation
+    val tfq = words.join(broadcast(qterms.select("term").distinct()), "term")
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // read by the df agg AND the contribution join
+    val idf = tfq.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .select(col("term"),
+        round(log(lit(1.0) + (col("n").cast(DoubleType) - col("df").cast(DoubleType) + 0.5)
+          / (col("df").cast(DoubleType) + 0.5)), 6).as("idf"))
+    // contribution in exact integer MICROS: one float expression, one
+    // round-to-integer — partial-aggregate sums are then exact longs,
+    // immune to summation order (a 4-dp boundary flipped on the double
+    // path; see q140's identical fix)
+    val contrib = broadcast(qterms).join(tfq, "term")
+      .join(broadcast(idf), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats.select("avgdl")))
+      .select(col("qid"), col("doc_id"),
+        round(col("idf") * (col("tf").cast(DoubleType) * 2.2)
+          / (col("tf").cast(DoubleType)
+            + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast(DoubleType) / col("avgdl")))
+          * 1000000.0).cast(LongType)
+          .as("c"))
+    // round-half-up to 4 dp IN INTEGERS: score = S/10^6, so the 4-dp
+    // value is round(S/100) ten-thousandths = (2S + 100) div 200 —
+    // micro-sums are ratios of small integers and DO land exactly on
+    // .00005 boundaries, where Spark's BigDecimal round and DuckDB's
+    // float-multiply round disagree (bit-for-bit divergence seen at
+    // sf0.001 in q140). The only float op left is one division by 10^4.
+    contrib.groupBy(col("qid"), col("doc_id"))
+      .agg(expr("(2 * sum(c) + 100) div 200").as("s4"))
+      .select(col("qid"), col("doc_id"),
+        (col("s4").cast(DoubleType) / 10000.0).as("score"))
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopKAggregate.topK(col("score"), col("doc_id"), 5).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("p", "e")))
+      .select(col("qid"), (col("p") + 1).cast(LongType).as("rank"),
+        col("e.id").as("doc_id"), col("e.score").as("score"))
+  }
+
+  val q139Sql: String = {
+    val vals = QueryTerms.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+    s"""WITH q(qid, term) AS (VALUES $vals),
+      |words AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |dl AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+      |  FROM words WHERE term <> '' GROUP BY doc_id),
+      |stats AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+      |tf AS (
+      |  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM words WHERE term IN (SELECT DISTINCT term FROM q)
+      |  GROUP BY term, doc_id),
+      |idf AS (
+      |  SELECT term, round(ln(1.0 + (CAST(s.n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+      |      / (CAST(df AS DOUBLE) + 0.5)), 6) AS idf
+      |  FROM (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term)
+      |  CROSS JOIN stats s),
+      |contrib AS (
+      |  SELECT q.qid, tf.doc_id,
+      |    CAST(round(idf.idf * (CAST(tf.tf AS DOUBLE) * 2.2)
+      |      / (CAST(tf.tf AS DOUBLE)
+      |        + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / s.avgdl))
+      |      * 1000000.0) AS BIGINT) AS c
+      |  FROM q JOIN tf USING (term) JOIN idf USING (term)
+      |  JOIN dl USING (doc_id) CROSS JOIN stats s),
+      |scores AS (
+      |  SELECT qid, doc_id,
+      |    CAST((2 * SUM(c) + 100) // 200 AS DOUBLE) / 10000.0 AS score
+      |  FROM contrib GROUP BY qid, doc_id),
+      |ranked AS (
+      |  SELECT qid, doc_id, score,
+      |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
+      |  FROM scores)
+      |SELECT CAST(qid AS BIGINT) AS qid, CAST(rnk AS BIGINT) AS rank, doc_id, score
+      |FROM ranked WHERE rnk <= 5""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // q140: CCNet-style LM perplexity bucketing (Wenzek et al. 2020 —
+  // the head/middle/tail split LLaMA's corpus used). A word-BIGRAM
+  // add-one model is trained on a curated slice (src0-src2 stand in
+  // for the reference's Wikipedia), every document is scored by mean
+  // bits-per-bigram, and each source is split into perplexity tertiles.
+  // Scale shape: the LM table is vocabulary-sized (distinct ref
+  // bigrams), broadcast onto a zero-shuffle per-row bigram expansion
+  // (array transform, not posexplode+self-join); the only corpus-sized
+  // exchanges are the per-doc score aggregation and the per-source
+  // tertile window. Unseen bigram → add-one backoff c2=0; unseen
+  // history word → uniform 1/V. Addends round 6 dp; score 4 dp;
+  // tertile ranks on (rounded score, doc_id).
+  // ------------------------------------------------------------------
+  def q140PerplexityBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .withColumn("ws", split(col("text"), " "))
+    val refWords = docs.filter(col("source").isin("src0", "src1", "src2"))
+      .select(col("ws"))
+    val uni = refWords.select(explode(col("ws")).as("w1"))
+      .filter(col("w1") =!= "")
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    // V as a 1-row broadcast (vocabulary size for add-one smoothing)
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val bigramsOf = (c: org.apache.spark.sql.Column) =>
+      explode(expr(
+        "transform(slice(ws, 1, greatest(size(ws) - 1, 0)), (x, i) -> struct(x as w1, ws[i + 1] as w2))"))
+    val bi = refWords.select(bigramsOf(col("ws")).as("b"))
+      .select(col("b.w1"), col("b.w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val scored = docs
+      .select(col("doc_id"), col("source"), bigramsOf(col("ws")).as("b"))
+      .select(col("doc_id"), col("source"), col("b.w1"), col("b.w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+      .join(broadcast(bi), Seq("w1", "w2"), "left")
+      .join(broadcast(uni), Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      // bits in exact integer MICROS: long partial sums are immune to
+      // float summation order (a 4-dp rounding boundary flipped between
+      // engines on the double path at sf0.001)
+      .select(col("doc_id"), col("source"),
+        round(-log2((coalesce(col("c2"), lit(0L)).cast(DoubleType) + 1.0)
+          / (coalesce(col("c1"), lit(0L)).cast(DoubleType) + col("v").cast(DoubleType)))
+          * 1000000.0).cast(LongType)
+          .as("bits"))
+      // round-half-up to 4 dp IN INTEGERS (q139's convention): the mean
+      // is S/(n·10^6); its ten-thousandths value is (2S + 100n) div 200n.
+      // Micro-sums are ratios of small integers and land exactly on
+      // .00005 boundaries, where Spark's BigDecimal round and DuckDB's
+      // float-multiply round disagree — observed at sf0.001 (5.15415).
+      .groupBy(col("doc_id"), col("source"))
+      .agg(expr("(2 * sum(bits) + 100 * count(1)) div (200 * count(1))").as("p4"))
+    scored
+      .withColumn("bucket", ntile(3).over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("p4"), col("doc_id"))).cast(LongType))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("(2 * sum(p4) + count(1)) div (2 * count(1))").as("a4"))
+      .select(col("source"), col("bucket"), col("n_docs"),
+        (col("a4").cast(DoubleType) / 10000.0).as("avg_bits"))
+  }
+
+  val q140Sql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+      |ref AS (SELECT ws FROM docs WHERE source IN ('src0', 'src1', 'src2')),
+      |uni AS (
+      |  SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1
+      |  FROM (SELECT unnest(ws) AS w1 FROM ref) u
+      |  WHERE w1 <> '' GROUP BY w1),
+      |vocab AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+      |bi AS (
+      |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM (
+      |    SELECT unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+      |           unnest(list_transform(range(1, len(ws)), i -> ws[i + 1])) AS w2
+      |    FROM ref) b
+      |  WHERE w1 <> '' AND w2 <> '' GROUP BY w1, w2),
+      |doc_bi AS (
+      |  SELECT doc_id, source,
+      |    unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+      |    unnest(list_transform(range(1, len(ws)), i -> ws[i + 1])) AS w2
+      |  FROM docs),
+      |scored AS (
+      |  SELECT d.doc_id, d.source,
+      |    (2 * SUM(CAST(round(-log2((CAST(COALESCE(bi.c2, 0) AS DOUBLE) + 1.0)
+      |        / (CAST(COALESCE(uni.c1, 0) AS DOUBLE)
+      |          + CAST((SELECT v FROM vocab) AS DOUBLE)))
+      |        * 1000000.0) AS BIGINT))
+      |      + 100 * COUNT(*)) // (200 * COUNT(*)) AS p4
+      |  FROM doc_bi d
+      |  LEFT JOIN bi ON bi.w1 = d.w1 AND bi.w2 = d.w2
+      |  LEFT JOIN uni ON uni.w1 = d.w1
+      |  WHERE d.w1 <> '' AND d.w2 <> ''
+      |  GROUP BY d.doc_id, d.source),
+      |bucketed AS (
+      |  SELECT source, doc_id, p4,
+      |    CAST(ntile(3) OVER (PARTITION BY source
+      |      ORDER BY p4, doc_id) AS BIGINT) AS bucket
+      |  FROM scored)
+      |SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST((2 * SUM(p4) + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE) / 10000.0 AS avg_bits
+      |FROM bucketed GROUP BY source, bucket""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q141: weighted priority sampling — k docs per source, inclusion
+  // probability ∝ n_chars, WITHOUT replacement and WITHOUT a global
+  // sort (Efraimidis & Spirakis 2006: exponential clock key
+  // ln(1/u)/w; the k SMALLEST keys per group are the sample). The
+  // uniform u is a Knuth multiplicative hash of doc_id — exact integer
+  // arithmetic, partition-independent, identical in both engines —
+  // mapped into (0,1) by one division. The k-smallest runs through the
+  // bounded-heap TopKAggregate (negated key), so each partition
+  // forwards ≤ k rows per source: the reservoir shape that holds when
+  // one source spans thousands of partitions.
+  // ------------------------------------------------------------------
+  def q141WeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      // h in [0, 2^24): exact in both engines; u = (h+1)/(2^24+1) ∈ (0,1)
+      .withColumn("h", (col("doc_id") * 2654435761L) % 16777216L)
+      .withColumn("key",
+        round(-round(log((col("h").cast(DoubleType) + 1.0) / 16777217.0), 6)
+          / col("n_chars").cast(DoubleType), 9))
+    docs.groupBy(col("source"))
+      .agg(graft.functions.TopKAggregate.topK(-col("key"), col("doc_id"), 5).as("top"))
+      .select(col("source"), posexplode(col("top")).as(Seq("p", "e")))
+      .select(col("source"), (col("p") + 1).cast(LongType).as("rank"),
+        col("e.id").as("doc_id"), round(-col("e.score"), 9).as("key"))
+  }
+
+  val q141Sql: String =
+    """WITH keyed AS (
+      |  SELECT source, doc_id,
+      |    round(-round(ln((CAST((doc_id * 2654435761) % 16777216 AS DOUBLE) + 1.0)
+      |        / 16777217.0), 6)
+      |      / CAST(n_chars AS DOUBLE), 9) AS key
+      |  FROM documents),
+      |ranked AS (
+      |  SELECT source, doc_id, key,
+      |    row_number() OVER (PARTITION BY source ORDER BY key, doc_id) AS rnk
+      |  FROM keyed)
+      |SELECT source, CAST(rnk AS BIGINT) AS rank, doc_id, round(key, 9) AS key
+      |FROM ranked WHERE rnk <= 5""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q142: UniMax mixture allocation (Chung et al. 2023) — distribute a
+  // total character budget B across sources with a hard per-source
+  // repeat cap E, maximizing uniformity: smallest sources are taken in
+  // full up to E epochs, the rest split the remaining budget equally
+  // (waterfilling). Closed form over the ascending capacity order:
+  // source k is CAPPED iff cap_k · (n−k+1) ≤ B − prefixcap_{k−1} —
+  // an ALL-INTEGER predicate (no float waterlevel search), so both
+  // engines agree bit-for-bit; the shared level for uncapped sources
+  // is the single final division. The whole query is dimension-sized
+  // (one row per source) after one corpus aggregation.
+  // B = 3/5 of total corpus chars, E = 4 epochs.
+  // ------------------------------------------------------------------
+  def q142UnimaxAllocation(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val srcs = Tables.documents(spark, dir)
+      .groupBy(col("source")).agg(sum(col("n_chars")).as("sz"))
+      .withColumn("cap", col("sz") * 4L)
+    val budget = srcs.agg(expr("cast((sum(sz) * 3) div 5 as bigint)").as("b"))
+    val w = Window.orderBy(col("cap"), col("source"))
+    val ranked = srcs.crossJoin(broadcast(budget))
+      .withColumn("k", row_number().over(w).cast(LongType))
+      .withColumn("pre", coalesce(sum(col("cap")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("m", count(lit(1)).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .cast(LongType))
+      .withColumn("capped", col("cap") * (col("m") - col("k") + 1L)
+        <= col("b") - col("pre"))
+    val lastCapped = ranked.agg(
+      max(when(col("capped"), col("k")).otherwise(lit(0L))).as("kstar"),
+      max(when(col("capped"), col("pre") + col("cap")).otherwise(lit(0L))).as("scap"),
+      first(col("m")).as("mm"), first(col("b")).as("bb"))
+    ranked.crossJoin(broadcast(lastCapped))
+      .withColumn("alloc",
+        when(col("capped"), col("cap").cast(DoubleType))
+          .otherwise((col("bb") - col("scap")).cast(DoubleType)
+            / (col("mm") - col("kstar")).cast(DoubleType)))
+      .select(col("source"), col("sz"), col("cap"), col("capped"),
+        round(col("alloc"), 4).as("alloc_chars"),
+        round(col("alloc") / col("sz").cast(DoubleType), 4).as("epochs"))
+  }
+
+  val q142Sql: String =
+    """WITH srcs AS (
+      |  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS sz,
+      |    CAST(SUM(n_chars) * 4 AS BIGINT) AS cap
+      |  FROM documents GROUP BY source),
+      |budget AS (
+      |  SELECT CAST(SUM(sz) * 3 // 5 AS BIGINT) AS b FROM srcs),
+      |ranked AS (
+      |  SELECT source, sz, cap, (SELECT b FROM budget) AS b,
+      |    CAST(row_number() OVER (ORDER BY cap, source) AS BIGINT) AS k,
+      |    CAST(COALESCE(SUM(cap) OVER (ORDER BY cap, source
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pre,
+      |    CAST(COUNT(*) OVER () AS BIGINT) AS m
+      |  FROM srcs),
+      |flagged AS (
+      |  SELECT *, cap * (m - k + 1) <= b - pre AS capped FROM ranked),
+      |lvl AS (
+      |  SELECT MAX(CASE WHEN capped THEN k ELSE 0 END) AS kstar,
+      |    MAX(CASE WHEN capped THEN pre + cap ELSE 0 END) AS scap,
+      |    ANY_VALUE(m) AS mm, ANY_VALUE(b) AS bb
+      |  FROM flagged)
+      |SELECT f.source, f.sz, f.cap, f.capped,
+      |  round(CASE WHEN f.capped THEN CAST(f.cap AS DOUBLE)
+      |    ELSE CAST(l.bb - l.scap AS DOUBLE) / CAST(l.mm - l.kstar AS DOUBLE)
+      |  END, 4) AS alloc_chars,
+      |  round(CASE WHEN f.capped THEN CAST(f.cap AS DOUBLE)
+      |    ELSE CAST(l.bb - l.scap AS DOUBLE) / CAST(l.mm - l.kstar AS DOUBLE)
+      |  END / CAST(f.sz AS DOUBLE), 4) AS epochs
+      |FROM flagged f CROSS JOIN lvl l""".stripMargin
+}

@@ -23,10 +23,11 @@ object PlanCheck {
     val skip = Set("q20_merge_upsert", "q21_append", "q22_replace",
       "q23_auto_strategy", "q24_schema_evolution", "q25_incremental_cursor",
       "q28_sql_passthrough",
-      // q135: driver-loop BPE — final frame is a LocalTableScan of the
-      // k learned merges (each iteration's distributed plans are the
-      // audited aggregate shapes of q133); nothing to plan-audit.
-      "q135_bpe_merges")
+      // q135/q138: driver-loop surfaces (BPE merges, k-center coreset)
+      // — the final frame is a LocalTableScan of the k collected rows;
+      // each round's distributed plan is a scan + TakeOrdered already
+      // audited elsewhere; nothing to plan-audit in the output frame.
+      "q135_bpe_merges", "q138_coreset")
 
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (!skip.contains(name)) {
@@ -73,7 +74,12 @@ object PlanCheck {
               // pairs × the ONE-row gram aggregate — all tiny-side
               // crossJoin(broadcast(...)) by construction
               "q127_mixture_weights", "q128_dsir_weights",
-              "q130_drift_psi", "q132_embed_corr")
+              "q130_drift_psi", "q132_embed_corr",
+              // q137: 1-row mixture-normalizer broadcast (q127's shape)
+              "q137_assembly",
+              // q139/q140/q142: 1-row corpus-stats / vocab-size /
+              // waterlevel broadcasts crossed into dimension-sized rows
+              "q139_bm25", "q140_ppl_buckets", "q142_unimax")
               .contains(name))
         ).collect { case (f, true) => f }
         val scans = plan.linesIterator

@@ -133,6 +133,27 @@ class ExchangeBudgetSpec extends SparkTestBase {
                                  // TakeOrderedAndProject
     "q136_epoch_schedule" -> 2,  // per-source quartile window + audit
                                  // tally (same key)
+    "q139_bm25"           -> 6,  // dl agg + tfq agg + 1-row stats gather
+                                 // + (qid,doc) score agg + per-qid topk
+                                 // + idf df agg (query-term-sized); all
+                                 // joins broadcast
+    "q140_ppl_buckets"    -> 7,  // LM uni/bi aggs (vocab-sized) + 1-row
+                                 // V gather + per-doc score agg +
+                                 // per-source tertile window + bucket
+                                 // tally; LM lookups broadcast
+    "q141_weighted_sample" -> 1, // ONE bounded-heap topk agg
+    "q142_unimax"         -> 9,  // dimension-sized throughout: source
+                                 // agg + 1-row budget + global window
+                                 // rank on 20 rows + waterlevel gather;
+                                 // only the source agg sees the corpus
+    "q137_assembly"       -> 13, // composition budget. Corpus-sized:
+                                 // dedup-class agg, rep join-back (2),
+                                 // curriculum window — 4. The rest are
+                                 // q134's candidate stages (collapses
+                                 // behind their checkpoints), the
+                                 // contam anti-join, two per-source
+                                 // tallies, 1-row normalizer gather —
+                                 // all candidate- or dimension-sized
     "q134_decontaminate"  -> 5)  // content-class collapses sit behind
                                  // their checkpoints (one map-side-
                                  // combined groupBy per side — the
