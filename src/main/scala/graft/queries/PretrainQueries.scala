@@ -583,8 +583,13 @@ object PretrainQueries {
     perSource.crossJoin(broadcast(z))
       .select(col("source"), col("n_classes"), col("n_dup_dropped"),
         col("n_clean"), col("n_contam"), col("effective_chars"),
-        round(sqrt(col("effective_chars").cast(DoubleType)) / col("z"), 4)
-          .as("weight"))
+        // z = 0 iff every source's effective budget is 0 (a fully
+        // contaminated corpus — the 10× replica hits this: each text
+        // class gains members on BOTH sides of the mod-7 split); the
+        // degenerate mixture is all-zero, not a divide-by-zero
+        when(col("z") > 0,
+          round(sqrt(col("effective_chars").cast(DoubleType)) / col("z"), 4))
+          .otherwise(lit(0.0)).as("weight"))
   }
 
   val q137Sql: String = {
@@ -623,9 +628,12 @@ object PretrainQueries {
       |  FROM kept k GROUP BY k.source)
       |SELECT source, n_classes, n_dup_dropped, n_clean,
       |  n_classes - n_clean AS n_contam, effective_chars,
-      |  round(sqrt(CAST(effective_chars AS DOUBLE))
-      |    / (SELECT SUM(sqrt(CAST(effective_chars AS DOUBLE)))
-      |       FROM per_source), 4) AS weight
+      |  CASE WHEN (SELECT SUM(sqrt(CAST(effective_chars AS DOUBLE)))
+      |             FROM per_source) > 0
+      |    THEN round(sqrt(CAST(effective_chars AS DOUBLE))
+      |      / (SELECT SUM(sqrt(CAST(effective_chars AS DOUBLE)))
+      |         FROM per_source), 4)
+      |    ELSE 0.0 END AS weight
       |FROM per_source""".stripMargin
   }
 
