@@ -753,4 +753,136 @@ object LlmQueries {
       |  cluster_size - 1 AS n_dropped
       |FROM sizes JOIN best USING (label)
       |WHERE cluster_size >= 2""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q144: ANN recall audit — the tuning table an IVF deployment is
+  // sized from: recall@10 of the IVF path (q42) against the exact
+  // brute-force anchor (q35) across an nprobe sweep. The sweep shares
+  // ONE routing and ONE candidate scoring pass: queries are ranked
+  // against all nlist centroids once, every (query, candidate) pair in
+  // any probed list is scored once, and each sweep point is just a
+  // `cluster_rank <= nprobe` filter + bounded-heap top-k — the
+  // per-sweep-point work is the filter, not a re-scan. All-integer
+  // output (hit counts, permille recall): zero float parity surface.
+  // Recall must be 1.0 when nprobe = nlist (exhaustive) and
+  // non-decreasing in nprobe — both pinned by spec; the DuckDB oracle
+  // checks the numbers exactly.
+  // ------------------------------------------------------------------
+  def q144IvfRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import Similarity.{dot, norm}
+    import graft.functions.TopKAggregate
+    val nlist = 16
+    val k = 10
+    val emb = Tables.embeddings(spark, dir)
+    val centroids = emb.orderBy(col("vec_id").asc).limit(nlist)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      .withColumn("cvn", norm(col("cvec")))
+      .localCheckpoint() // read by corpus assignment AND query routing
+    def csim(vecC: org.apache.spark.sql.Column, vn: org.apache.spark.sql.Column) =
+      round(when(vn * col("cvn") > 0,
+        dot(vecC, col("cvec")) / (vn * col("cvn"))).otherwise(lit(0.0)), 4)
+    // inverted lists: corpus vector → nearest centroid (q42's rule)
+    val asgn = emb.withColumn("vn", norm(col("embedding")))
+      .crossJoin(broadcast(centroids))
+      .withColumn("cs", csim(col("embedding"), col("vn")))
+      .groupBy(col("vec_id"))
+      .agg(TopKAggregate.topK(col("cs"), col("cid"), 1).as("t"))
+      .select(col("vec_id"), explode(col("t.id")).as("cid"))
+    val lists = emb.join(asgn, "vec_id")
+      .select(col("cid"), col("vec_id").as("neighbor_id"),
+        col("embedding").as("nvec"))
+      .withColumn("nn", norm(col("nvec")))
+    val queries = emb.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      .withColumn("qn", norm(col("qvec")))
+    // route each query against ALL centroids once; crank = cluster rank
+    val crank = queries.crossJoin(broadcast(centroids))
+      .withColumn("cs", csim(col("qvec"), col("qn")))
+      .groupBy(col("query_id"))
+      .agg(TopKAggregate.topK(col("cs"), col("cid"), nlist).as("t"))
+      .select(col("query_id"), posexplode(col("t.id")).as(Seq("p", "cid")))
+      .select(col("query_id"), col("cid"), (col("p") + 1).cast(LongType).as("crank"))
+    // score every (query, probed-list candidate) pair ONCE
+    val scored = crank.join(queries, "query_id").join(lists, "cid")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(when(col("nn") * col("qn") > 0,
+        dot(col("nvec"), col("qvec")) / (col("qn") * col("nn")))
+        .otherwise(lit(0.0)), 4))
+      .select(col("query_id"), col("crank"), col("neighbor_id"), col("sim"))
+      .localCheckpoint() // read by all five sweep points
+    val npDim = Seq(1L, 2L, 4L, 8L, 16L).toDF("nprobe")
+    val ivf = scored.join(broadcast(npDim), col("crank") <= col("nprobe"))
+      .groupBy(col("nprobe"), col("query_id"))
+      .agg(TopKAggregate.topK(col("sim"), col("neighbor_id"), k).as("t"))
+      .select(col("nprobe"), col("query_id"), explode(col("t.id")).as("neighbor_id"))
+    val brute = Similarity.bruteForceTopK(emb,
+      queries.select(col("query_id").as("query_vec_id"), col("qvec")),
+      "vec_id", "embedding", "query_vec_id", "qvec", k = k)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = ivf.join(brute, Seq("query_id", "neighbor_id"))
+      .groupBy(col("nprobe")).agg(count(lit(1)).as("hits"))
+    npDim.join(hits, Seq("nprobe"), "left")
+      .crossJoin(broadcast(queries.agg(count(lit(1)).as("nq"))))
+      .select(col("nprobe"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        expr(s"coalesce(hits, cast(0 as bigint)) * 1000 div (nq * $k)")
+          .as("recall_pm"))
+  }
+
+  val q144Sql: String =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |cent AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id ASC LIMIT 16),
+      |asgn AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT e.vec_id, cent.cid,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+      |        ROUND(list_dot_product(e.v, cent.cv) /
+      |          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv))), 4) DESC,
+      |        cent.cid ASC) AS rn
+      |    FROM e CROSS JOIN cent) t WHERE rn = 1),
+      |crank AS (
+      |  SELECT e.vec_id AS query_id, cent.cid,
+      |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+      |      ROUND(list_dot_product(e.v, cent.cv) /
+      |        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv))), 4) DESC,
+      |      cent.cid ASC) AS crank
+      |  FROM e CROSS JOIN cent WHERE e.vec_id < 50),
+      |scored AS (
+      |  SELECT cr.query_id, cr.crank, a.vec_id AS neighbor_id,
+      |    ROUND(list_dot_product(q.v, c.v) /
+      |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 4) AS sim
+      |  FROM crank cr
+      |  JOIN asgn a ON a.cid = cr.cid
+      |  JOIN e q ON q.vec_id = cr.query_id
+      |  JOIN e c ON c.vec_id = a.vec_id
+      |  WHERE a.vec_id <> cr.query_id),
+      |np(nprobe) AS (VALUES (1), (2), (4), (8), (16)),
+      |iranked AS (
+      |  SELECT np.nprobe, s.query_id, s.neighbor_id,
+      |    ROW_NUMBER() OVER (PARTITION BY np.nprobe, s.query_id
+      |      ORDER BY s.sim DESC, s.neighbor_id ASC) AS rnk
+      |  FROM scored s JOIN np ON s.crank <= np.nprobe),
+      |ivf AS (SELECT nprobe, query_id, neighbor_id FROM iranked WHERE rnk <= 10),
+      |bsims AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    ROUND(list_dot_product(q.v, c.v) /
+      |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 4) AS sim
+      |  FROM e q CROSS JOIN e c
+      |  WHERE q.vec_id < 50 AND q.vec_id <> c.vec_id),
+      |branked AS (
+      |  SELECT query_id, neighbor_id,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY sim DESC, neighbor_id ASC) AS rnk
+      |  FROM bsims),
+      |brute AS (SELECT query_id, neighbor_id FROM branked WHERE rnk <= 10),
+      |nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e WHERE vec_id < 50),
+      |hits AS (
+      |  SELECT nprobe, CAST(COUNT(*) AS BIGINT) AS hits
+      |  FROM ivf JOIN brute USING (query_id, neighbor_id) GROUP BY nprobe)
+      |SELECT CAST(np.nprobe AS BIGINT) AS nprobe,
+      |  COALESCE(h.hits, 0) AS hits,
+      |  COALESCE(h.hits, 0) * 1000 // ((SELECT n FROM nq) * 10) AS recall_pm
+      |FROM np LEFT JOIN hits h USING (nprobe)""".stripMargin
 }

@@ -497,6 +497,31 @@ object PretrainQueries {
       Tables.embeddings(spark, dir), "vec_id", "embedding", k = 8, seedId = 0L)
 
   // ------------------------------------------------------------------
+  // q143: tokenizer fertility audit — tokens-per-character by language
+  // under the corpus's OWN learned BPE (the "what will this corpus cost
+  // in tokens" estimator; fertility disparity across languages is the
+  // standard multilingual-tokenizer equity metric). Composition: q135's
+  // merge learning (k collected argmax rows) feeds `Bpe.encode`'s
+  // zero-shuffle per-row application; the tally is one lang-keyed agg.
+  // Integer basis points — no float parity surface. Driver-loop (the
+  // learned merges depend on iterative rewrites), so rows-only check +
+  // BpeSpec pins fertility to a sequential reference.
+  // ------------------------------------------------------------------
+  def q143TokenFertility(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val merges = Bpe.learnMerges(docs, "text", 8)
+      .orderBy(col("step")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    docs.select(col("doc_id"), col("lang"), col("n_chars"))
+      .join(Bpe.encode(docs, "doc_id", "text", merges), "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"))
+      .withColumn("fert_bp", expr("n_tokens * 10000 div n_chars"))
+  }
+
+  // ------------------------------------------------------------------
   // q136: quality-stratified epoch schedule — the "repeat good data,
   // prune bad data" curriculum rule (quality-quantile repetition:
   // high-quality quartiles see more epochs, the bottom quartile is

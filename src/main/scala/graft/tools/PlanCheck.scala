@@ -79,7 +79,10 @@ object PlanCheck {
               "q137_assembly",
               // q139/q140/q142: 1-row corpus-stats / vocab-size /
               // waterlevel broadcasts crossed into dimension-sized rows
-              "q139_bm25", "q140_ppl_buckets", "q142_unimax")
+              "q139_bm25", "q140_ppl_buckets", "q142_unimax",
+              // q144: 5-row nprobe sweep dimension + 1-row query count,
+              // both broadcast into range-condition joins
+              "q144_ivf_recall")
               .contains(name))
         ).collect { case (f, true) => f }
         val scans = plan.linesIterator

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Pins q144's ANN recall audit to the properties that make it a valid
+  * tuning table, and q143's fertility to a sequential BPE reference. */
+class AnnRecallSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("q144: recall is 1.0 at nprobe = nlist and non-decreasing in nprobe") {
+    val rows = SparkEntry.queries("q144_ivf_recall")(spark, sf())
+      .orderBy(col("nprobe")).as[(Long, Long, Long)].collect()
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 4L, 8L, 16L))
+    // exhaustive probing IS brute force: identical candidate set and
+    // identical (sim desc, id) ordering ⇒ identical top-k
+    assert(rows.last._3 == 1000L,
+      s"nprobe=nlist must recover brute force exactly: ${rows.toSeq}")
+    val recalls = rows.map(_._3)
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      s"recall must not decrease with nprobe: ${recalls.toSeq}")
+  }
+
+  test("q143: fertility matches a sequential BPE encode of the same corpus") {
+    val dir = sf()
+    val got = SparkEntry.queries("q143_token_fertility")(spark, dir)
+      .orderBy(col("lang"))
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+
+    // sequential reference: same merge list (collected from the same
+    // deterministic learner), same greedy left-to-right apply
+    val merges = graft.operators.Bpe
+      .learnMerges(graft.sources.Tables.documents(spark, dir), "text", 8)
+      .orderBy(col("step")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    def encodeWord(w: String): Long = {
+      var syms = w.map(_.toString).toArray
+      merges.foreach { case (l, r) =>
+        if (syms.length >= 2) {
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+              out += l + r; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          syms = out.toArray
+        }
+      }
+      syms.length.toLong
+    }
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"), col("n_chars"))
+      .as[(Long, String, String, Long)].collect()
+    val ref = docs.groupBy(_._2).map { case (lang, ds) =>
+      val toks = ds.map(_._3.split(" ").filter(_.nonEmpty).map(encodeWord).sum).sum
+      val chars = ds.map(_._4).sum
+      (lang, ds.length.toLong, toks, chars, toks * 10000L / chars)
+    }.toSeq.sortBy(_._1)
+    assert(got == ref)
+  }
+}

@@ -17,7 +17,10 @@ class ContractSpec extends SparkTestBase {
   //   pinned to a sequential reference implementation by BpeSpec.
   //   q138: k-center greedy coreset — round t's distances depend on
   //   round t-1's pick; pinned to a sequential reference by CoresetSpec.
-  private val rowsOnlyQueries = Set("q135_bpe_merges", "q138_coreset")
+  //   q143: fertility under q135's learned merges — same driver loop;
+  //   BpeSpec pins encode + fertility to a sequential reference.
+  private val rowsOnlyQueries = Set("q135_bpe_merges", "q138_coreset",
+    "q143_token_fertility")
 
   test("every oracle key has a query; oracle SQL is single-statement SELECT-like") {
     val qs = SparkEntry.queries.keySet

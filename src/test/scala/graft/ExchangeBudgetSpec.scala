@@ -142,6 +142,15 @@ class ExchangeBudgetSpec extends SparkTestBase {
                                  // per-source tertile window + bucket
                                  // tally; LM lookups broadcast
     "q141_weighted_sample" -> 1, // ONE bounded-heap topk agg
+    "q143_token_fertility" -> 4, // encode map + docs⋈tokens join +
+                                 // lang tally (merge learning runs
+                                 // eagerly behind its checkpoint)
+    "q144_ivf_recall"      -> 10, // sweep shares ONE scoring pass
+                                 // (checkpointed); budget covers the
+                                 // per-np bounded-heap agg, the brute
+                                 // anchor (agg + hit join), tallies,
+                                 // and 1-row gathers — candidate- or
+                                 // query-sized, never corpus-wide
     "q142_unimax"         -> 9,  // dimension-sized throughout: source
                                  // agg + 1-row budget + global window
                                  // rank on 20 rows + waterlevel gather;
