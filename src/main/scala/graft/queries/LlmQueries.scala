@@ -830,6 +830,129 @@ object LlmQueries {
           .as("recall_pm"))
   }
 
+  // ------------------------------------------------------------------
+  // q145: quantization-vs-recall tuning table — the "how small can the
+  // vector store get" companion to q144's nprobe sweep: per-dimension
+  // symmetric scalar quantization at 2/4/6/8 bits (qmax = 2^(b-1)-1),
+  // recall@10 of quantized-cosine ranking against the float brute-force
+  // anchor. Scales come from ONE per-dimension |max| pass (explode +
+  // map-side-combined max, 64-row table gathered to a 1-row array);
+  // vectors quantize ONCE per (bits, vec) — integer lists whose dot
+  // products are exact in doubles (≤ 127²·64) — and the per-bits
+  // ranking reuses the bounded-heap top-k. All-integer output. At
+  // corpus scale the same quantized lists ride q42's IVF partitioned
+  // index; this query is the QUALITY audit (brute anchor over the
+  // query decimation), like q144.
+  // ------------------------------------------------------------------
+  def q145QuantRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.TopKAggregate
+    val k = 10
+    val emb = Tables.embeddings(spark, dir)
+    // per-dimension absolute max → ONE 64-element scales array (1 row)
+    val scales = emb
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("pos")).agg(max(abs(col("x").cast(DoubleType))).as("mx"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("mx")))).as("pm"))
+      .select(expr("transform(pm, e -> e.mx)").as("s"))
+    val bDim = Seq(2L, 4L, 6L, 8L).toDF("bits")
+      .withColumn("qmax", expr("cast(pow(2, bits - 1) as bigint) - 1"))
+    // quantize each vector once per bits setting: int list in [-qmax, qmax]
+    // norms are per-(bits, vector), not per-pair: hoist sqrt(Σq²) into
+    // the quantize pass (identical doubles, computed once — the
+    // per-pair version tripled the scoring work and showed up directly
+    // as wall time in the 10× stress)
+    val qvec = emb.crossJoin(broadcast(scales)).crossJoin(broadcast(bDim))
+      .select(col("bits"), col("vec_id"),
+        expr("""transform(sequence(0, size(embedding) - 1),
+          i -> case when s[i] > 0
+            then cast(round(cast(embedding[i] as double) / s[i] * qmax) as bigint)
+            else cast(0 as bigint) end)""").as("qv"))
+      .withColumn("qn", sqrt(expr(
+        "aggregate(transform(qv, x -> cast(x as double) * cast(x as double)), 0D, (acc, v) -> acc + v)")))
+      .localCheckpoint() // read by both sides of the scoring join
+    val qq = qvec.filter(col("vec_id") < 50)
+      .select(col("bits"), col("vec_id").as("query_id"),
+        col("qv").as("qa"), col("qn").as("qna"))
+    val scored = qvec
+      .select(col("bits"), col("vec_id").as("neighbor_id"),
+        col("qv").as("qb"), col("qn").as("qnb"))
+      .join(broadcast(qq), "bits")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("dq", expr(
+        "aggregate(zip_with(qa, qb, (x, y) -> cast(x as double) * cast(y as double)), 0D, (acc, v) -> acc + v)"))
+      .withColumn("sim", round(when(col("qna") * col("qnb") > 0,
+        col("dq") / (col("qna") * col("qnb"))).otherwise(lit(0.0)), 4))
+    val quant = scored
+      .groupBy(col("bits"), col("query_id"))
+      .agg(TopKAggregate.topK(col("sim"), col("neighbor_id"), k).as("t"))
+      .select(col("bits"), col("query_id"), explode(col("t.id")).as("neighbor_id"))
+    val queries = emb.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("query_vec_id"), col("embedding").as("qvec"))
+    val brute = Similarity.bruteForceTopK(emb, queries,
+      "vec_id", "embedding", "query_vec_id", "qvec", k = k)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = quant.join(brute, Seq("query_id", "neighbor_id"))
+      .groupBy(col("bits")).agg(count(lit(1)).as("hits"))
+    bDim.select(col("bits")).join(hits, Seq("bits"), "left")
+      .crossJoin(broadcast(queries.agg(count(lit(1)).as("nq"))))
+      .select(col("bits"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        expr(s"coalesce(hits, cast(0 as bigint)) * 1000 div (nq * $k)")
+          .as("recall_pm"))
+  }
+
+  val q145Sql: String =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |scales AS (
+      |  SELECT list(mx ORDER BY i) AS s FROM (
+      |    SELECT r.range AS i, MAX(ABS(v[r.range])) AS mx
+      |    FROM e CROSS JOIN range(1, 65) r GROUP BY r.range)),
+      |bs(bits) AS (VALUES (2), (4), (6), (8)),
+      |bq AS (SELECT bits, CAST(pow(2, bits - 1) AS BIGINT) - 1 AS qmax FROM bs),
+      |qvec AS (
+      |  SELECT b.bits, e.vec_id,
+      |    list_transform(range(1, len(e.v) + 1),
+      |      i -> CASE WHEN s.s[i] > 0
+      |        THEN CAST(round(e.v[i] / s.s[i] * b.qmax) AS BIGINT)
+      |        ELSE CAST(0 AS BIGINT) END) AS qv
+      |  FROM e CROSS JOIN scales s CROSS JOIN bq b),
+      |scored AS (
+      |  SELECT a.bits, a.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    CASE WHEN list_dot_product(a.qv, a.qv) * list_dot_product(c.qv, c.qv) > 0
+      |      THEN ROUND(list_dot_product(a.qv, c.qv) /
+      |        (sqrt(list_dot_product(a.qv, a.qv)) * sqrt(list_dot_product(c.qv, c.qv))), 4)
+      |      ELSE 0.0 END AS sim
+      |  FROM qvec a JOIN qvec c ON a.bits = c.bits
+      |  WHERE a.vec_id < 50 AND a.vec_id <> c.vec_id),
+      |ranked AS (
+      |  SELECT bits, query_id, neighbor_id,
+      |    ROW_NUMBER() OVER (PARTITION BY bits, query_id
+      |      ORDER BY sim DESC, neighbor_id ASC) AS rnk
+      |  FROM scored),
+      |quant AS (SELECT bits, query_id, neighbor_id FROM ranked WHERE rnk <= 10),
+      |bsims AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    ROUND(list_dot_product(q.v, c.v) /
+      |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 4) AS sim
+      |  FROM e q CROSS JOIN e c
+      |  WHERE q.vec_id < 50 AND q.vec_id <> c.vec_id),
+      |branked AS (
+      |  SELECT query_id, neighbor_id,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY sim DESC, neighbor_id ASC) AS rnk
+      |  FROM bsims),
+      |brute AS (SELECT query_id, neighbor_id FROM branked WHERE rnk <= 10),
+      |nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e WHERE vec_id < 50),
+      |hits AS (
+      |  SELECT bits, CAST(COUNT(*) AS BIGINT) AS hits
+      |  FROM quant JOIN brute USING (query_id, neighbor_id) GROUP BY bits)
+      |SELECT CAST(bs.bits AS BIGINT) AS bits,
+      |  COALESCE(h.hits, 0) AS hits,
+      |  COALESCE(h.hits, 0) * 1000 // ((SELECT n FROM nq) * 10) AS recall_pm
+      |FROM bs LEFT JOIN hits h USING (bits)""".stripMargin
+
   val q144Sql: String =
     """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |  FROM embeddings),

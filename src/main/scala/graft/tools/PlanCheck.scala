@@ -82,7 +82,10 @@ object PlanCheck {
               "q139_bm25", "q140_ppl_buckets", "q142_unimax",
               // q144: 5-row nprobe sweep dimension + 1-row query count,
               // both broadcast into range-condition joins
-              "q144_ivf_recall")
+              "q144_ivf_recall",
+              // q145: 1-row scales array + 4-row bits sweep + 1-row
+              // query count, all broadcast
+              "q145_quant_recall")
               .contains(name))
         ).collect { case (f, true) => f }
         val scans = plan.linesIterator

@@ -20,6 +20,18 @@ class AnnRecallSpec extends SparkTestBase {
       s"recall must not decrease with nprobe: ${recalls.toSeq}")
   }
 
+  test("q145: quantized recall is non-decreasing in bit width") {
+    val rows = SparkEntry.queries("q145_quant_recall")(spark, sf())
+      .orderBy(col("bits")).as[(Long, Long, Long)].collect()
+    assert(rows.map(_._1).toSeq == Seq(2L, 4L, 6L, 8L))
+    val recalls = rows.map(_._3)
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      s"recall must not decrease with bits: ${recalls.toSeq}")
+    // 8-bit quantization must retain most of the float ranking
+    assert(recalls.last > recalls.head,
+      s"widest quantization should beat the narrowest: ${recalls.toSeq}")
+  }
+
   test("q143: fertility matches a sequential BPE encode of the same corpus") {
     val dir = sf()
     val got = SparkEntry.queries("q143_token_fertility")(spark, dir)

@@ -145,6 +145,11 @@ class ExchangeBudgetSpec extends SparkTestBase {
     "q143_token_fertility" -> 4, // encode map + docs⋈tokens join +
                                  // lang tally (merge learning runs
                                  // eagerly behind its checkpoint)
+    "q145_quant_recall"    -> 8, // per-dim scales agg + 1-row gather +
+                                 // per-(bits,query) bounded-heap agg +
+                                 // brute anchor (agg + hit join) +
+                                 // tallies; vectors quantize behind
+                                 // ONE checkpointed pass
     "q144_ivf_recall"      -> 10, // sweep shares ONE scoring pass
                                  // (checkpointed); budget covers the
                                  // per-np bounded-heap agg, the brute
