@@ -862,14 +862,18 @@ object LlmQueries {
     // the quantize pass (identical doubles, computed once — the
     // per-pair version tripled the scoring work and showed up directly
     // as wall time in the 10× stress)
+    // qv is array<double> holding exact small integers (|q| ≤ 127): the
+    // round() output is integral and exactly representable, so integer
+    // dot products stay exact while the hot scoring join below runs the
+    // compiled vec_dot/vec_norm kernels instead of interpreted lambdas
+    // (the lambda version was ~6× slower wall on the 10× replica)
     val qvec = emb.crossJoin(broadcast(scales)).crossJoin(broadcast(bDim))
       .select(col("bits"), col("vec_id"),
         expr("""transform(sequence(0, size(embedding) - 1),
           i -> case when s[i] > 0
-            then cast(round(cast(embedding[i] as double) / s[i] * qmax) as bigint)
-            else cast(0 as bigint) end)""").as("qv"))
-      .withColumn("qn", sqrt(expr(
-        "aggregate(transform(qv, x -> cast(x as double) * cast(x as double)), 0D, (acc, v) -> acc + v)")))
+            then round(cast(embedding[i] as double) / s[i] * qmax)
+            else 0D end)""").as("qv"))
+      .withColumn("qn", graft.functions.VectorFunctions.vecNorm(col("qv")))
       .localCheckpoint() // read by both sides of the scoring join
     val qq = qvec.filter(col("vec_id") < 50)
       .select(col("bits"), col("vec_id").as("query_id"),
@@ -879,8 +883,7 @@ object LlmQueries {
         col("qv").as("qb"), col("qn").as("qnb"))
       .join(broadcast(qq), "bits")
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("dq", expr(
-        "aggregate(zip_with(qa, qb, (x, y) -> cast(x as double) * cast(y as double)), 0D, (acc, v) -> acc + v)"))
+      .withColumn("dq", graft.functions.VectorFunctions.vecDot(col("qa"), col("qb")))
       .withColumn("sim", round(when(col("qna") * col("qnb") > 0,
         col("dq") / (col("qna") * col("qnb"))).otherwise(lit(0.0)), 4))
     val quant = scored
