@@ -956,6 +956,137 @@ object LlmQueries {
       |  COALESCE(h.hits, 0) * 1000 // ((SELECT n FROM nq) * 10) AS recall_pm
       |FROM bs LEFT JOIN hits h USING (bits)""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q146: LSH banding tuning table — the dedup-side companion to
+  // q144/q145: for a FIXED 8-hash MinHash signature (same md5-rotation
+  // family as q31), sweep the band partition b ∈ {1,2,4,8} (rows r =
+  // 8/b) and measure candidate count, recall, and precision against
+  // exact-Jaccard ≥ 0.35 ground truth. Each config refines the
+  // previous (r halves), so slice equality at r implies slice equality
+  // at r/2 and the candidate sets are NESTED — recall is monotone
+  // non-decreasing in b by construction, which AnnRecallSpec asserts.
+  // Scale shape: exact-dup collapse first (the operator-level guard),
+  // ONE signature pass (compiled kernel, checkpointed), band keys for
+  // all four configs explode off that one frame and shuffle as a
+  // single (bands, band_key) self-join of ids only; ground truth uses
+  // the q33 inverted-index plan (pairs sharing no shingle never
+  // materialize). All-integer output.
+  // ------------------------------------------------------------------
+  def q146LshTuning(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 8
+    val tau = 0.35
+    val bandConfigs = Seq(1, 2, 4, 8)
+    val docs = Tables.documents(spark, dir)
+    val classes = docs.groupBy(col("text")).agg(min(col("doc_id")).as("id"))
+    val withSig = classes.select(col("id"),
+        graft.functions.TextHashFunctions.shingleMinhash(col("text"), k, 3).as("sm"))
+      .localCheckpoint() // one kernel pass feeds banding, truth, and sizes
+      .select(col("id"), array_distinct(col("sm.shingles")).as("shingles"),
+        col("sm.sig").as("sig"))
+      .filter(size(col("shingles")) > 0)
+    // every (config, band) key off the one signature frame: ids only
+    // ride the self-join shuffle
+    val banded = withSig.select(col("id"),
+        explode(array(bandConfigs.flatMap { b =>
+          val r = k / b
+          (0 until b).map(i => struct(lit(b.toLong).as("bands"),
+            Dedup.bandKey(col("sig"), i, r).as("bk")))
+        }: _*)).as("e"))
+      .select(col("id"), col("e.bands").as("bands"), col("e.bk").as("band_key"))
+    val cand = banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.bands") === col("b.bands") &&
+          col("a.band_key") === col("b.band_key") && col("a.id") < col("b.id"))
+      .select(col("a.bands").as("bands"),
+        col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("bands", "id_a", "id_b")
+    // exact ground truth via inverted index (set-semantics Jaccard on
+    // distinct shingles: inter / (na + nb - inter))
+    val posts = withSig.select(col("id"), explode(col("shingles")).as("s"))
+    val pairInter = posts.alias("x")
+      .join(posts.alias("y"), col("x.s") === col("y.s") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    val sizes = withSig.select(col("id"), size(col("shingles")).as("n"))
+    val truth = pairInter
+      .join(broadcast(sizes.select(col("id").as("id_a"), col("n").as("na"))), "id_a")
+      .join(broadcast(sizes.select(col("id").as("id_b"), col("n").as("nb"))), "id_b")
+      .filter(col("inter").cast(DoubleType) /
+        (col("na") + col("nb") - col("inter")) >= tau)
+      .select(col("id_a"), col("id_b"))
+    val candCount = cand.groupBy(col("bands")).agg(count(lit(1)).as("n_cand"))
+    val hits = cand.join(truth, Seq("id_a", "id_b"))
+      .groupBy(col("bands")).agg(count(lit(1)).as("hits"))
+    val bandsDim = bandConfigs.map(_.toLong).toDF("bands")
+    bandsDim
+      .join(candCount, Seq("bands"), "left")
+      .join(hits, Seq("bands"), "left")
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+      .select(col("bands"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        col("n_truth"),
+        expr("coalesce(hits, cast(0 as bigint)) * 1000 div greatest(n_truth, 1)")
+          .as("recall_pm"),
+        expr("coalesce(hits, cast(0 as bigint)) * 1000 div greatest(coalesce(n_cand, cast(0 as bigint)), 1)")
+          .as("precision_pm"))
+  }
+
+  val q146Sql: String =
+    """WITH cls AS (SELECT MIN(doc_id) AS id, text FROM documents GROUP BY text),
+      |toks AS (SELECT id, string_split(text, ' ') AS t FROM cls),
+      |sh AS (
+      |  SELECT id, list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+      |    i -> concat_ws(' ', t[i], t[i+1], t[i+2])) AS shingles
+      |  FROM toks),
+      |hashed AS (
+      |  SELECT id, list_distinct(shingles) AS dsh,
+      |    list_transform(shingles, s -> md5(s)) AS hs
+      |  FROM sh WHERE len(shingles) > 0),
+      |sig AS (
+      |  SELECT id, dsh,
+      |    list_transform(range(0, 8),
+      |      j -> list_min(list_transform(hs,
+      |        h -> substr(h, CAST(j*3+1 AS INT), 32) || substr(h, 1, CAST(j*3 AS INT))))) AS sig
+      |  FROM hashed),
+      |bs(bands) AS (VALUES (1), (2), (4), (8)),
+      |banded AS (
+      |  SELECT s.id, b.bands,
+      |    unnest(list_transform(range(0, b.bands),
+      |      i -> md5(array_to_string(
+      |        list_slice(s.sig, CAST(i*(8//b.bands)+1 AS INT), CAST(i*(8//b.bands)+(8//b.bands) AS INT)), '|')
+      |        || '|' || CAST(i AS VARCHAR)))) AS band_key
+      |  FROM sig s CROSS JOIN bs b),
+      |cand AS (
+      |  SELECT DISTINCT a.bands, a.id AS id_a, b.id AS id_b
+      |  FROM banded a JOIN banded b
+      |    ON a.bands = b.bands AND a.band_key = b.band_key AND a.id < b.id),
+      |posts AS (SELECT id, unnest(dsh) AS s FROM hashed),
+      |pairs AS (
+      |  SELECT x.id AS id_a, y.id AS id_b, COUNT(*) AS inter
+      |  FROM posts x JOIN posts y ON x.s = y.s AND x.id < y.id
+      |  GROUP BY 1, 2),
+      |sizes AS (SELECT id, len(dsh) AS n FROM hashed),
+      |truth AS (
+      |  SELECT id_a, id_b FROM pairs
+      |  JOIN sizes sa ON sa.id = pairs.id_a
+      |  JOIN sizes sb ON sb.id = pairs.id_b
+      |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.35),
+      |tc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+      |cc AS (SELECT bands, CAST(COUNT(*) AS BIGINT) AS n_cand FROM cand GROUP BY bands),
+      |h AS (
+      |  SELECT bands, CAST(COUNT(*) AS BIGINT) AS hits
+      |  FROM cand JOIN truth USING (id_a, id_b) GROUP BY bands)
+      |SELECT CAST(bs.bands AS BIGINT) AS bands,
+      |  COALESCE(cc.n_cand, 0) AS n_cand,
+      |  COALESCE(h.hits, 0) AS hits,
+      |  tc.n_truth,
+      |  COALESCE(h.hits, 0) * 1000 // greatest(tc.n_truth, 1) AS recall_pm,
+      |  COALESCE(h.hits, 0) * 1000 // greatest(COALESCE(cc.n_cand, 0), 1) AS precision_pm
+      |FROM bs CROSS JOIN tc
+      |LEFT JOIN cc USING (bands) LEFT JOIN h USING (bands)""".stripMargin
+
   val q144Sql: String =
     """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |  FROM embeddings),

@@ -85,7 +85,10 @@ object PlanCheck {
               "q144_ivf_recall",
               // q145: 1-row scales array + 4-row bits sweep + 1-row
               // query count, all broadcast
-              "q145_quant_recall")
+              "q145_quant_recall",
+              // q146: 1-row truth count broadcast into the 4-row
+              // band-config dimension
+              "q146_lsh_tuning")
               .contains(name))
         ).collect { case (f, true) => f }
         val scans = plan.linesIterator

@@ -32,6 +32,28 @@ class AnnRecallSpec extends SparkTestBase {
       s"widest quantization should beat the narrowest: ${recalls.toSeq}")
   }
 
+  test("q146: banding candidates are nested, recall monotone, precision anti-monotone") {
+    val rows = SparkEntry.queries("q146_lsh_tuning")(spark, sf())
+      .orderBy(col("bands"))
+      .select(col("bands"), col("n_cand"), col("hits"), col("n_truth"),
+        col("recall_pm"), col("precision_pm"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 4L, 8L))
+    // each config refines the previous (r halves), so candidate sets
+    // are supersets: counts and hits never decrease with more bands
+    val cands = rows.map(_._2)
+    val hits = rows.map(_._3)
+    assert(cands.zip(cands.tail).forall { case (a, b) => a <= b },
+      s"candidate sets must be nested: ${cands.toSeq}")
+    assert(hits.zip(hits.tail).forall { case (a, b) => a <= b },
+      s"hits must be monotone: ${hits.toSeq}")
+    rows.foreach { r =>
+      assert(r._3 <= r._2 && r._3 <= r._4, s"hits bounded by cand and truth: $r")
+    }
+    assert(rows.last._5 > rows.head._5 || rows.head._5 == 1000L,
+      s"more bands should raise recall: ${rows.map(_._5).toSeq}")
+  }
+
   test("q143: fertility matches a sequential BPE encode of the same corpus") {
     val dir = sf()
     val got = SparkEntry.queries("q143_token_fertility")(spark, dir)

@@ -145,6 +145,11 @@ class ExchangeBudgetSpec extends SparkTestBase {
     "q143_token_fertility" -> 4, // encode map + docs⋈tokens join +
                                  // lang tally (merge learning runs
                                  // eagerly behind its checkpoint)
+    "q146_lsh_tuning"      -> 10, // dup-collapse agg + banded self-join
+                                 // (one sig pass, 4 configs share it) +
+                                 // pair dedup + inverted-index truth
+                                 // (posting join + pair agg) + per-band
+                                 // tallies + 1-row truth count
     "q145_quant_recall"    -> 8, // per-dim scales agg + 1-row gather +
                                  // per-(bits,query) bounded-heap agg +
                                  // brute anchor (agg + hit join) +
