@@ -716,4 +716,115 @@ object CorpusQueries {
       |  CAST(COALESCE(MAX(v.n_novel),0) AS BIGINT) AS n_novel
       |FROM newsh n LEFT JOIN novel v ON n.doc_id = v.doc_id
       |GROUP BY n.doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q147: cross-source distinct-shingle overlap matrix — the corpus-
+  // planning question "how much of source A is already in source B"
+  // for every source pair, as distinct-3-gram intersection/union/
+  // Jaccard. Exact plan (the oracle-gated default): ONE corpus pass →
+  // ONE shuffle on the shingle (groupBy shingle, partial-agg
+  // collect_set of the ≤20 sources), then pairs explode IN-PARTITION
+  // from each shingle's sorted source set and tally per pair — no
+  // posting self-join, no second corpus scan (per-source distinct
+  // counts re-aggregate the same checkpointed frame). The source-pair
+  // dimension is a tiny self-pair of the per-source count table.
+  //
+  // The 100 TB path is IMPLEMENTED behind `graft.q147.approx=true`
+  // (q147SourceOverlapHll): one mergeable HLL sketch per source —
+  // partial-aggregable, so the shingle shuffle DISAPPEARS entirely
+  // (only S kilobyte-sized sketch blobs move) — and inclusion-
+  // exclusion |A∩B| = |A|+|B|−|A∪B| on pairwise union sketches.
+  // SketchStatsSpec bounds it against the exact plan.
+  // ------------------------------------------------------------------
+  def q147SourceOverlap(spark: SparkSession, dir: String): DataFrame =
+    if (spark.conf.getOption("graft.q147.approx").exists(_.toBoolean))
+      q147SourceOverlapHll(spark, dir)
+    else {
+      // compiled 3-gram kernel (RollingWindowsExpression): the
+      // declarative wordShingles higher-order form runs interpreted per
+      // element — the swap cut the 10× replica from 38 s to 9 s
+      // (ratio 6.5× → 2.2×); at sf0.1 scan+checkpoint overhead hides
+      // most of it (5.9 s → 4.3 s)
+      val raw = Tables.documents(spark, dir)
+        .select(col("source"),
+          explode(TextHashFunctions.rollingWindows(col("text"), 3)).as("s"))
+      // one shuffle: shingle → sorted set of sources containing it
+      val bySh = raw.groupBy(col("s"))
+        .agg(sort_array(collect_set(col("source"))).as("srcs"))
+        .localCheckpoint() // feeds both per-source counts and pair tallies
+      val counts = bySh.select(explode(col("srcs")).as("source"))
+        .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val inter = bySh.filter(size(col("srcs")) > 1)
+        .select(explode(expr(
+          """flatten(transform(srcs, (x, i) ->
+               transform(slice(srcs, i + 2, size(srcs)),
+                 y -> struct(x AS src_a, y AS src_b))))""")).as("p"))
+        .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+        .agg(count(lit(1)).as("inter"))
+      val pairs = counts.select(col("source").as("src_a"), col("n").as("na"))
+        .join(broadcast(counts.select(col("source").as("src_b"), col("n").as("nb"))),
+          col("src_a") < col("src_b"))
+      pairs.join(inter, Seq("src_a", "src_b"), "left")
+        .select(col("src_a"), col("src_b"),
+          coalesce(col("inter"), lit(0L)).as("n_inter"),
+          (col("na") + col("nb") - coalesce(col("inter"), lit(0L))).as("n_union"),
+          expr("""coalesce(inter, cast(0 as bigint)) * 1000
+                  div (na + nb - coalesce(inter, cast(0 as bigint)))""")
+            .as("jaccard_pm"))
+    }
+
+  /**
+   * Sketch path of q147: per-source HLL over shingles (map-side
+   * combinable — no shingle ever shuffles), pairwise union sketches on
+   * the S-row sketch table, intersection by inclusion-exclusion.
+   * Work is S sketch merges per pair regardless of corpus size;
+   * estimates carry the sketch's ~0.8% standard error (lgK=12), and
+   * the intersection — a DIFFERENCE of estimates — degrades as overlap
+   * shrinks relative to the union (documented in SketchStatsSpec's
+   * bound).
+   */
+  def q147SourceOverlapHll(spark: SparkSession, dir: String): DataFrame = {
+    val perSrc = Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(TextHashFunctions.rollingWindows(col("text"), 3)).as("s"))
+      .groupBy(col("source"))
+      // lgK=14 (~0.4% standard error, 16 KB/source): the default lgK=12
+      // put the worst of the 190 pair-union estimates at 2.1% on the
+      // test corpus; the audit's contract is 2%
+      .agg(hll_sketch_agg(col("s"), lit(14)).as("sk"))
+      .withColumn("est", hll_sketch_estimate(col("sk")))
+    val pairs = perSrc.select(col("source").as("src_a"),
+        col("sk").as("sk_a"), col("est").as("ea"))
+      .join(broadcast(perSrc.select(col("source").as("src_b"),
+        col("sk").as("sk_b"), col("est").as("eb"))),
+        col("src_a") < col("src_b"))
+    pairs
+      .withColumn("eu", hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b"))))
+      .withColumn("n_inter",
+        greatest(round(col("ea") + col("eb") - col("eu")).cast(LongType), lit(0L)))
+      .withColumn("n_union", round(col("eu")).cast(LongType))
+      .select(col("src_a"), col("src_b"), col("n_inter"), col("n_union"),
+        expr("n_inter * 1000 div n_union").as("jaccard_pm"))
+  }
+
+  val q147Sql: String =
+    """WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+      |sh AS (
+      |  SELECT source, unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+      |    i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+      |  FROM toks),
+      |ps AS (SELECT DISTINCT source, s FROM sh),
+      |counts AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM ps GROUP BY source),
+      |inter AS (
+      |  SELECT a.source AS src_a, b.source AS src_b, CAST(COUNT(*) AS BIGINT) AS i
+      |  FROM ps a JOIN ps b ON a.s = b.s AND a.source < b.source
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT ca.source AS src_a, cb.source AS src_b, ca.n AS na, cb.n AS nb
+      |  FROM counts ca JOIN counts cb ON ca.source < cb.source)
+      |SELECT p.src_a, p.src_b,
+      |  COALESCE(i.i, 0) AS n_inter,
+      |  p.na + p.nb - COALESCE(i.i, 0) AS n_union,
+      |  COALESCE(i.i, 0) * 1000 // (p.na + p.nb - COALESCE(i.i, 0)) AS jaccard_pm
+      |FROM pairs p LEFT JOIN inter i USING (src_a, src_b)""".stripMargin
 }

@@ -88,7 +88,10 @@ object PlanCheck {
               "q145_quant_recall",
               // q146: 1-row truth count broadcast into the 4-row
               // band-config dimension
-              "q146_lsh_tuning")
+              "q146_lsh_tuning",
+              // q147: source-pair dimension is a self-pair of the
+              // ~20-row per-source count table (broadcast BNLJ on <)
+              "q147_source_overlap")
               .contains(name))
         ).collect { case (f, true) => f }
         val scans = plan.linesIterator

@@ -150,6 +150,11 @@ class ExchangeBudgetSpec extends SparkTestBase {
                                  // pair dedup + inverted-index truth
                                  // (posting join + pair agg) + per-band
                                  // tallies + 1-row truth count
+    "q147_source_overlap"  -> 6, // ONE shingle shuffle (checkpointed
+                                 // groupBy s) feeds both per-source
+                                 // counts (source agg) and pair
+                                 // tallies (pair agg); tiny count
+                                 // table self-pairs via broadcast
     "q145_quant_recall"    -> 8, // per-dim scales agg + 1-row gather +
                                  // per-(bits,query) bounded-heap agg +
                                  // brute anchor (agg + hit join) +

@@ -53,6 +53,33 @@ class SketchStatsSpec extends SparkTestBase {
     } finally spark.conf.unset("graft.q115.approx")
   }
 
+  test("q147 HLL variant: union estimates within 2%, intersection within 5% of union") {
+    val dir = "/root/testdata/sf0.1"
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map { r =>
+        (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))
+      }.toMap
+    val exact = collect(
+      graft.queries.CorpusQueries.q147SourceOverlap(spark, dir))
+    spark.conf.set("graft.q147.approx", "true")
+    try {
+      val approx = collect(
+        graft.queries.CorpusQueries.q147SourceOverlap(spark, dir))
+      assert(approx.keySet == exact.keySet)
+      exact.foreach { case (k, (exInter, exUnion)) =>
+        val (apInter, apUnion) = approx(k)
+        // union is a direct HLL estimate: sketch standard error (~0.8%
+        // at lgK=12), bounded at 2%. The intersection is a DIFFERENCE
+        // of three estimates, so its error scales with the UNION size,
+        // not its own — the principled bound is relative to the union.
+        assert(math.abs(apUnion - exUnion) <= math.max(1L, exUnion / 50),
+          s"pair=$k union approx=$apUnion exact=$exUnion")
+        assert(math.abs(apInter - exInter) <= math.max(1L, exUnion / 20),
+          s"pair=$k inter approx=$apInter exact=$exInter (union=$exUnion)")
+      }
+    } finally spark.conf.unset("graft.q147.approx")
+  }
+
   test("approx_percentile within 2% relative error of exact percentile") {
     val ev = Tables.events(spark, "/root/testdata/sf0.01")
     val r = ev.agg(
