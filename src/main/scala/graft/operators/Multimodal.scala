@@ -74,6 +74,49 @@ object Multimodal {
       }
   }
 
+  final case class AudioFeatures(
+      media_id: Long, format: Option[String], channels: Option[Int],
+      sample_rate: Option[Int], bits: Option[Int], data_bytes: Option[Long],
+      duration_ms: Option[Long])
+
+  /** Synthesize a canonical PCM WAV container per row from a text
+    * payload (the payload bytes stand in for samples): the ingestion
+    * shape for an audio corpus where the sandbox has no real media —
+    * the CONTAINER is real ([[AudioHeaders.buildWav]]) and round-trips
+    * through the parser. Channel count / sample rate derive
+    * deterministically from the id so the metadata is non-trivial. */
+  def synthWav(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    implicit val enc: Encoder[MediaRecord] = Encoders.product[MediaRecord]
+    df.select(col(idCol).cast(LongType), col(payloadCol))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
+      .mapPartitions { rows =>
+        rows.map { case (id, p) =>
+          val wav = AudioHeaders.buildWav(
+            p.getBytes("UTF-8"),
+            channels = (1 + id % 2).toInt,
+            sampleRate = (8000 + (id % 5) * 2000).toInt)
+          MediaRecord(id, wav, "audio/wav", wav.length.toLong)
+        }
+      }.toDF()
+  }
+
+  /** Audio metadata extraction over media batches — same partition-
+    * batched shape as [[extractFeatures]], with the real RIFF header
+    * parse; non-WAV payloads report all-null metadata, never a fake. */
+  def extractAudioFeatures(media: DataFrame): Dataset[AudioFeatures] = {
+    implicit val enc: Encoder[AudioFeatures] = Encoders.product[AudioFeatures]
+    media.select("media_id", "content", "mime_type", "n_bytes")
+      .as(Encoders.product[MediaRecord])
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val meta = AudioHeaders.parse(r.content)
+          AudioFeatures(r.media_id, meta.map(_.format), meta.map(_.channels),
+            meta.map(_.sampleRate), meta.map(_.bitsPerSample),
+            meta.map(_.dataBytes), meta.map(_.durationMs))
+        }
+      }
+  }
+
   /** Frame-sample stand-in: pick every `stride`-th chunk of the payload —
     * the batch/offset arithmetic of video frame sampling, minus codecs. */
   def sampleChunks(media: DataFrame, chunkSize: Int = 1024, stride: Int = 4): DataFrame =

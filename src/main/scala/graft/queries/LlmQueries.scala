@@ -489,6 +489,40 @@ object LlmQueries {
       |  CAST((greatest(CAST(ceil(CAST(octet_length(encode(text)) AS DOUBLE) / 64) AS BIGINT) - 1, 0)) // 4 + 1 AS INT) AS n_sampled
       |FROM documents""".stripMargin
 
+  /** Audio-container metadata pipeline: build a REAL PCM WAV container
+    * per document ([[graft.operators.AudioHeaders.buildWav]] — payload
+    * bytes stand in for samples, channel/rate derive from the id),
+    * parse it back through the chunk-walking RIFF header parse, and
+    * aggregate per (channels, sample_rate). The oracle re-states the
+    * construction arithmetic (block-align padding, byte-rate division)
+    * — so the whole build→parse→aggregate loop is correctness-gated. */
+  def q148AudioMeta(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.synthWav(
+      Tables.documents(spark, dir), "doc_id", "text")
+    Multimodal.extractAudioFeatures(media).toDF()
+      .groupBy(col("channels").cast(LongType).as("channels"),
+        col("sample_rate").cast(LongType).as("sample_rate"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("data_bytes")).as("sum_data_bytes"),
+        sum(col("duration_ms")).as("sum_duration_ms"))
+  }
+
+  val q148Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, octet_length(encode(text)) AS len,
+      |    1 + doc_id % 2 AS ch, 8000 + (doc_id % 5) * 2000 AS rate
+      |  FROM documents),
+      |p AS (
+      |  SELECT ch, rate,
+      |    len + ((2 * ch) - len % (2 * ch)) % (2 * ch) AS padded
+      |  FROM d)
+      |SELECT CAST(ch AS BIGINT) AS channels,
+      |  CAST(rate AS BIGINT) AS sample_rate,
+      |  CAST(COUNT(*) AS BIGINT) AS n_files,
+      |  CAST(SUM(padded) AS BIGINT) AS sum_data_bytes,
+      |  CAST(SUM(padded * 1000 // (rate * 2 * ch)) AS BIGINT) AS sum_duration_ms
+      |FROM p GROUP BY 1, 2""".stripMargin
+
   // ------------------------------------------------------------------
   // q62: segment-level dedup (C4's line dedup, adapted to the corpus's
   // space-separated text): split each doc into 8-word segments, keep

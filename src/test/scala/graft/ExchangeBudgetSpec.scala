@@ -150,6 +150,8 @@ class ExchangeBudgetSpec extends SparkTestBase {
                                  // pair dedup + inverted-index truth
                                  // (posting join + pair agg) + per-band
                                  // tallies + 1-row truth count
+    "q148_audio_meta"      -> 1, // per-row build+parse map, one
+                                 // partial-agged (channels,rate) tally
     "q147_source_overlap"  -> 6, // ONE shingle shuffle (checkpointed
                                  // groupBy s) feeds both per-source
                                  // counts (source agg) and pair
