@@ -1121,6 +1121,138 @@ object LlmQueries {
       |FROM bs CROSS JOIN tc
       |LEFT JOIN cc USING (bands) LEFT JOIN h USING (bands)""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q149: product-quantization recall sweep — completes the ANN tuning
+  // family (q144 IVF routing, q145 scalar quantization, q146 LSH
+  // banding): split the 64-dim embedding into m ∈ {2,4,8,16}
+  // subspaces, code each subvector against a 16-entry codebook (the
+  // first 16 vectors' subvectors — the PQ paper's sampled-codebook
+  // baseline, no training loop), reconstruct, and measure recall@10 of
+  // reconstructed-cosine ranking vs the float brute anchor. Memory
+  // story: a coded vector is m 4-bit codes vs 64 floats — 8–64×
+  // smaller; the audit tells you what recall that buys. Parity: d² and
+  // sim ROUND(·,4) before every argmin/rank with id tiebreaks; d² uses
+  // the identical ((aa − 2ab) + bb) association in both engines.
+  // ------------------------------------------------------------------
+  def q149PqRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.TopKAggregate
+    import graft.functions.VectorFunctions.{vecDot, vecNorm}
+    val k = 10
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val subs = Seq(2, 4, 8, 16).flatMap(m => (0 until m).map(j => (m.toLong, j.toLong, (64 / m).toLong)))
+      .toDF("m", "j", "sd")
+    // subvector frames: every (m, j) slice of every vector / codebook entry
+    val xs = emb.crossJoin(broadcast(subs))
+      .select(col("m"), col("j"), col("vec_id"),
+        expr("slice(v, cast(j * sd + 1 as int), cast(sd as int))").as("xs"))
+    val cb = xs.filter(col("vec_id") < 16)
+      .select(col("m"), col("j"), col("vec_id").as("c"), col("xs").as("cs"))
+    // nearest codebook entry per (m, j, vector): lexicographic min over
+    // (rounded d², centroid id) — deterministic across partitionings
+    val codes = xs.join(broadcast(cb), Seq("m", "j"))
+      .withColumn("d2", round(
+        vecDot(col("xs"), col("xs")) - lit(2.0) * vecDot(col("xs"), col("cs"))
+          + vecDot(col("cs"), col("cs")), 4))
+      .groupBy(col("m"), col("j"), col("vec_id"))
+      .agg(min(struct(col("d2"), col("c"))).as("best"))
+      .select(col("m"), col("j"), col("vec_id"), col("best.c").as("c"))
+    // reconstruction: codebook slices concatenated in subspace order
+    val vhat = codes.join(broadcast(cb), Seq("m", "j", "c"))
+      .groupBy(col("m"), col("vec_id"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("j"), col("cs")))),
+        s => s.getField("cs"))).as("vh"))
+      .withColumn("vn", vecNorm(col("vh")))
+    val qq = emb.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .withColumn("qn", vecNorm(col("qv")))
+    val scored = vhat.join(broadcast(qq), col("vec_id") =!= col("query_id"))
+      .withColumn("sim", when(col("vn") > 0,
+        round(vecDot(col("qv"), col("vh")) / (col("qn") * col("vn")), 4))
+        .otherwise(lit(0.0)))
+    val pq = scored
+      .groupBy(col("m"), col("query_id"))
+      .agg(TopKAggregate.topK(col("sim"), col("vec_id"), k).as("t"))
+      .select(col("m"), col("query_id"), explode(col("t.id")).as("neighbor_id"))
+    val brute = Similarity.bruteForceTopK(
+      Tables.embeddings(spark, dir),
+      Tables.embeddings(spark, dir).filter(col("vec_id") < 50)
+        .select(col("vec_id").as("query_vec_id"), col("embedding").as("qvec")),
+      "vec_id", "embedding", "query_vec_id", "qvec", k = k)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = pq.join(brute, Seq("query_id", "neighbor_id"))
+      .groupBy(col("m")).agg(count(lit(1)).as("hits"))
+    Seq(2L, 4L, 8L, 16L).toDF("m")
+      .join(hits, Seq("m"), "left")
+      .crossJoin(broadcast(qq.agg(count(lit(1)).as("nq"))))
+      .select(col("m"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        expr(s"coalesce(hits, cast(0 as bigint)) * 1000 div (nq * $k)")
+          .as("recall_pm"))
+  }
+
+  val q149Sql: String =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |ms(m) AS (VALUES (2), (4), (8), (16)),
+      |sub AS (
+      |  SELECT m, r.range AS j, 64 // m AS sd
+      |  FROM ms CROSS JOIN range(0, 16) r WHERE r.range < m),
+      |xs AS (
+      |  SELECT s.m, s.j, e.vec_id,
+      |    list_slice(e.v, CAST(s.j * s.sd + 1 AS INT), CAST(s.j * s.sd + s.sd AS INT)) AS xs
+      |  FROM e CROSS JOIN sub s),
+      |cb AS (SELECT m, j, vec_id AS c, xs AS cs FROM xs WHERE vec_id < 16),
+      |d AS (
+      |  SELECT x.m, x.j, x.vec_id, cb.c,
+      |    ROUND(list_dot_product(x.xs, x.xs) - 2 * list_dot_product(x.xs, cb.cs)
+      |      + list_dot_product(cb.cs, cb.cs), 4) AS d2
+      |  FROM xs x JOIN cb ON cb.m = x.m AND cb.j = x.j),
+      |codes AS (
+      |  SELECT m, j, vec_id, c FROM (
+      |    SELECT m, j, vec_id, c,
+      |      ROW_NUMBER() OVER (PARTITION BY m, j, vec_id ORDER BY d2 ASC, c ASC) AS rn
+      |    FROM d) WHERE rn = 1),
+      |vhat AS (
+      |  SELECT codes.m, codes.vec_id, flatten(list(cb.cs ORDER BY codes.j)) AS vh
+      |  FROM codes JOIN cb ON cb.m = codes.m AND cb.j = codes.j AND cb.c = codes.c
+      |  GROUP BY codes.m, codes.vec_id),
+      |q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 50),
+      |sc AS (
+      |  SELECT vh.m, q.query_id, vh.vec_id AS neighbor_id,
+      |    CASE WHEN list_dot_product(vh.vh, vh.vh) > 0
+      |      THEN ROUND(list_dot_product(q.v, vh.vh) /
+      |        (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(vh.vh, vh.vh))), 4)
+      |      ELSE 0.0 END AS sim
+      |  FROM vhat vh CROSS JOIN q WHERE vh.vec_id <> q.query_id),
+      |pq AS (
+      |  SELECT m, query_id, neighbor_id FROM (
+      |    SELECT m, query_id, neighbor_id,
+      |      ROW_NUMBER() OVER (PARTITION BY m, query_id
+      |        ORDER BY sim DESC, neighbor_id ASC) AS rn
+      |    FROM sc) WHERE rn <= 10),
+      |bsims AS (
+      |  SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    ROUND(list_dot_product(a.v, c.v) /
+      |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))), 4) AS sim
+      |  FROM e a CROSS JOIN e c WHERE a.vec_id < 50 AND a.vec_id <> c.vec_id),
+      |brute AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT query_id, neighbor_id,
+      |      ROW_NUMBER() OVER (PARTITION BY query_id
+      |        ORDER BY sim DESC, neighbor_id ASC) AS rn
+      |    FROM bsims) WHERE rn <= 10),
+      |nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e WHERE vec_id < 50),
+      |hits AS (
+      |  SELECT m, CAST(COUNT(*) AS BIGINT) AS hits
+      |  FROM pq JOIN brute USING (query_id, neighbor_id) GROUP BY m)
+      |SELECT CAST(ms.m AS BIGINT) AS m,
+      |  COALESCE(h.hits, 0) AS hits,
+      |  COALESCE(h.hits, 0) * 1000 // ((SELECT n FROM nq) * 10) AS recall_pm
+      |FROM ms LEFT JOIN hits h USING (m)""".stripMargin
+
   val q144Sql: String =
     """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |  FROM embeddings),

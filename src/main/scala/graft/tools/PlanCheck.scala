@@ -91,7 +91,10 @@ object PlanCheck {
               "q146_lsh_tuning",
               // q147: source-pair dimension is a self-pair of the
               // ~20-row per-source count table (broadcast BNLJ on <)
-              "q147_source_overlap")
+              "q147_source_overlap",
+              // q149: 30-row subspace dim + 50-row query decimation +
+              // 1-row query count, all broadcast
+              "q149_pq_recall")
               .contains(name))
         ).collect { case (f, true) => f }
         val scans = plan.linesIterator

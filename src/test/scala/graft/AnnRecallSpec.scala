@@ -54,6 +54,21 @@ class AnnRecallSpec extends SparkTestBase {
       s"more bands should raise recall: ${rows.map(_._5).toSeq}")
   }
 
+  test("q149: PQ sweep is complete, bounded, and finest subdivision beats coarsest") {
+    val rows = SparkEntry.queries("q149_pq_recall")(spark, sf())
+      .orderBy(col("m")).as[(Long, Long, Long)].collect()
+    assert(rows.map(_._1).toSeq == Seq(2L, 4L, 8L, 16L))
+    rows.foreach { case (m, hits, pm) =>
+      assert(hits >= 0 && pm >= 0 && pm <= 1000, s"m=$m hits=$hits pm=$pm")
+    }
+    // no monotonicity claim: a sampled (untrained) codebook does not
+    // guarantee it config-by-config — but 16 4-dim subquantizers carry
+    // strictly more information than 2 32-dim ones
+    assert(rows.last._3 >= rows.head._3,
+      s"finest PQ should not lose to coarsest: ${rows.map(_._3).toSeq}")
+    assert(rows.last._3 > 0, "finest PQ must recover some true neighbors")
+  }
+
   test("q143: fertility matches a sequential BPE encode of the same corpus") {
     val dir = sf()
     val got = SparkEntry.queries("q143_token_fertility")(spark, dir)

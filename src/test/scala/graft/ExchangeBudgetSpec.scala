@@ -150,6 +150,12 @@ class ExchangeBudgetSpec extends SparkTestBase {
                                  // pair dedup + inverted-index truth
                                  // (posting join + pair agg) + per-band
                                  // tallies + 1-row truth count
+    "q149_pq_recall"       -> 9, // per-(m,j,vec) code argmin agg +
+                                 // reconstruction agg + per-(m,query)
+                                 // bounded-heap agg + brute anchor
+                                 // (agg + hit join) + per-m tallies;
+                                 // subspace/codebook/query dims all
+                                 // broadcast
     "q148_audio_meta"      -> 1, // per-row build+parse map, one
                                  // partial-agged (channels,rate) tally
     "q147_source_overlap"  -> 6, // ONE shingle shuffle (checkpointed
