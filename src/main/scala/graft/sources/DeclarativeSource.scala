@@ -34,16 +34,23 @@ import graft.protocol.ConfiguredCatalog
  *  - `http(s)://` URLs map into the fixture tree as
  *    `<fixtureRoot>/<host>/<path>` — so a REAL connector manifest runs
  *    unmodified against recorded API responses.
- * Pagination is single-page per slice (a fixture file IS the full
- * response); record filters and field transformations are out of scope
- * and rejected loudly rather than silently ignored.
+ * Interpreted component surface (CDK declarative schema semantics,
+ * see `DeclarativeComponents`): `DefaultPaginator` (PageIncrement /
+ * OffsetIncrement / CursorPagination — page N is one more recorded
+ * fixture, `users?page=2.json`), `record_filter.condition`,
+ * `AddFields`/`RemoveFields` transformations, `ListPartitionRouter`
+ * and `SubstreamPartitionRouter` (parent-record slices), datetime
+ * window slicing from `DatetimeBasedCursor` (start/end/step), and
+ * `request_parameters`. Unsupported component types are rejected
+ * loudly at parse time rather than silently ignored.
  *
- * Scale shape: slice resolution (pure string work on the manifest) is
- * driver-side; record EXTRACTION is executor-side — slices parallelize
- * one-per-partition and each partition parses its own response body, so
- * a 10k-slice stream fans out like any other distributed scan. Records
- * then ride the standard `Source.read` path (schema projection,
- * metadata columns, write strategies) unchanged.
+ * Scale shape: slice resolution (manifest string work, plus parent
+ * fixture reads for substreams) is driver-side; record extraction,
+ * page walking, filtering, and transformation are executor-side —
+ * slices parallelize one-per-partition, so a 10k-slice stream fans
+ * out like any other distributed scan. Records then ride the standard
+ * `Source.read` path (schema projection, metadata columns, write
+ * strategies) unchanged.
  */
 final class DeclarativeSource(
     val name: String,
@@ -128,42 +135,154 @@ final class DeclarativeSource(
     }
   }
 
-  /** Resolved (url, stream_slice) pairs for a stream — one per
-    * partition-router value, or a single unsliced pair. */
+  /** Resolved (first-page url, stream_slice) pairs for a stream — the
+    * cartesian product of partition-router values (List or Substream)
+    * and datetime-cursor windows, or a single unsliced pair. Pure
+    * manifest/metadata work, driver-side (substream parents read their
+    * fixtures here — slice resolution is the declarative analog of
+    * file listing). Pagination does NOT appear here: pages are walked
+    * lazily per slice, executor-side. */
   def sliceUrls(stream: String): Seq[(String, Map[String, String])] = {
     val s = streamByName(stream)
-    val retriever = Option(s.get("retriever")).getOrElse(
-      throw new IllegalArgumentException(s"stream '$stream' has no retriever"))
-    val requester = Option(retriever.get("requester")).getOrElse(
-      throw new IllegalArgumentException(s"stream '$stream' has no requester"))
-    unsupported(retriever, "record_selector", "record_filter",
-      s"stream '$stream': record_filter")
-    Option(s.get("transformations")).foreach { _ =>
-      throw new UnsupportedOperationException(
-        s"stream '$stream': transformations are not supported by this interpreter")
-    }
+    slicesFor(s).map(slice => (requestUrl(s, slice), slice))
+  }
+
+  private def retrieverOf(s: JsonNode): JsonNode =
+    Option(s.get("retriever")).getOrElse(
+      throw new IllegalArgumentException(
+        s"stream '${streamName(s)}' has no retriever"))
+
+  /** First-page request URL for one slice: url_base + path + declared
+    * request_parameters (manifest order), all interpolated. */
+  private def requestUrl(s: JsonNode, slice: Map[String, String]): String = {
+    val requester = Option(retrieverOf(s).get("requester")).getOrElse(
+      throw new IllegalArgumentException(s"stream '${streamName(s)}' has no requester"))
     val urlBase = Option(requester.get("url_base")).map(_.asText()).getOrElse("")
     val path = Option(requester.get("path")).map(_.asText()).getOrElse("")
-    val slices: Seq[Map[String, String]] =
-      Option(retriever.get("partition_router")) match {
+    val joined =
+      if (urlBase.nonEmpty && path.nonEmpty)
+        urlBase.stripSuffix("/") + "/" + path.stripPrefix("/")
+      else urlBase + path
+    val params = Option(requester.get("request_parameters")).toSeq
+      .flatMap(_.properties().asScala)
+      .map(e => s"${e.getKey}=${interpolate(e.getValue.asText(), config, slice)}")
+    val base = interpolate(joined, config, slice)
+    if (params.isEmpty) base
+    else params.foldLeft(base)((u, kv) =>
+      DeclarativeComponents.addParam(u, kv.takeWhile(_ != '='),
+        kv.dropWhile(_ != '=').tail))
+  }
+
+  private def slicesFor(s: JsonNode): Seq[Map[String, String]] = {
+    val routed: Seq[Map[String, String]] =
+      Option(retrieverOf(s).get("partition_router")) match {
         case None => Seq(Map.empty)
         case Some(pr) =>
-          val t = Option(pr.get("type")).map(_.asText()).getOrElse("")
-          if (t != "ListPartitionRouter")
-            throw new UnsupportedOperationException(
-              s"stream '$stream': partition_router type '$t' not supported " +
-                "(ListPartitionRouter only)")
-          val cursor = pr.get("cursor_field").asText()
-          pr.get("values").elements().asScala.toSeq
-            .map(v => Map(cursor -> v.asText()))
+          Option(pr.get("type")).map(_.asText()).getOrElse("") match {
+            case "ListPartitionRouter" =>
+              val cursor = pr.get("cursor_field").asText()
+              pr.get("values").elements().asScala.toSeq
+                .map(v => Map(cursor -> v.asText()))
+            case "SubstreamPartitionRouter" => substreamSlices(s, pr)
+            case t => throw new UnsupportedOperationException(
+              s"stream '${streamName(s)}': partition_router type '$t' not " +
+                "supported (ListPartitionRouter, SubstreamPartitionRouter)")
+          }
       }
-    slices.map { slice =>
-      val joined =
-        if (urlBase.nonEmpty && path.nonEmpty)
-          urlBase.stripSuffix("/") + "/" + path.stripPrefix("/")
-        else urlBase + path
-      (interpolate(joined, config, slice), slice)
+    val windows = datetimeWindows(s)
+    if (windows.isEmpty) routed
+    else for (r <- routed; w <- windows) yield r ++ w
+  }
+
+  /** SubstreamPartitionRouter: one slice per parent record's
+    * `parent_key` value (order of appearance, de-duplicated) — the
+    * parent stream's own slices, pages, filter, and transforms all
+    * apply while resolving it. */
+  private def substreamSlices(s: JsonNode, pr: JsonNode): Seq[Map[String, String]] = {
+    val configs = Option(pr.get("parent_stream_configs")).toSeq
+      .flatMap(_.elements().asScala)
+    if (configs.isEmpty) throw new IllegalArgumentException(
+      s"stream '${streamName(s)}': SubstreamPartitionRouter needs parent_stream_configs")
+    val mapperLocal = mapper
+    configs.flatMap { c =>
+      val parent = Option(c.get("stream")).getOrElse(
+        throw new IllegalArgumentException("parent_stream_config needs stream"))
+      val parentKey = c.get("parent_key").asText()
+      val field = c.get("partition_field").asText()
+      val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+      slicesFor(parent).foreach { pSlice =>
+        DeclarativeComponents.walkPages(requestUrl(parent, pSlice), pSlice,
+          DeclarativeComponents.parsePaginator(retrieverOf(parent)),
+          fixtureRoot, pipelineFor(parent)).foreach { rec =>
+          Option(mapperLocal.readTree(rec).get(parentKey))
+            .filterNot(_.isNull).foreach(v => seen += v.asText())
+        }
+      }
+      seen.toSeq.map(v => Map(field -> v))
     }
+  }
+
+  /** DatetimeBasedCursor windows: `[start, start+step-granularity]`
+    * pairs exposed as `stream_slice['start_time'/'end_time']`. Only a
+    * manifest that declares start/end AND step slices; a bare cursor
+    * declaration (state filtering only) yields no windows. */
+  private def datetimeWindows(s: JsonNode): Seq[Map[String, String]] = {
+    val inc = Option(s.get("incremental_sync")).getOrElse(return Seq.empty)
+    if (Option(inc.get("type")).map(_.asText()).getOrElse("") != "DatetimeBasedCursor")
+      return Seq.empty
+    val step = Option(inc.get("step")).map(_.asText()).getOrElse(return Seq.empty)
+    def datetimeOf(key: String): Option[String] =
+      Option(inc.get(key)).map {
+        case o if o.isObject => o.get("datetime").asText()
+        case t => t.asText()
+      }.map(interpolate(_, config, Map.empty))
+    val startS = datetimeOf("start_datetime").getOrElse(return Seq.empty)
+    val endS = datetimeOf("end_datetime").getOrElse(return Seq.empty)
+    val fmt = Option(inc.get("datetime_format")).map(_.asText())
+      .getOrElse("%Y-%m-%d")
+    val javaFmt = fmt match {
+      case "%Y-%m-%d" => "yyyy-MM-dd"
+      case "%Y-%m-%dT%H:%M:%S" => "yyyy-MM-dd'T'HH:mm:ss"
+      case other => throw new UnsupportedOperationException(
+        s"datetime_format '$other' not supported (%Y-%m-%d, %Y-%m-%dT%H:%M:%S)")
+    }
+    val dtf = java.time.format.DateTimeFormatter.ofPattern(javaFmt)
+    val dateOnly = !fmt.contains("%H")
+    def parse(v: String): java.time.LocalDateTime =
+      if (dateOnly) java.time.LocalDate.parse(v, dtf).atStartOfDay()
+      else java.time.LocalDateTime.parse(v, dtf)
+    def fmtOut(d: java.time.LocalDateTime): String =
+      if (dateOnly) d.toLocalDate.format(dtf) else d.format(dtf)
+    val stepDays = java.time.Period.parse(step)
+    if (stepDays.toTotalMonths != 0) throw new UnsupportedOperationException(
+      s"step '$step' not supported (day/week periods only)")
+    val gran = Option(inc.get("cursor_granularity")).map(_.asText())
+      .getOrElse(if (dateOnly) "P1D" else "PT1S")
+    val granAmount: java.time.temporal.TemporalAmount =
+      if (gran.startsWith("PT")) java.time.Duration.parse(gran)
+      else java.time.Period.parse(gran)
+    val end = parse(endS)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Map[String, String]]
+    var cur = parse(startS)
+    while (!cur.isAfter(end) && out.size < 100000) {
+      val next = cur.plusDays(stepDays.getDays.toLong)
+      val winEnd = Seq(next.minus(granAmount), end).min(
+        Ordering.fromLessThan[java.time.LocalDateTime](_ isBefore _))
+      out += Map("start_time" -> fmtOut(cur), "end_time" -> fmtOut(winEnd))
+      cur = next
+    }
+    out.toSeq
+  }
+
+  private def pipelineFor(s: JsonNode): DeclarativeComponents.RecordPipeline = {
+    val filterCond = Option(retrieverOf(s).get("record_selector"))
+      .flatMap(rs => Option(rs.get("record_filter")))
+      .map { rf =>
+        Option(rf.get("condition")).map(_.asText()).getOrElse(
+          throw new IllegalArgumentException("record_filter needs condition"))
+      }
+    DeclarativeComponents.RecordPipeline(fieldPathOf(s), filterCond,
+      DeclarativeComponents.parseTransforms(s), config)
   }
 
   private def fieldPathOf(s: JsonNode): Seq[String] =
@@ -250,18 +369,23 @@ final class DeclarativeSource(
   }
 
   /** Record payload JSONL for one stream: slices fan out one-per-partition
-    * and each executor parses its own response body. */
+    * and each executor walks its own slice's pages (paginator), parses
+    * response bodies, applies the record filter and transformations. The
+    * driver only resolves slices — no page list or record ever
+    * materializes there. */
   override def recordJsonl(spark: SparkSession, stream: String): Dataset[String] = {
     import spark.implicits._
     val urls = sliceUrls(stream)
-    val fp = fieldPathOf(streamByName(stream))
+    val node = streamByName(stream)
+    val pipeline = pipelineFor(node)
+    val paginator = DeclarativeComponents.parsePaginator(retrieverOf(node))
     val root = fixtureRoot
     if (urls.isEmpty) return spark.emptyDataset[String]
     spark.createDataset(urls.map { case (u, sl) => (u, sl.toSeq) })
       .repartition(urls.size)
       .mapPartitions { it =>
-        it.flatMap { case (url, _) =>
-          extractRecords(readLocal(url, root), fp)
+        it.flatMap { case (url, sl) =>
+          DeclarativeComponents.walkPages(url, sl.toMap, paginator, root, pipeline)
         }
       }
   }
@@ -366,9 +490,9 @@ object DeclarativeSource {
       }
     val p = Paths.get(path)
     val candidate =
-      if (Files.exists(p)) p
-      else Paths.get(path + ".json") // host/path fixtures usually lack extension
-    if (!Files.exists(candidate))
+      if (Files.isRegularFile(p)) p // not a dir: `users` may be both a
+      else Paths.get(path + ".json") // fixture (`users.json`) and a subtree
+    if (!Files.isRegularFile(candidate))
       throw new java.io.FileNotFoundException(
         s"fixture for '$url' not found at '$path'")
     new String(Files.readAllBytes(candidate), "UTF-8")
@@ -393,10 +517,4 @@ object DeclarativeSource {
     }.filter(_.isObject).map(_.toString)
   }
 
-  private def unsupported(node: JsonNode, child: String, grandchild: String,
-      what: String): Unit =
-    Option(node.get(child)).flatMap(c => Option(c.get(grandchild))).foreach { _ =>
-      throw new UnsupportedOperationException(
-        s"$what is not supported by this interpreter")
-    }
 }

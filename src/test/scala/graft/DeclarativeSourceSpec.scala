@@ -158,13 +158,19 @@ class DeclarativeSourceSpec extends SparkTestBase {
   test("unsupported manifest features fail loudly, not silently") {
     val root = Files.createTempDirectory("graft-decl").toString
     stageFixtures(root)
-    val withTransform = manifest.replace(
-      "      partition_router:",
-      "    transformations:\n      - type: AddFields\n    retriever2:\n      partition_router:")
-    // splice keeps YAML valid only for the orders stream edit; assert the error
-    val src = new DeclarativeSource("t", withTransform,
+    // unknown partition_router type
+    val withRouter = manifest.replace("type: ListPartitionRouter",
+      "type: GroupByKeyRouter")
+    val src = new DeclarativeSource("t", withRouter,
       config = Map("tenant" -> "acme"), fixtureRoot = Some(root))
     intercept[UnsupportedOperationException](src.sliceUrls("orders"))
+    // unknown transformation type
+    val withTransform = manifest.replace(
+      "    retriever:\n      type: SimpleRetriever\n      requester:\n        $ref: \"#/definitions/requester\"\n        path: \"/{{ config['tenant'] }}/orders/{{ stream_slice['region'] }}\"",
+      "    transformations:\n      - type: CustomTransformation\n    retriever:\n      type: SimpleRetriever\n      requester:\n        $ref: \"#/definitions/requester\"\n        path: \"/{{ config['tenant'] }}/orders/{{ stream_slice['region'] }}\"")
+    val src2 = new DeclarativeSource("t2", withTransform,
+      config = Map("tenant" -> "acme"), fixtureRoot = Some(root))
+    intercept[UnsupportedOperationException](src2.recordJsonl(spark, "orders"))
     // http(s) without a fixture root is an explicit no-egress error
     // (raised executor-side, so Spark may wrap it — check the chain)
     val noRoot = new DeclarativeSource("n", manifest,
@@ -173,6 +179,299 @@ class DeclarativeSourceSpec extends SparkTestBase {
     val msgs = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
       .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
     assert(msgs.contains("egress"), msgs)
+  }
+
+  // ---- phase-2 component surface: pagination, filter, transforms, ----
+  // ---- substream router, datetime windows, request_parameters      ----
+
+  /** Page-incremented stream: fixture file per page, CDK default
+    * start_from_page=0 and no token on the first request. */
+  test("DefaultPaginator/PageIncrement walks fixture pages until a short page") {
+    val root = Files.createTempDirectory("graft-decl-pag").toString
+    val m =
+      """version: "1.0.0"
+        |type: DeclarativeSource
+        |streams:
+        |  - type: DeclarativeStream
+        |    name: items
+        |    schema_loader:
+        |      type: InlineSchemaLoader
+        |      schema:
+        |        type: object
+        |        properties:
+        |          id: {type: integer}
+        |    retriever:
+        |      type: SimpleRetriever
+        |      requester:
+        |        type: HttpRequester
+        |        url_base: "https://api.example.com"
+        |        path: "/items"
+        |      record_selector:
+        |        type: RecordSelector
+        |        extractor:
+        |          type: DpathExtractor
+        |          field_path: ["items"]
+        |      paginator:
+        |        type: DefaultPaginator
+        |        page_token_option:
+        |          type: RequestOption
+        |          inject_into: request_parameter
+        |          field_name: page
+        |        pagination_strategy:
+        |          type: PageIncrement
+        |          page_size: 2
+        |""".stripMargin
+    write(s"$root/api.example.com/items.json",
+      """{"items":[{"id":1},{"id":2}]}""")
+    write(s"$root/api.example.com/items?page=1.json",
+      """{"items":[{"id":3},{"id":4}]}""")
+    write(s"$root/api.example.com/items?page=2.json",
+      """{"items":[{"id":5}]}""") // short page → stop
+    val src = new DeclarativeSource("s", m, fixtureRoot = Some(root))
+    val ids = src.recordJsonl(spark, "items").collect()
+      .map(j => j.replaceAll("[^0-9]", "").toInt).sorted
+    assert(ids.toSeq == Seq(1, 2, 3, 4, 5))
+  }
+
+  test("DefaultPaginator/OffsetIncrement injects the record offset") {
+    val root = Files.createTempDirectory("graft-decl-off").toString
+    val m =
+      """version: "1.0.0"
+        |type: DeclarativeSource
+        |streams:
+        |  - type: DeclarativeStream
+        |    name: rows
+        |    schema_loader:
+        |      type: InlineSchemaLoader
+        |      schema: {type: object, properties: {id: {type: integer}}}
+        |    retriever:
+        |      type: SimpleRetriever
+        |      requester:
+        |        type: HttpRequester
+        |        url_base: "https://api.example.com"
+        |        path: "/rows"
+        |      record_selector:
+        |        type: RecordSelector
+        |        extractor: {type: DpathExtractor, field_path: ["rows"]}
+        |      paginator:
+        |        type: DefaultPaginator
+        |        page_token_option:
+        |          type: RequestOption
+        |          inject_into: request_parameter
+        |          field_name: offset
+        |        pagination_strategy:
+        |          type: OffsetIncrement
+        |          page_size: 3
+        |""".stripMargin
+    write(s"$root/api.example.com/rows.json",
+      """{"rows":[{"id":1},{"id":2},{"id":3}]}""")
+    write(s"$root/api.example.com/rows?offset=3.json",
+      """{"rows":[{"id":4}]}""")
+    val src = new DeclarativeSource("s", m, fixtureRoot = Some(root))
+    assert(src.recordJsonl(spark, "rows").count() == 4)
+  }
+
+  test("DefaultPaginator/CursorPagination follows response['next'] as the next URL") {
+    val root = Files.createTempDirectory("graft-decl-cur").toString
+    val m =
+      """version: "1.0.0"
+        |type: DeclarativeSource
+        |streams:
+        |  - type: DeclarativeStream
+        |    name: feed
+        |    schema_loader:
+        |      type: InlineSchemaLoader
+        |      schema: {type: object, properties: {id: {type: integer}}}
+        |    retriever:
+        |      type: SimpleRetriever
+        |      requester:
+        |        type: HttpRequester
+        |        url_base: "https://api.example.com"
+        |        path: "/feed"
+        |      record_selector:
+        |        type: RecordSelector
+        |        extractor: {type: DpathExtractor, field_path: ["data"]}
+        |      paginator:
+        |        type: DefaultPaginator
+        |        pagination_strategy:
+        |          type: CursorPagination
+        |          cursor_value: "{{ response['next'] }}"
+        |          stop_condition: "{{ response['next'] is none }}"
+        |""".stripMargin
+    write(s"$root/api.example.com/feed.json",
+      """{"data":[{"id":1}],"next":"https://api.example.com/feed2"}""")
+    write(s"$root/api.example.com/feed2.json",
+      """{"data":[{"id":2}]}""") // no next → stop
+    val src = new DeclarativeSource("s", m, fixtureRoot = Some(root))
+    assert(src.recordJsonl(spark, "feed").count() == 2)
+  }
+
+  test("record_filter condition drops records; transformations add/remove fields") {
+    val root = Files.createTempDirectory("graft-decl-ft").toString
+    val m =
+      """version: "1.0.0"
+        |type: DeclarativeSource
+        |streams:
+        |  - type: DeclarativeStream
+        |    name: users
+        |    schema_loader:
+        |      type: InlineSchemaLoader
+        |      schema:
+        |        type: object
+        |        properties:
+        |          id: {type: integer}
+        |          plan: {type: string}
+        |          tenant: {type: string}
+        |    transformations:
+        |      - type: AddFields
+        |        fields:
+        |          - path: ["tenant"]
+        |            value: "{{ config['tenant'] }}"
+        |      - type: RemoveFields
+        |        field_pointers: [["secret"]]
+        |    retriever:
+        |      type: SimpleRetriever
+        |      requester:
+        |        type: HttpRequester
+        |        url_base: "https://api.example.com"
+        |        path: "/users"
+        |      record_selector:
+        |        type: RecordSelector
+        |        extractor: {type: DpathExtractor, field_path: ["users"]}
+        |        record_filter:
+        |          type: RecordFilter
+        |          condition: "{{ record['plan'] == 'pro' }}"
+        |""".stripMargin
+    write(s"$root/api.example.com/users.json",
+      """{"users":[
+        |  {"id":1,"plan":"pro","secret":"x"},
+        |  {"id":2,"plan":"free","secret":"y"},
+        |  {"id":3,"plan":"pro","secret":"z"}]}""".stripMargin)
+    val src = new DeclarativeSource("s", m,
+      config = Map("tenant" -> "acme"), fixtureRoot = Some(root))
+    val recs = src.recordJsonl(spark, "users").collect().sorted
+    assert(recs.length == 2) // free filtered out
+    assert(recs.forall(_.contains("\"tenant\":\"acme\"")))
+    assert(!recs.exists(_.contains("secret")))
+    // through the full cache path the declared schema keeps the added field
+    val cache = graft.cache.SparkCache.fresh(spark, "graft_test_decl_ft")
+    src.read(cache, spark)
+    assert(cache.table("users").select("tenant").collect()
+      .forall(_.getString(0) == "acme"))
+    cache.dropAll()
+  }
+
+  test("SubstreamPartitionRouter slices a child per parent record") {
+    val root = Files.createTempDirectory("graft-decl-sub").toString
+    val m =
+      """version: "1.0.0"
+        |type: DeclarativeSource
+        |definitions:
+        |  users_stream:
+        |    type: DeclarativeStream
+        |    name: users
+        |    schema_loader:
+        |      type: InlineSchemaLoader
+        |      schema: {type: object, properties: {id: {type: integer}}}
+        |    retriever:
+        |      type: SimpleRetriever
+        |      requester:
+        |        type: HttpRequester
+        |        url_base: "https://api.example.com"
+        |        path: "/users"
+        |      record_selector:
+        |        type: RecordSelector
+        |        extractor: {type: DpathExtractor, field_path: ["users"]}
+        |streams:
+        |  - $ref: "#/definitions/users_stream"
+        |  - type: DeclarativeStream
+        |    name: posts
+        |    schema_loader:
+        |      type: InlineSchemaLoader
+        |      schema:
+        |        type: object
+        |        properties:
+        |          post_id: {type: integer}
+        |          user_id: {type: integer}
+        |    retriever:
+        |      type: SimpleRetriever
+        |      requester:
+        |        type: HttpRequester
+        |        url_base: "https://api.example.com"
+        |        path: "/users/{{ stream_slice['user_id'] }}/posts"
+        |      record_selector:
+        |        type: RecordSelector
+        |        extractor: {type: DpathExtractor, field_path: ["posts"]}
+        |      partition_router:
+        |        type: SubstreamPartitionRouter
+        |        parent_stream_configs:
+        |          - type: ParentStreamConfig
+        |            stream:
+        |              $ref: "#/definitions/users_stream"
+        |            parent_key: id
+        |            partition_field: user_id
+        |""".stripMargin
+    write(s"$root/api.example.com/users.json",
+      """{"users":[{"id":7},{"id":9}]}""")
+    write(s"$root/api.example.com/users/7/posts.json",
+      """{"posts":[{"post_id":70,"user_id":7},{"post_id":71,"user_id":7}]}""")
+    write(s"$root/api.example.com/users/9/posts.json",
+      """{"posts":[{"post_id":90,"user_id":9}]}""")
+    val src = new DeclarativeSource("s", m, fixtureRoot = Some(root))
+    assert(src.sliceUrls("posts").map(_._2) ==
+      Seq(Map("user_id" -> "7"), Map("user_id" -> "9")))
+    assert(src.recordJsonl(spark, "posts").count() == 3)
+  }
+
+  test("DatetimeBasedCursor start/end/step slices windows into request_parameters") {
+    val root = Files.createTempDirectory("graft-decl-dt").toString
+    val m =
+      """version: "1.0.0"
+        |type: DeclarativeSource
+        |streams:
+        |  - type: DeclarativeStream
+        |    name: events
+        |    schema_loader:
+        |      type: InlineSchemaLoader
+        |      schema:
+        |        type: object
+        |        properties:
+        |          id: {type: integer}
+        |          day: {type: string}
+        |    incremental_sync:
+        |      type: DatetimeBasedCursor
+        |      cursor_field: day
+        |      start_datetime: "{{ config['start'] }}"
+        |      end_datetime: "2024-01-04"
+        |      step: P2D
+        |      cursor_granularity: P1D
+        |      datetime_format: "%Y-%m-%d"
+        |    retriever:
+        |      type: SimpleRetriever
+        |      requester:
+        |        type: HttpRequester
+        |        url_base: "https://api.example.com"
+        |        path: "/events"
+        |        request_parameters:
+        |          since: "{{ stream_slice['start_time'] }}"
+        |          until: "{{ stream_slice['end_time'] }}"
+        |      record_selector:
+        |        type: RecordSelector
+        |        extractor: {type: DpathExtractor, field_path: ["events"]}
+        |""".stripMargin
+    write(s"$root/api.example.com/events?since=2024-01-01&until=2024-01-02.json",
+      """{"events":[{"id":1,"day":"2024-01-01"},{"id":2,"day":"2024-01-02"}]}""")
+    write(s"$root/api.example.com/events?since=2024-01-03&until=2024-01-04.json",
+      """{"events":[{"id":3,"day":"2024-01-04"}]}""")
+    val src = new DeclarativeSource("s", m,
+      config = Map("start" -> "2024-01-01"), fixtureRoot = Some(root))
+    val slices = src.sliceUrls("events")
+    assert(slices.map(_._2) == Seq(
+      Map("start_time" -> "2024-01-01", "end_time" -> "2024-01-02"),
+      Map("start_time" -> "2024-01-03", "end_time" -> "2024-01-04")))
+    assert(src.recordJsonl(spark, "events").count() == 3)
+    // windows fan out one-per-partition like any other slice
+    assert(src.recordJsonl(spark, "events").rdd.getNumPartitions == 2)
   }
 
   test("incremental sync: cursor filters replayed records, state checkpoints") {
