@@ -1,0 +1,309 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.Similarity
+import graft.sources.Tables
+
+/**
+ * Data-governance and model-in-the-loop curation queries: the decisions
+ * a pipeline makes about WHO may see the data and WHICH model signals
+ * steer it — a trained quality classifier (the fastText-style filter of
+ * GPT-3/LLaMA data work, Brown et al. 2020 §2.2), URL canonicalization
+ * dedup (the first dedup pass of any crawl pipeline, before content
+ * hashing), contrastive hard-negative mining (Robinson et al. 2021),
+ * k-anonymity auditing (Sweeney 2002), and differentially-private
+ * count release (Dwork 2006, Laplace mechanism).
+ *
+ * Parity design (suite convention, see PretrainQueries header): integer
+ * arithmetic wherever possible; transcendental outputs (exp/ln)
+ * rounded to 6 dp immediately; gradient/noise addends converted to
+ * exact integer micros BEFORE summing; final floats rounded to 4 dp;
+ * orderings sort on rounded values with integer tiebreaks.
+ */
+object GovernanceQueries {
+
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  // ------------------------------------------------------------------
+  // q150: quality-classifier training — full-batch logistic regression
+  // by gradient descent, predicting lang=='en' from two surface
+  // features (chars, words). The Spark shape IS the 100 TB shape for
+  // linear-model training: per-iteration work is ONE map-side partial
+  // aggregate over the corpus (3 integer sums), weights live on the
+  // driver (3 doubles) and broadcast back as literals — no per-row
+  // state, no shuffle of anything corpus-sized, iteration count fixed
+  // (T=3). Addends are rounded to integer micros so the partial-agg
+  // sum is order-independent and exact; the sigmoid is rounded to 6 dp
+  // at the point it leaves transcendental-land (the suite's q89/q139
+  // contract for exp/ln parity with the oracle).
+  // ------------------------------------------------------------------
+  def q150QualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val f = Tables.documents(spark, dir).select(
+      (col("n_chars").cast(DoubleType) / 1000.0).as("x1"),
+      (expr("size(filter(split(text, ' '), w -> w != ''))")
+        .cast(DoubleType) / 100.0).as("x2"),
+      when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+      .localCheckpoint() // scanned 4× (3 gradient steps + accuracy)
+
+    var (w0, w1, w2) = (0.0, 0.0, 0.0)
+    var n = 0L
+    for (_ <- 1 to 3) {
+      val sig = round(lit(1.0) / (lit(1.0) +
+        exp(-(lit(w0) + lit(w1) * col("x1") + lit(w2) * col("x2")))), 6)
+      val row = f.agg(
+        count(lit(1)).as("n"),
+        sum(round((sig - col("y")) * 1000000.0).cast(LongType)).as("g0"),
+        sum(round((sig - col("y")) * col("x1") * 1000000.0).cast(LongType)).as("g1"),
+        sum(round((sig - col("y")) * col("x2") * 1000000.0).cast(LongType)).as("g2"))
+        .collect()(0)
+      n = row.getLong(0)
+      w0 = r6(w0 - (row.getLong(1).toDouble / 1000000.0) / n.toDouble)
+      w1 = r6(w1 - (row.getLong(2).toDouble / 1000000.0) / n.toDouble)
+      w2 = r6(w2 - (row.getLong(3).toDouble / 1000000.0) / n.toDouble)
+    }
+    val sig = round(lit(1.0) / (lit(1.0) +
+      exp(-(lit(w0) + lit(w1) * col("x1") + lit(w2) * col("x2")))), 6)
+    f.agg(count(lit(1)).as("n_docs"),
+        round(sum(when((sig > 0.5) === (col("y") === 1.0), 1L).otherwise(0L))
+          .cast(DoubleType) / count(lit(1)).cast(DoubleType), 4).as("train_acc"))
+      .select(col("n_docs"), lit(w0).as("w0"), lit(w1).as("w1"),
+        lit(w2).as("w2"), col("train_acc"))
+  }
+
+  val q150Sql: String = {
+    def sig(w: String) =
+      s"round(1/(1+exp(-($w.wa + $w.wb*x1 + $w.wc*x2))),6)"
+    def grad(k: Int, prev: String) =
+      s"""g$k AS (
+         |  SELECT COUNT(*) AS n, MAX(wa) AS wa, MAX(wb) AS wb, MAX(wc) AS wc,
+         |    SUM(CAST(round((${sig(prev)} - y)*1000000) AS BIGINT)) AS ga,
+         |    SUM(CAST(round((${sig(prev)} - y)*x1*1000000) AS BIGINT)) AS gb,
+         |    SUM(CAST(round((${sig(prev)} - y)*x2*1000000) AS BIGINT)) AS gc
+         |  FROM f CROSS JOIN $prev),
+         |w$k AS (
+         |  SELECT n,
+         |    round(wa - (CAST(ga AS DOUBLE)/1000000.0)/CAST(n AS DOUBLE), 6) AS wa,
+         |    round(wb - (CAST(gb AS DOUBLE)/1000000.0)/CAST(n AS DOUBLE), 6) AS wb,
+         |    round(wc - (CAST(gc AS DOUBLE)/1000000.0)/CAST(n AS DOUBLE), 6) AS wc
+         |  FROM g$k)""".stripMargin
+    s"""WITH f AS (
+       |  SELECT CAST(n_chars AS DOUBLE)/1000.0 AS x1,
+       |    CAST(len(list_filter(string_split(text,' '), w -> w <> ''))
+       |      AS DOUBLE)/100.0 AS x2,
+       |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+       |  FROM documents),
+       |w0 AS (SELECT 0.0 AS wa, 0.0 AS wb, 0.0 AS wc),
+       |${grad(1, "w0")},
+       |${grad(2, "w1")},
+       |${grad(3, "w2")}
+       |SELECT CAST(w3.n AS BIGINT) AS n_docs, wa AS w0, wb AS w1, wc AS w2,
+       |  round(CAST(SUM(CASE WHEN (${sig("w3")} > 0.5) = (y = 1.0)
+       |      THEN 1 ELSE 0 END) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE), 4) AS train_acc
+       |FROM f CROSS JOIN w3 GROUP BY w3.n, wa, wb, wc""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // q151: URL canonicalization dedup — the cheapest, first dedup pass
+  // of a crawl pipeline: normalize scheme/host case, strip default
+  // ports and trailing slashes, drop tracking parameters (utm_*, ref,
+  // fbclid), sort the surviving query params, then group. Per-row
+  // string kernel + one hash aggregation on the canonical key: the
+  // same zero-shuffle-then-one-exchange shape as exact dedup (q30),
+  // so it absorbs 100 TB exactly as well. The synthetic URL is derived
+  // deterministically from (source, doc_id) since the corpus has no
+  // URL column — the CANONICALIZER is the operator under test.
+  // ------------------------------------------------------------------
+  def q151UrlDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    // deterministic messy URL: case noise, default port, trailing
+    // slash, tracking params — keyed so true duplicates exist
+    val urls = docs.select(col("doc_id"),
+      concat(
+        when(col("doc_id") % 2 === 0, "HTTPS").otherwise(lit("https")),
+        lit("://"), col("source"), lit(".Example.COM"),
+        when(col("doc_id") % 3 === 0, ":443").otherwise(lit("")),
+        lit("/d/"), (col("doc_id") % 10).cast(StringType),
+        when(col("doc_id") % 5 === 0, "/").otherwise(lit("")),
+        when(col("doc_id") % 2 === 0, "?utm_source=feed&b=2&a=1")
+          .otherwise(lit("?a=1&b=2&ref=abc"))).as("url"))
+    val canon = urls
+      .withColumn("pq", expr("substring_index(url, '?', 1)"))
+      .withColumn("qs", expr("substring_index(url, '?', -1)"))
+      .withColumn("parts", split(col("pq"), "/"))
+      .withColumn("schemehost",
+        regexp_replace(lower(array_join(slice(col("parts"), 1, 3), "/")),
+          ":443$", ""))
+      .withColumn("path",
+        regexp_replace(array_join(slice(col("parts"), 4, 1000), "/"), "/+$", ""))
+      .withColumn("params", expr(
+        "array_join(array_sort(filter(split(qs, '&'), " +
+          "p -> NOT (startswith(p, 'utm_') OR startswith(p, 'ref=') " +
+          "OR startswith(p, 'fbclid=')))), '&')"))
+      .withColumn("canonical_url", concat(
+        col("schemehost"), lit("/"), col("path"),
+        when(col("params") === "", "").otherwise(concat(lit("?"), col("params")))))
+    canon.groupBy(col("canonical_url"))
+      .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keep_id"))
+      .filter(col("n_dups") > 1)
+  }
+
+  val q151Sql: String =
+    """WITH urls AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END)
+      |    || '://' || source || '.Example.COM'
+      |    || (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END)
+      |    || '/d/' || CAST(doc_id % 10 AS VARCHAR)
+      |    || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+      |    || (CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&b=2&a=1'
+      |        ELSE '?a=1&b=2&ref=abc' END) AS url
+      |  FROM documents),
+      |canon AS (
+      |  SELECT doc_id,
+      |    regexp_replace(lower(array_to_string(
+      |        string_split(split_part(url, '?', 1), '/')[1:3], '/')), ':443$', '')
+      |    || '/' ||
+      |    regexp_replace(array_to_string(
+      |        string_split(split_part(url, '?', 1), '/')[4:], '/'), '/+$', '')
+      |    || (CASE WHEN array_to_string(list_sort(list_filter(
+      |          string_split(split_part(url, '?', 2), '&'),
+      |          p -> NOT (starts_with(p, 'utm_') OR starts_with(p, 'ref=')
+      |            OR starts_with(p, 'fbclid=')))), '&') = '' THEN ''
+      |        ELSE '?' || array_to_string(list_sort(list_filter(
+      |          string_split(split_part(url, '?', 2), '&'),
+      |          p -> NOT (starts_with(p, 'utm_') OR starts_with(p, 'ref=')
+      |            OR starts_with(p, 'fbclid=')))), '&') END) AS canonical_url
+      |  FROM urls)
+      |SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_dups,
+      |  MIN(doc_id) AS keep_id
+      |FROM canon GROUP BY canonical_url HAVING COUNT(*) > 1""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q152: contrastive hard-negative mining — for each query vector,
+  // the top same-label neighbor (the positive) and the 3 highest-
+  // cosine DIFFERENT-label vectors (the hard negatives a contrastive
+  // loss learns most from). Same scale shape as q35: tiny query set
+  // broadcast into the corpus scan, per-(query,kind) bounded-heap
+  // top-k — the corpus never shuffles, candidates arrive pre-pruned
+  // to k per partition.
+  // ------------------------------------------------------------------
+  def q152HardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("embedding").as("qvec"))
+    val c = emb.withColumn("__cn", Similarity.norm(col("embedding")))
+    val q = queries.withColumn("__qn", Similarity.norm(col("qvec")))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("kind",
+        when(col("label") === col("qlabel"), "pos").otherwise(lit("neg")))
+      .withColumn("sim", round(
+        when(col("__cn") * col("__qn") > 0,
+          Similarity.dot(col("embedding"), col("qvec"))
+            / (col("__qn") * col("__cn"))).otherwise(lit(0.0)), 4))
+    scored.groupBy(col("query_id"), col("kind"))
+      .agg(graft.functions.TopKAggregate
+        .topK(col("sim"), col("vec_id").cast(LongType),
+          k = 3).as("top"))
+      .select(col("query_id"), col("kind"),
+        posexplode(col("top")).as(Seq("pos", "entry")))
+      .select(col("query_id"), col("kind"),
+        (col("pos") + 1).cast(LongType).as("rank"),
+        col("entry.id").as("neighbor_id"), col("entry.score").as("sim"))
+      .filter(col("kind") === "neg" || col("rank") === 1)
+  }
+
+  val q152Sql: String =
+    """WITH q AS (
+      |  SELECT vec_id AS query_id, label AS qlabel,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      |  FROM embeddings WHERE vec_id < 10),
+      |c AS (
+      |  SELECT vec_id AS neighbor_id, label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      |  FROM embeddings),
+      |sims AS (
+      |  SELECT query_id,
+      |    CASE WHEN label = qlabel THEN 'pos' ELSE 'neg' END AS kind,
+      |    neighbor_id,
+      |    ROUND(list_dot_product(qv, cv) /
+      |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 4) AS sim
+      |  FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+      |ranked AS (
+      |  SELECT query_id, kind, neighbor_id, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id, kind
+      |      ORDER BY sim DESC, neighbor_id ASC) AS rank
+      |  FROM sims)
+      |SELECT query_id, kind, rank, neighbor_id, sim FROM ranked
+      |WHERE (kind = 'neg' AND rank <= 3) OR (kind = 'pos' AND rank = 1)""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q153: k-anonymity audit (k=5) over quasi-identifiers (nation ×
+  // market segment × account-balance thousand-bucket): every QI class
+  // with fewer than k members is a re-identification risk the release
+  // must suppress or generalize. One hash aggregation over the
+  // relation + a broadcast dimension join — the audit costs the same
+  // as a GROUP BY count at any scale.
+  // ------------------------------------------------------------------
+  def q153KAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val nation = Tables.nation(spark, dir)
+    cust.select(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000.0).cast(LongType).as("bal_bucket"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_bucket"))
+      .agg(count(lit(1)).as("class_size"))
+      .filter(col("class_size") < 5)
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("c_mktsegment").as("segment"),
+        col("bal_bucket"), col("class_size"))
+  }
+
+  val q153Sql: String =
+    """SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+      |  CAST(floor(c.c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS class_size
+      |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |GROUP BY n.n_name, c.c_mktsegment, CAST(floor(c.c_acctbal / 1000.0) AS BIGINT)
+      |HAVING COUNT(*) < 5""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q154: differentially-private count release — per-source document
+  // counts with Laplace(b=2) noise (ε=0.5 at sensitivity 1). The noise
+  // draw is the md5-uniform inverse-CDF: u from a 24-bit md5 prefix
+  // (the suite's deterministic-uniform convention, q46/q65/q105),
+  // noise = -b·sign(u-½)·ln(1-2|u-½|) rounded to 6 dp at the ln exit.
+  // Deterministic, partition-independent, portable to the oracle —
+  // exactly how a reproducible DP release pins its RNG in production
+  // (seeded per released cell, not per row).
+  // ------------------------------------------------------------------
+  def q154DpCounts(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val u = (conv(substring(md5(concat(lit("dp-"), col("source"))), 1, 6),
+      16, 10).cast(LongType).cast(DoubleType) + 0.5) / 16777216.0
+    val d = u - 0.5
+    val noise = round(lit(-2.0) * signum(d) * log(lit(1.0) - lit(2.0) * abs(d)), 6)
+    counts.select(col("source"), col("n_docs"),
+      round(col("n_docs").cast(DoubleType) + noise, 4).as("noisy_count"))
+  }
+
+  val q154Sql: String =
+    """WITH counts AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      |  FROM documents GROUP BY source),
+      |noised AS (
+      |  SELECT source, n_docs,
+      |    (CAST(CAST('0x' || substr(md5('dp-' || source), 1, 6) AS BIGINT)
+      |      AS DOUBLE) + 0.5) / 16777216.0 - 0.5 AS d
+      |  FROM counts)
+      |SELECT source, n_docs,
+      |  round(CAST(n_docs AS DOUBLE) +
+      |    round(-2.0 * sign(d) * ln(1.0 - 2.0 * abs(d)), 6), 4) AS noisy_count
+      |FROM noised""".stripMargin
+}

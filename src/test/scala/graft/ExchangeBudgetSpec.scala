@@ -186,6 +186,18 @@ class ExchangeBudgetSpec extends SparkTestBase {
                                  // contam anti-join, two per-source
                                  // tallies, 1-row normalizer gather —
                                  // all candidate- or dimension-sized
+    "q150_quality_classifier" -> 1, // the final accuracy agg (each
+                                 // gradient step is one more 1-row
+                                 // SinglePartition agg at collect
+                                 // time — map-side partials, nothing
+                                 // corpus-sized moves)
+    "q151_url_dedup"      -> 1,  // per-row canonicalize kernel + ONE
+                                 // hash agg on the canonical key
+    "q152_hard_negatives" -> 1,  // queries broadcast into the scan;
+                                 // one (query,kind) bounded-heap agg
+    "q153_k_anonymity"    -> 1,  // one QI-class hash agg + broadcast
+                                 // nation dim join
+    "q154_dp_counts"      -> 1,  // one source agg; noise is per-group
     "q134_decontaminate"  -> 5)  // content-class collapses sit behind
                                  // their checkpoints (one map-side-
                                  // combined groupBy per side — the
