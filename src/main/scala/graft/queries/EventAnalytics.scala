@@ -573,4 +573,75 @@ object EventAnalytics {
       |SELECT d.target, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS active_users_7d
       |FROM days d JOIN du u ON u.day BETWEEN d.target - 6 AND d.target
       |GROUP BY 1""".stripMargin
+
+  // geometric EWMA weights for q156, lag 1..14 at decay 0.7 — frozen
+  // as 6-dp literals shared verbatim with the oracle SQL, so pow()
+  // never has to agree transcendentally across engines
+  private val EwmaWeights: Seq[(Int, String)] = (1 to 14).map { k =>
+    k -> BigDecimal("0.7").pow(k - 1)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .underlying.toPlainString
+  }
+
+  // ------------------------------------------------------------------
+  // q156: EWMA anomaly scoring over daily event volumes — the
+  // pre-ingestion volume monitor next to q130's distribution monitor:
+  // each (event_type, day)'s count is compared against the
+  // exponentially-weighted average of its previous ≤14 days
+  // (α-decay 0.7, weights normalized over the days that exist, so
+  // gaps and series starts are handled without imputation). Scale
+  // shape: ONE corpus-sized aggregation to (type, day) counts; the
+  // banded self-join and weight lookup run on that dimension-sized
+  // table. Weighted addends go to integer micros before summing
+  // (order-independent exact sums); weights are shared 6-dp literals,
+  // not runtime pow().
+  // ------------------------------------------------------------------
+  def q156EwmaAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n"))
+      .localCheckpoint() // both sides of the banded self-join
+    val weights = EwmaWeights.map { case (k, w) => (k, w.toDouble) }
+      .toDF("lag", "w")
+    val hist = daily.select(col("event_type").as("h_type"),
+      col("day").as("h_day"), col("n").as("h_n"))
+    val scored = daily.join(hist,
+        col("event_type") === col("h_type") &&
+          datediff(col("day"), col("h_day")).between(1, 14))
+      .withColumn("lag", datediff(col("day"), col("h_day")))
+      .join(broadcast(weights), "lag")
+      .groupBy(col("event_type"), col("day"), col("n"))
+      .agg(
+        sum(round(col("w") * col("h_n").cast(DoubleType) * 1000000.0)
+          .cast(LongType)).as("num"),
+        sum(round(col("w") * 1000000.0).cast(LongType)).as("den"))
+    scored.select(col("event_type"), col("day"), col("n"),
+      round(col("num").cast(DoubleType) / col("den").cast(DoubleType), 4)
+        .as("ewma"),
+      round(col("n").cast(DoubleType) * col("den").cast(DoubleType)
+        / col("num").cast(DoubleType), 4).as("ratio"))
+  }
+
+  val q156Sql: String = {
+    val vals = EwmaWeights.map { case (k, w) => s"($k, $w)" }.mkString(", ")
+    s"""WITH daily AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM events GROUP BY 1, 2),
+       |wt(lag, w) AS (VALUES $vals),
+       |scored AS (
+       |  SELECT a.event_type, a.day, a.n,
+       |    SUM(CAST(round(wt.w * CAST(b.n AS DOUBLE) * 1000000.0) AS BIGINT)) AS num,
+       |    SUM(CAST(round(wt.w * 1000000.0) AS BIGINT)) AS den
+       |  FROM daily a
+       |  JOIN daily b ON a.event_type = b.event_type
+       |    AND a.day - b.day BETWEEN 1 AND 14
+       |  JOIN wt ON wt.lag = a.day - b.day
+       |  GROUP BY a.event_type, a.day, a.n)
+       |SELECT event_type, day, n,
+       |  round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 4) AS ewma,
+       |  round(CAST(n AS DOUBLE) * CAST(den AS DOUBLE) / CAST(num AS DOUBLE), 4) AS ratio
+       |FROM scored""".stripMargin
+  }
 }

@@ -306,4 +306,50 @@ object GovernanceQueries {
       |  round(CAST(n_docs AS DOUBLE) +
       |    round(-2.0 * sign(d) * ln(1.0 - 2.0 * abs(d)), 6), 4) AS noisy_count
       |FROM noised""".stripMargin
+
+  // canary phrase watchlist for q157 — in production this is the
+  // secret-string registry a privacy/memorization audit checks against
+  private val Canaries: Seq[String] = Seq(
+    "slow scan", "hash join", "merge batch", "key agg row",
+    "spark query plan", "window agg")
+
+  // ------------------------------------------------------------------
+  // q157: canary / memorization scan — count exact occurrences of a
+  // watchlist of canary strings across the corpus (the leak audit run
+  // before a release: seeded canaries, PII probes, eval-set strings).
+  // The watchlist is broadcast and every canary reports a row even at
+  // zero hits (a silent miss is indistinguishable from a clean corpus
+  // otherwise). Occurrence counting is the replace-length identity —
+  // one pass over each doc per canary, no tokenization assumptions, so
+  // it catches canaries that cross token boundaries. One corpus scan,
+  // one watchlist-sized aggregation.
+  // ------------------------------------------------------------------
+  def q157CanaryScan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val canaries = Canaries.toDF("canary")
+    docs.crossJoin(broadcast(canaries))
+      .withColumn("occ",
+        ((length(col("text")) - length(expr("replace(text, canary, '')")))
+          / length(col("canary"))).cast(LongType))
+      .groupBy(col("canary"))
+      .agg(sum(when(col("occ") > 0, 1L).otherwise(0L)).as("n_docs"),
+        sum(col("occ")).as("n_occurrences"),
+        min(when(col("occ") > 0, col("doc_id"))).as("first_doc"))
+  }
+
+  val q157Sql: String = {
+    val vals = Canaries.map(c => s"('$c')").mkString(", ")
+    s"""WITH canaries(canary) AS (VALUES $vals),
+       |occs AS (
+       |  SELECT c.canary, d.doc_id,
+       |    CAST((length(d.text) - length(replace(d.text, c.canary, '')))
+       |      / length(c.canary) AS BIGINT) AS occ
+       |  FROM documents d CROSS JOIN canaries c)
+       |SELECT canary,
+       |  CAST(SUM(CASE WHEN occ > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+       |  CAST(SUM(occ) AS BIGINT) AS n_occurrences,
+       |  MIN(CASE WHEN occ > 0 THEN doc_id END) AS first_doc
+       |FROM occs GROUP BY canary""".stripMargin
+  }
 }

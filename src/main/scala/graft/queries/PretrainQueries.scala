@@ -485,6 +485,22 @@ object PretrainQueries {
     Bpe.learnMerges(Tables.documents(spark, dir), "text", 5)
 
   // ------------------------------------------------------------------
+  // q155: unigram-LM tokenizer (Kudo 2018 / SentencePiece), hard-EM —
+  // the OTHER tokenizer-learning family next to BPE (q135): seed an
+  // over-complete substring vocabulary, Viterbi-segment the word
+  // vocabulary, re-estimate piece probabilities, let unused pieces
+  // drop out. Driver loop like q135/q138: per iteration one
+  // vocabulary-sized flatMap + a piece-table-sized tally; not one SQL
+  // statement (segmentations depend on the previous iteration's
+  // probabilities), so the driver records a rows-only check and
+  // UnigramSpec pins seeding, Viterbi, and EM counts to a sequential
+  // reference.
+  // ------------------------------------------------------------------
+  def q155UnigramPieces(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Unigram.learn(Tables.documents(spark, dir), "text",
+      seedSize = 60, iters = 2, topK = 20)
+
+  // ------------------------------------------------------------------
   // q138: k-center greedy coreset over the embedding table — diverse
   // representative subset selection (Sener & Savarese 2018). Driver
   // loop like q135: k rounds, one corpus scan + one collected argmax

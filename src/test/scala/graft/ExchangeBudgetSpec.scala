@@ -198,6 +198,12 @@ class ExchangeBudgetSpec extends SparkTestBase {
     "q153_k_anonymity"    -> 1,  // one QI-class hash agg + broadcast
                                  // nation dim join
     "q154_dp_counts"      -> 1,  // one source agg; noise is per-group
+    "q156_ewma_anomaly"   -> 2,  // daily tally collapses behind its
+                                 // checkpoint; banded self-join rides
+                                 // a broadcast of the dimension-sized
+                                 // daily table + one scored agg
+    "q157_canary_scan"    -> 1,  // broadcast watchlist cross join +
+                                 // one watchlist-sized agg
     "q134_decontaminate"  -> 5)  // content-class collapses sit behind
                                  // their checkpoints (one map-side-
                                  // combined groupBy per side — the
