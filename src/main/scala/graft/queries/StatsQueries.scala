@@ -115,6 +115,58 @@ object StatsQueries {
       |GROUP BY 1""".stripMargin
 
   // ------------------------------------------------------------------
+  // q158: entity resolution via blocking + Jaro-Winkler — q57's edit-
+  // distance dual with the name-similarity measure record-linkage
+  // actually standardizes on (Winkler 1990). Spark has no native
+  // jaro_winkler, so this runs the compiled
+  // [[graft.functions.JaroWinklerExpression]] kernel — pinned
+  // BIT-EXACT to DuckDB's `jaro_winkler_similarity` (empirical 50k-
+  // pair sweep; the one semantic trap is floored half-transpositions).
+  // Blocking on (first word, lead char of second word) bounds the
+  // quadratic inside small blocks; per-block similarity sums travel as
+  // exact integer 1e4-units. Same one-shuffle-per-side + final-agg
+  // shape as q57 at any scale.
+  // ------------------------------------------------------------------
+  def q158EntityResolution(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.StringSimilarityFunctions.jaroWinkler
+    val p = Tables.part(spark, dir).select(
+      col("p_partkey"), col("p_name"),
+      split(col("p_name"), " ").getItem(0).as("adj"),
+      substring(split(col("p_name"), " ").getItem(1), 1, 1).as("b2"))
+    val b = p.select(col("p_partkey").as("k2"), col("p_name").as("n2"),
+      col("adj"), col("b2"))
+    val jw = jaroWinkler(col("p_name"), col("n2"))
+    p.join(b, Seq("adj", "b2"))
+      .filter(col("p_partkey") < col("k2"))
+      .withColumn("jw", jw)
+      .filter(col("jw") >= 0.85)
+      .groupBy(col("adj"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("jw") === 1.0, 1L).otherwise(0L)).as("n_exact"),
+        sum(round(col("jw") * 10000.0).cast(LongType)).as("s4"))
+      .select(col("adj"), col("n_pairs"), col("n_exact"),
+        round(col("s4").cast(DoubleType) / col("n_pairs").cast(DoubleType)
+          / 10000.0, 4).as("avg_jw"))
+  }
+
+  val q158Sql: String =
+    """WITH p AS (
+      |  SELECT p_partkey, p_name,
+      |    string_split(p_name, ' ')[1] AS adj,
+      |    substr(string_split(p_name, ' ')[2], 1, 1) AS b2
+      |  FROM part),
+      |pairs AS (
+      |  SELECT a.adj, jaro_winkler_similarity(a.p_name, b.p_name) AS jw
+      |  FROM p a JOIN p b ON a.adj = b.adj AND a.b2 = b.b2
+      |    AND a.p_partkey < b.p_partkey
+      |  WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.85)
+      |SELECT adj, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |  CAST(SUM(CASE WHEN jw = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+      |  round(CAST(SUM(CAST(round(jw * 10000.0) AS BIGINT)) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) / 10000.0, 4) AS avg_jw
+      |FROM pairs GROUP BY adj""".stripMargin
+
+  // ------------------------------------------------------------------
   // q58: z-score anomaly detection — two-pass: (1) one aggregation pass
   // computes exact per-group moments, (2) the tiny moment table is
   // BROADCAST back onto the fact scan to flag outliers, so the second

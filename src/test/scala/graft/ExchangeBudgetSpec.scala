@@ -204,6 +204,9 @@ class ExchangeBudgetSpec extends SparkTestBase {
                                  // daily table + one scored agg
     "q157_canary_scan"    -> 1,  // broadcast watchlist cross join +
                                  // one watchlist-sized agg
+    "q158_entity_resolution" -> 3, // blocked self-join (one exchange
+                                 // per side on the blocking key) +
+                                 // adjective-sized final agg
     "q134_decontaminate"  -> 5)  // content-class collapses sit behind
                                  // their checkpoints (one map-side-
                                  // combined groupBy per side — the
