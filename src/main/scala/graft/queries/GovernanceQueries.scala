@@ -317,21 +317,25 @@ object GovernanceQueries {
   // q157: canary / memorization scan — count exact occurrences of a
   // watchlist of canary strings across the corpus (the leak audit run
   // before a release: seeded canaries, PII probes, eval-set strings).
-  // The watchlist is broadcast and every canary reports a row even at
-  // zero hits (a silent miss is indistinguishable from a clean corpus
-  // otherwise). Occurrence counting is the replace-length identity —
-  // one pass over each doc per canary, no tokenization assumptions, so
-  // it catches canaries that cross token boundaries. One corpus scan,
-  // one watchlist-sized aggregation.
+  // Every canary reports a row even at zero hits (a silent miss is
+  // indistinguishable from a clean corpus otherwise). The engine runs
+  // the Aho-Corasick kernel ([[graft.functions
+  // .MultiPatternCountExpression]]): ONE pass over each document for
+  // the whole watchlist — at 100 TB the text scan is the cost, and the
+  // naive replace-length identity multiplies it by k patterns. Counts
+  // are replace-equivalent (greedy non-overlapping per pattern), so
+  // the oracle keeps the portable k-replace formulation. No
+  // tokenization assumptions: canaries crossing token boundaries hit.
   // ------------------------------------------------------------------
   def q157CanaryScan(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
-    val canaries = Canaries.toDF("canary")
-    docs.crossJoin(broadcast(canaries))
-      .withColumn("occ",
-        ((length(col("text")) - length(expr("replace(text, canary, '')")))
-          / length(col("canary"))).cast(LongType))
+    val idx2canary = Canaries.zipWithIndex
+      .map { case (c, i) => (i, c) }.toDF("idx", "canary")
+    docs.select(col("doc_id"),
+        posexplode(graft.functions.MultiPatternFunctions
+          .multiPatternCount(col("text"), Canaries)).as(Seq("idx", "occ")))
+      .join(broadcast(idx2canary), "idx")
       .groupBy(col("canary"))
       .agg(sum(when(col("occ") > 0, 1L).otherwise(0L)).as("n_docs"),
         sum(col("occ")).as("n_occurrences"),
