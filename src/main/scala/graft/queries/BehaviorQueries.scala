@@ -1,0 +1,330 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+
+/**
+ * Behavioral / interaction-data curation: the operators an SFT or
+ * agent-trajectory pipeline runs over event logs and labeled corpora —
+ * a learned (Naive Bayes) classifier trained and applied wholly inside
+ * the engine, session-trajectory fingerprint dedup, multi-touch
+ * conversion attribution, and conversation turn-structure validation.
+ *
+ * Reference scope: PyAirbyte lands event streams into the cache and
+ * delegates analytics to SQL (SURVEY §2.11); these are the analytics a
+ * training-data team runs on that cache before export. All scoring is
+ * integer arithmetic (log-probabilities in micro-units, credits in
+ * micro-credits) so Spark and the DuckDB oracle agree bit-for-bit —
+ * the q139/q140 parity rule.
+ */
+object BehaviorQueries {
+
+  private val Gap = 1800L // session gap seconds, the q16 convention
+
+  // ------------------------------------------------------------------
+  // q159: multinomial Naive Bayes language classifier, trained and
+  // scored in one relational plan (no driver-side model object).
+  //
+  // Train split doc_id % 5 != 0; held-out docs are scored against every
+  // class and the confusion matrix (true_lang, pred_lang, n) comes out.
+  // Laplace-smoothed log P(token|class) and log-priors are fixed to
+  // BIGINT micro-units BEFORE summation, so per-doc scores are exact
+  // integer sums — order-independent, identical in both engines; the
+  // argmax tie-break is (score desc, lang asc).
+  //
+  // Scale shape: the model IS two aggregates — (class, token) counts
+  // (one hash shuffle on the token stream) and a 16-row class table
+  // that rides a broadcast. Scoring explodes held-out docs to (doc,
+  // token, tf), crosses the 16-class table (broadcast), and left-joins
+  // the count table on (token, class) — a key-partitioned join that
+  // grows linearly with the scored corpus; nothing is collected.
+  // Tokens unseen in training are dropped (standard NB practice) via a
+  // semi-join against the training vocabulary.
+  // ------------------------------------------------------------------
+  def q159NaiveBayes(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "")
+    val train = toks.filter(col("doc_id") % 5 =!= 0)
+
+    // model: per-(class, token) counts + per-class totals + priors
+    val counts = train.groupBy(col("lang").as("c"), col("t"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // read by class totals, vocab, and scoring join
+    val vocabSize = counts.agg(countDistinct(col("t")).as("v"))
+    val classes = counts.groupBy(col("c")).agg(sum(col("cnt")).as("tok_c"))
+      .join(docs.filter(col("doc_id") % 5 =!= 0)
+        .groupBy(col("lang").as("c")).agg(count(lit(1)).as("docs_c")), "c")
+      .crossJoin(broadcast(docs.filter(col("doc_id") % 5 =!= 0)
+        .agg(count(lit(1)).as("docs_n"))))
+      .crossJoin(broadcast(vocabSize))
+      .select(col("c"), col("tok_c"), col("v"),
+        micros(log(col("docs_c").cast(DoubleType) /
+          col("docs_n").cast(DoubleType))).as("prior_micro"))
+
+    // held-out term frequencies, restricted to the training vocabulary
+    val testTf = toks.filter(col("doc_id") % 5 === 0)
+      .groupBy(col("doc_id"), col("lang").as("true_lang"), col("t"))
+      .agg(count(lit(1)).as("tf"))
+      .join(counts, Seq("t"), "left_semi")
+
+    val scored = testTf
+      .crossJoin(broadcast(classes))
+      .join(counts, Seq("t", "c"), "left_outer")
+      .withColumn("lp_micro", micros(log(
+        (coalesce(col("cnt"), lit(0L)) + lit(1L)).cast(DoubleType) /
+          (col("tok_c") + col("v")).cast(DoubleType))))
+      .groupBy(col("doc_id"), col("true_lang"), col("c"))
+      .agg((first(col("prior_micro")) + sum(col("tf") * col("lp_micro")))
+        .as("score"))
+    val pred = scored
+      .withColumn("rn", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("c").asc)))
+      .filter(col("rn") === 1)
+    pred.groupBy(col("true_lang"), col("c").as("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("true_lang").asc, col("pred_lang").asc)
+  }
+
+  /** ln(x) fixed to BIGINT micro-units (round half away from zero in
+    * both engines — the q139/q140 integer-parity rule). */
+  private def micros(c: Column): Column =
+    round(c * lit(1000000.0), 0).cast(LongType)
+
+  val q159Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, lang, t
+      |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+      |        FROM documents) x WHERE t <> ''),
+      |counts AS (
+      |  SELECT lang AS c, t, COUNT(*) AS cnt FROM tok
+      |  WHERE doc_id % 5 <> 0 GROUP BY 1, 2),
+      |vocab AS (SELECT COUNT(DISTINCT t) AS v FROM counts),
+      |cls AS (
+      |  SELECT c, SUM(cnt) AS tok_c FROM counts GROUP BY 1),
+      |priors AS (
+      |  SELECT lang AS c, COUNT(*) AS docs_c FROM documents
+      |  WHERE doc_id % 5 <> 0 GROUP BY 1),
+      |dn AS (SELECT COUNT(*) AS docs_n FROM documents WHERE doc_id % 5 <> 0),
+      |classes AS (
+      |  SELECT cls.c, cls.tok_c, vocab.v,
+      |    CAST(round(ln(CAST(priors.docs_c AS DOUBLE)
+      |      / CAST(dn.docs_n AS DOUBLE)) * 1000000.0) AS BIGINT) AS prior_micro
+      |  FROM cls JOIN priors USING (c), vocab, dn),
+      |test_tf AS (
+      |  SELECT doc_id, lang AS true_lang, t, COUNT(*) AS tf FROM tok
+      |  WHERE doc_id % 5 = 0 AND t IN (SELECT DISTINCT t FROM counts)
+      |  GROUP BY 1, 2, 3),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.true_lang, k.c,
+      |    ANY_VALUE(k.prior_micro) + SUM(tf.tf *
+      |      CAST(round(ln(CAST(COALESCE(cn.cnt, 0) + 1 AS DOUBLE)
+      |        / CAST(k.tok_c + k.v AS DOUBLE)) * 1000000.0) AS BIGINT)) AS score
+      |  FROM test_tf tf CROSS JOIN classes k
+      |  LEFT JOIN counts cn ON cn.t = tf.t AND cn.c = k.c
+      |  GROUP BY 1, 2, 3),
+      |pred AS (
+      |  SELECT true_lang, c AS pred_lang,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id
+      |      ORDER BY score DESC, c ASC) AS rn
+      |  FROM scored)
+      |SELECT true_lang, pred_lang, COUNT(*) AS n FROM pred WHERE rn = 1
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q160: session-trajectory fingerprints — sessionize (q16's 30-min
+  // gap), serialize each session's ordered event_type sequence, and
+  // count how often each behavioral pattern recurs. This is dedup over
+  // agent trajectories: the pattern string is the content hash, and
+  // the heavy patterns are boilerplate behavior a trajectory-training
+  // pipeline down-weights.
+  //
+  // Scale shape: one window pass per user (the events shuffle on
+  // user_id is the only exchange), one hash-agg on the pattern string.
+  // The pattern string stays session-sized; nothing is collected.
+  // ------------------------------------------------------------------
+  def q160DialogPatterns(spark: SparkSession, dir: String): DataFrame = {
+    val sess = sessionized(Tables.events(spark, dir))
+    val patterns = sess
+      .groupBy(col("user_id"), col("sid"))
+      .agg(concat_ws(">", transform(
+        sort_array(collect_list(struct(
+          col("ts").as("ts"), col("event_id").as("event_id"),
+          col("event_type").as("event_type")))),
+        x => x.getField("event_type"))).as("pattern"))
+    patterns.groupBy(col("pattern"))
+      .agg(count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("n_sessions").desc, col("pattern").asc)
+      .limit(20)
+  }
+
+  val q160Sql: String =
+    s"""WITH lagged AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |  FROM events),
+      |sess AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    SUM(CASE WHEN prev_ts IS NULL OR
+      |        CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+      |        - CAST(FLOOR(epoch(CAST(prev_ts AS TIMESTAMP))) AS BIGINT) > $Gap
+      |      THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM lagged),
+      |pat AS (
+      |  SELECT user_id, sid,
+      |    string_agg(event_type, '>' ORDER BY ts, event_id) AS pattern
+      |  FROM sess GROUP BY 1, 2)
+      |SELECT pattern, COUNT(*) AS n_sessions,
+      |  COUNT(DISTINCT user_id) AS n_users
+      |FROM pat GROUP BY 1 ORDER BY n_sessions DESC, pattern ASC
+      |LIMIT 20""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q161: multi-touch conversion attribution — every purchase credits
+  // the qualifying touchpoints (view / click / signup, same user,
+  // within 72 h strictly before it): last-touch gives the single
+  // latest touch full credit; linear splits one conversion equally
+  // (micro-credit integers, so the split sums exactly).
+  //
+  // Scale shape: a per-user range self-join (purchases ⋈ touches on
+  // user_id + time band). Both sides shuffle once on user_id and the
+  // band predicate prunes within the partition; per-purchase credit
+  // fan-out is bounded by the 72 h window, not corpus size. The
+  // last-touch pick is a bounded per-purchase window, not a global one.
+  // ------------------------------------------------------------------
+  def q161Attribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+    val touches = ev.filter(col("event_type").isin("view", "click", "signup"))
+      .select(col("user_id"), col("event_id").as("t_id"),
+        col("ts").as("t_ts"), col("event_type").as("channel"))
+    val joined = purchases.join(touches, Seq("user_id"))
+      .filter(col("t_ts") < col("p_ts") &&
+        col("t_ts") >= col("p_ts") - expr("INTERVAL 72 HOURS"))
+    val perPurchase = Window.partitionBy(col("p_id"))
+    val credited = joined
+      .withColumn("rn", row_number().over(
+        perPurchase.orderBy(col("t_ts").desc, col("t_id").desc)))
+      .withColumn("n_touch", count(lit(1)).over(perPurchase))
+    credited.groupBy(col("channel"))
+      .agg(sum(when(col("rn") === 1, 1L).otherwise(0L)).as("last_touch"),
+        sum(round(lit(1000000.0) / col("n_touch"), 0).cast(LongType))
+          .as("linear_micro"))
+      .orderBy(col("channel").asc)
+  }
+
+  val q161Sql: String =
+    """WITH p AS (
+      |  SELECT user_id, event_id AS p_id, ts AS p_ts FROM events
+      |  WHERE event_type = 'purchase'),
+      |t AS (
+      |  SELECT user_id, event_id AS t_id, ts AS t_ts, event_type AS channel
+      |  FROM events WHERE event_type IN ('view', 'click', 'signup')),
+      |j AS (
+      |  SELECT p.p_id, t.t_id, t.t_ts, t.channel
+      |  FROM p JOIN t USING (user_id)
+      |  WHERE t.t_ts < p.p_ts AND t.t_ts >= p.p_ts - INTERVAL 72 HOURS),
+      |c AS (
+      |  SELECT channel,
+      |    ROW_NUMBER() OVER (PARTITION BY p_id
+      |      ORDER BY t_ts DESC, t_id DESC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY p_id) AS n_touch
+      |  FROM j)
+      |SELECT channel,
+      |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS last_touch,
+      |  CAST(SUM(CAST(round(1000000.0 / n_touch) AS BIGINT)) AS BIGINT)
+      |    AS linear_micro
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q162: conversation turn-structure validation — the chat-format
+  // checks an SFT pipeline runs before training: sessions become
+  // conversations, event roles derive from type (view/click/purchase →
+  // user turn, signup/error → system turn), and each conversation is
+  // audited for who opens it and whether roles strictly alternate.
+  // Output is the corpus-level report: conversations and turn volume
+  // per (opening role, alternation-clean) cell.
+  //
+  // Scale shape: the same single user_id shuffle as q160 feeding two
+  // narrow window passes (session id, then within-session lag); the
+  // audit is a 4-row aggregate. All integers.
+  // ------------------------------------------------------------------
+  def q162TurnStructure(spark: SparkSession, dir: String): DataFrame = {
+    val sess = sessionized(Tables.events(spark, dir))
+      .withColumn("role",
+        when(col("event_type").isin("view", "click", "purchase"), lit("user"))
+          .otherwise(lit("system")))
+    val w = Window.partitionBy(col("user_id"), col("sid"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val conv = sess
+      .withColumn("prev_role", lag(col("role"), 1).over(w))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(count(lit(1)).as("n_turns"),
+        min(when(col("rn") === 1, col("role"))).as("opens_with"),
+        sum(when(col("prev_role") === col("role"), 1L).otherwise(0L))
+          .as("repeats"))
+    conv.groupBy(col("opens_with"),
+      (col("repeats") === 0L).as("alternates"))
+      .agg(count(lit(1)).as("n_conversations"),
+        sum(col("n_turns")).as("total_turns"),
+        max(col("n_turns")).as("max_turns"))
+      .orderBy(col("opens_with").asc, col("alternates").asc)
+  }
+
+  val q162Sql: String =
+    s"""WITH lagged AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN event_type IN ('view', 'click', 'purchase')
+      |         THEN 'user' ELSE 'system' END AS role,
+      |    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |  FROM events),
+      |sess AS (
+      |  SELECT user_id, ts, event_id, role,
+      |    SUM(CASE WHEN prev_ts IS NULL OR
+      |        CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+      |        - CAST(FLOOR(epoch(CAST(prev_ts AS TIMESTAMP))) AS BIGINT) > $Gap
+      |      THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM lagged),
+      |turns AS (
+      |  SELECT user_id, sid, role,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, sid
+      |      ORDER BY ts, event_id) AS rn,
+      |    LAG(role) OVER (PARTITION BY user_id, sid
+      |      ORDER BY ts, event_id) AS prev_role
+      |  FROM sess),
+      |conv AS (
+      |  SELECT user_id, sid, COUNT(*) AS n_turns,
+      |    MIN(CASE WHEN rn = 1 THEN role END) AS opens_with,
+      |    SUM(CASE WHEN role = prev_role THEN 1 ELSE 0 END) AS repeats
+      |  FROM turns GROUP BY 1, 2)
+      |SELECT opens_with, repeats = 0 AS alternates,
+      |  COUNT(*) AS n_conversations,
+      |  CAST(SUM(n_turns) AS BIGINT) AS total_turns, MAX(n_turns) AS max_turns
+      |FROM conv GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Shared sessionization: q16's 30-minute-gap rule, session id as a
+    * per-user running sum of gap breaks. One user_id shuffle. */
+  private def sessionized(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    ev.withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("sid", sum(
+        when(col("prev_ts").isNull ||
+          (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))) > Gap,
+          1).otherwise(0)).over(w))
+      .drop("prev_ts")
+  }
+}

@@ -23,10 +23,19 @@ object Tables {
     case "events" =>
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$sfDir/events.parquet")
-      // integer div, not `/` — float division loses precision above 2^53 ns
-      raw.withColumn("ts_ns", col("ts").cast("long"))
-        .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
-        .drop("ts_ns")
+      // The corpus has shipped `ts` both as nanosecond INT64 (read as
+      // Long via nanosAsLong) and as plain microsecond timestamps
+      // (read as TIMESTAMP_NTZ); normalize either to session-zoned
+      // microsecond TimestampType. Pure projection, codegen'd.
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          // integer div, not `/` — float division loses precision above 2^53 ns
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case _: org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts",
+            col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        case _ => raw
+      }
     case other =>
       spark.read.parquet(s"$sfDir/$other.parquet")
   }

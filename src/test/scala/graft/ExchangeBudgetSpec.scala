@@ -207,6 +207,23 @@ class ExchangeBudgetSpec extends SparkTestBase {
     "q158_entity_resolution" -> 3, // blocked self-join (one exchange
                                  // per side on the blocking key) +
                                  // adjective-sized final agg
+    "q159_naive_bayes"    -> 10, // model = (class,token) hash-agg +
+                                 // 16-row class table assembled from
+                                 // three dimension aggs (two single-
+                                 // partition scalars); scoring joins
+                                 // ride broadcasts of the model; then
+                                 // per-doc score agg, argmax window on
+                                 // doc_id, confusion agg, final sort
+    "q160_dialog_patterns" -> 2, // one user_id shuffle for the session
+                                 // window + one pattern hash-agg; the
+                                 // top-k is TakeOrdered, no global sort
+    "q161_attribution"    -> 3,  // purchases broadcast into the touch
+                                 // scan; per-purchase window shuffles
+                                 // on p_id, then channel agg + sort
+    "q162_turn_structure" -> 3,  // one user_id shuffle feeds BOTH
+                                 // window passes ((user_id) satisfies
+                                 // the (user_id,sid) clustering); then
+                                 // the 4-row audit agg + final sort
     "q134_decontaminate"  -> 5)  // content-class collapses sit behind
                                  // their checkpoints (one map-side-
                                  // combined groupBy per side — the
