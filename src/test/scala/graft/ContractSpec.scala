@@ -19,8 +19,10 @@ class ContractSpec extends SparkTestBase {
   //   round t-1's pick; pinned to a sequential reference by CoresetSpec.
   //   q143: fertility under q135's learned merges — same driver loop;
   //   BpeSpec pins encode + fertility to a sequential reference.
+  //   q155: unigram-LM tokenizer — iterative Viterbi hard-EM, not one
+  //   SQL statement; UnigramSpec pins it to a sequential reference.
   private val rowsOnlyQueries = Set("q135_bpe_merges", "q138_coreset",
-    "q143_token_fertility")
+    "q143_token_fertility", "q155_unigram_tokenizer")
 
   test("every oracle key has a query; oracle SQL is single-statement SELECT-like") {
     val qs = SparkEntry.queries.keySet
