@@ -53,9 +53,13 @@ object SuffixArray {
    * Input rows must be distinct for the result to be a dense RANKING;
    * callers pass `.distinct()` key sets.
    */
-  private[graft] def denseIndex(df: DataFrame, cols: Seq[String]): DataFrame = {
+  private[graft] def denseIndex(df: DataFrame, cols: Seq[String],
+      numPartitions: Int = 0): DataFrame = {
     val spark = df.sparkSession
-    val sorted = df.repartitionByRange(cols.map(col): _*)
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val sorted = df.repartitionByRange(parts, cols.map(col): _*)
       .sortWithinPartitions(cols.map(col): _*)
     val schema = StructType(sorted.schema.fields :+
       StructField("rank", LongType, nullable = false))
@@ -81,10 +85,16 @@ object SuffixArray {
     val n = toks.count()
     val maxLen = if (n == 0) 0L
       else toks.groupBy(col("d")).count().agg(max("count")).collect()(0).getLong(0)
+    // rounds shuffle fixed-size integer pairs; at ~1M rows/partition
+    // the per-round scheduling overhead stops dominating small inputs
+    // while a corpus-scale run still fans out to the configured width.
+    val parts = math.max(1, math.min(
+      toks.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt,
+      (n / 1000000L).toInt + 1))
 
     // base: rank suffixes by their first token (binary string order —
     // identical in Spark (UTF8String) and DuckDB (binary collation))
-    val tok0 = denseIndex(toks.select("tok").distinct(), Seq("tok"))
+    val tok0 = denseIndex(toks.select("tok").distinct(), Seq("tok"), parts)
     var cur = toks.join(tok0, "tok")
       .select(col("d"), col("p"), col("rank")).localCheckpoint()
     var distinct = tok0.count()
@@ -92,6 +102,10 @@ object SuffixArray {
 
     var off = 1L
     var iters = 0
+    // convergence (all ranks distinct) is polled every third round:
+    // the poll is a whole extra job, and the off < maxLen bound already
+    // caps rounds at log2(longest doc), so at most two cheap surplus
+    // rounds run after early convergence.
     while (distinct < n && off < maxLen && iters < maxIters) {
       // rank of the suffix `off` positions later; absent (this suffix
       // ends within `off`) → 0, which sorts before every real rank —
@@ -101,12 +115,13 @@ object SuffixArray {
           col("rank").as("r2")), Seq("d", "p"), "left_outer")
         .select(col("d"), col("p"), col("rank").as("r1"),
           coalesce(col("r2"), lit(0L)).as("r2"))
-      val dk = denseIndex(nxt.select("r1", "r2").distinct(), Seq("r1", "r2"))
+      val dk = denseIndex(nxt.select("r1", "r2").distinct(),
+        Seq("r1", "r2"), parts)
       cur = nxt.join(dk, Seq("r1", "r2"))
         .select(col("d"), col("p"), col("rank")).localCheckpoint()
       off *= 2
       iters += 1
-      distinct = dk.count()
+      if (iters % 3 == 0) distinct = dk.count()
       rounds += ((off, cur))
     }
     SA(cur, rounds.toSeq, n)
