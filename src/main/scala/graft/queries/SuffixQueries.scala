@@ -111,4 +111,120 @@ object SuffixQueries {
       |FROM l WHERE lcp >= 1
       |ORDER BY lcp DESC, da, pa, db, pb
       |LIMIT 10""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q165: robust winnowing fingerprints (Schleimer–Wilkerson–Aiken
+  // 2003, the MOSS algorithm) + fingerprint-overlap pairs. Each doc's
+  // 3-token-gram hash sequence is windowed (w = 4); each window
+  // contributes its RIGHTMOST minimal hash, so any shared span of
+  // ≥ w+k-1 = 6 tokens is guaranteed to share a fingerprint while only
+  // ~2/(w+1) of all grams are kept — the guaranteed-recall/sublinear-
+  // index trade the paper proves. Overlap = fingerprint-hash join.
+  //
+  // Scale shape: gram hashing is the compiled rolling-hash kernel
+  // (one pass per doc), window minima are per-doc frame aggregates
+  // (one doc_id shuffle), and the pair join carries only selected
+  // fingerprints with a document-frequency cap (≤ 50 docs) so
+  // boilerplate hashes can't go quadratic — the q114 stop-token rule.
+  // ------------------------------------------------------------------
+  def q165Winnowing(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val W = 4
+    // exact-duplicate collapse FIRST (the q31/q114/q134 guard):
+    // fingerprints depend only on text, so winnowing runs once per
+    // distinct content and the pair join sees one row per class, not
+    // per copy — duplicate-heavy corpora otherwise square the join.
+    val classes = Tables.documents(spark, dir)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("cid"),
+        collect_list(col("doc_id")).as("members"))
+      .localCheckpoint() // read by the gram pass and both expansions
+    val grams = classes
+      .select(col("cid"), posexplode(
+        graft.functions.TextHashFunctions.rollingWindowHashes(col("text"), 3)))
+      .select(col("cid"), (col("pos") + 1).cast(LongType).as("q"),
+        col("col").as("h"))
+      .localCheckpoint() // read by the window pass and the winner join
+    val perDoc = Window.partitionBy(col("cid"))
+    val wins = grams
+      .withColumn("n", count(lit(1)).over(perDoc))
+      .withColumn("minh", min(col("h")).over(
+        perDoc.orderBy(col("q").asc).rowsBetween(0, W - 1)))
+      .filter(col("q") <= col("n") - W + 1)
+      .select(col("cid"), col("q").as("i"), col("minh"))
+    // rightmost minimal gram of each window; fingerprint set = distinct
+    // (class, hash) of the selected grams
+    val fp = wins
+      .join(grams.select(col("cid"), col("q"), col("h").as("minh")),
+        Seq("cid", "minh"))
+      .filter(col("q") >= col("i") && col("q") <= col("i") + W - 1)
+      .groupBy(col("cid"), col("i"), col("minh"))
+      .agg(max(col("q")).as("sel_q"))
+      .select(col("cid"), col("minh").as("h")).distinct()
+      .localCheckpoint() // read by the df cap and the pair join
+    // document frequency counts DOCS (class copies included), matching
+    // the uncollapsed formulation the oracle computes
+    val copies = classes.select(col("cid"), size(col("members")).as("copies"))
+    val keep = fp.join(copies, "cid")
+      .groupBy(col("h")).agg(sum(col("copies")).as("df"))
+      .filter(col("df") <= 50)
+    val pruned = fp.join(keep.select("h"), Seq("h"), "left_semi")
+    val classPairs = pruned.as("a").join(pruned.as("b"),
+        col("a.h") === col("b.h") && col("a.cid") < col("b.cid"))
+      .select(col("a.cid").as("ca"), col("b.cid").as("cb"))
+      .groupBy(col("ca"), col("cb"))
+      .agg(count(lit(1)).as("n_shared"))
+    // identical docs share every df-kept fingerprint of their class
+    val withinShared = pruned.groupBy(col("cid")).agg(count(lit(1)).as("n_shared"))
+      .join(classes.filter(size(col("members")) > 1)
+        .select(col("cid"), col("members")), "cid")
+    val memb = classes.select(col("cid"), col("members"))
+    val cross = classPairs
+      .join(memb.select(col("cid").as("ca"), col("members").as("ma")), "ca")
+      .join(memb.select(col("cid").as("cb"), col("members").as("mb")), "cb")
+      .select(explode(col("ma")).as("xa"), col("mb"), col("n_shared"))
+      .select(col("xa"), explode(col("mb")).as("xb"), col("n_shared"))
+    val within = withinShared
+      .select(col("n_shared"), explode(col("members")).as("xa"), col("members"))
+      .select(col("n_shared"), col("xa"), explode(col("members")).as("xb"))
+      .filter(col("xa") < col("xb"))
+    cross.unionByName(within.select(col("xa"), col("xb"), col("n_shared")))
+      .select(least(col("xa"), col("xb")).as("da"),
+        greatest(col("xa"), col("xb")).as("db"), col("n_shared"))
+      .orderBy(col("n_shared").desc, col("da").asc, col("db").asc)
+      .limit(20)
+  }
+
+  val q165Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tl FROM documents),
+      |grams AS (
+      |  SELECT doc_id, q,
+      |    md5(concat_ws(' ', tl[q], tl[q+1], tl[q+2])) AS h
+      |  FROM (SELECT doc_id, tl,
+      |          unnest(range(1, greatest(len(tl) - 2, 0) + 1)) AS q
+      |        FROM toks)),
+      |wins AS (
+      |  SELECT doc_id, q AS i, minh FROM (
+      |    SELECT doc_id, q,
+      |      COUNT(*) OVER (PARTITION BY doc_id) AS n,
+      |      MIN(h) OVER (PARTITION BY doc_id ORDER BY q
+      |        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS minh
+      |    FROM grams) x
+      |  WHERE q <= n - 3),
+      |fp AS (
+      |  SELECT DISTINCT doc_id, minh AS h FROM (
+      |    SELECT w.doc_id, w.i, w.minh, MAX(g.q) AS sel_q
+      |    FROM wins w JOIN grams g
+      |      ON g.doc_id = w.doc_id AND g.h = w.minh
+      |     AND g.q BETWEEN w.i AND w.i + 3
+      |    GROUP BY w.doc_id, w.i, w.minh) s),
+      |keep AS (
+      |  SELECT h FROM fp GROUP BY h HAVING COUNT(DISTINCT doc_id) <= 50)
+      |SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS n_shared
+      |FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+      |WHERE a.h IN (SELECT h FROM keep)
+      |GROUP BY 1, 2
+      |ORDER BY n_shared DESC, da, db
+      |LIMIT 20""".stripMargin
 }

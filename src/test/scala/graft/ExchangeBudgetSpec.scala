@@ -224,6 +224,13 @@ class ExchangeBudgetSpec extends SparkTestBase {
                                  // window passes ((user_id) satisfies
                                  // the (user_id,sid) clustering); then
                                  // the 4-row audit agg + final sort
+    "q165_winnowing"      -> 6,  // class collapse/grams/window minima
+                                 // sit behind checkpoints; the final
+                                 // assembly shuffles: fingerprint-set
+                                 // agg, df-cap agg, pair-hash join,
+                                 // class-pair agg, expansion joins
+                                 // ride broadcasts of dimension-sized
+                                 // member lists
     "q134_decontaminate"  -> 5)  // content-class collapses sit behind
                                  // their checkpoints (one map-side-
                                  // combined groupBy per side — the
