@@ -92,4 +92,37 @@ object AudioHeaders {
     else Some(AudioMeta("wav", channels, sampleRate.toInt, bits, dataBytes,
       dataBytes * 1000L / byteRate))
   }
+
+  /** REAL sample decode for 16-bit PCM: locate the data chunk by the
+    * same walk as [[parse]] and read little-endian int16 samples
+    * (interleaved if multi-channel — callers frame per channel). None
+    * unless the container is well-formed 16-bit PCM with a data chunk
+    * fully inside the buffer. This is the audio analog of
+    * [[ImageCodec.decodePng]]: the DSP queries (q168+) run on samples
+    * recovered from the binary container, not on a side channel. */
+  def pcm16Samples(bytes: Array[Byte]): Option[Array[Short]] = {
+    val meta = parse(bytes).getOrElse(return None)
+    if (meta.bitsPerSample != 16) return None
+    def tag(off: Int): String =
+      if (off + 4 <= bytes.length) new String(bytes, off, 4, "US-ASCII") else ""
+    var pos = 12
+    while (pos + 8 <= bytes.length) {
+      val id = tag(pos)
+      val sz = le32(bytes, pos + 4)
+      if (id == "data") {
+        if (sz > bytes.length.toLong - pos - 8 || sz % 2 != 0) return None
+        val n = (sz / 2).toInt
+        val out = new Array[Short](n)
+        var i = 0
+        while (i < n) {
+          out(i) = le16(bytes, pos + 8 + 2 * i).toShort
+          i += 1
+        }
+        return Some(out)
+      }
+      if (sz > bytes.length.toLong - pos - 8) pos = bytes.length
+      else pos += 8 + sz.toInt + (sz.toInt & 1)
+    }
+    None
+  }
 }

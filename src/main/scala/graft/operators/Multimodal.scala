@@ -117,6 +117,198 @@ object Multimodal {
       }
   }
 
+  // ----------------------------------------------------------------
+  // REAL pixel/sample decode paths (ImageCodec / AudioHeaders.pcm16).
+  // The synth builders write genuine binary containers from a
+  // deterministic formula; the extract side decodes the BINARY (never
+  // the formula), so a DuckDB oracle recomputing the formula gates the
+  // whole encode→compress→decode→measure loop end-to-end.
+  // ----------------------------------------------------------------
+
+  /** splitmix64 finalizer — the published mixing constants; used as the
+    * deterministic noise source for synthetic pixel content. */
+  private[operators] def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** One REAL PNG per row: 8-bit gray, w = 24+(id%4)·8, h = 16+(id%3)·8,
+    * pixel g(x,y) = (A·x + B·y + C) mod 256 with A = 1+id%7, B = 2+id%5,
+    * C = id%256 — a linear gradient the oracle can re-derive per pixel.
+    * The encoder cycles scanline filters (y mod 5), so decoding this
+    * corpus exercises every PNG defilter branch. */
+  def synthPng(df: DataFrame, idCol: String): DataFrame = {
+    implicit val enc: Encoder[MediaRecord] = Encoders.product[MediaRecord]
+    df.select(col(idCol).cast(LongType)).as(Encoders.scalaLong)
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = (24 + (id % 4) * 8).toInt
+          val h = (16 + (id % 3) * 8).toInt
+          val a = (1 + id % 7).toInt; val b = (2 + id % 5).toInt
+          val c = (id % 256).toInt
+          val px = new Array[Byte](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              px(y * w + x) = ((a * x + b * y + c) % 256).toByte
+              x += 1
+            }
+            y += 1
+          }
+          val png = ImageCodec.encodePng(ImageCodec.RawImage(w, h, 1, px))
+          MediaRecord(id, png, "image/png", png.length.toLong)
+        }
+      }.toDF()
+  }
+
+  /** One REAL PNG per row with seed-classed noise content: every row
+    * whose id maps to the same `seed` (id mod `classes`) gets a
+    * byte-identical image; distinct seeds get independent splitmix64
+    * noise (so their perceptual hashes are far apart with overwhelming
+    * probability). Alternates RGB / RGBA by seed parity to exercise
+    * both color decode paths. The shape of an image-dedup corpus. */
+  def synthNoisePng(df: DataFrame, idCol: String, classes: Int,
+      width: Int = 32, height: Int = 24): DataFrame = {
+    implicit val enc: Encoder[MediaRecord] = Encoders.product[MediaRecord]
+    df.select(col(idCol).cast(LongType)).as(Encoders.scalaLong)
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val seed = id % classes
+          val ch = if (seed % 2 == 0) 3 else 4
+          val px = new Array[Byte](width * height * ch)
+          var p = 0
+          while (p < width * height) {
+            val r = mix64((seed << 32) | p.toLong)
+            px(p * ch) = (r & 0xff).toByte
+            px(p * ch + 1) = ((r >>> 8) & 0xff).toByte
+            px(p * ch + 2) = ((r >>> 16) & 0xff).toByte
+            if (ch == 4) px(p * ch + 3) = ((r >>> 24) & 0xff).toByte
+            p += 1
+          }
+          val png = ImageCodec.encodePng(ImageCodec.RawImage(width, height, ch, px))
+          MediaRecord(id, png, "image/png", png.length.toLong)
+        }
+      }.toDF()
+  }
+
+  final case class ImageStats(
+      media_id: Long, width: Int, height: Int, n_px: Long,
+      mean_g: Long, min_g: Int, max_g: Int)
+
+  /** Decode the binary PNG payload and measure gray-pixel statistics —
+    * integer arithmetic only, so the oracle's per-pixel SQL matches
+    * exactly. Rows whose payload does not decode are dropped (None →
+    * no fabricated stats). */
+  def decodeImageStats(media: DataFrame): Dataset[ImageStats] = {
+    implicit val enc: Encoder[ImageStats] = Encoders.product[ImageStats]
+    media.select("media_id", "content", "mime_type", "n_bytes")
+      .as(Encoders.product[MediaRecord])
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          ImageCodec.decodePng(r.content).map { img =>
+            val gray = ImageOps.toGray(img)
+            var sum = 0L; var mn = 255; var mx = 0
+            var i = 0
+            while (i < gray.pixels.length) {
+              val g = gray.pixels(i) & 0xff
+              sum += g
+              if (g < mn) mn = g
+              if (g > mx) mx = g
+              i += 1
+            }
+            val n = gray.pixels.length.toLong
+            ImageStats(r.media_id, img.width, img.height, n, sum / n, mn, mx)
+          }
+        }
+      }
+  }
+
+  final case class ImageHash(media_id: Long, ahash: Long, dhash: Long)
+
+  /** Decode payloads → gray → perceptual hashes (aHash/dHash 64-bit). */
+  def decodeImageHashes(media: DataFrame): Dataset[ImageHash] = {
+    implicit val enc: Encoder[ImageHash] = Encoders.product[ImageHash]
+    media.select("media_id", "content", "mime_type", "n_bytes")
+      .as(Encoders.product[MediaRecord])
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          ImageCodec.decodePng(r.content).map { img =>
+            val gray = ImageOps.toGray(img)
+            ImageHash(r.media_id, ImageOps.aHash64(gray), ImageOps.dHash64(gray))
+          }
+        }
+      }
+  }
+
+  /** One REAL 16-bit mono PCM WAV per row: n = 1024+(id%4)·256 samples,
+    * s(i) = ((id·31 + i·17) mod 2001) − 1000 — SQL-recomputable. */
+  def synthPcmWav(df: DataFrame, idCol: String,
+      sampleRate: Int = 16000): DataFrame = {
+    implicit val enc: Encoder[MediaRecord] = Encoders.product[MediaRecord]
+    df.select(col(idCol).cast(LongType)).as(Encoders.scalaLong)
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val n = (1024 + (id % 4) * 256).toInt
+          val data = new Array[Byte](2 * n)
+          var i = 0
+          while (i < n) {
+            val s = ((id * 31 + i.toLong * 17) % 2001 - 1000).toInt
+            data(2 * i) = (s & 0xff).toByte
+            data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+            i += 1
+          }
+          val wav = AudioHeaders.buildWav(data, channels = 1,
+            sampleRate = sampleRate)
+          MediaRecord(id, wav, "audio/wav", wav.length.toLong)
+        }
+      }.toDF()
+  }
+
+  final case class AudioFrameStats(
+      media_id: Long, n_frames: Int, sum_rms2: Long, max_rms2: Long,
+      total_zc: Long)
+
+  /** Frame-level DSP over samples decoded from the WAV binary
+    * ([[AudioHeaders.pcm16Samples]]): per 256-sample frame, integer
+    * mean-square energy (Σs²/256, truncating) and zero-crossing count
+    * (sign change vs the previous sample within the frame, `s ≥ 0` as
+    * the sign convention). Output per payload: frame count, summed and
+    * max frame energy, total crossings — the silence/energy screen of
+    * an audio curation pipeline, on real container bytes. */
+  def audioFrameStats(media: DataFrame, frame: Int = 256): Dataset[AudioFrameStats] = {
+    implicit val enc: Encoder[AudioFrameStats] = Encoders.product[AudioFrameStats]
+    media.select("media_id", "content", "mime_type", "n_bytes")
+      .as(Encoders.product[MediaRecord])
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          AudioHeaders.pcm16Samples(r.content).map { s =>
+            val nFrames = s.length / frame
+            var sumRms2 = 0L; var maxRms2 = 0L; var zc = 0L
+            var f = 0
+            while (f < nFrames) {
+              var e = 0L
+              var i = f * frame
+              val end = (f + 1) * frame
+              while (i < end) {
+                val v = s(i).toLong
+                e += v * v
+                if (i > f * frame && (s(i) >= 0) != (s(i - 1) >= 0)) zc += 1
+                i += 1
+              }
+              val rms2 = e / frame
+              sumRms2 += rms2
+              if (rms2 > maxRms2) maxRms2 = rms2
+              f += 1
+            }
+            AudioFrameStats(r.media_id, nFrames, sumRms2, maxRms2, zc)
+          }
+        }
+      }
+  }
+
   /** Frame-sample stand-in: pick every `stride`-th chunk of the payload —
     * the batch/offset arithmetic of video frame sampling, minus codecs. */
   def sampleChunks(media: DataFrame, chunkSize: Int = 1024, stride: Int = 4): DataFrame =

@@ -1,0 +1,148 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.Multimodal
+import graft.sources.Tables
+
+/**
+ * Media queries over REAL binary decode paths. Unlike the q40/q148
+ * header-metadata family, these run full pixel / sample decodes:
+ * [[graft.operators.ImageCodec]] (PNG: zlib inflate + all five
+ * defilters, pure JVM) and [[graft.operators.AudioHeaders.pcm16Samples]]
+ * (16-bit PCM from the RIFF data chunk).
+ *
+ * Oracle strategy: every payload is synthesized from an integer
+ * formula of the row id, written as a GENUINE container (deflate,
+ * CRCs, filters, chunk layout), then decoded back from the bytes —
+ * Spark never short-circuits through the formula. DuckDB recomputes
+ * the expected statistics from the formula alone, so a defect anywhere
+ * in encode → compress → decode → defilter → measure shows up as an
+ * oracle mismatch. (Reference scope: PyAirbyte carries media as opaque
+ * bytes — `airbyte/records.py` type failover; the decode stage is the
+ * training-data extension this engine adds.)
+ *
+ * Scale notes: synthesis + decode are per-row kernels behind
+ * `mapPartitions` (zero shuffle, one codec context per partition);
+ * the image near-dup join moves only 64-bit hashes — 4 pigeonhole
+ * bands of 16 bits each guarantee every pair within Hamming ≤ 4
+ * collides on ≥1 band (radius 4 < 5 bands would need ≥5; with 4 bands
+ * a pair ≤ 4 apart still shares a band only if some band is clean —
+ * ≤4 errors across 4 bands CAN touch all 4, so we band the hash AND
+ * verify candidates; identical-content classes always collide on all
+ * bands, which is the recall case the corpus construction exercises).
+ */
+object MediaQueries {
+
+  // ------------------------------------------------------------------
+  // q166: PNG decode statistics. Gray gradient images g(x,y) =
+  // (A·x+B·y+C) mod 256 per doc; encoder cycles scanline filters
+  // (y mod 5), so this corpus exercises None/Sub/Up/Average/Paeth on
+  // every image. Decode → integer mean/min/max — the brightness
+  // screen of an image curation stage.
+  // ------------------------------------------------------------------
+  def q166ImageDecode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 250)
+    val media = Multimodal.synthPng(docs, "doc_id")
+    Multimodal.decodeImageStats(media).toDF()
+      .select(col("media_id"), col("width"), col("height"), col("n_px"),
+        col("mean_g"), col("min_g"), col("max_g"))
+  }
+
+  val q166Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, CAST(24 + (doc_id % 4) * 8 AS INT) AS w,
+      |    CAST(16 + (doc_id % 3) * 8 AS INT) AS h,
+      |    1 + doc_id % 7 AS A, 2 + doc_id % 5 AS B, doc_id % 256 AS C
+      |  FROM documents WHERE doc_id < 250),
+      |px AS (
+      |  SELECT d.doc_id, d.w, d.h,
+      |    ((d.A * x.range + d.B * y.range + d.C) % 256) AS g
+      |  FROM d
+      |  JOIN range(48) x ON x.range < d.w
+      |  JOIN range(32) y ON y.range < d.h)
+      |SELECT doc_id AS media_id, MIN(w) AS width, MIN(h) AS height,
+      |  CAST(COUNT(*) AS BIGINT) AS n_px,
+      |  CAST(SUM(g) // COUNT(*) AS BIGINT) AS mean_g,
+      |  CAST(MIN(g) AS INT) AS min_g, CAST(MAX(g) AS INT) AS max_g
+      |FROM px GROUP BY 1""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q167: image near-duplicate pairs via perceptual hash. Seed-classed
+  // noise PNGs (id mod 40 → byte-identical content; RGB/RGBA alternate
+  // by seed parity) → decode → gray → dHash64 → 4×16-bit pigeonhole
+  // band join → bit_count(XOR) ≤ 4 verify. Only (media_id, hash) rows
+  // ever shuffle — payload bytes stay in their scan partitions. The
+  // oracle derives the expected pair set from the class construction;
+  // distinct-class dHashes are ~32 bits apart (iid noise), so a false
+  // pair needs a ≤4-Hamming collision of independent 64-bit hashes
+  // (P ≈ 6·10⁻¹⁴ per pair) — the gate fails loudly if decode or
+  // hashing drifts.
+  // ------------------------------------------------------------------
+  def q167ImageNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 240)
+    val media = Multimodal.synthNoisePng(docs, "doc_id", classes = 40)
+    val hashes = Multimodal.decodeImageHashes(media).toDF()
+      .select(col("media_id"), col("dhash")).localCheckpoint()
+    val banded = hashes.select(col("media_id"), col("dhash"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned(col("dhash"), 16 * b)
+              .bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("bk"))
+      .select(col("media_id"), col("dhash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = banded.select(col("band"), col("key"),
+      col("media_id").as("id_a"), col("dhash").as("h_a"))
+    val b = banded.select(col("band"), col("key"),
+      col("media_id").as("id_b"), col("dhash").as("h_b"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("h_a"), col("h_b")).distinct()
+      .filter(bit_count(col("h_a").bitwiseXOR(col("h_b"))) <= 4)
+      .select(col("id_a"), col("id_b"))
+  }
+
+  val q167Sql: String =
+    """SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |FROM documents a JOIN documents b
+      |  ON a.doc_id % 40 = b.doc_id % 40 AND a.doc_id < b.doc_id
+      |WHERE a.doc_id < 240 AND b.doc_id < 240""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q168: audio frame energy / zero-crossing screen. 16-bit mono PCM
+  // WAVs with s(i) = ((id·31 + i·17) mod 2001) − 1000; samples decoded
+  // from the RIFF data chunk, framed at 256, integer mean-square
+  // energy and within-frame sign changes per frame, aggregated per
+  // payload. The silence/energy filter of audio curation on real
+  // container bytes.
+  // ------------------------------------------------------------------
+  def q168AudioEnergy(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 200)
+    val media = Multimodal.synthPcmWav(docs, "doc_id")
+    Multimodal.audioFrameStats(media).toDF()
+      .select(col("media_id"), col("n_frames"), col("sum_rms2"),
+        col("max_rms2"), col("total_zc"))
+  }
+
+  val q168Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, CAST(1024 + (doc_id % 4) * 256 AS INT) AS n
+      |  FROM documents WHERE doc_id < 200),
+      |s AS (
+      |  SELECT d.doc_id, i.range AS i, i.range // 256 AS f,
+      |    ((d.doc_id * 31 + i.range * 17) % 2001) - 1000 AS s,
+      |    ((d.doc_id * 31 + (i.range - 1) * 17) % 2001) - 1000 AS sp
+      |  FROM d JOIN range(1792) i ON i.range < d.n),
+      |fr AS (
+      |  SELECT doc_id, f, CAST(SUM(s * s) // 256 AS BIGINT) AS rms2,
+      |    CAST(SUM(CASE WHEN i % 256 <> 0 AND ((s >= 0) <> (sp >= 0))
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS zc
+      |  FROM s GROUP BY 1, 2)
+      |SELECT doc_id AS media_id, CAST(COUNT(*) AS INT) AS n_frames,
+      |  CAST(SUM(rms2) AS BIGINT) AS sum_rms2,
+      |  CAST(MAX(rms2) AS BIGINT) AS max_rms2,
+      |  CAST(SUM(zc) AS BIGINT) AS total_zc
+      |FROM fr GROUP BY 1""".stripMargin
+}

@@ -231,6 +231,17 @@ class ExchangeBudgetSpec extends SparkTestBase {
                                  // class-pair agg, expansion joins
                                  // ride broadcasts of dimension-sized
                                  // member lists
+    "q166_image_decode"   -> 0,  // synth→encode→decode→measure is one
+                                 // per-partition kernel chain; nothing
+                                 // ever shuffles
+    "q167_image_near_dup" -> 2,  // only 64-bit hashes move: band self-
+                                 // join (broadcast at this SF, co-
+                                 // shuffled beyond) + candidate-pair
+                                 // dedup; payload bytes stay in their
+                                 // scan partitions behind the hash
+                                 // checkpoint
+    "q168_audio_energy"   -> 0,  // WAV build→pcm16 decode→frame DSP is
+                                 // per-row, zero exchanges
     "q134_decontaminate"  -> 5)  // content-class collapses sit behind
                                  // their checkpoints (one map-side-
                                  // combined groupBy per side — the
