@@ -856,4 +856,52 @@ object CurationQueries {
       |total AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM counts)
       |SELECT w, CAST(c AS BIGINT) AS c
       |FROM counts CROSS JOIN total WHERE c*64 > n""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q169: Unicode canonicalization — NFC-normalize + zero-width scrub,
+  // the stage that must run BEFORE any content hashing (decomposed
+  // accents and invisible characters put visually-identical texts into
+  // different dedup classes). To exercise real composition on the
+  // ASCII corpus, both engines decorate the text identically first
+  // (every 'e' → 'e'+U+0301 combining acute, every space gains a
+  // U+200B zero-width space); the Spark side then runs the compiled
+  // JDK-Normalizer kernel (UnicodeNormalizeExpression) while DuckDB
+  // runs utf8proc's independent nfc_normalize — two implementations of
+  // UAX#15 must agree byte-for-byte (md5 over UTF-8) per document.
+  // Zero-shuffle per-row kernel; the only exchange is the final check
+  // ordering (none — per-doc rows).
+  // ------------------------------------------------------------------
+  def q169UnicodeNormalize(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.UnicodeFunctions
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 300)
+    val decorated = docs.select(col("doc_id"),
+      regexp_replace(
+        regexp_replace(col("text"), "e", "e\u0301"),
+        " ", " \u200B").as("dec"))
+    decorated.select(col("doc_id"), col("dec"),
+        UnicodeFunctions.nfcNormalize(col("dec"), stripZeroWidth = true)
+          .as("clean"))
+      .select(col("doc_id"),
+        length(col("dec")).as("n_before"),
+        length(col("clean")).as("n_after"),
+        (length(col("clean")) -
+          length(regexp_replace(col("clean"), "\u00E9", ""))).as("n_accented"),
+        md5(col("clean")).as("clean_md5"))
+  }
+
+  val q169Sql: String =
+    """WITH dec AS (
+      |  SELECT doc_id,
+      |    replace(replace(text, 'e', 'e' || chr(769)), ' ', ' ' || chr(8203)) AS dec
+      |  FROM documents WHERE doc_id < 300),
+      |n AS (
+      |  SELECT doc_id, dec,
+      |    replace(nfc_normalize(dec), chr(8203), '') AS clean
+      |  FROM dec)
+      |SELECT doc_id, CAST(length(dec) AS INT) AS n_before,
+      |  CAST(length(clean) AS INT) AS n_after,
+      |  CAST(length(clean) - length(replace(clean, chr(233), '')) AS INT)
+      |    AS n_accented,
+      |  md5(clean) AS clean_md5
+      |FROM n""".stripMargin
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.Multimodal
+import graft.operators.{Multimodal, ShardExport}
 import graft.sources.Tables
 
 /**
@@ -125,6 +125,40 @@ object MediaQueries {
       .select(col("media_id"), col("n_frames"), col("sum_rms2"),
         col("max_rms2"), col("total_zc"))
   }
+
+  // ------------------------------------------------------------------
+  // q171: training-shard export manifest. Docs pack into 16 KiB-budget
+  // tar shards by a distributed exclusive prefix sum in doc_id order
+  // (q75's two-phase pattern — no single-partition window); each shard
+  // is a REAL deterministic ustar archive, and the manifest is read
+  // back from the parsed archive bytes. The oracle re-derives shard
+  // assignment (window cumsum // budget) and the exact ustar size
+  // arithmetic (512-byte header + 512-padded payload per entry + two
+  // trailer blocks), so writer and reader are both gated.
+  // ------------------------------------------------------------------
+  def q171ShardManifest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 300)
+    ShardExport.shardManifest(docs, "doc_id", "text", budgetBytes = 16384L)
+      .toDF()
+      .select(col("shard_id"), col("n_docs"), col("payload_bytes"),
+        col("tar_bytes"), col("first_doc"), col("last_doc"))
+  }
+
+  val q171Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS len
+      |  FROM documents WHERE doc_id < 300),
+      |c AS (
+      |  SELECT doc_id, len,
+      |    SUM(len) OVER (ORDER BY doc_id ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - len AS cum
+      |  FROM d)
+      |SELECT CAST(cum // 16384 AS BIGINT) AS shard_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(len) AS BIGINT) AS payload_bytes,
+      |  CAST(SUM(512 + ((len + 511) // 512) * 512) + 1024 AS BIGINT) AS tar_bytes,
+      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM c GROUP BY 1""".stripMargin
 
   val q168Sql: String =
     """WITH d AS (

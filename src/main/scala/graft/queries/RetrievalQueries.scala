@@ -349,4 +349,96 @@ object RetrievalQueries {
       |    ELSE CAST(l.bb - l.scap AS DOUBLE) / CAST(l.mm - l.kstar AS DOUBLE)
       |  END / CAST(f.sz AS DOUBLE), 4) AS epochs
       |FROM flagged f CROSS JOIN lvl l""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q170: bitext mining by ratio margin (Artetxe & Schwenk 2019 — the
+  // LASER/CCMatrix parallel-corpus miner): for candidate pair (x, y)
+  // across two embedding spaces, score cos(x,y) against the MEAN of
+  // each side's k-nearest-neighbor sims — a hub-correction that plain
+  // cosine thresholds lack. Here the two "languages" are the even/odd
+  // halves of the embeddings table (the structure is identical to a
+  // real src/tgt pair of encoders' outputs).
+  //
+  // Parity design: cos via the compiled vec_dot/vec_norm kernels,
+  // rounded ONCE to integer 1e-4 units (the q35-proven tolerance);
+  // everything after — top-4 sums per side, the margin ratio in
+  // permille, ordering, argmax — is exact integer arithmetic. Plan:
+  // the tgt half is dimension-sized and broadcasts into the src scan
+  // (at corpus scale the same margin composes over `Similarity.ivfTopK`
+  // blocks — brute force is the correctness anchor, q35/q126's
+  // contract); the scored pair table is checkpointed once and feeds
+  // the fwd window, bwd window, and final argmax.
+  // ------------------------------------------------------------------
+  def q170BitextMargin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFunctions._
+    val emb = Tables.embeddings(spark, dir).filter(col("vec_id") < 400)
+    val src = emb.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("src_id"), col("embedding").as("sv"))
+    val tgt = emb.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("tgt_id"), col("embedding").as("tv"))
+    val pairs = src.crossJoin(broadcast(tgt))
+      .withColumn("icos",
+        round(vecDot(col("sv"), col("tv")) /
+          (vecNorm(col("sv")) * vecNorm(col("tv"))) * 10000).cast(LongType))
+      .filter(col("icos") > 0)
+      .select(col("src_id"), col("tgt_id"), col("icos"))
+      .localCheckpoint()
+    val fwd = pairs.withColumn("rk", row_number().over(
+        Window.partitionBy(col("src_id"))
+          .orderBy(col("icos").desc, col("tgt_id").asc)))
+      .filter(col("rk") <= 4)
+      .groupBy(col("src_id"))
+      .agg(sum(col("icos")).as("sum_s"), count(lit(1)).as("cnt_s"))
+    val bwd = pairs.withColumn("rk", row_number().over(
+        Window.partitionBy(col("tgt_id"))
+          .orderBy(col("icos").desc, col("src_id").asc)))
+      .filter(col("rk") <= 4)
+      .groupBy(col("tgt_id"))
+      .agg(sum(col("icos")).as("sum_t"), count(lit(1)).as("cnt_t"))
+    pairs.join(broadcast(fwd), Seq("src_id"))
+      .join(broadcast(bwd), Seq("tgt_id"))
+      .withColumn("margin_pm",
+        (col("icos") * 1000L * (col("cnt_s") + col("cnt_t")) /
+          (col("sum_s") + col("sum_t"))).cast(LongType))
+      .withColumn("pick", row_number().over(
+        Window.partitionBy(col("src_id"))
+          .orderBy(col("margin_pm").desc, col("tgt_id").asc)))
+      .filter(col("pick") === 1)
+      .select(col("src_id"), col("tgt_id"), col("icos"), col("margin_pm"))
+  }
+
+  val q170Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings WHERE vec_id < 400),
+      |s AS (SELECT vec_id AS src_id, v AS sv FROM e WHERE vec_id % 2 = 0),
+      |t AS (SELECT vec_id AS tgt_id, v AS tv FROM e WHERE vec_id % 2 = 1),
+      |pairs AS (
+      |  SELECT src_id, tgt_id,
+      |    CAST(round(list_dot_product(sv, tv) /
+      |      (sqrt(list_dot_product(sv, sv)) * sqrt(list_dot_product(tv, tv)))
+      |      * 10000) AS BIGINT) AS icos
+      |  FROM s CROSS JOIN t),
+      |pos AS (SELECT * FROM pairs WHERE icos > 0),
+      |fwd AS (
+      |  SELECT src_id, CAST(SUM(icos) AS BIGINT) AS sum_s,
+      |    COUNT(*) AS cnt_s FROM (
+      |    SELECT src_id, icos, ROW_NUMBER() OVER (PARTITION BY src_id
+      |      ORDER BY icos DESC, tgt_id ASC) AS rk FROM pos)
+      |  WHERE rk <= 4 GROUP BY src_id),
+      |bwd AS (
+      |  SELECT tgt_id, CAST(SUM(icos) AS BIGINT) AS sum_t,
+      |    COUNT(*) AS cnt_t FROM (
+      |    SELECT tgt_id, icos, ROW_NUMBER() OVER (PARTITION BY tgt_id
+      |      ORDER BY icos DESC, src_id ASC) AS rk FROM pos)
+      |  WHERE rk <= 4 GROUP BY tgt_id),
+      |scored AS (
+      |  SELECT p.src_id, p.tgt_id, p.icos,
+      |    CAST(p.icos * 1000 * (f.cnt_s + b.cnt_t) //
+      |      (f.sum_s + b.sum_t) AS BIGINT) AS margin_pm
+      |  FROM pos p JOIN fwd f USING (src_id) JOIN bwd b USING (tgt_id))
+      |SELECT src_id, tgt_id, icos, margin_pm FROM scored
+      |QUALIFY ROW_NUMBER() OVER (PARTITION BY src_id
+      |  ORDER BY margin_pm DESC, tgt_id ASC) = 1""".stripMargin
 }

@@ -242,6 +242,17 @@ class ExchangeBudgetSpec extends SparkTestBase {
                                  // checkpoint
     "q168_audio_energy"   -> 0,  // WAV build→pcm16 decode→frame DSP is
                                  // per-row, zero exchanges
+    "q169_unicode_normalize" -> 0, // decorate→NFC→scrub→measure is one
+                                 // per-row kernel chain
+    "q170_bitext_margin"  -> 3,  // tgt half broadcasts into the src
+                                 // scan; then fwd window (src_id), bwd
+                                 // window (tgt_id), final argmax window
+                                 // (src_id) on the checkpointed pair
+                                 // table; k-sums ride broadcasts back
+    "q171_shard_manifest" -> 2,  // bucket window for the distributed
+                                 // prefix sum + shard groupByKey; the
+                                 // 64-id bucket totals are a dimension-
+                                 // sized collect/broadcast
     "q134_decontaminate"  -> 5)  // content-class collapses sit behind
                                  // their checkpoints (one map-side-
                                  // combined groupBy per side — the
