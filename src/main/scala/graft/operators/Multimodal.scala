@@ -309,6 +309,34 @@ object Multimodal {
       }
   }
 
+  final case class ThumbPixel(media_id: Long, ci: Int, g: Int)
+
+  /** Thumbnail pipeline on real binaries: decode PNG → gray → exact
+    * area-average resize to (outW × outH) → RE-ENCODE as PNG → decode
+    * AGAIN → emit every thumbnail pixel. The double round-trip means a
+    * defect in resize, the second encode, or the second decode all
+    * surface as wrong pixel values; `ci` is the row-major cell index. */
+  def thumbnailPixels(media: DataFrame, outW: Int, outH: Int): Dataset[ThumbPixel] = {
+    implicit val enc: Encoder[ThumbPixel] = Encoders.product[ThumbPixel]
+    media.select("media_id", "content", "mime_type", "n_bytes")
+      .as(Encoders.product[MediaRecord])
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          ImageCodec.decodePng(r.content).toSeq.flatMap { img =>
+            val cells = ImageOps.resizeAreaAvg(ImageOps.toGray(img), outW, outH)
+            val px = cells.map(_.toByte)
+            val thumb = ImageCodec.encodePng(
+              ImageCodec.RawImage(outW, outH, 1, px))
+            ImageCodec.decodePng(thumb).toSeq.flatMap { t =>
+              t.pixels.iterator.zipWithIndex.map { case (g, i) =>
+                ThumbPixel(r.media_id, i, g & 0xff)
+              }
+            }
+          }
+        }
+      }
+  }
+
   /** Frame-sample stand-in: pick every `stride`-th chunk of the payload —
     * the batch/offset arithmetic of video frame sampling, minus codecs. */
   def sampleChunks(media: DataFrame, chunkSize: Int = 1024, stride: Int = 4): DataFrame =

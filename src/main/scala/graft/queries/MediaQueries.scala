@@ -127,6 +127,45 @@ object MediaQueries {
   }
 
   // ------------------------------------------------------------------
+  // q172: thumbnail pipeline — decode → exact area-average resize to
+  // 8×6 → re-encode → decode again → every thumbnail pixel, over the
+  // q166 gradient corpus. The oracle re-derives each cell as the
+  // truncating mean of its pixel block (pixels join cells by the
+  // explicit ⌊j·w/8⌋ boundaries — the same partition the kernel uses),
+  // so resize AND the second encode/decode round-trip are gated
+  // per-pixel. Zero-shuffle per-row kernel chain.
+  // ------------------------------------------------------------------
+  def q172Thumbnail(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 120)
+    val media = Multimodal.synthPng(docs, "doc_id")
+    Multimodal.thumbnailPixels(media, outW = 8, outH = 6).toDF()
+      .select(col("media_id"), col("ci"), col("g"))
+  }
+
+  val q172Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, CAST(24 + (doc_id % 4) * 8 AS INT) AS w,
+      |    CAST(16 + (doc_id % 3) * 8 AS INT) AS h,
+      |    1 + doc_id % 7 AS A, 2 + doc_id % 5 AS B, doc_id % 256 AS C
+      |  FROM documents WHERE doc_id < 120),
+      |px AS (
+      |  SELECT d.doc_id, d.w, d.h, x.range AS x, y.range AS y,
+      |    ((d.A * x.range + d.B * y.range + d.C) % 256) AS g
+      |  FROM d
+      |  JOIN range(48) x ON x.range < d.w
+      |  JOIN range(32) y ON y.range < d.h),
+      |cells AS (
+      |  SELECT p.doc_id, CAST(i.range * 8 + j.range AS INT) AS ci,
+      |    CAST(SUM(p.g) // COUNT(*) AS INT) AS g
+      |  FROM px p
+      |  JOIN range(8) j ON p.x >= (j.range * p.w) // 8
+      |                 AND p.x < ((j.range + 1) * p.w) // 8
+      |  JOIN range(6) i ON p.y >= (i.range * p.h) // 6
+      |                 AND p.y < ((i.range + 1) * p.h) // 6
+      |  GROUP BY p.doc_id, i.range, j.range)
+      |SELECT doc_id AS media_id, ci, g FROM cells""".stripMargin
+
+  // ------------------------------------------------------------------
   // q171: training-shard export manifest. Docs pack into 16 KiB-budget
   // tar shards by a distributed exclusive prefix sum in doc_id order
   // (q75's two-phase pattern — no single-partition window); each shard

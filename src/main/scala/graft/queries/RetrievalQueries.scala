@@ -441,4 +441,99 @@ object RetrievalQueries {
       |SELECT src_id, tgt_id, icos, margin_pm FROM scored
       |QUALIFY ROW_NUMBER() OVER (PARTITION BY src_id
       |  ORDER BY margin_pm DESC, tgt_id ASC) = 1""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q173: retrieval-quality metrics (MRR, nDCG@5) for the q139 BM25
+  // run against derivable relevance labels (doc is relevant to a query
+  // iff it contains EVERY query term as a token). The rank-discount
+  // weights 10⁶/log₂(r+1) are FIXED integer literals on both sides —
+  // no cross-engine transcendental ever runs — so DCG/IDCG/MRR are
+  // exact integer micro-unit arithmetic end to end. This is the eval
+  // loop of a retrieval pipeline (run → qrels → metrics) as one plan.
+  // Plan: run is q139's (already budgeted); labels are one broadcast
+  // term join + per-(qid,doc) agg; everything after is query-count-
+  // sized.
+  // ------------------------------------------------------------------
+  def q173RankingMetrics(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val run = q139Bm25(spark, dir) // (qid, rank, doc_id, score)
+    val qt = QueryTerms.toDF("qid", "term")
+    val qn = QueryTerms.groupBy(_._1)
+      .map { case (q, l) => (q, l.map(_._2).distinct.size.toLong) }
+      .toSeq.toDF("qid", "qn")
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val rel = docs.join(broadcast(qt), array_contains(col("w"), col("term")))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(countDistinct(col("term")).as("nt"))
+      .join(broadcast(qn), Seq("qid"))
+      .filter(col("nt") === col("qn"))
+      .select(col("qid"), col("doc_id"))
+      .localCheckpoint() // read by the totals agg AND the run join
+    val totals = rel.groupBy(col("qid")).agg(count(lit(1)).as("total_rel"))
+    val wts = Seq((1L, 1000000L), (2L, 630930L), (3L, 500000L),
+      (4L, 430677L), (5L, 386853L)).toDF("rank", "wm")
+    val idcg = totals.join(broadcast(wts),
+        col("rank") <= least(col("total_rel"), lit(5L)))
+      .groupBy(col("qid")).agg(sum(col("wm")).as("idcg"))
+    val perq = run
+      .join(rel.withColumn("hit", lit(1L)), Seq("qid", "doc_id"), "left_outer")
+      .join(broadcast(wts), Seq("rank"))
+      .select(col("qid"), col("rank"),
+        coalesce(col("hit"), lit(0L)).as("r"), col("wm"))
+      .groupBy(col("qid"))
+      .agg(sum(col("r")).as("n_rel_top"),
+        sum(col("r") * col("wm")).as("dcg"),
+        min(when(col("r") === 1L, col("rank"))).as("fr"))
+    perq.join(broadcast(totals), Seq("qid"), "left_outer")
+      .join(broadcast(idcg), Seq("qid"), "left_outer")
+      .select(col("qid"), col("n_rel_top"),
+        coalesce(col("total_rel"), lit(0L)).as("total_rel"),
+        coalesce(expr("1000000 div fr"), lit(0L)).as("mrr_micro"),
+        when(coalesce(col("idcg"), lit(0L)) > 0L,
+          expr("dcg * 1000000 div idcg")).otherwise(lit(0L)).as("ndcg_micro"))
+  }
+
+  val q173Sql: String = {
+    val vals = QueryTerms.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+    s"""WITH run AS (
+      |${q139Sql}
+      |),
+      |q(qid, term) AS (VALUES $vals),
+      |qn AS (SELECT qid, COUNT(DISTINCT term) AS qn FROM q GROUP BY qid),
+      |rel AS (
+      |  SELECT x.qid, x.doc_id FROM (
+      |    SELECT q.qid, d.doc_id, COUNT(DISTINCT q.term) AS nt
+      |    FROM documents d JOIN q
+      |      ON list_contains(string_split(d.text, ' '), q.term)
+      |    GROUP BY q.qid, d.doc_id) x
+      |  JOIN qn USING (qid) WHERE x.nt = qn.qn),
+      |totals AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS total_rel
+      |  FROM rel GROUP BY qid),
+      |w(rank, wm) AS (VALUES (1, 1000000), (2, 630930), (3, 500000),
+      |  (4, 430677), (5, 386853)),
+      |idcg AS (
+      |  SELECT t.qid, CAST(SUM(w.wm) AS BIGINT) AS idcg
+      |  FROM totals t JOIN w ON w.rank <= least(t.total_rel, 5)
+      |  GROUP BY t.qid),
+      |perq AS (
+      |  SELECT r.qid,
+      |    CAST(SUM(CASE WHEN rel.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+      |      AS n_rel_top,
+      |    CAST(SUM(CASE WHEN rel.doc_id IS NULL THEN 0 ELSE w.wm END) AS BIGINT)
+      |      AS dcg,
+      |    MIN(CASE WHEN rel.doc_id IS NOT NULL THEN r.rank END) AS fr
+      |  FROM run r
+      |  LEFT JOIN rel ON rel.qid = r.qid AND rel.doc_id = r.doc_id
+      |  JOIN w ON w.rank = r.rank
+      |  GROUP BY r.qid)
+      |SELECT CAST(p.qid AS BIGINT) AS qid, p.n_rel_top,
+      |  COALESCE(t.total_rel, 0) AS total_rel,
+      |  CAST(COALESCE(1000000 // p.fr, 0) AS BIGINT) AS mrr_micro,
+      |  CAST(CASE WHEN COALESCE(i.idcg, 0) > 0
+      |    THEN p.dcg * 1000000 // i.idcg ELSE 0 END AS BIGINT) AS ndcg_micro
+      |FROM perq p
+      |LEFT JOIN totals t ON t.qid = p.qid
+      |LEFT JOIN idcg i ON i.qid = p.qid""".stripMargin
+  }
 }

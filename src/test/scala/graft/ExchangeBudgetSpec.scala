@@ -253,6 +253,13 @@ class ExchangeBudgetSpec extends SparkTestBase {
                                  // prefix sum + shard groupByKey; the
                                  // 64-id bucket totals are a dimension-
                                  // sized collect/broadcast
+    "q172_thumbnail"      -> 0,  // decode→resize→re-encode→decode→
+                                 // pixels is one per-row kernel chain
+    "q173_ranking_metrics" -> 9, // q139's budgeted run stages + the
+                                 // label agg ((qid,doc) tally — the
+                                 // only corpus-sized addition), totals
+                                 // agg, per-query metric agg; weights/
+                                 // qrels/idcg all ride broadcasts
     "q134_decontaminate"  -> 5)  // content-class collapses sit behind
                                  // their checkpoints (one map-side-
                                  // combined groupBy per side — the
