@@ -1,0 +1,122 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * HTML → text extraction: the boilerplate-stripping stage every web
+ * corpus runs before any text analysis (the jusText/trafilatura
+ * family's first step). ONE pass over the markup with an explicit
+ * state machine — not a regex chain, which mis-handles `<` inside
+ * script bodies unless scripts are elided first (exactly the trap the
+ * q175 oracle's carefully-ordered regex chain has to step around):
+ *
+ *  - `<script…>…</script>` and `<style…>…</style>` elided whole
+ *    (case-insensitive), including any `<`/`>` in their bodies;
+ *  - `<!-- … -->` comments elided;
+ *  - all other tags dropped (text inside kept);
+ *  - entities decoded: the five predefined XML entities plus GENERIC
+ *    numeric forms `&#123;` / `&#x1F;`; an invalid entity keeps its
+ *    literal `&` (never swallowed).
+ *
+ * Unterminated constructs run to end-of-input (a truncated crawl page
+ * yields the text before the break, never an exception).
+ */
+case class HtmlTextExtractExpression(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(HtmlText.extract(input.toString))
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "html_text"
+}
+
+private[graft] object HtmlText {
+
+  def extract(s: String): String = {
+    val n = s.length
+    val out = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '<') {
+        if (s.regionMatches(i, "<!--", 0, 4)) {
+          val end = s.indexOf("-->", i + 4)
+          i = if (end < 0) n else end + 3
+        } else if (regionMatchesIgnoreCase(s, i, "<script")) {
+          i = skipElement(s, i, "</script")
+        } else if (regionMatchesIgnoreCase(s, i, "<style")) {
+          i = skipElement(s, i, "</style")
+        } else {
+          val end = s.indexOf('>', i + 1)
+          i = if (end < 0) n else end + 1
+        }
+      } else if (c == '&') {
+        val semi = s.indexOf(';', i + 1)
+        val decoded =
+          if (semi > i && semi - i <= 10) decodeEntity(s.substring(i + 1, semi))
+          else None
+        decoded match {
+          case Some(t) => out.append(t); i = semi + 1
+          case None => out.append('&'); i += 1
+        }
+      } else {
+        out.append(c)
+        i += 1
+      }
+    }
+    out.toString
+  }
+
+  /** Past the matching close tag (case-insensitive), or end-of-input. */
+  private def skipElement(s: String, from: Int, close: String): Int = {
+    var i = from + 1
+    while (i < s.length) {
+      if (s.charAt(i) == '<' && regionMatchesIgnoreCase(s, i, close)) {
+        val gt = s.indexOf('>', i)
+        return if (gt < 0) s.length else gt + 1
+      }
+      i += 1
+    }
+    s.length
+  }
+
+  private def regionMatchesIgnoreCase(s: String, off: Int, pat: String): Boolean =
+    s.regionMatches(true, off, pat, 0, pat.length)
+
+  private def decodeEntity(name: String): Option[String] = name match {
+    case "amp" => Some("&")
+    case "lt" => Some("<")
+    case "gt" => Some(">")
+    case "quot" => Some("\"")
+    case "apos" => Some("'")
+    case _ if name.startsWith("#x") || name.startsWith("#X") =>
+      numeric(name.substring(2), 16)
+    case _ if name.startsWith("#") => numeric(name.substring(1), 10)
+    case _ => None
+  }
+
+  private def numeric(digits: String, radix: Int): Option[String] =
+    try {
+      if (digits.isEmpty) None
+      else {
+        val cp = Integer.parseInt(digits, radix)
+        if (cp < 0 || cp > 0x10ffff) None
+        else Some(new String(Character.toChars(cp)))
+      }
+    } catch { case _: Exception => None }
+}
+
+object HtmlFunctions {
+  import org.apache.spark.sql.GraftBridge
+
+  def htmlText(html: Column): Column =
+    GraftBridge.column(HtmlTextExtractExpression(GraftBridge.expression(html)))
+}

@@ -889,6 +889,66 @@ object CurationQueries {
         md5(col("clean")).as("clean_md5"))
   }
 
+  // ------------------------------------------------------------------
+  // q175: HTML → text extraction ([[graft.functions.HtmlExpressions]]
+  // state-machine kernel) — tags dropped, script/style/comment bodies
+  // elided whole, entities (named + generic numeric) decoded. Both
+  // engines wrap each doc in the SAME synthetic page — whose script
+  // body deliberately contains a bare `<` and an entity, the case a
+  // naive strip-tags regex corrupts — then Spark extracts with the
+  // one-pass state machine while DuckDB uses an independent carefully-
+  // ORDERED regex chain (scripts/styles first, then comments, then
+  // tags, then entities, `&amp;` last). Byte-exact md5 parity per doc.
+  // Zero-shuffle per-row kernel.
+  // ------------------------------------------------------------------
+  def q175HtmlExtract(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HtmlFunctions
+    val pre = lit("<html><head><title>T</title><style>.x{a:b}</style>" +
+      "<script>if(1<2){x=\"&amp;\"}</script></head><body><p>")
+    val post = lit("</p><!-- c --><p>A &amp; B &lt;i&gt; &quot;q&quot; " +
+      "&#65;&#x42;</p></body></html>")
+    Tables.documents(spark, dir).filter(col("doc_id") < 300)
+      .select(col("doc_id"),
+        HtmlFunctions.htmlText(concat(pre,
+          regexp_replace(col("text"), "e", "&#101;"), post)).as("clean"))
+      .select(col("doc_id"),
+        length(col("clean")).as("n_chars"),
+        (length(col("clean")) -
+          length(regexp_replace(col("clean"), "<", ""))).as("n_angle"),
+        md5(col("clean")).as("clean_md5"))
+  }
+
+  val q175Sql: String =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    '<html><head><title>T</title><style>.x{a:b}</style>' ||
+      |    '<script>if(1<2){x="&amp;"}</script></head><body><p>' ||
+      |    replace(text, 'e', '&#101;') ||
+      |    '</p><!-- c --><p>A &amp; B &lt;i&gt; &quot;q&quot; ' ||
+      |    '&#65;&#x42;</p></body></html>' AS page
+      |  FROM documents WHERE doc_id < 300),
+      |stripped AS (
+      |  SELECT doc_id,
+      |    regexp_replace(
+      |      regexp_replace(
+      |        regexp_replace(
+      |          regexp_replace(page, '<script.*?</script>', '', 'gs'),
+      |          '<style.*?</style>', '', 'gs'),
+      |        '<!--.*?-->', '', 'gs'),
+      |      '<[^>]*>', '', 'g') AS t
+      |  FROM h),
+      |clean AS (
+      |  SELECT doc_id,
+      |    replace(replace(replace(replace(replace(replace(replace(t,
+      |      '&#101;', 'e'), '&#65;', 'A'), '&#x42;', 'B'),
+      |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+      |      '&amp;', '&') AS c
+      |  FROM stripped)
+      |SELECT doc_id, CAST(length(c) AS INT) AS n_chars,
+      |  CAST(length(c) - length(replace(c, '<', '')) AS INT) AS n_angle,
+      |  md5(c) AS clean_md5
+      |FROM clean""".stripMargin
+
   val q169Sql: String =
     """WITH dec AS (
       |  SELECT doc_id,

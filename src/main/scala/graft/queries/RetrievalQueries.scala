@@ -536,4 +536,119 @@ object RetrievalQueries {
       |LEFT JOIN totals t ON t.qid = p.qid
       |LEFT JOIN idcg i ON i.qid = p.qid""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // q174: interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995;
+  // Chen & Goodman 1998 — the smoothing KenLM/CCNet actually run,
+  // upgrading q140's add-one model). Absolute discount D = 0.75:
+  //   P(w|v) = (max(c(vw)−D, 0) + D·N₁₊(v·)·Pcont(w)) / c(v·)
+  //   Pcont(w) = N₁₊(·w) / N₁₊(··)      (continuation probabilities)
+  // Trained on the doc_id%5≠0 shard, scores the held-out doc_id%5=0
+  // shard; bigrams whose v or w never appeared in training are COUNTED
+  // as skips, never fabricated (the <unk> decision made explicit).
+  //
+  // Parity: all five count tables are integers; P is ONE identically-
+  // structured double expression in both engines; each bigram's
+  // −log₂P rounds once to integer micro-bits (the q139/q140 fix), so
+  // every aggregate after is exact long arithmetic. Scale shape: the
+  // model is vocabulary-sized (one (v,w) tally — map-side combined —
+  // plus three derived dimension aggs) and broadcasts back onto a
+  // zero-shuffle bigram expansion of the scored shard; per-doc and
+  // per-lang tallies are the only other exchanges.
+  // ------------------------------------------------------------------
+  def q174KneserNey(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("ws", split(col("text"), " "))
+    val bigramsOf = () => explode(expr(
+      "transform(slice(ws, 1, greatest(size(ws) - 1, 0)), (x, i) -> struct(x as w1, ws[i + 1] as w2))"))
+    val trainBi = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(bigramsOf().as("b"))
+      .select(col("b.w1"), col("b.w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+    val cnt = trainBi.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cvw")).localCheckpoint() // feeds 4 derived aggs
+    val cv = cnt.groupBy(col("w1")).agg(sum(col("cvw")).as("cv"),
+      count(lit(1)).as("n1v"))
+    val n1w = cnt.groupBy(col("w2")).agg(count(lit(1)).as("n1w"))
+    val n1tot = cnt.agg(count(lit(1)).as("n1tot"))
+    val scored = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("lang"), bigramsOf().as("b"))
+      .select(col("doc_id"), col("lang"), col("b.w1"), col("b.w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+      .join(broadcast(cnt), Seq("w1", "w2"), "left_outer")
+      .join(broadcast(cv), Seq("w1"), "left_outer")
+      .join(broadcast(n1w), Seq("w2"), "left_outer")
+      .crossJoin(broadcast(n1tot))
+    val known = col("cv").isNotNull && col("n1w").isNotNull
+    val p = (greatest(coalesce(col("cvw"), lit(0L)).cast(DoubleType) - 0.75,
+        lit(0.0)) +
+      lit(0.75) * col("n1v").cast(DoubleType) *
+        (col("n1w").cast(DoubleType) / col("n1tot").cast(DoubleType))) /
+      col("cv").cast(DoubleType)
+    val perDoc = scored
+      .select(col("doc_id"), col("lang"),
+        when(known, round(-log2(p) * 1000000.0).cast(LongType)).as("mb"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(when(col("mb").isNotNull, 1L).otherwise(0L)).as("n_scored"),
+        sum(when(col("mb").isNull, 1L).otherwise(0L)).as("n_skipped"),
+        coalesce(sum(col("mb")), lit(0L)).as("micro_bits"))
+    perDoc.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_scored")).as("n_bigrams"),
+        sum(col("n_skipped")).as("n_oov"),
+        sum(col("micro_bits")).as("total_micro_bits"),
+        expr("sum(micro_bits) div greatest(sum(n_scored), 1)")
+          .as("mean_micro_bits"))
+  }
+
+  val q174Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS ws
+      |  FROM documents),
+      |train AS (
+      |  SELECT b.w1, b.w2 FROM (
+      |    SELECT unnest(list_transform(range(1, len(ws)),
+      |      i -> struct_pack(w1 := ws[i], w2 := ws[i + 1]))) AS b
+      |    FROM d WHERE doc_id % 5 <> 0)
+      |  WHERE b.w1 <> '' AND b.w2 <> ''),
+      |cnt AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cvw
+      |  FROM train GROUP BY w1, w2),
+      |cv AS (SELECT w1, CAST(SUM(cvw) AS BIGINT) AS cv,
+      |  CAST(COUNT(*) AS BIGINT) AS n1v FROM cnt GROUP BY w1),
+      |n1w AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1w
+      |  FROM cnt GROUP BY w2),
+      |n1tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1tot FROM cnt),
+      |sb AS (
+      |  SELECT doc_id, lang, b.w1 AS w1, b.w2 AS w2 FROM (
+      |    SELECT doc_id, lang, unnest(list_transform(range(1, len(ws)),
+      |      i -> struct_pack(w1 := ws[i], w2 := ws[i + 1]))) AS b
+      |    FROM d WHERE doc_id % 5 = 0)
+      |  WHERE b.w1 <> '' AND b.w2 <> ''),
+      |joined AS (
+      |  SELECT sb.doc_id, sb.lang,
+      |    CASE WHEN cv.cv IS NOT NULL AND n1w.n1w IS NOT NULL THEN
+      |      CAST(round(-log2(
+      |        (greatest(CAST(COALESCE(cnt.cvw, 0) AS DOUBLE) - 0.75, 0.0)
+      |         + 0.75 * CAST(cv.n1v AS DOUBLE)
+      |           * (CAST(n1w.n1w AS DOUBLE) / CAST(n1tot.n1tot AS DOUBLE)))
+      |        / CAST(cv.cv AS DOUBLE)) * 1000000.0) AS BIGINT)
+      |    END AS mb
+      |  FROM sb
+      |  LEFT JOIN cnt ON cnt.w1 = sb.w1 AND cnt.w2 = sb.w2
+      |  LEFT JOIN cv ON cv.w1 = sb.w1
+      |  LEFT JOIN n1w ON n1w.w2 = sb.w2
+      |  CROSS JOIN n1tot),
+      |perdoc AS (
+      |  SELECT doc_id, lang,
+      |    CAST(SUM(CASE WHEN mb IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_scored,
+      |    CAST(SUM(CASE WHEN mb IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped,
+      |    CAST(COALESCE(SUM(mb), 0) AS BIGINT) AS micro_bits
+      |  FROM joined GROUP BY doc_id, lang)
+      |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_scored) AS BIGINT) AS n_bigrams,
+      |  CAST(SUM(n_skipped) AS BIGINT) AS n_oov,
+      |  CAST(SUM(micro_bits) AS BIGINT) AS total_micro_bits,
+      |  CAST(SUM(micro_bits) // greatest(SUM(n_scored), 1) AS BIGINT)
+      |    AS mean_micro_bits
+      |FROM perdoc GROUP BY lang""".stripMargin
 }

@@ -33,7 +33,11 @@ class ContractSpec extends SparkTestBase {
     SparkEntry.oracleSql.values.foreach { sql =>
       val first = sql.trim.split("\\s+").head.toUpperCase
       assert(Set("SELECT", "WITH").contains(first), s"unexpected oracle start: $first")
-      assert(!sql.trim.stripSuffix(";").contains(";"), "multi-statement oracle")
+      // multi-statement check must ignore ';' INSIDE string literals
+      // (q175's oracle legitimately carries HTML entities like '&#101;')
+      val withoutLiterals = sql.replaceAll("'([^']|'')*'", "''")
+      assert(!withoutLiterals.trim.stripSuffix(";").contains(";"),
+        "multi-statement oracle")
     }
   }
 

@@ -244,6 +244,8 @@ class ExchangeBudgetSpec extends SparkTestBase {
                                  // per-row, zero exchanges
     "q169_unicode_normalize" -> 0, // decorate→NFC→scrub→measure is one
                                  // per-row kernel chain
+    "q175_html_extract"   -> 0,  // page build→state-machine extract→
+                                 // measure is one per-row kernel chain
     "q170_bitext_margin"  -> 3,  // tgt half broadcasts into the src
                                  // scan; then fwd window (src_id), bwd
                                  // window (tgt_id), final argmax window
@@ -260,6 +262,12 @@ class ExchangeBudgetSpec extends SparkTestBase {
                                  // only corpus-sized addition), totals
                                  // agg, per-query metric agg; weights/
                                  // qrels/idcg all ride broadcasts
+    "q174_kneser_ney"     -> 5,  // model tables: cv (w1 agg), n1w (w2
+                                 // agg), 1-row N1+(··) gather — all
+                                 // derived from the checkpointed (v,w)
+                                 // tally and broadcast back onto the
+                                 // zero-shuffle bigram expansion; then
+                                 // per-doc + per-lang tallies
     "q134_decontaminate"  -> 5)  // content-class collapses sit behind
                                  // their checkpoints (one map-side-
                                  // combined groupBy per side — the
