@@ -890,6 +890,35 @@ object CurationQueries {
   }
 
   // ------------------------------------------------------------------
+  // q176: corpus datasheet ("Datasheets for Datasets", Gebru 2018 —
+  // the summary card a released corpus ships with): per (lang, source)
+  // with ROLLUP subtotals — document counts, token volume, distinct
+  // content classes, and exact-duplicate rate in integer permille.
+  // One rollup aggregate; countDistinct(text) is the only wide state
+  // and is partial-aggregated per group.
+  // ------------------------------------------------------------------
+  def q176CorpusReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("lang"), col("source"),
+        size(split(col("text"), " ")).cast(LongType).as("toks"), col("text"))
+    docs.rollup(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("n_tokens"),
+        countDistinct(col("text")).as("n_distinct"))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
+        col("n_distinct"),
+        expr("(n_docs - n_distinct) * 1000 div n_docs").as("dup_pm"))
+  }
+
+  val q176Sql: String =
+    """SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+      |  CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct,
+      |  CAST((COUNT(*) - COUNT(DISTINCT text)) * 1000 // COUNT(*) AS BIGINT)
+      |    AS dup_pm
+      |FROM documents GROUP BY ROLLUP (lang, source)""".stripMargin
+
+  // ------------------------------------------------------------------
   // q175: HTML → text extraction ([[graft.functions.HtmlExpressions]]
   // state-machine kernel) — tags dropped, script/style/comment bodies
   // elided whole, entities (named + generic numeric) decoded. Both

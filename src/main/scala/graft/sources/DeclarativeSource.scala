@@ -152,6 +152,56 @@ final class DeclarativeSource(
       throw new IllegalArgumentException(
         s"stream '${streamName(s)}' has no retriever"))
 
+  /** Request headers the manifest's `requester.authenticator` would
+    * attach, resolved against config (CDK authenticator semantics):
+    * ApiKeyAuthenticator (custom header via `header` or
+    * `inject_into.field_name`), BearerAuthenticator
+    * (`Authorization: Bearer <token>`), BasicHttpAuthenticator
+    * (RFC 7617 base64 of `user:pass`). COMPUTED, never sent — the
+    * no-egress analog of a recorded-request assertion: a spec (or a
+    * replay harness) checks these against the fixture's expected
+    * headers. `inject_into: request_parameter` and unknown types are
+    * rejected loudly (params would change fixture URL resolution). */
+  def requestHeaders(stream: String): Map[String, String] = {
+    val s = streamByName(stream)
+    val auth = Option(retrieverOf(s).get("requester"))
+      .flatMap(r => Option(r.get("authenticator")))
+    auth match {
+      case None => Map.empty
+      case Some(a) =>
+        def field(n: String): String = Option(a.get(n)).map(x =>
+          interpolate(x.asText(), config, Map.empty)).getOrElse(
+          throw new IllegalArgumentException(
+            s"authenticator missing required field '$n'"))
+        Option(a.get("type")).map(_.asText()).getOrElse("") match {
+          case "BearerAuthenticator" =>
+            Map("Authorization" -> s"Bearer ${field("api_token")}")
+          case "ApiKeyAuthenticator" =>
+            val target = Option(a.get("inject_into"))
+            target.flatMap(t => Option(t.get("inject_into")).map(_.asText()))
+              .foreach { into =>
+                if (into != "header") throw new IllegalArgumentException(
+                  s"ApiKeyAuthenticator inject_into '$into' unsupported " +
+                    "(only 'header'; parameters would change fixture URLs)")
+              }
+            val headerName = Option(a.get("header")).map(_.asText())
+              .orElse(target.flatMap(t =>
+                Option(t.get("field_name")).map(_.asText())))
+              .getOrElse("Authorization")
+            Map(headerName -> field("api_token"))
+          case "BasicHttpAuthenticator" =>
+            val user = field("username")
+            val pass = Option(a.get("password")).map(x =>
+              interpolate(x.asText(), config, Map.empty)).getOrElse("")
+            val enc = java.util.Base64.getEncoder
+              .encodeToString(s"$user:$pass".getBytes("UTF-8"))
+            Map("Authorization" -> s"Basic $enc")
+          case other => throw new IllegalArgumentException(
+            s"unsupported authenticator type '$other'")
+        }
+    }
+  }
+
   /** First-page request URL for one slice: url_base + path + declared
     * request_parameters (manifest order), all interpolated. */
   private def requestUrl(s: JsonNode, slice: Map[String, String]): String = {

@@ -545,6 +545,75 @@ class DeclarativeSourceSpec extends SparkTestBase {
         localExecutable = Some(Seq("cat")), sourceManifest = Some(manifest)))
   }
 
+  test("authenticators compute the headers a recorded request would carry") {
+    def withAuth(authYaml: String): DeclarativeSource = new DeclarativeSource(
+      "auth-test",
+      s"""version: "0.29.0"
+         |type: DeclarativeSource
+         |streams:
+         |  - type: DeclarativeStream
+         |    name: items
+         |    schema_loader:
+         |      type: InlineSchemaLoader
+         |      schema:
+         |        type: object
+         |        properties:
+         |          id: {type: integer}
+         |    retriever:
+         |      type: SimpleRetriever
+         |      requester:
+         |        type: HttpRequester
+         |        url_base: "https://api.example.com"
+         |        path: "/items"
+         |$authYaml
+         |      record_selector:
+         |        type: RecordSelector
+         |        extractor:
+         |          type: DpathExtractor
+         |          field_path: []
+         |""".stripMargin,
+      config = Map("key" -> "s3cr3t", "user" -> "u1", "pw" -> "p@ss"))
+    val indent = "        "
+    assert(withAuth("").requestHeaders("items") == Map.empty)
+    assert(withAuth(
+      s"""${indent}authenticator:
+         |$indent  type: BearerAuthenticator
+         |$indent  api_token: "{{ config['key'] }}"""".stripMargin)
+      .requestHeaders("items") == Map("Authorization" -> "Bearer s3cr3t"))
+    assert(withAuth(
+      s"""${indent}authenticator:
+         |$indent  type: ApiKeyAuthenticator
+         |$indent  api_token: "{{ config['key'] }}"
+         |$indent  inject_into:
+         |$indent    type: RequestOption
+         |$indent    inject_into: header
+         |$indent    field_name: X-Api-Key""".stripMargin)
+      .requestHeaders("items") == Map("X-Api-Key" -> "s3cr3t"))
+    // RFC 7617: base64("u1:p@ss")
+    val expected = java.util.Base64.getEncoder
+      .encodeToString("u1:p@ss".getBytes("UTF-8"))
+    assert(withAuth(
+      s"""${indent}authenticator:
+         |$indent  type: BasicHttpAuthenticator
+         |$indent  username: "{{ config['user'] }}"
+         |$indent  password: "{{ config['pw'] }}"""".stripMargin)
+      .requestHeaders("items") == Map("Authorization" -> s"Basic $expected"))
+    // request_parameter injection would change fixture URL resolution —
+    // rejected loudly, and unknown types never pass silently
+    intercept[IllegalArgumentException](withAuth(
+      s"""${indent}authenticator:
+         |$indent  type: ApiKeyAuthenticator
+         |$indent  api_token: "t"
+         |$indent  inject_into:
+         |$indent    type: RequestOption
+         |$indent    inject_into: request_parameter
+         |$indent    field_name: key""".stripMargin).requestHeaders("items"))
+    intercept[IllegalArgumentException](withAuth(
+      s"""${indent}authenticator:
+         |$indent  type: OAuthAuthenticator
+         |$indent  api_token: "t"""".stripMargin).requestHeaders("items"))
+  }
+
   test("interpolation and ref resolution reject unknown keys/pointers") {
     val root = Files.createTempDirectory("graft-decl").toString
     val src = newSource(root)

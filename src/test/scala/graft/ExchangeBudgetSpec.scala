@@ -246,6 +246,8 @@ class ExchangeBudgetSpec extends SparkTestBase {
                                  // per-row kernel chain
     "q175_html_extract"   -> 0,  // page build→state-machine extract→
                                  // measure is one per-row kernel chain
+    "q176_corpus_report"  -> 2,  // ONE rollup-expand aggregate (partial
+                                 // per distinct text) + final group agg
     "q170_bitext_margin"  -> 3,  // tgt half broadcasts into the src
                                  // scan; then fwd window (src_id), bwd
                                  // window (tgt_id), final argmax window
