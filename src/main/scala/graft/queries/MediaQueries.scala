@@ -166,6 +166,103 @@ object MediaQueries {
       |SELECT doc_id AS media_id, ci, g FROM cells""".stripMargin
 
   // ------------------------------------------------------------------
+  // q177: multimodal curation capstone — the q100/q137 pattern over
+  // the REAL decode paths. Every doc (doc_id < 240) carries an image
+  // (gradient PNG) and an audio track (PCM WAV); curation keeps docs
+  // whose decoded image brightness sits in [100, 180], whose decoded
+  // audio peaks at ≥ 120k mean-square energy, and whose text has ≥ 40
+  // tokens; survivors collapse into exact-duplicate content classes
+  // (canonical = min doc_id). Per lang: candidates, pass counts per
+  // gate, survivors, distinct classes, canonical token volume. The
+  // oracle recomputes image/audio gates per-pixel/per-sample from the
+  // synthesis formulas — so this gate fails if ANY stage of either
+  // decode chain drifts. All stages are the already-audited plans:
+  // per-row kernels + one doc_id-keyed join + class agg + lang tally.
+  // ------------------------------------------------------------------
+  def q177MediaCuration(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 240)
+      .select(col("doc_id"), col("lang"), col("text"),
+        size(split(col("text"), " ")).cast(LongType).as("toks"))
+    val img = Multimodal.decodeImageStats(
+        Multimodal.synthPng(docs, "doc_id")).toDF()
+      .select(col("media_id").as("doc_id"), col("mean_g"))
+    val aud = Multimodal.audioFrameStats(
+        Multimodal.synthPcmWav(docs, "doc_id")).toDF()
+      .select(col("media_id").as("doc_id"), col("max_rms2"))
+    val gated = docs.join(img, Seq("doc_id")).join(aud, Seq("doc_id"))
+      .withColumn("img_ok", col("mean_g") >= 100 && col("mean_g") <= 180)
+      .withColumn("aud_ok", col("max_rms2") >= 120000L)
+      .withColumn("txt_ok", col("toks") >= 40)
+      .localCheckpoint() // read by the tally AND the survivor classes
+    val classes = gated
+      .filter(col("img_ok") && col("aud_ok") && col("txt_ok"))
+      .groupBy(col("lang"), col("text"))
+      .agg(min(col("doc_id")).as("canonical"), max(col("toks")).as("ctoks"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_classes"), sum(col("ctoks")).as("class_tokens"))
+    gated.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("img_ok"), 1L).otherwise(0L)).as("n_img_ok"),
+        sum(when(col("aud_ok"), 1L).otherwise(0L)).as("n_aud_ok"),
+        sum(when(col("txt_ok"), 1L).otherwise(0L)).as("n_txt_ok"),
+        sum(when(col("img_ok") && col("aud_ok") && col("txt_ok"), 1L)
+          .otherwise(0L)).as("n_kept"))
+      .join(classes, Seq("lang"), "left_outer")
+      .select(col("lang"), col("n_candidates"), col("n_img_ok"),
+        col("n_aud_ok"), col("n_txt_ok"), col("n_kept"),
+        coalesce(col("n_classes"), lit(0L)).as("n_classes"),
+        coalesce(col("class_tokens"), lit(0L)).as("class_tokens"))
+  }
+
+  val q177Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang, text,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+      |    CAST(24 + (doc_id % 4) * 8 AS INT) AS w,
+      |    CAST(16 + (doc_id % 3) * 8 AS INT) AS h,
+      |    1 + doc_id % 7 AS A, 2 + doc_id % 5 AS B, doc_id % 256 AS C,
+      |    CAST(1024 + (doc_id % 4) * 256 AS INT) AS ns
+      |  FROM documents WHERE doc_id < 240),
+      |img AS (
+      |  SELECT doc_id, CAST(SUM(g) // COUNT(*) AS BIGINT) AS mean_g FROM (
+      |    SELECT d.doc_id AS doc_id,
+      |      ((d.A * x.range + d.B * y.range + d.C) % 256) AS g
+      |    FROM d
+      |    JOIN range(48) x ON x.range < d.w
+      |    JOIN range(32) y ON y.range < d.h)
+      |  GROUP BY doc_id),
+      |fr AS (
+      |  SELECT doc_id, f, CAST(SUM(s * s) // 256 AS BIGINT) AS rms2 FROM (
+      |    SELECT d.doc_id AS doc_id, i.range // 256 AS f,
+      |      ((d.doc_id * 31 + i.range * 17) % 2001) - 1000 AS s
+      |    FROM d JOIN range(1792) i ON i.range < d.ns)
+      |  GROUP BY doc_id, f),
+      |aud AS (SELECT doc_id, MAX(rms2) AS max_rms2 FROM fr GROUP BY doc_id),
+      |gated AS (
+      |  SELECT d.doc_id, d.lang, d.text, d.toks,
+      |    img.mean_g >= 100 AND img.mean_g <= 180 AS img_ok,
+      |    aud.max_rms2 >= 120000 AS aud_ok,
+      |    d.toks >= 40 AS txt_ok
+      |  FROM d JOIN img USING (doc_id) JOIN aud USING (doc_id)),
+      |classes AS (
+      |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_classes,
+      |    CAST(SUM(ctoks) AS BIGINT) AS class_tokens FROM (
+      |    SELECT lang, text, MIN(doc_id) AS canonical, MAX(toks) AS ctoks
+      |    FROM gated WHERE img_ok AND aud_ok AND txt_ok
+      |    GROUP BY lang, text)
+      |  GROUP BY lang)
+      |SELECT g.lang, CAST(COUNT(*) AS BIGINT) AS n_candidates,
+      |  CAST(SUM(CASE WHEN img_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_img_ok,
+      |  CAST(SUM(CASE WHEN aud_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_aud_ok,
+      |  CAST(SUM(CASE WHEN txt_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_txt_ok,
+      |  CAST(SUM(CASE WHEN img_ok AND aud_ok AND txt_ok THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_kept,
+      |  COALESCE(MAX(c.n_classes), 0) AS n_classes,
+      |  COALESCE(MAX(c.class_tokens), 0) AS class_tokens
+      |FROM gated g LEFT JOIN classes c ON c.lang = g.lang
+      |GROUP BY g.lang""".stripMargin
+
+  // ------------------------------------------------------------------
   // q171: training-shard export manifest. Docs pack into 16 KiB-budget
   // tar shards by a distributed exclusive prefix sum in doc_id order
   // (q75's two-phase pattern — no single-partition window); each shard

@@ -248,6 +248,11 @@ class ExchangeBudgetSpec extends SparkTestBase {
                                  // measure is one per-row kernel chain
     "q176_corpus_report"  -> 2,  // ONE rollup-expand aggregate (partial
                                  // per distinct text) + final group agg
+    "q177_media_curation" -> 4,  // decode kernels + doc_id joins sit
+                                 // behind the gated checkpoint; after
+                                 // it: lang tally, (lang,text) class
+                                 // agg, lang class tally (+ the class
+                                 // join-back broadcast)
     "q170_bitext_margin"  -> 3,  // tgt half broadcasts into the src
                                  // scan; then fwd window (src_id), bwd
                                  // window (tgt_id), final argmax window
