@@ -33,6 +33,33 @@ object GraftBridge {
     }
   }
 
+  /** Distributed inverse of [[toArrowBatches]]: an RDD of
+    * self-describing Arrow batches back to a DataFrame WITHOUT passing
+    * through the driver — each partition decodes its own batches on
+    * the executor (the return path of an external-worker transform).
+    * The driver reads only ONE batch to learn the schema. */
+  def fromArrowBatchesRdd(spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[Array[Byte]]): DataFrame = {
+    val session = spark.asInstanceOf[classic.SparkSession]
+    val first = rdd.take(1)
+    require(first.nonEmpty, "fromArrowBatchesRdd: no batches to infer schema")
+    val (_, schema) =
+      execution.arrow.ArrowConverters.fromBatchWithSchemaIterator(
+        first.iterator, null)
+    val rows = rdd.mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val (rs, partSchema) =
+          execution.arrow.ArrowConverters.fromBatchWithSchemaIterator(it, null)
+        val proj =
+          org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(partSchema)
+        rs.map(r =>
+          proj(r).copy().asInstanceOf[org.apache.spark.sql.catalyst.InternalRow])
+      }
+    }
+    session.internalCreateDataFrame(rows, schema)
+  }
+
   /** Inverse of [[toArrowBatches]]: self-describing Arrow batches back
     * to a DataFrame (schema read from the batches themselves). */
   def fromArrowBatches(spark: SparkSession, batches: Iterator[Array[Byte]]): DataFrame = {

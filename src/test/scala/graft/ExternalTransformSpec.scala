@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.ExternalTransform
+
+/**
+ * External Arrow-worker transform: the mapInPandas-shaped subprocess
+ * loop. A byte-identity worker (`cat`) exercises the ENTIRE path —
+ * partition batches → framed Arrow IPC over stdin → worker → framed
+ * batches on stdout → executor-side decode — so row/schema equality
+ * after the loop gates framing, lifecycle, and both Arrow directions.
+ */
+class ExternalTransformSpec extends SparkTestBase {
+
+  test("identity worker round-trips rows and schema, multi-partition") {
+    val df = graft.sources.Tables.documents(spark, sf())
+      .select(col("doc_id"), col("lang"), col("text"), col("n_chars"))
+      .repartition(5)
+    val out = ExternalTransform.mapPartitionsViaWorker(
+      df, Seq("cat"), maxRecordsPerBatch = 64)
+    assert(out.schema == df.schema)
+    val a = df.orderBy("doc_id").collect().toSeq
+    val b = out.orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("null values and timestamps survive the wire") {
+    import spark.implicits._
+    val df = Seq((1L, Some("x"), Some(2.5)), (2L, None, None),
+      (3L, Some(""), Some(-1.0)))
+      .toDF("id", "s", "d")
+      .withColumn("ts", to_timestamp(lit("2024-02-29 23:59:59")))
+      .withColumn("ts2", when(col("id") === 2, col("ts")))
+    val out = ExternalTransform.mapPartitionsViaWorker(df, Seq("cat"))
+    assert(out.schema == df.schema)
+    assert(out.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+  }
+
+  test("worker failure fails the task loudly with exit code and stderr") {
+    import spark.implicits._
+    val df = Seq(1, 2, 3).toDF("v")
+    val e = intercept[org.apache.spark.SparkException] {
+      ExternalTransform.mapPartitionsViaWorker(df.coalesce(1),
+        Seq("sh", "-c", "echo boom >&2; exit 3")).collect()
+    }
+    val msg = e.getCause match {
+      case null => e.getMessage
+      case c => c.getMessage + e.getMessage
+    }
+    assert(msg.contains("code 3") || msg.contains("boom"),
+      s"unexpected failure message: $msg")
+  }
+
+  test("truncated worker output fails, never hangs") {
+    import spark.implicits._
+    val df = (1 to 500).toDF("v")
+    val e = intercept[org.apache.spark.SparkException] {
+      ExternalTransform.mapPartitionsViaWorker(df.coalesce(1),
+        Seq("sh", "-c", "head -c 7")).collect()
+    }
+    val all = {
+      var c: Throwable = e; var s = e.getMessage
+      while (c.getCause != null) { c = c.getCause; s += " | " + c.getMessage }
+      s
+    }
+    assert(all.contains("truncated") || all.contains("worker"),
+      s"unexpected failure message: $all")
+  }
+}
