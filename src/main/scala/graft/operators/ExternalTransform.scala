@@ -36,7 +36,9 @@ object ExternalTransform {
       if (!batches.hasNext) Iterator.empty
       else pipeFrames(batches, command)
     }
-    GraftBridge.fromArrowBatchesRdd(spark, out)
+    // empty input ⇒ the worker never ran ⇒ its output schema is
+    // unknowable; the input schema is the documented fallback
+    GraftBridge.fromArrowBatchesRdd(spark, out, df.schema)
   }
 
   /** Stream length-prefixed frames through `command`; returns the
@@ -46,6 +48,16 @@ object ExternalTransform {
       command: Seq[String]): Iterator[Array[Byte]] = {
     val pb = new ProcessBuilder(command: _*)
     val proc = pb.start()
+    // a partially-consumed output iterator (limit/take, or the schema
+    // probe) must not leak a blocked worker: kill it at task end
+    Option(org.apache.spark.TaskContext.get()).foreach(
+      _.addTaskCompletionListener[Unit](_ =>
+        if (proc.isAlive) proc.destroyForcibly()))
+    // upstream iterator failures happen on the writer thread — carry
+    // them to the task thread, or the worker sees a clean stdin close
+    // and the task "succeeds" on silently truncated output
+    val writerFailure =
+      new java.util.concurrent.atomic.AtomicReference[Throwable](null)
     val stderr = new java.io.ByteArrayOutputStream()
     val stderrThread = new Thread(() => {
       val buf = new Array[Byte](4096)
@@ -67,6 +79,9 @@ object ExternalTransform {
       } catch {
         case _: java.io.IOException => () // worker closed its stdin early;
           // the read side surfaces the real failure (exit code / stderr)
+        case t: Throwable => // upstream Spark iterator failed mid-stream:
+          writerFailure.set(t) // record it and kill the worker so the
+          proc.destroyForcibly() // read side fails instead of finishing
       } finally {
         try os.close() catch { case _: java.io.IOException => () }
       }
@@ -107,6 +122,11 @@ object ExternalTransform {
 
       private def finish(): Unit = {
         done = true
+        writer.join()
+        val up = writerFailure.get()
+        if (up != null)
+          throw new IllegalStateException(
+            s"input iterator failed while feeding worker ${command.mkString(" ")}", up)
         val code = proc.waitFor()
         if (code != 0) fail(s"worker exited with code $code")
       }
@@ -117,7 +137,8 @@ object ExternalTransform {
         val err = stderr.toString("UTF-8").trim
         throw new IllegalStateException(
           s"external worker ${command.mkString(" ")}: $msg" +
-            (if (err.nonEmpty) s"; stderr: $err" else ""))
+            (if (err.nonEmpty) s"; stderr: $err" else ""),
+          writerFailure.get()) // root cause when the input side broke first
       }
 
       override def hasNext: Boolean = { fetch(); nextFrame != null }

@@ -115,7 +115,9 @@ object ImageCodec {
     val idat = new java.io.ByteArrayOutputStream()
     while (pos + 8 <= bytes.length && !sawIend) {
       val len = readBe32(bytes, pos)
-      if (len < 0 || pos + 12 + len > bytes.length) return None
+      // long arithmetic: a crafted length near Int.MaxValue must fail
+      // the bounds check, not overflow past it into CRC32.update
+      if (len < 0 || pos.toLong + 12L + len > bytes.length) return None
       val ctype = new String(bytes, pos + 4, 4, "US-ASCII")
       val crc = new CRC32()
       crc.update(bytes, pos + 4, 4 + len)
@@ -201,7 +203,10 @@ object ImageCodec {
     try {
       while (!inf.finished()) {
         val n = inf.inflate(buf)
-        if (n == 0 && inf.needsInput()) return None // truncated stream
+        // all input is set up front, so zero progress while unfinished
+        // means truncated input OR an FDICT preset-dictionary request
+        // (PNG forbids those; we never supply one) — reject, don't spin
+        if (n == 0 && !inf.finished()) return None
         out.write(buf, 0, n)
         if (out.size() > expected) return None // overlong stream
       }

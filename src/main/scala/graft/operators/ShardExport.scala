@@ -34,6 +34,8 @@ object ShardExport {
         col(payloadCol).as("payload"),
         octet_length(col(payloadCol)).cast(LongType).as("len"))
       .withColumn("bucket", (col("doc_id") / 64).cast(LongType))
+      .localCheckpoint() // read by the totals collect AND the window pass
+                         // — one source scan, not two
     val totals = sized.groupBy(col("bucket")).agg(sum(col("len")).as("blen"))
       .orderBy(col("bucket")).collect()
     var acc = 0L

@@ -30,10 +30,22 @@ object SuffixQueries {
   private val saCache =
     new java.util.concurrent.ConcurrentHashMap[String, SuffixArray.SA]()
 
-  private def cachedSa(spark: SparkSession, dir: String): SuffixArray.SA =
+  /** Cache key includes the corpus file's mtime+size, so regenerating
+    * the data under the same path invalidates the entry (stale index =
+    * silently wrong ranks). Bounded: a key churn (many corpora in one
+    * JVM) clears the map rather than pinning dead localCheckpoint
+    * blocks for the application's lifetime. */
+  private def cachedSa(spark: SparkSession, dir: String): SuffixArray.SA = {
+    val f = java.nio.file.Paths.get(dir, "documents.parquet")
+    val stamp =
+      if (java.nio.file.Files.exists(f))
+        s"${java.nio.file.Files.getLastModifiedTime(f).toMillis}:${java.nio.file.Files.size(f)}"
+      else "absent"
+    if (saCache.size > 8) saCache.clear()
     saCache.computeIfAbsent(
-      s"${spark.sparkContext.applicationId}|$dir",
+      s"${spark.sparkContext.applicationId}|$dir|$stamp",
       _ => SuffixArray.build(shard(spark, dir), "doc_id", "text"))
+  }
 
   // ------------------------------------------------------------------
   // q163: suffix-array ranks — dense rank of every corpus suffix in

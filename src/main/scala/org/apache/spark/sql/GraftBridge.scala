@@ -37,20 +37,37 @@ object GraftBridge {
     * self-describing Arrow batches back to a DataFrame WITHOUT passing
     * through the driver — each partition decodes its own batches on
     * the executor (the return path of an external-worker transform).
-    * The driver reads only ONE batch to learn the schema. */
+    *
+    * The batch RDD is persisted before the driver's one-batch schema
+    * probe, so a side-effecting upstream (an external worker) runs at
+    * most ONCE per partition across the probe job and the main job —
+    * never abandoned mid-stream. `emptySchema` is the result schema
+    * when the input produces no batches at all (an empty DataFrame
+    * must come back empty, not throw). The executor-side decode passes
+    * the live TaskContext so Arrow's allocator registers its
+    * task-completion cleanup (a partially-consumed iterator — limit/
+    * take — must not leak direct memory). */
   def fromArrowBatchesRdd(spark: SparkSession,
-      rdd: org.apache.spark.rdd.RDD[Array[Byte]]): DataFrame = {
+      rdd: org.apache.spark.rdd.RDD[Array[Byte]],
+      emptySchema: => types.StructType): DataFrame = {
     val session = spark.asInstanceOf[classic.SparkSession]
-    val first = rdd.take(1)
-    require(first.nonEmpty, "fromArrowBatchesRdd: no batches to infer schema")
+    val batches = rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val first = batches.take(1)
+    if (first.isEmpty) {
+      batches.unpersist(blocking = false)
+      return session.internalCreateDataFrame(
+        session.sparkContext.emptyRDD[org.apache.spark.sql.catalyst.InternalRow],
+        emptySchema)
+    }
     val (_, schema) =
       execution.arrow.ArrowConverters.fromBatchWithSchemaIterator(
         first.iterator, null)
-    val rows = rdd.mapPartitions { it =>
+    val rows = batches.mapPartitions { it =>
       if (!it.hasNext) Iterator.empty
       else {
         val (rs, partSchema) =
-          execution.arrow.ArrowConverters.fromBatchWithSchemaIterator(it, null)
+          execution.arrow.ArrowConverters.fromBatchWithSchemaIterator(
+            it, org.apache.spark.TaskContext.get())
         val proj =
           org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(partSchema)
         rs.map(r =>

@@ -37,6 +37,37 @@ class ExternalTransformSpec extends SparkTestBase {
     assert(out.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
   }
 
+  test("empty input yields an empty frame with the input schema, no worker run") {
+    import spark.implicits._
+    val df = Seq((1L, "a")).toDF("id", "s").filter(col("id") < 0)
+    val out = ExternalTransform.mapPartitionsViaWorker(df, Seq("cat"))
+    assert(out.schema == df.schema)
+    assert(out.count() == 0)
+  }
+
+  test("an upstream iterator failure fails the task, never silent truncation") {
+    import spark.implicits._
+    // raise_error fires on row 250 DURING Arrow batch production —
+    // i.e. on the writer thread feeding the worker's stdin; the task
+    // must surface it instead of finishing on the frames sent so far
+    val df = (1 to 500).toDF("v")
+      .withColumn("x",
+        when(col("v") === 250, expr("raise_error('boom-upstream')"))
+          .otherwise(col("v").cast("string")))
+      .coalesce(1)
+    val e = intercept[Exception] {
+      ExternalTransform.mapPartitionsViaWorker(df, Seq("cat"),
+        maxRecordsPerBatch = 16).collect()
+    }
+    val all = {
+      var c: Throwable = e; var s = String.valueOf(e.getMessage)
+      while (c.getCause != null) { c = c.getCause; s += " | " + c.getMessage }
+      s
+    }
+    assert(all.contains("boom-upstream") || all.contains("input iterator failed"),
+      s"unexpected failure message: $all")
+  }
+
   test("worker failure fails the task loudly with exit code and stderr") {
     import spark.implicits._
     val df = Seq(1, 2, 3).toDF("v")

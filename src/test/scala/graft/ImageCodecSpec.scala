@@ -55,6 +55,41 @@ class ImageCodecSpec extends AnyFunSuite {
     assert(ImageCodec.decodePng(jpegish).isEmpty)
   }
 
+  test("adversarial containers return None: overflow lengths, FDICT streams") {
+    // chunk length near Int.MaxValue: the bounds check must use long
+    // arithmetic, not wrap negative and crash inside CRC32.update
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    val huge = sig ++ Array(0x7f, 0xff, 0xff, 0xf0).map(_.toByte) ++
+      "IHDR".getBytes("US-ASCII") ++ new Array[Byte](32)
+    assert(ImageCodec.decodePng(huge).isEmpty) // None, not an exception
+    // zlib FDICT bit set in the IDAT stream: PNG forbids preset
+    // dictionaries; the inflater must reject, not spin forever
+    val good = ImageCodec.encodePng(noiseImage(5, 8, 8, 1))
+    def be32(b: Array[Byte], off: Int): Int =
+      ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+        ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+    // locate IDAT (sig + IHDR chunk = 8 + 25 bytes in our encoder)
+    val idatPos = 8 + 25
+    assert(new String(good, idatPos + 4, 4, "US-ASCII") == "IDAT")
+    val idatLen = be32(good, idatPos)
+    val tampered = good.clone()
+    // set FDICT (bit 5 of FLG) and repair FCHECK so (CMF·256+FLG)%31==0
+    val cmf = tampered(idatPos + 8) & 0xff
+    var flg = (tampered(idatPos + 9) & 0xff) | 0x20
+    flg = (flg & 0xe0) | ((31 - (cmf * 256 + (flg & 0xe0)) % 31) % 31)
+    tampered(idatPos + 9) = flg.toByte
+    val crc = new java.util.zip.CRC32()
+    crc.update(tampered, idatPos + 4, 4 + idatLen)
+    val crcv = crc.getValue.toInt
+    tampered(idatPos + 8 + idatLen) = (crcv >>> 24).toByte
+    tampered(idatPos + 9 + idatLen) = (crcv >>> 16).toByte
+    tampered(idatPos + 10 + idatLen) = (crcv >>> 8).toByte
+    tampered(idatPos + 11 + idatLen) = crcv.toByte
+    val t0 = System.nanoTime()
+    assert(ImageCodec.decodePng(tampered).isEmpty)
+    assert((System.nanoTime() - t0) < 5e9, "decode stalled on FDICT stream")
+  }
+
   test("decoded PNGs agree with the header-only parser on dimensions") {
     val img = noiseImage(7, 19, 11, 1)
     val png = ImageCodec.encodePng(img)
