@@ -171,20 +171,27 @@ object Multimodal {
     * probability). Alternates RGB / RGBA by seed parity to exercise
     * both color decode paths. The shape of an image-dedup corpus. */
   def synthNoisePng(df: DataFrame, idCol: String, classes: Int,
-      width: Int = 32, height: Int = 24): DataFrame = {
+      width: Int = 32, height: Int = 24,
+      perturbBrightness: Boolean = false): DataFrame = {
     implicit val enc: Encoder[MediaRecord] = Encoders.product[MediaRecord]
     df.select(col(idCol).cast(LongType)).as(Encoders.scalaLong)
       .mapPartitions { ids =>
         ids.map { id =>
           val seed = id % classes
           val ch = if (seed % 2 == 0) 3 else 4
+          // perturb mode: base channels masked to 0..247, then copies
+          // of the same class alternate a +4 global brightness shift —
+          // BYTES differ across copies (exact dedup misses them) while
+          // area-average dHash/aHash are provably shift-invariant
+          val shift = if (perturbBrightness) ((id / classes) % 2 * 4).toInt else 0
+          val mask = if (perturbBrightness) 0xf7 else 0xff
           val px = new Array[Byte](width * height * ch)
           var p = 0
           while (p < width * height) {
             val r = mix64((seed << 32) | p.toLong)
-            px(p * ch) = (r & 0xff).toByte
-            px(p * ch + 1) = ((r >>> 8) & 0xff).toByte
-            px(p * ch + 2) = ((r >>> 16) & 0xff).toByte
+            px(p * ch) = (((r & mask) + shift) & 0xff).toByte
+            px(p * ch + 1) = ((((r >>> 8) & mask) + shift) & 0xff).toByte
+            px(p * ch + 2) = ((((r >>> 16) & mask) + shift) & 0xff).toByte
             if (ch == 4) px(p * ch + 3) = ((r >>> 24) & 0xff).toByte
             p += 1
           }

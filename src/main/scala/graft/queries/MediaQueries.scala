@@ -84,6 +84,35 @@ object MediaQueries {
   def q167ImageNearDup(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).filter(col("doc_id") < 240)
     val media = Multimodal.synthNoisePng(docs, "doc_id", classes = 40)
+    dhashPairs(media)
+  }
+
+  // ------------------------------------------------------------------
+  // q178: perceptual near-dup across brightness-perturbed variants —
+  // the case EXACT dedup provably misses: copies of the same image
+  // content alternate a +4 global brightness shift, so their PNG bytes
+  // (and any content hash) differ, but the area-average dHash is
+  // shift-invariant (every cell mean and the global mean move by
+  // exactly +4), so the perceptual pipeline still pairs them. Same
+  // banded plan as q167; the oracle's expected pair set is again the
+  // class construction.
+  // ------------------------------------------------------------------
+  def q178PerturbedNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 240)
+    val media = Multimodal.synthNoisePng(docs, "doc_id", classes = 40,
+      perturbBrightness = true)
+    dhashPairs(media)
+  }
+
+  val q178Sql: String =
+    """SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |FROM documents a JOIN documents b
+      |  ON a.doc_id % 40 = b.doc_id % 40 AND a.doc_id < b.doc_id
+      |WHERE a.doc_id < 240 AND b.doc_id < 240""".stripMargin
+
+  /** Decode → dHash → 4×16-bit pigeonhole band join → popcount ≤ 4
+    * verify; only (media_id, hash) rows ever shuffle. */
+  private def dhashPairs(media: DataFrame): DataFrame = {
     val hashes = Multimodal.decodeImageHashes(media).toDF()
       .select(col("media_id"), col("dhash")).localCheckpoint()
     val banded = hashes.select(col("media_id"), col("dhash"),

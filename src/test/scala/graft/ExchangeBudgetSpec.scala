@@ -242,6 +242,7 @@ class ExchangeBudgetSpec extends SparkTestBase {
                                  // checkpoint
     "q168_audio_energy"   -> 0,  // WAV build→pcm16 decode→frame DSP is
                                  // per-row, zero exchanges
+    "q178_perturbed_near_dup" -> 2, // same banded plan as q167
     "q169_unicode_normalize" -> 0, // decorate→NFC→scrub→measure is one
                                  // per-row kernel chain
     "q175_html_extract"   -> 0,  // page build→state-machine extract→
