@@ -475,14 +475,54 @@ object PretrainQueries {
 
   // ------------------------------------------------------------------
   // q135: learned BPE merge table (k = 5 iterations) — the driver-loop
-  // tokenizer-training surface over Bpe.learnMerges. Not expressible as
-  // one SQL statement (each merge rewrites the vocabulary the next
-  // iteration counts), so the driver records a rows-only check; the
-  // full semantics are pinned by BpeSpec against a sequential reference
-  // implementation.
+  // tokenizer-training surface over Bpe.learnMerges. The oracle is a
+  // TRAJECTORY REPLAY (q150's nested-CTE template): each merge step is
+  // one CTE block, and the greedy left-to-right non-overlapping symbol
+  // rewrite is expressed as a plain string `replace` over a wrapped
+  // representation — every symbol rendered as \x01·sym·\x02, so the
+  // pattern \x01l\x02\x01r\x02 can only match FULL adjacent symbols,
+  // and replace's scan-forward-after-each-hit semantics IS the
+  // canonical BPE rewrite (restart after merge, non-overlapping).
+  // BpeSpec additionally pins the operator to a sequential reference.
   // ------------------------------------------------------------------
   def q135BpeMerges(spark: SparkSession, dir: String): DataFrame =
     Bpe.learnMerges(Tables.documents(spark, dir), "text", 5)
+
+  /** \x01·sym·\x02 wrapping of a word's characters (oracle-side symbol
+    * array encoding shared by the q135/q143 trajectory CTEs). */
+  private def bpeWrap(col: String): String =
+    s"list_aggregate(list_transform(string_split($col,''), c -> chr(1)||c||chr(2)), 'string_agg', '')"
+
+  /** The k-step merge trajectory: words → v0 (wrapped) → per step r a
+    * pair-count block (symsR/pcR), the argmax mR, and the rewrite vR+1.
+    * MATERIALIZED on `words` keeps DuckDB from re-inlining the corpus
+    * scan into every downstream block. */
+  private def bpeTrajectoryCtes(k: Int): Seq[String] = {
+    val head = Seq(
+      "words AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM " +
+        "(SELECT unnest(string_split(text, ' ')) AS w FROM documents) WHERE w <> '' GROUP BY w)",
+      s"v0 AS (SELECT ${bpeWrap("w")} AS s, cnt FROM words)")
+    val steps = (0 until k).flatMap { r =>
+      val rewrite =
+        if (r < k - 1) Seq(
+          s"v${r + 1} AS (SELECT replace(v.s, chr(1)||m.l||chr(2)||chr(1)||m.r||chr(2), " +
+            s"chr(1)||m.l||m.r||chr(2)) AS s, v.cnt FROM v$r v CROSS JOIN m$r m)")
+        else Seq.empty
+      Seq(
+        s"syms$r AS (SELECT string_split(s[2:len(s)-1], chr(2)||chr(1)) AS l, cnt FROM v$r)",
+        s"pc$r AS (SELECT p[1] AS l, p[2] AS r, CAST(SUM(cnt) AS BIGINT) AS pair_cnt FROM " +
+          s"(SELECT unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS p, cnt FROM syms$r WHERE len(l) >= 2) GROUP BY 1, 2)",
+        s"m$r AS (SELECT l, r, pair_cnt FROM pc$r ORDER BY pair_cnt DESC, l, r LIMIT 1)") ++ rewrite
+    }
+    head ++ steps
+  }
+
+  val q135Sql: String = {
+    val k = 5
+    val sels = (0 until k).map(r =>
+      s"""SELECT ${r + 1} AS step, l AS "left", r AS "right", l||r AS merged, pair_cnt FROM m$r""")
+    "WITH " + bpeTrajectoryCtes(k).mkString(",\n") + "\n" + sels.mkString("\nUNION ALL ")
+  }
 
   // ------------------------------------------------------------------
   // q155: unigram-LM tokenizer (Kudo 2018 / SentencePiece), hard-EM —
@@ -490,27 +530,116 @@ object PretrainQueries {
   // over-complete substring vocabulary, Viterbi-segment the word
   // vocabulary, re-estimate piece probabilities, let unused pieces
   // drop out. Driver loop like q135/q138: per iteration one
-  // vocabulary-sized flatMap + a piece-table-sized tally; not one SQL
-  // statement (segmentations depend on the previous iteration's
-  // probabilities), so the driver records a rows-only check and
-  // UnigramSpec pins seeding, Viterbi, and EM counts to a sequential
-  // reference.
+  // vocabulary-sized flatMap + a piece-table-sized tally. The oracle
+  // replays the trajectory: the per-word Viterbi DP is a RECURSIVE CTE
+  // that advances one character per step carrying a 4-wide sliding
+  // window of best scores (b0..b3) and their piece lists (l0..l3) —
+  // best(j) = max over piece lengths 1..4, ties keeping the LONGEST
+  // piece (the operator's i-ascending strictly-greater rule). Two EM
+  // rounds = two recursions, each against that round's MATERIALIZED
+  // logp table (materialization stops DuckDB re-inlining the corpus
+  // scan into every recursive join). UnigramSpec additionally pins
+  // seeding, Viterbi, and EM counts to a sequential reference.
   // ------------------------------------------------------------------
   def q155UnigramPieces(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Unigram.learn(Tables.documents(spark, dir), "text",
       seedSize = 60, iters = 2, topK = 20)
 
+  val q155Sql: String = {
+    val (seedSize, iters, topK, maxLen) = (60, 2, 20, 4)
+    val ctes = scala.collection.mutable.ArrayBuffer(
+      "words AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM " +
+        "(SELECT unnest(string_split(text, ' ')) AS w FROM documents) WHERE w <> '' GROUP BY w)",
+      // every substring of length 1..maxLen, weighted by word count
+      s"subs AS (SELECT p, CAST(SUM(cnt) AS BIGINT) AS c FROM (SELECT unnest(flatten(list_transform(range(0, length(w)), " +
+        s"i -> list_transform(range(1, 1 + least($maxLen, length(w) - i)), l -> substr(w, CAST(i+1 AS INT), CAST(l AS INT)))))) AS p, cnt FROM words) GROUP BY p)",
+      s"topseed AS (SELECT p, c FROM subs ORDER BY c DESC, p LIMIT $seedSize)",
+      "chars AS (SELECT p, c FROM subs WHERE length(p) = 1)",
+      // NOT-EXISTS dedup, not UNION: DuckDB's UNION-dedup inside a
+      // WITH RECURSIVE clause list can leave duplicate rows behind
+      "pieces0 AS (SELECT p, c FROM topseed UNION ALL " +
+        "SELECT ch.p, ch.c FROM chars ch WHERE NOT EXISTS (SELECT 1 FROM topseed t WHERE t.p = ch.p))")
+    for (it <- 0 until iters) {
+      val (pt, lp) = (s"pieces$it", s"logp$it")
+      ctes += s"$lp AS MATERIALIZED (SELECT p, round(ln(CAST(c AS DOUBLE) / (SELECT CAST(SUM(c) AS DOUBLE) FROM $pt)), 6) AS lp FROM $pt)"
+      ctes += s"""vit$it AS (
+  SELECT w, cnt, 0 AS j,
+         CAST(0.0 AS DOUBLE) AS b0, CAST(-1e18 AS DOUBLE) AS b1, CAST(-1e18 AS DOUBLE) AS b2, CAST(-1e18 AS DOUBLE) AS b3,
+         CAST([] AS VARCHAR[]) AS l0, CAST([] AS VARCHAR[]) AS l1, CAST([] AS VARCHAR[]) AS l2, CAST([] AS VARCHAR[]) AS l3
+  FROM words
+  UNION ALL
+  SELECT w, cnt, j + 1,
+    CASE WHEN s4 IS NOT NULL AND s4 >= greatest(coalesce(s1,-2e18), coalesce(s2,-2e18), coalesce(s3,-2e18)) THEN s4
+         WHEN s3 IS NOT NULL AND s3 >= greatest(coalesce(s1,-2e18), coalesce(s2,-2e18)) THEN s3
+         WHEN s2 IS NOT NULL AND s2 >= coalesce(s1,-2e18) THEN s2 ELSE s1 END,
+    b0, b1, b2,
+    CASE WHEN s4 IS NOT NULL AND s4 >= greatest(coalesce(s1,-2e18), coalesce(s2,-2e18), coalesce(s3,-2e18)) THEN list_append(l3, substr(w, j - 2, 4))
+         WHEN s3 IS NOT NULL AND s3 >= greatest(coalesce(s1,-2e18), coalesce(s2,-2e18)) THEN list_append(l2, substr(w, j - 1, 3))
+         WHEN s2 IS NOT NULL AND s2 >= coalesce(s1,-2e18) THEN list_append(l1, substr(w, j, 2))
+         ELSE list_append(l0, substr(w, j + 1, 1)) END,
+    l0, l1, l2
+  FROM (
+    SELECT v.w, v.cnt, v.j, v.b0, v.b1, v.b2, v.b3, v.l0, v.l1, v.l2, v.l3,
+      v.b0 + p1.lp AS s1,
+      CASE WHEN v.j >= 1 THEN v.b1 + p2.lp END AS s2,
+      CASE WHEN v.j >= 2 THEN v.b2 + p3.lp END AS s3,
+      CASE WHEN v.j >= 3 THEN v.b3 + p4.lp END AS s4
+    FROM vit$it v
+    LEFT JOIN $lp p1 ON p1.p = substr(v.w, v.j + 1, 1)
+    LEFT JOIN $lp p2 ON v.j >= 1 AND p2.p = substr(v.w, v.j, 2)
+    LEFT JOIN $lp p3 ON v.j >= 2 AND p3.p = substr(v.w, v.j - 1, 3)
+    LEFT JOIN $lp p4 ON v.j >= 3 AND p4.p = substr(v.w, v.j - 2, 4)
+    WHERE v.j < length(v.w)
+  )
+)"""
+      ctes += s"seg$it AS (SELECT w, cnt, l0 AS segs FROM vit$it WHERE j = length(w))"
+      ctes += s"cnts$it AS (SELECT p, CAST(SUM(cnt) AS BIGINT) AS c FROM (SELECT unnest(segs) AS p, cnt FROM seg$it) GROUP BY p)"
+      ctes += s"pieces${it + 1} AS (SELECT p, c FROM cnts$it UNION ALL " +
+        s"SELECT ch.p, 1 AS c FROM chars ch WHERE NOT EXISTS (SELECT 1 FROM cnts$it cc WHERE cc.p = ch.p))"
+    }
+    val fin = s"pieces$iters"
+    "WITH RECURSIVE " + ctes.mkString(",\n") + "\n" +
+      s"SELECT CAST(row_number() OVER (ORDER BY c DESC, p) AS BIGINT) AS rank, p AS piece, c AS piece_cnt, " +
+      s"round(CAST(c AS DOUBLE) / (SELECT CAST(SUM(c) AS DOUBLE) FROM $fin), 4) AS prob " +
+      s"FROM $fin ORDER BY c DESC, p LIMIT $topK"
+  }
+
   // ------------------------------------------------------------------
   // q138: k-center greedy coreset over the embedding table — diverse
   // representative subset selection (Sener & Savarese 2018). Driver
   // loop like q135: k rounds, one corpus scan + one collected argmax
-  // row each; not one SQL statement (each round's distances depend on
-  // the previous pick), so the driver records a rows-only check and
-  // CoresetSpec pins the sequence to a sequential reference.
+  // row each. The oracle replays the greedy sequence as a chain of
+  // argmax/update CTE pairs; the squared-distance sum runs in array
+  // index order in both engines (Spark's `aggregate` fold = DuckDB's
+  // list_sum over list_transform), so float64 rounding is identical.
+  // CoresetSpec additionally pins the sequence to a sequential
+  // reference.
   // ------------------------------------------------------------------
   def q138Coreset(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Coreset.kCenterGreedy(
       Tables.embeddings(spark, dir), "vec_id", "embedding", k = 8, seedId = 0L)
+
+  val q138Sql: String = {
+    val (k, seed) = (8, 0L)
+    def dist2(a: String, b: String): String =
+      s"list_sum(list_transform(range(1, len($a)+1), " +
+        s"i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) " +
+        s"* (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))"
+    val ctes = scala.collection.mutable.ArrayBuffer(
+      "emb AS (SELECT CAST(vec_id AS BIGINT) AS id, embedding AS v FROM embeddings)",
+      s"seed AS (SELECT v FROM emb WHERE id = $seed)",
+      s"s1 AS (SELECT e.id, e.v, ${dist2("e.v", "s.v")} AS mind " +
+        s"FROM emb e CROSS JOIN seed s WHERE e.id <> $seed)")
+    val sels = scala.collection.mutable.ArrayBuffer(
+      s"SELECT 1 AS round, CAST($seed AS BIGINT) AS center_id, 0.0 AS sel_dist2")
+    for (r <- 2 to k) {
+      ctes += s"c$r AS (SELECT id, v, mind FROM s${r - 1} ORDER BY mind DESC, id LIMIT 1)"
+      ctes += s"s$r AS (SELECT s.id, s.v, least(s.mind, ${dist2("s.v", "c.v")}) AS mind " +
+        s"FROM s${r - 1} s CROSS JOIN c$r c WHERE s.id <> c.id)"
+      sels += s"SELECT $r AS round, id AS center_id, round(mind, 4) AS sel_dist2 FROM c$r"
+    }
+    "WITH " + ctes.mkString(",\n") + "\n" + sels.mkString("\nUNION ALL ")
+  }
 
   // ------------------------------------------------------------------
   // q143: tokenizer fertility audit — tokens-per-character by language
@@ -519,9 +648,11 @@ object PretrainQueries {
   // standard multilingual-tokenizer equity metric). Composition: q135's
   // merge learning (k collected argmax rows) feeds `Bpe.encode`'s
   // zero-shuffle per-row application; the tally is one lang-keyed agg.
-  // Integer basis points — no float parity surface. Driver-loop (the
-  // learned merges depend on iterative rewrites), so rows-only check +
-  // BpeSpec pins fertility to a sequential reference.
+  // Integer basis points — no float parity surface. The oracle chains
+  // q135's 8-step trajectory into an encode pass: each learned merge
+  // is one `replace` over the wrapped representation of every UNIQUE
+  // word (applied in learned order = Bpe.encode's greedy rewrite), and
+  // the token count is the number of \x01 symbol markers left.
   // ------------------------------------------------------------------
   def q143TokenFertility(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -535,6 +666,24 @@ object PretrainQueries {
         sum(col("n_tokens")).as("n_tokens"),
         sum(col("n_chars")).as("n_chars"))
       .withColumn("fert_bp", expr("n_tokens * 10000 div n_chars"))
+  }
+
+  val q143Sql: String = {
+    val k = 8
+    val ctes = scala.collection.mutable.ArrayBuffer(bpeTrajectoryCtes(k): _*)
+    ctes += "dw AS (SELECT doc_id, w FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents) WHERE w <> '')"
+    ctes += s"enc0 AS (SELECT w, ${bpeWrap("w")} AS s FROM (SELECT DISTINCT w FROM dw))"
+    for (r <- 0 until k)
+      ctes += s"enc${r + 1} AS (SELECT e.w, replace(e.s, chr(1)||m.l||chr(2)||chr(1)||m.r||chr(2), " +
+        s"chr(1)||m.l||m.r||chr(2)) AS s FROM enc$r e CROSS JOIN m$r m)"
+    ctes += s"tok AS (SELECT w, CAST(len(s) - len(replace(s, chr(1), '')) AS BIGINT) AS t FROM enc$k)"
+    ctes += "dt AS (SELECT doc_id, CAST(SUM(t) AS BIGINT) AS n_tokens FROM dw JOIN tok USING (w) GROUP BY doc_id)"
+    "WITH " + ctes.mkString(",\n") + "\n" +
+      "SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+      "CAST(SUM(coalesce(dt.n_tokens, 0)) AS BIGINT) AS n_tokens, " +
+      "CAST(SUM(d.n_chars) AS BIGINT) AS n_chars, " +
+      "CAST(SUM(coalesce(dt.n_tokens, 0)) * 10000 // SUM(d.n_chars) AS BIGINT) AS fert_bp " +
+      "FROM documents d LEFT JOIN dt ON d.doc_id = dt.doc_id GROUP BY d.lang"
   }
 
   // ------------------------------------------------------------------
