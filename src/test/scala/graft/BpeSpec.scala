@@ -117,4 +117,34 @@ class BpeSpec extends SparkTestBase {
       .as[(Int, String, String, String, Long)].collect().sortBy(_._1).toSeq
     assert(got == Seq((1, "a", "a", "aa", 6L), (2, "aa", "a", "aaa", 3L)))
   }
+
+  test("batched learnMerges equals the sequential reference at k=200 in far fewer rounds") {
+    // A vocabulary-scale run: the batching (top-W window, disjoint
+    // prefix, conflict-count trim) must stay BYTE-IDENTICAL to the
+    // one-merge-per-job algorithm while collapsing the round count.
+    val rnd = new scala.util.Random(42)
+    val texts = (1 to 800).map { _ =>
+      (1 to 8).map(_ =>
+        (1 to (2 + rnd.nextInt(9))).map(_ => ('a' + rnd.nextInt(14)).toChar).mkString
+      ).mkString(" ")
+    }
+    val df = texts.toDF("text")
+    val (gotDf, rounds) = Bpe.learnMergesWithRounds(df, "text", 200)
+    val got = gotDf.as[(Int, String, String, String, Long)].collect().sortBy(_._1).toSeq
+    val want = referenceMerges(wordTally(texts), 200)
+    assert(got == want)
+    assert(got.size == 200)
+    assert(rounds * 2 < 200, s"batching ineffective: $rounds rounds for 200 merges")
+  }
+
+  test("window=1 degrades to the sequential algorithm with identical output") {
+    val texts = Seq("abab abc a b", "aaa abab ab", "xyz ab abc aaa")
+    val df = texts.toDF("text")
+    spark.conf.set("graft.bpe.window", "1")
+    try {
+      val got = Bpe.learnMerges(df, "text", 4)
+        .as[(Int, String, String, String, Long)].collect().sortBy(_._1).toSeq
+      assert(got == referenceMerges(wordTally(texts), 4))
+    } finally spark.conf.unset("graft.bpe.window")
+  }
 }
