@@ -7,7 +7,7 @@ import org.apache.spark.sql.SparkSession
  * prints one JSON line {"metric":...,"queries":{...}}.
  *
  * Methodology: a full warmup pass at sf0.001 first (JIT + codegen cache +
- * session init), then SPARK_GRAFT_BENCH_REPEATS (default 1) timed passes
+ * session init), then SPARK_GRAFT_BENCH_REPEATS (default 3) timed passes
  * at the target scale factor; per-query time is the MEDIAN across passes
  * and BENCH_FULL.json records min/max spread so sub-second movers can be
  * told from run-to-run noise. Queries are forced through the `noop` sink
@@ -42,7 +42,7 @@ object Bench {
     // warmup at the smallest SF: JIT, codegen cache, parquet footer reads
     names.foreach(exec(_, "/root/testdata/sf0.001"))
 
-    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "1").toInt
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt
     val passes: Seq[Map[String, Double]] =
       (1 to repeats).map(_ => names.map(n => n -> exec(n, sfDir)).toMap)
     def median(xs: Seq[Double]): Double =
@@ -88,7 +88,7 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] ingest failed: ${e.getMessage}"); -1L
       }
-    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${names.size},"n_failed":${failed.size},"queries":$qs,"ingest_records_per_sec":$ingestRps,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${names.size},"n_failed":${failed.size},"repeats":$repeats,"queries":$qs,"ingest_records_per_sec":$ingestRps,"sf":"$sfDir"}"""
     try {
       val p = java.nio.file.Paths.get("BENCH_FULL.json")
       val spread =

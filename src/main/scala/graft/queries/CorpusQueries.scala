@@ -729,17 +729,37 @@ object CorpusQueries {
   // counts re-aggregate the same checkpointed frame). The source-pair
   // dimension is a tiny self-pair of the per-source count table.
   //
-  // The 100 TB path is IMPLEMENTED behind `graft.q147.approx=true`
-  // (q147SourceOverlapHll): one mergeable HLL sketch per source —
-  // partial-aggregable, so the shingle shuffle DISAPPEARS entirely
-  // (only S kilobyte-sized sketch blobs move) — and inclusion-
+  // The 100 TB path (q147SourceOverlapHll): one mergeable HLL sketch
+  // per source — partial-aggregable, so the shingle shuffle DISAPPEARS
+  // entirely (only S kilobyte-sized sketch blobs move) — and inclusion-
   // exclusion |A∩B| = |A|+|B|−|A∪B| on pairwise union sketches.
   // SketchStatsSpec bounds it against the exact plan.
+  //
+  // Path selection (the PageRank broadcastNodes pattern): an explicit
+  // `graft.q147.approx` wins; otherwise a MAP-ONLY probe (one cheap
+  // scan summing per-doc shingle counts — no shuffle, no text
+  // materialization past the count) auto-switches to the sketch past
+  // `graft.q147.autoApproxShingles` (default 2e9 occurrences): beyond
+  // that the exact plan's corpus-wide distinct-shingle exchange is the
+  // raw-scale hazard, and the sketch's ~0.4% error is the right trade.
   // ------------------------------------------------------------------
+  private val AutoApproxShinglesDefault = 2000000000L
+
   def q147SourceOverlap(spark: SparkSession, dir: String): DataFrame =
-    if (spark.conf.getOption("graft.q147.approx").exists(_.toBoolean))
-      q147SourceOverlapHll(spark, dir)
-    else {
+    spark.conf.getOption("graft.q147.approx").map(_.toBoolean) match {
+      case Some(true) => q147SourceOverlapHll(spark, dir)
+      case Some(false) => q147SourceOverlapExact(spark, dir)
+      case None =>
+        val threshold = spark.conf.getOption("graft.q147.autoApproxShingles")
+          .map(_.toLong).getOrElse(AutoApproxShinglesDefault)
+        val occurrences = Tables.documents(spark, dir)
+          .agg(sum(greatest(size(split(col("text"), " ")) - 2, lit(0))).as("n"))
+          .collect()(0).getLong(0)
+        if (occurrences > threshold) q147SourceOverlapHll(spark, dir)
+        else q147SourceOverlapExact(spark, dir)
+    }
+
+  private def q147SourceOverlapExact(spark: SparkSession, dir: String): DataFrame = {
       // compiled 3-gram kernel (RollingWindowsExpression): the
       // declarative wordShingles higher-order form runs interpreted per
       // element — the swap cut the 10× replica from 38 s to 9 s

@@ -80,6 +80,34 @@ class SketchStatsSpec extends SparkTestBase {
     } finally spark.conf.unset("graft.q147.approx")
   }
 
+  test("q147 auto-switches to the HLL plan past the shingle threshold") {
+    val dir = "/root/testdata/sf0.01"
+    def planOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.analyzed.toString
+    // default threshold (2e9): sf0.01 stays on the exact plan
+    val exactPlan = planOf(graft.queries.CorpusQueries.q147SourceOverlap(spark, dir))
+    assert(!exactPlan.contains("hll_sketch_agg"),
+      "sf0.01 under the default threshold must take the exact path")
+    // a tiny threshold flips the SAME call to the sketch plan — no
+    // flag, the map-only occurrence probe decides
+    spark.conf.set("graft.q147.autoApproxShingles", "1")
+    try {
+      val hllPlan = planOf(graft.queries.CorpusQueries.q147SourceOverlap(spark, dir))
+      assert(hllPlan.contains("hll_sketch_agg"),
+        "past the threshold the auto path must use the HLL sketch")
+    } finally spark.conf.unset("graft.q147.autoApproxShingles")
+    // an explicit flag always wins over the probe
+    spark.conf.set("graft.q147.approx", "false")
+    spark.conf.set("graft.q147.autoApproxShingles", "1")
+    try {
+      assert(!planOf(graft.queries.CorpusQueries.q147SourceOverlap(spark, dir))
+        .contains("hll_sketch_agg"))
+    } finally {
+      spark.conf.unset("graft.q147.approx")
+      spark.conf.unset("graft.q147.autoApproxShingles")
+    }
+  }
+
   test("approx_percentile within 2% relative error of exact percentile") {
     val ev = Tables.events(spark, "/root/testdata/sf0.01")
     val r = ev.agg(
