@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -137,12 +137,137 @@ case class LshSignatureExpression(child: Expression, planes: Int, dims: Int)
   override def prettyName: String = "lsh_signature"
 }
 
+/** The HALF_UP decimal rounding Spark's `round()` applies to doubles
+  * (shortest-decimal BigDecimal; NaN/Inf pass through) — shared so the
+  * kernels below and their driver-side query prep round identically. */
+object RoundParity {
+  def round(d: Double, scale: Int): Double =
+    if (d.isNaN || d.isInfinite) d
+    else java.math.BigDecimal.valueOf(d)
+      .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** q145's per-dimension symmetric quantization: round(v/s*qmax), 0
+    * where the scale is non-positive — same math driver-side (query
+    * prep) and executor-side (corpus rows), so both sides of a
+    * quantized dot are bit-identical. */
+  def quantize(v: Array[Double], scales: Array[Double], qmax: Long): Array[Double] = {
+    val out = new Array[Double](v.length)
+    var i = 0
+    while (i < v.length) {
+      out(i) = if (i < scales.length && scales(i) > 0)
+        round(v(i) / scales(i) * qmax.toDouble, 0) else 0.0
+      i += 1
+    }
+    out
+  }
+
+  def norm(v: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    math.sqrt(s)
+  }
+}
+
+/**
+ * All-widths multi-query cosine scoring in ONE pass per corpus row
+ * (q145's hot loop): the query set (tiny — it is the brute-force
+ * decimation, like q42's IVF centroid table) is precomputed on the
+ * driver in every representation (float anchor + each quantized
+ * width) and shipped as expression payload; each corpus row is
+ * quantized once per width and scored against every query in a tight
+ * primitive loop. Output: one struct per query holding the rounded
+ * sim per width (s0 = float anchor, s<bits> per quantized width).
+ *
+ * The composed form (broadcast join + per-pair kernel calls) evaluates
+ * 5 CodegenFallback dots against the joined row PER PAIR — measured
+ * 5× slower end to end at the 10× stress because every eval re-reads
+ * the wide array columns; here the row's arrays decode exactly once.
+ * Folds, operand order (query norm × corpus norm), and HALF_UP
+ * rounding match the composed form bit for bit on non-null input
+ * (null vector elements yield a null entry for the row — the corpus
+ * contract; the composed form would null individual sims instead).
+ */
+case class MultiQuerySimsExpression(
+    vec: Expression,
+    queryIds: Array[Long],
+    /** queryReps(q)(0) = float-anchor doubles; (q)(1 + wi) = width wi. */
+    queryReps: Array[Array[Array[Double]]],
+    /** queryNorms(q)(w), aligned with queryReps. */
+    queryNorms: Array[Array[Double]],
+    scales: Array[Double],
+    bitsWidths: Array[Int]) extends UnaryExpression with CodegenFallback {
+
+  override def child: Expression = vec
+  override def nullable: Boolean = true
+  private lazy val isFloat = VecOps.isFloatArray(vec.dataType)
+
+  override def dataType: DataType = ArrayType(StructType(
+    StructField("query_id", LongType, nullable = false) +:
+      (0 +: bitsWidths.toSeq).map(b =>
+        StructField(s"s$b", DoubleType, nullable = false))), containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val v = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i)) return null
+      v(i) = VecOps.elem(x, i, isFloat)
+      i += 1
+    }
+    val w = bitsWidths.length
+    // this row's representations + norms (float anchor at index 0)
+    val reps = new Array[Array[Double]](w + 1)
+    val norms = new Array[Double](w + 1)
+    reps(0) = v
+    norms(0) = RoundParity.norm(v)
+    var wi = 0
+    while (wi < w) {
+      reps(wi + 1) = RoundParity.quantize(v, scales, (1L << (bitsWidths(wi) - 1)) - 1)
+      norms(wi + 1) = RoundParity.norm(reps(wi + 1))
+      wi += 1
+    }
+    val out = new Array[Any](queryIds.length)
+    var q = 0
+    while (q < queryIds.length) {
+      val vals = new Array[Any](w + 2)
+      vals(0) = queryIds(q)
+      var r = 0
+      while (r <= w) {
+        val a = reps(r); val b = queryReps(q)(r)
+        var d = 0.0
+        var j = 0
+        val m = math.min(a.length, b.length)
+        while (j < m) { d += a(j) * b(j); j += 1 }
+        val nn = queryNorms(q)(r) * norms(r)
+        vals(r + 1) = if (nn > 0) RoundParity.round(d / nn, 4) else 0.0
+        r += 1
+      }
+      out(q) = org.apache.spark.sql.catalyst.InternalRow.fromSeq(
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
+      q += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(vec = c)
+  override def prettyName: String = "multi_query_sims"
+}
+
 object VectorFunctions {
   import org.apache.spark.sql.GraftBridge
 
   def vecDot(a: Column, b: Column): Column =
     GraftBridge.column(DotProductExpression(
       GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  def multiQuerySims(vec: Column, queryIds: Array[Long],
+      queryReps: Array[Array[Array[Double]]], queryNorms: Array[Array[Double]],
+      scales: Array[Double], bitsWidths: Array[Int]): Column =
+    GraftBridge.column(MultiQuerySimsExpression(GraftBridge.expression(vec),
+      queryIds, queryReps, queryNorms, scales, bitsWidths))
 
   def vecNorm(a: Column): Column =
     GraftBridge.column(L2NormExpression(GraftBridge.expression(a)))

@@ -870,72 +870,94 @@ object LlmQueries {
   // symmetric scalar quantization at 2/4/6/8 bits (qmax = 2^(b-1)-1),
   // recall@10 of quantized-cosine ranking against the float brute-force
   // anchor. Scales come from ONE per-dimension |max| pass (explode +
-  // map-side-combined max, 64-row table gathered to a 1-row array);
-  // vectors quantize ONCE per (bits, vec) — integer lists whose dot
-  // products are exact in doubles (≤ 127²·64) — and the per-bits
-  // ranking reuses the bounded-heap top-k. All-integer output. At
-  // corpus scale the same quantized lists ride q42's IVF partitioned
-  // index; this query is the QUALITY audit (brute anchor over the
-  // query decimation), like q144.
+  // map-side-combined max, 64-row table gathered to a 1-row array).
+  //
+  // ONE corpus pass for all five rankings (r4 ran 4 quantized passes +
+  // a float brute pass = 5 corpus-linear workloads, 4.6× at the 10×
+  // stress): the 50-query decimation is precomputed on the DRIVER in
+  // every representation (float anchor + 4 quantized widths — the
+  // same dimension-sized collect as q42's IVF centroid table) and
+  // ships as payload of ONE compiled expression
+  // (MultiQuerySimsExpression) that quantizes each corpus row once
+  // per width and scores all 250 (query × width) sims in a tight
+  // primitive loop — the row's arrays decode once, not per pair (the
+  // broadcast-join formulation evaluated 5 fallback kernels against
+  // the joined row per pair; measured 5× slower at the 10× stress).
+  // The five rankings then share one bounded-heap top-k pass, five
+  // heaps per query group (exploding to (bits, query) keys first
+  // would put 250 groups through the TypedImperativeAggregate — past
+  // ObjectHashAggregate's 128-group sort fallback, which SORTS the
+  // full pair set). Width 0 = the float anchor (same fold, same
+  // rounding, same tie order as Similarity.bruteForceTopK).
+  // All-integer output. At corpus scale the same quantized lists ride
+  // q42's IVF partitioned index; this query is the QUALITY audit over
+  // the query decimation.
   // ------------------------------------------------------------------
   def q145QuantRecall(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import graft.functions.TopKAggregate
+    import graft.functions.{RoundParity, TopKAggregate, VectorFunctions}
     val k = 10
+    val widths = Array(2, 4, 6, 8)
     val emb = Tables.embeddings(spark, dir)
-    // per-dimension absolute max → ONE 64-element scales array (1 row)
-    val scales = emb
+    // per-dimension absolute max → ONE 64-element scales array,
+    // collected (dimension-sized, like a centroid table)
+    val scales: Array[Double] = emb
       .select(posexplode(col("embedding")).as(Seq("pos", "x")))
       .groupBy(col("pos")).agg(max(abs(col("x").cast(DoubleType))).as("mx"))
-      .agg(sort_array(collect_list(struct(col("pos"), col("mx")))).as("pm"))
-      .select(expr("transform(pm, e -> e.mx)").as("s"))
-    val bDim = Seq(2L, 4L, 6L, 8L).toDF("bits")
-      .withColumn("qmax", expr("cast(pow(2, bits - 1) as bigint) - 1"))
-    // quantize each vector once per bits setting: int list in [-qmax, qmax]
-    // norms are per-(bits, vector), not per-pair: hoist sqrt(Σq²) into
-    // the quantize pass (identical doubles, computed once — the
-    // per-pair version tripled the scoring work and showed up directly
-    // as wall time in the 10× stress)
-    // qv is array<double> holding exact small integers (|q| ≤ 127): the
-    // round() output is integral and exactly representable, so integer
-    // dot products stay exact while the hot scoring join below runs the
-    // compiled vec_dot/vec_norm kernels instead of interpreted lambdas
-    // (the lambda version was ~6× slower wall on the 10× replica)
-    val qvec = emb.crossJoin(broadcast(scales)).crossJoin(broadcast(bDim))
-      .select(col("bits"), col("vec_id"),
-        expr("""transform(sequence(0, size(embedding) - 1),
-          i -> case when s[i] > 0
-            then round(cast(embedding[i] as double) / s[i] * qmax)
-            else 0D end)""").as("qv"))
-      .withColumn("qn", graft.functions.VectorFunctions.vecNorm(col("qv")))
-      .localCheckpoint() // read by both sides of the scoring join
-    val qq = qvec.filter(col("vec_id") < 50)
-      .select(col("bits"), col("vec_id").as("query_id"),
-        col("qv").as("qa"), col("qn").as("qna"))
-    val scored = qvec
-      .select(col("bits"), col("vec_id").as("neighbor_id"),
-        col("qv").as("qb"), col("qn").as("qnb"))
-      .join(broadcast(qq), "bits")
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("dq", graft.functions.VectorFunctions.vecDot(col("qa"), col("qb")))
-      .withColumn("sim", round(when(col("qna") * col("qnb") > 0,
-        col("dq") / (col("qna") * col("qnb"))).otherwise(lit(0.0)), 4))
-    val quant = scored
-      .groupBy(col("bits"), col("query_id"))
-      .agg(TopKAggregate.topK(col("sim"), col("neighbor_id"), k).as("t"))
-      .select(col("bits"), col("query_id"), explode(col("t.id")).as("neighbor_id"))
-    val queries = emb.filter(col("vec_id") < 50)
-      .select(col("vec_id").as("query_vec_id"), col("embedding").as("qvec"))
-    val brute = Similarity.bruteForceTopK(emb, queries,
-      "vec_id", "embedding", "query_vec_id", "qvec", k = k)
+      .orderBy(col("pos"))
+      .select(col("mx")).as[Double].collect()
+    // query decimation, every representation prepped with the SAME
+    // HALF_UP quantization math the executor kernel applies
+    val qRows = emb.filter(col("vec_id") < 50)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+    val queryIds = qRows.map(_._1)
+    val queryReps = qRows.map { case (_, e) =>
+      val v = e.map(_.toDouble).toArray
+      v +: widths.map(b => RoundParity.quantize(v, scales, (1L << (b - 1)) - 1))
+    }
+    val queryNorms = queryReps.map(_.map(RoundParity.norm))
+    // the scoring projection is CPU-dense (250 sims/row); a small
+    // corpus arrives as 1-2 parquet splits, which would serialize it
+    // on one task — spread it when under-partitioned (a no-op at real
+    // scale, where the input already has >= cores splits)
+    val cores = spark.sparkContext.defaultParallelism
+    val corpus = if (emb.rdd.getNumPartitions * 2 < cores) emb.repartition(cores) else emb
+    val scoredPairs = corpus
+      .select(col("vec_id").as("neighbor_id"),
+        explode(VectorFunctions.multiQuerySims(col("embedding"),
+          queryIds, queryReps, queryNorms, scales, widths)).as("e"))
+      .filter(col("e.query_id") =!= col("neighbor_id"))
+      .select(col("e.query_id").as("query_id") +: col("neighbor_id") +:
+        (0 +: widths.toSeq).map(b => col(s"e.s$b").as(s"s$b")): _*)
+    // ONE aggregation pass, five heaps per query row: exploding to
+    // (bits, query) keys first would put 5×50 = 250 groups through the
+    // TypedImperativeAggregate — past ObjectHashAggregate's 128-group
+    // sort fallback, which SORTS the full pair set (measured 1.5×
+    // slower end to end); 50 query groups with five topK buffers each
+    // stays on the hash path and reads the scored pairs exactly once
+    val top = scoredPairs
+      .groupBy(col("query_id"))
+      .agg(
+        TopKAggregate.topK(col("s0"), col("neighbor_id"), k).as("t0"),
+        widths.map(b =>
+          TopKAggregate.topK(col(s"s$b"), col("neighbor_id"), k).as(s"t$b")): _*)
+      .select(col("query_id"),
+        explode(array((widths :+ 0).map(b =>
+          struct(lit(b.toLong).as("bits"), col(s"t$b.id").as("ids"))): _*)).as("e"))
+      .select(col("e.bits").as("bits"), col("query_id"),
+        explode(col("e.ids")).as("neighbor_id"))
+      .localCheckpoint() // tiny; read by both the anchor and quant sides
+    val brute = top.filter(col("bits") === 0L)
       .select(col("query_id"), col("neighbor_id"))
-    val hits = quant.join(brute, Seq("query_id", "neighbor_id"))
+    val hits = top.filter(col("bits") > 0L)
+      .join(brute, Seq("query_id", "neighbor_id"))
       .groupBy(col("bits")).agg(count(lit(1)).as("hits"))
-    bDim.select(col("bits")).join(hits, Seq("bits"), "left")
-      .crossJoin(broadcast(queries.agg(count(lit(1)).as("nq"))))
+    widths.toSeq.map(_.toLong).toDF("bits")
+      .join(hits, Seq("bits"), "left")
       .select(col("bits"),
         coalesce(col("hits"), lit(0L)).as("hits"),
-        expr(s"coalesce(hits, cast(0 as bigint)) * 1000 div (nq * $k)")
+        expr(s"coalesce(hits, cast(0 as bigint)) * 1000 div (${queryIds.length}L * $k)")
           .as("recall_pm"))
   }
 
