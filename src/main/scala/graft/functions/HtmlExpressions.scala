@@ -108,7 +108,11 @@ private[graft] object HtmlText {
       if (digits.isEmpty) None
       else {
         val cp = Integer.parseInt(digits, radix)
-        if (cp < 0 || cp > 0x10ffff) None
+        // surrogate code points (U+D800..U+DFFF) are parse errors per
+        // the HTML spec — Character.toChars would emit a lone surrogate
+        // that degrades to replacement bytes in UTF8String; keep the
+        // literal '&' like any other invalid entity
+        if (cp < 0 || cp > 0x10ffff || (cp >= 0xd800 && cp <= 0xdfff)) None
         else Some(new String(Character.toChars(cp)))
       }
     } catch { case _: Exception => None }

@@ -40,8 +40,13 @@ object TarArchive {
     out
   }
 
-  /** Parse an archive back to its entries; None on malformed input
-    * (bad magic, bad checksum, truncated payload) — never partial. */
+  /** Parse an archive back to its entries; None on malformed or
+    * out-of-contract input (bad magic, bad checksum, truncated
+    * payload, non-regular-file typeflag, prefix-split long name) —
+    * never partial. The reader's contract is the WRITER's dialect:
+    * foreign archives using directory/link entries or the ustar
+    * prefix field are rejected rather than silently misread as data
+    * entries with wrong names (round-4 advisor finding). */
   def read(bytes: Array[Byte]): Option[Seq[Entry]] = {
     if (bytes == null || bytes.length % BlockSize != 0) return None
     val entries = Seq.newBuilder[Entry]
@@ -52,6 +57,12 @@ object TarArchive {
       if (magic != "ustar") return None
       val stored = octal(bytes, off + 148, 8).getOrElse(return None)
       if (checksum(bytes, off) != stored) return None
+      // typeflag: only regular files ('0' or NUL) are in-contract
+      val typeflag = bytes(off + 156)
+      if (typeflag != '0' && typeflag != 0) return None
+      // a non-empty ustar prefix field means the real name is
+      // prefix/name — the writer never splits, so reject
+      if (bytes(off + 345) != 0) return None
       val nameEnd = {
         var i = off; while (i < off + 100 && bytes(i) != 0) i += 1; i
       }

@@ -110,16 +110,27 @@ object MediaQueries {
       |  ON a.doc_id % 40 = b.doc_id % 40 AND a.doc_id < b.doc_id
       |WHERE a.doc_id < 240 AND b.doc_id < 240""".stripMargin
 
-  /** Decode → dHash → 4×16-bit pigeonhole band join → popcount ≤ 4
-    * verify; only (media_id, hash) rows ever shuffle. */
-  private def dhashPairs(media: DataFrame): DataFrame = {
-    val hashes = Multimodal.decodeImageHashes(media).toDF()
-      .select(col("media_id"), col("dhash")).localCheckpoint()
+  /** Decode → dHash → 5-band pigeonhole join (13/13/13/13/12 bits) →
+    * popcount ≤ 4 verify; only (media_id, hash) rows ever shuffle.
+    * Five bands, not four: pigeonhole over 4 bands only guarantees a
+    * clean shared band up to distance 3, so a true pair with exactly
+    * 4 differing bits spread one per band would never collide; with 5
+    * bands every pair within the verify radius 4 is guaranteed a
+    * collision (advisor finding, round 4). */
+  private def dhashPairs(media: DataFrame): DataFrame =
+    dhashBandPairs(Multimodal.decodeImageHashes(media).toDF()
+      .select(col("media_id"), col("dhash")).localCheckpoint())
+
+  /** Band join + verify over a prepared (media_id, dhash) frame —
+    * split out so the spec can pin recall on adversarial bit spreads. */
+  private[graft] def dhashBandPairs(hashes: DataFrame): DataFrame = {
+    val bandBits = Seq(13, 13, 13, 13, 12)
+    val offsets = bandBits.scanLeft(0)(_ + _).init
     val banded = hashes.select(col("media_id"), col("dhash"),
-        explode(array((0 until 4).map(b =>
+        explode(array(bandBits.indices.map(b =>
           struct(lit(b).as("band"),
-            shiftrightunsigned(col("dhash"), 16 * b)
-              .bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("bk"))
+            shiftrightunsigned(col("dhash"), offsets(b))
+              .bitwiseAND(lit((1L << bandBits(b)) - 1)).as("key"))): _*)).as("bk"))
       .select(col("media_id"), col("dhash"),
         col("bk.band").as("band"), col("bk.key").as("key"))
     val a = banded.select(col("band"), col("key"),

@@ -33,15 +33,33 @@ object GraftBridge {
     }
   }
 
+  /** Schema of a self-describing Arrow IPC batch, read from its
+    * leading schema message alone — no record-batch decode, no
+    * allocator, nothing to close (the previous probe decoded a full
+    * batch with a null TaskContext, whose allocator was never
+    * released — driver direct memory leaked per call). */
+  private def schemaOfBatch(batch: Array[Byte]): types.StructType = {
+    val ch = new org.apache.arrow.vector.ipc.ReadChannel(
+      java.nio.channels.Channels.newChannel(
+        new java.io.ByteArrayInputStream(batch)))
+    util.ArrowUtils.fromArrowSchema(
+      org.apache.arrow.vector.ipc.message.MessageSerializer.deserializeSchema(ch))
+  }
+
   /** Distributed inverse of [[toArrowBatches]]: an RDD of
     * self-describing Arrow batches back to a DataFrame WITHOUT passing
     * through the driver — each partition decodes its own batches on
     * the executor (the return path of an external-worker transform).
     *
-    * The batch RDD is persisted before the driver's one-batch schema
-    * probe, so a side-effecting upstream (an external worker) runs at
-    * most ONCE per partition across the probe job and the main job —
-    * never abandoned mid-stream. `emptySchema` is the result schema
+    * The batch RDD is persisted before the driver's schema probe, so a
+    * side-effecting upstream (an external worker) runs at most ONCE
+    * per partition — never abandoned mid-stream; the probe itself only
+    * parses the leading schema message (no allocator to leak). The
+    * decoded rows are materialized eagerly and the raw batch blocks
+    * unpersisted right away, so a long-lived session doesn't
+    * accumulate both representations (the row RDD then follows the
+    * repo-wide localCheckpoint lifecycle: dropped by the context
+    * cleaner with the DataFrame). `emptySchema` is the result schema
     * when the input produces no batches at all (an empty DataFrame
     * must come back empty, not throw). The executor-side decode passes
     * the live TaskContext so Arrow's allocator registers its
@@ -59,9 +77,7 @@ object GraftBridge {
         session.sparkContext.emptyRDD[org.apache.spark.sql.catalyst.InternalRow],
         emptySchema)
     }
-    val (_, schema) =
-      execution.arrow.ArrowConverters.fromBatchWithSchemaIterator(
-        first.iterator, null)
+    val schema = schemaOfBatch(first.head)
     val rows = batches.mapPartitions { it =>
       if (!it.hasNext) Iterator.empty
       else {
@@ -73,7 +89,9 @@ object GraftBridge {
         rs.map(r =>
           proj(r).copy().asInstanceOf[org.apache.spark.sql.catalyst.InternalRow])
       }
-    }
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rows.count() // materialize, then drop the raw batch blocks
+    batches.unpersist(blocking = false)
     session.internalCreateDataFrame(rows, schema)
   }
 

@@ -31,4 +31,23 @@ class MediaPerturbSpec extends SparkTestBase {
         s"class $cls: aHash/dHash must be brightness-shift invariant")
     }
   }
+
+  test("dhash banding guarantees recall at the full verify radius (4 bits)") {
+    import spark.implicits._
+    // Adversarial spread: exactly 4 differing bits, one per 16-bit
+    // quarter — the pair a 4-band pigeonhole scheme silently drops
+    // (no quarter is clean), caught only because 5 bands guarantee a
+    // clean band up to radius 4 (round-4 advisor finding).
+    val h1 = 0x0123456789abcdefL
+    val spread4 = h1 ^ ((1L << 5) | (1L << 20) | (1L << 35) | (1L << 50))
+    // and a pair at distance 5 (one per 13-bit band): must be DROPPED
+    // by the verify filter even though bands may collide
+    val spread5 = h1 ^ ((1L << 1) | (1L << 14) | (1L << 27) | (1L << 40) | (1L << 53))
+    val hashes = Seq((1L, h1), (2L, spread4), (3L, spread5))
+      .toDF("media_id", "dhash")
+    val pairs = graft.queries.MediaQueries.dhashBandPairs(hashes)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), "distance-4 spread pair must be recalled")
+    assert(!pairs.contains((1L, 3L)), "distance-5 pair must fail the verify radius")
+  }
 }

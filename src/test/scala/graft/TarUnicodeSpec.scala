@@ -51,6 +51,27 @@ class TarUnicodeSpec extends AnyFunSuite {
     assert(TarArchive.read(flipped).isEmpty)
   }
 
+  test("foreign typeflags and prefix-split names are rejected, not misread") {
+    // mutating header bytes breaks the checksum, so re-seal it to
+    // isolate the typeflag/prefix checks themselves
+    def reseal(b: Array[Byte]): Array[Byte] = {
+      java.util.Arrays.fill(b, 148, 156, ' '.toByte)
+      var sum = 0L
+      (0 until 512).foreach(i => sum += (b(i) & 0xff))
+      val s = "%06o".format(sum).getBytes("US-ASCII")
+      System.arraycopy(s, 0, b, 148, 6); b(154) = 0; b(155) = ' '
+      b
+    }
+    val tar = TarArchive.write(entries(2))
+    assert(TarArchive.read(tar).nonEmpty) // sanity: well-formed baseline
+    val dir = tar.clone(); dir(156) = '5' // directory entry
+    assert(TarArchive.read(reseal(dir)).isEmpty)
+    val link = tar.clone(); link(156) = '2' // symlink entry
+    assert(TarArchive.read(reseal(link)).isEmpty)
+    val pfx = tar.clone(); pfx(345) = 'p' // prefix-split long name
+    assert(TarArchive.read(reseal(pfx)).isEmpty)
+  }
+
   test("NFKC folds compatibility forms the NFC oracle path cannot") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import graft.functions.UnicodeNormalizeExpression
