@@ -38,6 +38,19 @@ object ImageCodec {
   private val Signature =
     Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
 
+  /** Format-dispatching decode by magic bytes: PNG signature →
+    * [[decodePng]], JPEG SOI (FFD8) → [[JpegCodec.decodeJpeg]]. The
+    * media operators route through this so perceptual hashing,
+    * brightness gates, and thumbnails run on whichever container a
+    * corpus actually holds (real crawls are mostly JPEG). */
+  def decodeImage(bytes: Array[Byte]): Option[RawImage] = {
+    if (bytes == null || bytes.length < 8) return None
+    if (bytes.take(8).sameElements(Signature)) decodePng(bytes)
+    else if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8)
+      JpegCodec.decodeJpeg(bytes)
+    else None
+  }
+
   private def colorType(channels: Int): Int = channels match {
     case 1 => 0
     case 3 => 2

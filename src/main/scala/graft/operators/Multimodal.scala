@@ -164,6 +164,30 @@ object Multimodal {
       }.toDF()
   }
 
+  /** One REAL baseline JPEG per row: solid gray value v = (37·id+11)
+    * mod 256 at w = 13+(id%5)·7, h = 9+(id%3)·8 (non-multiples of 8 —
+    * the edge-clamped partial-MCU path), quality ∈ {50, 75, 90} by id
+    * mod 3. Solid blocks are DC-only, so the decode is EXACTLY the
+    * quantization round-trip px' = clamp(round(round(8·(v−128)/Q0)
+    * ·Q0/8)+128, 0, 255) with Q0 ∈ {16, 8, 3} — the q179 oracle
+    * recomputes it per row in SQL. */
+  def synthJpeg(df: DataFrame, idCol: String): DataFrame = {
+    implicit val enc: Encoder[MediaRecord] = Encoders.product[MediaRecord]
+    df.select(col(idCol).cast(LongType)).as(Encoders.scalaLong)
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = (13 + (id % 5) * 7).toInt
+          val h = (9 + (id % 3) * 8).toInt
+          val v = ((37 * id + 11) % 256).toInt
+          val quality = Seq(50, 75, 90)((id % 3).toInt)
+          val px = Array.fill(w * h)(v.toByte)
+          val jpeg = JpegCodec.encodeJpeg(
+            ImageCodec.RawImage(w, h, 1, px), quality)
+          MediaRecord(id, jpeg, "image/jpeg", jpeg.length.toLong)
+        }
+      }.toDF()
+  }
+
   /** One REAL PNG per row with seed-classed noise content: every row
     * whose id maps to the same `seed` (id mod `classes`) gets a
     * byte-identical image; distinct seeds get independent splitmix64
@@ -215,7 +239,7 @@ object Multimodal {
       .as(Encoders.product[MediaRecord])
       .mapPartitions { rows =>
         rows.flatMap { r =>
-          ImageCodec.decodePng(r.content).map { img =>
+          ImageCodec.decodeImage(r.content).map { img =>
             val gray = ImageOps.toGray(img)
             var sum = 0L; var mn = 255; var mx = 0
             var i = 0
@@ -242,7 +266,7 @@ object Multimodal {
       .as(Encoders.product[MediaRecord])
       .mapPartitions { rows =>
         rows.flatMap { r =>
-          ImageCodec.decodePng(r.content).map { img =>
+          ImageCodec.decodeImage(r.content).map { img =>
             val gray = ImageOps.toGray(img)
             ImageHash(r.media_id, ImageOps.aHash64(gray), ImageOps.dHash64(gray))
           }
@@ -329,7 +353,7 @@ object Multimodal {
       .as(Encoders.product[MediaRecord])
       .mapPartitions { rows =>
         rows.flatMap { r =>
-          ImageCodec.decodePng(r.content).toSeq.flatMap { img =>
+          ImageCodec.decodeImage(r.content).toSeq.flatMap { img =>
             val cells = ImageOps.resizeAreaAvg(ImageOps.toGray(img), outW, outH)
             val px = cells.map(_.toByte)
             val thumb = ImageCodec.encodePng(

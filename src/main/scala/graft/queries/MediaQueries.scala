@@ -336,6 +336,42 @@ object MediaQueries {
       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
       |FROM c GROUP BY 1""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q179: JPEG decode statistics — real baseline JFIF payloads (the
+  // format real crawls are dominated by) through the pure-JVM
+  // [[graft.operators.JpegCodec]]. Solid-gray images are DC-only, so
+  // the decode is EXACTLY the quantization round-trip
+  // px' = clamp(round(round(8·(v−128)/Q0)·Q0/8)+128, 0, 255) with
+  // Q0 ∈ {16, 8, 3} for quality ∈ {50, 75, 90} (the libjpeg Annex-K
+  // scaling), which the oracle recomputes per row; non-multiple-of-8
+  // sizes exercise the edge-clamped partial-MCU path. Per-row kernel,
+  // zero shuffle — the same scan shape as q166's PNG decode.
+  // ------------------------------------------------------------------
+  def q179JpegDecode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 200)
+    val media = Multimodal.synthJpeg(docs, "doc_id")
+    Multimodal.decodeImageStats(media).toDF()
+      .select(col("media_id"), col("width"), col("height"), col("n_px"),
+        col("mean_g"), col("min_g"), col("max_g"))
+  }
+
+  val q179Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, CAST(13 + (doc_id % 5) * 7 AS INT) AS w,
+      |    CAST(9 + (doc_id % 3) * 8 AS INT) AS h,
+      |    (37 * doc_id + 11) % 256 AS v,
+      |    CASE doc_id % 3 WHEN 0 THEN 16 WHEN 1 THEN 8 ELSE 3 END AS q0
+      |  FROM documents WHERE doc_id < 200),
+      |px AS (
+      |  SELECT doc_id, w, h,
+      |    CAST(least(255, greatest(0,
+      |      round(round(8.0 * (v - 128) / q0) * q0 / 8.0) + 128)) AS BIGINT) AS g
+      |  FROM d)
+      |SELECT doc_id AS media_id, w AS width, h AS height,
+      |  CAST(w AS BIGINT) * h AS n_px, g AS mean_g,
+      |  CAST(g AS INT) AS min_g, CAST(g AS INT) AS max_g
+      |FROM px""".stripMargin
+
   val q168Sql: String =
     """WITH d AS (
       |  SELECT doc_id, CAST(1024 + (doc_id % 4) * 256 AS INT) AS n

@@ -32,6 +32,23 @@ class MediaPerturbSpec extends SparkTestBase {
     }
   }
 
+  test("perceptual hashing runs on JPEG payloads via format dispatch") {
+    import graft.operators.{ImageCodec, JpegCodec, ImageOps}
+    // identical pixels through both containers: PNG is lossless, JPEG
+    // at high quality distorts only slightly — area-average hashes of
+    // the two decodes must be near-identical (the cross-format dedup
+    // property the dispatch exists for)
+    val rnd = new scala.util.Random(11)
+    val px = Array.fill(32 * 24)(rnd.nextInt(256).toByte)
+    val img = ImageCodec.RawImage(32, 24, 1, px)
+    val viaPng = ImageCodec.decodeImage(ImageCodec.encodePng(img)).get
+    val viaJpeg = ImageCodec.decodeImage(JpegCodec.encodeJpeg(img, 95)).get
+    val hPng = ImageOps.dHash64(ImageOps.toGray(viaPng))
+    val hJpeg = ImageOps.dHash64(ImageOps.toGray(viaJpeg))
+    assert(ImageOps.hamming(hPng, hJpeg) <= 4,
+      s"cross-container dHash distance ${ImageOps.hamming(hPng, hJpeg)}")
+  }
+
   test("dhash banding guarantees recall at the full verify radius (4 bits)") {
     import spark.implicits._
     // Adversarial spread: exactly 4 differing bits, one per 16-bit
