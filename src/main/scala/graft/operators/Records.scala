@@ -43,8 +43,15 @@ object Records {
    * Parse a dataset of raw JSON record payloads against the declared
    * schema and append metadata columns.
    *
+   * `declared` should carry the WIRE-case field names (`from_json` key
+   * matching is case-sensitive — a schema pre-normalized to lowercase
+   * silently nulls every `Column1`-style key, the reference's GAds/
+   * source-test shape); the parsed columns are then renamed through
+   * the normalizer, a no-op for already-normalized names, so both
+   * calling conventions land on normalized output.
+   *
    * @param json        one JSON object per element (`data` payload)
-   * @param declared    declared schema with already-normalized names
+   * @param declared    declared schema, wire-case names preferred
    * @param extractedAt column giving emitted-at; defaults to now()
    */
   def normalize(
@@ -55,7 +62,7 @@ object Records {
     val parsed = json.toDF("_raw_json")
       .select(from_json(col("_raw_json"), declared).as("r"))
       .select(col("r.*"))
-    addMetadata(parsed, extractedAt)
+    addMetadata(normalizeColumnNames(parsed), extractedAt)
   }
 
   /**
@@ -91,7 +98,9 @@ object Records {
       .select(col("m.record.data.*"),
         coalesce(timestamp_millis(col("m.record.emitted_at")),
           current_timestamp()).as("__extracted_src"))
-    addMetadata(shaped, Some(col("__extracted_src"))).drop("__extracted_src")
+    // wire-case payload names → normalized (see normalize())
+    addMetadata(normalizeColumnNames(shaped), Some(col("__extracted_src")))
+      .drop("__extracted_src")
   }
 
   /**

@@ -146,7 +146,17 @@ final case class ConfiguredStream(
     syncMode: SyncMode.Value = SyncMode.FullRefresh,
     /** CDC delete-marker column (e.g. `_ab_cdc_deleted_at`); when set,
       * AUTO resolves to [[WriteStrategy.CdcDelete]] for PK streams. */
-    cdcDeletedAtField: Option[String] = None)
+    cdcDeletedAtField: Option[String] = None,
+    /** Schema with the connector's ORIGINAL (wire-case) field names —
+      * what `from_json` must parse with, since its key matching is
+      * case-sensitive; `schema` keeps the normalized names every
+      * downstream surface uses. Absent when the declared names were
+      * already normalized (hand-built catalogs). */
+    wireSchema: Option[StructType] = None) {
+
+  /** The schema record payloads should be PARSED with. */
+  def parseSchema: StructType = wireSchema.getOrElse(schema)
+}
 
 /**
  * Catalog of configured streams + resolution logic.
@@ -163,13 +173,18 @@ final case class ConfiguredCatalog(streams: Seq[ConfiguredStream]) {
       throw new NoSuchElementException(s"Stream not found: $streamName"))
 
   /**
-   * Normalized, validated primary keys for a stream. Nested (multi-node)
-   * PKs are rejected (reference `catalog_providers.py:146-172`).
+   * Normalized, validated primary keys for a stream. Nested (MULTI-NODE
+   * path) PKs are rejected (reference `catalog_providers.py:146-172` —
+   * `len(pk_nodes) != 1`); a SINGLE node whose field name contains a
+   * literal '.' (the GAds shape the reference's source-test fixture
+   * pins: `["table1.Column1"]`) is a flat column and normalizes like
+   * any other name. Multi-node paths are encoded with a NUL separator
+   * by the catalog parser, which no real field name contains.
    */
   def primaryKeys(streamName: String): Seq[String] =
     apply(streamName).primaryKeys.map { pk =>
-      if (pk.contains(".")) throw new IllegalArgumentException(
-        s"Nested primary keys are not supported: $pk")
+      if (pk.contains("\u0000")) throw new IllegalArgumentException(
+        s"Nested primary keys are not supported: ${pk.replace('\u0000', '.')}")
       NameNormalizer.normalize(pk)
     }
 
@@ -217,11 +232,19 @@ object ConfiguredCatalog {
         val schema = Option(s.get("json_schema"))
           .map(js => JsonSchemaConverter.schemaJsonToStructType(js.toString))
           .getOrElse(new StructType())
+        // wire-case twin for from_json (case-sensitive key matching)
+        val wire = Option(s.get("json_schema"))
+          .map(js => JsonSchemaConverter.schemaJsonToStructType(
+            js.toString, normalizeNames = false))
         val pks: Seq[String] = Option(s.get("source_defined_primary_key")).toSeq
           .flatMap(_.elements().asScala)
           .flatMap { path =>
             val parts = path.elements().asScala.map(_.asText()).toSeq
-            if (parts.size == 1) Some(parts.head) else Some(parts.mkString("."))
+            // single node = flat column (even with a literal '.' in the
+            // name — the GAds shape); multi-node = genuinely nested,
+            // encoded with NUL so primaryKeys() can reject it
+            if (parts.size == 1) Some(parts.head)
+            else Some(parts.mkString("\u0000"))
           }
         val cursor = Option(s.get("default_cursor_field"))
           .flatMap(_.elements().asScala.toSeq.headOption).map(_.asText())
@@ -231,7 +254,7 @@ object ConfiguredCatalog {
         val cdcDeleted = schema.fieldNames
           .find(_.equalsIgnoreCase("_ab_cdc_deleted_at"))
         ConfiguredStream(NameNormalizer.normalize(name), schema, pks, cursor,
-          cdcDeletedAtField = cdcDeleted)
+          cdcDeletedAtField = cdcDeleted, wireSchema = wire)
       }
     ConfiguredCatalog(streams)
   }

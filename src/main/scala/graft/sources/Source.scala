@@ -40,7 +40,7 @@ trait Source {
     val selected = if (streams.isEmpty) catalog.streamNames else streams
     selected.foreach { s =>
       val jsonl = recordJsonl(spark, s)
-      val declared = catalog(s).schema
+      val declared = catalog(s).parseSchema
       val normalized = Records.normalize(jsonl, declared)
       val strategy =
         if (forceFullRefresh) WriteStrategy.Replace else writeStrategy
@@ -96,7 +96,7 @@ final class JsonlSource(
       forceFullRefresh: Boolean): ReadResult = {
     val selected = if (streams.isEmpty) catalog.streamNames else streams
     selected.foreach { s =>
-      val normalized = Records.normalizeProtocol(lines(spark), s, catalog(s).schema)
+      val normalized = Records.normalizeProtocol(lines(spark), s, catalog(s).parseSchema)
       val strategy =
         if (forceFullRefresh) WriteStrategy.Replace else writeStrategy
       cache.writeStream(s, normalized, catalog, strategy)
@@ -128,7 +128,7 @@ final class FrameSource(
     val selected = if (streams.isEmpty) catalog.streamNames else streams
     selected.foreach { s =>
       val df = frames(s)(spark)
-      val declared = catalog(s).schema
+      val declared = catalog(s).parseSchema
       val shaped =
         if (declared.fields.nonEmpty) Records.project(df, declared) else df
       val normalized = Records.addMetadata(shaped)

@@ -201,7 +201,11 @@ final class SubprocessSource(
     import spark.implicits._
     val selected = if (streams.isEmpty) catalog.streamNames else streams
     // wire names match case-insensitively; buffers key on canonical names
-    val canonical = selected.map(s => s.toLowerCase -> s).toMap
+    // wire names match by NORMALIZED form, not just case: a connector
+    // emits "primary-key-with-dot" while the catalog's table name is
+    // primary_key_with_dot (the reference's source-test fixture shape)
+    val canonical = selected.map(s =>
+      graft.names.NameNormalizer.normalize(s) -> s).toMap
     val spills = mutable.Map.empty[String, mutable.ArrayBuffer[java.nio.file.Path]]
     val buffers = mutable.Map.empty[String, mutable.ArrayBuffer[String]]
     val pending = mutable.Map.empty[String, String]
@@ -226,7 +230,7 @@ final class SubprocessSource(
           val spilled = spark.read.textFile(files.map(_.toString): _*)
           if (tail.isEmpty) spilled else spilled.union(spark.createDataset(tail))
         }
-      val normalized = graft.operators.Records.normalize(jsonl, catalog(stream).schema)
+      val normalized = graft.operators.Records.normalize(jsonl, catalog(stream).parseSchema)
       cache.writeStream(stream, normalized, catalog, writeStrategy)
       pending.remove(stream).foreach(cache.writeState(name, stream, _))
       files.foreach(java.nio.file.Files.deleteIfExists)
@@ -234,13 +238,13 @@ final class SubprocessSource(
 
     for (m <- messages()) m.messageType match {
       case MessageType.RECORD =>
-        m.streamName.flatMap(n => canonical.get(n.toLowerCase)).foreach { s =>
+        m.streamName.flatMap(n => canonical.get(graft.names.NameNormalizer.normalize(n))).foreach { s =>
           val buf = buffers.getOrElseUpdate(s, mutable.ArrayBuffer.empty)
           m.dataJson.foreach(buf += _)
           if (buf.size >= chunkSize) spill(s)
         }
       case MessageType.STATE =>
-        val key = m.streamName.flatMap(n => canonical.get(n.toLowerCase))
+        val key = m.streamName.flatMap(n => canonical.get(graft.names.NameNormalizer.normalize(n)))
           .getOrElse {
             // stream-less state: GLOBAL, or LEGACY when typeless
             val t = m.stateJson.flatMap(AirbyteMessage.stateType)
@@ -248,7 +252,7 @@ final class SubprocessSource(
           }
         m.stateJson.foreach(pending(key) = _)
       case MessageType.TRACE if m.streamStatus.contains("COMPLETE") =>
-        m.streamName.flatMap(n => canonical.get(n.toLowerCase))
+        m.streamName.flatMap(n => canonical.get(graft.names.NameNormalizer.normalize(n)))
           .foreach(finalizeStream)
       case _ => ()
     }

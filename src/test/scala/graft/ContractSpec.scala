@@ -10,19 +10,12 @@ class ContractSpec extends SparkTestBase {
 
   import spark.implicits._
 
-  // Queries DELIBERATELY without a DuckDB oracle (driver records a
-  // rows-only check) — each must carry its own reference-parity spec:
-  //   q135: iterative BPE merge learning — each merge rewrites the
-  //   vocabulary the next iteration counts, not one SQL statement;
-  //   pinned to a sequential reference implementation by BpeSpec.
-  //   q138: k-center greedy coreset — round t's distances depend on
-  //   round t-1's pick; pinned to a sequential reference by CoresetSpec.
-  //   q143: fertility under q135's learned merges — same driver loop;
-  //   BpeSpec pins encode + fertility to a sequential reference.
-  //   q155: unigram-LM tokenizer — iterative Viterbi hard-EM, not one
-  //   SQL statement; UnigramSpec pins it to a sequential reference.
-  private val rowsOnlyQueries = Set("q135_bpe_merges", "q138_coreset",
-    "q143_token_fertility", "q155_unigram_tokenizer")
+  // Round 5 closed the last rows-only queries: the driver-loop
+  // learners (q135/q138/q143/q155) now carry trajectory-replay DuckDB
+  // oracles (each iteration a CTE block; q155's Viterbi is a recursive
+  // CTE) IN ADDITION to their sequential-reference specs, so EVERY
+  // registered query is oracle-gated.
+  private val rowsOnlyQueries = Set.empty[String]
 
   test("every oracle key has a query; oracle SQL is single-statement SELECT-like") {
     val qs = SparkEntry.queries.keySet

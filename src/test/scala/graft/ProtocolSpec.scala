@@ -76,8 +76,22 @@ class ProtocolSpec extends AnyFunSuite {
   }
 
   test("nested primary keys are rejected (catalog_providers.py:146-172)") {
-    val cat = ConfiguredCatalog(Seq(ConfiguredStream("s",
-      new org.apache.spark.sql.types.StructType(), primaryKeys = Seq("a.b"))))
+    // a MULTI-NODE path (["a","b"]) is nested — the catalog parser
+    // encodes it with NUL, and resolution rejects it like the reference
+    val json = """{"streams":[{"name":"s","json_schema":{"type":"object",
+      |"properties":{"a":{"type":"object"}}},
+      |"source_defined_primary_key":[["a","b"]]}]}""".stripMargin
+    val cat = ConfiguredCatalog.fromCatalogJson(json)
     assertThrows[IllegalArgumentException](cat.primaryKeys("s"))
+  }
+
+  test("a single-node PK with a literal dot is a flat column (GAds shape)") {
+    // the reference's source-test fixture pins ["table1.Column1"]:
+    // one node, name contains '.', normalizes to table1_column1
+    val json = """{"streams":[{"name":"s","json_schema":{"type":"object",
+      |"properties":{"table1.Column1":{"type":"string"}}},
+      |"source_defined_primary_key":[["table1.Column1"]]}]}""".stripMargin
+    val cat = ConfiguredCatalog.fromCatalogJson(json)
+    assert(cat.primaryKeys("s") == Seq("table1_column1"))
   }
 }
