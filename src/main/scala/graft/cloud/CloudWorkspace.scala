@@ -98,6 +98,9 @@ trait WorkspaceApi {
   def setStreamState(connectionId: String, stream: String, state: String): Unit
   /** Destination cache backing a connection (for `SyncResult.getDataset`). */
   def destinationCache(connectionId: String): SparkCache
+  /** Display names as deployed (the MCP cloud tools surface them). */
+  def sourceName(sourceId: String): String
+  def destinationName(destinationId: String): String
 }
 
 /**
@@ -194,6 +197,12 @@ final class LocalWorkspaceApi(spark: SparkSession) extends WorkspaceApi {
     states.put((connectionId, stream), state)
   override def destinationCache(connectionId: String): SparkCache =
     destinations(getConnection(connectionId).destinationId)._2
+  override def sourceName(sourceId: String): String =
+    sources.getOrElse(sourceId,
+      throw new NoSuchElementException(s"unknown source '$sourceId'"))._1
+  override def destinationName(destinationId: String): String =
+    destinations.getOrElse(destinationId,
+      throw new NoSuchElementException(s"unknown destination '$destinationId'"))._1
 }
 
 /**

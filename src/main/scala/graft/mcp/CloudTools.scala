@@ -1,0 +1,176 @@
+package graft.mcp
+
+import org.apache.spark.sql.SparkSession
+
+import graft.cache.SparkCache
+import graft.cloud.CloudWorkspace
+import graft.sources.Source
+
+/**
+ * MCP cloud tool set over the workspace object model — the typed
+ * facade for the reference's `airbyte/mcp/cloud.py` tools (deploy /
+ * connect / trigger / status / logs / list / describe / delete),
+ * completing the Q6 surface next to [[LocalTools]]. As with
+ * LocalTools, the FastMCP/HTTP transport shell stays out of scope
+ * (zero egress); each function here is one registered tool's
+ * behavior, with result shapes mirroring cloud.py's pydantic models
+ * (`CloudSourceResult`/`CloudDestinationResult`/
+ * `CloudConnectionResult`/sync status & logs).
+ *
+ * URLs are workspace-relative `local://` handles — the reference
+ * builds `https://cloud.airbyte.com/...` management links
+ * (`cloud.py` result models); a zero-egress workspace has no web UI,
+ * but the tool contract (every result self-describes where to manage
+ * the object) is kept.
+ */
+object CloudTools {
+
+  final case class CloudSourceResult(id: String, name: String, url: String)
+  final case class CloudDestinationResult(id: String, name: String, url: String)
+  final case class CloudConnectionResult(
+      id: String, name: String, url: String,
+      sourceId: String, destinationId: String,
+      lastJobStatus: Option[String] = None,
+      lastJobId: Option[Long] = None)
+  final case class CloudSyncResult(
+      jobId: Long, connectionId: String, status: String,
+      recordsSynced: Long, bytesSynced: Long)
+  final case class CloudJobSummary(jobId: Long, status: String, recordsSynced: Long)
+
+  private def url(ws: CloudWorkspace, kind: String, id: String): String =
+    s"local://workspaces/${ws.workspaceId}/$kind/$id"
+
+  /** `check_airbyte_cloud_workspace` (cloud.py:553): validate the
+    * workspace handle answers; returns a human-readable summary. */
+  def checkAirbyteCloudWorkspace(ws: CloudWorkspace): String = {
+    val (s, d, c) =
+      (ws.listSources().size, ws.listDestinations().size, ws.listConnections().size)
+    s"Workspace '${ws.workspaceId}' reachable: $s source(s), " +
+      s"$d destination(s), $c connection(s)."
+  }
+
+  /** `deploy_source_to_cloud` (cloud.py:296). */
+  def deploySourceToCloud(ws: CloudWorkspace, name: String,
+      source: Source): CloudSourceResult = {
+    val id = ws.deploySource(name, source)
+    CloudSourceResult(id, name, url(ws, "sources", id))
+  }
+
+  /** `deploy_destination_to_cloud` (cloud.py:366). */
+  def deployDestinationToCloud(ws: CloudWorkspace, name: String,
+      cache: SparkCache): CloudDestinationResult = {
+    val id = ws.deployDestination(name, cache)
+    CloudDestinationResult(id, name, url(ws, "destinations", id))
+  }
+
+  /** `deploy_noop_destination_to_cloud` (cloud.py:604): a throwaway
+    * destination for connection smoke tests. */
+  def deployNoopDestinationToCloud(ws: CloudWorkspace,
+      spark: SparkSession): CloudDestinationResult =
+    deployDestinationToCloud(ws, "noop",
+      SparkCache.fresh(spark, s"graft_noop_${System.nanoTime()}"))
+
+  /** `create_connection_on_cloud` (cloud.py:436). */
+  def createConnectionOnCloud(ws: CloudWorkspace, name: String,
+      sourceId: String, destinationId: String,
+      streams: Seq[String] = Seq.empty): CloudConnectionResult = {
+    val conn = ws.deployConnection(sourceId, destinationId, streams)
+    CloudConnectionResult(conn.connectionId,
+      if (name.nonEmpty) name else conn.connectionId,
+      url(ws, "connections", conn.connectionId), sourceId, destinationId)
+  }
+
+  /** `run_cloud_sync` (cloud.py:499). The local transport is
+    * synchronous, so `wait` only controls whether final counts are
+    * included (the reference's wait=False returns a started job). */
+  def runCloudSync(ws: CloudWorkspace, connectionId: String,
+      wait: Boolean = true): CloudSyncResult = {
+    val jobId = ws.api.triggerSync(connectionId)
+    val j = ws.api.jobInfo(jobId)
+    if (wait)
+      CloudSyncResult(jobId, connectionId, j.status.name, j.recordsSynced, j.bytesSynced)
+    else CloudSyncResult(jobId, connectionId, j.status.name, 0L, 0L)
+  }
+
+  /** `get_cloud_sync_status` (cloud.py:639): a given job, or the
+    * connection's latest. */
+  def getCloudSyncStatus(ws: CloudWorkspace, connectionId: String,
+      jobId: Option[Long] = None): Option[CloudSyncResult] = {
+    val id = jobId.orElse(ws.api.listJobs(connectionId).lastOption)
+    id.map { j =>
+      val info = ws.api.jobInfo(j)
+      CloudSyncResult(j, connectionId, info.status.name,
+        info.recordsSynced, info.bytesSynced)
+    }
+  }
+
+  /** `list_cloud_sync_jobs` (cloud.py:713). */
+  def listCloudSyncJobs(ws: CloudWorkspace, connectionId: String): Seq[CloudJobSummary] =
+    ws.api.listJobs(connectionId).map { id =>
+      val j = ws.api.jobInfo(id)
+      CloudJobSummary(id, j.status.name, j.recordsSynced)
+    }
+
+  /** `get_cloud_sync_logs` (cloud.py:1023): the attempts' log lines of
+    * a given job (or the latest). */
+  def getCloudSyncLogs(ws: CloudWorkspace, connectionId: String,
+      jobId: Option[Long] = None): String = {
+    val id = jobId.orElse(ws.api.listJobs(connectionId).lastOption)
+      .getOrElse(throw new NoSuchElementException(
+        s"no sync jobs for connection '$connectionId'"))
+    val j = ws.api.jobInfo(id)
+    j.attempts.zipWithIndex.map { case (a, i) =>
+      s"attempt ${i}: [${a.status.name}] ${a.logText}"
+    }.mkString("\n")
+  }
+
+  /** `list_deployed_cloud_source_connectors` (cloud.py:807). */
+  def listDeployedCloudSourceConnectors(ws: CloudWorkspace): Seq[CloudSourceResult] =
+    ws.listSources().map(id =>
+      CloudSourceResult(id, ws.api.sourceName(id), url(ws, "sources", id)))
+
+  /** `list_deployed_cloud_destination_connectors` (cloud.py:860). */
+  def listDeployedCloudDestinationConnectors(ws: CloudWorkspace): Seq[CloudDestinationResult] =
+    ws.listDestinations().map(id =>
+      CloudDestinationResult(id, ws.api.destinationName(id), url(ws, "destinations", id)))
+
+  /** `list_deployed_cloud_connections` (cloud.py:1171); with
+    * `withConnectionStatus` the latest job's status/id are attached
+    * (the reference's `with_connection_status=True`). */
+  def listDeployedCloudConnections(ws: CloudWorkspace,
+      withConnectionStatus: Boolean = false): Seq[CloudConnectionResult] =
+    ws.listConnections().map { c =>
+      val info = ws.api.getConnection(c.connectionId)
+      val last =
+        if (withConnectionStatus) ws.api.listJobs(c.connectionId).lastOption
+        else None
+      CloudConnectionResult(c.connectionId, c.connectionId,
+        url(ws, "connections", c.connectionId),
+        info.sourceId, info.destinationId,
+        lastJobStatus = last.map(j => ws.api.jobInfo(j).status.name),
+        lastJobId = last)
+    }
+
+  /** `describe_cloud_connection` (cloud.py:985). */
+  def describeCloudConnection(ws: CloudWorkspace,
+      connectionId: String): Map[String, String] = {
+    val c = ws.api.getConnection(connectionId)
+    Map(
+      "connection_id" -> c.connectionId,
+      "url" -> url(ws, "connections", c.connectionId),
+      "source_id" -> c.sourceId,
+      "destination_id" -> c.destinationId,
+      "streams" -> c.streams.mkString(", "),
+      "table_prefix" -> c.tablePrefix)
+  }
+
+  /** `permanently_delete_cloud_source` / `_destination` / `_connection`
+    * (cloud.py:1882/1938/1994). Deleting a connector still referenced
+    * by a connection fails, like the API would. */
+  def permanentlyDeleteCloudSource(ws: CloudWorkspace, sourceId: String): Unit =
+    ws.api.deleteSource(sourceId)
+  def permanentlyDeleteCloudDestination(ws: CloudWorkspace, destinationId: String): Unit =
+    ws.api.deleteDestination(destinationId)
+  def permanentlyDeleteCloudConnection(ws: CloudWorkspace, connectionId: String): Unit =
+    ws.api.deleteConnection(connectionId)
+}

@@ -125,4 +125,59 @@ class McpLocalToolsSpec extends SparkTestBase {
     assert(delivered == 2L)
     cache.dropAll()
   }
+
+  test("cloud tool set: deploy -> connect -> sync -> status/logs -> list/describe -> delete") {
+    import org.apache.spark.sql.types._
+    import graft.cloud.{CloudWorkspace, LocalWorkspaceApi}
+    import graft.mcp.CloudTools
+    import graft.protocol.{ConfiguredCatalog, ConfiguredStream}
+    import graft.sources.JsonlSource
+
+    val catalog = ConfiguredCatalog(Seq(ConfiguredStream("users",
+      StructType(Seq(StructField("id", LongType), StructField("name", StringType))),
+      primaryKeys = Seq("id"))))
+    val source = new JsonlSource("mcp-src", catalog, s => {
+      import s.implicits._
+      s.createDataset((1 to 3).map(i =>
+        s"""{"type":"RECORD","record":{"stream":"users","data":{"id":$i,"name":"u$i"},"emitted_at":1700000000000}}"""))
+    })
+    val ws = new CloudWorkspace("ws-mcp", new LocalWorkspaceApi(spark))
+
+    val src = CloudTools.deploySourceToCloud(ws, "crm", source)
+    assert(src.url == s"local://workspaces/ws-mcp/sources/${src.id}")
+    val dst = CloudTools.deployDestinationToCloud(ws, "warehouse",
+      SparkCache.fresh(spark, "graft_test_mcpcloud"))
+    val conn = CloudTools.createConnectionOnCloud(ws, "crm-to-warehouse", src.id, dst.id)
+    assert(conn.sourceId == src.id && conn.destinationId == dst.id)
+
+    assert(CloudTools.checkAirbyteCloudWorkspace(ws)
+      .contains("1 source(s), 1 destination(s), 1 connection(s)"))
+
+    val sync = CloudTools.runCloudSync(ws, conn.id)
+    assert(sync.status == "succeeded" && sync.recordsSynced == 3L)
+    val status = CloudTools.getCloudSyncStatus(ws, conn.id).get
+    assert(status.jobId == sync.jobId && status.status == "succeeded")
+    assert(CloudTools.listCloudSyncJobs(ws, conn.id).map(_.jobId) == Seq(sync.jobId))
+    assert(CloudTools.getCloudSyncLogs(ws, conn.id).contains("[succeeded]"))
+
+    assert(CloudTools.listDeployedCloudSourceConnectors(ws)
+      .map(r => (r.id, r.name)) == Seq((src.id, "crm")))
+    assert(CloudTools.listDeployedCloudDestinationConnectors(ws)
+      .map(r => (r.id, r.name)) == Seq((dst.id, "warehouse")))
+    val listed = CloudTools.listDeployedCloudConnections(ws, withConnectionStatus = true)
+    assert(listed.map(_.id) == Seq(conn.id))
+    assert(listed.head.lastJobStatus.contains("succeeded") &&
+      listed.head.lastJobId.contains(sync.jobId))
+    val desc = CloudTools.describeCloudConnection(ws, conn.id)
+    assert(desc("source_id") == src.id && desc("streams") == "users")
+
+    // referential-delete guard, then full teardown
+    intercept[IllegalArgumentException](
+      CloudTools.permanentlyDeleteCloudSource(ws, src.id))
+    CloudTools.permanentlyDeleteCloudConnection(ws, conn.id)
+    CloudTools.permanentlyDeleteCloudSource(ws, src.id)
+    CloudTools.permanentlyDeleteCloudDestination(ws, dst.id)
+    assert(CloudTools.checkAirbyteCloudWorkspace(ws)
+      .contains("0 source(s), 0 destination(s), 0 connection(s)"))
+  }
 }
