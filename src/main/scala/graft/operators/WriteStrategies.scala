@@ -99,13 +99,55 @@ object WriteStrategies {
     dedupLatest(partial, pks, orderCols)
   }
 
-  /** Merge incoming into existing: last-wins per PK, idempotent. */
+  /**
+   * Skew-aware dedup selection: a sampled PK histogram (one cheap probe
+   * job, fixed seed — deterministic) routes HOT-KEY inputs to
+   * [[dedupLatestSalted]] and everything else to the plain
+   * [[dedupLatest]] hash-agg. The hash-agg is already skew-immune for
+   * SHUFFLE purposes (partial aggregation collapses each mapper's keys
+   * before the exchange), but its aggregation buffer carries one full
+   * row struct per distinct key per mapper — under a hot key with wide
+   * rows and high update fan-in, the salted two-phase window bounds
+   * every sort partition to rows/salt instead. Both paths produce
+   * identical output (latest-of-latests ≡ latest; spec-pinned), so the
+   * probe is free to be heuristic:
+   *
+   *  - `graft.merge.skewProbeFraction` (default 0.05): sample fraction;
+   *  - `graft.merge.skewProbeMinRows` (default 1000): below this many
+   *    sampled rows skew cannot hurt — skip straight to the hash-agg;
+   *  - `graft.merge.saltSkewShare` (default 0.3): a single PK owning
+   *    more than this share of the sample selects the salted plan.
+   */
+  def dedupLatestAuto(
+      df: DataFrame, pks: Seq[String],
+      orderCols: Seq[String] = Seq(Records.ExtractedAtColumn, Records.RawIdColumn)): DataFrame = {
+    require(pks.nonEmpty, "merge/dedup requires primary keys")
+    val spark = df.sparkSession
+    def conf(k: String, d: Double): Double =
+      spark.conf.getOption(k).map(_.toDouble).getOrElse(d)
+    val fraction = conf("graft.merge.skewProbeFraction", 0.05)
+    val minRows = conf("graft.merge.skewProbeMinRows", 1000.0)
+    val shareThreshold = conf("graft.merge.saltSkewShare", 0.3)
+    val present = orderCols.filter(df.columns.map(_.toLowerCase).contains(_))
+    val probe = df.sample(withReplacement = false, math.min(1.0, fraction), seed = 42L)
+      .groupBy(pks.map(col): _*).agg(count(lit(1)).as("__n"))
+      .agg(coalesce(max(col("__n")), lit(0L)).as("mx"),
+        coalesce(sum(col("__n")), lit(0L)).as("tot"))
+      .collect()(0)
+    val (mx, tot) = (probe.getLong(0), probe.getLong(1))
+    val skewed = tot >= minRows && mx.toDouble / tot.toDouble > shareThreshold
+    if (skewed && present.nonEmpty) dedupLatestSalted(df, pks, orderCols = orderCols)
+    else dedupLatest(df, pks, orderCols)
+  }
+
+  /** Merge incoming into existing: last-wins per PK, idempotent. The
+    * skew probe ([[dedupLatestAuto]]) picks the physical dedup plan. */
   def merge(existing: Option[DataFrame], incoming: DataFrame, pks: Seq[String]): DataFrame = {
     val unioned = existing match {
       case Some(e) => e.unionByName(incoming, allowMissingColumns = true)
       case None    => incoming
     }
-    dedupLatest(unioned, pks)
+    dedupLatestAuto(unioned, pks)
   }
 
   /**

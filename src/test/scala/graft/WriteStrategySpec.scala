@@ -226,4 +226,34 @@ class WriteStrategySpec extends SparkTestBase {
     assert(spark.sql("SHOW TABLES IN graft_test_prefix").count() >= 2)
     base.dropAll()
   }
+
+  test("skew probe: a hot-PK merge takes the salted plan, identical output") {
+    import graft.operators.{Records, WriteStrategies}
+    // 95% of rows share one PK — the hot-key regime; versions are
+    // distinguished by the standard order columns
+    def mk(rows: Seq[(Long, Int)]) = rows.toDF("id", "v")
+      .withColumn(Records.ExtractedAtColumn,
+        expr("timestamp_millis(1700000000000 + v)"))
+      .withColumn(Records.RawIdColumn, lpad(col("v").cast("string"), 8, "0"))
+    val hot = mk((1 to 2000).map(i => (if (i % 20 == 0) i.toLong else 7L, i)))
+    val uniform = mk((1 to 2000).map(i => ((i % 500).toLong, i)))
+    spark.conf.set("graft.merge.skewProbeFraction", "1.0")
+    spark.conf.set("graft.merge.skewProbeMinRows", "100")
+    try {
+      val hotPlan = WriteStrategies.dedupLatestAuto(hot, Seq("id"))
+      assert(hotPlan.queryExecution.analyzed.toString.contains("__salt"),
+        "hot-PK input must select the salted two-phase plan")
+      val uniPlan = WriteStrategies.dedupLatestAuto(uniform, Seq("id"))
+      assert(!uniPlan.queryExecution.analyzed.toString.contains("__salt"),
+        "uniform input must stay on the single-exchange hash-agg plan")
+      // identical output regardless of the physical plan chosen
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select("id", "v").collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
+      assert(rows(hotPlan) == rows(WriteStrategies.dedupLatest(hot, Seq("id"))))
+      assert(rows(uniPlan) == rows(WriteStrategies.dedupLatest(uniform, Seq("id"))))
+    } finally {
+      spark.conf.unset("graft.merge.skewProbeFraction")
+      spark.conf.unset("graft.merge.skewProbeMinRows")
+    }
+  }
 }
