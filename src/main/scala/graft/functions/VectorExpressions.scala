@@ -256,6 +256,129 @@ case class MultiQuerySimsExpression(
   override def prettyName: String = "multi_query_sims"
 }
 
+/**
+ * Product-quantization multi-config scoring in ONE pass per corpus row
+ * (q149's hot loop — the PQ dual of [[MultiQuerySimsExpression]]): the
+ * 16-entry codebook (the first 16 corpus vectors, dimension-sized like
+ * an IVF centroid table) and the query decimation ship as payload;
+ * each corpus row is coded per subspace config m ∈ ms (nearest entry
+ * by ROUND(aa − 2ab + bb, 4) with the smaller-entry tiebreak — the
+ * composed plan's exact argmin), reconstructed, and scored against
+ * every query, plus the float anchor, in tight primitive loops.
+ * Output: one struct per query with s0 (anchor) and s<m> per config.
+ * Folds, operand orders (query·recon dot, queryNorm × reconNorm), and
+ * HALF_UP rounding match the composed broadcast-join form bit for bit
+ * on non-null input (null elements null the whole row entry).
+ */
+case class PqMultiQuerySimsExpression(
+    vec: Expression,
+    queryIds: Array[Long],
+    queryVecs: Array[Array[Double]],
+    queryNorms: Array[Double],
+    /** The raw codebook vectors (full dimension); subspace slices and
+      * their self-dots are precomputed lazily per executor. */
+    cbVecs: Array[Array[Double]],
+    ms: Array[Int]) extends UnaryExpression with CodegenFallback {
+
+  override def child: Expression = vec
+  override def nullable: Boolean = true
+  private lazy val isFloat = VecOps.isFloatArray(vec.dataType)
+
+  override def dataType: DataType = ArrayType(StructType(
+    StructField("query_id", LongType, nullable = false) +:
+      (0 +: ms.toSeq).map(b =>
+        StructField(s"s$b", DoubleType, nullable = false))), containsNull = false)
+
+  // cbb(mi)(j)(c): codebook entry self-dot per subspace, same fold as vecDot
+  @transient private lazy val cbb: Array[Array[Array[Double]]] = {
+    val dims = cbVecs(0).length
+    ms.map { m =>
+      val sd = dims / m
+      Array.tabulate(m, cbVecs.length) { (j, c) =>
+        var s = 0.0
+        var i = j * sd
+        while (i < (j + 1) * sd) { s += cbVecs(c)(i) * cbVecs(c)(i); i += 1 }
+        s
+      }
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[ArrayData]
+    val dims = x.numElements()
+    val v = new Array[Double](dims)
+    var i = 0
+    while (i < dims) {
+      if (x.isNullAt(i)) return null
+      v(i) = VecOps.elem(x, i, isFloat)
+      i += 1
+    }
+    val cn = RoundParity.norm(v)
+    // reconstruct per config
+    val recon = new Array[Array[Double]](ms.length)
+    val rnorm = new Array[Double](ms.length)
+    var mi = 0
+    while (mi < ms.length) {
+      val m = ms(mi)
+      val sd = dims / m
+      val vh = new Array[Double](dims)
+      var j = 0
+      while (j < m) {
+        val off = j * sd
+        var aa = 0.0
+        var t = 0
+        while (t < sd) { aa += v(off + t) * v(off + t); t += 1 }
+        var bestD = Double.MaxValue
+        var bestC = -1
+        var c = 0
+        while (c < cbVecs.length) {
+          var ab = 0.0
+          var u = 0
+          while (u < sd) { ab += v(off + u) * cbVecs(c)(off + u); u += 1 }
+          val d2 = RoundParity.round(aa - 2.0 * ab + cbb(mi)(j)(c), 4)
+          if (d2 < bestD || (d2 == bestD && c < bestC)) { bestD = d2; bestC = c }
+          c += 1
+        }
+        System.arraycopy(cbVecs(bestC), off, vh, off, sd)
+        j += 1
+      }
+      recon(mi) = vh
+      rnorm(mi) = RoundParity.norm(vh)
+      mi += 1
+    }
+    val out = new Array[Any](queryIds.length)
+    var q = 0
+    while (q < queryIds.length) {
+      val qv = queryVecs(q)
+      val qn = queryNorms(q)
+      val vals = new Array[Any](ms.length + 2)
+      vals(0) = queryIds(q)
+      // float anchor: corpus·query over raw values (bruteForceTopK's fold)
+      var d0 = 0.0
+      var a = 0
+      val lim = math.min(dims, qv.length)
+      while (a < lim) { d0 += v(a) * qv(a); a += 1 }
+      vals(1) = if (cn * qn > 0) RoundParity.round(d0 / (qn * cn), 4) else 0.0
+      var r = 0
+      while (r < ms.length) {
+        val vh = recon(r)
+        var d = 0.0
+        var b = 0
+        while (b < lim) { d += qv(b) * vh(b); b += 1 }
+        vals(r + 2) = if (rnorm(r) > 0) RoundParity.round(d / (qn * rnorm(r)), 4) else 0.0
+        r += 1
+      }
+      out(q) = org.apache.spark.sql.catalyst.InternalRow.fromSeq(
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
+      q += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(vec = c)
+  override def prettyName: String = "pq_multi_query_sims"
+}
+
 object VectorFunctions {
   import org.apache.spark.sql.GraftBridge
 
@@ -268,6 +391,12 @@ object VectorFunctions {
       scales: Array[Double], bitsWidths: Array[Int]): Column =
     GraftBridge.column(MultiQuerySimsExpression(GraftBridge.expression(vec),
       queryIds, queryReps, queryNorms, scales, bitsWidths))
+
+  def pqMultiQuerySims(vec: Column, queryIds: Array[Long],
+      queryVecs: Array[Array[Double]], queryNorms: Array[Double],
+      cbVecs: Array[Array[Double]], ms: Array[Int]): Column =
+    GraftBridge.column(PqMultiQuerySimsExpression(GraftBridge.expression(vec),
+      queryIds, queryVecs, queryNorms, cbVecs, ms))
 
   def vecNorm(a: Column): Column =
     GraftBridge.column(L2NormExpression(GraftBridge.expression(a)))

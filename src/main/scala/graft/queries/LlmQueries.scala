@@ -1155,63 +1155,66 @@ object LlmQueries {
   // smaller; the audit tells you what recall that buys. Parity: d² and
   // sim ROUND(·,4) before every argmin/rank with id tiebreaks; d² uses
   // the identical ((aa − 2ab) + bb) association in both engines.
+  //
+  // ONE corpus pass for all five rankings (the q145 pattern — r4 ran
+  // a 30-slice subvector explode x 16-entry codebook join, a
+  // reconstruction re-agg, a 4x-corpus broadcast scoring join, AND a
+  // separate float brute pass; 3.6x at the 10x stress): the codebook
+  // (first 16 vectors) and the 50-query decimation are dimension-sized
+  // driver collects shipped as payload of the compiled
+  // PqMultiQuerySimsExpression, which codes, reconstructs, and scores
+  // each row in tight primitive loops; the five rankings share one
+  // bounded-heap top-k pass, five heaps per query group (the 128-group
+  // ObjectHashAggregate fallback lesson).
   // ------------------------------------------------------------------
   def q149PqRecall(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import graft.functions.TopKAggregate
-    import graft.functions.VectorFunctions.{vecDot, vecNorm}
+    import graft.functions.{RoundParity, TopKAggregate, VectorFunctions}
     val k = 10
+    val ms = Array(2, 4, 8, 16)
     val emb = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
-    val subs = Seq(2, 4, 8, 16).flatMap(m => (0 until m).map(j => (m.toLong, j.toLong, (64 / m).toLong)))
-      .toDF("m", "j", "sd")
-    // subvector frames: every (m, j) slice of every vector / codebook entry
-    val xs = emb.crossJoin(broadcast(subs))
-      .select(col("m"), col("j"), col("vec_id"),
-        expr("slice(v, cast(j * sd + 1 as int), cast(sd as int))").as("xs"))
-    val cb = xs.filter(col("vec_id") < 16)
-      .select(col("m"), col("j"), col("vec_id").as("c"), col("xs").as("cs"))
-    // nearest codebook entry per (m, j, vector): lexicographic min over
-    // (rounded d², centroid id) — deterministic across partitionings
-    val codes = xs.join(broadcast(cb), Seq("m", "j"))
-      .withColumn("d2", round(
-        vecDot(col("xs"), col("xs")) - lit(2.0) * vecDot(col("xs"), col("cs"))
-          + vecDot(col("cs"), col("cs")), 4))
-      .groupBy(col("m"), col("j"), col("vec_id"))
-      .agg(min(struct(col("d2"), col("c"))).as("best"))
-      .select(col("m"), col("j"), col("vec_id"), col("best.c").as("c"))
-    // reconstruction: codebook slices concatenated in subspace order
-    val vhat = codes.join(broadcast(cb), Seq("m", "j", "c"))
-      .groupBy(col("m"), col("vec_id"))
-      .agg(flatten(transform(
-        array_sort(collect_list(struct(col("j"), col("cs")))),
-        s => s.getField("cs"))).as("vh"))
-      .withColumn("vn", vecNorm(col("vh")))
-    val qq = emb.filter(col("vec_id") < 50)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
-      .withColumn("qn", vecNorm(col("qv")))
-    val scored = vhat.join(broadcast(qq), col("vec_id") =!= col("query_id"))
-      .withColumn("sim", when(col("vn") > 0,
-        round(vecDot(col("qv"), col("vh")) / (col("qn") * col("vn")), 4))
-        .otherwise(lit(0.0)))
-    val pq = scored
-      .groupBy(col("m"), col("query_id"))
-      .agg(TopKAggregate.topK(col("sim"), col("vec_id"), k).as("t"))
-      .select(col("m"), col("query_id"), explode(col("t.id")).as("neighbor_id"))
-    val brute = Similarity.bruteForceTopK(
-      Tables.embeddings(spark, dir),
-      Tables.embeddings(spark, dir).filter(col("vec_id") < 50)
-        .select(col("vec_id").as("query_vec_id"), col("embedding").as("qvec")),
-      "vec_id", "embedding", "query_vec_id", "qvec", k = k)
+    // dimension-sized collects (codebook = first 16 vectors, queries)
+    val cbVecs = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+      .map(_._2.map(_.toDouble).toArray)
+    val qRows = emb.filter(col("vec_id") < 50)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+    val queryIds = qRows.map(_._1)
+    val queryVecs = qRows.map(_._2.map(_.toDouble).toArray)
+    val queryNorms = queryVecs.map(RoundParity.norm)
+    // CPU-dense per-row kernel: spread an under-partitioned input
+    val cores = spark.sparkContext.defaultParallelism
+    val corpus = if (emb.rdd.getNumPartitions * 2 < cores) emb.repartition(cores) else emb
+    val top = corpus
+      .select(col("vec_id").as("neighbor_id"),
+        explode(VectorFunctions.pqMultiQuerySims(col("embedding"),
+          queryIds, queryVecs, queryNorms, cbVecs, ms)).as("e"))
+      .filter(col("e.query_id") =!= col("neighbor_id"))
+      .select(col("e.query_id").as("query_id") +: col("neighbor_id") +:
+        (0 +: ms.toSeq).map(b => col(s"e.s$b").as(s"s$b")): _*)
+      .groupBy(col("query_id"))
+      .agg(
+        TopKAggregate.topK(col("s0"), col("neighbor_id"), k).as("t0"),
+        ms.map(b =>
+          TopKAggregate.topK(col(s"s$b"), col("neighbor_id"), k).as(s"t$b")): _*)
+      .select(col("query_id"),
+        explode(array((ms.toSeq :+ 0).map(b =>
+          struct(lit(b.toLong).as("m"), col(s"t$b.id").as("ids"))): _*)).as("e"))
+      .select(col("e.m").as("m"), col("query_id"),
+        explode(col("e.ids")).as("neighbor_id"))
+      .localCheckpoint() // tiny; read by both the anchor and PQ sides
+    val brute = top.filter(col("m") === 0L)
       .select(col("query_id"), col("neighbor_id"))
-    val hits = pq.join(brute, Seq("query_id", "neighbor_id"))
+    val hits = top.filter(col("m") > 0L)
+      .join(brute, Seq("query_id", "neighbor_id"))
       .groupBy(col("m")).agg(count(lit(1)).as("hits"))
-    Seq(2L, 4L, 8L, 16L).toDF("m")
+    ms.toSeq.map(_.toLong).toDF("m")
       .join(hits, Seq("m"), "left")
-      .crossJoin(broadcast(qq.agg(count(lit(1)).as("nq"))))
       .select(col("m"),
         coalesce(col("hits"), lit(0L)).as("hits"),
-        expr(s"coalesce(hits, cast(0 as bigint)) * 1000 div (nq * $k)")
+        expr(s"coalesce(hits, cast(0 as bigint)) * 1000 div (${queryIds.length}L * $k)")
           .as("recall_pm"))
   }
 

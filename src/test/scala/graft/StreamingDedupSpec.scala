@@ -25,6 +25,16 @@ class StreamingDedupSpec extends SparkTestBase {
 
   private def freshTable(name: String): String = {
     spark.sql(s"DROP TABLE IF EXISTS $name")
+    // a fresh JVM's in-memory catalog cannot DROP tables left by a
+    // prior JVM — clear the physical location too (the SparkCache.fresh
+    // convention)
+    val warehouse = new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, name)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    if (warehouse.exists()) rm(warehouse)
     name
   }
 
