@@ -379,6 +379,87 @@ case class PqMultiQuerySimsExpression(
   override def prettyName: String = "pq_multi_query_sims"
 }
 
+/**
+ * IVF routing + scoring in ONE pass per corpus row (q144's hot loop,
+ * completing the compiled-kernel treatment of the ANN tuning family):
+ * the centroid table and the query decimation (with each query's
+ * centroid RANKING precomputed on the driver with the same rounded
+ * math) ship as payload; each corpus row is assigned to its nearest
+ * centroid (rounded cosine, score-desc/id-asc tiebreak — the
+ * TopKAggregate order) and scored against every query, emitting
+ * (query_id, crank, sim) where crank is the assigned centroid's rank
+ * in that query's probe order. Downstream, nprobe sweep points are
+ * `when(crank <= np, sim)` columns feeding per-query top-k heaps —
+ * null scores are skipped by the aggregate, so no placeholder rows
+ * can leak into a ranking.
+ */
+case class IvfMultiQuerySimsExpression(
+    vec: Expression,
+    queryIds: Array[Long],
+    queryVecs: Array[Array[Double]],
+    queryNorms: Array[Double],
+    /** crankByCentroid(q)(ci): 1-based rank of centroid index ci in
+      * query q's probe order. */
+    crankByCentroid: Array[Array[Int]],
+    centroidVecs: Array[Array[Double]],
+    centroidNorms: Array[Double]) extends UnaryExpression with CodegenFallback {
+
+  override def child: Expression = vec
+  override def nullable: Boolean = true
+  private lazy val isFloat = VecOps.isFloatArray(vec.dataType)
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("query_id", LongType, nullable = false),
+    StructField("crank", LongType, nullable = false),
+    StructField("sim", DoubleType, nullable = false))), containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val v = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i)) return null
+      v(i) = VecOps.elem(x, i, isFloat)
+      i += 1
+    }
+    val vn = RoundParity.norm(v)
+    // nearest centroid: rounded cosine, score desc / index asc
+    var bestC = 0
+    var bestS = Double.NegativeInfinity
+    var c = 0
+    while (c < centroidVecs.length) {
+      val cv = centroidVecs(c)
+      var d = 0.0
+      var j = 0
+      val m = math.min(n, cv.length)
+      while (j < m) { d += v(j) * cv(j); j += 1 }
+      val nn = vn * centroidNorms(c)
+      val cs = if (nn > 0) RoundParity.round(d / nn, 4) else 0.0
+      if (cs > bestS) { bestS = cs; bestC = c }
+      c += 1
+    }
+    val out = new Array[Any](queryIds.length)
+    var q = 0
+    while (q < queryIds.length) {
+      val qv = queryVecs(q)
+      var d = 0.0
+      var j = 0
+      val m = math.min(n, qv.length)
+      while (j < m) { d += v(j) * qv(j); j += 1 }
+      val nn = queryNorms(q) * vn
+      val sim = if (nn > 0) RoundParity.round(d / nn, 4) else 0.0
+      out(q) = org.apache.spark.sql.catalyst.InternalRow(
+        queryIds(q), crankByCentroid(q)(bestC).toLong, sim)
+      q += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(vec = c)
+  override def prettyName: String = "ivf_multi_query_sims"
+}
+
 object VectorFunctions {
   import org.apache.spark.sql.GraftBridge
 
@@ -397,6 +478,13 @@ object VectorFunctions {
       cbVecs: Array[Array[Double]], ms: Array[Int]): Column =
     GraftBridge.column(PqMultiQuerySimsExpression(GraftBridge.expression(vec),
       queryIds, queryVecs, queryNorms, cbVecs, ms))
+
+  def ivfMultiQuerySims(vec: Column, queryIds: Array[Long],
+      queryVecs: Array[Array[Double]], queryNorms: Array[Double],
+      crankByCentroid: Array[Array[Int]],
+      centroidVecs: Array[Array[Double]], centroidNorms: Array[Double]): Column =
+    GraftBridge.column(IvfMultiQuerySimsExpression(GraftBridge.expression(vec),
+      queryIds, queryVecs, queryNorms, crankByCentroid, centroidVecs, centroidNorms))
 
   def vecNorm(a: Column): Column =
     GraftBridge.column(L2NormExpression(GraftBridge.expression(a)))

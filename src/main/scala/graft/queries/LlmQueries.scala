@@ -792,11 +792,13 @@ object LlmQueries {
   // q144: ANN recall audit — the tuning table an IVF deployment is
   // sized from: recall@10 of the IVF path (q42) against the exact
   // brute-force anchor (q35) across an nprobe sweep. The sweep shares
-  // ONE routing and ONE candidate scoring pass: queries are ranked
-  // against all nlist centroids once, every (query, candidate) pair in
-  // any probed list is scored once, and each sweep point is just a
-  // `cluster_rank <= nprobe` filter + bounded-heap top-k — the
-  // per-sweep-point work is the filter, not a re-scan. All-integer
+  // ONE corpus pass for routing, scoring, AND the anchor (the q145/
+  // q149 compiled-kernel pattern): IvfMultiQuerySimsExpression assigns
+  // each row to its nearest centroid and scores it against every query
+  // in tight loops, emitting (query_id, crank, sim); each sweep point
+  // is a null-masked `when(crank <= nprobe, sim)` heap column (the
+  // aggregate skips nulls, so nothing outside the probe set can enter
+  // a ranking) — the per-sweep-point work is a column, not a re-scan. All-integer
   // output (hit counts, permille recall): zero float parity surface.
   // Recall must be 1.0 when nprobe = nlist (exhaustive) and
   // non-decreasing in nprobe — both pinned by spec; the DuckDB oracle
@@ -804,63 +806,75 @@ object LlmQueries {
   // ------------------------------------------------------------------
   def q144IvfRecall(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import Similarity.{dot, norm}
-    import graft.functions.TopKAggregate
+    import graft.functions.{RoundParity, TopKAggregate, VectorFunctions}
     val nlist = 16
     val k = 10
+    val nprobes = Seq(1, 2, 4, 8, 16)
     val emb = Tables.embeddings(spark, dir)
-    val centroids = emb.orderBy(col("vec_id").asc).limit(nlist)
-      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-      .withColumn("cvn", norm(col("cvec")))
-      .localCheckpoint() // read by corpus assignment AND query routing
-    def csim(vecC: org.apache.spark.sql.Column, vn: org.apache.spark.sql.Column) =
-      round(when(vn * col("cvn") > 0,
-        dot(vecC, col("cvec")) / (vn * col("cvn"))).otherwise(lit(0.0)), 4)
-    // inverted lists: corpus vector → nearest centroid (q42's rule)
-    val asgn = emb.withColumn("vn", norm(col("embedding")))
-      .crossJoin(broadcast(centroids))
-      .withColumn("cs", csim(col("embedding"), col("vn")))
-      .groupBy(col("vec_id"))
-      .agg(TopKAggregate.topK(col("cs"), col("cid"), 1).as("t"))
-      .select(col("vec_id"), explode(col("t.id")).as("cid"))
-    val lists = emb.join(asgn, "vec_id")
-      .select(col("cid"), col("vec_id").as("neighbor_id"),
-        col("embedding").as("nvec"))
-      .withColumn("nn", norm(col("nvec")))
-    val queries = emb.filter(col("vec_id") < 50)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-      .withColumn("qn", norm(col("qvec")))
-    // route each query against ALL centroids once; crank = cluster rank
-    val crank = queries.crossJoin(broadcast(centroids))
-      .withColumn("cs", csim(col("qvec"), col("qn")))
+    // dimension-sized collects: centroid table + query decimation; the
+    // per-query centroid RANKING is precomputed with the same rounded
+    // math the kernel applies (score desc, cid-index asc)
+    val centroidVecs = emb.orderBy(col("vec_id").asc).limit(nlist)
+      .select(col("embedding")).as[Seq[Float]].collect()
+      .map(_.map(_.toDouble).toArray)
+    val centroidNorms = centroidVecs.map(RoundParity.norm)
+    val qRows = emb.filter(col("vec_id") < 50)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+    val queryIds = qRows.map(_._1)
+    val queryVecs = qRows.map(_._2.map(_.toDouble).toArray)
+    val queryNorms = queryVecs.map(RoundParity.norm)
+    val crankByCentroid: Array[Array[Int]] = queryVecs.zip(queryNorms).map {
+      case (qv, qn) =>
+        val sims = centroidVecs.indices.map { ci =>
+          var d = 0.0
+          var i = 0
+          val m = math.min(qv.length, centroidVecs(ci).length)
+          while (i < m) { d += qv(i) * centroidVecs(ci)(i); i += 1 }
+          val nn = qn * centroidNorms(ci)
+          (if (nn > 0) RoundParity.round(d / nn, 4) else 0.0, ci)
+        }
+        val ranked = sims.sortBy { case (cs, ci) => (-cs, ci) }.map(_._2)
+        val byCi = new Array[Int](centroidVecs.length)
+        ranked.zipWithIndex.foreach { case (ci, pos) => byCi(ci) = pos + 1 }
+        byCi
+    }
+    // CPU-dense per-row kernel: spread an under-partitioned input
+    val cores = spark.sparkContext.defaultParallelism
+    val corpus = if (emb.rdd.getNumPartitions * 2 < cores) emb.repartition(cores) else emb
+    // nprobe sweep points as null-masked score columns: TopKAggregate
+    // skips null scores, so out-of-probe candidates never enter a heap
+    val scored = corpus
+      .select(col("vec_id").as("neighbor_id"),
+        explode(VectorFunctions.ivfMultiQuerySims(col("embedding"),
+          queryIds, queryVecs, queryNorms, crankByCentroid,
+          centroidVecs, centroidNorms)).as("e"))
+      .filter(col("e.query_id") =!= col("neighbor_id"))
+      .select(col("e.query_id").as("query_id") +: col("neighbor_id") +:
+        col("e.sim").as("s0") +: nprobes.map(np =>
+          when(col("e.crank") <= np, col("e.sim")).as(s"s$np")): _*)
+    val top = scored
       .groupBy(col("query_id"))
-      .agg(TopKAggregate.topK(col("cs"), col("cid"), nlist).as("t"))
-      .select(col("query_id"), posexplode(col("t.id")).as(Seq("p", "cid")))
-      .select(col("query_id"), col("cid"), (col("p") + 1).cast(LongType).as("crank"))
-    // score every (query, probed-list candidate) pair ONCE
-    val scored = crank.join(queries, "query_id").join(lists, "cid")
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", round(when(col("nn") * col("qn") > 0,
-        dot(col("nvec"), col("qvec")) / (col("qn") * col("nn")))
-        .otherwise(lit(0.0)), 4))
-      .select(col("query_id"), col("crank"), col("neighbor_id"), col("sim"))
-      .localCheckpoint() // read by all five sweep points
-    val npDim = Seq(1L, 2L, 4L, 8L, 16L).toDF("nprobe")
-    val ivf = scored.join(broadcast(npDim), col("crank") <= col("nprobe"))
-      .groupBy(col("nprobe"), col("query_id"))
-      .agg(TopKAggregate.topK(col("sim"), col("neighbor_id"), k).as("t"))
-      .select(col("nprobe"), col("query_id"), explode(col("t.id")).as("neighbor_id"))
-    val brute = Similarity.bruteForceTopK(emb,
-      queries.select(col("query_id").as("query_vec_id"), col("qvec")),
-      "vec_id", "embedding", "query_vec_id", "qvec", k = k)
+      .agg(
+        TopKAggregate.topK(col("s0"), col("neighbor_id"), k).as("t0"),
+        nprobes.map(np =>
+          TopKAggregate.topK(col(s"s$np"), col("neighbor_id"), k).as(s"t$np")): _*)
+      .select(col("query_id"),
+        explode(array((nprobes :+ 0).map(np =>
+          struct(lit(np.toLong).as("nprobe"), col(s"t$np.id").as("ids"))): _*)).as("e"))
+      .select(col("e.nprobe").as("nprobe"), col("query_id"),
+        explode(col("e.ids")).as("neighbor_id"))
+      .localCheckpoint() // tiny; read by both the anchor and sweep sides
+    val brute = top.filter(col("nprobe") === 0L)
       .select(col("query_id"), col("neighbor_id"))
-    val hits = ivf.join(brute, Seq("query_id", "neighbor_id"))
+    val hits = top.filter(col("nprobe") > 0L)
+      .join(brute, Seq("query_id", "neighbor_id"))
       .groupBy(col("nprobe")).agg(count(lit(1)).as("hits"))
-    npDim.join(hits, Seq("nprobe"), "left")
-      .crossJoin(broadcast(queries.agg(count(lit(1)).as("nq"))))
+    nprobes.map(_.toLong).toDF("nprobe")
+      .join(hits, Seq("nprobe"), "left")
       .select(col("nprobe"),
         coalesce(col("hits"), lit(0L)).as("hits"),
-        expr(s"coalesce(hits, cast(0 as bigint)) * 1000 div (nq * $k)")
+        expr(s"coalesce(hits, cast(0 as bigint)) * 1000 div (${queryIds.length}L * $k)")
           .as("recall_pm"))
   }
 
