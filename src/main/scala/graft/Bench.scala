@@ -71,7 +71,8 @@ object Bench {
       "q106_span_dedup", "q114_prefix_filter_join", "q117_triangle_count",
       "q123_heavy_hitters", "q124_simhash_hamming_join",
       "q128_dsir_weights", "q132_embed_corr", "q134_decontaminate",
-      "q135_bpe_merges")
+      "q135_bpe_merges", "q144_ivf_recall", "q145_quant_recall",
+      "q149_pq_recall", "q179_jpeg_decode")
     def ms(v: Double): Double = math.round(v * 1000).toDouble / 1000
     val qs = results.collect { case (k, v) if headline(k) =>
       "\"" + k + "\":" + ms(v)
