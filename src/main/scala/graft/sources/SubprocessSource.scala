@@ -103,12 +103,18 @@ final class SubprocessSource(
     }
   }
 
-  /** Pull protocol messages from the subprocess, lazily. */
+  /** Pull protocol messages from the subprocess, lazily. A connector
+    * that EXITS NONZERO fails the read loudly (reference
+    * `_executors/base.py` — `AirbyteSubprocessFailedError` with exit
+    * code + stderr): without the check, a connector crashing mid-sync
+    * is indistinguishable from a clean end-of-stream and partial data
+    * would commit silently. Intentional early termination (stop event /
+    * record limit) kills the process and is NOT an error. */
   def messages(limit: Option[Long] = None): Iterator[AirbyteMessage] = {
     val pb = new ProcessBuilder(cmd: _*)
     pb.redirectErrorStream(false)
     val proc = pb.start()
-    drainStderr(proc) // keep a chatty connector from blocking on stderr
+    val stderrTail = drainStderr(proc) // also keeps a chatty connector from blocking
     val reader = new java.io.BufferedReader(
       new java.io.InputStreamReader(proc.getInputStream, "UTF-8"))
 
@@ -121,7 +127,16 @@ final class SubprocessSource(
             proc.destroy(); done = true
           } else {
             nextLine = reader.readLine()
-            if (nextLine == null) { done = true; proc.waitFor() }
+            if (nextLine == null) {
+              done = true
+              val code = proc.waitFor()
+              if (code != 0 && !stopEvent.get) {
+                val err = stderrTail()
+                throw new IllegalStateException(
+                  s"Connector '$name' exited with code $code" +
+                    (if (err.nonEmpty) s"; stderr tail:\n$err" else ""))
+              }
+            }
           }
         }
       }

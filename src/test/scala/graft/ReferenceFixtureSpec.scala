@@ -55,6 +55,10 @@ class ReferenceFixtureSpec extends SparkTestBase {
         |  echo '{"type":"LOG","log":{"level":"INFO","message":"Starting sync"}}'
         |  if grep -q '"stream1"' "$CATALOG"; then
         |    echo '{"type":"RECORD","record":{"data":{"Column1":"value1","Column2":1,"sometimes_object":"{\"nested_column\": \"nested_value\"}"},"stream":"stream1","emitted_at":1704067200}}'
+        |    if grep -q 'test_fail_during_sync' "$CONFIG"; then
+        |      echo "Exception: An error" >&2
+        |      exit 1
+        |    fi
         |    echo '{"type":"RECORD","record":{"data":{"Column1":"value2","Column2":2,"sometimes_object":"string_value"},"stream":"stream1","emitted_at":1704067200}}'
         |  fi
         |  if grep -q '"stream2"' "$CATALOG"; then
@@ -150,6 +154,32 @@ class ReferenceFixtureSpec extends SparkTestBase {
     assert(d(0).getString(0) == "value1" && d(0).getDouble(1) == 1.0)
     assert(d(0).isNullAt(2) && d(0).getLong(3) == 1234567890123456L)
 
+    cache.dropAll()
+  }
+
+  test("a connector crashing mid-sync fails loudly instead of committing partial data") {
+    // run.py raises after stream1's first record when apiKey is
+    // "test_fail_during_sync" (test_source_test_fixture.py's
+    // test_failing_path_connector_check / fail-during-sync config);
+    // the reference raises AirbyteConnectorFailedError on the nonzero
+    // exit — a crash must never look like a clean end-of-stream
+    val script = fixtureConnector()
+    val failCfg = writeJson("""{"apiKey": "test_fail_during_sync"}""")
+    val catalogFile = writeJson("""{"streams":[{"stream":{"name":"stream1"}}]}""")
+    val discover = new ProcessBuilder("/bin/sh", script, "discover").start()
+    val catalogMsg = scala.io.Source.fromInputStream(discover.getInputStream).mkString
+    discover.waitFor()
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val catalog = ConfiguredCatalog.fromCatalogJson(
+      mapper.readTree(catalogMsg).get("catalog").toString)
+    val src = new SubprocessSource("source-test", catalog,
+      Seq("/bin/sh", script, "read", "--config", failCfg, "--catalog", catalogFile))
+    val cache = SparkCache.fresh(spark, "graft_test_reffail")
+    val e = intercept[IllegalStateException] {
+      src.sync(cache, spark, streams = Seq("stream1"))
+    }
+    assert(e.getMessage.contains("exited with code 1"), e.getMessage)
+    assert(e.getMessage.contains("An error"), "stderr tail must surface")
     cache.dropAll()
   }
 }

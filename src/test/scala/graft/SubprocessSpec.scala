@@ -157,10 +157,12 @@ class SubprocessSpec extends SparkTestBase {
     cache.dropAll()
   }
 
-  test("connector crash mid-stream yields the records emitted so far, no hang") {
-    // emits 5 records then SIGKILLs itself — the stream must end cleanly
-    // (at-least-once: the sync's state checkpoint was never written, so
-    // the next run re-reads; what must NOT happen is a hang or exception)
+  test("connector crash mid-stream yields records so far, then FAILS loudly (never hangs)") {
+    // emits 5 records then SIGKILLs itself — the lazy iterator yields
+    // everything emitted before the crash, and the NONZERO EXIT raises
+    // (reference `_executors/base.py`: a crash must never be mistaken
+    // for a clean end-of-stream, or partial data commits silently;
+    // round-4 pinned the lenient behavior — a real divergence)
     val script = Files.createTempFile("crash-test", ".sh")
     val lines = (1 to 5).map(i =>
       s"""echo '{"type":"RECORD","record":{"stream":"users","data":{"id":$i,"name":"u$i"},"emitted_at":1700000000000}}'""")
@@ -168,9 +170,20 @@ class SubprocessSpec extends SparkTestBase {
       (("#!/bin/sh" +: lines) :+ "kill -9 $$").mkString("\n").getBytes("UTF-8"))
     script.toFile.setExecutable(true)
     val src = new SubprocessSource("crashy", catalog, Seq("/bin/sh", script.toString))
-    val got = src.getRecords("users").toSeq
-    assert(got.length == 5)
+    val it = src.getRecords("users")
+    val got = scala.collection.mutable.ArrayBuffer.empty[String]
+    val e = intercept[IllegalStateException] {
+      it.foreach(got += _)
+    }
+    assert(got.length == 5, "records before the crash must still arrive")
     assert(got.forall(_.contains("\"id\"")))
+    assert(e.getMessage.contains("exited with code"), e.getMessage)
+  }
+
+  test("an intentional early stop (record limit) is NOT treated as a crash") {
+    val src = new SubprocessSource("limited", catalog, scriptedConnector(25))
+    val got = src.getRecords("users", limit = Some(7L)).toSeq
+    assert(got.length == 7, "limit semantics unchanged — no spurious exit-code failure")
   }
 
   test("subprocess connector → cache → queryable dataset") {
