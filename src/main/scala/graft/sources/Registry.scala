@@ -25,13 +25,26 @@ object Registry {
     val Python, Docker, Yaml, Java = Value
   }
 
+  /** One external-API doc link from registry metadata (reference
+    * `ApiDocsUrl`, `registry.py:471-487`). */
+  final case class ApiDocsUrl(title: String, url: String,
+      docType: String = "other", requiresLogin: Boolean = false)
+
   final case class ConnectorMetadata(
       name: String,
       dockerRepository: String,
       dockerImageTag: String,
       language: Option[String],
       supportLevel: Option[String],
-      installTypes: Set[InstallType.Value]) {
+      installTypes: Set[InstallType.Value],
+      /** Airbyte docs page, from the registry's `documentationUrl`. */
+      documentationUrl: Option[String] = None,
+      /** Upstream API docs, from `externalDocumentationUrls`. */
+      externalDocs: Seq[ApiDocsUrl] = Seq.empty,
+      /** The connector's config spec JSON when the registry document
+        * carries one (`spec` entry) — the zero-egress stand-in for the
+        * reference's per-version registry spec fetch. */
+      specJson: Option[String] = None) {
     def canonicalName: String = name.toLowerCase
   }
 
@@ -57,13 +70,25 @@ object Registry {
         if (repo.nonEmpty) types += InstallType.Docker
         if (lang.contains("manifest-only") || lang.contains("yaml")) types += InstallType.Yaml
         if (lang.contains("java")) types += InstallType.Java
+        val extDocs = Option(e.get("externalDocumentationUrls")).toSeq
+          .filter(_.isArray).flatMap(_.elements().asScala).flatMap { d =>
+            for {
+              title <- Option(d.get("title")).map(_.asText())
+              url <- Option(d.get("url")).map(_.asText())
+            } yield ApiDocsUrl(title, url,
+              Option(d.get("type")).map(_.asText()).getOrElse("other"),
+              Option(d.get("requiresLogin")).exists(_.asBoolean(false)))
+          }
         ConnectorMetadata(
           name = name,
           dockerRepository = repo,
           dockerImageTag = Option(e.get("dockerImageTag")).map(_.asText()).getOrElse(""),
           language = lang,
           supportLevel = Option(e.get("supportLevel")).map(_.asText()),
-          installTypes = types.result())
+          installTypes = types.result(),
+          documentationUrl = Option(e.get("documentationUrl")).map(_.asText()),
+          externalDocs = extDocs,
+          specJson = Option(e.get("spec")).map(_.toString))
       })
     }
   }

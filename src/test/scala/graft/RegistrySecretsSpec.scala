@@ -14,6 +14,10 @@ class RegistrySecretsSpec extends AnyFunSuite {
     """{"sources": [
       |  {"dockerRepository": "airbyte/source-faker", "dockerImageTag": "6.2.0",
       |   "supportLevel": "certified", "language": "python",
+      |   "documentationUrl": "https://docs.airbyte.com/integrations/sources/faker",
+      |   "spec": {"connectionSpecification": {"type": "object", "properties": {"count": {"type": "integer"}}}},
+      |   "externalDocumentationUrls": [
+      |     {"title": "Faker API", "url": "https://faker.example/docs", "type": "api_reference"}],
       |   "remoteRegistries": {"pypi": {"enabled": true, "packageName": "airbyte-source-faker"}}},
       |  {"dockerRepository": "airbyte/source-pokeapi", "dockerImageTag": "0.2.0",
       |   "tags": ["language:manifest-only"]}
@@ -34,6 +38,35 @@ class RegistrySecretsSpec extends AnyFunSuite {
     val meta = Registry.connectorMetadata(reg, "Source-Faker").get
     assert(meta.dockerImageTag == "6.2.0" && meta.supportLevel.contains("certified"))
     assert(Registry.connectorMetadata(reg, "source-missing").isEmpty)
+  }
+
+  test("registry MCP tools: list filters, connector info, api docs urls") {
+    import graft.mcp.RegistryTools
+    val reg = Registry.fromJson(registryJson)
+    assert(RegistryTools.listConnectors(reg) ==
+      Seq("destination-duckdb", "source-faker", "source-pokeapi"))
+    assert(RegistryTools.listConnectors(reg, keywordFilter = Some("poke")) ==
+      Seq("source-pokeapi"))
+    assert(RegistryTools.listConnectors(reg, connectorTypeFilter = Some("destination")) ==
+      Seq("destination-duckdb"))
+    assert(RegistryTools.listConnectors(reg,
+      installTypes = Seq(InstallType.Python, InstallType.Yaml)) ==
+      Seq("source-faker", "source-pokeapi"))
+    intercept[IllegalArgumentException](
+      RegistryTools.listConnectors(reg, connectorTypeFilter = Some("bogus")))
+
+    val info = RegistryTools.getConnectorInfo(reg, "source-faker").get
+    assert(info("documentation_url") == "https://docs.airbyte.com/integrations/sources/faker")
+    assert(info("config_spec_jsonschema").contains("\"count\""))
+    assert(info("manifest_url") ==
+      "https://connectors.airbyte.com/files/metadata/airbyte/source-faker/latest/manifest.yaml")
+    assert(RegistryTools.getConnectorInfo(reg, "source-missing").isEmpty)
+
+    val docs = RegistryTools.getApiDocsUrls(reg, "source-faker").get
+    assert(docs.map(_.title) == Seq("Airbyte Documentation", "Faker API"))
+    assert(docs(1).docType == "api_reference" && !docs(1).requiresLogin)
+    // a connector with neither docs field yields an empty list, not None
+    assert(RegistryTools.getApiDocsUrls(reg, "source-pokeapi").get.isEmpty)
   }
 
   test("secrets resolve env-first then dotenv, redact, and parse JSON") {
