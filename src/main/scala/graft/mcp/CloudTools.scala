@@ -164,6 +164,53 @@ object CloudTools {
       "table_prefix" -> c.tablePrefix)
   }
 
+  /** `_resolve_organization_id` (cloud.py:1288): id wins; otherwise an
+    * EXACT-name match must be unique. */
+  private def resolveOrganization(client: graft.cloud.CloudClient,
+      organizationId: Option[String],
+      organizationName: Option[String]): graft.cloud.OrganizationInfo =
+    (organizationId, organizationName) match {
+      case (Some(id), _) => client.getOrganization(id)
+      case (None, Some(name)) =>
+        client.listOrganizations().filter(_.organizationName == name) match {
+          case Seq(one) => one
+          case Seq() => throw new NoSuchElementException(
+            s"no organization named '$name'")
+          case many => throw new IllegalArgumentException(
+            s"organization name '$name' is ambiguous (${many.size} matches)")
+        }
+      case (None, None) => throw new IllegalArgumentException(
+        "either organization_id or organization_name is required")
+    }
+
+  final case class CloudWorkspaceResult(id: String, name: String, organizationId: String)
+  final case class CloudOrganizationResult(
+      id: String, name: String, email: Option[String],
+      paymentStatus: Option[String], subscriptionStatus: Option[String],
+      isAccountLocked: Boolean)
+
+  /** `list_cloud_workspaces` (cloud.py:1311): organization-scoped only
+    * — the reference will not list across all organizations. */
+  def listCloudWorkspaces(client: graft.cloud.CloudClient,
+      organizationId: Option[String] = None,
+      organizationName: Option[String] = None,
+      nameContains: Option[String] = None,
+      limit: Option[Int] = None): Seq[CloudWorkspaceResult] = {
+    val org = resolveOrganization(client, organizationId, organizationName)
+    client.listWorkspaces(org.organizationId, nameContains, limit)
+      .map(w => CloudWorkspaceResult(w.workspaceId, w.workspaceName, w.organizationId))
+  }
+
+  /** `describe_cloud_organization` (cloud.py:1381): id↔name lookup +
+    * billing status + the account-lock rollup. */
+  def describeCloudOrganization(client: graft.cloud.CloudClient,
+      organizationId: Option[String] = None,
+      organizationName: Option[String] = None): CloudOrganizationResult = {
+    val o = resolveOrganization(client, organizationId, organizationName)
+    CloudOrganizationResult(o.organizationId, o.organizationName, o.email,
+      o.paymentStatus, o.subscriptionStatus, o.isAccountLocked)
+  }
+
   /** `permanently_delete_cloud_source` / `_destination` / `_connection`
     * (cloud.py:1882/1938/1994). Deleting a connector still referenced
     * by a connection fails, like the API would. */

@@ -180,4 +180,39 @@ class McpLocalToolsSpec extends SparkTestBase {
     assert(CloudTools.checkAirbyteCloudWorkspace(ws)
       .contains("0 source(s), 0 destination(s), 0 connection(s)"))
   }
+
+  test("organization-scoped client: workspace listing, org lookup, billing lock rollup") {
+    import graft.cloud.{LocalCloudClient, OrganizationInfo}
+    import graft.mcp.CloudTools
+    val client = new LocalCloudClient(spark)
+    client.registerOrganization(OrganizationInfo("org-1", "Acme",
+      email = Some("ops@acme.example"),
+      paymentStatus = Some("ok"), subscriptionStatus = Some("subscribed")))
+    client.registerOrganization(OrganizationInfo("org-2", "Globex",
+      paymentStatus = Some("disabled"), subscriptionStatus = Some("unsubscribed")))
+    client.registerWorkspace("ws-a", "analytics", "org-1")
+    client.registerWorkspace("ws-b", "billing", "org-1")
+    client.registerWorkspace("ws-c", "other", "org-2")
+
+    // org-scoped only — id or exact name; filters + limit server-side
+    assert(CloudTools.listCloudWorkspaces(client, organizationId = Some("org-1"))
+      .map(_.id) == Seq("ws-a", "ws-b"))
+    assert(CloudTools.listCloudWorkspaces(client, organizationName = Some("Acme"),
+      nameContains = Some("bill")).map(_.id) == Seq("ws-b"))
+    assert(CloudTools.listCloudWorkspaces(client, organizationId = Some("org-1"),
+      limit = Some(1)).map(_.id) == Seq("ws-a"))
+    intercept[IllegalArgumentException](CloudTools.listCloudWorkspaces(client))
+    intercept[NoSuchElementException](
+      CloudTools.listCloudWorkspaces(client, organizationName = Some("Nope")))
+
+    // id <-> name lookup + billing rollup (disabled/unsubscribed locks)
+    val acme = CloudTools.describeCloudOrganization(client, organizationName = Some("Acme"))
+    assert(acme.id == "org-1" && acme.email.contains("ops@acme.example") && !acme.isAccountLocked)
+    val globex = CloudTools.describeCloudOrganization(client, organizationId = Some("org-2"))
+    assert(globex.isAccountLocked, "disabled payment + unsubscribed must lock")
+
+    // workspace handles from the client are full engine-backed workspaces
+    assert(CloudTools.checkAirbyteCloudWorkspace(client.getWorkspace("ws-a"))
+      .contains("0 source(s)"))
+  }
 }
