@@ -54,4 +54,27 @@ class CoresetSpec extends SparkTestBase {
     assert(got.count() == 3)
     assert(got.select("center_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
   }
+
+  test("batched rounds equal the sequential trajectory at k=40 in far fewer rounds") {
+    val emb = graft.sources.Tables.embeddings(spark, sf())
+    val (gotDf, rounds) = Coreset.kCenterGreedyWithRounds(
+      emb, "vec_id", "embedding", k = 40, seedId = 0L)
+    val got = gotDf.as[(Int, Long, Double)].collect().sortBy(_._1).toSeq
+    val pts = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toMap
+    assert(got == referenceKCenter(pts, 40, 0L))
+    assert(rounds * 3 < 40, s"batching ineffective: $rounds rounds for 40 centers")
+  }
+
+  test("batch=1 degrades to the sequential algorithm with identical output") {
+    val emb = graft.sources.Tables.embeddings(spark, sf())
+    spark.conf.set("graft.coreset.batch", "1")
+    try {
+      val got = Coreset.kCenterGreedy(emb, "vec_id", "embedding", k = 6, seedId = 0L)
+        .as[(Int, Long, Double)].collect().sortBy(_._1).toSeq
+      val pts = emb.select(col("vec_id"), col("embedding"))
+        .as[(Long, Seq[Float])].collect().toMap
+      assert(got == referenceKCenter(pts, 6, 0L))
+    } finally spark.conf.unset("graft.coreset.batch")
+  }
 }
