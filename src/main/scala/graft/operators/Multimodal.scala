@@ -188,6 +188,64 @@ object Multimodal {
       }.toDF()
   }
 
+  /** Mixed-container dedup corpus: rows with the same content class
+    * (id mod `classes`) hold IDENTICAL 32×32 pixels, but alternate the
+    * CONTAINER by copy index — PNG for even (id/classes), baseline
+    * JPEG (quality 75) for odd. Content is a 4×4 grid of solid 8×8
+    * blocks (two tones per class); the on/off pattern per class is a
+    * NON-CONSTANT first-order Reed–Muller RM(1,4) codeword — 30 of
+    * them over the 16 blocks, pairwise Hamming distance ≥ 8, each of
+    * weight 8 — so HALF the image differs between any two classes,
+    * the aHash (block-aligned 4×4-pixel cells, global mean exactly
+    * between the tones) reproduces the pattern bit-for-bit, and
+    * inter-class hash distances are ≥ 32 (`classes` ≤ 30).
+    * Solid blocks are DC-only and quality 75's Q(0,0)=8 makes the
+    * JPEG round-trip EXACT (qDC = v−128 lands on an integer), so
+    * decoded pixels — and hence perceptual hashes — are byte-identical
+    * across containers. The corpus a cross-format image-dedup pass
+    * must collapse. */
+  def synthMixedFormat(df: DataFrame, idCol: String, classes: Int): DataFrame = {
+    require(classes <= 30, "RM(1,4) has 30 non-constant distance-8 patterns")
+    implicit val enc: Encoder[MediaRecord] = Encoders.product[MediaRecord]
+    df.select(col(idCol).cast(LongType)).as(Encoders.scalaLong)
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val cls = (id % classes).toInt
+          val hi = (200: Int).toByte
+          val lo = (50: Int).toByte
+          val px = new Array[Byte](32 * 32)
+          var b = 0
+          while (b < 16) {
+            // non-constant RM(1,4) codeword: a0 XOR <mask, bits(b)>,
+            // mask in 1..15 so the constant codewords are excluded
+            val mask = 1 + (cls % 15)
+            val a0 = cls / 15
+            val bit = (a0 ^ Integer.bitCount(mask & b)) & 1
+            val v = if (bit == 1) hi else lo
+            val (bx, by) = (b % 4, b / 4)
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                px((by * 8 + y) * 32 + (bx * 8 + x)) = v
+                x += 1
+              }
+              y += 1
+            }
+            b += 1
+          }
+          val img = ImageCodec.RawImage(32, 32, 1, px)
+          if ((id / classes) % 2 == 0) {
+            val bytes = ImageCodec.encodePng(img)
+            MediaRecord(id, bytes, "image/png", bytes.length.toLong)
+          } else {
+            val bytes = JpegCodec.encodeJpeg(img, quality = 75)
+            MediaRecord(id, bytes, "image/jpeg", bytes.length.toLong)
+          }
+        }
+      }.toDF()
+  }
+
   /** One REAL PNG per row with seed-classed noise content: every row
     * whose id maps to the same `seed` (id mod `classes`) gets a
     * byte-identical image; distinct seeds get independent splitmix64

@@ -372,6 +372,35 @@ object MediaQueries {
       |  CAST(g AS INT) AS min_g, CAST(g AS INT) AS max_g
       |FROM px""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q180: CROSS-FORMAT image near-dup — the reason the media operators
+  // dispatch on magic bytes: the same content stored once as PNG and
+  // once as baseline JPEG must still collapse to one class. Content is
+  // block-aligned two-tone (DC-only ⇒ the quality-75 JPEG round-trip
+  // is EXACT, so decoded pixels are byte-identical across containers)
+  // and class patterns are RM(1,4) codewords (pairwise half-image distance), so the expected
+  // pair set is the class construction itself — same oracle shape as
+  // q167/q178. Same scale story: only (media_id, 64-bit hash) rows
+  // shuffle through the 5-band pigeonhole join.
+  // ------------------------------------------------------------------
+  def q180CrossFormatNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 210)
+    val media = Multimodal.synthMixedFormat(docs, "doc_id", classes = 30)
+    // aHash, not dHash: for block-solid content the difference hash is
+    // mostly zero bits (adjacent cells equal inside blocks) and loses
+    // the class separation; the average hash reproduces the RM pattern
+    // exactly (cells are block-aligned, the global mean sits between
+    // the tones), giving inter-class distance >= 32
+    dhashBandPairs(Multimodal.decodeImageHashes(media).toDF()
+      .select(col("media_id"), col("ahash").as("dhash")).localCheckpoint())
+  }
+
+  val q180Sql: String =
+    """SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |FROM documents a JOIN documents b
+      |  ON a.doc_id % 30 = b.doc_id % 30 AND a.doc_id < b.doc_id
+      |WHERE a.doc_id < 210 AND b.doc_id < 210""".stripMargin
+
   val q168Sql: String =
     """WITH d AS (
       |  SELECT doc_id, CAST(1024 + (doc_id % 4) * 256 AS INT) AS n
