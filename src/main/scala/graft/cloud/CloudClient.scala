@@ -21,11 +21,17 @@ final case class OrganizationInfo(
     paymentStatus: Option[String] = None,
     subscriptionStatus: Option[String] = None) {
 
-  /** `is_account_locked` (reference `api_util.is_account_locked`):
-    * disabled payment or an unsubscribed org locks the account. */
+  /** `is_account_locked` (reference `api_util.is_account_locked`,
+    * LOCKED_PAYMENT_STATUSES at api_util.py:2704): payment status
+    * "disabled" OR "locked", or an unsubscribed org, locks the account. */
   def isAccountLocked: Boolean =
-    paymentStatus.exists(_.equalsIgnoreCase("disabled")) ||
+    paymentStatus.exists(s => OrganizationInfo.LockedPaymentStatuses(s.toLowerCase)) ||
       subscriptionStatus.exists(_.equalsIgnoreCase("unsubscribed"))
+}
+
+object OrganizationInfo {
+  /** Reference `LOCKED_PAYMENT_STATUSES` (api_util.py:2704). */
+  val LockedPaymentStatuses: Set[String] = Set("disabled", "locked")
 }
 
 final case class WorkspaceInfo(

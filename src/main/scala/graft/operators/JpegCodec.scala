@@ -493,6 +493,12 @@ object JpegCodec {
           if (width <= 0 || height <= 0) return None
           val n = u8()
           if (n != 1 && n != 3) return None
+          // Same decode-size budget as the PNG path (ImageCodec.scala): a
+          // ~100-byte stream can declare 40000x40000 and force ~10 GB of
+          // plane allocations; OutOfMemoryError is an Error and would
+          // escape the never-throws contract, so refuse before allocating.
+          // The long product also sidesteps Int overflow in width*height.
+          if (width.toLong * height * n > 64L * 1024 * 1024) return None
           comps = Array.fill(n)(null)
           for (i <- 0 until n) {
             val id = u8(); val hv = u8(); val tq = u8()

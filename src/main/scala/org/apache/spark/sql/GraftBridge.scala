@@ -89,8 +89,16 @@ object GraftBridge {
         rs.map(r =>
           proj(r).copy().asInstanceOf[org.apache.spark.sql.catalyst.InternalRow])
       }
-    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    rows.count() // materialize, then drop the raw batch blocks
+    }
+    // localCheckpoint (repo-wide lineage lifecycle) rather than persist:
+    // once the batch blocks are dropped below, a plain persist would
+    // RECOMPUTE a lost rows partition from the source RDD — re-running
+    // the side-effecting external worker the materialization exists to
+    // guard. Checkpointing truncates lineage so a lost partition fails
+    // loudly instead of silently re-invoking the worker, and the blocks
+    // follow the context-cleaner lifecycle with the DataFrame.
+    rows.localCheckpoint()
+    rows.count() // materialize the checkpoint, then drop the raw batches
     batches.unpersist(blocking = false)
     session.internalCreateDataFrame(rows, schema)
   }
