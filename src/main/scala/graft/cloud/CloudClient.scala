@@ -25,7 +25,8 @@ final case class OrganizationInfo(
     * LOCKED_PAYMENT_STATUSES at api_util.py:2704): payment status
     * "disabled" OR "locked", or an unsubscribed org, locks the account. */
   def isAccountLocked: Boolean =
-    paymentStatus.exists(s => OrganizationInfo.LockedPaymentStatuses(s.toLowerCase)) ||
+    paymentStatus.exists(s =>
+      OrganizationInfo.LockedPaymentStatuses(s.toLowerCase(java.util.Locale.ROOT))) ||
       subscriptionStatus.exists(_.equalsIgnoreCase("unsubscribed"))
 }
 

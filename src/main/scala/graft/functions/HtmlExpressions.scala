@@ -19,8 +19,10 @@ import org.apache.spark.unsafe.types.UTF8String
  *  - `<!-- … -->` comments elided;
  *  - all other tags dropped (text inside kept);
  *  - entities decoded: the five predefined XML entities plus GENERIC
- *    numeric forms `&#123;` / `&#x1F;`; an invalid entity keeps its
- *    literal `&` (never swallowed).
+ *    numeric forms `&#123;` / `&#x1F;`; an unknown NAMED entity keeps
+ *    its literal `&` (never swallowed), while a numeric reference to a
+ *    surrogate / U+0000 / past U+10FFFF emits U+FFFD per WHATWG
+ *    character-reference error recovery.
  *
  * Unterminated constructs run to end-of-input (a truncated crawl page
  * yields the text before the break, never an exception).
@@ -60,8 +62,11 @@ private[graft] object HtmlText {
         }
       } else if (c == '&') {
         val semi = s.indexOf(';', i + 1)
+        // cap 12: the longest reference we decode is a numeric form like
+        // &#xFFFFFFFF; (whose overflow must still reach the WHATWG
+        // U+FFFD recovery, not fall off the scanner)
         val decoded =
-          if (semi > i && semi - i <= 10) decodeEntity(s.substring(i + 1, semi))
+          if (semi > i && semi - i <= 12) decodeEntity(s.substring(i + 1, semi))
           else None
         decoded match {
           case Some(t) => out.append(t); i = semi + 1
@@ -108,14 +113,25 @@ private[graft] object HtmlText {
       if (digits.isEmpty) None
       else {
         val cp = Integer.parseInt(digits, radix)
-        // surrogate code points (U+D800..U+DFFF) are parse errors per
-        // the HTML spec — Character.toChars would emit a lone surrogate
-        // that degrades to replacement bytes in UTF8String; keep the
-        // literal '&' like any other invalid entity
-        if (cp < 0 || cp > 0x10ffff || (cp >= 0xd800 && cp <= 0xdfff)) None
+        // WHATWG "character reference code" error recovery (HTML spec
+        // §13.2.5.80): a numeric reference to a surrogate (U+D800..
+        // U+DFFF), to U+0000, or past U+10FFFF is a parse error whose
+        // recovery EMITS U+FFFD — the reference consumes either way.
+        // (We deliberately skip the spec's legacy windows-1252 remap of
+        // C1 controls 0x80..0x9F: a data-cleaning kernel preserves the
+        // author's actual code point rather than simulating legacy
+        // browser charset sniffing.)
+        if (cp == 0 || cp > 0x10ffff || (cp >= 0xd800 && cp <= 0xdfff))
+          Some("�")
+        else if (cp < 0) Some("�") // > Int range wrapped negative
         else Some(new String(Character.toChars(cp)))
       }
-    } catch { case _: Exception => None }
+    } catch {
+      case _: NumberFormatException if digits.forall(d =>
+          Character.digit(d, radix) >= 0) =>
+        Some("�") // all-valid digits that overflow Int: out of range
+      case _: Exception => None
+    }
 }
 
 object HtmlFunctions {

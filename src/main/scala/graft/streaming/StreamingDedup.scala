@@ -47,6 +47,45 @@ final class StreamingDedup(
   private def index(spark: SparkSession): Option[DataFrame] =
     if (indexExists(spark)) Some(spark.table(indexTable)) else None
 
+  /** Companion one-row table pinning the signature parameters the index
+    * was built with. Signatures from different (numHashes, bands,
+    * shingle, threshold) settings are NOT comparable — probing an index
+    * built under other parameters silently corrupts dedup decisions —
+    * so resume validates and fails fast instead. */
+  private val metaTable = indexTable + "_params"
+
+  private def paramsRow: (Int, Int, Int, Double) =
+    (numHashes, bands, shingle, threshold)
+
+  /** Fail fast if the persisted index was built with different
+    * parameters; record ours on first contact. An index table with no
+    * companion params row is treated as foreign (pre-validation or
+    * another writer's) and refused rather than guessed at. */
+  private def validateOrRecordParams(spark: SparkSession): Unit = {
+    import spark.implicits._
+    if (spark.catalog.tableExists(metaTable)) {
+      val (h, b, s, t) = spark.table(metaTable)
+        .select("num_hashes", "bands", "shingle", "threshold")
+        .as[(Int, Int, Int, Double)].head()
+      val persisted = (h, b, s, t)
+      require(persisted == paramsRow,
+        s"signature index '$indexTable' was built with " +
+          s"(numHashes=$h, bands=$b, shingle=$s, threshold=$t) but this " +
+          s"StreamingDedup uses (numHashes=$numHashes, bands=$bands, " +
+          s"shingle=$shingle, threshold=$threshold); signatures are not " +
+          "comparable across parameters — use a matching configuration " +
+          "or a different indexTable")
+    } else if (indexExists(spark)) {
+      throw new IllegalStateException(
+        s"signature index '$indexTable' exists but has no companion " +
+          s"'$metaTable' params table; refusing to resume against an " +
+          "index whose build parameters are unknown")
+    } else {
+      Seq(paramsRow).toDF("num_hashes", "bands", "shingle", "threshold")
+        .write.mode(SaveMode.ErrorIfExists).saveAsTable(metaTable)
+    }
+  }
+
   /** Distinct documents currently represented in the signature index. */
   def indexedDocs(spark: SparkSession): Long =
     index(spark).map(_.select("id").distinct().count()).getOrElse(0L)
@@ -65,6 +104,7 @@ final class StreamingDedup(
    */
   def processBatch(batch: DataFrame): DataFrame = {
     val spark = batch.sparkSession
+    validateOrRecordParams(spark)
     val cached = batch.localCheckpoint() // read 3×: pairs, probe, survivors
     // intra-batch: any id near-dupping a SMALLER id in the same batch
     val intraDrop = Dedup.minhashNearDups(

@@ -196,4 +196,29 @@ class JpegCodecSpec extends AnyFunSuite {
     val png = ImageCodec.encodePng(gray(8, 8, 10))
     assert(JpegCodec.decodeJpeg(png).isEmpty)
   }
+
+  test("decode-size bomb: a tiny stream declaring huge SOF dimensions is refused before allocating") {
+    // a real ~600-byte stream whose SOF0 we patch to claim 40000x40000
+    // (~4.8 GB of planes if believed) — the 64 MiB cap must return None
+    // without attempting the allocation
+    def withDims(h: Int, w: Int): Array[Byte] = {
+      val valid = JpegCodec.encodeJpeg(gray(16, 16, 99), 75)
+      val idx = (0 until valid.length - 1).find(i =>
+        (valid(i) & 0xff) == 0xff && (valid(i + 1) & 0xff) == 0xc0).get
+      val bomb = valid.clone()
+      // SOF0 layout: FF C0 | len(2) | precision(1) | height(2) | width(2)
+      bomb(idx + 5) = ((h >> 8) & 0xff).toByte; bomb(idx + 6) = (h & 0xff).toByte
+      bomb(idx + 7) = ((w >> 8) & 0xff).toByte; bomb(idx + 8) = (w & 0xff).toByte
+      bomb
+    }
+    val t0 = System.nanoTime()
+    assert(JpegCodec.decodeJpeg(withDims(40000, 40000)).isEmpty)
+    // 65535x65535 is the max encodable SOF and overflows Int in w*h —
+    // the long-product guard must still refuse cleanly
+    assert(JpegCodec.decodeJpeg(withDims(65535, 65535)).isEmpty)
+    val elapsedMs = (System.nanoTime() - t0) / 1000000L
+    assert(elapsedMs < 2000, s"size-capped rejects must be immediate, took ${elapsedMs}ms")
+    // sanity: the unpatched stream still decodes (the cap is not overzealous)
+    assert(JpegCodec.decodeJpeg(withDims(16, 16)).isDefined)
+  }
 }

@@ -24,17 +24,20 @@ class StreamingDedupSpec extends SparkTestBase {
   private val fresh = "entirely novel third document body that matches nothing else here today"
 
   private def freshTable(name: String): String = {
-    spark.sql(s"DROP TABLE IF EXISTS $name")
-    // a fresh JVM's in-memory catalog cannot DROP tables left by a
-    // prior JVM — clear the physical location too (the SparkCache.fresh
-    // convention)
-    val warehouse = new java.io.File(
-      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, name)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(); ()
+    // the index and its companion params table travel together
+    Seq(name, name + "_params").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      // a fresh JVM's in-memory catalog cannot DROP tables left by a
+      // prior JVM — clear the physical location too (the SparkCache.fresh
+      // convention)
+      val warehouse = new java.io.File(
+        new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, t)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      if (warehouse.exists()) rm(warehouse)
     }
-    if (warehouse.exists()) rm(warehouse)
     name
   }
 
@@ -97,6 +100,45 @@ class StreamingDedupSpec extends SparkTestBase {
       .select("doc_id").as[Long].collect().sorted
     assert(s.toSeq == Seq(31L), "resumed instance must still drop near-dups of pre-restart docs")
     assert(resumed.indexedDocs(spark) == 3L)
+  }
+
+  test("resume with mismatched signature parameters fails fast") {
+    val tbl = freshTable("sdd_spec_mismatch")
+    val first = new StreamingDedup("doc_id", "text", threshold = 0.5, indexTable = tbl)
+    first.processBatch(Seq((1L, base)).toDF("doc_id", "text"))
+
+    // different numHashes/bands → signatures not comparable → refuse
+    val wrong = new StreamingDedup("doc_id", "text", threshold = 0.5,
+      numHashes = 12, bands = 4, indexTable = tbl)
+    val ex = intercept[IllegalArgumentException] {
+      wrong.processBatch(Seq((2L, fresh)).toDF("doc_id", "text"))
+    }
+    assert(ex.getMessage.contains("not") && ex.getMessage.contains(tbl),
+      s"error must name the table and the incompatibility: ${ex.getMessage}")
+    // a different threshold alone is also a mismatch (band width differs)
+    intercept[IllegalArgumentException] {
+      new StreamingDedup("doc_id", "text", threshold = 0.8, indexTable = tbl)
+        .processBatch(Seq((3L, fresh)).toDF("doc_id", "text"))
+    }
+    // the index was not corrupted by the refused folds
+    assert(first.indexedDocs(spark) == 1L)
+    // and a correctly-parameterized resume still works
+    val ok = new StreamingDedup("doc_id", "text", threshold = 0.5, indexTable = tbl)
+    val s = ok.processBatch(Seq((4L, fresh)).toDF("doc_id", "text"))
+      .select("doc_id").as[Long].collect()
+    assert(s.toSeq == Seq(4L))
+  }
+
+  test("index table without a params record is refused, not guessed at") {
+    val tbl = freshTable("sdd_spec_foreign")
+    // fabricate a foreign index table with the right shape but no meta
+    Seq((1L, 0, "k"))
+      .toDF("id", "band", "band_key")
+      .write.saveAsTable(tbl)
+    val dedup = new StreamingDedup("doc_id", "text", threshold = 0.5, indexTable = tbl)
+    intercept[IllegalStateException] {
+      dedup.processBatch(Seq((9L, fresh)).toDF("doc_id", "text"))
+    }
   }
 
   test("foreachBatch harness: novel docs flow to the sink across micro-batches") {
