@@ -42,6 +42,17 @@ object Bench {
     // warmup at the smallest SF: JIT, codegen cache, parquet footer reads
     names.foreach(exec(_, "/root/testdata/sf0.001"))
 
+    // reference-harness-shaped ingest throughput (5e5 protocol records
+    // end-to-end; see tools/IngestBench + BASELINE.md). Measured FIRST,
+    // right after warmup: at the tail of a full 3×N-query run the host
+    // is hot and often contended, which once corrupted the recorded
+    // figure by 9× (r6: 64k rec/s vs 504k re-measured quiet).
+    val ingestRps =
+      try graft.tools.IngestBench.measure(spark, 500000)._2
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] ingest failed: ${e.getMessage}"); -1L
+      }
+
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt
     val passes: Seq[Map[String, Double]] =
       (1 to repeats).map(_ => names.map(n => n -> exec(n, sfDir)).toMap)
@@ -82,13 +93,6 @@ object Bench {
     // full per-query detail goes to a repo file for the judge
     val full = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
-    // reference-harness-shaped ingest throughput (5e5 protocol records
-    // end-to-end; see tools/IngestBench + BASELINE.md)
-    val ingestRps =
-      try graft.tools.IngestBench.measure(spark, 500000)._2
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] ingest failed: ${e.getMessage}"); -1L
-      }
     val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${names.size},"n_failed":${failed.size},"repeats":$repeats,"queries":$qs,"ingest_records_per_sec":$ingestRps,"sf":"$sfDir"}"""
     try {
       val p = java.nio.file.Paths.get("BENCH_FULL.json")

@@ -179,14 +179,24 @@ final class SparkCache(
   // syncs of the same stream skip the 1-row append job (~0.3 s each).
   private val registered = scala.collection.mutable.Set.empty[(String, String)]
 
-  private def registerStream(streamName: String, sourceName: String = "default"): Unit = {
+  private def registerStream(streamName: String, sourceName: String = "default"): Unit =
+    preRegisterStreams(Seq(streamName), sourceName)
+
+  /** Register a batch of streams with ONE append job. A multi-stream
+    * sync otherwise pays a 1-row registration write per stream (~0.3 s
+    * each — for the 22-stream smoke gauntlet that was half the sync
+    * wall); callers that know the selection up front register it in
+    * bulk and the per-stream path becomes a memoized no-op. */
+  def preRegisterStreams(streamNames: Seq[String], sourceName: String = "default"): Unit = {
     import spark.implicits._
-    if (!registered.add((sourceName, streamName))) return
+    val fresh = streamNames.filterNot(s => registered((sourceName, s)))
+    if (fresh.isEmpty) return
     metaTable(StreamsTable, streamsSchema)
-    val row = Seq((sourceName, streamName, tableName(streamName), "{}"))
+    val rows = fresh.map(s => (sourceName, s, tableName(s), "{}"))
       .toDF("source_name", "stream_name", "table_name", "catalog_json")
       .withColumn("registered_at", current_timestamp())
-    row.write.mode(SaveMode.Append).saveAsTable(s"`$database`.`$StreamsTable`")
+    rows.write.mode(SaveMode.Append).saveAsTable(s"`$database`.`$StreamsTable`")
+    fresh.foreach(s => registered.add((sourceName, s)))
   }
 
   // ------------------------------------------------------------------

@@ -59,7 +59,23 @@ final case class ConnectionInfo(
     sourceId: String,
     destinationId: String,
     streams: Seq[String],
-    tablePrefix: String)
+    tablePrefix: String,
+    /** Display name (reference `CloudConnectionInfo.name`). */
+    name: String = "",
+    /** "active" | "inactive" (reference connection status vocabulary,
+      * `connections.py:807-871`). */
+    status: String = "active",
+    /** "manual" | "cron" (reference `build_connection_schedule`). */
+    scheduleType: String = "manual",
+    cronExpression: Option[String] = None)
+
+/** Result of a connector `check` (reference `connectors.py:65-91`
+  * `CheckResult`): truthy on success, stringifies to the failure. */
+final case class CheckResult(
+    success: Boolean, errorMessage: Option[String] = None) {
+  override def toString: String =
+    if (success) "Success" else s"Failed: ${errorMessage.getOrElse("unknown")}"
+}
 
 /** Raised by `SyncResult.raiseFailureStatus()` /
   * `CloudConnection.runSync(wait=true)` on a failed job — the analog of
@@ -81,7 +97,20 @@ trait WorkspaceApi {
   def deployDestination(name: String, cache: SparkCache): String
   def deployConnection(
       sourceId: String, destinationId: String,
-      streams: Seq[String], tablePrefix: String): String
+      streams: Seq[String], tablePrefix: String,
+      name: String = ""): String
+  /** Partial connection update (reference `api_util.patch_connection` —
+    * the one call behind rename / set_table_prefix /
+    * set_selected_streams / set_enabled / set_schedule,
+    * `connections.py:739-915`). Unset fields keep their value. */
+  def patchConnection(
+      connectionId: String,
+      name: Option[String] = None,
+      prefix: Option[String] = None,
+      streams: Option[Seq[String]] = None,
+      status: Option[String] = None,
+      scheduleType: Option[String] = None,
+      cronExpression: Option[String] = None): ConnectionInfo
   def listSources(): Seq[String]
   def listDestinations(): Seq[String]
   def listConnections(): Seq[ConnectionInfo]
@@ -96,11 +125,31 @@ trait WorkspaceApi {
   /** Per-stream incremental state (reference `connections.py:497-528`). */
   def streamState(connectionId: String, stream: String): Option[String]
   def setStreamState(connectionId: String, stream: String, state: String): Unit
+  /** Whole-connection state artifact in the raw Config-API shape
+    * (`{"stateType":…,"connectionId":…,"streamState":[…]}`) — the
+    * backing for dump_raw_state/import_raw_state
+    * (`connections.py:415-514`). None when no state has ever been set
+    * (the reference's `stateType: not_set`). */
+  def connectionStateDoc(connectionId: String): Option[String]
+  def replaceConnectionStateDoc(connectionId: String, doc: String): Unit
   /** Destination cache backing a connection (for `SyncResult.getDataset`). */
   def destinationCache(connectionId: String): SparkCache
   /** Display names as deployed (the MCP cloud tools surface them). */
   def sourceName(sourceId: String): String
   def destinationName(destinationId: String): String
+  /** Deployed-source handle (for catalog artifacts and checks). */
+  def sourceObject(sourceId: String): Source
+  // -- connector mutation (reference `connectors.py:154-344`:
+  //    `patch_source` / `patch_destination` behind rename/update_config,
+  //    plus `check_connector`) --
+  def renameSource(sourceId: String, name: String): Unit
+  def renameDestination(destinationId: String, name: String): Unit
+  def sourceConfig(sourceId: String): Option[String]
+  def updateSourceConfig(sourceId: String, configJson: String): Unit
+  def destinationConfig(destinationId: String): Option[String]
+  def updateDestinationConfig(destinationId: String, configJson: String): Unit
+  def checkSource(sourceId: String): CheckResult
+  def checkDestination(destinationId: String): CheckResult
 }
 
 /**
@@ -117,7 +166,12 @@ final class LocalWorkspaceApi(spark: SparkSession) extends WorkspaceApi {
   private val destinations = TrieMap.empty[String, (String, SparkCache)]
   private val connections = TrieMap.empty[String, ConnectionInfo]
   private val jobs = TrieMap.empty[Long, JobInfo]
-  private val states = TrieMap.empty[(String, String), String]
+  /** connectionId → raw Config-API state doc (the reference's server-side
+    * connection state artifact; stream-level ops patch through it the
+    * same way `set_stream_state` does, `connections.py:559-640`). */
+  private val connStates = TrieMap.empty[String, String]
+  private val sourceConfigs = TrieMap.empty[String, String]
+  private val destinationConfigs = TrieMap.empty[String, String]
 
   private def nextId(prefix: String): String = s"$prefix-${ids.incrementAndGet()}"
 
@@ -129,15 +183,49 @@ final class LocalWorkspaceApi(spark: SparkSession) extends WorkspaceApi {
   }
   override def deployConnection(
       sourceId: String, destinationId: String,
-      streams: Seq[String], tablePrefix: String): String = {
+      streams: Seq[String], tablePrefix: String,
+      name: String): String = {
     require(sources.contains(sourceId), s"unknown source '$sourceId'")
     require(destinations.contains(destinationId), s"unknown destination '$destinationId'")
     val id = nextId("conn")
     val src = sources(sourceId)._2
     val selected = if (streams.isEmpty) src.catalog.streamNames else streams
     connections.put(id,
-      ConnectionInfo(id, sourceId, destinationId, selected, tablePrefix))
+      ConnectionInfo(id, sourceId, destinationId, selected, tablePrefix,
+        name = if (name.nonEmpty) name else id))
     id
+  }
+
+  override def patchConnection(
+      connectionId: String,
+      name: Option[String], prefix: Option[String],
+      streams: Option[Seq[String]], status: Option[String],
+      scheduleType: Option[String], cronExpression: Option[String]): ConnectionInfo = {
+    status.foreach(s => require(s == "active" || s == "inactive",
+      s"invalid connection status '$s'"))
+    scheduleType.foreach(s => require(s == "manual" || s == "cron",
+      s"invalid schedule type '$s'"))
+    val cur = getConnection(connectionId)
+    streams.foreach { sel =>
+      val available = sources(cur.sourceId)._2.catalog.streamNames
+        .map(_.toLowerCase).toSet
+      val missing = sel.filterNot(s => available(s.toLowerCase))
+      require(missing.isEmpty,
+        s"streams not in source catalog: ${missing.mkString(", ")}")
+    }
+    val next = cur.copy(
+      name = name.getOrElse(cur.name),
+      tablePrefix = prefix.getOrElse(cur.tablePrefix),
+      streams = streams.getOrElse(cur.streams),
+      status = status.getOrElse(cur.status),
+      scheduleType = scheduleType.getOrElse(cur.scheduleType),
+      cronExpression = scheduleType match {
+        case Some("manual") => None // switching to manual clears the cron
+        case Some("cron")   => cronExpression.orElse(cur.cronExpression)
+        case None           => cronExpression.orElse(cur.cronExpression)
+      })
+    connections.put(connectionId, next)
+    next
   }
   override def listSources(): Seq[String] = sources.keys.toSeq.sorted
   override def listDestinations(): Seq[String] = destinations.keys.toSeq.sorted
@@ -162,6 +250,8 @@ final class LocalWorkspaceApi(spark: SparkSession) extends WorkspaceApi {
 
   override def triggerSync(connectionId: String): Long = {
     val conn = getConnection(connectionId)
+    require(conn.status == "active",
+      s"connection '$connectionId' is disabled (status=${conn.status}); enable it before syncing")
     val (_, source) = sources(conn.sourceId)
     val (_, cache) = destinations(conn.destinationId)
     val jobId = ids.incrementAndGet()
@@ -191,10 +281,88 @@ final class LocalWorkspaceApi(spark: SparkSession) extends WorkspaceApi {
     jobs.getOrElse(jobId, throw new NoSuchElementException(s"unknown job $jobId"))
   override def listJobs(connectionId: String): Seq[Long] =
     jobs.collect { case (id, j) if j.connectionId == connectionId => id }.toSeq.sorted
+  // Stream-level state rides the whole-connection artifact exactly the
+  // way the reference's set_stream_state does (connections.py:559-640):
+  // fetch the full doc, patch one stream entry, replace the doc.
+  private val stateMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
   override def streamState(connectionId: String, stream: String): Option[String] =
-    states.get((connectionId, stream))
-  override def setStreamState(connectionId: String, stream: String, state: String): Unit =
-    states.put((connectionId, stream), state)
+    connStates.get(connectionId).flatMap { doc =>
+      val root = stateMapper.readTree(doc)
+      val entries = root.path("stateType").asText("") match {
+        case "stream" => root.path("streamState")
+        case "global" => root.path("globalState").path("streamStates")
+        case _        => stateMapper.createArrayNode()
+      }
+      import scala.jdk.CollectionConverters._
+      entries.elements().asScala
+        .find(_.path("streamDescriptor").path("name").asText() == stream)
+        .map(_.path("streamState").toString)
+    }
+
+  override def setStreamState(connectionId: String, stream: String, state: String): Unit = {
+    getConnection(connectionId) // validate existence
+    import scala.jdk.CollectionConverters._
+    val root = connStates.get(connectionId)
+      .map(stateMapper.readTree(_).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode])
+      .getOrElse {
+        val n = stateMapper.createObjectNode()
+        n.put("stateType", "stream")
+        n.put("connectionId", connectionId)
+        n.set[com.fasterxml.jackson.databind.JsonNode](
+          "streamState", stateMapper.createArrayNode())
+        n
+      }
+    val entries = root.path("stateType").asText("") match {
+      case "global" => root.path("globalState").path("streamStates")
+      case _        => root.path("streamState")
+    }
+    val updated = stateMapper.createArrayNode()
+    var found = false
+    entries.elements().asScala.foreach { e =>
+      if (e.path("streamDescriptor").path("name").asText() == stream) {
+        found = true
+        val ne = stateMapper.createObjectNode()
+        ne.set[com.fasterxml.jackson.databind.JsonNode]("streamDescriptor",
+          e.path("streamDescriptor"))
+        ne.set[com.fasterxml.jackson.databind.JsonNode]("streamState",
+          stateMapper.readTree(state))
+        updated.add(ne)
+      } else updated.add(e)
+    }
+    if (!found) {
+      val ne = stateMapper.createObjectNode()
+      val sd = stateMapper.createObjectNode(); sd.put("name", stream)
+      ne.set[com.fasterxml.jackson.databind.JsonNode]("streamDescriptor", sd)
+      ne.set[com.fasterxml.jackson.databind.JsonNode]("streamState",
+        stateMapper.readTree(state))
+      updated.add(ne)
+    }
+    root.path("stateType").asText("") match {
+      case "global" =>
+        root.path("globalState")
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          .set[com.fasterxml.jackson.databind.JsonNode]("streamStates", updated)
+      case _ =>
+        root.set[com.fasterxml.jackson.databind.JsonNode]("streamState", updated)
+    }
+    connStates.put(connectionId, root.toString); ()
+  }
+
+  override def connectionStateDoc(connectionId: String): Option[String] = {
+    getConnection(connectionId)
+    connStates.get(connectionId)
+  }
+  override def replaceConnectionStateDoc(connectionId: String, doc: String): Unit = {
+    getConnection(connectionId)
+    // connectionId in the blob is always overridden (portable blobs,
+    // reference import_raw_state :462-464)
+    val root = stateMapper.readTree(doc)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    root.put("connectionId", connectionId)
+    connStates.put(connectionId, root.toString); ()
+  }
+
   override def destinationCache(connectionId: String): SparkCache =
     destinations(getConnection(connectionId).destinationId)._2
   override def sourceName(sourceId: String): String =
@@ -203,6 +371,68 @@ final class LocalWorkspaceApi(spark: SparkSession) extends WorkspaceApi {
   override def destinationName(destinationId: String): String =
     destinations.getOrElse(destinationId,
       throw new NoSuchElementException(s"unknown destination '$destinationId'"))._1
+  override def sourceObject(sourceId: String): Source =
+    sources.getOrElse(sourceId,
+      throw new NoSuchElementException(s"unknown source '$sourceId'"))._2
+
+  override def renameSource(sourceId: String, name: String): Unit = {
+    val (_, s) = sources.getOrElse(sourceId,
+      throw new NoSuchElementException(s"unknown source '$sourceId'"))
+    sources.put(sourceId, (name, s)); ()
+  }
+  override def renameDestination(destinationId: String, name: String): Unit = {
+    val (_, d) = destinations.getOrElse(destinationId,
+      throw new NoSuchElementException(s"unknown destination '$destinationId'"))
+    destinations.put(destinationId, (name, d)); ()
+  }
+  override def sourceConfig(sourceId: String): Option[String] = {
+    sourceName(sourceId); sourceConfigs.get(sourceId)
+  }
+  override def updateSourceConfig(sourceId: String, configJson: String): Unit = {
+    sourceName(sourceId)
+    stateMapper.readTree(configJson) // must be valid JSON
+    sourceConfigs.put(sourceId, configJson); ()
+  }
+  override def destinationConfig(destinationId: String): Option[String] = {
+    destinationName(destinationId); destinationConfigs.get(destinationId)
+  }
+  override def updateDestinationConfig(destinationId: String, configJson: String): Unit = {
+    destinationName(destinationId)
+    stateMapper.readTree(configJson)
+    destinationConfigs.put(destinationId, configJson); ()
+  }
+
+  /** Source check: run the connector's own `check` where it has one
+    * (declarative / smoke-test), else verify the catalog is readable —
+    * the closest engine-backed analog of `api_util.check_connector`. */
+  override def checkSource(sourceId: String): CheckResult =
+    try {
+      sourceObject(sourceId) match {
+        case d: graft.sources.DeclarativeSource => d.check()
+        case s: graft.sources.SmokeTestSource => s.check()
+        case other => require(other.catalog.streamNames.nonEmpty,
+          "source declares no streams")
+      }
+      CheckResult(success = true)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        CheckResult(success = false,
+          Some(Option(e.getMessage).getOrElse(e.toString)))
+    }
+
+  /** Destination check: the backing cache must accept a round-trip
+    * (database reachable and writable). */
+  override def checkDestination(destinationId: String): CheckResult =
+    try {
+      val (_, cache) = destinations.getOrElse(destinationId,
+        throw new NoSuchElementException(s"unknown destination '$destinationId'"))
+      cache.reopen()
+      CheckResult(success = true)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        CheckResult(success = false,
+          Some(Option(e.getMessage).getOrElse(e.toString)))
+    }
 }
 
 /**
@@ -232,11 +462,61 @@ final class CloudWorkspace(val workspaceId: String, val api: WorkspaceApi) {
   def listDestinations(): Seq[String] = api.listDestinations()
   def listConnections(): Seq[CloudConnection] =
     api.listConnections().map(c => new CloudConnection(this, c.connectionId))
+  /** Typed connector handles (reference `workspaces.py` get_source /
+    * get_destination → CloudSource/CloudDestination). */
+  def getSource(sourceId: String): CloudSource = {
+    api.sourceName(sourceId) // validates existence
+    new CloudSource(this, sourceId)
+  }
+  def getDestination(destinationId: String): CloudDestination = {
+    api.destinationName(destinationId)
+    new CloudDestination(this, destinationId)
+  }
   def permanentlyDeleteSource(sourceId: String): Unit = api.deleteSource(sourceId)
   def permanentlyDeleteDestination(destinationId: String): Unit =
     api.deleteDestination(destinationId)
   def permanentlyDeleteConnection(conn: CloudConnection): Unit =
     api.deleteConnection(conn.connectionId)
+
+  // ---- custom (connector-builder) source definitions ----------------
+  // Reference `workspaces.py:781-977`: publish / list / get YAML
+  // manifest definitions; see [[CustomCloudSourceDefinition]] for the
+  // per-definition lifecycle.
+
+  private[cloud] val definitionRegistry =
+    TrieMap.empty[String, CustomSourceDefinitionInfo]
+  private[cloud] val draftRegistry = TrieMap.empty[String, String]
+  private val definitionIds = new AtomicLong(0L)
+
+  /** `publish_custom_source_definition` (:781-887): validate the
+    * manifest client-side, enforce name uniqueness, register. */
+  def publishCustomSourceDefinition(
+      name: String,
+      manifestYaml: String,
+      unique: Boolean = true,
+      preValidate: Boolean = true): CustomCloudSourceDefinition = {
+    if (preValidate) CustomSourceDefinitions.validateManifest(manifestYaml)
+    if (unique && definitionRegistry.values.exists(_.name == name))
+      throw new IllegalArgumentException(
+        s"Duplicate custom_source_definition resource: '$name'")
+    val id = s"def-${definitionIds.incrementAndGet()}"
+    definitionRegistry.put(id, CustomSourceDefinitionInfo(
+      id, name, manifestYaml,
+      CustomSourceDefinitions.manifestVersion(manifestYaml)))
+    new CustomCloudSourceDefinition(this, id)
+  }
+
+  /** `list_custom_source_definitions` (:888-917). */
+  def listCustomSourceDefinitions(): Seq[CustomCloudSourceDefinition] =
+    definitionRegistry.keys.toSeq.sorted
+      .map(new CustomCloudSourceDefinition(this, _))
+
+  /** `get_custom_source_definition` (:919-947). */
+  def getCustomSourceDefinition(definitionId: String): CustomCloudSourceDefinition = {
+    require(definitionRegistry.contains(definitionId),
+      s"unknown custom source definition '$definitionId'")
+    new CustomCloudSourceDefinition(this, definitionId)
+  }
 }
 
 /** Deployed connection (reference `cloud/connections.py:45-935`). */
@@ -277,6 +557,175 @@ final class CloudConnection(val workspace: CloudWorkspace, val connectionId: Str
       s"stream '$stream' not configured on connection '$connectionId'")
     api.setStreamState(connectionId, stream, state)
   }
+
+  // ---- mutation surface (reference `connections.py:739-915`) --------
+
+  def name: String = info.name
+  def tablePrefix: String = info.tablePrefix
+  def source: CloudSource = new CloudSource(workspace, info.sourceId)
+  def destination: CloudDestination = new CloudDestination(workspace, info.destinationId)
+
+  /** `rename` (:739-757). Returns this connection, info refreshed. */
+  def rename(newName: String): CloudConnection = {
+    api.patchConnection(connectionId, name = Some(newName)); this
+  }
+
+  /** `set_table_prefix` (:759-777). */
+  def setTablePrefix(prefix: String): CloudConnection = {
+    api.patchConnection(connectionId, prefix = Some(prefix)); this
+  }
+
+  /** `set_selected_streams` (:779-803) — destructive: replaces the
+    * stream selection; names are validated against the source catalog. */
+  def setSelectedStreams(streamNames: Seq[String]): CloudConnection = {
+    api.patchConnection(connectionId, streams = Some(streamNames)); this
+  }
+
+  /** `enabled` (:806-817): always a fresh fetch — another actor may
+    * have toggled it. */
+  def enabled: Boolean = info.status == "active"
+
+  /** `set_enabled` (:829-871): no-op transitions are silent unless
+    * `ignoreNoop=false`, which raises like the reference. */
+  def setEnabled(enabled: Boolean, ignoreNoop: Boolean = true): Unit = {
+    val desired = if (enabled) "active" else "inactive"
+    if (info.status == desired) {
+      if (ignoreNoop) return
+      throw new IllegalArgumentException(
+        s"Connection is already ${if (enabled) "enabled" else "disabled"}. " +
+          s"Current status: ${info.status}")
+    }
+    api.patchConnection(connectionId, status = Some(desired)); ()
+  }
+
+  /** `set_schedule` (:873-898) — cron scheduling. */
+  def setSchedule(cronExpression: String): Unit = {
+    api.patchConnection(connectionId,
+      scheduleType = Some("cron"), cronExpression = Some(cronExpression)); ()
+  }
+
+  /** `set_manual_schedule` (:900-915): only manually-triggered syncs. */
+  def setManualSchedule(): Unit = {
+    api.patchConnection(connectionId, scheduleType = Some("manual")); ()
+  }
+
+  // ---- state artifacts (reference `connections.py:395-514`) ---------
+
+  /** `dump_raw_state`: protocol-message array by default (the
+    * `--state`-flag shape); `normalize=false` returns the raw
+    * Config-API doc, directly importable. */
+  def dumpRawState(normalize: Boolean = true): String = {
+    val raw = api.connectionStateDoc(connectionId).getOrElse(
+      s"""{"stateType":"not_set","connectionId":"$connectionId"}""")
+    if (normalize) ConnectionArtifacts.normalizeStateToProtocol(raw) else raw
+  }
+
+  /** `import_raw_state` (:449-514): accepts either format; protocol
+    * arrays convert; the embedded connectionId is always overridden. */
+  def importRawState(stateJson: String): Unit = {
+    val apiDoc =
+      if (ConnectionArtifacts.isProtocolStateFormat(stateJson))
+        ConnectionArtifacts.denormalizeProtocolStateToApi(stateJson, connectionId)
+      else stateJson
+    api.replaceConnectionStateDoc(connectionId, apiDoc)
+  }
+
+  // ---- catalog artifacts (reference `connections.py:657-737`) -------
+
+  /** The connection's configured catalog in raw Config-API form,
+    * reconstructed from the deployed source's catalog + the current
+    * stream selection (the local analog of the server's syncCatalog). */
+  private def syncCatalogDoc: String = {
+    val src = api.sourceObject(info.sourceId)
+    val selected = info.streams.map(_.toLowerCase).toSet
+    val streams = src.catalog.streams.map { cs =>
+      val schemaJson = graft.mcp.LocalTools.getSourceStreamJsonSchema(src, cs.name)
+      val pk =
+        if (cs.primaryKeys.isEmpty) ""
+        else cs.primaryKeys.map(k => s"""["$k"]""").mkString(""","sourceDefinedPrimaryKey":[""", ",", "]")
+      s"""{"stream":{"name":"${cs.name}","jsonSchema":$schemaJson,""" +
+        s""""supportedSyncModes":["full_refresh","incremental"]$pk},""" +
+        s""""config":{"selected":${selected(cs.name.toLowerCase)},"syncMode":"${cs.syncMode}",""" +
+        s""""destinationSyncMode":"${if (cs.primaryKeys.nonEmpty) "append_dedup" else "append"}"}}"""
+    }
+    s"""{"streams":${streams.mkString("[", ",", "]")}}"""
+  }
+
+  /** `dump_raw_catalog` (:670-705): protocol form by default,
+    * `normalize=false` for the raw Config-API form. */
+  def dumpRawCatalog(normalize: Boolean = true): String =
+    if (normalize) ConnectionArtifacts.normalizeCatalogToProtocol(syncCatalogDoc)
+    else syncCatalogDoc
+
+  /** Deprecated alias (`get_catalog_artifact`, :656-668). */
+  def getCatalogArtifact: String = dumpRawCatalog()
+
+  /** `import_raw_catalog` (:707-737): replaces the stream selection
+    * from the catalog's selected entries (either format accepted). */
+  def importRawCatalog(catalogJson: String): Unit = {
+    val selected = ConnectionArtifacts.selectedStreamNames(catalogJson)
+    require(selected.nonEmpty, "catalog selects no streams")
+    api.patchConnection(connectionId, streams = Some(selected)); ()
+  }
+
+  /** `check_is_valid` (:152-168): the connection exists and its
+    * connectors resolve. */
+  def checkIsValid(): Boolean =
+    try { api.getConnection(connectionId); api.sourceName(info.sourceId)
+      api.destinationName(info.destinationId); true }
+    catch { case scala.util.control.NonFatal(_) => false }
+}
+
+/**
+ * Deployed cloud connector handles (reference `cloud/connectors.py:
+ * 95-344`): name, check, rename, update_config, permanently_delete.
+ */
+sealed abstract class CloudConnector(
+    val workspace: CloudWorkspace, val connectorId: String) {
+  def connectorType: String
+  def name: String
+  def check(raiseOnError: Boolean = false): CheckResult
+  def updateConfig(configJson: String): this.type
+  def configJson: Option[String]
+  def permanentlyDelete(): Unit
+  protected def checkedResult(r: CheckResult, raiseOnError: Boolean): CheckResult = {
+    if (raiseOnError && !r.success)
+      throw new IllegalArgumentException(s"Check failed: $r")
+    r
+  }
+}
+
+final class CloudSource(ws: CloudWorkspace, sourceId: String)
+    extends CloudConnector(ws, sourceId) {
+  override def connectorType: String = "source"
+  override def name: String = ws.api.sourceName(sourceId)
+  def rename(newName: String): CloudSource = {
+    ws.api.renameSource(sourceId, newName); this
+  }
+  override def updateConfig(configJson: String): this.type = {
+    ws.api.updateSourceConfig(sourceId, configJson); this
+  }
+  override def configJson: Option[String] = ws.api.sourceConfig(sourceId)
+  override def check(raiseOnError: Boolean): CheckResult =
+    checkedResult(ws.api.checkSource(sourceId), raiseOnError)
+  override def permanentlyDelete(): Unit = ws.permanentlyDeleteSource(sourceId)
+}
+
+final class CloudDestination(ws: CloudWorkspace, destinationId: String)
+    extends CloudConnector(ws, destinationId) {
+  override def connectorType: String = "destination"
+  override def name: String = ws.api.destinationName(destinationId)
+  def rename(newName: String): CloudDestination = {
+    ws.api.renameDestination(destinationId, newName); this
+  }
+  override def updateConfig(configJson: String): this.type = {
+    ws.api.updateDestinationConfig(destinationId, configJson); this
+  }
+  override def configJson: Option[String] = ws.api.destinationConfig(destinationId)
+  override def check(raiseOnError: Boolean): CheckResult =
+    checkedResult(ws.api.checkDestination(destinationId), raiseOnError)
+  override def permanentlyDelete(): Unit =
+    ws.permanentlyDeleteDestination(destinationId)
 }
 
 /**

@@ -157,12 +157,185 @@ object CloudTools {
     val c = ws.api.getConnection(connectionId)
     Map(
       "connection_id" -> c.connectionId,
+      "connection_name" -> c.name,
       "url" -> url(ws, "connections", c.connectionId),
       "source_id" -> c.sourceId,
+      "source_name" -> ws.api.sourceName(c.sourceId),
       "destination_id" -> c.destinationId,
+      "destination_name" -> ws.api.destinationName(c.destinationId),
       "streams" -> c.streams.mkString(", "),
-      "table_prefix" -> c.tablePrefix)
+      "table_prefix" -> c.tablePrefix,
+      "status" -> c.status,
+      "schedule" -> (c.scheduleType match {
+        case "cron" => s"cron: ${c.cronExpression.getOrElse("")}"
+        case other  => other
+      }))
   }
+
+  /** `describe_cloud_source` (cloud.py:913-941). */
+  def describeCloudSource(ws: CloudWorkspace, sourceId: String): CloudSourceResult = {
+    val s = ws.getSource(sourceId)
+    CloudSourceResult(sourceId, s.name, url(ws, "sources", sourceId))
+  }
+
+  /** `describe_cloud_destination` (cloud.py:949-977). */
+  def describeCloudDestination(ws: CloudWorkspace,
+      destinationId: String): CloudDestinationResult = {
+    val d = ws.getDestination(destinationId)
+    CloudDestinationResult(destinationId, d.name, url(ws, "destinations", destinationId))
+  }
+
+  // ---- connector mutation (cloud.py:2070-2238) ----------------------
+
+  /** `rename_cloud_source` (cloud.py:2070). */
+  def renameCloudSource(ws: CloudWorkspace, sourceId: String,
+      name: String): CloudSourceResult = {
+    ws.getSource(sourceId).rename(name)
+    describeCloudSource(ws, sourceId)
+  }
+
+  /** `update_cloud_source_config` (cloud.py:2101) — destructive: can
+    * break existing connections if the config is wrong. */
+  def updateCloudSourceConfig(ws: CloudWorkspace, sourceId: String,
+      configJson: String): CloudSourceResult = {
+    ws.getSource(sourceId).updateConfig(configJson)
+    describeCloudSource(ws, sourceId)
+  }
+
+  /** `rename_cloud_destination` (cloud.py:2152). */
+  def renameCloudDestination(ws: CloudWorkspace, destinationId: String,
+      name: String): CloudDestinationResult = {
+    ws.getDestination(destinationId).rename(name)
+    describeCloudDestination(ws, destinationId)
+  }
+
+  /** `update_cloud_destination_config` (cloud.py:2186). */
+  def updateCloudDestinationConfig(ws: CloudWorkspace, destinationId: String,
+      configJson: String): CloudDestinationResult = {
+    ws.getDestination(destinationId).updateConfig(configJson)
+    describeCloudDestination(ws, destinationId)
+  }
+
+  // ---- connection mutation (cloud.py:2239-2469) ---------------------
+
+  /** `rename_cloud_connection` (cloud.py:2239). */
+  def renameCloudConnection(ws: CloudWorkspace, connectionId: String,
+      name: String): Map[String, String] = {
+    ws.getConnection(connectionId).rename(name)
+    describeCloudConnection(ws, connectionId)
+  }
+
+  /** `set_cloud_connection_table_prefix` (cloud.py:2273). */
+  def setCloudConnectionTablePrefix(ws: CloudWorkspace, connectionId: String,
+      prefix: String): Map[String, String] = {
+    ws.getConnection(connectionId).setTablePrefix(prefix)
+    describeCloudConnection(ws, connectionId)
+  }
+
+  /** `set_cloud_connection_selected_streams` (cloud.py:2312) —
+    * destructive: replaces the stream selection. */
+  def setCloudConnectionSelectedStreams(ws: CloudWorkspace, connectionId: String,
+      streamNames: Seq[String]): Map[String, String] = {
+    ws.getConnection(connectionId).setSelectedStreams(streamNames)
+    describeCloudConnection(ws, connectionId)
+  }
+
+  /** `update_cloud_connection` (cloud.py:2359): enabled and/or schedule
+    * in one call; at least one setting required; cron and manual are
+    * mutually exclusive. Returns the change summary string. */
+  def updateCloudConnection(ws: CloudWorkspace, connectionId: String,
+      enabled: Option[Boolean] = None,
+      cronExpression: Option[String] = None,
+      manualSchedule: Option[Boolean] = None): String = {
+    if (enabled.isEmpty && cronExpression.isEmpty && manualSchedule.isEmpty)
+      throw new IllegalArgumentException(
+        "At least one setting must be provided: 'enabled', 'cron_expression', " +
+          "or 'manual_schedule'.")
+    if (cronExpression.isDefined && manualSchedule.contains(true))
+      throw new IllegalArgumentException(
+        "Cannot specify both 'cron_expression' and 'manual_schedule=True'. " +
+          "Use 'cron_expression' for scheduled syncs or 'manual_schedule=True' " +
+          "for manual-only syncs.")
+    val conn = ws.getConnection(connectionId)
+    val changes = Seq.newBuilder[String]
+    enabled.foreach { e =>
+      conn.setEnabled(e)
+      changes += s"status set to '${if (e) "enabled" else "disabled"}'"
+    }
+    cronExpression match {
+      case Some(cron) =>
+        conn.setSchedule(cron); changes += s"schedule set to '$cron'"
+      case None if manualSchedule.contains(true) =>
+        conn.setManualSchedule(); changes += "schedule set to 'manual'"
+      case None => ()
+    }
+    s"Successfully updated connection '$connectionId': " +
+      s"${changes.result().mkString(", ")}. " +
+      s"URL: ${url(ws, "connections", connectionId)}"
+  }
+
+  /** `get_connection_artifact` (cloud.py:2470): `state` or `catalog`,
+    * protocol format; missing artifacts report the reference's ERROR
+    * strings instead of raising. */
+  def getConnectionArtifact(ws: CloudWorkspace, connectionId: String,
+      artifactType: String): String = {
+    val conn = ws.getConnection(connectionId)
+    artifactType match {
+      case "state" =>
+        val state = conn.dumpRawState()
+        if (state == "[]")
+          """{"ERROR": "No state is set for this connection (stateType: not_set)"}"""
+        else state
+      case "catalog" => conn.dumpRawCatalog()
+      case other => throw new IllegalArgumentException(
+        s"artifact_type must be 'state' or 'catalog', got '$other'")
+    }
+  }
+
+  // ---- custom source definitions (cloud.py:1440-1881) ---------------
+
+  final case class CustomSourceDefinitionResult(
+      definitionId: String, name: String, definitionType: String,
+      version: Option[String], hasDraft: Boolean)
+
+  private def definitionResult(
+      d: graft.cloud.CustomCloudSourceDefinition): CustomSourceDefinitionResult =
+    CustomSourceDefinitionResult(
+      d.definitionId, d.name, d.definitionType, d.version, d.hasDraft)
+
+  /** `publish_custom_source_definition` (cloud.py:1440). */
+  def publishCustomSourceDefinition(ws: CloudWorkspace, name: String,
+      manifestYaml: String, unique: Boolean = true,
+      preValidate: Boolean = true): CustomSourceDefinitionResult =
+    definitionResult(
+      ws.publishCustomSourceDefinition(name, manifestYaml, unique, preValidate))
+
+  /** `list_custom_source_definitions` (cloud.py:1548). */
+  def listCustomSourceDefinitions(ws: CloudWorkspace): Seq[CustomSourceDefinitionResult] =
+    ws.listCustomSourceDefinitions().map(definitionResult)
+
+  /** `get_custom_source_definition` (cloud.py:1585). */
+  def getCustomSourceDefinition(ws: CloudWorkspace,
+      definitionId: String): CustomSourceDefinitionResult =
+    definitionResult(ws.getCustomSourceDefinition(definitionId))
+
+  /** `get_connector_builder_draft_manifest` (cloud.py:1647): the
+    * unpublished builder draft, if one exists. */
+  def getConnectorBuilderDraftManifest(ws: CloudWorkspace,
+      definitionId: String): Option[String] =
+    ws.getCustomSourceDefinition(definitionId).draftManifest
+
+  /** `update_custom_source_definition` (cloud.py:1692). */
+  def updateCustomSourceDefinition(ws: CloudWorkspace, definitionId: String,
+      manifestYaml: String): CustomSourceDefinitionResult = {
+    ws.getCustomSourceDefinition(definitionId).updateDefinition(manifestYaml)
+    getCustomSourceDefinition(ws, definitionId)
+  }
+
+  /** `permanently_delete_custom_source_definition` (cloud.py:1814). */
+  def permanentlyDeleteCustomSourceDefinition(ws: CloudWorkspace,
+      definitionId: String, safeMode: Boolean = true): Unit =
+    ws.getCustomSourceDefinition(definitionId).permanentlyDelete(safeMode)
 
   /** `_resolve_organization_id` (cloud.py:1288): id wins; otherwise an
     * EXACT-name match must be unique. */

@@ -175,4 +175,47 @@ object LocalTools {
       cache: SparkCache, streamName: String, cmd: Seq[String],
       sourceName: String = "default"): Long =
     Destination.writeToProcess(cache, streamName, sourceName, cmd)
+
+  /** The reference MCP `destination_smoke_test` proper (local.py:852 →
+    * `_util/destination_smoke_tests.run_destination_smoke_test`): send
+    * the scripted scenario suite at a destination and return the
+    * structured result with readback statistics. The destination is
+    * the engine's Spark cache under a generated `zz_deleteme_…`
+    * namespace. */
+  def runDestinationSmokeTest(
+      spark: SparkSession,
+      scenarios: String = "fast",
+      namespaceSuffix: Option[String] = None,
+      reuseNamespace: Option[String] = None,
+      skipPreflight: Boolean = false): graft.sources.SmokeTest.Result =
+    graft.sources.SmokeTest.run(spark, scenarios, namespaceSuffix,
+      reuseNamespace, skipPreflight = skipPreflight)
+
+  /** Subprocess-destination variant: pump the smoke source's FULL
+    * protocol stream (traces + records) into a destination command's
+    * stdin — the shape a real `destination write` receives. Returns
+    * RECORD messages delivered. */
+  def smokeTestToProcess(
+      spark: SparkSession, cmd: Seq[String],
+      scenarios: String = "fast"): Long = {
+    val source = graft.sources.SmokeTestSource.forScenarios(scenarios)
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    val out = new java.io.PrintWriter(proc.getOutputStream, false)
+    var records = 0L
+    try {
+      val it = source.protocolJsonl(spark).toLocalIterator()
+      while (it.hasNext) {
+        val line = it.next()
+        out.println(line)
+        if (line.startsWith("""{"type":"RECORD"""")) records += 1
+      }
+      out.flush()
+    } finally {
+      out.close()
+      proc.waitFor()
+    }
+    records
+  }
 }

@@ -369,4 +369,71 @@ object PipelineQueries {
       |WHERE user_id BETWEEN 10 AND 19
       |  AND date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) BETWEEN 19728 AND 19734
       |GROUP BY event_type""".stripMargin
+
+  /**
+   * The smoke-test scenario gauntlet (reference
+   * `cli/smoke_test_source/_scenarios.py` + `source.py` via
+   * [[graft.sources.SmokeTest]]): every predefined adversarial stream —
+   * type variations, nulls, naming edge cases, unicode, unions, numeric
+   * boundaries, duplicate PKs, a 1000-row generated batch — synced
+   * end-to-end through the production protocol-ingest + write-strategy
+   * path, summarized per stream. The scripted data is fixed, so the
+   * oracle is the hand-computed expectation table: stream name, data
+   * column count, post-merge row count, and Σid. (Per-value golden
+   * assertions live in SmokeTestSourceSpec; this row gates the suite in
+   * the driver's correctness loop.) Input-dir independent by design —
+   * the gauntlet IS the dataset.
+   */
+  def q181SmokeGauntlet(spark: SparkSession, dir: String): DataFrame = {
+    val cache = freshCache(spark, "graft_q181")
+    // preflight and readback stats are covered by SmokeTestSourceSpec;
+    // this query verifies the written tables itself, so it skips both
+    // (each would add a full extra sync / 22 statistics jobs per run)
+    val run = graft.sources.SmokeTest.run(spark, scenarios = "all",
+      reuseNamespace = Some("graft_q181"),
+      skipPreflight = true, collectStatistics = false)
+    require(run.success, s"smoke gauntlet failed: ${run.error}")
+    val source = graft.sources.SmokeTestSource.forScenarios("all")
+    val frames = source.catalog.streamNames.sorted.map { s =>
+      val t = cache.table(s)
+      val dataCols = t.columns.filterNot(Records.InternalColumns.contains)
+      val sumId =
+        if (dataCols.contains("id")) coalesce(sum(col("id")), lit(0L))
+        else lit(0L)
+      t.agg(count(lit(1)).cast(LongType).as("n_rows"),
+          sumId.cast(LongType).as("sum_id"))
+        .select(lit(s).as("stream"), lit(dataCols.length).as("n_cols"),
+          col("n_rows"), col("sum_id"))
+    }
+    frames.reduce(_ unionByName _)
+  }
+
+  /** Hand-computed expectations for the scripted scenario data. */
+  val q181Sql: String =
+    """SELECT stream, CAST(n_cols AS INT) AS n_cols,
+      |  CAST(n_rows AS BIGINT) AS n_rows, CAST(sum_id AS BIGINT) AS sum_id
+      |FROM (VALUES
+      |  ('array_of_primitives', 5, 3, 6),
+      |  ('basic_types', 4, 3, 6),
+      |  ('camelcasestreamname', 2, 1, 1),
+      |  ('column_naming_edge_cases', 11, 1, 1),
+      |  ('duplicate_primary_keys', 3, 3, 6),
+      |  ('empty_stream', 2, 0, 0),
+      |  ('large_batch_stream', 4, 1000, 500500),
+      |  ('large_decimals_and_numbers', 4, 3, 6),
+      |  ('large_string_values', 4, 2, 3),
+      |  ('long_column_names', 3, 1, 1),
+      |  ('nested_json_objects', 4, 2, 3),
+      |  ('null_handling', 7, 3, 6),
+      |  ('schema_with_no_primary_key', 3, 3, 0),
+      |  ('single_record_stream', 2, 1, 1),
+      |  ('sparse_records', 6, 7, 28),
+      |  ('special_number_values', 3, 7, 28),
+      |  ('table_naming_edge_cases', 2, 1, 1),
+      |  ('time_types', 4, 3, 6),
+      |  ('timestamp_types', 4, 3, 6),
+      |  ('unicode_and_special_strings', 3, 4, 10),
+      |  ('union_types', 4, 3, 6),
+      |  ('wide_table_50_columns', 50, 2, 3)
+      |) AS t(stream, n_cols, n_rows, sum_id)""".stripMargin
 }

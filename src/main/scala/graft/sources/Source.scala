@@ -38,6 +38,7 @@ trait Source {
       writeStrategy: WriteStrategy = WriteStrategy.Auto,
       forceFullRefresh: Boolean = false): ReadResult = {
     val selected = if (streams.isEmpty) catalog.streamNames else streams
+    cache.preRegisterStreams(selected) // one append job, not one per stream
     selected.foreach { s =>
       val jsonl = recordJsonl(spark, s)
       val declared = catalog(s).parseSchema
@@ -95,6 +96,7 @@ final class JsonlSource(
       writeStrategy: WriteStrategy,
       forceFullRefresh: Boolean): ReadResult = {
     val selected = if (streams.isEmpty) catalog.streamNames else streams
+    cache.preRegisterStreams(selected)
     selected.foreach { s =>
       val normalized = Records.normalizeProtocol(lines(spark), s, catalog(s).parseSchema)
       val strategy =
@@ -126,6 +128,7 @@ final class FrameSource(
       writeStrategy: WriteStrategy,
       forceFullRefresh: Boolean): ReadResult = {
     val selected = if (streams.isEmpty) catalog.streamNames else streams
+    cache.preRegisterStreams(selected)
     selected.foreach { s =>
       val df = frames(s)(spark)
       val declared = catalog(s).parseSchema

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 
 import graft.cache.SparkCache
 import graft.mcp.LocalTools
-import graft.sources.{DeclarativeSource, Sources}
+import graft.sources.{DeclarativeSource, SmokeTest, SmokeTestSource, Source, Sources}
 
 /**
  * The reference CLI surface (`airbyte/cli/pyab.py`: validate /
@@ -41,14 +41,21 @@ object Cli {
       s
     }
 
-    def manifestSource(): DeclarativeSource = {
-      val m = opts.getOrElse("manifest",
-        fail("--manifest <path> is required (zero-egress build: manifest or local executable only)"))
-      Sources.getSource(
-        name = java.nio.file.Paths.get(m).getFileName.toString,
-        manifestPath = Some(m),
-        config = configOf(opts),
-        fixtureRoot = opts.get("fixtures")).asInstanceOf[DeclarativeSource]
+    def manifestSource(): Source = opts.get("source") match {
+      // the built-in scripted source needs no manifest (reference
+      // `get_source("source-smoke-test")`, destination_smoke_tests.py:225-230)
+      case Some("smoke-test") | Some("source-smoke-test") =>
+        SmokeTestSource.forScenarios(
+          scenarios = opts.getOrElse("scenarios", "fast"),
+          namespace = opts.get("namespace"))
+      case _ =>
+        val m = opts.getOrElse("manifest",
+          fail("--manifest <path> is required (zero-egress build: manifest or local executable only)"))
+        Sources.getSource(
+          name = java.nio.file.Paths.get(m).getFileName.toString,
+          manifestPath = Some(m),
+          config = configOf(opts),
+          fixtureRoot = opts.get("fixtures"))
     }
 
     cmd match {
@@ -56,15 +63,23 @@ object Cli {
         val src = manifestSource()
         val spark = session()
         // spec: declared and parseable
-        val spec = src.specJson.getOrElse(
-          fail("manifest declares no spec.connection_specification"))
+        val spec = src match {
+          case d: DeclarativeSource => d.specJson.getOrElse(
+            fail("manifest declares no spec.connection_specification"))
+          case s: SmokeTestSource => s.specJson
+          case _ => fail("validate needs a declarative or smoke-test source")
+        }
         println(s"[cli] spec: ok (${spec.length} chars)")
         // config validates against the spec schema
         val problems = LocalTools.validateConnectorConfig(spec, configJson(opts))
         if (problems.nonEmpty) fail("config invalid:\n  " + problems.mkString("\n  "))
         println("[cli] config: ok")
         // check + per-stream 1-record read probe (validate.py full_tests)
-        src.check()
+        src match {
+          case d: DeclarativeSource => d.check()
+          case s: SmokeTestSource => s.check()
+          case _ => ()
+        }
         println("[cli] check: ok")
         src.catalog.streamNames.foreach { s =>
           val n = LocalTools.readSourceStreamRecords(spark, src, s, limit = 1).size
@@ -93,6 +108,31 @@ object Cli {
         val (secs, rps) = IngestBench.measure(spark, n)
         println(f"[cli] benchmark: $n records in $secs%.2f s ($rps records/s)")
         spark.stop()
+
+      case "smoke-test" =>
+        // full scenario-suite smoke run against the Spark-cache
+        // destination (reference `pyab destination-smoke-test`,
+        // destination_smoke_tests.py:453-609)
+        val spark = session()
+        val result = SmokeTest.run(
+          spark,
+          scenarios = opts.getOrElse("scenarios", "fast"),
+          namespaceSuffix = opts.get("namespace-suffix"),
+          reuseNamespace = opts.get("reuse-namespace"),
+          customScenariosFile = opts.get("custom-scenarios-file"),
+          skipPreflight = opts.get("skip-preflight").exists(_.toBoolean))
+        println(s"[cli] smoke-test: success=${result.success} " +
+          s"namespace=${result.namespace} delivered=${result.recordsDelivered} " +
+          s"elapsed=${result.elapsedSeconds}s preflight=${result.preflightPassed}")
+        result.error.foreach(e => println(s"[cli]   error: $e"))
+        result.tableStatistics.toSeq.sortBy(_._1).foreach { case (s, st) =>
+          println(s"[cli]   $s: ${st.rowCount} rows, ${st.columns.size} columns")
+        }
+        result.tablesNotFound.toSeq.sortBy(_._1).foreach { case (s, t) =>
+          println(s"[cli]   $s: TABLE NOT FOUND ($t)")
+        }
+        spark.stop()
+        if (!result.success) sys.exit(1)
 
       case "destination-smoke-test" =>
         val spark = session()
@@ -138,10 +178,11 @@ object Cli {
   }
 
   private def usage(): Unit = println(
-    """usage: Cli <validate|sync|benchmark|destination-smoke-test> [--opt value ...]
-      |  validate --manifest M [--fixtures D] [--config k=v ...]
-      |  sync --manifest M [--fixtures D] [--config k=v ...] [--db NAME] [--streams a,b] [--strategy auto|append|replace|merge]
+    """usage: Cli <validate|sync|benchmark|smoke-test|destination-smoke-test> [--opt value ...]
+      |  validate (--manifest M [--fixtures D] [--config k=v ...] | --source smoke-test [--scenarios fast|all|names])
+      |  sync (--manifest M [--fixtures D] [--config k=v ...] | --source smoke-test [--scenarios ...]) [--db NAME] [--streams a,b] [--strategy auto|append|replace|merge]
       |  benchmark [--records N]
+      |  smoke-test [--scenarios fast|all|names] [--namespace-suffix S] [--reuse-namespace NS] [--custom-scenarios-file F] [--skip-preflight true]
       |  destination-smoke-test --db NAME --stream S --cmd "shell command"""".stripMargin)
 
   private def fail(msg: String): Nothing = {

@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import graft.cache.SparkCache
 import graft.mcp.LocalTools
 import graft.sources.DeclarativeSource
@@ -214,5 +216,28 @@ class McpLocalToolsSpec extends SparkTestBase {
     // workspace handles from the client are full engine-backed workspaces
     assert(CloudTools.checkAirbyteCloudWorkspace(client.getWorkspace("ws-a"))
       .contains("0 source(s)"))
+  }
+
+  test("destination smoke test tools: scenario suite to cache and to a subprocess") {
+    // cache destination: one named scenario, preflight skipped for speed
+    graft.cache.SparkCache.fresh(spark, "zz_mcp_smoke")
+    val result = LocalTools.runDestinationSmokeTest(spark,
+      scenarios = "basic_types,single_record_stream",
+      reuseNamespace = Some("zz_mcp_smoke"), skipPreflight = true)
+    assert(result.success && result.preflightPassed.isEmpty)
+    assert(result.recordsDelivered == 4L) // 3 + 1
+    assert(result.tableStatistics.keySet == Set("basic_types", "single_record_stream"))
+    assert(result.tableStatistics("basic_types").rowCount == 3L)
+
+    // subprocess destination: the FULL protocol stream (traces included)
+    // lands on the command's stdin
+    val sink = java.nio.file.Files.createTempFile("graft-smoke", ".jsonl")
+    val n = LocalTools.smokeTestToProcess(spark,
+      Seq("sh", "-c", s"cat > $sink"), scenarios = "basic_types")
+    assert(n == 3L)
+    val lines = java.nio.file.Files.readAllLines(sink)
+    assert(lines.size == 6, "2 opening traces + 3 records + COMPLETE")
+    assert(lines.get(0).contains("\"STARTED\"") && lines.get(5).contains("\"COMPLETE\""))
+    assert(lines.asScala.count(_.startsWith("""{"type":"RECORD"""")) == 3)
   }
 }
