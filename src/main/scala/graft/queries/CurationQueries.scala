@@ -978,6 +978,62 @@ object CurationQueries {
       |  md5(c) AS clean_md5
       |FROM clean""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q182: Unicode script-mix profiling — the confusable/homoglyph spam
+  // signal (mixed Latin+Cyrillic inside one document is the classic
+  // phishing/SEO-spam fingerprint; script dominance also backs
+  // language-ID sanity checks). Both engines decorate the same docs
+  // with Cyrillic 'а' (U+0430) and Greek 'ο' (U+03BF) homoglyphs, then
+  // count per-script codepoints via the SAME length-difference formula
+  // (len(t) − len(regexp_replace(t, class, ''))) so the count never
+  // depends on engine-specific regexp_count semantics. Zero-shuffle
+  // per-row kernel; at scale this is a pure map stage.
+  // ------------------------------------------------------------------
+  def q182ScriptMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 300)
+    val decorated = docs.select(col("doc_id"),
+      when(col("doc_id") % 3 === 0,
+          regexp_replace(col("text"), "a", "а"))
+        .otherwise(col("text")).as("t0"))
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+            regexp_replace(col("t0"), "o", "ο"))
+          .otherwise(col("t0")).as("t"))
+    def scriptCount(cls: String): org.apache.spark.sql.Column =
+      (length(col("t")) - length(regexp_replace(col("t"), cls, ""))).cast(LongType)
+    decorated.select(col("doc_id"),
+        scriptCount("[A-Za-z]").as("n_latin"),
+        scriptCount("[Ѐ-ӿ]").as("n_cyrillic"),
+        scriptCount("[Ͱ-Ͽ]").as("n_greek"))
+      .select(col("doc_id"), col("n_latin"), col("n_cyrillic"), col("n_greek"),
+        when(col("n_latin") >= col("n_cyrillic") &&
+             col("n_latin") >= col("n_greek"), "latin")
+          .when(col("n_cyrillic") >= col("n_greek"), "cyrillic")
+          .otherwise(lit("greek")).as("dominant"),
+        (col("n_latin") > 0 &&
+          (col("n_cyrillic") > 0 || col("n_greek") > 0)).as("confusable"))
+  }
+
+  val q182Sql: String =
+    """WITH dec AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 0 THEN replace(t0, 'o', 'ο') ELSE t0 END AS t
+      |  FROM (SELECT doc_id,
+      |      CASE WHEN doc_id % 3 = 0 THEN replace(text, 'a', 'а') ELSE text END AS t0
+      |    FROM documents WHERE doc_id < 300)),
+      |counts AS (
+      |  SELECT doc_id,
+      |    CAST(length(t) - length(regexp_replace(t, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_latin,
+      |    CAST(length(t) - length(regexp_replace(t, '[Ѐ-ӿ]', '', 'g')) AS BIGINT) AS n_cyrillic,
+      |    CAST(length(t) - length(regexp_replace(t, '[Ͱ-Ͽ]', '', 'g')) AS BIGINT) AS n_greek
+      |  FROM dec)
+      |SELECT doc_id, n_latin, n_cyrillic, n_greek,
+      |  CASE WHEN n_latin >= n_cyrillic AND n_latin >= n_greek THEN 'latin'
+      |       WHEN n_cyrillic >= n_greek THEN 'cyrillic'
+      |       ELSE 'greek' END AS dominant,
+      |  n_latin > 0 AND (n_cyrillic > 0 OR n_greek > 0) AS confusable
+      |FROM counts""".stripMargin
+
   val q169Sql: String =
     """WITH dec AS (
       |  SELECT doc_id,

@@ -107,6 +107,41 @@ object GovernanceQueries {
   }
 
   // ------------------------------------------------------------------
+  // q183: classifier calibration (reliability diagram) — before a
+  // quality score gates a corpus, its predicted probabilities must
+  // track empirical rates (an over-confident filter silently skews the
+  // mixture). Deciles of a length-sigmoid score vs the lang=='en'
+  // label; per-bin output is EXACT INTEGERS ONLY (count, Σ micro-prob,
+  // positives) so the oracle never re-rounds a division — the ECE /
+  // gap is a consumer-side ratio of exact tallies. One hash-agg pass.
+  // ------------------------------------------------------------------
+  def q183Calibration(spark: SparkSession, dir: String): DataFrame = {
+    val pred = round(lit(1.0) / (lit(1.0) +
+      exp(-(col("n_chars").cast(DoubleType) / 1000.0 - 1.0))), 6)
+    Tables.documents(spark, dir)
+      .select(
+        least(floor(pred * 10.0), lit(9.0)).cast(LongType).as("bin"),
+        round(pred * 1000000.0).cast(LongType).as("pred_micro"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("pred_micro")).as("sum_pred_micro"),
+        sum(col("y")).as("n_pos"))
+  }
+
+  val q183Sql: String =
+    """WITH scored AS (
+      |  SELECT
+      |    CAST(least(floor(round(1/(1+exp(-(CAST(n_chars AS DOUBLE)/1000.0 - 1.0))),6)*10.0), 9.0) AS BIGINT) AS bin,
+      |    CAST(round(round(1/(1+exp(-(CAST(n_chars AS DOUBLE)/1000.0 - 1.0))),6)*1000000.0) AS BIGINT) AS pred_micro,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      |  FROM documents)
+      |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(pred_micro) AS BIGINT) AS sum_pred_micro,
+      |  CAST(SUM(y) AS BIGINT) AS n_pos
+      |FROM scored GROUP BY bin""".stripMargin
+
+  // ------------------------------------------------------------------
   // q151: URL canonicalization dedup — the cheapest, first dedup pass
   // of a crawl pipeline: normalize scheme/host case, strip default
   // ports and trailing slashes, drop tracking parameters (utm_*, ref,

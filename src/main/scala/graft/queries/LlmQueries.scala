@@ -72,6 +72,132 @@ object LlmQueries {
       |WHERE CAST(len(list_distinct(list_intersect(sh_a, sh_b))) AS DOUBLE)
       |    / CAST(len(list_distinct(sh_a || sh_b)) AS DOUBLE) >= 0.35""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q184: LSH S-curve calibration — before trusting a (bands, rows)
+  // banding in production dedup, measure its empirical candidate
+  // recall/precision against brute-force Jaccard ground truth (the
+  // dedup-family twin of the ANN recall sweeps q144-q149). One shared
+  // signature pass feeds three band layouts of the same 9 hashes:
+  // (1×9) whole-signature match (strict), (3×3) the production
+  // default, (9×1) single-hash buckets (loose). Truth is an
+  // INTENTIONAL all-pairs cross join over the ≤600-doc decimated
+  // input — the calibration harness is brute-force by definition; the
+  // banded path next to it is what runs at corpus scale. All ratios
+  // are integer permille of exact counts.
+  // ------------------------------------------------------------------
+  def q184LshSCurve(spark: SparkSession, dir: String): DataFrame = {
+    val numHashes = 9; val shingle = 3; val threshold = 0.35
+    // Controlled near-dup spectrum: each base doc gets a truncated
+    // variant (drop the trailing id%12 words), so pair Jaccard sweeps
+    // ~0.3→1.0 across ids and the three bandings separate visibly —
+    // natural near-dups alone are too sparse in a 300-doc decimation
+    // to measure recall against.
+    val base = Tables.documents(spark, dir).filter(col("doc_id") < 300)
+      .select(col("doc_id").cast(LongType).as("id"), col("text"))
+    val words = split(col("text"), " ")
+    val variant = base.select((col("id") + 100000L).as("id"),
+      array_join(slice(words, lit(1),
+        greatest(size(words) - (col("id") % 12).cast(IntegerType), lit(3))),
+        " ").as("text"))
+    val classes = base.unionByName(variant)
+      .groupBy(col("text")).agg(min(col("id")).as("id"))
+    val withSig = classes.select(col("id"),
+        graft.functions.TextHashFunctions
+          .shingleMinhash(col("text"), numHashes, shingle).as("sm"))
+      .localCheckpoint() // reused by 3 band layouts + the truth join
+      .select(col("id"), col("sm.shingles").as("sh"), col("sm.sig").as("sig"))
+      .filter(size(col("sh")) > 0)
+    val sets = withSig.select(col("id"), col("sh"))
+    val truth = sets.alias("a").crossJoin(sets.alias("b"))
+      .filter(col("a.id") < col("b.id") &&
+        Dedup.jaccard(col("a.sh"), col("b.sh")) >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .localCheckpoint() // read once per config + once for the total
+    val perConfig = Seq(("b1r9", 1), ("b3r3", 3), ("b9r1", 9)).map {
+      case (nm, bands) =>
+        val rowsN = numHashes / bands
+        val banded = withSig.select(col("id"),
+          explode(array((0 until bands).map(b =>
+            Dedup.bandKey(col("sig"), b, rowsN)): _*)).as("bk"))
+        val cand = banded.alias("a")
+          .join(banded.alias("b"),
+            col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+          .dropDuplicates("id_a", "id_b")
+          .localCheckpoint() // counted + semi-joined
+        cand.agg(count(lit(1)).as("n_cand")).crossJoin(
+          cand.join(truth, Seq("id_a", "id_b"), "left_semi")
+            .agg(count(lit(1)).as("n_hit")))
+          .select(lit(nm).as("config"), col("n_cand"), col("n_hit"))
+    }
+    perConfig.reduce(_ unionByName _)
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+      .select(col("config"), col("n_cand"), col("n_hit"), col("n_truth"),
+        expr("n_hit * 1000 div greatest(n_truth, 1)").as("recall_pm"),
+        expr("n_hit * 1000 div greatest(n_cand, 1)").as("precision_pm"))
+  }
+
+  val q184Sql: String =
+    """WITH base AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents
+      |  WHERE doc_id < 300),
+      |var AS (
+      |  SELECT id + 100000 AS id,
+      |    array_to_string(list_slice(string_split(text, ' '), 1,
+      |      greatest(len(string_split(text, ' ')) - CAST(id % 12 AS INT), 3)),
+      |      ' ') AS text
+      |  FROM base),
+      |cls AS (
+      |  SELECT MIN(id) AS id, text
+      |  FROM (SELECT * FROM base UNION ALL SELECT * FROM var) GROUP BY text),
+      |toks AS (SELECT id, string_split(text, ' ') AS t FROM cls),
+      |sh AS (
+      |  SELECT id, list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+      |    i -> concat_ws(' ', t[i], t[i+1], t[i+2])) AS shingles
+      |  FROM toks),
+      |hashed AS (
+      |  SELECT id, shingles, list_transform(shingles, s -> md5(s)) AS hs
+      |  FROM sh WHERE len(shingles) > 0),
+      |sig AS (
+      |  SELECT id, shingles,
+      |    list_transform(range(0, 9),
+      |      j -> list_min(list_transform(hs,
+      |        h -> substr(h, CAST(j*3+1 AS INT), 32) || substr(h, 1, CAST(j*3 AS INT))))) AS sig
+      |  FROM hashed),
+      |truth AS (
+      |  SELECT a.id AS id_a, b.id AS id_b
+      |  FROM hashed a JOIN hashed b ON a.id < b.id
+      |  WHERE CAST(len(list_distinct(list_intersect(a.shingles, b.shingles))) AS DOUBLE)
+      |      / CAST(len(list_distinct(a.shingles || b.shingles)) AS DOUBLE) >= 0.35),
+      |cfg AS (SELECT * FROM (VALUES ('b1r9', 1, 9), ('b3r3', 3, 3), ('b9r1', 9, 1))
+      |  AS t(config, bands, r)),
+      |banded AS (
+      |  SELECT c.config, s.id,
+      |    unnest(list_transform(range(0, c.bands),
+      |      b -> md5(array_to_string(list_slice(s.sig, b*c.r+1, b*c.r+c.r), '|')
+      |             || '|' || CAST(b AS VARCHAR)))) AS bk
+      |  FROM sig s CROSS JOIN cfg c),
+      |cand AS (
+      |  SELECT DISTINCT a.config, a.id AS id_a, b.id AS id_b
+      |  FROM banded a JOIN banded b
+      |    ON a.config = b.config AND a.bk = b.bk AND a.id < b.id),
+      |tallies AS (
+      |  SELECT c.config, COUNT(*) AS n_cand,
+      |    SUM(CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+      |  FROM cand c LEFT JOIN truth t
+      |    ON c.id_a = t.id_a AND c.id_b = t.id_b
+      |  GROUP BY c.config)
+      |-- a config with ZERO candidates still reports a row (strict
+      |-- bandings can empty out at small SF): outer-join the config dim
+      |SELECT cfg.config, CAST(COALESCE(n_cand, 0) AS BIGINT) AS n_cand,
+      |  CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
+      |  CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
+      |  CAST(COALESCE(n_hit, 0) * 1000
+      |    // greatest((SELECT COUNT(*) FROM truth), 1) AS BIGINT) AS recall_pm,
+      |  CAST(COALESCE(n_hit, 0) * 1000
+      |    // greatest(COALESCE(n_cand, 0), 1) AS BIGINT) AS precision_pm
+      |FROM cfg LEFT JOIN tallies ON cfg.config = tallies.config""".stripMargin
+
   /** SimHash fingerprints, grouped by 8-bit prefix (the banding used for
     * hamming-neighbor candidate generation). */
   def q32Simhash(spark: SparkSession, dir: String): DataFrame = {

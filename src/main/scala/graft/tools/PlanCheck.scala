@@ -94,7 +94,28 @@ object PlanCheck {
               "q147_source_overlap",
               // q149: 30-row subspace dim + 50-row query decimation +
               // 1-row query count, all broadcast
-              "q149_pq_recall")
+              "q149_pq_recall",
+              // q126: mutual-kNN is all-pairs over the 1/5-decimated
+              // probe set by definition (the brute baseline; ANN/coreset
+              // variants are the raw-scale path) — broadcast is the
+              // decimated side
+              "q126_mutual_knn",
+              // q152: 10-row query set broadcast into the scoring cross
+              // join (q35's shape)
+              "q152_hard_negatives",
+              // q159: class dim (2 rows) + 1-row vocab-size broadcasts
+              "q159_naive_bayes",
+              // q173: per-query term/total dims (queries are a ~5-row
+              // constant set) + rank-weight dim, all broadcast
+              "q173_ranking_metrics",
+              // q174: 1-row continuation-total + vocab-sized n1 counts
+              // broadcast into the bigram scorer
+              "q174_kneser_ney",
+              // q184: the all-pairs Jaccard TRUTH side of the S-curve
+              // calibration is brute-force over a ≤600-class decimation
+              // by definition (the banded path beside it is the scale
+              // path); per-config 1-row tallies ride broadcasts
+              "q184_lsh_s_curve")
               .contains(name))
         ).collect { case (f, true) => f }
         val scans = plan.linesIterator

@@ -276,6 +276,9 @@ class ExchangeBudgetSpec extends SparkTestBase {
                                  // tally and broadcast back onto the
                                  // zero-shuffle bigram expansion; then
                                  // per-doc + per-lang tallies
+    "q182_script_mix"     -> 0,  // decorate→count→classify is one
+                                 // per-row regex kernel chain
+    "q183_calibration"    -> 1,  // one hash-agg on the score decile
     "q134_decontaminate"  -> 5)  // content-class collapses sit behind
                                  // their checkpoints (one map-side-
                                  // combined groupBy per side — the
