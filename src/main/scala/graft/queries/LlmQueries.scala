@@ -79,11 +79,11 @@ object LlmQueries {
   // dedup-family twin of the ANN recall sweeps q144-q149). One shared
   // signature pass feeds three band layouts of the same 9 hashes:
   // (1×9) whole-signature match (strict), (3×3) the production
-  // default, (9×1) single-hash buckets (loose). Truth is an
-  // INTENTIONAL all-pairs cross join over the ≤600-doc decimated
-  // input — the calibration harness is brute-force by definition; the
-  // banded path next to it is what runs at corpus scale. All ratios
-  // are integer permille of exact counts.
+  // default, (9×1) single-hash buckets (loose). Ground truth is EXACT
+  // but never all-pairs: J ≥ θ > 0 implies a shared shingle, so truth
+  // pairs come from an inverted-index self-join + exact verify (the
+  // q114 AllPairs shape, unpruned for completeness). All ratios are
+  // integer permille of exact counts.
   // ------------------------------------------------------------------
   def q184LshSCurve(spark: SparkSession, dir: String): DataFrame = {
     val numHashes = 9; val shingle = 3; val threshold = 0.35
@@ -108,10 +108,23 @@ object LlmQueries {
       .select(col("id"), col("sm.shingles").as("sh"), col("sm.sig").as("sig"))
       .filter(size(col("sh")) > 0)
     val sets = withSig.select(col("id"), col("sh"))
-    val truth = sets.alias("a").crossJoin(sets.alias("b"))
-      .filter(col("a.id") < col("b.id") &&
-        Dedup.jaccard(col("a.sh"), col("b.sh")) >= threshold)
+    // Ground truth WITHOUT an all-pairs join: a pair with J ≥ θ > 0
+    // must share a shingle, so exact truth is inverted-index candidate
+    // generation (shared-shingle self-join on distinct (id, shingle))
+    // + exact Jaccard verify — the same relational shape the AllPairs
+    // operator (q114) scales with, here unpruned because truth must be
+    // complete. ~4× cheaper than the cross join at this decimation and
+    // the formulation a corpus-scale calibration would actually run.
+    val inv = withSig.select(col("id"),
+      explode(array_distinct(col("sh"))).as("s"))
+    val truth = inv.alias("a")
+      .join(inv.alias("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .filter(Dedup.jaccard(col("sh_a"), col("sh_b")) >= threshold)
+      .select(col("id_a"), col("id_b"))
       .localCheckpoint() // read once per config + once for the total
     val perConfig = Seq(("b1r9", 1), ("b3r3", 3), ("b9r1", 9)).map {
       case (nm, bands) =>
@@ -164,9 +177,15 @@ object LlmQueries {
       |      j -> list_min(list_transform(hs,
       |        h -> substr(h, CAST(j*3+1 AS INT), 32) || substr(h, 1, CAST(j*3 AS INT))))) AS sig
       |  FROM hashed),
+      |inv AS (
+      |  SELECT id, unnest(list_distinct(shingles)) AS s FROM hashed),
+      |cpairs AS (
+      |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      |  FROM inv a JOIN inv b ON a.s = b.s AND a.id < b.id),
       |truth AS (
-      |  SELECT a.id AS id_a, b.id AS id_b
-      |  FROM hashed a JOIN hashed b ON a.id < b.id
+      |  SELECT c.id_a, c.id_b
+      |  FROM cpairs c
+      |  JOIN hashed a ON a.id = c.id_a JOIN hashed b ON b.id = c.id_b
       |  WHERE CAST(len(list_distinct(list_intersect(a.shingles, b.shingles))) AS DOUBLE)
       |      / CAST(len(list_distinct(a.shingles || b.shingles)) AS DOUBLE) >= 0.35),
       |cfg AS (SELECT * FROM (VALUES ('b1r9', 1, 9), ('b3r3', 3, 3), ('b9r1', 9, 1))

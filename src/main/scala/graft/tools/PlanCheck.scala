@@ -111,10 +111,8 @@ object PlanCheck {
               // q174: 1-row continuation-total + vocab-sized n1 counts
               // broadcast into the bigram scorer
               "q174_kneser_ney",
-              // q184: the all-pairs Jaccard TRUTH side of the S-curve
-              // calibration is brute-force over a ≤600-class decimation
-              // by definition (the banded path beside it is the scale
-              // path); per-config 1-row tallies ride broadcasts
+              // q184: per-config 1-row tallies ride IdentityBroadcast
+              // cross joins (truth/candidate counts are single rows)
               "q184_lsh_s_curve")
               .contains(name))
         ).collect { case (f, true) => f }
