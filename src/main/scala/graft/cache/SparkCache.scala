@@ -76,11 +76,18 @@ final class SparkCache(
   /** Full-table dataset for a stream (reference `get_records`, Q5). */
   def table(streamName: String): DataFrame = spark.table(tableName(streamName))
 
+  /** Registered streams with a backing table. Registration happens
+    * before the first write (bulk pre-registration), so a sync that
+    * fails mid-flight can leave a `_airbyte_streams` row with no table
+    * behind it — consumers (MCP list_cached_streams, ReadResult) must
+    * not surface those phantoms. The existence filter is driver-side
+    * over a dimension-sized list. */
   def streams: Seq[String] = {
     import spark.implicits._
     if (!metaTableExists(StreamsTable)) return Seq.empty
     spark.table(s"`$database`.`$StreamsTable`")
       .select("stream_name").distinct().as[String].collect().toSeq
+      .filter(tableExists)
   }
 
   // ------------------------------------------------------------------
@@ -242,16 +249,29 @@ final class SparkCache(
         s"Only read-only queries are allowed (got: $first)")
   }
 
-  /** `run_sql_query` equivalent: guarded, optional row cap. */
+  /** `run_sql_query` equivalent: guarded, optional row cap. The USE is
+    * scoped to query analysis — the session's current database is
+    * restored afterwards (the plan is resolved eagerly, so restoring
+    * before execution is safe), keeping a shared SparkSession's
+    * resolution state unperturbed. */
   def runSqlQuery(sql: String, maxRecords: Option[Int] = None): DataFrame = {
     checkReadOnly(sql)
+    val prior = spark.catalog.currentDatabase
     spark.sql(s"USE `$database`")
-    val df = spark.sql(sql.trim.stripSuffix(";"))
-    maxRecords.map(df.limit).getOrElse(df)
+    try {
+      val df = spark.sql(sql.trim.stripSuffix(";"))
+      maxRecords.map(df.limit).getOrElse(df)
+    } finally if (prior != database) spark.sql(s"USE `$prior`")
   }
 
-  def dropAll(): Unit =
+  /** Drop the cache database. If it is the session's CURRENT database,
+    * fall back to `default` first — dropping the current schema would
+    * otherwise leave the session unable to resolve any unqualified
+    * table name (SCHEMA_NOT_FOUND on the next saveAsTable). */
+  def dropAll(): Unit = {
+    if (spark.catalog.currentDatabase == database) spark.sql("USE `default`")
     spark.sql(s"DROP DATABASE IF EXISTS `$database` CASCADE")
+  }
 
   /**
    * Re-attach tables written by a PREVIOUS JVM. The reference re-opens

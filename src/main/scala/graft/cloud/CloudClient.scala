@@ -75,7 +75,8 @@ final class LocalCloudClient(spark: org.apache.spark.sql.SparkSession)
   override def listOrganizations(nameContains: Option[String]): Seq[OrganizationInfo] =
     orgs.values.toSeq
       .filter(o => nameContains.forall(n =>
-        o.organizationName.toLowerCase.contains(n.toLowerCase)))
+        o.organizationName.toLowerCase(java.util.Locale.ROOT)
+          .contains(n.toLowerCase(java.util.Locale.ROOT))))
       .sortBy(_.organizationId)
 
   override def getOrganization(organizationId: String): OrganizationInfo =
@@ -88,7 +89,8 @@ final class LocalCloudClient(spark: org.apache.spark.sql.SparkSession)
     val all = workspaces.values.toSeq.map(_._1)
       .filter(_.organizationId == organizationId)
       .filter(w => nameContains.forall(n =>
-        w.workspaceName.toLowerCase.contains(n.toLowerCase)))
+        w.workspaceName.toLowerCase(java.util.Locale.ROOT)
+          .contains(n.toLowerCase(java.util.Locale.ROOT))))
       .sortBy(_.workspaceId)
     limit.fold(all)(all.take)
   }

@@ -150,6 +150,17 @@ trait WorkspaceApi {
   def updateDestinationConfig(destinationId: String, configJson: String): Unit
   def checkSource(sourceId: String): CheckResult
   def checkDestination(destinationId: String): CheckResult
+
+  // -- custom (connector-builder) source definitions --------------------
+  // Server-side workspace state (reference `workspaces.py:781-977`): the
+  // registries live on the API object, not the CloudWorkspace wrapper, so
+  // two workspace handles over the same api observe each other's
+  // published definitions — matching the reference, where definitions
+  // are stored in the workspace, not the client.
+  private[cloud] val definitionRegistry =
+    TrieMap.empty[String, CustomSourceDefinitionInfo]
+  private[cloud] val draftRegistry = TrieMap.empty[String, String]
+  private[cloud] val definitionIds = new AtomicLong(0L)
 }
 
 /**
@@ -483,10 +494,9 @@ final class CloudWorkspace(val workspaceId: String, val api: WorkspaceApi) {
   // manifest definitions; see [[CustomCloudSourceDefinition]] for the
   // per-definition lifecycle.
 
-  private[cloud] val definitionRegistry =
-    TrieMap.empty[String, CustomSourceDefinitionInfo]
-  private[cloud] val draftRegistry = TrieMap.empty[String, String]
-  private val definitionIds = new AtomicLong(0L)
+  private[cloud] def definitionRegistry = api.definitionRegistry
+  private[cloud] def draftRegistry = api.draftRegistry
+  private def definitionIds = api.definitionIds
 
   /** `publish_custom_source_definition` (:781-887): validate the
     * manifest client-side, enforce name uniqueness, register. */

@@ -111,6 +111,10 @@ private[graft] object HtmlText {
   private def numeric(digits: String, radix: Int): Option[String] =
     try {
       if (digits.isEmpty) None
+      // WHATWG treats a sign as "no digits": '&#+65;' / '&#-17;' are NOT
+      // numeric references — fall through to literal text. (parseInt
+      // would otherwise accept the sign and decode/emit U+FFFD.)
+      else if (digits.exists(d => Character.digit(d, radix) < 0)) None
       else {
         val cp = Integer.parseInt(digits, radix)
         // WHATWG "character reference code" error recovery (HTML spec

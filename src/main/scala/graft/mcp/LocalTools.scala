@@ -202,6 +202,7 @@ object LocalTools {
     val pb = new ProcessBuilder(cmd: _*)
     pb.redirectErrorStream(true)
     val proc = pb.start()
+    graft.sources.Destination.drainInBackground(proc)
     val out = new java.io.PrintWriter(proc.getOutputStream, false)
     var records = 0L
     try {

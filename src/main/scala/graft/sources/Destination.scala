@@ -19,6 +19,22 @@ import graft.operators.Records
  */
 object Destination {
 
+  /** Consume a child process's merged stdout/stderr on a daemon thread.
+    * Without this, a destination that logs more than the OS pipe buffer
+    * (~64 KiB) blocks on write, stops reading its stdin, and the pump
+    * deadlocks. The drained text is discarded — callers only care about
+    * delivery counts. */
+  private[graft] def drainInBackground(proc: Process): Thread = {
+    val t = new Thread(() => {
+      val in = proc.getInputStream
+      val buf = new Array[Byte](8192)
+      try { while (in.read(buf) >= 0) () } catch { case _: java.io.IOException => () }
+    }, "graft-proc-drain")
+    t.setDaemon(true)
+    t.start()
+    t
+  }
+
   /** Protocol RECORD lines for one cached stream (metadata stripped). */
   def recordMessages(cache: SparkCache, streamName: String): Dataset[String] = {
     val spark = cache.spark
@@ -52,6 +68,7 @@ object Destination {
     val pb = new ProcessBuilder(cmd: _*)
     pb.redirectErrorStream(true)
     val proc = pb.start()
+    drainInBackground(proc)
     val out = new java.io.PrintWriter(proc.getOutputStream, false)
     var n = 0L
     try {

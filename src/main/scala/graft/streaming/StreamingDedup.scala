@@ -63,7 +63,14 @@ final class StreamingDedup(
     * another writer's) and refused rather than guessed at. */
   private def validateOrRecordParams(spark: SparkSession): Unit = {
     import spark.implicits._
-    if (spark.catalog.tableExists(metaTable)) {
+    if (spark.catalog.tableExists(metaTable) && !indexExists(spark)) {
+      // A params row with no index is the residue of a first batch that
+      // failed between recording params and writing signatures. Nothing
+      // exists to be incompatible with — adopt the current parameters
+      // rather than refusing a retry under corrected settings.
+      Seq(paramsRow).toDF("num_hashes", "bands", "shingle", "threshold")
+        .write.mode(SaveMode.Overwrite).saveAsTable(metaTable)
+    } else if (spark.catalog.tableExists(metaTable)) {
       val (h, b, s, t) = spark.table(metaTable)
         .select("num_hashes", "bands", "shingle", "threshold")
         .as[(Int, Int, Int, Double)].head()

@@ -403,6 +403,17 @@ class CloudWorkspaceSpec extends SparkTestBase {
       manifest("2.1")).version.contains("2.1"))
     CloudTools.permanentlyDeleteCustomSourceDefinition(ws, pub.definitionId)
     assert(CloudTools.listCustomSourceDefinitions(ws).isEmpty)
+
+    // definitions are server-side workspace state: a second workspace
+    // handle over the SAME api sees publications made through the first
+    val ws2 = new CloudWorkspace(ws.workspaceId, ws.api)
+    val shared = ws.publishCustomSourceDefinition("shared-def delete-me", manifest("3.0"))
+    assert(ws2.listCustomSourceDefinitions().map(_.name).contains("shared-def delete-me"))
+    ws2.getCustomSourceDefinition(shared.definitionId)
+      .setDraftManifest(manifest("3.1"))
+    assert(ws.getCustomSourceDefinition(shared.definitionId).hasDraft)
+    shared.permanentlyDelete(safeMode = false)
+    assert(ws2.listCustomSourceDefinitions().isEmpty)
   }
 
   test("connection artifact MCP tool returns protocol-format state and catalog") {

@@ -113,6 +113,10 @@ class McpLocalToolsSpec extends SparkTestBase {
     assert(result.counts("users") == 2L)
     val listed = LocalTools.listCachedStreams(cache)
     assert(listed.map(_.streamName) == Seq("users"))
+    // a failed sync pre-registers streams before any write — those
+    // phantoms (registered, no backing table) must not be listed
+    cache.preRegisterStreams(Seq("ghost_stream"))
+    assert(LocalTools.listCachedStreams(cache).map(_.streamName) == Seq("users"))
     val desc = LocalTools.describeDefaultCache(cache)
     assert(desc("database") == "graft_test_mcp" && desc("stream_count") == "1")
     // guarded SQL: reads pass, writes rejected
@@ -218,6 +222,23 @@ class McpLocalToolsSpec extends SparkTestBase {
       .contains("0 source(s)"))
   }
 
+  test("name matching is locale-independent (dotted-I under a Turkish JVM locale)") {
+    import graft.cloud.{LocalCloudClient, OrganizationInfo}
+    val client = new LocalCloudClient(spark)
+    client.registerOrganization(OrganizationInfo("org-tr", "INVOICES Inc"))
+    client.registerWorkspace("ws-i", "BILLING", "org-tr")
+    val prior = java.util.Locale.getDefault
+    try {
+      // Turkish locale: default-locale toLowerCase maps 'I' -> 'ı'
+      // (dotless), so "INVOICES".toLowerCase would NOT contain "invoices"
+      java.util.Locale.setDefault(new java.util.Locale("tr", "TR"))
+      assert(client.listOrganizations(Some("invoices")).map(_.organizationId)
+        == Seq("org-tr"))
+      assert(client.listWorkspaces("org-tr", Some("billing")).map(_.workspaceId)
+        == Seq("ws-i"))
+    } finally java.util.Locale.setDefault(prior)
+  }
+
   test("destination smoke test tools: scenario suite to cache and to a subprocess") {
     // cache destination: one named scenario, preflight skipped for speed
     graft.cache.SparkCache.fresh(spark, "zz_mcp_smoke")
@@ -239,5 +260,16 @@ class McpLocalToolsSpec extends SparkTestBase {
     assert(lines.size == 6, "2 opening traces + 3 records + COMPLETE")
     assert(lines.get(0).contains("\"STARTED\"") && lines.get(5).contains("\"COMPLETE\""))
     assert(lines.asScala.count(_.startsWith("""{"type":"RECORD"""")) == 3)
+  }
+
+  test("smoke-to-process: chatty destination (stdout > pipe buffer) doesn't deadlock") {
+    // `large_string_values` pushes ~100KB lines; a destination that echoes its
+    // whole stdin back (3x) overflows the ~64KB OS pipe buffer. Without
+    // the background drain the child blocks on write, stops reading, and
+    // the pump hangs forever.
+    val n = LocalTools.smokeTestToProcess(spark,
+      Seq("sh", "-c", "while IFS= read -r l; do printf '%s\\n%s\\n%s\\n' \"$l\" \"$l\" \"$l\"; done"),
+      scenarios = "large_string_values")
+    assert(n > 0L)
   }
 }

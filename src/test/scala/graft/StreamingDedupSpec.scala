@@ -129,6 +129,25 @@ class StreamingDedupSpec extends SparkTestBase {
     assert(s.toSeq == Seq(4L))
   }
 
+  test("stale params row with no index (failed first batch) is adopted, not refused") {
+    val tbl = freshTable("sdd_spec_stale")
+    // simulate a first batch that died between recording params and
+    // writing any signatures: params row exists, index table does not
+    Seq((128, 16, 3, 0.9)).toDF("num_hashes", "bands", "shingle", "threshold")
+      .write.saveAsTable(tbl + "_params")
+    // a retry under CORRECTED parameters must proceed — there are no
+    // signatures to be incompatible with
+    val retry = new StreamingDedup("doc_id", "text", threshold = 0.5, indexTable = tbl)
+    val s = retry.processBatch(Seq((1L, base)).toDF("doc_id", "text"))
+      .select("doc_id").as[Long].collect()
+    assert(s.toSeq == Seq(1L))
+    // and the params table now records the retry's parameters
+    val (h, b, sh, t) = spark.table(tbl + "_params")
+      .select("num_hashes", "bands", "shingle", "threshold")
+      .as[(Int, Int, Int, Double)].head()
+    assert((h, b, sh, t) != ((128, 16, 3, 0.9)))
+  }
+
   test("index table without a params record is refused, not guessed at") {
     val tbl = freshTable("sdd_spec_foreign")
     // fabricate a foreign index table with the right shape but no meta
