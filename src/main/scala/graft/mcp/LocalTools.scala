@@ -101,7 +101,11 @@ object LocalTools {
    */
   def validateConnectorConfig(specJson: String, configJson: String): Seq[String] = {
     val spec = mapper.readTree(specJson)
-    val config = mapper.readTree(configJson)
+    // hydrate secret_reference:: values before validating — the
+    // reference validates the HYDRATED config (_connector_base.py:128),
+    // so a string-typed secret passed by reference type-checks against
+    // its spec rather than failing as a reference marker
+    val config = mapper.readTree(Secrets.hydrateSecrets(configJson))
     val problems = Seq.newBuilder[String]
     Option(spec.get("required")).toSeq
       .flatMap(_.elements().asScala).map(_.asText())
@@ -126,6 +130,70 @@ object LocalTools {
       }
     }
     problems.result()
+  }
+
+  /**
+   * Resolve a connector config from inline JSON, a config file, and/or
+   * a server-side secret name (reference
+   * `mcp/_arg_resolvers.py:resolve_connector_config`, :89-230):
+   * file loads first, inline config overlays it, a `configSecretName`
+   * resolves through the secret managers and deep-merges LAST (secrets
+   * win). With a spec, hardcoded secrets in the merged inline/file
+   * config are rejected — the recommended pattern is
+   * `secret_reference::ENV_VAR_NAME`. Returns the resolved (but NOT
+   * hydrated) config JSON; callers hydrate at the connector boundary.
+   */
+  def resolveConnectorConfig(
+      config: Option[String] = None,
+      configFile: Option[String] = None,
+      configSecretName: Option[String] = None,
+      configSpecJsonSchema: Option[String] = None): String = {
+    if (config.isEmpty && configFile.isEmpty && configSecretName.isEmpty) return "{}"
+    var doc = "{}"
+    configFile.foreach { f =>
+      val p = java.nio.file.Paths.get(f)
+      if (!java.nio.file.Files.exists(p))
+        throw new java.io.FileNotFoundException(s"Configuration file not found: $f")
+      val text = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      val node = try mapper.readTree(text) catch {
+        case e: Exception =>
+          throw new IllegalArgumentException(s"Error reading configuration file $f: $e")
+      }
+      if (node == null || !node.isObject)
+        throw new IllegalArgumentException(
+          s"Configuration file must contain a valid JSON object")
+      doc = Secrets.deepUpdate(doc, node.toString)
+    }
+    config.foreach { c =>
+      val node = try mapper.readTree(c) catch {
+        case e: Exception =>
+          throw new IllegalArgumentException(s"Invalid JSON in config parameter: $e")
+      }
+      if (!node.isObject)
+        throw new IllegalArgumentException("Parsed JSON config must be an object")
+      doc = Secrets.deepUpdate(doc, node.toString)
+    }
+    configSpecJsonSchema.foreach { spec =>
+      val hardcoded = Secrets.detectHardcodedSecrets(doc, Some(spec))
+      if (hardcoded.nonEmpty)
+        throw new IllegalArgumentException(
+          "Configuration contains hardcoded secrets in fields: " +
+            hardcoded.map(_.mkString(".")).mkString(", ") +
+            ". Please use environment variables instead: set the value to " +
+            "`secret_reference::ENV_VAR_NAME`.")
+    }
+    configSecretName.foreach { secretName =>
+      val secret = Secrets.getSecret(secretName).getOrElse(
+        throw new Secrets.SecretNotFoundException(secretName))
+      val node = try mapper.readTree(secret.unwrap) catch {
+        case _: Exception => null
+      }
+      if (node == null || !node.isObject)
+        throw new IllegalArgumentException(
+          s"Secret '$secretName' must contain a valid JSON object")
+      doc = Secrets.deepUpdate(doc, node.toString)
+    }
+    doc
   }
 
   /** Property names marked `airbyte_secret: true` in the spec —

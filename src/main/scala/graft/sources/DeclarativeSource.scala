@@ -60,6 +60,13 @@ final class DeclarativeSource(
 
   import DeclarativeSource._
 
+  /** Config with `secret_reference::NAME` values resolved through the
+    * registered secret managers before any use — the reference hydrates
+    * config at the connector boundary (`_connector_base.py:128,152`),
+    * so interpolation, auth headers, and fixture paths all see the
+    * actual secret values, never the reference strings. */
+  private val hydratedConfig: Map[String, String] = Secrets.hydrateConfigMap(config)
+
   private val manifest: JsonNode = resolveRefs(parseYaml(manifestYaml))
 
   /** Manifest `version` (reference `declarative.py:82` reported_version). */
@@ -170,7 +177,7 @@ final class DeclarativeSource(
       case None => Map.empty
       case Some(a) =>
         def field(n: String): String = Option(a.get(n)).map(x =>
-          interpolate(x.asText(), config, Map.empty)).getOrElse(
+          interpolate(x.asText(), hydratedConfig, Map.empty)).getOrElse(
           throw new IllegalArgumentException(
             s"authenticator missing required field '$n'"))
         Option(a.get("type")).map(_.asText()).getOrElse("") match {
@@ -192,7 +199,7 @@ final class DeclarativeSource(
           case "BasicHttpAuthenticator" =>
             val user = field("username")
             val pass = Option(a.get("password")).map(x =>
-              interpolate(x.asText(), config, Map.empty)).getOrElse("")
+              interpolate(x.asText(), hydratedConfig, Map.empty)).getOrElse("")
             val enc = java.util.Base64.getEncoder
               .encodeToString(s"$user:$pass".getBytes("UTF-8"))
             Map("Authorization" -> s"Basic $enc")
@@ -215,8 +222,8 @@ final class DeclarativeSource(
       else urlBase + path
     val params = Option(requester.get("request_parameters")).toSeq
       .flatMap(_.properties().asScala)
-      .map(e => s"${e.getKey}=${interpolate(e.getValue.asText(), config, slice)}")
-    val base = interpolate(joined, config, slice)
+      .map(e => s"${e.getKey}=${interpolate(e.getValue.asText(), hydratedConfig, slice)}")
+    val base = interpolate(joined, hydratedConfig, slice)
     if (params.isEmpty) base
     else params.foldLeft(base)((u, kv) =>
       DeclarativeComponents.addParam(u, kv.takeWhile(_ != '='),
@@ -285,7 +292,7 @@ final class DeclarativeSource(
       Option(inc.get(key)).map {
         case o if o.isObject => o.get("datetime").asText()
         case t => t.asText()
-      }.map(interpolate(_, config, Map.empty))
+      }.map(interpolate(_, hydratedConfig, Map.empty))
     val startS = datetimeOf("start_datetime").getOrElse(return Seq.empty)
     val endS = datetimeOf("end_datetime").getOrElse(return Seq.empty)
     val fmt = Option(inc.get("datetime_format")).map(_.asText())
@@ -332,7 +339,7 @@ final class DeclarativeSource(
           throw new IllegalArgumentException("record_filter needs condition"))
       }
     DeclarativeComponents.RecordPipeline(fieldPathOf(s), filterCond,
-      DeclarativeComponents.parseTransforms(s), config)
+      DeclarativeComponents.parseTransforms(s), hydratedConfig)
   }
 
   private def fieldPathOf(s: JsonNode): Seq[String] =
@@ -362,7 +369,7 @@ final class DeclarativeSource(
       case "InlineSchemaLoader" =>
         loader.get("schema").deepCopy[ObjectNode]()
       case "JsonFileSchemaLoader" =>
-        val p = interpolate(loader.get("file_path").asText(), config, Map.empty)
+        val p = interpolate(loader.get("file_path").asText(), hydratedConfig, Map.empty)
         mapper.readTree(readLocal(p, fixtureRoot)).deepCopy[ObjectNode]()
       case other =>
         throw new UnsupportedOperationException(

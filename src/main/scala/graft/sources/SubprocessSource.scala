@@ -24,7 +24,7 @@ import graft.protocol._
 final class SubprocessSource(
     val name: String,
     val catalog: ConfiguredCatalog,
-    cmd: Seq[String],
+    val cmd: Seq[String],
     chunkSize: Int = 100000,
     /** Fired with the new config JSON whenever the connector emits a
       * CONTROL/CONNECTOR_CONFIG message mid-run (reference
@@ -294,5 +294,42 @@ final class SubprocessSource(
     java.nio.file.Files.write(f,
       states.mkString("[", ",", "]").getBytes("UTF-8"))
     f
+  }
+}
+
+object SubprocessSource {
+
+  /**
+   * Write a connector config to a private temp file, hydrating
+   * `secret_reference::NAME` values through the registered secret
+   * managers first (reference `_connector_base.py:176`: the executor
+   * always hands the connector a HYDRATED config; references never
+   * reach the wire). The file is owner-read/write only — it holds
+   * resolved secrets. Caller appends `--config <path>` to the
+   * connector command (spec/check/discover/read all take it).
+   */
+  def writeHydratedConfig(configJson: String): java.nio.file.Path = {
+    import java.nio.file.attribute.PosixFilePermissions
+    val hydrated = Secrets.hydrateSecrets(configJson)
+    val f = java.nio.file.Files.createTempFile(
+      "graft-config", ".json",
+      PosixFilePermissions.asFileAttribute(
+        PosixFilePermissions.fromString("rw-------")))
+    java.nio.file.Files.write(f, hydrated.getBytes("UTF-8"))
+    f
+  }
+
+  /** Convenience: a subprocess source whose read command gets
+    * `--config <hydrated-file>` appended. */
+  def withConfig(
+      name: String,
+      catalog: ConfiguredCatalog,
+      baseCmd: Seq[String],
+      configJson: String,
+      configChangeCallback: Option[String => Unit] = None): SubprocessSource = {
+    val path = writeHydratedConfig(configJson)
+    new SubprocessSource(name, catalog,
+      baseCmd ++ Seq("--config", path.toString),
+      configChangeCallback = configChangeCallback)
   }
 }

@@ -148,6 +148,32 @@ class DeclarativeSourceSpec extends SparkTestBase {
     assert(again.counts("users") == 3L)
   }
 
+  test("config passed by secret_reference:: hydrates before interpolation and syncs") {
+    import graft.sources.Secrets
+    val root = Files.createTempDirectory("graft-decl").toString
+    stageFixtures(root)
+    Secrets.resetSecretSources()
+    try {
+      Secrets.registerSecretManager(
+        new Secrets.EnvVarSecretManager(Map("TENANT_NAME" -> "acme")))
+      // the config value is a reference, not the tenant name — the
+      // source must hydrate it before {{ config['tenant'] }} resolves
+      val src = new DeclarativeSource("source-secret", manifest,
+        config = Map("tenant" -> "secret_reference::TENANT_NAME"),
+        fixtureRoot = Some(root))
+      src.check()
+      val cache = SparkCache.fresh(spark, "graft_test_decl_secret")
+      val result = src.read(cache, spark, streams = Seq("users"))
+      assert(result.counts("users") == 3L)
+      // an unresolvable reference fails at construction, naming the secret
+      val missing = intercept[Secrets.SecretNotFoundException](
+        new DeclarativeSource("bad", manifest,
+          config = Map("tenant" -> "secret_reference::NO_SUCH"),
+          fixtureRoot = Some(root)))
+      assert(missing.secretName == "NO_SUCH")
+    } finally Secrets.resetSecretSources()
+  }
+
   test("slices parallelize one-per-partition (executor-side extraction)") {
     val root = Files.createTempDirectory("graft-decl").toString
     val src = newSource(root)

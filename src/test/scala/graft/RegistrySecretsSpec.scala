@@ -96,4 +96,176 @@ class RegistrySecretsSpec extends AnyFunSuite {
     assert(!plain.isJson)
     intercept[IllegalArgumentException](plain.parseJson)
   }
+
+  test("config hydration: secret_reference:: values resolve at any depth, lists only for objects") {
+    Secrets.resetSecretSources()
+    try {
+      Secrets.registerSecretManager(
+        new Secrets.EnvVarSecretManager(Map(
+          "API_KEY" -> "k-123", "DB_PASS" -> "p-456", "NESTED" -> "n-789")))
+      val config =
+        """{"api_key":"secret_reference::API_KEY",
+          |"host":"example.com",
+          |"db":{"password":"secret_reference:: DB_PASS","port":5432},
+          |"accounts":[{"token":"secret_reference::NESTED"},"secret_reference::API_KEY"],
+          |"not_a_ref":"prefix secret_reference::API_KEY inside"}""".stripMargin
+      val hydrated = Secrets.mapper.readTree(Secrets.hydrateSecrets(config))
+      assert(hydrated.get("api_key").asText() == "k-123")
+      assert(hydrated.get("host").asText() == "example.com")
+      // prefix strip tolerates whitespace after '::' (util.py:86-89 lstrip)
+      assert(hydrated.get("db").get("password").asText() == "p-456")
+      assert(hydrated.get("db").get("port").asInt() == 5432)
+      // object INSIDE a list hydrates; a bare string in a list does not
+      // (hydration.py:31-34 recurses only into dict list items)
+      assert(hydrated.get("accounts").get(0).get("token").asText() == "n-789")
+      assert(hydrated.get("accounts").get(1).asText() == "secret_reference::API_KEY")
+      // only values STARTING with the prefix are references
+      assert(hydrated.get("not_a_ref").asText().contains("secret_reference::"))
+      // the original is unchanged (deep-copy semantics)
+      assert(config.contains("secret_reference::API_KEY"))
+
+      // containment probe (the MCP trusted-execution gate) DOES see
+      // bare strings in lists — asymmetry matches _arg_resolvers.py:22-30
+      assert(Secrets.containsSecretReference(
+        Secrets.mapper.readTree("""{"a":["secret_reference::X"]}""")))
+      assert(!Secrets.containsSecretReference(
+        Secrets.mapper.readTree("""{"a":["x secret_reference::X"]}""")))
+
+      // an unresolvable reference fails loudly with the secret's name
+      val missing = intercept[Secrets.SecretNotFoundException](
+        Secrets.hydrateSecrets("""{"k":"secret_reference::NOPE"}"""))
+      assert(missing.secretName == "NOPE")
+    } finally Secrets.resetSecretSources()
+  }
+
+  test("deep_update merges nested objects key-wise, scalars overwrite") {
+    val merged = Secrets.mapper.readTree(Secrets.deepUpdate(
+      """{"a":1,"nest":{"keep":"x","old":"y"},"gone":true}""",
+      """{"nest":{"old":"z","new":"w"},"gone":false,"added":[1]}"""))
+    assert(merged.get("a").asInt() == 1)
+    assert(merged.get("nest").get("keep").asText() == "x")
+    assert(merged.get("nest").get("old").asText() == "z")
+    assert(merged.get("nest").get("new").asText() == "w")
+    assert(!merged.get("gone").asBoolean())
+    assert(merged.get("added").isArray)
+  }
+
+  test("hardcoded-secret detection masks spec-marked properties; references pass") {
+    val spec =
+      """{"type":"object","properties":{
+        |"api_key":{"type":"string","airbyte_secret":true},
+        |"password":{"type":"string","format":"password"},
+        |"token":{"type":"string","writeOnly":true},
+        |"host":{"type":"string"},
+        |"tunnel":{"type":"object","properties":{
+        |  "tunnel_password":{"type":"string","airbyte_secret":true}}}}}""".stripMargin
+    assert(Secrets.connectorSecretsMask(Secrets.mapper.readTree(spec)).sorted ==
+      Seq("api_key", "password", "token", "tunnel_password"))
+
+    val config =
+      """{"api_key":"HARDCODED","host":"ok.example",
+        |"password":"secret_reference::PW",
+        |"tunnel":{"tunnel_password":"also-hardcoded"}}""".stripMargin
+    val found = Secrets.detectHardcodedSecrets(config, Some(spec))
+    assert(found.map(_.mkString(".")).sorted ==
+      Seq("api_key", "tunnel.tunnel_password"))
+    // no spec → global mask, which is empty offline (hydration.py:95-101)
+    assert(Secrets.detectHardcodedSecrets(config, None).isEmpty)
+  }
+
+  test("custom secret manager: auto-register, priority, backup, replace, disable") {
+    Secrets.resetSecretSources()
+    try {
+      class FixedManager(val name: String, entries: Map[String, String],
+          back: Boolean = false) extends Secrets.CustomSecretManager {
+        override protected def asBackup: Boolean = back
+        def getSecret(n: String): Option[Secrets.SecretString] =
+          entries.get(n).map(new Secrets.SecretString(_))
+      }
+      // env manager sees nothing for CUSTOM_ONLY; custom front-runs
+      new FixedManager("vault", Map("CUSTOM_ONLY" -> "v1", "PATH" -> "masked"))
+      assert(Secrets.secretSources.head.name == "vault")
+      assert(Secrets.getSecret("CUSTOM_ONLY").get.unwrap == "v1")
+      // front registration SHADOWS the env var manager
+      assert(Secrets.getSecret("PATH").get.unwrap == "masked")
+
+      // backup registration goes to the END (resolves only as fallback)
+      new FixedManager("backup", Map("PATH" -> "never-wins", "B_ONLY" -> "b1"), back = true)
+      assert(Secrets.secretSources.last.name == "backup")
+      assert(Secrets.getSecret("PATH").get.unwrap == "masked")
+      assert(Secrets.getSecret("B_ONLY").get.unwrap == "b1")
+
+      // disable by name removes it
+      Secrets.disableSecretSource("vault")
+      assert(!Secrets.secretSources.exists(_.name == "vault"))
+      assert(Secrets.getSecret("CUSTOM_ONLY").isEmpty)
+
+      // replaceExisting evicts everything else
+      class Exclusive extends Secrets.CustomSecretManager {
+        override protected def replaceExisting: Boolean = true
+        val name = "exclusive"
+        def getSecret(n: String): Option[Secrets.SecretString] =
+          if (n == "X") Some(new Secrets.SecretString("only")) else None
+      }
+      new Exclusive
+      assert(Secrets.secretSources.map(_.name) == Seq("exclusive"))
+      assert(Secrets.getSecret("X").get.unwrap == "only")
+      assert(Secrets.getSecret("PATH").isEmpty) // env manager evicted
+    } finally Secrets.resetSecretSources()
+  }
+
+  test("prompt fallback: masked interactive read, failure-safe, registry-ordered last") {
+    Secrets.resetSecretSources()
+    try {
+      var prompted = Seq.empty[String]
+      val prompt = new Secrets.SecretsPrompt(p => { prompted :+= p; Some("typed-secret") })
+      Secrets.registerSecretManager(prompt, asBackup = true)
+      // env resolves without prompting
+      assert(Secrets.getSecret("PATH").isDefined && prompted.isEmpty)
+      // unknown name falls through to the prompt
+      assert(Secrets.getSecret("ASK_ME").get.unwrap == "typed-secret")
+      assert(prompted == Seq("Enter the value for secret 'ASK_ME': "))
+      // a reader that throws is suppressed to None (prompt.py:25-28)
+      val broken = new Secrets.SecretsPrompt(_ => throw new RuntimeException("no tty"))
+      assert(broken.getSecret("X").isEmpty)
+    } finally Secrets.resetSecretSources()
+  }
+
+  test("resolveConnectorConfig: file + inline + secret-name merge, hardcoded rejection") {
+    import graft.mcp.LocalTools
+    Secrets.resetSecretSources()
+    try {
+      val f = Files.createTempFile("graft-cfg", ".json")
+      Files.write(f, """{"host":"h1","nest":{"a":1,"b":2}}""".getBytes)
+      Secrets.registerSecretManager(new Secrets.EnvVarSecretManager(Map(
+        "CFG_SECRET" -> """{"nest":{"b":99},"token":"t"}""")))
+
+      // file then inline overlay then secret deep-merge (secrets win)
+      val resolved = Secrets.mapper.readTree(LocalTools.resolveConnectorConfig(
+        config = Some("""{"host":"h2"}"""),
+        configFile = Some(f.toString),
+        configSecretName = Some("CFG_SECRET")))
+      assert(resolved.get("host").asText() == "h2")
+      assert(resolved.get("nest").get("a").asInt() == 1)
+      assert(resolved.get("nest").get("b").asInt() == 99)
+      assert(resolved.get("token").asText() == "t")
+
+      // nothing provided → empty config
+      assert(LocalTools.resolveConnectorConfig() == "{}")
+      // missing file is loud
+      intercept[java.io.FileNotFoundException](
+        LocalTools.resolveConnectorConfig(configFile = Some("/nope/missing.json")))
+      // hardcoded secret + spec → rejected with the field path
+      val spec = """{"properties":{"api_key":{"airbyte_secret":true}}}"""
+      val err = intercept[IllegalArgumentException](LocalTools.resolveConnectorConfig(
+        config = Some("""{"api_key":"oops"}"""),
+        configSpecJsonSchema = Some(spec)))
+      assert(err.getMessage.contains("api_key"))
+      // ...but a reference-passed secret is fine
+      val ok = LocalTools.resolveConnectorConfig(
+        config = Some("""{"api_key":"secret_reference::K"}"""),
+        configSpecJsonSchema = Some(spec))
+      assert(ok.contains("secret_reference::K"))
+    } finally Secrets.resetSecretSources()
+  }
 }

@@ -58,6 +58,28 @@ class SubprocessSpec extends SparkTestBase {
     assert(malformed.getMessage.contains("connectionStatus"))
   }
 
+  test("withConfig hydrates secret references into a private config file") {
+    import graft.sources.Secrets
+    Secrets.resetSecretSources()
+    try {
+      Secrets.registerSecretManager(
+        new Secrets.EnvVarSecretManager(Map("SUB_TOKEN" -> "tok-42")))
+      val src = SubprocessSource.withConfig("cfg", catalog, Seq("/bin/true"),
+        """{"host":"h","credentials":{"token":"secret_reference::SUB_TOKEN"}}""")
+      // command gained --config <path>; the file holds the HYDRATED doc
+      val idx = src.cmd.indexOf("--config")
+      assert(idx >= 0, s"cmd must carry --config: ${src.cmd}")
+      val path = java.nio.file.Paths.get(src.cmd(idx + 1))
+      val text = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+      assert(text.contains("tok-42") && !text.contains("secret_reference"))
+      // resolved secrets on disk → owner-only permissions
+      import scala.jdk.CollectionConverters._
+      val perms = java.nio.file.Files.getPosixFilePermissions(path).asScala
+      assert(!perms.exists(_.toString.startsWith("GROUP")) &&
+        !perms.exists(_.toString.startsWith("OTHERS")), s"too-open perms: $perms")
+    } finally Secrets.resetSecretSources()
+  }
+
   test("check() survives a connector flooding stderr past the pipe buffer") {
     // >64 KiB of stderr before the status: without a drain thread the
     // child blocks on a full pipe and check() hangs forever.
