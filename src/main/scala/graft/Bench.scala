@@ -38,6 +38,17 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // host-load self-diagnosis: a contended driver host once corrupted
+    // recorded figures by 9-20x. Record 1-minute loadavg at start and
+    // end, plus the mean relative per-query spread, so a polluted run is
+    // machine-detectable from the artifact alone.
+    def loadAvg(): Double =
+      try new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+        .split("\\s+")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val loadStart = loadAvg()
+
     val names = SparkEntry.queries.keys.toSeq.sorted
     // warmup at the smallest SF: JIT, codegen cache, parquet footer reads
     names.foreach(exec(_, "/root/testdata/sf0.001"))
@@ -93,7 +104,21 @@ object Bench {
     // full per-query detail goes to a repo file for the judge
     val full = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${names.size},"n_failed":${failed.size},"repeats":$repeats,"queries":$qs,"ingest_records_per_sec":$ingestRps,"sf":"$sfDir"}"""
+    val loadEnd = loadAvg()
+    // mean of (max-min)/median over non-trivial queries: ~0.1-0.3 on a
+    // quiet host; >0.8 marks contention (r7's polluted run measured 1.17)
+    val spreadRatio: Double =
+      if (repeats <= 1) -1.0
+      else {
+        val ratios = names.flatMap { n =>
+          val xs = byQuery(n)
+          val med = median(xs)
+          if (xs.size >= 2 && med > 0.05) Some((xs.max - xs.min) / med) else None
+        }
+        if (ratios.isEmpty) -1.0 else ratios.sum / ratios.size
+      }
+    def r2(v: Double): Double = math.round(v * 100).toDouble / 100
+    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${names.size},"n_failed":${failed.size},"repeats":$repeats,"load_start":${r2(loadStart)},"load_end":${r2(loadEnd)},"spread_ratio":${r2(spreadRatio)},"queries":$qs,"ingest_records_per_sec":$ingestRps,"sf":"$sfDir"}"""
     try {
       val p = java.nio.file.Paths.get("BENCH_FULL.json")
       val spread =

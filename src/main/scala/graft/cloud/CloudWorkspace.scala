@@ -52,7 +52,10 @@ final case class JobInfo(
     status: JobStatus,
     recordsSynced: Long,
     bytesSynced: Long,
-    attempts: Seq[AttemptInfo])
+    attempts: Seq[AttemptInfo],
+    /** Job start wall-clock (reference `SyncResult.start_time`) — the
+      * history dashboards bucket and label jobs by it. */
+    startTimeMs: Long = 0L)
 
 final case class ConnectionInfo(
     connectionId: String,
@@ -95,6 +98,11 @@ final class ConnectionSyncError(
 trait WorkspaceApi {
   def deploySource(name: String, source: Source): String
   def deployDestination(name: String, cache: SparkCache): String
+  /** Deploy from a destination CONFIG document (reference
+    * `deploy_destination` accepting a config dict, workspaces.py:415-444):
+    * the config converts to its equivalent cache via
+    * [[CacheDestinationBridge.destinationToCache]]. */
+  def deployDestinationConfig(name: String, configJson: String): String
   def deployConnection(
       sourceId: String, destinationId: String,
       streams: Seq[String], tablePrefix: String,
@@ -190,8 +198,18 @@ final class LocalWorkspaceApi(spark: SparkSession) extends WorkspaceApi {
     val id = nextId("src"); sources.put(id, (name, source)); id
   }
   override def deployDestination(name: String, cache: SparkCache): String = {
-    val id = nextId("dst"); destinations.put(id, (name, cache)); id
+    val id = nextId("dst"); destinations.put(id, (name, cache))
+    // reference parity: the API serves the destination's config, which
+    // for an engine-backed destination is the cache's own coordinates
+    // (cache_to_destination_configuration) — SyncResult.getSqlCache
+    // re-opens the cache from exactly this document
+    destinationConfigs.put(id, CacheDestinationBridge.destinationConfigFor(cache))
+    id
   }
+
+  override def deployDestinationConfig(name: String, configJson: String): String =
+    deployDestination(name,
+      CacheDestinationBridge.destinationToCache(spark, configJson))
   override def deployConnection(
       sourceId: String, destinationId: String,
       streams: Seq[String], tablePrefix: String,
@@ -266,7 +284,9 @@ final class LocalWorkspaceApi(spark: SparkSession) extends WorkspaceApi {
     val (_, source) = sources(conn.sourceId)
     val (_, cache) = destinations(conn.destinationId)
     val jobId = ids.incrementAndGet()
-    jobs.put(jobId, JobInfo(jobId, connectionId, JobStatus.Running, 0L, 0L, Nil))
+    val startedAt = System.currentTimeMillis()
+    jobs.put(jobId,
+      JobInfo(jobId, connectionId, JobStatus.Running, 0L, 0L, Nil, startedAt))
     try {
       val result = source.read(cache, spark, conn.streams, WriteStrategy.Auto)
       val records = result.counts.values.sum
@@ -277,13 +297,13 @@ final class LocalWorkspaceApi(spark: SparkSession) extends WorkspaceApi {
       val attempt = AttemptInfo(0, JobStatus.Succeeded, records, bytes,
         s"synced ${conn.streams.size} stream(s): ${conn.streams.mkString(", ")}")
       jobs.put(jobId, JobInfo(jobId, connectionId, JobStatus.Succeeded,
-        records, bytes, Seq(attempt)))
+        records, bytes, Seq(attempt), startedAt))
     } catch {
       case e: Exception =>
         val attempt = AttemptInfo(0, JobStatus.Failed, 0L, 0L,
           s"${e.getClass.getSimpleName}: ${e.getMessage}")
         jobs.put(jobId,
-          JobInfo(jobId, connectionId, JobStatus.Failed, 0L, 0L, Seq(attempt)))
+          JobInfo(jobId, connectionId, JobStatus.Failed, 0L, 0L, Seq(attempt), startedAt))
     }
     jobId
   }
@@ -456,6 +476,10 @@ final class CloudWorkspace(val workspaceId: String, val api: WorkspaceApi) {
     api.deploySource(name, source)
   def deployDestination(name: String, cache: SparkCache): String =
     api.deployDestination(name, cache)
+  /** Deploy from a destination config document (the reference's
+    * config-dict `deploy_destination` path). */
+  def deployDestinationConfig(name: String, configJson: String): String =
+    api.deployDestinationConfig(name, configJson)
   /** Reference `deploy_connection` (`workspaces.py:541-591`): bind a
     * deployed source to a deployed destination over selected streams. */
   def deployConnection(
@@ -774,4 +798,30 @@ final class SyncResult(api: WorkspaceApi, val connectionId: String, val jobId: L
     * stream as a lazy dataset over the destination cache. */
   def getDataset(stream: String): CachedDataset =
     new CachedDataset(api.destinationCache(connectionId), stream)
+
+  // memoized like the reference's `self._cache` (sync_results.py:423-430)
+  @volatile private var sqlCache: SparkCache = _
+
+  /**
+   * Reference `get_sql_cache` (`sync_results.py:423-430`): open the
+   * destination's data AS a cache, derived from the destination's
+   * CONFIG document through [[CacheDestinationBridge.destinationToCache]]
+   * — the config round-trip path, not the in-process handle (an HTTP
+   * `WorkspaceApi` would serve the same config; only the SparkSession
+   * comes from the engine side).
+   */
+  def getSqlCache: SparkCache = {
+    if (sqlCache == null) {
+      val destId = api.getConnection(connectionId).destinationId
+      val config = api.destinationConfig(destId).getOrElse(
+        throw new IllegalStateException(
+          s"destination '$destId' has no config document to open as a cache"))
+      sqlCache = CacheDestinationBridge.destinationToCache(
+        api.destinationCache(connectionId).spark, config)
+    }
+    sqlCache
+  }
+
+  /** Reference `get_sql_table_name` (`sync_results.py:436-438`). */
+  def getSqlTableName(stream: String): String = getSqlCache.tableName(stream)
 }

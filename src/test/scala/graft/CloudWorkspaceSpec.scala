@@ -416,6 +416,42 @@ class CloudWorkspaceSpec extends SparkTestBase {
     assert(ws2.listCustomSourceDefinitions().isEmpty)
   }
 
+  test("cache<->destination equivalence: config round-trip, deploy-by-config, getSqlCache") {
+    val ws = freshWorkspace("bridge")
+    val cache = SparkCache.fresh(spark, "graft_cloud_bridge")
+
+    // config derived from a cache round-trips to an equivalent cache
+    val config = CacheDestinationBridge.destinationConfigFor(cache)
+    assert(config.contains("\"destinationType\":\"spark\""))
+    val reopened = CacheDestinationBridge.destinationToCache(spark, config)
+    assert(reopened.database == cache.database &&
+      reopened.tablePrefix == cache.tablePrefix)
+    // schemaName override re-points the target (reference :96-101)
+    assert(CacheDestinationBridge.destinationToCache(spark, config,
+      schemaName = Some("graft_cloud_bridge_alt")).database == "graft_cloud_bridge_alt")
+    // unsupported type / missing type are loud, listing what IS supported
+    val bad = intercept[IllegalArgumentException](
+      CacheDestinationBridge.destinationToCache(spark,
+        """{"destinationType":"postgres","database":"x"}"""))
+    assert(bad.getMessage.contains("not supported") && bad.getMessage.contains("spark"))
+    intercept[IllegalArgumentException](
+      CacheDestinationBridge.destinationToCache(spark, """{"database":"x"}"""))
+
+    // deploy a destination FROM the config document, sync, read back
+    val srcId = ws.deploySource("s", usersSource(4))
+    val dstId = ws.deployDestinationConfig("warehouse", config)
+    val conn = ws.deployConnection(srcId, dstId)
+    val result = conn.runSync()
+    assert(result.recordsSynced == 4L)
+    // getSqlCache opens the destination's CONFIG as a cache: same data
+    val derived = result.getSqlCache
+    assert(derived.database == cache.database)
+    assert(derived.table("users").count() == 4L)
+    assert(result.getSqlTableName("users") == cache.tableName("users"))
+    // the API serves the equivalence config for engine destinations
+    assert(ws.api.destinationConfig(dstId).exists(_.contains("graft_cloud_bridge")))
+  }
+
   test("connection artifact MCP tool returns protocol-format state and catalog") {
     val ws = freshWorkspace("artifact")
     val srcId = ws.deploySource("s", usersSource(1))
