@@ -429,18 +429,23 @@ object InteractiveFlows {
     * (`_status_filter_controls`, :685-724): one selected category (or
     * "All") narrowing the visible connection rows. */
   final class DashboardSession(rows: Seq[ConnectionSyncStatus]) extends Session {
+    private val validCategories =
+      Set("All", "Succeeded", "Canceled", "No syncs", "Failed", "Other")
     private var filter: String = "All"
     def statusFilter: String = filter
     def setStatusFilter(category: String): this.type = {
-      val valid = Set("All", "Succeeded", "Canceled", "No syncs", "Failed", "Other")
-      require(valid(category), s"unknown status category '$category' (valid: $valid)")
+      require(validCategories(category),
+        s"unknown status category '$category' (valid: $validCategories)")
       filter = category; this
     }
     def visibleRows: Seq[ConnectionSyncStatus] =
       if (filter == "All") rows
       else rows.filter(r => statusPieCategory(r.latestStatus) == filter)
+    // A stale/foreign UI event must never crash the panel — an unknown
+    // category is a no-op, like a RowClick on a vanished CatalogSession
+    // row; only the direct setStatusFilter call validates.
     def apply(event: UiEvent): this.type = event match {
-      case SetStatusFilter(s) => setStatusFilter(s)
+      case SetStatusFilter(s) if validCategories(s) => setStatusFilter(s)
       case _ => this
     }
   }

@@ -142,6 +142,14 @@ object LocalTools {
    * config are rejected — the recommended pattern is
    * `secret_reference::ENV_VAR_NAME`. Returns the resolved (but NOT
    * hydrated) config JSON; callers hydrate at the connector boundary.
+   *
+   * The trusted-machine inputs are gated by [[TrustedExecution]]
+   * (`_arg_resolvers.py:119,165,188`): reading a local `configFile`,
+   * resolving a server-side `configSecretName`, and hydrating inline
+   * `secret_reference::` values each hard-fail when trusted execution
+   * is disabled. An already-resolved inline `config` remains available
+   * to untrusted callers (e.g. hosted cloud tools) — only the paths
+   * that touch the server's filesystem or secret store are restricted.
    */
   def resolveConnectorConfig(
       config: Option[String] = None,
@@ -151,6 +159,8 @@ object LocalTools {
     if (config.isEmpty && configFile.isEmpty && configSecretName.isEmpty) return "{}"
     var doc = "{}"
     configFile.foreach { f =>
+      TrustedExecution.requireTrusted(
+        "Reading connector config from a local file (`configFile`)")
       val p = java.nio.file.Paths.get(f)
       if (!java.nio.file.Files.exists(p))
         throw new java.io.FileNotFoundException(s"Configuration file not found: $f")
@@ -173,6 +183,9 @@ object LocalTools {
         throw new IllegalArgumentException("Parsed JSON config must be an object")
       doc = Secrets.deepUpdate(doc, node.toString)
     }
+    if (Secrets.containsSecretReference(mapper.readTree(doc)))
+      TrustedExecution.requireTrusted(
+        "Resolving inline secret references (`secret_reference::`) in connector config")
     configSpecJsonSchema.foreach { spec =>
       val hardcoded = Secrets.detectHardcodedSecrets(doc, Some(spec))
       if (hardcoded.nonEmpty)
@@ -183,6 +196,8 @@ object LocalTools {
             "`secret_reference::ENV_VAR_NAME`.")
     }
     configSecretName.foreach { secretName =>
+      TrustedExecution.requireTrusted(
+        "Resolving connector config from a server-side secret (`configSecretName`)")
       val secret = Secrets.getSecret(secretName).getOrElse(
         throw new Secrets.SecretNotFoundException(secretName))
       val node = try mapper.readTree(secret.unwrap) catch {

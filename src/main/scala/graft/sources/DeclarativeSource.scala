@@ -61,11 +61,15 @@ final class DeclarativeSource(
   import DeclarativeSource._
 
   /** Config with `secret_reference::NAME` values resolved through the
-    * registered secret managers before any use — the reference hydrates
-    * config at the connector boundary (`_connector_base.py:128,152`),
-    * so interpolation, auth headers, and fixture paths all see the
-    * actual secret values, never the reference strings. */
-  private val hydratedConfig: Map[String, String] = Secrets.hydrateConfigMap(config)
+    * registered secret managers — the reference hydrates config at the
+    * connector boundary, not at construction
+    * (`_connector_base.py:128,152`), so interpolation, auth headers,
+    * and fixture paths all see the actual secret values, never the
+    * reference strings. Lazy so a secret manager registered AFTER the
+    * source is created (the CustomSecretManager auto-register pattern)
+    * is still consulted, and an unresolvable reference fails at first
+    * read rather than at construction. */
+  private lazy val hydratedConfig: Map[String, String] = Secrets.hydrateConfigMap(config)
 
   private val manifest: JsonNode = resolveRefs(parseYaml(manifestYaml))
 

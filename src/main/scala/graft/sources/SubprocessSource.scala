@@ -32,10 +32,36 @@ final class SubprocessSource(
       * connectors use to persist refreshed tokens. Observed on every
       * consumption path (read/sync/getRecords/check), like the
       * reference's central message peek. */
-    configChangeCallback: Option[String => Unit] = None) extends Source {
+    configChangeCallback: Option[String => Unit] = None)
+  extends Source with AutoCloseable {
 
   /** Stop event: set to halt the subprocess mid-stream (ST6). */
   val stopEvent = new AtomicBoolean(false)
+
+  /** Temp files this source wrote (hydrated config, state artifacts) —
+    * they hold resolved secrets, so they must not outlive the source.
+    * Deleted by [[close]]; each is also `deleteOnExit`-registered as a
+    * JVM-exit backstop (the reference context-manages its config temp
+    * files and deletes them after the connector exits). */
+  private val ownedTempFiles =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
+
+  private[sources] def trackTempFile(p: java.nio.file.Path): java.nio.file.Path = {
+    p.toFile.deleteOnExit()
+    ownedTempFiles.add(p)
+    p
+  }
+
+  /** Delete every temp file written for this source (config files hold
+    * HYDRATED secrets — callers should close once the connector is done;
+    * `deleteOnExit` covers the paths a crash skips). */
+  override def close(): Unit = {
+    var p = ownedTempFiles.poll()
+    while (p != null) {
+      try java.nio.file.Files.deleteIfExists(p) catch { case _: Exception => }
+      p = ownedTempFiles.poll()
+    }
+  }
 
   /**
    * Drain a subprocess's stderr on a daemon thread, keeping only the
@@ -293,7 +319,7 @@ final class SubprocessSource(
     val f = java.nio.file.Files.createTempFile("graft-state", ".json")
     java.nio.file.Files.write(f,
       states.mkString("[", ",", "]").getBytes("UTF-8"))
-    f
+    trackTempFile(f)
   }
 }
 
@@ -305,8 +331,12 @@ object SubprocessSource {
    * managers first (reference `_connector_base.py:176`: the executor
    * always hands the connector a HYDRATED config; references never
    * reach the wire). The file is owner-read/write only — it holds
-   * resolved secrets. Caller appends `--config <path>` to the
-   * connector command (spec/check/discover/read all take it).
+   * resolved secrets — and is `deleteOnExit`-registered so a plaintext
+   * hydrated config never outlives the JVM even if the caller forgets
+   * to clean up. Caller appends `--config <path>` to the connector
+   * command (spec/check/discover/read all take it) and deletes the file
+   * after the connector exits ([[SubprocessSource.close]] does this for
+   * `withConfig`-built sources).
    */
   def writeHydratedConfig(configJson: String): java.nio.file.Path = {
     import java.nio.file.attribute.PosixFilePermissions
@@ -315,6 +345,7 @@ object SubprocessSource {
       "graft-config", ".json",
       PosixFilePermissions.asFileAttribute(
         PosixFilePermissions.fromString("rw-------")))
+    f.toFile.deleteOnExit()
     java.nio.file.Files.write(f, hydrated.getBytes("UTF-8"))
     f
   }
@@ -328,8 +359,10 @@ object SubprocessSource {
       configJson: String,
       configChangeCallback: Option[String => Unit] = None): SubprocessSource = {
     val path = writeHydratedConfig(configJson)
-    new SubprocessSource(name, catalog,
+    val src = new SubprocessSource(name, catalog,
       baseCmd ++ Seq("--config", path.toString),
       configChangeCallback = configChangeCallback)
+    src.trackTempFile(path)
+    src
   }
 }

@@ -154,22 +154,26 @@ class DeclarativeSourceSpec extends SparkTestBase {
     stageFixtures(root)
     Secrets.resetSecretSources()
     try {
-      Secrets.registerSecretManager(
-        new Secrets.EnvVarSecretManager(Map("TENANT_NAME" -> "acme")))
       // the config value is a reference, not the tenant name — the
-      // source must hydrate it before {{ config['tenant'] }} resolves
+      // source must hydrate it before {{ config['tenant'] }} resolves.
+      // Hydration is LATE-BOUND (the reference hydrates when the config
+      // is used, _connector_base.py:128): the source is constructed
+      // BEFORE its secret manager registers, and still resolves.
       val src = new DeclarativeSource("source-secret", manifest,
         config = Map("tenant" -> "secret_reference::TENANT_NAME"),
         fixtureRoot = Some(root))
+      Secrets.registerSecretManager(
+        new Secrets.EnvVarSecretManager(Map("TENANT_NAME" -> "acme")))
       src.check()
       val cache = SparkCache.fresh(spark, "graft_test_decl_secret")
       val result = src.read(cache, spark, streams = Seq("users"))
       assert(result.counts("users") == 3L)
-      // an unresolvable reference fails at construction, naming the secret
-      val missing = intercept[Secrets.SecretNotFoundException](
-        new DeclarativeSource("bad", manifest,
-          config = Map("tenant" -> "secret_reference::NO_SUCH"),
-          fixtureRoot = Some(root)))
+      // an unresolvable reference constructs fine but fails at first
+      // use (the connector boundary), naming the secret
+      val bad = new DeclarativeSource("bad", manifest,
+        config = Map("tenant" -> "secret_reference::NO_SUCH"),
+        fixtureRoot = Some(root))
+      val missing = intercept[Secrets.SecretNotFoundException](bad.check())
       assert(missing.secretName == "NO_SUCH")
     } finally Secrets.resetSecretSources()
   }

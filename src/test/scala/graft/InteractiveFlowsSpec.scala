@@ -235,6 +235,12 @@ class InteractiveFlowsSpec extends SparkTestBase {
     s(SetStatusFilter("No syncs"))
     assert(s.visibleRows.map(_.connectionId) == Seq(idle.connectionId))
     intercept[IllegalArgumentException](s.setStatusFilter("Broken"))
+    // ...but a stale/foreign UI EVENT with an unknown category is a
+    // no-op (like a RowClick on a vanished CatalogSession row): the
+    // panel keeps its current filter instead of crashing
+    s(SetStatusFilter("Broken"))
+    assert(s.statusFilter == "No syncs" &&
+      s.visibleRows.map(_.connectionId) == Seq(idle.connectionId))
     s(SetStatusFilter("All"))
     assert(s.visibleRows.size == 3)
 

@@ -231,10 +231,59 @@ class RegistrySecretsSpec extends AnyFunSuite {
     } finally Secrets.resetSecretSources()
   }
 
+  /** Run `body` with the MCP trusted-execution gate forced on/off. */
+  private def withTrustedExecution[T](enabled: Boolean)(body: => T): T = {
+    import graft.mcp.TrustedExecution
+    val prev = TrustedExecution.envReader
+    TrustedExecution.envReader =
+      name => if (name == TrustedExecution.EnvVar && enabled) Some("true") else None
+    try body finally TrustedExecution.envReader = prev
+  }
+
+  test("resolveConnectorConfig: trusted-execution gate on filesystem/secret paths") {
+    import graft.mcp.{LocalTools, TrustedExecution}
+    Secrets.resetSecretSources()
+    try {
+      val f = Files.createTempFile("graft-cfg", ".json")
+      Files.write(f, """{"host":"h1"}""".getBytes)
+      Secrets.registerSecretManager(new Secrets.EnvVarSecretManager(Map(
+        "CFG_SECRET" -> """{"token":"t"}""")))
+      withTrustedExecution(enabled = false) {
+        assert(!TrustedExecution.isEnabled)
+        // the three trusted-machine inputs hard-fail when the gate is off
+        // (_arg_resolvers.py:119,165,188 via _guards.py)
+        val e1 = intercept[TrustedExecution.TrustedExecutionRequiredException](
+          LocalTools.resolveConnectorConfig(configFile = Some(f.toString)))
+        assert(e1.getMessage.contains(TrustedExecution.EnvVar))
+        intercept[TrustedExecution.TrustedExecutionRequiredException](
+          LocalTools.resolveConnectorConfig(configSecretName = Some("CFG_SECRET")))
+        intercept[TrustedExecution.TrustedExecutionRequiredException](
+          LocalTools.resolveConnectorConfig(
+            config = Some("""{"k":"secret_reference::CFG_SECRET"}""")))
+        // an already-resolved inline config stays available to untrusted
+        // callers (hosted transports pass resolved configs)
+        val ok = LocalTools.resolveConnectorConfig(config = Some("""{"host":"h9"}"""))
+        assert(Secrets.mapper.readTree(ok).get("host").asText() == "h9")
+      }
+      // truthy parsing: 1/true/yes case-insensitive, anything else off
+      for (v <- Seq("1", "true", "YES", " Yes ")) {
+        TrustedExecution.envReader =
+          n => if (n == TrustedExecution.EnvVar) Some(v) else None
+        assert(TrustedExecution.isEnabled, s"expected '$v' to enable")
+      }
+      for (v <- Seq("0", "false", "no", "", "on")) {
+        TrustedExecution.envReader =
+          n => if (n == TrustedExecution.EnvVar) Some(v) else None
+        assert(!TrustedExecution.isEnabled, s"expected '$v' to disable")
+      }
+      TrustedExecution.envReader = n => sys.env.get(n)
+    } finally Secrets.resetSecretSources()
+  }
+
   test("resolveConnectorConfig: file + inline + secret-name merge, hardcoded rejection") {
     import graft.mcp.LocalTools
     Secrets.resetSecretSources()
-    try {
+    withTrustedExecution(enabled = true) { try {
       val f = Files.createTempFile("graft-cfg", ".json")
       Files.write(f, """{"host":"h1","nest":{"a":1,"b":2}}""".getBytes)
       Secrets.registerSecretManager(new Secrets.EnvVarSecretManager(Map(
@@ -266,6 +315,6 @@ class RegistrySecretsSpec extends AnyFunSuite {
         config = Some("""{"api_key":"secret_reference::K"}"""),
         configSpecJsonSchema = Some(spec))
       assert(ok.contains("secret_reference::K"))
-    } finally Secrets.resetSecretSources()
+    } finally Secrets.resetSecretSources() }
   }
 }

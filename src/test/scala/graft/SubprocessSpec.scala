@@ -77,6 +77,11 @@ class SubprocessSpec extends SparkTestBase {
       val perms = java.nio.file.Files.getPosixFilePermissions(path).asScala
       assert(!perms.exists(_.toString.startsWith("GROUP")) &&
         !perms.exists(_.toString.startsWith("OTHERS")), s"too-open perms: $perms")
+      // the hydrated config holds plaintext secrets — close() must
+      // remove it so credentials don't accumulate in /tmp
+      src.close()
+      assert(!java.nio.file.Files.exists(path), "close() must delete the hydrated config")
+      src.close() // idempotent
     } finally Secrets.resetSecretSources()
   }
 
