@@ -335,18 +335,33 @@ object CorpusQueries {
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))))
       .join(szs, "doc_id")
       .filter(col("rn") <= expr("sz div 2 + 1"))
-      .select(col("doc_id"), col("tok"), col("sz"))
+      .select(col("doc_id"), col("tok"), col("sz"), col("rn"))
     // AllPairs length filter: J ≥ ½ forces min(|a|,|b|)·2 ≥ max(|a|,|b|) —
     // prunes candidates before the (wider) verification joins; the
-    // surviving-pair set is unchanged, so the oracle needs no mirror
-    // distinct BEFORE verification: a pair colliding on several prefix
-    // tokens must count its intersection once, and dedup here also keeps
-    // the expansion join below proportional to UNIQUE candidates.
+    // surviving-pair set is unchanged, so the oracle needs no mirror.
+    //
+    // PPJoin positional filter (Xiao et al., WWW 2008 §3.2): the pair's
+    // FIRST common token t0 (rarity order) is provably inside BOTH
+    // prefixes — if it sat past a's prefix, a would hold ≥ prefix-length
+    // non-shared tokens and the overlap couldn't reach ⌈(|a|+|b|)/3⌉.
+    // All a-tokens before t0 and all b-tokens before t0 are non-shared,
+    // so overlap ≤ 1 + min(|a|−pa, |b|−pb) with (pa, pb) = t0's 1-based
+    // ranks. Positions are monotone in the shared global order, so
+    // min(pa) and min(pb) over a pair's collisions BOTH belong to t0 —
+    // the groupBy below (same shuffle the old `.distinct()` spent)
+    // recovers them exactly, and the bound prunes candidates whose
+    // best-case overlap already misses the τ=½ threshold before they
+    // reach the verification joins. A qualifying pair always survives:
+    // its true intersection i obeys i ≤ the bound and 3·i ≥ |a|+|b|.
     val cand = pref.as("a").join(pref.as("b"), Seq("tok"))
       .filter(col("a.doc_id") < col("b.doc_id") &&
         col("a.sz") * 2 >= col("b.sz") && col("b.sz") * 2 >= col("a.sz"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .distinct()
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(min(col("a.rn")).as("pa"), min(col("b.rn")).as("pb"),
+        min(col("a.sz")).as("csza"), min(col("b.sz")).as("cszb"))
+      .filter((lit(1) + least(col("csza") - col("pa"), col("cszb") - col("pb"))) * 3 >=
+        col("csza") + col("cszb"))
+      .select(col("da"), col("db"))
     // verification: relational intersection count — cand ⋈ toks(da) ⋈
     // toks(db, tok), groupBy pair. Work is Σ_pairs |set(da)| expansion
     // rows plus one co-shuffled join on (db, tok); everything stays
