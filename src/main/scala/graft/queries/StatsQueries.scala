@@ -437,4 +437,166 @@ object StatsQueries {
       |  n_null_props * 1000 // n AS day_permille,
       |  abs(n_null_props * 1000 // n - tnull * 1000 // tn) > 20 AS drifted
       |FROM daily CROSS JOIN corpus""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q186: exact two-sample Kolmogorov–Smirnov drift test — each event
+  // type's value distribution vs the 'view' baseline, D = sup_x
+  // |F_t(x) − F_base(x)|. Values carry ≤2 decimals, so ×100 round-trips
+  // to exact integers and the statistic is computed as an INTEGER
+  // numerator max|cum_t·n_base − cum_base·n_t| (cross-multiplied CDFs —
+  // no float comparison decides the max), divided once at the end.
+  //
+  // 100 TB shape: the corpus collapses to (type, value-point) counts in
+  // one map-side-combined agg; everything after is value-domain-sized,
+  // not corpus-sized. The CDF prefix-sum deliberately avoids the
+  // single-partition trap of an unpartitioned ordered window via the
+  // two-level idiom: per-(pair, bucket) subtotals get a per-pair
+  // running offset (window over ≤ domain/W bucket rows), broadcast
+  // back, and the within-bucket cumsum windows over ≤ W value-points
+  // per partition — both window inputs are bounded by the VALUE DOMAIN
+  // regardless of row count. The baseline fans out via a broadcast of
+  // the (tiny, data-derived) non-baseline type list.
+  // ------------------------------------------------------------------
+  def q186KsDrift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), round(col("value") * 100).cast(LongType).as("v"))
+    val pts = ev.groupBy(col("event_type"), col("v")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // reused: own side, baseline fan-out, type list
+    val others = pts.select(col("event_type")).distinct()
+      .filter(col("event_type") =!= "view")
+    val tagged = pts.filter(col("event_type") =!= "view")
+      .select(col("event_type"), col("v"), col("cnt").as("c1"), lit(0L).as("c0"))
+      .unionByName(pts.filter(col("event_type") === "view")
+        .select(col("v"), col("cnt"))
+        .crossJoin(broadcast(others))
+        .select(col("event_type"), col("v"), lit(0L).as("c1"), col("cnt").as("c0")))
+    val merged = tagged.groupBy(col("event_type"), col("v"))
+      .agg(sum(col("c1")).as("c1"), sum(col("c0")).as("c0"))
+      .withColumn("b", expr("v div 1024"))
+      .localCheckpoint() // reused: bucket subtotals, cumsum, pair totals
+    val bucketTot = merged.groupBy(col("event_type"), col("b"))
+      .agg(sum(col("c1")).as("bs1"), sum(col("c0")).as("bs0"))
+    val wOff = Window.partitionBy(col("event_type")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketTot.select(col("event_type"), col("b"),
+      coalesce(sum(col("bs1")).over(wOff), lit(0L)).as("off1"),
+      coalesce(sum(col("bs0")).over(wOff), lit(0L)).as("off0"))
+    val wIn = Window.partitionBy(col("event_type"), col("b")).orderBy(col("v"))
+    val cum = merged.join(broadcast(offsets), Seq("event_type", "b"))
+      .select(col("event_type"), col("v"),
+        (col("off1") + sum(col("c1")).over(wIn)).as("cum1"),
+        (col("off0") + sum(col("c0")).over(wIn)).as("cum0"))
+    val tot = merged.groupBy(col("event_type"))
+      .agg(sum(col("c1")).as("n"), sum(col("c0")).as("n_base"))
+    cum.join(broadcast(tot), "event_type")
+      .groupBy(col("event_type"), col("n"), col("n_base"))
+      .agg(max(abs(col("cum1") * col("n_base") - col("cum0") * col("n"))).as("d_num"))
+      .select(col("event_type"), col("n"), col("n_base"), col("d_num"),
+        round(col("d_num").cast(DoubleType) /
+          (col("n") * col("n_base")).cast(DoubleType), 6).as("d_stat"))
+  }
+
+  val q186Sql: String =
+    """WITH ev AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v FROM events),
+      |pts AS (SELECT event_type, v, COUNT(*) AS cnt FROM ev GROUP BY 1, 2),
+      |others AS (SELECT DISTINCT event_type FROM pts WHERE event_type <> 'view'),
+      |tagged AS (
+      |  SELECT event_type, v, cnt AS c1, 0 AS c0 FROM pts WHERE event_type <> 'view'
+      |  UNION ALL
+      |  SELECT o.event_type, p.v, 0 AS c1, p.cnt AS c0
+      |  FROM pts p CROSS JOIN others o WHERE p.event_type = 'view'),
+      |merged AS (
+      |  SELECT event_type, v, CAST(SUM(c1) AS BIGINT) AS c1,
+      |    CAST(SUM(c0) AS BIGINT) AS c0
+      |  FROM tagged GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT event_type, v,
+      |    CAST(SUM(c1) OVER (PARTITION BY event_type ORDER BY v) AS BIGINT) AS cum1,
+      |    CAST(SUM(c0) OVER (PARTITION BY event_type ORDER BY v) AS BIGINT) AS cum0
+      |  FROM merged),
+      |tot AS (
+      |  SELECT event_type, CAST(SUM(c1) AS BIGINT) AS n,
+      |    CAST(SUM(c0) AS BIGINT) AS n_base
+      |  FROM merged GROUP BY 1)
+      |SELECT c.event_type, t.n, t.n_base,
+      |  CAST(MAX(abs(cum1 * t.n_base - cum0 * t.n)) AS BIGINT) AS d_num,
+      |  round(CAST(MAX(abs(cum1 * t.n_base - cum0 * t.n)) AS DOUBLE)
+      |        / CAST(t.n * t.n_base AS DOUBLE), 6) AS d_stat
+      |FROM cum c JOIN tot t ON c.event_type = t.event_type
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q188: inter-annotator agreement — Cohen's κ per language between
+  // two deterministic document annotators (label-noise assessment for
+  // curation-filter ensembles; Cohen 1960). Annotator A is a length
+  // gate (≥ 10 whitespace tokens), annotator B a stopword-density gate
+  // (5·hits ≥ tokens, i.e. ratio ≥ 0.2) — both integer predicates, so
+  // the confusion matrix is exact in both engines. κ itself is the
+  // only float step: po = (n11+n00)/n, pe = pA·pB + (1−pA)(1−pB),
+  // κ = (po − pe)/(1 − pe), written with identical IEEE structure in
+  // SQL, null when pe = 1 (degenerate marginals).
+  //
+  // 100 TB: a zero-shuffle per-row kernel feeding ONE partial-agg
+  // pass — the per-lang confusion counts combine map-side, so the
+  // exchange moves ~|langs| rows. Same shape as q56's moment pass.
+  // ------------------------------------------------------------------
+  def q188AnnotatorAgreement(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    val nTok = TextAnalysis.tokenCount(col("text")).cast(LongType)
+    val sw = TextAnalysis.markerHits(col("text"), LlmQueries.Stopwords).cast(LongType)
+    val a = when(nTok >= 10L, 1L).otherwise(0L)
+    val b = when(sw * 5L >= nTok, 1L).otherwise(0L)
+    val counts = Tables.documents(spark, dir)
+      .select(col("lang"), a.as("a"), b.as("b"))
+      .groupBy(col("lang")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("a") * col("b")).as("n11"),
+        sum(col("a") * (lit(1L) - col("b"))).as("n10"),
+        sum((lit(1L) - col("a")) * col("b")).as("n01"),
+        sum((lit(1L) - col("a")) * (lit(1L) - col("b"))).as("n00"))
+    val n = col("n_docs").cast(DoubleType)
+    val po = (col("n11") + col("n00")).cast(DoubleType) / n
+    val pA = (col("n11") + col("n10")).cast(DoubleType) / n
+    val pB = (col("n11") + col("n01")).cast(DoubleType) / n
+    val pe = pA * pB + (lit(1.0d) - pA) * (lit(1.0d) - pB)
+    counts.select(
+      col("lang"), col("n_docs"), col("n11"), col("n10"), col("n01"), col("n00"),
+      when(lit(1.0d) - pe =!= 0.0d,
+        round((po - pe) / (lit(1.0d) - pe), 6)).as("kappa"))
+  }
+
+  val q188Sql: String = {
+    val sw = LlmQueries.Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH lab AS (
+       |  SELECT lang,
+       |    CASE WHEN len(string_split(text, ' ')) >= 10 THEN 1 ELSE 0 END AS a,
+       |    CASE WHEN len(list_filter(string_split(text, ' '), w -> w IN ($sw))) * 5
+       |              >= len(string_split(text, ' ')) THEN 1 ELSE 0 END AS b
+       |  FROM documents),
+       |cm AS (
+       |  SELECT lang, COUNT(*) AS n_docs,
+       |    CAST(SUM(a * b) AS BIGINT) AS n11,
+       |    CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+       |    CAST(SUM((1 - a) * b) AS BIGINT) AS n01,
+       |    CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00
+       |  FROM lab GROUP BY lang)
+       |SELECT lang, n_docs, n11, n10, n01, n00,
+       |  CASE WHEN 1.0 - ((CAST(n11 + n10 AS DOUBLE) / CAST(n_docs AS DOUBLE))
+       |                     * (CAST(n11 + n01 AS DOUBLE) / CAST(n_docs AS DOUBLE))
+       |                   + (1.0 - CAST(n11 + n10 AS DOUBLE) / CAST(n_docs AS DOUBLE))
+       |                     * (1.0 - CAST(n11 + n01 AS DOUBLE) / CAST(n_docs AS DOUBLE))) <> 0.0
+       |  THEN round(((CAST(n11 + n00 AS DOUBLE) / CAST(n_docs AS DOUBLE))
+       |              - ((CAST(n11 + n10 AS DOUBLE) / CAST(n_docs AS DOUBLE))
+       |                   * (CAST(n11 + n01 AS DOUBLE) / CAST(n_docs AS DOUBLE))
+       |                 + (1.0 - CAST(n11 + n10 AS DOUBLE) / CAST(n_docs AS DOUBLE))
+       |                   * (1.0 - CAST(n11 + n01 AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+       |             / (1.0 - ((CAST(n11 + n10 AS DOUBLE) / CAST(n_docs AS DOUBLE))
+       |                   * (CAST(n11 + n01 AS DOUBLE) / CAST(n_docs AS DOUBLE))
+       |                 + (1.0 - CAST(n11 + n10 AS DOUBLE) / CAST(n_docs AS DOUBLE))
+       |                   * (1.0 - CAST(n11 + n01 AS DOUBLE) / CAST(n_docs AS DOUBLE)))), 6)
+       |  ELSE NULL END AS kappa
+       |FROM cm""".stripMargin
+  }
 }

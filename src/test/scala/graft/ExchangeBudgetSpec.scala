@@ -279,6 +279,15 @@ class ExchangeBudgetSpec extends SparkTestBase {
     "q182_script_mix"     -> 0,  // decorate→count→classify is one
                                  // per-row regex kernel chain
     "q183_calibration"    -> 1,  // one hash-agg on the score decile
+    "q186_ks_drift"       -> 5,  // value-point + merged-pair aggs sit
+                                 // behind checkpoints; visible: bucket
+                                 // subtotals, per-pair offset window,
+                                 // within-bucket cumsum window, pair
+                                 // totals, final max tally — all
+                                 // value-domain-sized inputs
+    "q188_annotator_agreement" -> 1, // per-row label kernels feeding one
+                                 // map-side-combined per-lang confusion
+                                 // agg; κ math on the tiny grouped rows
     "q134_decontaminate"  -> 5)  // content-class collapses sit behind
                                  // their checkpoints (one map-side-
                                  // combined groupBy per side — the
