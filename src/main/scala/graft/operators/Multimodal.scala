@@ -117,6 +117,55 @@ object Multimodal {
       }
   }
 
+  final case class VideoFeatures(
+      media_id: Long, brand: Option[String], timescale: Option[Long],
+      duration_ticks: Option[Long], duration_ms: Option[Long],
+      n_tracks: Option[Int], handler: Option[String], mdat_bytes: Option[Long])
+
+  /** Synthesize a canonical ISO-BMFF (MP4) container per row from a
+    * text payload (payload bytes stand in for the mdat media stream):
+    * the video analog of [[synthWav]] — the CONTAINER is real
+    * ([[Mp4Headers.buildMp4]], ftyp/moov/mvhd/trak/mdia/hdlr/mdat) and
+    * round-trips through the recursive box parser. Timescale, duration
+    * ticks, and the track handler type derive deterministically from
+    * the id; every 5th file writes its mdat in the 64-bit largesize
+    * form so the largesize path is exercised in-corpus. */
+  def synthMp4(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    implicit val enc: Encoder[MediaRecord] = Encoders.product[MediaRecord]
+    df.select(col(idCol).cast(LongType), col(payloadCol))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
+      .mapPartitions { rows =>
+        rows.map { case (id, p) =>
+          val data = p.getBytes("UTF-8")
+          val mp4 = Mp4Headers.buildMp4(
+            data,
+            timescale = Seq(600, 1000, 12288, 44100)((id % 4).toInt),
+            durationTicks = data.length.toLong * 25 + id % 7,
+            handler = if (id % 3 == 0) "soun" else "vide",
+            largeMdat = id % 5 == 0)
+          MediaRecord(id, mp4, "video/mp4", mp4.length.toLong)
+        }
+      }.toDF()
+  }
+
+  /** Video-container metadata extraction — same partition-streamed
+    * shape as [[extractAudioFeatures]], with the real recursive box
+    * walk; non-BMFF payloads report all-null metadata, never a fake. */
+  def extractVideoFeatures(media: DataFrame): Dataset[VideoFeatures] = {
+    implicit val enc: Encoder[VideoFeatures] = Encoders.product[VideoFeatures]
+    media.select("media_id", "content", "mime_type", "n_bytes")
+      .as(Encoders.product[MediaRecord])
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val meta = Mp4Headers.parse(r.content)
+          VideoFeatures(r.media_id, meta.map(_.brand), meta.map(_.timescale),
+            meta.map(_.durationTicks), meta.map(_.durationMs),
+            meta.map(_.nTracks), meta.flatMap(_.handlers.headOption),
+            meta.map(_.mdatBytes))
+        }
+      }
+  }
+
   // ----------------------------------------------------------------
   // REAL pixel/sample decode paths (ImageCodec / AudioHeaders.pcm16).
   // The synth builders write genuine binary containers from a

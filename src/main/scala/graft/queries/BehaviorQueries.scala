@@ -327,4 +327,116 @@ object BehaviorQueries {
           1).otherwise(0)).over(w))
       .drop("prev_ts")
   }
+
+  // ------------------------------------------------------------------
+  // q185: Bradley–Terry preference ranking — the RLHF-data operator
+  // that turns logged pairwise outcomes into per-item strengths
+  // (Bradley & Terry 1952; minorization-maximization per Hunter 2004,
+  // Ann. Statist. 32(1) §1: s_i ← W_i / Σ_j n_ij/(s_i+s_j)).
+  //
+  // Duels derive from the event log: consecutive events of one user
+  // (ts, event_id order) duel their event types; the larger value wins
+  // (ties → the earlier event). The corpus stage is one per-user lead()
+  // window plus a map-side-combined (winner, loser) count — the only
+  // corpus-sized work. The win matrix is ≤ |types|² rows (DIMENSION-
+  // sized, independent of corpus scale), so the MM iterations run on
+  // the driver — the same collect-the-dimension-side pattern as the
+  // compiled ANN kernels — in EXACT BigInt nano-unit arithmetic
+  // (floor divisions only, no float order-dependence), 5 iterations,
+  // renormalized each round to Σs = |types|·1e9. The oracle replays
+  // the identical integer trajectory as one CTE block per iteration
+  // (HUGEINT floor division), so strengths compare as exact integers.
+  // ------------------------------------------------------------------
+  def q185BradleyTerry(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val duel = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("a"),
+        round(col("value") * 100).cast(LongType).as("v"))
+      .withColumn("b", lead(col("a"), 1).over(w))
+      .withColumn("vb", lead(col("v"), 1).over(w))
+      .filter(col("b").isNotNull && col("a") =!= col("b"))
+    val wins = duel.select(
+        when(col("v") >= col("vb"), col("a")).otherwise(col("b")).as("winner"),
+        when(col("v") >= col("vb"), col("b")).otherwise(col("a")).as("loser"))
+      .groupBy(col("winner"), col("loser")).agg(count(lit(1)).as("w"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    // ---- driver-side MM on the dimension-sized matrix ----
+    val types = wins.keys.flatMap(k => Seq(k._1, k._2)).toSeq.distinct.sorted
+    val nPair: Map[(String, String), Long] = (for {
+      i <- types; j <- types if i != j
+      n = wins.getOrElse((i, j), 0L) + wins.getOrElse((j, i), 0L) if n > 0
+    } yield (i, j) -> n).toMap
+    val wTot: Map[String, Long] =
+      types.map(i => i -> wins.collect { case ((a, _), c) if a == i => c }.sum).toMap
+    val nGames: Map[String, Long] =
+      types.map(i => i -> nPair.collect { case ((a, _), c) if a == i => c }.sum).toMap
+    val E27 = BigInt(10).pow(27)
+    val E9 = BigInt(1000000000L)
+    var s: Map[String, BigInt] = types.map(_ -> E9).toMap
+    for (_ <- 1 to 5) {
+      val raw = types.map { i =>
+        val den = types.collect { case j if nPair.contains((i, j)) =>
+          (BigInt(nPair((i, j))) * E27) / (s(i) + s(j)) }.sum
+        i -> (if (den > 0) (BigInt(wTot(i)) * E27) / den else BigInt(0))
+      }.toMap
+      val tot = raw.values.sum
+      s = types.map(i => i -> (raw(i) * types.size * E9) / tot).toMap
+    }
+    val spark2 = spark
+    import spark2.implicits._
+    types.map(i => (i, wTot(i), nGames(i), s(i).toLong))
+      .toDF("event_type", "n_wins", "n_games", "strength_nano")
+      .withColumn("strength",
+        round(col("strength_nano").cast(DoubleType) / 1000000000d, 6))
+  }
+
+  val q185Sql: String = {
+    val h = "CAST('1000000000000000000000000000' AS HUGEINT)"
+    val iters = (1 to 5).map { k =>
+      s"""den$k AS MATERIALIZED (
+         |  SELECT n.i, SUM(n.n * $h // (si.s + sj.s)) AS den
+         |  FROM n JOIN s${k - 1} si ON si.t = n.i JOIN s${k - 1} sj ON sj.t = n.j
+         |  GROUP BY n.i),
+         |raw$k AS MATERIALIZED (
+         |  SELECT w.i AS t,
+         |    CASE WHEN d.den > 0 THEN CAST(w.wi AS HUGEINT) * $h // d.den
+         |         ELSE 0 END AS sraw
+         |  FROM wtot w JOIN den$k d ON d.i = w.i),
+         |s$k AS MATERIALIZED (
+         |  SELECT t, CAST(sraw * (SELECT COUNT(*) FROM raw$k) * 1000000000
+         |              // (SELECT SUM(sraw) FROM raw$k) AS BIGINT) AS s
+         |  FROM raw$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ev AS (
+       |  SELECT user_id, ts, event_id, event_type AS a,
+       |    CAST(round(value * 100) AS BIGINT) AS v
+       |  FROM events),
+       |duel AS (
+       |  SELECT a, lead(a) OVER w AS b, v, lead(v) OVER w AS vb
+       |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |games AS (
+       |  SELECT CASE WHEN v >= vb THEN a ELSE b END AS winner,
+       |         CASE WHEN v >= vb THEN b ELSE a END AS loser
+       |  FROM duel WHERE b IS NOT NULL AND a <> b),
+       |wins AS MATERIALIZED (SELECT winner, loser, COUNT(*) AS w FROM games GROUP BY 1, 2),
+       |types AS MATERIALIZED (SELECT winner AS t FROM wins UNION SELECT loser FROM wins),
+       |n AS MATERIALIZED (
+       |  SELECT i, j, CAST(SUM(w) AS BIGINT) AS n FROM (
+       |    SELECT winner AS i, loser AS j, w FROM wins
+       |    UNION ALL SELECT loser AS i, winner AS j, w FROM wins)
+       |  GROUP BY 1, 2),
+       |wtot AS MATERIALIZED (
+       |  SELECT t.t AS i, CAST(COALESCE(SUM(w.w), 0) AS BIGINT) AS wi
+       |  FROM types t LEFT JOIN wins w ON w.winner = t.t GROUP BY 1),
+       |s0 AS MATERIALIZED (SELECT t, CAST(1000000000 AS BIGINT) AS s FROM types),
+       |$iters
+       |SELECT t.t AS event_type, w.wi AS n_wins, g.ng AS n_games,
+       |  s5.s AS strength_nano,
+       |  round(CAST(s5.s AS DOUBLE) / 1000000000, 6) AS strength
+       |FROM types t
+       |JOIN wtot w ON w.i = t.t
+       |JOIN (SELECT i, CAST(SUM(n) AS BIGINT) AS ng FROM n GROUP BY 1) g ON g.i = t.t
+       |JOIN s5 ON s5.t = t.t""".stripMargin
+  }
 }

@@ -401,6 +401,47 @@ object MediaQueries {
       |  ON a.doc_id % 30 = b.doc_id % 30 AND a.doc_id < b.doc_id
       |WHERE a.doc_id < 210 AND b.doc_id < 210""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q187: video-container metadata curation — build a REAL ISO-BMFF
+  // (MP4) file per document ([[graft.operators.Mp4Headers.buildMp4]]:
+  // ftyp/moov/mvhd/trak/mdia/hdlr/mdat, every 5th file using the
+  // 64-bit largesize mdat form), parse it back through the recursive
+  // box walk, and aggregate per (handler, timescale) — the
+  // duration/track profile a video corpus is triaged by BEFORE any
+  // frame decode. The oracle restates the construction arithmetic
+  // (timescale table, duration ticks, integer ms division), so the
+  // whole build→parse→aggregate loop is correctness-gated, including
+  // the largesize and container-recursion paths.
+  //
+  // 100 TB: per-row kernels (build+parse never leave the partition)
+  // feeding one map-side-combined hash-agg — the q148 shape.
+  // ------------------------------------------------------------------
+  def q187VideoMeta(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.synthMp4(
+      Tables.documents(spark, dir), "doc_id", "text")
+    Multimodal.extractVideoFeatures(media).toDF()
+      .groupBy(col("handler"), col("timescale"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("n_tracks").cast(LongType)).as("sum_tracks"),
+        sum(col("duration_ms")).as("sum_duration_ms"),
+        sum(col("mdat_bytes")).as("sum_mdat_bytes"))
+  }
+
+  val q187Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, octet_length(encode(text)) AS len,
+      |    CASE doc_id % 4 WHEN 0 THEN 600 WHEN 1 THEN 1000
+      |         WHEN 2 THEN 12288 ELSE 44100 END AS tscale,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'soun' ELSE 'vide' END AS handler,
+      |    octet_length(encode(text)) * 25 + doc_id % 7 AS dur
+      |  FROM documents)
+      |SELECT handler, CAST(tscale AS BIGINT) AS timescale,
+      |  COUNT(*) AS n_files,
+      |  CAST(COUNT(*) AS BIGINT) AS sum_tracks,
+      |  CAST(SUM(dur * 1000 // tscale) AS BIGINT) AS sum_duration_ms,
+      |  CAST(SUM(len) AS BIGINT) AS sum_mdat_bytes
+      |FROM d GROUP BY 1, 2""".stripMargin
+
   val q168Sql: String =
     """WITH d AS (
       |  SELECT doc_id, CAST(1024 + (doc_id % 4) * 256 AS INT) AS n

@@ -279,6 +279,9 @@ class ExchangeBudgetSpec extends SparkTestBase {
     "q182_script_mix"     -> 0,  // decorate→count→classify is one
                                  // per-row regex kernel chain
     "q183_calibration"    -> 1,  // one hash-agg on the score decile
+    "q187_video_meta"     -> 1,  // per-row mp4 build+parse kernels
+                                 // feeding one map-side-combined
+                                 // (handler, timescale) hash-agg
     "q186_ks_drift"       -> 5,  // value-point + merged-pair aggs sit
                                  // behind checkpoints; visible: bucket
                                  // subtotals, per-pair offset window,
