@@ -32,6 +32,16 @@ import graft.sources.{Destination, ReadResult, Secrets, Source}
  * | describe_default_cache (:739)    | describeDefaultCache           |
  * | run_sql_query (:794)             | runSqlQuery (read-only guard)  |
  * | destination_smoke_test (:852)    | destinationSmokeTest           |
+ *
+ * Trusted-machine tools carry a function-layer [[TrustedExecution]]
+ * gate at the same call sites the reference guards (`local.py:82,226,
+ * 254,719,741,818,968`): connector-config secret listing, dotenv
+ * reads, local connector execution/sync, local-cache access
+ * (list/describe/SQL), and the destination smoke tests. Pure
+ * spec-rendering helpers (schema/validation) stay ungated, matching
+ * the reference. The CLI ([[graft.tools.Cli]]) is the trusted local
+ * entry point and calls the underlying capabilities directly — the
+ * reference CLI likewise does not route through `_guards.py`.
  */
 object LocalTools {
 
@@ -212,8 +222,12 @@ object LocalTools {
   }
 
   /** Property names marked `airbyte_secret: true` in the spec —
-    * which config keys should come from a secret manager. */
+    * which config keys should come from a secret manager. Enumerating
+    * the server's secret surface is a trusted-machine capability
+    * (`local.py:226-228`). */
   def listConnectorConfigSecrets(specJson: String): Seq[String] = {
+    TrustedExecution.requireTrusted(
+      "Listing connector config secrets (`list_connector_config_secrets`)")
     val spec = mapper.readTree(specJson)
     Option(spec.get("properties")).toSeq.flatMap { props =>
       props.fields().asScala
@@ -222,42 +236,66 @@ object LocalTools {
     }.sorted
   }
 
-  /** Dotenv file → declared variable NAMES (values never returned). */
-  def listDotenvSecrets(dotenvPaths: Seq[String] = Seq(".env")): Map[String, Seq[String]] =
+  /** Dotenv file → declared variable NAMES (values never returned).
+    * Reads the server's local filesystem, so gated (`local.py:254`). */
+  def listDotenvSecrets(dotenvPaths: Seq[String] = Seq(".env")): Map[String, Seq[String]] = {
+    TrustedExecution.requireTrusted(
+      "Listing dotenv secret names (`list_dotenv_secrets`)")
     dotenvPaths.map { p =>
       p -> new Secrets.DotenvSecretManager(p).listSecretNames
     }.toMap
+  }
 
   // ---- cache ------------------------------------------------------
 
+  /** Local connector execution + local cache write — gated like the
+    * reference's `_get_mcp_source` path (`local.py:82`). */
   def syncSourceToCache(
       cache: SparkCache, spark: SparkSession, source: Source,
       streams: Seq[String] = Nil,
-      strategy: WriteStrategy = WriteStrategy.Auto): ReadResult =
+      strategy: WriteStrategy = WriteStrategy.Auto): ReadResult = {
+    TrustedExecution.requireTrusted(
+      "Local connector execution (`sync_source_to_cache`)")
     source.read(cache, spark, streams, strategy)
+  }
 
   final case class CachedStreamInfo(streamName: String, tableName: String)
 
-  def listCachedStreams(cache: SparkCache): Seq[CachedStreamInfo] =
+  def listCachedStreams(cache: SparkCache): Seq[CachedStreamInfo] = {
+    TrustedExecution.requireTrusted(
+      "Reading the local default cache (`list_cached_streams`)")
     cache.streams.sorted.map(s => CachedStreamInfo(s, cache.tableName(s)))
+  }
 
-  def describeDefaultCache(cache: SparkCache): Map[String, String] = Map(
-    "cache_type" -> "spark",
-    "database" -> cache.database,
-    "stream_count" -> cache.streams.size.toString)
+  def describeDefaultCache(cache: SparkCache): Map[String, String] = {
+    TrustedExecution.requireTrusted(
+      "Describing the local default cache (`describe_default_cache`)")
+    Map(
+      "cache_type" -> "spark",
+      "database" -> cache.database,
+      "stream_count" -> cache.streams.size.toString)
+  }
 
   /** Read-only SQL over the cache — delegates to the guard
-    * (reference `run_sql_query` + `_is_safe_sql`, local.py:753-846). */
+    * (reference `run_sql_query` + `_is_safe_sql`, local.py:753-846;
+    * gate at :818). */
   def runSqlQuery(cache: SparkCache, sql: String,
-      maxRecords: Option[Int] = Some(1000)): DataFrame =
+      maxRecords: Option[Int] = Some(1000)): DataFrame = {
+    TrustedExecution.requireTrusted(
+      "Querying the local default cache (`run_sql_query`)")
     cache.runSqlQuery(sql, maxRecords)
+  }
 
   /** Round-trip a cached stream through a destination process
-    * speaking the protocol on stdin; returns records delivered. */
+    * speaking the protocol on stdin; returns records delivered.
+    * Spawns a local process, so gated (`local.py:968`). */
   def destinationSmokeTest(
       cache: SparkCache, streamName: String, cmd: Seq[String],
-      sourceName: String = "default"): Long =
+      sourceName: String = "default"): Long = {
+    TrustedExecution.requireTrusted(
+      "Destination smoke test (`destination_smoke_test`)")
     Destination.writeToProcess(cache, streamName, sourceName, cmd)
+  }
 
   /** The reference MCP `destination_smoke_test` proper (local.py:852 →
     * `_util/destination_smoke_tests.run_destination_smoke_test`): send
@@ -270,9 +308,12 @@ object LocalTools {
       scenarios: String = "fast",
       namespaceSuffix: Option[String] = None,
       reuseNamespace: Option[String] = None,
-      skipPreflight: Boolean = false): graft.sources.SmokeTest.Result =
+      skipPreflight: Boolean = false): graft.sources.SmokeTest.Result = {
+    TrustedExecution.requireTrusted(
+      "Destination smoke test (`destination_smoke_test`)")
     graft.sources.SmokeTest.run(spark, scenarios, namespaceSuffix,
       reuseNamespace, skipPreflight = skipPreflight)
+  }
 
   /** Subprocess-destination variant: pump the smoke source's FULL
     * protocol stream (traces + records) into a destination command's
@@ -281,6 +322,8 @@ object LocalTools {
   def smokeTestToProcess(
       spark: SparkSession, cmd: Seq[String],
       scenarios: String = "fast"): Long = {
+    TrustedExecution.requireTrusted(
+      "Destination smoke test (`destination_smoke_test`)")
     val source = graft.sources.SmokeTestSource.forScenarios(scenarios)
     val pb = new ProcessBuilder(cmd: _*)
     pb.redirectErrorStream(true)

@@ -38,8 +38,12 @@ object Mp4Headers {
     * path is exercised by construction. */
   def buildMp4(data: Array[Byte], timescale: Int, durationTicks: Long,
       handler: String, largeMdat: Boolean = false): Array[Byte] = {
-    require(timescale > 0 && durationTicks >= 0 && handler.length == 4,
-      s"invalid mp4 params: timescale=$timescale dur=$durationTicks handler=$handler")
+    // version-0 mvhd/tkhd/mdhd carry u32 durations; a larger value would
+    // silently truncate to a structurally valid file with wrong metadata
+    require(timescale > 0 && durationTicks >= 0 && durationTicks <= 0xFFFFFFFFL
+        && handler.length == 4,
+      s"invalid mp4 params: timescale=$timescale dur=$durationTicks handler=$handler" +
+        " (version-0 boxes hold durations up to 2^32-1 ticks)")
     val name = "GraftHandler".getBytes("US-ASCII") :+ 0.toByte
     val hdlrSz = 8 + 4 + 4 + 4 + 12 + name.length
     val mdhdSz = 32

@@ -22,7 +22,10 @@ import graft.sources.{DeclarativeSource, SmokeTest, SmokeTestSource, Source, Sou
  * stream (validate.py:62-91's spec/check/read sequence); sync =
  * `Source.read` into a [[SparkCache]]; benchmark = the reference-shaped
  * ingest harness ([[IngestBench]]); destination smoke = protocol replay
- * into a subprocess ([[LocalTools.destinationSmokeTest]]).
+ * into a subprocess ([[graft.sources.Destination.writeToProcess]] —
+ * called directly: the CLI is the trusted local entry point and does
+ * not route through the MCP trusted-execution gate, matching the
+ * reference CLI which bypasses `mcp/_guards.py`).
  */
 object Cli {
   def main(args: Array[String]): Unit = {
@@ -96,7 +99,9 @@ object Cli {
         val streams = opts.get("streams").map(_.split(',').toSeq).getOrElse(Nil)
         val strategy = graft.protocol.WriteStrategy.fromString(
           opts.getOrElse("strategy", "auto"))
-        val result = LocalTools.syncSourceToCache(cache, spark, src, streams, strategy)
+        // direct capability call — the CLI is the trusted local entry
+        // point; the reference CLI likewise bypasses mcp/_guards.py
+        val result = src.read(cache, spark, streams, strategy)
         result.counts.toSeq.sortBy(_._1).foreach { case (s, n) =>
           println(s"[cli] synced '$s': $n records -> ${cache.tableName(s)}")
         }
@@ -140,8 +145,9 @@ object Cli {
         cache.reopen() // tables may have been written by a previous JVM
         val stream = opts.getOrElse("stream", fail("--stream is required"))
         val shellCmd = opts.getOrElse("cmd", fail("--cmd is required"))
-        val delivered = LocalTools.destinationSmokeTest(
-          cache, stream, Seq("sh", "-c", shellCmd))
+        // direct capability call (see `sync` note on CLI trust)
+        val delivered = graft.sources.Destination.writeToProcess(
+          cache, stream, "default", Seq("sh", "-c", shellCmd))
         println(s"[cli] destination-smoke-test: delivered $delivered records")
         spark.stop()
 

@@ -13,6 +13,16 @@ import graft.sources.DeclarativeSource
   * against a declarative source + cache. */
 class McpLocalToolsSpec extends SparkTestBase {
 
+  /** Enable the trusted-execution gate for `body` (restored in finally
+    * per the repo rule — a failed assertion must not leak the stub). */
+  private def withTrusted[T](body: => T): T = {
+    import graft.mcp.TrustedExecution
+    val prev = TrustedExecution.envReader
+    TrustedExecution.envReader =
+      name => if (name == TrustedExecution.EnvVar) Some("1") else None
+    try body finally TrustedExecution.envReader = prev
+  }
+
   private def write(path: String, content: String): Unit = {
     val p = Paths.get(path)
     Files.createDirectories(p.getParent)
@@ -93,13 +103,17 @@ class McpLocalToolsSpec extends SparkTestBase {
     val badType = LocalTools.validateConnectorConfig(spec,
       """{"tenant":"acme","api_key":"k","page_size":"ten"}""")
     assert(badType.exists(_.contains("page_size")))
-    assert(LocalTools.listConnectorConfigSecrets(spec) == Seq("api_key"))
+    withTrusted {
+      assert(LocalTools.listConnectorConfigSecrets(spec) == Seq("api_key"))
+    }
   }
 
   test("dotenv secrets list names only, never values") {
     val root = Files.createTempDirectory("graft-mcp").toString
     write(s"$root/.env", "API_KEY=supersecret\n# comment\nDB_URL=\"jdbc:x\"\n")
-    val out = LocalTools.listDotenvSecrets(Seq(s"$root/.env", s"$root/missing.env"))
+    val out = withTrusted {
+      LocalTools.listDotenvSecrets(Seq(s"$root/.env", s"$root/missing.env"))
+    }
     assert(out(s"$root/.env") == Seq("API_KEY", "DB_URL"))
     assert(out(s"$root/missing.env").isEmpty)
     assert(!out.toString.contains("supersecret"))
@@ -109,6 +123,7 @@ class McpLocalToolsSpec extends SparkTestBase {
     val root = Files.createTempDirectory("graft-mcp").toString
     val src = newSource(root)
     val cache = SparkCache.fresh(spark, "graft_test_mcp")
+    withTrusted {
     val result = LocalTools.syncSourceToCache(cache, spark, src)
     assert(result.counts("users") == 2L)
     val listed = LocalTools.listCachedStreams(cache)
@@ -129,7 +144,47 @@ class McpLocalToolsSpec extends SparkTestBase {
     val delivered = LocalTools.destinationSmokeTest(
       cache, "users", Seq("sh", "-c", "cat > /dev/null"))
     assert(delivered == 2L)
+    }
     cache.dropAll()
+  }
+
+  test("trusted-execution gate: every trusted-machine tool hard-fails when off") {
+    import graft.mcp.TrustedExecution
+    val root = Files.createTempDirectory("graft-mcp").toString
+    val src = newSource(root)
+    val spec = src.specJson.get
+    val cache = SparkCache.fresh(spark, "graft_test_mcp_gate")
+    val prev = TrustedExecution.envReader
+    TrustedExecution.envReader = _ => None // explicit OFF, real env ignored
+    try {
+      def denied[T](body: => T): String =
+        intercept[TrustedExecution.TrustedExecutionRequiredException](body).feature
+      assert(denied(LocalTools.listConnectorConfigSecrets(spec))
+        .contains("list_connector_config_secrets"))
+      assert(denied(LocalTools.listDotenvSecrets(Seq(s"$root/.env")))
+        .contains("list_dotenv_secrets"))
+      assert(denied(LocalTools.syncSourceToCache(cache, spark, src))
+        .contains("sync_source_to_cache"))
+      assert(denied(LocalTools.listCachedStreams(cache))
+        .contains("list_cached_streams"))
+      assert(denied(LocalTools.describeDefaultCache(cache))
+        .contains("describe_default_cache"))
+      assert(denied(LocalTools.runSqlQuery(cache, "SELECT 1"))
+        .contains("run_sql_query"))
+      assert(denied(LocalTools.destinationSmokeTest(cache, "users", Seq("true")))
+        .contains("destination_smoke_test"))
+      assert(denied(LocalTools.runDestinationSmokeTest(spark))
+        .contains("destination_smoke_test"))
+      assert(denied(LocalTools.smokeTestToProcess(spark, Seq("true")))
+        .contains("destination_smoke_test"))
+      // ungated, reference-parity: pure spec rendering stays available
+      assert(LocalTools.listSourceStreams(src) == Seq("users"))
+      assert(LocalTools.validateConnectorConfig(spec,
+        """{"tenant":"acme","api_key":"k"}""").isEmpty)
+    } finally {
+      TrustedExecution.envReader = prev
+      cache.dropAll()
+    }
   }
 
   test("cloud tool set: deploy -> connect -> sync -> status/logs -> list/describe -> delete") {
@@ -242,9 +297,9 @@ class McpLocalToolsSpec extends SparkTestBase {
   test("destination smoke test tools: scenario suite to cache and to a subprocess") {
     // cache destination: one named scenario, preflight skipped for speed
     graft.cache.SparkCache.fresh(spark, "zz_mcp_smoke")
-    val result = LocalTools.runDestinationSmokeTest(spark,
+    val result = withTrusted { LocalTools.runDestinationSmokeTest(spark,
       scenarios = "basic_types,single_record_stream",
-      reuseNamespace = Some("zz_mcp_smoke"), skipPreflight = true)
+      reuseNamespace = Some("zz_mcp_smoke"), skipPreflight = true) }
     assert(result.success && result.preflightPassed.isEmpty)
     assert(result.recordsDelivered == 4L) // 3 + 1
     assert(result.tableStatistics.keySet == Set("basic_types", "single_record_stream"))
@@ -253,8 +308,8 @@ class McpLocalToolsSpec extends SparkTestBase {
     // subprocess destination: the FULL protocol stream (traces included)
     // lands on the command's stdin
     val sink = java.nio.file.Files.createTempFile("graft-smoke", ".jsonl")
-    val n = LocalTools.smokeTestToProcess(spark,
-      Seq("sh", "-c", s"cat > $sink"), scenarios = "basic_types")
+    val n = withTrusted { LocalTools.smokeTestToProcess(spark,
+      Seq("sh", "-c", s"cat > $sink"), scenarios = "basic_types") }
     assert(n == 3L)
     val lines = java.nio.file.Files.readAllLines(sink)
     assert(lines.size == 6, "2 opening traces + 3 records + COMPLETE")
@@ -267,9 +322,9 @@ class McpLocalToolsSpec extends SparkTestBase {
     // whole stdin back (3x) overflows the ~64KB OS pipe buffer. Without
     // the background drain the child blocks on write, stops reading, and
     // the pump hangs forever.
-    val n = LocalTools.smokeTestToProcess(spark,
+    val n = withTrusted { LocalTools.smokeTestToProcess(spark,
       Seq("sh", "-c", "while IFS= read -r l; do printf '%s\\n%s\\n%s\\n' \"$l\" \"$l\" \"$l\"; done"),
-      scenarios = "large_string_values")
+      scenarios = "large_string_values") }
     assert(n > 0L)
   }
 }

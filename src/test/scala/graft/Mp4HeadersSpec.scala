@@ -31,6 +31,15 @@ class Mp4HeadersSpec extends AnyFunSuite {
     }
   }
 
+  test("build rejects durations past u32 — version-0 boxes can't hold them") {
+    // boundary passes; one past it must fail, not truncate to wrong metadata
+    val edge = Mp4Headers.buildMp4(payload(8), 600, 0xFFFFFFFFL, "vide")
+    assert(Mp4Headers.parse(edge).get.durationTicks == 0xFFFFFFFFL)
+    val e = intercept[IllegalArgumentException](
+      Mp4Headers.buildMp4(payload(8), 600, 0x100000000L, "vide"))
+    assert(e.getMessage.contains("2^32-1"))
+  }
+
   test("largesize mdat (size=1 + u64) parses identically to the u32 form") {
     val small = Mp4Headers.buildMp4(payload(300), 1000, 500L, "vide")
     val large = Mp4Headers.buildMp4(payload(300), 1000, 500L, "vide", largeMdat = true)

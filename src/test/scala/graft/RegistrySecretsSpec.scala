@@ -265,18 +265,21 @@ class RegistrySecretsSpec extends AnyFunSuite {
         val ok = LocalTools.resolveConnectorConfig(config = Some("""{"host":"h9"}"""))
         assert(Secrets.mapper.readTree(ok).get("host").asText() == "h9")
       }
-      // truthy parsing: 1/true/yes case-insensitive, anything else off
-      for (v <- Seq("1", "true", "YES", " Yes ")) {
-        TrustedExecution.envReader =
-          n => if (n == TrustedExecution.EnvVar) Some(v) else None
-        assert(TrustedExecution.isEnabled, s"expected '$v' to enable")
-      }
-      for (v <- Seq("0", "false", "no", "", "on")) {
-        TrustedExecution.envReader =
-          n => if (n == TrustedExecution.EnvVar) Some(v) else None
-        assert(!TrustedExecution.isEnabled, s"expected '$v' to disable")
-      }
-      TrustedExecution.envReader = n => sys.env.get(n)
+      // truthy parsing: 1/true/yes case-insensitive, anything else off.
+      // envReader restored in finally — a failed assertion mid-loop must
+      // not leak the stub into later tests in this JVM.
+      try {
+        for (v <- Seq("1", "true", "YES", " Yes ")) {
+          TrustedExecution.envReader =
+            n => if (n == TrustedExecution.EnvVar) Some(v) else None
+          assert(TrustedExecution.isEnabled, s"expected '$v' to enable")
+        }
+        for (v <- Seq("0", "false", "no", "", "on")) {
+          TrustedExecution.envReader =
+            n => if (n == TrustedExecution.EnvVar) Some(v) else None
+          assert(!TrustedExecution.isEnabled, s"expected '$v' to disable")
+        }
+      } finally TrustedExecution.envReader = n => sys.env.get(n)
     } finally Secrets.resetSecretSources()
   }
 
