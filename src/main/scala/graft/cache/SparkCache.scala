@@ -173,7 +173,10 @@ final class SparkCache(
     * result once and swap by rename — the reference's swap dance
     * (sql_processor.py:1061-1087), metadata-only, single data write. */
   private def stageAndSwap(result: DataFrame, t: String): Unit = {
-    val stamp = System.nanoTime()
+    // time-sortable 9-char ULID slice, the reference's temp-name suffix
+    // discipline (sql_processor.py:592-612) — concurrent swap artifacts
+    // list in creation order
+    val stamp = graft.names.Ulid.randomSuffix()
     val tmpName = s"__merge_tmp_$stamp"
     val oldName = s"__merge_old_$stamp"
     result.write.saveAsTable(s"`$database`.`$tmpName`")
@@ -336,7 +339,7 @@ final class SparkCache(
     val bytes = df.inputFiles.map(f =>
       fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen).sum
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-    val stamp = System.nanoTime()
+    val stamp = graft.names.Ulid.randomSuffix()
     val tmpName = s"__compact_tmp_$stamp"
     val oldName = s"__compact_old_$stamp"
     val writer =

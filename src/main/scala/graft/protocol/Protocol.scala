@@ -79,6 +79,29 @@ object AirbyteMessage {
     } catch { case _: Exception => None }
   }
 
+  /** For LOG messages: the `log.message` text (reference
+    * `_connector_base.py:407-409` — logged to the connector's file
+    * logger at info). None for any other message. */
+  def logMessage(m: AirbyteMessage): Option[String] = {
+    if (m.messageType != MessageType.LOG) return None
+    try Option(mapper.readTree(m.raw).get("log"))
+      .flatMap(l => Option(l.get("message"))).map(_.asText())
+    catch { case _: Exception => None }
+  }
+
+  /** For TRACE messages of type ERROR: the `trace.error.message` text
+    * (reference `_connector_base.py:410-424` — logged to the file
+    * logger at error). None for any other message. */
+  def traceErrorMessage(m: AirbyteMessage): Option[String] = {
+    if (m.messageType != MessageType.TRACE) return None
+    try {
+      val tr = Option(mapper.readTree(m.raw).get("trace")).getOrElse(return None)
+      if (!Option(tr.get("type")).exists(_.asText() == "ERROR")) return None
+      Option(tr.get("error")).flatMap(e => Option(e.get("message"))).map(_.asText())
+        .orElse(Some("(no error message)"))
+    } catch { case _: Exception => None }
+  }
+
   /** The `type` of a STATE message body (STREAM/GLOBAL/LEGACY);
     * None when absent — the protocol treats typeless state as LEGACY. */
   def stateType(stateJson: String): Option[String] =

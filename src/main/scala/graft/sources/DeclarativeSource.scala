@@ -71,6 +71,12 @@ final class DeclarativeSource(
     * read rather than at construction. */
   private lazy val hydratedConfig: Map[String, String] = Secrets.hydrateConfigMap(config)
 
+  /** Per-connector log file (reference `_connector_base.py:79` — every
+    * connector object owns one): check/read progress at info, failures
+    * at error. Lazy so constructing a source creates no file. */
+  lazy val fileLogger: graft.logs.Logs.FileLogger =
+    graft.logs.Logs.newPassthroughFileLogger(name)
+
   private val manifest: JsonNode = resolveRefs(parseYaml(manifestYaml))
 
   /** Manifest `version` (reference `declarative.py:82` reported_version). */
@@ -136,13 +142,20 @@ final class DeclarativeSource(
       .flatMap(_.elements().asScala).map(_.asText())
     val toCheck = if (names.nonEmpty) names else streamNodes.map(streamName)
     toCheck.foreach { s =>
-      val urls = sliceUrls(s)
-      if (urls.isEmpty)
-        throw new IllegalStateException(s"check failed for '$s': no slices")
-      val (url, slice) = urls.head
-      val body = readLocal(url, fixtureRoot)
-      val _ = slice
-      extractRecords(body, fieldPathOf(streamByName(s)))
+      try {
+        val urls = sliceUrls(s)
+        if (urls.isEmpty)
+          throw new IllegalStateException(s"check failed for '$s': no slices")
+        val (url, slice) = urls.head
+        val body = readLocal(url, fixtureRoot)
+        val _ = slice
+        extractRecords(body, fieldPathOf(streamByName(s)))
+        fileLogger.info(s"check succeeded for stream '$s'")
+      } catch {
+        case e: Exception =>
+          fileLogger.error(s"check failed for stream '$s': ${e.getMessage}")
+          throw e
+      }
     }
   }
 
@@ -441,6 +454,7 @@ final class DeclarativeSource(
     val pipeline = pipelineFor(node)
     val paginator = DeclarativeComponents.parsePaginator(retrieverOf(node))
     val root = fixtureRoot
+    fileLogger.info(s"reading stream '$stream' (${urls.size} slice(s))")
     if (urls.isEmpty) return spark.emptyDataset[String]
     spark.createDataset(urls.map { case (u, sl) => (u, sl.toSeq) })
       .repartition(urls.size)

@@ -38,6 +38,14 @@ final class SubprocessSource(
   /** Stop event: set to halt the subprocess mid-stream (ST6). */
   val stopEvent = new AtomicBoolean(false)
 
+  /** Per-connector passthrough log file (reference
+    * `_connector_base.py:79` — one per connector instance): protocol
+    * LOG messages, TRACE errors, unparseable stdout lines and the
+    * stderr stream all land here. Lazy so a source that never runs a
+    * process creates no file. */
+  lazy val fileLogger: graft.logs.Logs.FileLogger =
+    graft.logs.Logs.newPassthroughFileLogger(name)
+
   /** Temp files this source wrote (hydrated config, state artifacts) —
     * they hold resolved secrets, so they must not outlive the source.
     * Deleted by [[close]]; each is also `deleteOnExit`-registered as a
@@ -81,6 +89,7 @@ final class SubprocessSource(
           buf.append(line).append('\n')
           if (buf.length > 8192) buf.delete(0, buf.length - 8192)
         }
+        fileLogger.info(line) // stderr stream persists to the connector log
         line = r.readLine()
       }
     }, s"graft-stderr-drain-$name")
@@ -103,7 +112,15 @@ final class SubprocessSource(
     try {
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       val lines = scala.io.Source.fromInputStream(proc.getInputStream).getLines()
-      val status = lines.flatMap(AirbyteMessage.parse)
+      val status = lines.flatMap { line =>
+        val m = AirbyteMessage.parse(line)
+        if (m.isEmpty && line.nonEmpty) fileLogger.info(line)
+        m.foreach { mm =>
+          AirbyteMessage.logMessage(mm).foreach(fileLogger.info)
+          AirbyteMessage.traceErrorMessage(mm).foreach(fileLogger.error)
+        }
+        m
+      }
         .collectFirst {
           case m if m.messageType == MessageType.CONNECTION_STATUS =>
             Option(mapper.readTree(m.raw).get("connectionStatus")) match {
@@ -170,9 +187,19 @@ final class SubprocessSource(
       def next(): String = { advance(); val l = nextLine; nextLine = null; l }
     }
 
-    val parsed = raw.flatMap(AirbyteMessage.parse).map { m =>
-      // config-change side channel: observe CONTROL/CONNECTOR_CONFIG on
-      // every consumption path, then pass the message through untouched
+    val parsed = raw.flatMap { line =>
+      val m = AirbyteMessage.parse(line)
+      // an unparseable stdout line is likely a stray log — persist it
+      // at info, like the reference (`_connector_base.py:489-491`)
+      if (m.isEmpty && line.nonEmpty) fileLogger.info(line)
+      m
+    }.map { m =>
+      // central message peek (reference `_peek_airbyte_message`,
+      // `_connector_base.py:391-435`): LOG → connector file log at
+      // info, TRACE/ERROR → at error, CONTROL/CONNECTOR_CONFIG → the
+      // config-change callback; the message then passes through.
+      AirbyteMessage.logMessage(m).foreach(fileLogger.info)
+      AirbyteMessage.traceErrorMessage(m).foreach(fileLogger.error)
       for (cb <- configChangeCallback; cfg <- AirbyteMessage.connectorConfig(m))
         cb(cfg)
       m

@@ -127,6 +127,59 @@ class DeclarativeSourceSpec extends SparkTestBase {
     assert(e.getMessage.contains("nosuch"))
   }
 
+  test("sync writes the connector's log file (info + error paths, structured toggle)") {
+    import graft.logs.Logs
+    import scala.jdk.CollectionConverters._
+    val logroot = Files.createTempDirectory("graft-decl-logs").toString
+    val prev = Logs.envReader
+    Logs.envReader = {
+      case Logs.EnvLoggingRoot => Some(logroot)
+      case _ => None
+    }
+    try {
+      val root = Files.createTempDirectory("graft-decl").toString
+      val src = newSource(root)
+      val cache = SparkCache.fresh(spark, "graft_test_decl_logs")
+      src.check()
+      src.read(cache, spark)
+      val files = Files.list(Paths.get(logroot, "source-example"))
+        .iterator().asScala.toSeq
+      assert(files.size == 1)
+      val all = Files.readAllLines(files.head).asScala.toSeq
+      assert(all.exists(_.contains("- INFO - check succeeded for stream 'users'")))
+      assert(all.exists(_.contains("- INFO - reading stream 'users' (1 slice(s))")))
+      assert(all.exists(_.contains("- INFO - reading stream 'orders' (2 slice(s))")))
+      // error path: a failing check lands at error in ITS OWN file
+      val broken = new DeclarativeSource("source-broken", manifest,
+        config = Map("tenant" -> "nosuch"), fixtureRoot = Some(root))
+      intercept[java.io.FileNotFoundException](broken.check())
+      val bFiles = Files.list(Paths.get(logroot, "source-broken"))
+        .iterator().asScala.toSeq
+      assert(Files.readAllLines(bFiles.head).asScala
+        .exists(l => l.contains("- ERROR - check failed for stream 'users'")))
+      cache.dropAll()
+    } finally Logs.envReader = prev
+
+    // structured toggle: the same check logs JSON lines
+    val prev2 = Logs.envReader
+    val logroot2 = Files.createTempDirectory("graft-decl-logs2").toString
+    Logs.envReader = {
+      case Logs.EnvLoggingRoot => Some(logroot2)
+      case Logs.EnvStructuredLogging => Some("1")
+      case _ => None
+    }
+    try {
+      val root = Files.createTempDirectory("graft-decl").toString
+      newSource(root).check()
+      val files = Files.list(Paths.get(logroot2, "source-example"))
+        .iterator().asScala.toSeq
+      val line = Files.readAllLines(files.head).asScala
+        .find(_.contains("check succeeded")).getOrElse(fail("no structured line"))
+      val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
+      assert(n.get("level").asText() == "info" && n.hasNonNull("timestamp"))
+    } finally Logs.envReader = prev2
+  }
+
   test("read lands fixture records in the cache via the standard path") {
     val root = Files.createTempDirectory("graft-decl").toString
     val src = newSource(root)

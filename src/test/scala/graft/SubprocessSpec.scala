@@ -104,6 +104,83 @@ class SubprocessSpec extends SparkTestBase {
     src.check(Seq("/bin/sh", script.toString)) // must return, not hang
   }
 
+  test("sync writes the connector's log file: LOG + stderr at info, TRACE error at error") {
+    import graft.logs.Logs
+    val root = Files.createTempDirectory("graft-logtest").toString
+    val prev = Logs.envReader
+    Logs.envReader = {
+      case Logs.EnvLoggingRoot => Some(root)
+      case _ => None
+    }
+    try {
+      val script = Files.createTempFile("source-logs", ".sh")
+      val body =
+        """#!/bin/sh
+          |echo "bare stderr diagnostics" >&2
+          |echo '{"type":"LOG","log":{"level":"INFO","message":"starting incremental sync"}}'
+          |echo 'not json at all'
+          |echo '{"type":"RECORD","record":{"stream":"users","data":{"id":1,"name":"a"},"emitted_at":1700000000000}}'
+          |echo '{"type":"TRACE","trace":{"type":"ERROR","error":{"message":"rate limit exceeded"}}}'
+          |echo '{"type":"TRACE","trace":{"type":"STREAM_STATUS","stream_status":{"stream_descriptor":{"name":"users"},"status":"COMPLETE"}}}'
+          |""".stripMargin
+      Files.write(script, body.getBytes("UTF-8"))
+      script.toFile.setExecutable(true)
+      val src = new SubprocessSource("source-logged", catalog,
+        Seq("/bin/sh", script.toString))
+      val cache = SparkCache.fresh(spark, "graft_test_logsync")
+      src.sync(cache, spark)
+      // the per-connector folder holds one announced log file
+      val dir = Paths.get(root, "source-logged")
+      val files = Files.list(dir).toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
+      assert(files.size == 1, s"expected one log file, got $files")
+      // stderr drains on its own thread — wait for the line to land
+      def lines() = Files.readAllLines(files.head).asScala.toSeq
+      val deadline = System.currentTimeMillis() + 5000
+      while (!lines().exists(_.contains("bare stderr diagnostics"))
+          && System.currentTimeMillis() < deadline) Thread.sleep(20)
+      val all = lines()
+      assert(all.exists(l => l.contains("- INFO - starting incremental sync")),
+        s"protocol LOG must persist at info: $all")
+      assert(all.exists(l => l.contains("- INFO - not json at all")),
+        "unparseable stdout lines persist at info")
+      assert(all.exists(l => l.contains("- INFO - bare stderr diagnostics")),
+        "stderr stream persists at info")
+      assert(all.exists(l => l.contains("- ERROR - rate limit exceeded")),
+        "TRACE/ERROR persists at error")
+      cache.dropAll()
+    } finally Logs.envReader = prev
+  }
+
+  test("structured-logging toggle switches the connector log to JSON lines") {
+    import graft.logs.Logs
+    val root = Files.createTempDirectory("graft-logtest").toString
+    val prev = Logs.envReader
+    Logs.envReader = {
+      case Logs.EnvLoggingRoot => Some(root)
+      case Logs.EnvStructuredLogging => Some("true")
+      case _ => None
+    }
+    try {
+      val script = Files.createTempFile("source-logs", ".sh")
+      Files.write(script,
+        ("#!/bin/sh\n" +
+          """echo '{"type":"LOG","log":{"level":"INFO","message":"structured hello"}}'""" +
+          "\n").getBytes("UTF-8"))
+      script.toFile.setExecutable(true)
+      val src = new SubprocessSource("source-structured", catalog,
+        Seq("/bin/sh", script.toString))
+      src.messages().toList // drain the run
+      val files = Files.list(Paths.get(root, "source-structured"))
+        .toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
+      val line = Files.readAllLines(files.head).asScala
+        .find(_.contains("structured hello")).getOrElse(fail("no log line"))
+      val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
+      assert(n.get("event").asText() == "structured hello")
+      assert(n.get("level").asText() == "info")
+      assert(n.hasNonNull("timestamp"))
+    } finally Logs.envReader = prev
+  }
+
   test("sync(): one connector run demultiplexes streams, checkpoints protocol state") {
     // two interleaved streams + per-stream STATE + a GLOBAL state +
     // TRACE COMPLETE for users midway; an invocation counter proves the
