@@ -99,8 +99,8 @@ final class SparkCache(
   def addMissingColumns(streamName: String, incoming: StructType): Unit = {
     if (!tableExists(streamName)) return
     val existing = spark.table(tableName(streamName)).schema
-    val have = existing.fieldNames.map(_.toLowerCase).toSet
-    val missing = incoming.fields.filterNot(f => have.contains(f.name.toLowerCase))
+    val have = existing.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    val missing = incoming.fields.filterNot(f => have.contains(f.name.toLowerCase(java.util.Locale.ROOT)))
     if (missing.nonEmpty) {
       val colsDdl = missing
         .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
@@ -246,7 +246,7 @@ final class SparkCache(
     val body = if (trimmed.endsWith(";")) trimmed.dropRight(1) else trimmed
     if (body.contains(";"))
       throw new IllegalArgumentException("Multiple statements are not allowed")
-    val first = body.split("\\s+").headOption.map(_.toLowerCase).getOrElse("")
+    val first = body.split("\\s+").headOption.map(_.toLowerCase(java.util.Locale.ROOT)).getOrElse("")
     if (!ReadOnlyPrefixes.contains(first))
       throw new IllegalArgumentException(
         s"Only read-only queries are allowed (got: $first)")

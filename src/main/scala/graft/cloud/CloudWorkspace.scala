@@ -237,8 +237,8 @@ final class LocalWorkspaceApi(spark: SparkSession) extends WorkspaceApi {
     val cur = getConnection(connectionId)
     streams.foreach { sel =>
       val available = sources(cur.sourceId)._2.catalog.streamNames
-        .map(_.toLowerCase).toSet
-      val missing = sel.filterNot(s => available(s.toLowerCase))
+        .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+      val missing = sel.filterNot(s => available(s.toLowerCase(java.util.Locale.ROOT)))
       require(missing.isEmpty,
         s"streams not in source catalog: ${missing.mkString(", ")}")
     }
@@ -671,7 +671,7 @@ final class CloudConnection(val workspace: CloudWorkspace, val connectionId: Str
     * stream selection (the local analog of the server's syncCatalog). */
   private def syncCatalogDoc: String = {
     val src = api.sourceObject(info.sourceId)
-    val selected = info.streams.map(_.toLowerCase).toSet
+    val selected = info.streams.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
     val streams = src.catalog.streams.map { cs =>
       val schemaJson = graft.mcp.LocalTools.getSourceStreamJsonSchema(src, cs.name)
       val pk =
@@ -679,7 +679,7 @@ final class CloudConnection(val workspace: CloudWorkspace, val connectionId: Str
         else cs.primaryKeys.map(k => s"""["$k"]""").mkString(""","sourceDefinedPrimaryKey":[""", ",", "]")
       s"""{"stream":{"name":"${cs.name}","jsonSchema":$schemaJson,""" +
         s""""supportedSyncModes":["full_refresh","incremental"]$pk},""" +
-        s""""config":{"selected":${selected(cs.name.toLowerCase)},"syncMode":"${cs.syncMode}",""" +
+        s""""config":{"selected":${selected(cs.name.toLowerCase(java.util.Locale.ROOT))},"syncMode":"${cs.syncMode}",""" +
         s""""destinationSyncMode":"${if (cs.primaryKeys.nonEmpty) "append_dedup" else "append"}"}}"""
     }
     s"""{"streams":${streams.mkString("[", ",", "]")}}"""

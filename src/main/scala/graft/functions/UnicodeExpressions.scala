@@ -47,7 +47,7 @@ case class UnicodeNormalizeExpression(child: Expression, form: String,
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
-  override def prettyName: String = s"unicode_${form.toLowerCase}"
+  override def prettyName: String = s"unicode_${form.toLowerCase(java.util.Locale.ROOT)}"
 }
 
 object UnicodeFunctions {

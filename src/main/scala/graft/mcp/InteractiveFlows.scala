@@ -108,7 +108,7 @@ object InteractiveFlows {
       session: CatalogSession)
 
   /** `_connector_support_label` (:515-523): marketing labels. */
-  def supportLabel(value: String): String = value.toLowerCase match {
+  def supportLabel(value: String): String = value.toLowerCase(java.util.Locale.ROOT) match {
     case "certified" => "Airbyte"
     case "community" => "Marketplace"
     case "enterprise" => "Enterprise"
@@ -417,7 +417,7 @@ object InteractiveFlows {
       session: DashboardSession)
 
   /** Status → pie category (:60-76 _STATUS_PIE_STYLE_BY_STATUS). */
-  def statusPieCategory(status: String): String = status.toLowerCase match {
+  def statusPieCategory(status: String): String = status.toLowerCase(java.util.Locale.ROOT) match {
     case "succeeded" => "Succeeded"
     case "cancelled" | "canceled" => "Canceled"
     case "no syncs" => "No syncs"

@@ -135,7 +135,7 @@ object LocalTools {
             case _ => true
           }
           if (!ok) problems +=
-            s"config key '${e.getKey}' should be $declared, got ${v.getNodeType.toString.toLowerCase}"
+            s"config key '${e.getKey}' should be $declared, got ${v.getNodeType.toString.toLowerCase(java.util.Locale.ROOT)}"
         }
       }
     }

@@ -30,7 +30,7 @@ object RegistryTools {
       s"connector type must be 'source' or 'destination', got $connectorTypeFilter")
     registry
       .filter(m => keywordFilter.forall(k =>
-        m.canonicalName.contains(k.toLowerCase)))
+        m.canonicalName.contains(k.toLowerCase(java.util.Locale.ROOT))))
       .filter(m => connectorTypeFilter.forall(t => m.canonicalName.startsWith(t + "-")))
       .filter(m => installTypes.isEmpty || installTypes.exists(m.installTypes.contains))
       .map(_.canonicalName).sorted
@@ -50,7 +50,7 @@ object RegistryTools {
         "docker_image_tag" -> m.dockerImageTag,
         "language" -> m.language.getOrElse(""),
         "support_level" -> m.supportLevel.getOrElse(""),
-        "install_types" -> m.installTypes.toSeq.map(_.toString.toLowerCase).sorted.mkString(","),
+        "install_types" -> m.installTypes.toSeq.map(_.toString.toLowerCase(java.util.Locale.ROOT)).sorted.mkString(","),
         "documentation_url" -> m.documentationUrl.getOrElse(""),
         "config_spec_jsonschema" -> m.specJson.getOrElse(""),
         "manifest_url" -> ManifestUrlTemplate.format(m.canonicalName, "latest"))

@@ -94,7 +94,7 @@ object Records {
     val shaped = lines.toDF("_raw")
       .select(from_json(col("_raw"), envelope).as("m"))
       .filter(col("m.type") === "RECORD" &&
-        lower(col("m.record.stream")) === stream.toLowerCase)
+        lower(col("m.record.stream")) === stream.toLowerCase(java.util.Locale.ROOT))
       .select(col("m.record.data.*"),
         coalesce(timestamp_millis(col("m.record.emitted_at")),
           current_timestamp()).as("__extracted_src"))
@@ -146,9 +146,9 @@ object Records {
    * declared type. (`records.py` P1/P2 as one `select`.)
    */
   def project(df: DataFrame, declared: StructType): DataFrame = {
-    val byLower = df.columns.map(c => c.toLowerCase -> c).toMap
+    val byLower = df.columns.map(c => c.toLowerCase(java.util.Locale.ROOT) -> c).toMap
     val cols = declared.fields.map { f =>
-      byLower.get(f.name.toLowerCase) match {
+      byLower.get(f.name.toLowerCase(java.util.Locale.ROOT)) match {
         case Some(actual) => col(actual).cast(f.dataType).as(f.name)
         case None         => lit(null).cast(f.dataType).as(f.name)
       }

@@ -45,7 +45,7 @@ object WriteStrategies {
       pks: Seq[String],
       orderCols: Seq[String] = Seq(Records.ExtractedAtColumn, Records.RawIdColumn)): DataFrame = {
     require(pks.nonEmpty, "merge/dedup requires primary keys")
-    val present = orderCols.filter(df.columns.map(_.toLowerCase).contains(_))
+    val present = orderCols.filter(df.columns.map(_.toLowerCase(java.util.Locale.ROOT)).contains(_))
     if (present.isEmpty) return dedupLatestWindow(df, pks, orderCols)
     df.groupBy(pks.map(col): _*)
       .agg(max_by(
@@ -61,7 +61,7 @@ object WriteStrategies {
       pks: Seq[String],
       orderCols: Seq[String] = Seq(Records.ExtractedAtColumn, Records.RawIdColumn)): DataFrame = {
     require(pks.nonEmpty, "merge/dedup requires primary keys")
-    val present = orderCols.filter(df.columns.map(_.toLowerCase).contains(_))
+    val present = orderCols.filter(df.columns.map(_.toLowerCase(java.util.Locale.ROOT)).contains(_))
     val w = Window.partitionBy(pks.map(col): _*)
       .orderBy(present.map(c => col(c).desc_nulls_last): _*)
     df.withColumn("__rn", row_number().over(w))
@@ -82,7 +82,7 @@ object WriteStrategies {
       df: DataFrame, pks: Seq[String], salt: Int = 16,
       orderCols: Seq[String] = Seq(Records.ExtractedAtColumn, Records.RawIdColumn)): DataFrame = {
     require(pks.nonEmpty, "merge/dedup requires primary keys")
-    val present = orderCols.filter(df.columns.map(_.toLowerCase).contains(_))
+    val present = orderCols.filter(df.columns.map(_.toLowerCase(java.util.Locale.ROOT)).contains(_))
     require(present.nonEmpty, "salted dedup requires at least one order column")
     // The salt MUST be a deterministic function of row values, projected
     // into a real column BEFORE the window: a nondeterministic expression
@@ -128,7 +128,7 @@ object WriteStrategies {
     val fraction = conf("graft.merge.skewProbeFraction", 0.05)
     val minRows = conf("graft.merge.skewProbeMinRows", 1000.0)
     val shareThreshold = conf("graft.merge.saltSkewShare", 0.3)
-    val present = orderCols.filter(df.columns.map(_.toLowerCase).contains(_))
+    val present = orderCols.filter(df.columns.map(_.toLowerCase(java.util.Locale.ROOT)).contains(_))
     val probe = df.sample(withReplacement = false, math.min(1.0, fraction), seed = 42L)
       .groupBy(pks.map(col): _*).agg(count(lit(1)).as("__n"))
       .agg(coalesce(max(col("__n")), lit(0L)).as("mx"),

@@ -148,7 +148,7 @@ object WriteStrategy {
   case object CdcDelete extends WriteStrategy
   case object Auto extends WriteStrategy
 
-  def fromString(s: String): WriteStrategy = s.toLowerCase match {
+  def fromString(s: String): WriteStrategy = s.toLowerCase(java.util.Locale.ROOT) match {
     case "append"  => Append
     case "replace" => Replace
     case "merge"   => Merge
@@ -187,12 +187,12 @@ final case class ConfiguredStream(
  */
 final case class ConfiguredCatalog(streams: Seq[ConfiguredStream]) {
   private val byName: Map[String, ConfiguredStream] =
-    streams.map(s => s.name.toLowerCase -> s).toMap
+    streams.map(s => s.name.toLowerCase(java.util.Locale.ROOT) -> s).toMap
 
   def streamNames: Seq[String] = streams.map(_.name)
 
   def apply(streamName: String): ConfiguredStream =
-    byName.getOrElse(streamName.toLowerCase,
+    byName.getOrElse(streamName.toLowerCase(java.util.Locale.ROOT),
       throw new NoSuchElementException(s"Stream not found: $streamName"))
 
   /**

@@ -45,7 +45,7 @@ object Registry {
         * carries one (`spec` entry) — the zero-egress stand-in for the
         * reference's per-version registry spec fetch. */
       specJson: Option[String] = None) {
-    def canonicalName: String = name.toLowerCase
+    def canonicalName: String = name.toLowerCase(java.util.Locale.ROOT)
   }
 
   private val mapper = new ObjectMapper()
@@ -108,5 +108,5 @@ object Registry {
   /** `get_connector_metadata` (registry.py:262-289): case-insensitive. */
   def connectorMetadata(
       registry: Seq[ConnectorMetadata], name: String): Option[ConnectorMetadata] =
-    registry.find(_.canonicalName == name.toLowerCase)
+    registry.find(_.canonicalName == name.toLowerCase(java.util.Locale.ROOT))
 }

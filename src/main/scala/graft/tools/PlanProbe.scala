@@ -61,7 +61,7 @@ object PlanProbe {
       val plan = df.queryExecution.executedPlan.toString
       if (full) plan.linesIterator.foreach(l => println("  " + l))
       else plan.linesIterator
-        .filter(_.toLowerCase.contains("exchange"))
+        .filter(_.toLowerCase(java.util.Locale.ROOT).contains("exchange"))
         .foreach(l => println("  " + l.trim.take(140)))
     }
     spark.stop()
