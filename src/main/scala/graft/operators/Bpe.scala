@@ -67,7 +67,9 @@ object Bpe {
   /** Adjacent-pair counts over the current symbol vocabulary.
     * (Fully-merged single-symbol words carry no pairs — and Spark's
     * `sequence(1, 0)` counts DOWN, so they must not reach the lambda.) */
-  private def pairCounts(vocab: DataFrame): DataFrame =
+  /** Package-visible so the loop-iteration plan gate
+    * (ExchangeBudgetSpec) can pin this stage's shuffle budget. */
+  private[graft] def pairCounts(vocab: DataFrame): DataFrame =
     vocab
       .filter(size(col("syms")) >= 2)
       .select(explode(expr(

@@ -66,6 +66,15 @@ object Coreset {
    * `graft.coreset.batch` caps the per-round candidate fetch (1 =
    * the sequential one-pick-per-job algorithm).
    */
+  /** One round's bounded fetch over the (id, v, mind) state — a
+    * TakeOrdered (per-partition heaps), ZERO shuffle exchanges.
+    * Package-visible so the loop-iteration plan gate
+    * (ExchangeBudgetSpec) can pin that budget. */
+  private[graft] def roundFetchPlan(state: DataFrame, batchSize: Int): DataFrame =
+    state.orderBy(col("mind").desc, col("id"))
+      .limit(batchSize + 1)
+      .select(col("id"), col("v"), col("mind"))
+
   def kCenterGreedy(df: DataFrame, idCol: String, vecCol: String,
       k: Int, seedId: Long): DataFrame =
     kCenterGreedyWithRounds(df, idCol, vecCol, k, seedId)._1
@@ -94,9 +103,7 @@ object Coreset {
     while (picked.size < k && !exhausted) {
       rounds += 1
       // bounded fetch: top (B+1) by (mind desc, id asc), vectors included
-      val fetched = state.orderBy(col("mind").desc, col("id"))
-        .limit(batchSize + 1)
-        .select(col("id"), col("v"), col("mind"))
+      val fetched = roundFetchPlan(state, batchSize)
         .as[(Long, Seq[Float], Double)].collect()
       if (fetched.isEmpty) exhausted = true
       else {

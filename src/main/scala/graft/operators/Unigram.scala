@@ -37,6 +37,23 @@ object Unigram {
 
   private val MaxPieceLen = 4
 
+  /** One EM iteration's corpus plan over the (w, cnt) word vocabulary:
+    * per-word Viterbi flatMap into ONE map-side-combined piece tally —
+    * the piece-table-sized result is the only thing that crosses an
+    * exchange. Package-visible so the loop-iteration plan gate
+    * (ExchangeBudgetSpec) can pin that single-shuffle budget. */
+  private[graft] def emStepPlan(
+      words: DataFrame,
+      bc: org.apache.spark.broadcast.Broadcast[Map[String, Double]]): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    words.as[(String, Long)].flatMap { case (w, c) =>
+      segment(w, bc.value).map(p => (p, c))
+    }.groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _)
+      .map { case (p, c) => (p, c) }
+      .toDF("p", "c")
+  }
+
   /** Viterbi-best segmentation of `w` under piece log-probs; words
     * with an unreachable suffix (impossible while every character is a
     * piece) fall back to character split. Exposed for the spec's
@@ -114,12 +131,8 @@ object Unigram {
     while (it < iters) {
       val logp = toLogp(pieces)
       val bc = spark.sparkContext.broadcast(logp)
-      // E-step: vocabulary-sized Viterbi flatMap; M-step source counts
-      // arrive map-side combined, piece-table-sized
-      val counts = words.flatMap { case (w, c) =>
-        segment(w, bc.value).map(p => (p, c))
-      }.groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _)
-        .map { case (p, c) => (p, c) }
+      val counts = emStepPlan(words.toDF("w", "cnt"), bc)
+        .as[(String, Long)]
         .collect().toMap
       // unused single chars stay with a floor count of 1 so coverage
       // survives (standard smoothing; everything else drops out)

@@ -347,7 +347,11 @@ object BehaviorQueries {
   // the identical integer trajectory as one CTE block per iteration
   // (HUGEINT floor division), so strengths compare as exact integers.
   // ------------------------------------------------------------------
-  def q185BradleyTerry(spark: SparkSession, dir: String): DataFrame = {
+  /** q185's corpus stage, pre-collect: ONE user_id window (adjacent
+    * duels) + ONE map-side-combined (winner, loser) tally — two
+    * exchanges total, the budget the loop plan gate (ExchangeBudgetSpec)
+    * pins. The result is ≤ |types|² rows. */
+  private[graft] def q185WinMatrixPlan(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val duel = Tables.events(spark, dir)
       .select(col("user_id"), col("ts"), col("event_id"),
@@ -356,10 +360,14 @@ object BehaviorQueries {
       .withColumn("b", lead(col("a"), 1).over(w))
       .withColumn("vb", lead(col("v"), 1).over(w))
       .filter(col("b").isNotNull && col("a") =!= col("b"))
-    val wins = duel.select(
+    duel.select(
         when(col("v") >= col("vb"), col("a")).otherwise(col("b")).as("winner"),
         when(col("v") >= col("vb"), col("b")).otherwise(col("a")).as("loser"))
       .groupBy(col("winner"), col("loser")).agg(count(lit(1)).as("w"))
+  }
+
+  def q185BradleyTerry(spark: SparkSession, dir: String): DataFrame = {
+    val wins = q185WinMatrixPlan(spark, dir)
       .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
     // ---- driver-side MM on the dimension-sized matrix ----
     val types = wins.keys.flatMap(k => Seq(k._1, k._2)).toSeq.distinct.sorted

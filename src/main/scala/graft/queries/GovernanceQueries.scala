@@ -41,25 +41,38 @@ object GovernanceQueries {
   // at the point it leaves transcendental-land (the suite's q89/q139
   // contract for exp/ln parity with the oracle).
   // ------------------------------------------------------------------
-  def q150QualityClassifier(spark: SparkSession, dir: String): DataFrame = {
-    val f = Tables.documents(spark, dir).select(
+  /** One gradient step's corpus plan: a single map-side-combined
+    * SinglePartition aggregate (weights ride in as literals) — the
+    * per-iteration stage the loop plan gate (ExchangeBudgetSpec) pins
+    * to ONE exchange. */
+  private[graft] def q150GradientStepPlan(
+      f: DataFrame, w0: Double, w1: Double, w2: Double): DataFrame = {
+    val sig = round(lit(1.0) / (lit(1.0) +
+      exp(-(lit(w0) + lit(w1) * col("x1") + lit(w2) * col("x2")))), 6)
+    f.agg(
+      count(lit(1)).as("n"),
+      sum(round((sig - col("y")) * 1000000.0).cast(LongType)).as("g0"),
+      sum(round((sig - col("y")) * col("x1") * 1000000.0).cast(LongType)).as("g1"),
+      sum(round((sig - col("y")) * col("x2") * 1000000.0).cast(LongType)).as("g2"))
+  }
+
+  /** The q150 feature frame (pre-checkpoint) — exposed with the step
+    * plan so the gate can build one iteration end-to-end. */
+  private[graft] def q150Features(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
       (col("n_chars").cast(DoubleType) / 1000.0).as("x1"),
       (expr("size(filter(split(text, ' '), w -> w != ''))")
         .cast(DoubleType) / 100.0).as("x2"),
       when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+
+  def q150QualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val f = q150Features(spark, dir)
       .localCheckpoint() // scanned 4× (3 gradient steps + accuracy)
 
     var (w0, w1, w2) = (0.0, 0.0, 0.0)
     var n = 0L
     for (_ <- 1 to 3) {
-      val sig = round(lit(1.0) / (lit(1.0) +
-        exp(-(lit(w0) + lit(w1) * col("x1") + lit(w2) * col("x2")))), 6)
-      val row = f.agg(
-        count(lit(1)).as("n"),
-        sum(round((sig - col("y")) * 1000000.0).cast(LongType)).as("g0"),
-        sum(round((sig - col("y")) * col("x1") * 1000000.0).cast(LongType)).as("g1"),
-        sum(round((sig - col("y")) * col("x2") * 1000000.0).cast(LongType)).as("g2"))
-        .collect()(0)
+      val row = q150GradientStepPlan(f, w0, w1, w2).collect()(0)
       n = row.getLong(0)
       w0 = r6(w0 - (row.getLong(1).toDouble / 1000000.0) / n.toDouble)
       w1 = r6(w1 - (row.getLong(2).toDouble / 1000000.0) / n.toDouble)

@@ -307,6 +307,77 @@ class ExchangeBudgetSpec extends SparkTestBase {
     }
   }
 
+  // ---- driver-loop learners: gate the PER-ITERATION corpus stage ----
+  // The queries() plans above only show the post-loop assembly; each
+  // loop body re-runs its own corpus DataFrame, so a refactor that adds
+  // a shuffle INSIDE an iteration multiplies it by the iteration count
+  // while staying invisible to the final-plan budgets. These gates
+  // probe one representative iteration's pre-collect plan directly.
+
+  private def exchangesOf(df: org.apache.spark.sql.DataFrame): Int = {
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    plan.linesIterator
+      .filterNot(_.contains("ReusedExchange"))
+      .count("Exchange (hash|range|Single)".r.findFirstIn(_).isDefined)
+  }
+
+  test("q135 BPE round: pairCounts over the vocab is one hash-agg exchange") {
+    import org.apache.spark.sql.functions._
+    val vocab = graft.sources.Tables.documents(spark, sf())
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+        .as("syms"), col("cnt"))
+      .localCheckpoint() // the loop's checkpointed vocabulary
+    val round = graft.operators.Bpe.pairCounts(vocab)
+      .orderBy(col("pair_cnt").desc, col("l"), col("r")).limit(256)
+    val n = exchangesOf(round)
+    assert(n <= 1, s"BPE round has $n exchanges (budget 1: the pair tally; " +
+      "the candidate fetch must stay TakeOrdered)")
+  }
+
+  test("q138 coreset round: the bounded fetch is TakeOrdered, zero exchanges") {
+    import org.apache.spark.sql.functions._
+    val state = graft.sources.Tables.embeddings(spark, sf())
+      .select(col("vec_id").cast("long").as("id"), col("embedding").as("v"))
+      .withColumn("mind", rand(7))
+      .localCheckpoint() // the loop's checkpointed state
+    val n = exchangesOf(graft.operators.Coreset.roundFetchPlan(state, 64))
+    assert(n == 0, s"coreset fetch has $n exchanges (budget 0: per-partition heaps)")
+  }
+
+  test("q150 gradient step: one SinglePartition aggregate, map-side combined") {
+    val f = graft.queries.GovernanceQueries
+      .q150Features(spark, sf()).localCheckpoint()
+    val n = exchangesOf(graft.queries.GovernanceQueries
+      .q150GradientStepPlan(f, 0.1, -0.2, 0.3))
+    assert(n <= 1, s"q150 step has $n exchanges (budget 1: the 1-row gather)")
+  }
+
+  test("q155 unigram EM step: one piece-tally exchange over the word vocab") {
+    import org.apache.spark.sql.functions._
+    val words = graft.sources.Tables.documents(spark, sf())
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // the loop's checkpointed word vocabulary
+    val bc = spark.sparkContext.broadcast(Map("a" -> -1.0, "b" -> -2.0,
+      "c" -> -1.5, "d" -> -2.5, "e" -> -1.2))
+    try {
+      val n = exchangesOf(graft.operators.Unigram.emStepPlan(words, bc))
+      assert(n <= 1, s"EM step has $n exchanges (budget 1: the piece tally)")
+    } finally bc.destroy()
+  }
+
+  test("q185 win matrix: user window + (winner,loser) tally = two exchanges") {
+    val n = exchangesOf(graft.queries.BehaviorQueries
+      .q185WinMatrixPlan(spark, sf()))
+    assert(n <= 2, s"q185 corpus stage has $n exchanges (budget 2)")
+  }
+
   test("q79 pagerank auto-switches rank distribution: broadcast vs co-shuffled join") {
     // auto-broadcast off isolates the EXPLICIT rank-vector hint: below
     // the node threshold the plan must broadcast (hints survive -1);
