@@ -548,7 +548,14 @@ object StatsQueries {
     val sw = TextAnalysis.markerHits(col("text"), LlmQueries.Stopwords).cast(LongType)
     val a = when(nTok >= 10L, 1L).otherwise(0L)
     val b = when(sw * 5L >= nTok, 1L).otherwise(0L)
-    val counts = Tables.documents(spark, dir)
+    // CPU-dense per-row labeling: spread an under-partitioned input
+    // (one small parquet file = one split = one task) across the cores;
+    // at real scale the scan has enough splits and this is a no-op
+    val docs = Tables.documents(spark, dir)
+    val cores = spark.sparkContext.defaultParallelism
+    val spread = if (docs.rdd.getNumPartitions * 2 < cores)
+      docs.repartition(cores) else docs
+    val counts = spread
       .select(col("lang"), a.as("a"), b.as("b"))
       .groupBy(col("lang")).agg(
         count(lit(1)).as("n_docs"),
