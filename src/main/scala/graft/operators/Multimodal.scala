@@ -122,6 +122,51 @@ object Multimodal {
       duration_ticks: Option[Long], duration_ms: Option[Long],
       n_tracks: Option[Int], handler: Option[String], mdat_bytes: Option[Long])
 
+  final case class TiffFeatures(
+      media_id: Long, byte_order: Option[String], width: Option[Long],
+      height: Option[Long], orientation: Option[Int],
+      bits_per_sample: Option[Int], xres_num: Option[Long],
+      xres_den: Option[Long])
+
+  /** Synthesize a canonical TIFF/EXIF container per row: dimensions,
+    * orientation, resolution, and byte order all derive
+    * deterministically from the id ([[TiffHeaders.buildTiff]]); every
+    * other file is big-endian so BOTH byte orders are exercised
+    * in-corpus. The scan-side dual of [[synthMp4]]. */
+  def synthTiff(df: DataFrame, idCol: String): DataFrame = {
+    implicit val enc: Encoder[MediaRecord] = Encoders.product[MediaRecord]
+    df.select(col(idCol).cast(LongType))
+      .as(Encoders.scalaLong)
+      .mapPartitions { rows =>
+        rows.map { id =>
+          val tiff = TiffHeaders.buildTiff(
+            width = 16 + (id % 8).toInt * 16,
+            height = 16 + (id % 5).toInt * 32,
+            orientation = 1 + (id % 8).toInt,
+            xres = 72 + (id % 3).toInt * 72,
+            littleEndian = id % 2 == 0)
+          MediaRecord(id, tiff, "image/tiff", tiff.length.toLong)
+        }
+      }.toDF()
+  }
+
+  /** TIFF metadata extraction — per-partition kernel over the real IFD
+    * walk; non-TIFF payloads report all-null metadata, never a fake. */
+  def extractTiffFeatures(media: DataFrame): Dataset[TiffFeatures] = {
+    implicit val enc: Encoder[TiffFeatures] = Encoders.product[TiffFeatures]
+    media.select("media_id", "content", "mime_type", "n_bytes")
+      .as(Encoders.product[MediaRecord])
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val meta = TiffHeaders.parse(r.content)
+          TiffFeatures(r.media_id, meta.map(_.byteOrder), meta.map(_.width),
+            meta.map(_.height), meta.map(_.orientation),
+            meta.map(_.bitsPerSample), meta.map(_.xResNum),
+            meta.map(_.xResDen))
+        }
+      }
+  }
+
   /** Synthesize a canonical ISO-BMFF (MP4) container per row from a
     * text payload (payload bytes stand in for the mdat media stream):
     * the video analog of [[synthWav]] — the CONTAINER is real

@@ -447,4 +447,100 @@ object BehaviorQueries {
        |JOIN (SELECT i, CAST(SUM(n) AS BIGINT) AS ng FROM n GROUP BY 1) g ON g.i = t.t
        |JOIN s5 ON s5.t = t.t""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // q189: user-journey Markov chain — the empirical event-type
+  // transition matrix and its stationary distribution (5 power-
+  // iteration steps, dangling mass redistributed uniformly, the
+  // PageRank dangling-node convention). q98 reports the matrix itself
+  // (per-transition permilles); this derives the LONG-RUN type mix —
+  // which event types dominate journeys regardless of where sessions
+  // start — the quantity a behavior-mixture sampler actually weights by.
+  //
+  // Scale shape = q185's: the corpus stage is ONE user_id window
+  // (adjacent-event pairs) + ONE map-side-combined (from, to) tally —
+  // two exchanges; the transition matrix is ≤ |types|² rows
+  // (DIMENSION-sized), so the power iteration runs on the driver in
+  // exact BigInt nano-units (floor divisions only — order-independent,
+  // oracle-replayable). The oracle replays the identical integer
+  // trajectory, one CTE block per iteration (HUGEINT floor division).
+  // ------------------------------------------------------------------
+
+  /** q189's corpus stage, pre-collect: the (from, to, n) transition
+    * tally. Two exchanges (user window + pair agg) — the loop plan
+    * gate (ExchangeBudgetSpec) pins that budget. */
+  private[graft] def q189TransitionsPlan(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("a"))
+      .withColumn("b", lead(col("a"), 1).over(w))
+      .filter(col("b").isNotNull)
+      .groupBy(col("a").as("i"), col("b").as("j"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  def q189MarkovStationary(spark: SparkSession, dir: String): DataFrame = {
+    val n = q189TransitionsPlan(spark, dir)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    // ---- driver-side power iteration on the dimension-sized matrix ----
+    val types = n.keys.flatMap(k => Seq(k._1, k._2)).toSeq.distinct.sorted
+    val rowTot: Map[String, Long] = types.map(t =>
+      t -> n.collect { case ((i, _), c) if i == t => c }.sum).toMap
+    val E9 = BigInt(1000000000L)
+    var pi: Map[String, BigInt] = types.map(_ -> E9).toMap
+    for (_ <- 1 to 5) {
+      val flow: Map[String, BigInt] = types.map { j =>
+        j -> types.collect {
+          case i if rowTot(i) > 0 && n.contains((i, j)) =>
+            (pi(i) * BigInt(n((i, j)))) / BigInt(rowTot(i))
+        }.sum
+      }.toMap
+      val dangling = types.collect { case i if rowTot(i) == 0 => pi(i) }.sum
+      val share = dangling / types.size
+      pi = types.map(j => j -> (flow(j) + share)).toMap
+    }
+    val spark2 = spark
+    import spark2.implicits._
+    types.map(t => (t, rowTot(t), pi(t).toLong))
+      .toDF("event_type", "n_out", "pi_nano")
+      .withColumn("pi",
+        round(col("pi_nano").cast(DoubleType) / 1000000000d, 6))
+  }
+
+  val q189Sql: String = {
+    val iters = (1 to 5).map { k =>
+      s"""flow$k AS MATERIALIZED (
+         |  SELECT n.j AS t, SUM(CAST(p.s AS HUGEINT) * n.n // r.r) AS f
+         |  FROM n JOIN p${k - 1} p ON p.t = n.i JOIN r ON r.i = n.i
+         |  GROUP BY n.j),
+         |dang$k AS (
+         |  SELECT COALESCE(SUM(p.s), 0) AS d
+         |  FROM p${k - 1} p LEFT JOIN r ON r.i = p.t WHERE r.i IS NULL),
+         |p$k AS MATERIALIZED (
+         |  SELECT t.t, CAST(COALESCE(f.f, 0)
+         |      + (SELECT d FROM dang$k) // (SELECT COUNT(*) FROM types)
+         |    AS BIGINT) AS s
+         |  FROM types t LEFT JOIN flow$k f ON f.t = t.t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ev AS (
+       |  SELECT user_id, ts, event_id, event_type AS a FROM events),
+       |tr AS (
+       |  SELECT a, lead(a) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS b
+       |  FROM ev),
+       |n AS MATERIALIZED (
+       |  SELECT a AS i, b AS j, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM tr WHERE b IS NOT NULL GROUP BY 1, 2),
+       |types AS MATERIALIZED (SELECT i AS t FROM n UNION SELECT j FROM n),
+       |r AS MATERIALIZED (SELECT i, CAST(SUM(n) AS BIGINT) AS r FROM n GROUP BY 1),
+       |p0 AS (SELECT t, CAST(1000000000 AS BIGINT) AS s FROM types),
+       |$iters
+       |SELECT t.t AS event_type,
+       |  CAST(COALESCE(r.r, 0) AS BIGINT) AS n_out,
+       |  p5.s AS pi_nano,
+       |  round(CAST(p5.s AS DOUBLE) / 1000000000, 6) AS pi
+       |FROM types t
+       |LEFT JOIN r ON r.i = t.t
+       |JOIN p5 ON p5.t = t.t""".stripMargin
+  }
 }

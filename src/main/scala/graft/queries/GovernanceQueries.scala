@@ -355,6 +355,64 @@ object GovernanceQueries {
       |    round(-2.0 * sign(d) * ln(1.0 - 2.0 * abs(d)), 6), 4) AS noisy_count
       |FROM noised""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q190: l-diversity audit — k-anonymity's (q153) stronger sibling
+  // (Machanavajjhala 2007): a quasi-identifier class is safe only if
+  // the SENSITIVE attribute is diverse within it, not merely populated.
+  // QI = (lang, 500-char length bucket) over documents, sensitive =
+  // source. Reports distinct-l and entropy-l per class and flags
+  // classes below l=3 — the classes where an attacker who locates a
+  // person's QI class learns their source with high confidence.
+  //
+  // Scale shape: two chained hash aggregations — (QI, source) counts
+  // (map-side combined, the only corpus-sized pass) then a QI rollup
+  // over the class-count table (dimension-sized). Entropy follows the
+  // suite's transcendental convention: each ln addend rounds to 6 dp
+  // at the ln() exit, the integer-weighted sum divides once, final
+  // rounds to 4 dp — order-independent and oracle-replayable.
+  // ------------------------------------------------------------------
+  def q190LDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val classCounts = Tables.documents(spark, dir)
+      .select(col("lang"),
+        floor(col("n_chars") / lit(500)).cast(LongType).as("len_bucket"),
+        col("source"))
+      .groupBy(col("lang"), col("len_bucket"), col("source"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = sum(col("cnt")).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("lang"), col("len_bucket")))
+    classCounts
+      .withColumn("tot", tot)
+      .withColumn("addend",
+        col("cnt").cast(DoubleType) *
+          round(log(col("cnt").cast(DoubleType) / col("tot").cast(DoubleType)), 6))
+      .groupBy(col("lang"), col("len_bucket"))
+      .agg(
+        sum(col("cnt")).as("class_size"),
+        count(lit(1)).as("l_distinct"),
+        // + 0.0 canonicalizes IEEE -0.0 (single-source classes) to 0.0
+        round(-sum(col("addend")) / sum(col("cnt")).cast(DoubleType) + lit(0.0), 4)
+          .as("entropy_l"))
+      .withColumn("flagged", (col("l_distinct") < 3).cast("boolean"))
+  }
+
+  val q190Sql: String =
+    """WITH cc AS (
+      |  SELECT lang, CAST(floor(n_chars / 500) AS BIGINT) AS len_bucket,
+      |    source, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM documents GROUP BY 1, 2, 3),
+      |wt AS (
+      |  SELECT lang, len_bucket, cnt,
+      |    SUM(cnt) OVER (PARTITION BY lang, len_bucket) AS tot
+      |  FROM cc)
+      |SELECT lang, len_bucket,
+      |  CAST(SUM(cnt) AS BIGINT) AS class_size,
+      |  CAST(COUNT(*) AS BIGINT) AS l_distinct,
+      |  round(-SUM(CAST(cnt AS DOUBLE)
+      |      * round(ln(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE)), 6))
+      |    / CAST(SUM(cnt) AS DOUBLE) + 0.0, 4) AS entropy_l,
+      |  (COUNT(*) < 3) AS flagged
+      |FROM wt GROUP BY lang, len_bucket""".stripMargin
+
   // canary phrase watchlist for q157 — in production this is the
   // secret-string registry a privacy/memorization audit checks against
   private val Canaries: Seq[String] = Seq(

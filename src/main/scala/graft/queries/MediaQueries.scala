@@ -427,6 +427,43 @@ object MediaQueries {
         sum(col("mdat_bytes")).as("sum_mdat_bytes"))
   }
 
+  // ------------------------------------------------------------------
+  // q191: TIFF/EXIF metadata audit — build→parse round-trip through
+  // the real IFD walk ([[graft.operators.TiffHeaders]]), both byte
+  // orders in-corpus (every other file is "MM"), orientation histogram
+  // + pixel tallies per (byte_order, orientation). Orientation is the
+  // EXIF field image pipelines actually have to honor before training
+  // (a rotation-unaware decode feeds transposed pixels). Per-row
+  // kernels; ONE map-side-combined tally crosses the exchange. The
+  // oracle recomputes the synthesis formulas — a parser that misreads
+  // any IFD field diverges immediately.
+  // ------------------------------------------------------------------
+  def q191TiffMeta(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.synthTiff(Tables.documents(spark, dir), "doc_id")
+    Multimodal.extractTiffFeatures(media).toDF()
+      .groupBy(col("byte_order"), col("orientation"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("width") * col("height")).as("sum_pixels"),
+        sum(col("xres_num")).as("sum_xres"),
+        max(col("width")).as("max_width"))
+  }
+
+  val q191Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+      |    16 + (doc_id % 8) * 16 AS w,
+      |    16 + (doc_id % 5) * 32 AS h,
+      |    1 + (doc_id % 8) AS orientation,
+      |    72 + (doc_id % 3) * 72 AS xres
+      |  FROM documents)
+      |SELECT byte_order, CAST(orientation AS INT) AS orientation,
+      |  COUNT(*) AS n_files,
+      |  CAST(SUM(w * h) AS BIGINT) AS sum_pixels,
+      |  CAST(SUM(xres) AS BIGINT) AS sum_xres,
+      |  CAST(MAX(w) AS BIGINT) AS max_width
+      |FROM d GROUP BY 1, 2""".stripMargin
+
   val q187Sql: String =
     """WITH d AS (
       |  SELECT doc_id, octet_length(encode(text)) AS len,

@@ -291,6 +291,12 @@ class ExchangeBudgetSpec extends SparkTestBase {
     "q188_annotator_agreement" -> 1, // per-row label kernels feeding one
                                  // map-side-combined per-lang confusion
                                  // agg; κ math on the tiny grouped rows
+    "q190_l_diversity"    -> 3,  // (QI,source) corpus tally; class-total
+                                 // window + QI rollup ride the
+                                 // dimension-sized class-count table
+    "q191_tiff_meta"      -> 1,  // per-row TIFF build+parse kernels
+                                 // feeding one map-side-combined
+                                 // (byte_order, orientation) hash-agg
     "q134_decontaminate"  -> 5)  // content-class collapses sit behind
                                  // their checkpoints (one map-side-
                                  // combined groupBy per side — the
@@ -376,6 +382,12 @@ class ExchangeBudgetSpec extends SparkTestBase {
     val n = exchangesOf(graft.queries.BehaviorQueries
       .q185WinMatrixPlan(spark, sf()))
     assert(n <= 2, s"q185 corpus stage has $n exchanges (budget 2)")
+  }
+
+  test("q189 transition tally: user window + (from,to) agg = two exchanges") {
+    val n = exchangesOf(graft.queries.BehaviorQueries
+      .q189TransitionsPlan(spark, sf()))
+    assert(n <= 2, s"q189 corpus stage has $n exchanges (budget 2)")
   }
 
   test("q79 pagerank auto-switches rank distribution: broadcast vs co-shuffled join") {
