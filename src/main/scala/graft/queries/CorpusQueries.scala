@@ -862,4 +862,178 @@ object CorpusQueries {
       |  p.na + p.nb - COALESCE(i.i, 0) AS n_union,
       |  COALESCE(i.i, 0) * 1000 // (p.na + p.nb - COALESCE(i.i, 0)) AS jaccard_pm
       |FROM pairs p LEFT JOIN inter i USING (src_a, src_b)""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q192: pairwise source Jensen–Shannon divergence over the shared
+  // top-200 vocabulary — the distributional-distance matrix a mixture
+  // designer weights sources by (JSD is the symmetric, bounded
+  // [0, ln 2] cousin of KL; Lin 1991). Restricting to the global
+  // top-K vocabulary keeps the per-source distributions dense and the
+  // comparison matrix DIMENSION-sized: (|sources| × K) probability
+  // rows, |sources|²/2 output pairs.
+  //
+  // Scale shape: ONE corpus-sized (source, token) tally; the global
+  // top-K is a TakeOrdered over the token-marginal agg; everything
+  // after operates on the (sources × K)-row table via broadcast
+  // self-join. Parity: probabilities are exact int/int double
+  // divisions; each token's JSD contribution rounds its ln() to 6 dp
+  // at the transcendental exit, converts to integer MICROS, and sums
+  // order-independently; one final double division, rounded to 4 dp.
+  // ------------------------------------------------------------------
+  def q192SourceJsd(spark: SparkSession, dir: String): DataFrame = {
+    val K = 200
+    val counts = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy(col("source"), col("t")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // feeds the vocab gate AND the probability table
+    val vocab = counts.groupBy(col("t"))
+      .agg(sum(col("cnt")).as("tot"))
+      .orderBy(col("tot").desc, col("t")).limit(K)
+      .select(col("t"))
+    val inVocab = counts.join(broadcast(vocab), "t")
+    val totals = inVocab.groupBy(col("source"))
+      .agg(sum(col("cnt")).as("tot"))
+    val probs = inVocab.join(broadcast(totals), "source")
+      .select(col("source"), col("t"),
+        (col("cnt").cast(DoubleType) / col("tot").cast(DoubleType)).as("p"))
+    // densify: every (source, vocab-token) cell, zeros included — the
+    // pair terms then see true one-sided probabilities, not just the
+    // intersection (all dimension-sized: |sources| x K rows)
+    val dense = totals.select(col("source")).crossJoin(broadcast(vocab))
+      .join(probs, Seq("source", "t"), "left")
+      .na.fill(0.0, Seq("p"))
+    val a = dense.select(col("source").as("sa"), col("t"), col("p").as("pa"))
+    val b = dense.select(col("source").as("sb"), col("t"), col("p").as("pb"))
+    val joined = a.join(b, Seq("t")).filter(col("sa") < col("sb"))
+    val m2 = col("pa") + col("pb") // 2m
+    val term =
+      when(col("pa") > 0.0,
+        col("pa") * round(log(lit(2.0) * col("pa") / m2), 6)).otherwise(lit(0.0)) +
+      when(col("pb") > 0.0,
+        col("pb") * round(log(lit(2.0) * col("pb") / m2), 6)).otherwise(lit(0.0))
+    joined
+      .withColumn("micros", round(term * 1000000.0).cast(LongType))
+      .groupBy(col("sa"), col("sb"))
+      .agg(sum(when(col("pa") > 0.0 && col("pb") > 0.0, 1L).otherwise(0L))
+          .as("n_shared"),
+        sum(col("micros")).as("sum_micros"))
+      .select(col("sa"), col("sb"), col("n_shared"),
+        round(lit(0.5) * col("sum_micros").cast(DoubleType) / 1000000.0, 4)
+          .as("jsd"))
+  }
+
+  val q192Sql: String =
+    """WITH tok AS (
+      |  SELECT source, u.t AS t
+      |  FROM documents, UNNEST(string_split(text, ' ')) AS u(t)
+      |  WHERE u.t <> ''),
+      |counts AS MATERIALIZED (
+      |  SELECT source, t, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM tok GROUP BY 1, 2),
+      |vocab AS MATERIALIZED (
+      |  SELECT t FROM (
+      |    SELECT t, SUM(cnt) AS tot FROM counts GROUP BY t
+      |    ORDER BY tot DESC, t LIMIT 200)),
+      |iv AS MATERIALIZED (
+      |  SELECT c.source, c.t, c.cnt FROM counts c JOIN vocab v USING (t)),
+      |totals AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS tot FROM iv GROUP BY 1),
+      |probs AS MATERIALIZED (
+      |  SELECT iv.source, iv.t,
+      |    CAST(iv.cnt AS DOUBLE) / CAST(tt.tot AS DOUBLE) AS p
+      |  FROM iv JOIN totals tt USING (source)),
+      |dense AS MATERIALIZED (
+      |  SELECT s.source, v.t, COALESCE(p.p, 0.0) AS p
+      |  FROM (SELECT source FROM totals) s CROSS JOIN vocab v
+      |  LEFT JOIN probs p ON p.source = s.source AND p.t = v.t),
+      |pairs AS (
+      |  SELECT a.source AS sa, b.source AS sb, a.t,
+      |    a.p AS pa, b.p AS pb
+      |  FROM dense a JOIN dense b ON a.t = b.t AND a.source < b.source)
+      |SELECT sa, sb,
+      |  CAST(SUM(CASE WHEN pa > 0 AND pb > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_shared,
+      |  round(0.5 * CAST(SUM(CAST(round((
+      |      CASE WHEN pa > 0 THEN pa * round(ln(2.0 * pa / (pa + pb)), 6) ELSE 0 END
+      |    + CASE WHEN pb > 0 THEN pb * round(ln(2.0 * pb / (pa + pb)), 6) ELSE 0 END
+      |    ) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0, 4) AS jsd
+      |FROM pairs GROUP BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q193: Heaps'-law vocabulary growth — cumulative distinct-token
+  // count as the corpus grows doc by doc, plus the fitted Heaps
+  // exponent beta (V = k * T^beta; beta ~0.4-0.6 for natural text).
+  // The curve sizes tokenizer vocabularies and predicts how much new
+  // vocabulary the NEXT 10x of data will bring.
+  //
+  // Scale shape: growth is bucketed by doc_id RANGE (20 buckets via a
+  // broadcast 1-row max, NOT a global-order window — no single-
+  // partition corpus pass). Two corpus-sized map-side-combined aggs:
+  // per-bucket token totals, and per-token FIRST bucket (a token
+  // enters the vocabulary once, at its first bucket; min-agg on the
+  // token key). Everything after runs on the 20-row bucket table:
+  // prefix sums by tiny window, beta via regr_slope on ln-ln points
+  // (6 dp at the ln exit, the q131 convention), final 4 dp.
+  // ------------------------------------------------------------------
+  def q193HeapsLaw(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val mx = docs.agg(max(col("doc_id")).as("mx"))
+    val tok = docs.join(broadcast(mx))
+      .select(expr("doc_id * 20 div (mx + 1)").as("bucket"),
+        explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "")
+    val perBucket = tok.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_tok"))
+    val firstBucket = tok.groupBy(col("t"))
+      .agg(min(col("bucket")).as("fb"))
+      .groupBy(col("fb")).agg(count(lit(1)).as("n_new"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val spine = spark.range(20).select(col("id").as("bucket"))
+    val curve = spine
+      .join(perBucket, Seq("bucket"), "left")
+      .join(firstBucket.withColumnRenamed("fb", "bucket"), Seq("bucket"), "left")
+      .na.fill(0L, Seq("n_tok", "n_new"))
+      .withColumn("cum_tokens", sum(col("n_tok")).over(w))
+      .withColumn("cum_vocab", sum(col("n_new")).over(w))
+      .filter(col("cum_tokens") > 0)
+      .withColumn("log_t", round(log(col("cum_tokens").cast(DoubleType)), 6))
+      .withColumn("log_v", round(log(col("cum_vocab").cast(DoubleType)), 6))
+    val beta = curve.agg(
+      round(regr_slope(col("log_v"), col("log_t")), 4).as("heaps_beta"))
+    curve.crossJoin(broadcast(beta))
+      .select(col("bucket"), col("cum_tokens"), col("cum_vocab"),
+        col("log_t"), col("log_v"), col("heaps_beta"))
+  }
+
+  val q193Sql: String =
+    """WITH mx AS (SELECT MAX(doc_id) AS mx FROM documents),
+      |tok AS (
+      |  SELECT doc_id * 20 // (mx.mx + 1) AS bucket, u.t AS t
+      |  FROM documents CROSS JOIN mx, UNNEST(string_split(text, ' ')) AS u(t)
+      |  WHERE u.t <> ''),
+      |pb AS MATERIALIZED (
+      |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_tok FROM tok GROUP BY 1),
+      |fb AS MATERIALIZED (
+      |  SELECT fb AS bucket, CAST(COUNT(*) AS BIGINT) AS n_new FROM (
+      |    SELECT t, MIN(bucket) AS fb FROM tok GROUP BY t) GROUP BY 1),
+      |spine AS (SELECT range AS bucket FROM range(20)),
+      |curve AS MATERIALIZED (
+      |  SELECT s.bucket,
+      |    SUM(COALESCE(pb.n_tok, 0)) OVER
+      |      (ORDER BY s.bucket ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+      |    SUM(COALESCE(fb.n_new, 0)) OVER
+      |      (ORDER BY s.bucket ROWS UNBOUNDED PRECEDING) AS cum_vocab
+      |  FROM spine s LEFT JOIN pb ON pb.bucket = s.bucket
+      |    LEFT JOIN fb ON fb.bucket = s.bucket),
+      |pts AS MATERIALIZED (
+      |  SELECT bucket, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+      |    CAST(cum_vocab AS BIGINT) AS cum_vocab,
+      |    round(ln(CAST(cum_tokens AS DOUBLE)), 6) AS log_t,
+      |    round(ln(CAST(cum_vocab AS DOUBLE)), 6) AS log_v
+      |  FROM curve WHERE cum_tokens > 0)
+      |SELECT bucket, cum_tokens, cum_vocab, log_t, log_v,
+      |  (SELECT round(regr_slope(log_v, log_t), 4) FROM pts) AS heaps_beta
+      |FROM pts""".stripMargin
 }

@@ -291,6 +291,14 @@ class ExchangeBudgetSpec extends SparkTestBase {
     "q188_annotator_agreement" -> 1, // per-row label kernels feeding one
                                  // map-side-combined per-lang confusion
                                  // agg; κ math on the tiny grouped rows
+    "q192_source_jsd"     -> 5,  // (source,token) tally sits behind its
+                                 // checkpoint; vocab token agg, source
+                                 // totals, dense pair join on t, pair
+                                 // JSD agg; vocab/totals broadcast back
+    "q193_heaps_law"      -> 5,  // bucket totals agg, token first-
+                                 // bucket agg + its 20-row rollup,
+                                 // 1-row max gather, 20-row ordered
+                                 // window; beta rides a broadcast
     "q190_l_diversity"    -> 3,  // (QI,source) corpus tally; class-total
                                  // window + QI rollup ride the
                                  // dimension-sized class-count table
