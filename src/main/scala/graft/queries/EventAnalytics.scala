@@ -644,4 +644,81 @@ object EventAnalytics {
        |  round(CAST(n AS DOUBLE) * CAST(den AS DOUBLE) / CAST(num AS DOUBLE), 4) AS ratio
        |FROM scored""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // q194: seasonal decomposition of the daily event series — classical
+  // additive trend/seasonal/residual split (the STL shape, moving-
+  // average variant): 7-day centered moving-average trend, per-weekday
+  // seasonal component from the detrended series, residual variance
+  // per weekday. The operational question it answers: how much of
+  // daily volume variation is weekly rhythm vs noise — the baseline
+  // any ingestion-anomaly alert must subtract first.
+  //
+  // Scale shape: ONE corpus-sized daily tally; the day table is
+  // DIMENSION-sized (hundreds of rows), so the ordered 7-row window
+  // and weekday rollups run on it freely. Parity: all components in
+  // integer MILLI-counts; divisions that can go negative use
+  // floor(CAST AS DOUBLE / n) — exact for these magnitudes and
+  // identical in both engines (Spark's `div` truncates toward zero
+  // while DuckDB's `//` floors, so raw integer division would diverge
+  // on negative detrended values). Weekday is epoch-arithmetic
+  // ((days_since_epoch + 3) % 7, 0 = Monday) — no engine dow()
+  // convention in play.
+  // ------------------------------------------------------------------
+  def q194SeasonalDecompose(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n"))
+    val w7 = Window.orderBy(col("day")).rowsBetween(-3, 3)
+    val det = daily
+      .withColumn("wn", count(lit(1)).over(w7))
+      .withColumn("wsum", sum(col("n")).over(w7))
+      .filter(col("wn") === 7) // full centered windows only
+      .withColumn("trend_milli",
+        floor(col("wsum").cast(DoubleType) * 1000.0 / 7.0).cast(LongType))
+      .withColumn("det_milli", col("n") * 1000L - col("trend_milli"))
+      .withColumn("dow",
+        expr("CAST((datediff(day, DATE'1970-01-01') + 3) % 7 AS BIGINT)"))
+    val seasonal = det.groupBy(col("dow"))
+      .agg(count(lit(1)).as("n_days"), sum(col("det_milli")).as("sdet"))
+      .withColumn("seasonal_milli",
+        floor(col("sdet").cast(DoubleType) / col("n_days").cast(DoubleType))
+          .cast(LongType))
+    det.join(broadcast(seasonal), Seq("dow"))
+      .withColumn("r", col("det_milli") - col("seasonal_milli"))
+      .groupBy(col("dow"))
+      .agg(first(col("n_days")).as("n_days"),
+        first(col("seasonal_milli")).as("seasonal_milli"),
+        floor(sum(col("r") * col("r")).cast(DoubleType)
+          / count(lit(1)).cast(DoubleType)).cast(LongType).as("resid_var_milli2"))
+  }
+
+  val q194Sql: String =
+    """WITH daily AS (
+      |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1),
+      |win AS (
+      |  SELECT day, n,
+      |    COUNT(*) OVER w AS wn, SUM(n) OVER w AS wsum
+      |  FROM daily WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      |det AS MATERIALIZED (
+      |  SELECT day, n,
+      |    CAST(floor(CAST(wsum AS DOUBLE) * 1000.0 / 7.0) AS BIGINT) AS trend_milli,
+      |    n * 1000 - CAST(floor(CAST(wsum AS DOUBLE) * 1000.0 / 7.0) AS BIGINT)
+      |      AS det_milli,
+      |    CAST((date_diff('day', DATE '1970-01-01', day) + 3) % 7 AS BIGINT) AS dow
+      |  FROM win WHERE wn = 7),
+      |seasonal AS MATERIALIZED (
+      |  SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_days,
+      |    CAST(floor(CAST(SUM(det_milli) AS DOUBLE) / COUNT(*)) AS BIGINT)
+      |      AS seasonal_milli
+      |  FROM det GROUP BY 1)
+      |SELECT d.dow, s.n_days, s.seasonal_milli,
+      |  CAST(floor(CAST(SUM((d.det_milli - s.seasonal_milli)
+      |      * (d.det_milli - s.seasonal_milli)) AS DOUBLE) / COUNT(*)) AS BIGINT)
+      |    AS resid_var_milli2
+      |FROM det d JOIN seasonal s USING (dow)
+      |GROUP BY d.dow, s.n_days, s.seasonal_milli""".stripMargin
 }

@@ -299,6 +299,10 @@ class ExchangeBudgetSpec extends SparkTestBase {
                                  // bucket agg + its 20-row rollup,
                                  // 1-row max gather, 20-row ordered
                                  // window; beta rides a broadcast
+    "q194_seasonal_decompose" -> 3, // daily tally is the one corpus
+                                 // pass; the day-table window + dow
+                                 // rollups fuse under AQE (measured 2;
+                                 // headroom 1 for scale-dependent AQE)
     "q190_l_diversity"    -> 3,  // (QI,source) corpus tally; class-total
                                  // window + QI rollup ride the
                                  // dimension-sized class-count table
