@@ -721,4 +721,79 @@ object EventAnalytics {
       |    AS resid_var_milli2
       |FROM det d JOIN seasonal s USING (dow)
       |GROUP BY d.dow, s.n_days, s.seasonal_milli""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q195: sequence-pattern mining over user journeys — MATCH_RECOGNIZE
+  // lite. Each user's event history becomes a compact journey string
+  // (one letter per event, types mapped a.. in sorted order), and a
+  // fixed pattern library is evaluated as regexes over it: how many
+  // users ever convert after an error, bounce through 3+ views, etc.
+  // Row-pattern queries are the SQL:2016 feature Spark lacks; regex
+  // over an ordered per-key reduction expresses the same class of
+  // questions (patterns here use only syntax with identical semantics
+  // in Java regex and RE2: literals, classes, alternation, bounded
+  // repeats, partial match).
+  //
+  // Scale shape: ONE user_id shuffle builds the journey strings
+  // (collect_list + array_sort inside the agg — order-independent of
+  // partitioning); the type→letter dictionary is a sorted-distinct
+  // dimension; the pattern library is a broadcast literal; per-pattern
+  // tallies are pattern-count-sized. Journey strings are bounded by
+  // per-user event counts (naturally small); a pathological power user
+  // bounds at the agg, not a cross join.
+  // ------------------------------------------------------------------
+  def q195SequencePattern(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+    // type -> letter dictionary, derived identically in both engines:
+    // sorted distinct types, 'a' + rank (dimension-sized global window)
+    val dict = ev.select(col("event_type")).distinct()
+      .withColumn("rn", row_number().over(Window.orderBy(col("event_type"))))
+      .withColumn("letter", expr("char(96 + rn)"))
+      .select(col("event_type"), col("letter"))
+    val journeys = ev
+      .join(broadcast(dict), "event_type")
+      .groupBy(col("user_id"))
+      .agg(expr(
+        "array_join(transform(array_sort(collect_list(struct(ts, event_id, letter))), x -> x.letter), '')")
+        .as("journey"))
+    val patterns = Seq(
+      ("error_then_purchase", "e.*c"), // error ... later a purchase
+      ("view_burst", "(v|a){3,}"),     // 3+ consecutive views/clicks
+      ("signup_first", "^d"),          // journey starts with signup
+      ("double_error", "e[^e]*e"))     // two errors, any gap
+    val spark2 = spark
+    import spark2.implicits._
+    val pats = patterns.toDF("pattern_name", "pattern")
+    journeys.crossJoin(broadcast(pats))
+      .groupBy(col("pattern_name"), col("pattern"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(expr("journey RLIKE pattern"), 1L).otherwise(0L))
+          .as("n_matched"))
+      .withColumn("share_permille",
+        expr("n_matched * 1000 div n_users"))
+  }
+
+  val q195Sql: String =
+    """WITH dict AS (
+      |  SELECT event_type, chr(96 + CAST(row_number() OVER (ORDER BY event_type) AS INT)) AS letter
+      |  FROM (SELECT DISTINCT event_type FROM events)),
+      |j AS MATERIALIZED (
+      |  SELECT e.user_id,
+      |    string_agg(d.letter, '' ORDER BY e.ts, e.event_id) AS journey
+      |  FROM events e JOIN dict d USING (event_type)
+      |  GROUP BY e.user_id),
+      |pats(pattern_name, pattern) AS (VALUES
+      |  ('error_then_purchase', 'e.*c'),
+      |  ('view_burst', '(v|a){3,}'),
+      |  ('signup_first', '^d'),
+      |  ('double_error', 'e[^e]*e'))
+      |SELECT pattern_name, pattern,
+      |  CAST(COUNT(*) AS BIGINT) AS n_users,
+      |  CAST(SUM(CASE WHEN regexp_matches(journey, pattern) THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_matched,
+      |  CAST(SUM(CASE WHEN regexp_matches(journey, pattern) THEN 1 ELSE 0 END)
+      |    * 1000 // COUNT(*) AS BIGINT) AS share_permille
+      |FROM j CROSS JOIN pats
+      |GROUP BY 1, 2""".stripMargin
 }

@@ -299,6 +299,10 @@ class ExchangeBudgetSpec extends SparkTestBase {
                                  // bucket agg + its 20-row rollup,
                                  // 1-row max gather, 20-row ordered
                                  // window; beta rides a broadcast
+    "q195_sequence_pattern" -> 4, // type-dict distinct + its tiny
+                                 // rank window; ONE user_id journey
+                                 // agg (the corpus pass); final
+                                 // pattern tally
     "q194_seasonal_decompose" -> 3, // daily tally is the one corpus
                                  // pass; the day-table window + dow
                                  // rollups fuse under AQE (measured 2;
