@@ -313,6 +313,11 @@ class ExchangeBudgetSpec extends SparkTestBase {
     "q191_tiff_meta"      -> 1,  // per-row TIFF build+parse kernels
                                  // feeding one map-side-combined
                                  // (byte_order, orientation) hash-agg
+    "q196_hll_distinct"   -> 3,  // ONE corpus pass: expand-partial on
+                                 // (type,user) then per-type merge (the
+                                 // exact-count rewrite; HLL buffers ride
+                                 // it); digest rollup reuses the type
+                                 // partitioning (measured 2; headroom 1)
     "q134_decontaminate"  -> 5)  // content-class collapses sit behind
                                  // their checkpoints (one map-side-
                                  // combined groupBy per side — the

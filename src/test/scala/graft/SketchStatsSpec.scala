@@ -159,4 +159,47 @@ class SketchStatsSpec extends SparkTestBase {
       }
     } finally spark.conf.unset("graft.q92.approx")
   }
+
+  test("q196 HLL registers: brute-force replay equality + merge = union") {
+    import graft.functions.HllAggregate
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_type"), col("user_id"))
+    // registers from the aggregate
+    val got = ev.groupBy(col("event_type"))
+      .agg(HllAggregate.hllRegisters(col("user_id"), 10).as("regs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Byte](1).toArray).toMap
+    // brute-force replay on the driver — the frozen register contract
+    val rows = ev.collect().map(r => (r.getString(0), r.getLong(1)))
+    val want = rows.groupBy(_._1).map { case (t, us) =>
+      val regs = new Array[Byte](1024)
+      us.map(_._2).distinct.foreach { u =>
+        val h = HllAggregate.mix64(u)
+        val j = (h >>> 54).toInt
+        val rho = HllAggregate.rho(h, 10)
+        if (rho > regs(j)) regs(j) = rho.toByte
+      }
+      t -> regs
+    }
+    assert(got.keySet == want.keySet)
+    got.foreach { case (t, regs) =>
+      assert(java.util.Arrays.equals(regs, want(t)), s"registers differ for $t")
+    }
+    // mergeability: elementwise max of per-type registers == registers
+    // of the union of all types (duplicate users collapse under max)
+    val union = ev.agg(HllAggregate.hllRegisters(col("user_id"), 10)).collect()(0)
+      .getSeq[Byte](0).toArray
+    val merged = got.values.reduce { (a, b) =>
+      a.zip(b).map { case (x, y) => if (x > y) x else y }
+    }
+    assert(java.util.Arrays.equals(merged, union))
+  }
+
+  test("HLL rho edge cases: zero remainder caps at 64-p+1") {
+    import graft.functions.HllAggregate
+    assert(HllAggregate.rho(0L, 10) == 55)          // all low bits zero
+    assert(HllAggregate.rho(1L << 53, 10) == 1)     // top remaining bit set
+    assert(HllAggregate.rho(1L, 10) == 54)          // lowest bit only
+    // register index uses the TOP p bits
+    assert((HllAggregate.mix64(42L) >>> 54) < 1024)
+  }
 }
