@@ -606,4 +606,90 @@ object StatsQueries {
        |  ELSE NULL END AS kappa
        |FROM cm""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // q197: exact ROC AUC of the `value` score separating each event
+  // type from the 'view' baseline — the Mann–Whitney U rank statistic
+  // (Mann & Whitney 1947) in tie-aware integer form: with per-value
+  // counts c1 (positives at v) and cum0 (negatives at ≤ v),
+  // 2·U = Σ_v c1·(2·cum0 − c0), AUC = U / (P·N). The tie term c0/2 is
+  // carried doubled so NO float enters until the single final division
+  // (q186's convention). An AUC near 0.5 here is the correct reading:
+  // the synthetic value distributions barely separate — this is the
+  // classifier-evaluation primitive, fed by real scores in production.
+  //
+  // 100 TB shape (shared with q186): corpus → (type, value-point)
+  // counts in one map-side-combined agg; baseline fan-out broadcasts
+  // the tiny type list; cum0 via the two-level bucket idiom so both
+  // window inputs stay value-domain-bounded; final U is one more
+  // domain-sized agg. BIGINT products bound the regime to
+  // P·N < 2^63 per pair — beyond that the U accumulator moves to
+  // DECIMAL(38,0), the plan unchanged.
+  // ------------------------------------------------------------------
+  def q197Auc(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), round(col("value") * 100).cast(LongType).as("v"))
+    val pts = ev.groupBy(col("event_type"), col("v")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // reused: own side, baseline fan-out, type list
+    val others = pts.select(col("event_type")).distinct()
+      .filter(col("event_type") =!= "view")
+    val tagged = pts.filter(col("event_type") =!= "view")
+      .select(col("event_type"), col("v"), col("cnt").as("c1"), lit(0L).as("c0"))
+      .unionByName(pts.filter(col("event_type") === "view")
+        .select(col("v"), col("cnt"))
+        .crossJoin(broadcast(others))
+        .select(col("event_type"), col("v"), lit(0L).as("c1"), col("cnt").as("c0")))
+    val merged = tagged.groupBy(col("event_type"), col("v"))
+      .agg(sum(col("c1")).as("c1"), sum(col("c0")).as("c0"))
+      .withColumn("b", expr("v div 1024"))
+      .localCheckpoint() // reused: bucket subtotals, cumsum, pair totals
+    val bucketTot = merged.groupBy(col("event_type"), col("b"))
+      .agg(sum(col("c0")).as("bs0"))
+    val wOff = Window.partitionBy(col("event_type")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketTot.select(col("event_type"), col("b"),
+      coalesce(sum(col("bs0")).over(wOff), lit(0L)).as("off0"))
+    val wIn = Window.partitionBy(col("event_type"), col("b")).orderBy(col("v"))
+    val cum = merged.join(broadcast(offsets), Seq("event_type", "b"))
+      .select(col("event_type"), col("v"), col("c1"), col("c0"),
+        (col("off0") + sum(col("c0")).over(wIn)).as("cum0"))
+    val tot = merged.groupBy(col("event_type"))
+      .agg(sum(col("c1")).as("pos_n"), sum(col("c0")).as("neg_n"))
+    cum.join(broadcast(tot), "event_type")
+      .groupBy(col("event_type"), col("pos_n"), col("neg_n"))
+      .agg(sum(col("c1") * (col("cum0") * 2L - col("c0"))).as("u2"))
+      .select(col("event_type"), col("pos_n"), col("neg_n"), col("u2"),
+        round(col("u2").cast(DoubleType) /
+          (col("pos_n") * col("neg_n") * 2L).cast(DoubleType), 6).as("auc"))
+  }
+
+  val q197Sql: String =
+    """WITH ev AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v FROM events),
+      |pts AS (SELECT event_type, v, COUNT(*) AS cnt FROM ev GROUP BY 1, 2),
+      |others AS (SELECT DISTINCT event_type FROM pts WHERE event_type <> 'view'),
+      |tagged AS (
+      |  SELECT event_type, v, cnt AS c1, 0 AS c0 FROM pts WHERE event_type <> 'view'
+      |  UNION ALL
+      |  SELECT o.event_type, p.v, 0 AS c1, p.cnt AS c0
+      |  FROM pts p CROSS JOIN others o WHERE p.event_type = 'view'),
+      |merged AS (
+      |  SELECT event_type, v, CAST(SUM(c1) AS BIGINT) AS c1,
+      |    CAST(SUM(c0) AS BIGINT) AS c0
+      |  FROM tagged GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT event_type, v, c1, c0,
+      |    CAST(SUM(c0) OVER (PARTITION BY event_type ORDER BY v) AS BIGINT) AS cum0
+      |  FROM merged),
+      |tot AS (
+      |  SELECT event_type, CAST(SUM(c1) AS BIGINT) AS pos_n,
+      |    CAST(SUM(c0) AS BIGINT) AS neg_n
+      |  FROM merged GROUP BY 1)
+      |SELECT c.event_type, t.pos_n, t.neg_n,
+      |  CAST(SUM(c1 * (cum0 * 2 - c0)) AS BIGINT) AS u2,
+      |  round(CAST(SUM(c1 * (cum0 * 2 - c0)) AS DOUBLE)
+      |    / CAST(t.pos_n * t.neg_n * 2 AS DOUBLE), 6) AS auc
+      |FROM cum c JOIN tot t ON c.event_type = t.event_type
+      |GROUP BY 1, 2, 3""".stripMargin
 }

@@ -318,6 +318,12 @@ class ExchangeBudgetSpec extends SparkTestBase {
                                  // exact-count rewrite; HLL buffers ride
                                  // it); digest rollup reuses the type
                                  // partitioning (measured 2; headroom 1)
+    "q197_auc"            -> 5,  // q186's shape: value-point + merged-
+                                 // pair aggs behind their checkpoints,
+                                 // bucket offsets + within-bucket cum0
+                                 // windows (value-domain-bounded), one
+                                 // domain-sized U agg; baseline + tot
+                                 // fan-outs ride broadcasts
     "q134_decontaminate"  -> 5)  // content-class collapses sit behind
                                  // their checkpoints (one map-side-
                                  // combined groupBy per side — the
