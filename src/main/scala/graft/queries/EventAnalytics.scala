@@ -659,9 +659,11 @@ object EventAnalytics {
   // and weekday rollups run on it freely. Parity: all components in
   // integer MILLI-counts; divisions that can go negative use
   // floor(CAST AS DOUBLE / n) — exact for these magnitudes and
-  // identical in both engines (Spark's `div` truncates toward zero
-  // while DuckDB's `//` floors, so raw integer division would diverge
-  // on negative detrended values). Weekday is epoch-arithmetic
+  // identical in both engines; floor (not truncate) is the intended
+  // rounding for detrending. (Both engines' integer division in fact
+  // truncates toward zero — q198 relies on exactly that — but the
+  // explicit floor keeps the semantic choice visible.) Weekday is
+  // epoch-arithmetic
   // ((days_since_epoch + 3) % 7, 0 = Monday) — no engine dow()
   // convention in play.
   // ------------------------------------------------------------------
@@ -796,4 +798,75 @@ object EventAnalytics {
       |    * 1000 // COUNT(*) AS BIGINT) AS share_permille
       |FROM j CROSS JOIN pats
       |GROUP BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q198: Holt linear-trend forecasting of the daily event series —
+  // double exponential smoothing (Holt 1957) with frozen rational
+  // coefficients (alpha = 3/10, beta = 1/10), the one-step-ahead
+  // volume forecast an ingestion monitor alerts against (q156 scores
+  // residuals against an EWMA; this adds the trend term). The whole
+  // recursion is EXACT integer micro-units with truncate-toward-zero
+  // division (JVM Long `/` here, `//` in the oracle — DuckDB's integer
+  // `//` truncates, NOT floors: -7 // 2 = -3 — so floorDiv would
+  // diverge on negative trend values), and both engines replay the
+  // trajectory bit-for-bit:
+  //   l_t = (3*y_t*1e6 + 7*(l + b)) div 10
+  //   b_t = ((l_t - l_{t-1}) + 9*b) div 10,  fc_t = l_{t-1} + b_{t-1}
+  //
+  // 100 TB shape: ONE corpus-sized map-side-combined daily tally
+  // (q198DailyPlan, plan-gated); the recursion is inherently
+  // sequential over the ~hundreds-row day series, so it runs on the
+  // driver like the other dimension-sized learner loops — the corpus
+  // never re-enters.
+  // ------------------------------------------------------------------
+  private[graft] def q198DailyPlan(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n"))
+
+  def q198HoltForecast(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val series = q198DailyPlan(spark, dir)
+      .orderBy(col("day"))
+      .collect().map(r => (r.getDate(0), r.getLong(1)))
+    require(series.length >= 2, "Holt needs at least two days")
+    val out = Array.newBuilder[(java.sql.Date, Long, Long, Long, Option[Long], Option[Long])]
+    var l = series(0)._2 * 1000000L
+    var b = (series(1)._2 - series(0)._2) * 1000000L
+    out += ((series(0)._1, series(0)._2, l, b, None, None))
+    var t = 1
+    while (t < series.length) {
+      val (day, y) = series(t)
+      val fc = l + b
+      val lNext = (3L * y * 1000000L + 7L * (l + b)) / 10L
+      val bNext = ((lNext - l) + 9L * b) / 10L
+      l = lNext; b = bNext
+      out += ((day, y, l, b, Some(fc), Some(y * 1000000L - fc)))
+      t += 1
+    }
+    out.result().toSeq
+      .toDF("day", "n", "level_micro", "trend_micro", "fc_micro", "err_micro")
+  }
+
+  val q198Sql: String =
+    """WITH RECURSIVE daily AS (
+      |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1),
+      |idx AS (
+      |  SELECT day, n, row_number() OVER (ORDER BY day) AS t FROM daily),
+      |r(t, day, n, l, b, fc) AS (
+      |  SELECT 1, i.day, i.n, i.n * 1000000,
+      |    ((SELECT n FROM idx WHERE t = 2) - i.n) * 1000000,
+      |    CAST(NULL AS BIGINT)
+      |  FROM idx i WHERE i.t = 1
+      |  UNION ALL
+      |  SELECT i.t, i.day, i.n,
+      |    (3 * i.n * 1000000 + 7 * (r.l + r.b)) // 10,
+      |    (((3 * i.n * 1000000 + 7 * (r.l + r.b)) // 10) - r.l + 9 * r.b) // 10,
+      |    r.l + r.b
+      |  FROM r JOIN idx i ON i.t = r.t + 1)
+      |SELECT day, n, CAST(l AS BIGINT) AS level_micro,
+      |  CAST(b AS BIGINT) AS trend_micro, CAST(fc AS BIGINT) AS fc_micro,
+      |  CAST(n * 1000000 - fc AS BIGINT) AS err_micro
+      |FROM r""".stripMargin
 }

@@ -356,6 +356,12 @@ class ExchangeBudgetSpec extends SparkTestBase {
       .count("Exchange (hash|range|Single)".r.findFirstIn(_).isDefined)
   }
 
+  test("q198 Holt corpus stage: one map-side-combined daily tally") {
+    val n = exchangesOf(graft.queries.EventAnalytics.q198DailyPlan(spark, sf()))
+    assert(n <= 1, s"q198 daily tally has $n exchanges (budget 1); the " +
+      "recursion itself must stay on the dimension-sized collected series")
+  }
+
   test("q135 BPE round: pairCounts over the vocab is one hash-agg exchange") {
     import org.apache.spark.sql.functions._
     val vocab = graft.sources.Tables.documents(spark, sf())
