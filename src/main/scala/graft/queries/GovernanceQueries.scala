@@ -462,4 +462,65 @@ object GovernanceQueries {
        |  MIN(CASE WHEN occ > 0 THEN doc_id END) AS first_doc
        |FROM occs GROUP BY canary""".stripMargin
   }
+
+  // Benford first-digit probabilities log10(1 + 1/d), frozen as integer
+  // micros summing to exactly 1,000,000 — shared verbatim with the
+  // oracle so no engine evaluates log10 at runtime (q156's frozen-
+  // literal convention).
+  private val BenfordMicro: Seq[(Int, Long)] = Seq(
+    1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+
+  // ------------------------------------------------------------------
+  // q199: Benford's-law conformance audit of l_extendedprice — the
+  // classic fabricated-data screen (Benford 1938; Nigrini's forensic
+  // framing): observed first-digit counts vs log10(1+1/d), one chi²
+  // contribution PER DIGIT. Emitting the 9 per-digit rows instead of
+  // one summed statistic is deliberate: a cross-row float sum has
+  // engine-dependent addend order, while each row's contribution is a
+  // fixed IEEE expression over exact integers — and the per-digit
+  // breakdown is what an auditor reads anyway (which digits deviate).
+  // The synthetic TPC-H-ish prices are near-uniform in first digit, so
+  // the audit correctly screams — that is the demonstration.
+  //
+  // 100 TB shape: per-row leading-digit kernel feeding ONE 9-group
+  // map-side-combined tally; the total-n window runs on the 9-row
+  // digit table. All comparisons exact-integer until each row's one
+  // rounded division.
+  // ------------------------------------------------------------------
+  def q199Benford(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val pm = BenfordMicro.toDF("digit", "p_micro")
+    val obs = Tables.lineitem(spark, dir)
+      .select(substring(col("l_extendedprice").cast(StringType), 1, 1)
+        .cast(IntegerType).as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("obs"))
+    val withN = obs.withColumn("n",
+      sum(col("obs")).over(Window.partitionBy()))
+    withN.join(broadcast(pm), "digit")
+      .withColumn("diff", col("obs") * 1000000L - col("n") * col("p_micro"))
+      .select(col("digit"), col("obs"),
+        round(col("n").cast(DoubleType) * col("p_micro") / 1000000.0, 4)
+          .as("expected"),
+        round((col("diff").cast(DoubleType) * col("diff").cast(DoubleType))
+          / (col("n").cast(DoubleType) * col("p_micro") * 1000000.0), 4)
+          .as("chi2_contrib"))
+  }
+
+  val q199Sql: String = {
+    val vals = BenfordMicro.map { case (d, p) => s"($d, $p)" }.mkString(", ")
+    s"""WITH pm(digit, p_micro) AS (VALUES $vals),
+       |obs AS (
+       |  SELECT CAST(substr(CAST(l_extendedprice AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+       |    CAST(COUNT(*) AS BIGINT) AS obs
+       |  FROM lineitem GROUP BY 1),
+       |wn AS (SELECT digit, obs, CAST(SUM(obs) OVER () AS BIGINT) AS n FROM obs)
+       |SELECT w.digit, w.obs,
+       |  round(CAST(w.n AS DOUBLE) * pm.p_micro / 1000000.0, 4) AS expected,
+       |  round((CAST(w.obs * 1000000 - w.n * pm.p_micro AS DOUBLE)
+       |      * CAST(w.obs * 1000000 - w.n * pm.p_micro AS DOUBLE))
+       |    / (CAST(w.n AS DOUBLE) * pm.p_micro * 1000000.0), 4) AS chi2_contrib
+       |FROM wn w JOIN pm ON pm.digit = w.digit""".stripMargin
+  }
 }

@@ -324,6 +324,9 @@ class ExchangeBudgetSpec extends SparkTestBase {
                                  // windows (value-domain-bounded), one
                                  // domain-sized U agg; baseline + tot
                                  // fan-outs ride broadcasts
+    "q199_benford"        -> 2,  // per-row leading-digit kernel into ONE
+                                 // 9-group map-side tally; the total-n
+                                 // window gathers the 9-row digit table
     "q134_decontaminate"  -> 5)  // content-class collapses sit behind
                                  // their checkpoints (one map-side-
                                  // combined groupBy per side — the
