@@ -108,3 +108,44 @@ object HllAggregate {
     GraftBridge.column(
       HllAggregate(GraftBridge.expression(key), p).toAggregateExpression())
 }
+
+/**
+ * splitmix64 of (key XOR seed) as a codegen'd scalar expression — the
+ * per-row hash kernel the count-min sketch (q200) and any seeded
+ * register assignment run over the corpus. The mix inlines into
+ * whole-stage codegen (plain long arithmetic, no virtual call), and the
+ * constants are the same frozen splitmix64 finalizer [[HllAggregate.mix64]]
+ * replays — so the DuckDB oracle's HUGEINT chain reproduces every hash.
+ */
+case class Mix64Expression(child: Expression, seed: Long)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    HllAggregate.mix64(input.asInstanceOf[Long] ^ seed)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    // fresh name: several seeded mixes can share one codegen function
+    val z = ctx.freshName("z")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      long $z = ($c ^ ${seed}L) + 0x9E3779B97F4A7C15L;
+      $z = ($z ^ ($z >>> 30)) * 0xBF58476D1CE4E5B9L;
+      $z = ($z ^ ($z >>> 27)) * 0x94D049BB133111EBL;
+      ${ev.value} = $z ^ ($z >>> 31);
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "mix64"
+}
+
+object Mix64Expression {
+  import org.apache.spark.sql.GraftBridge
+
+  def mix64(key: Column, seed: Long): Column =
+    GraftBridge.column(Mix64Expression(GraftBridge.expression(key), seed))
+}

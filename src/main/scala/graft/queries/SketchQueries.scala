@@ -123,4 +123,95 @@ object SketchQueries {
        |    * 100.0 / CAST(ex.exact_users AS DOUBLE), 4) AS rel_err_pct
        |FROM digest d JOIN ex ON ex.event_type = d.event_type""".stripMargin
   }
+
+  // Count-min seeds (q200): the first four 64-bit chunks of pi's hex
+  // expansion — public nothing-up-my-sleeve constants, all < 2^63 so
+  // the decimal literals are identical signed/unsigned in both engines.
+  private val CmSeeds: Seq[Long] = Seq(
+    0x243F6A8885A308D3L, 0x13198A2E03707344L,
+    0x082EFA98EC4E6C89L, 0x452821E638D01377L)
+
+  // ------------------------------------------------------------------
+  // q200: count-min sketch of per-user event frequencies (Cormode &
+  // Muthukrishnan 2005) — depth 4 x width 512, register index = top
+  // 9 bits of mix64(user_id XOR seed_d). Point queries on the 20 most
+  // active users compare the sketch estimate (min over the 4 rows)
+  // against exact counts; `overcount` is the sketch's one-sided error,
+  // structurally >= 0. Like q196, the REGISTERS are the cross-engine
+  // contract — every cell replays in integer SQL.
+  //
+  // 100 TB shape: the 4-way seeded fan-out happens per-row ahead of
+  // ONE map-side-combined (d, j) tally — 2048 groups regardless of
+  // corpus size, so the exchange moves ~2048 rows per mapper. The
+  // exact side is a per-user agg + TakeOrdered(20); the 2048-cell
+  // sketch broadcasts onto the 20 probes. At 100 TB you'd keep the
+  // sketch table and drop the exact side — it exists here to expose
+  // the error, and because the oracle needs a truth column.
+  // ------------------------------------------------------------------
+  def q200CountMin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Mix64Expression.mix64
+    val ev = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"))
+    val cells = ev.select(explode(array(CmSeeds.zipWithIndex.map {
+        case (seed, d) => struct(
+          lit(d).as("d"),
+          shiftrightunsigned(mix64(col("user_id"), seed), 55).as("j"))
+      }: _*)).as("c"))
+      .select(col("c.d").as("d"), col("c.j").as("j"))
+      .groupBy(col("d"), col("j")).agg(count(lit(1)).as("cell"))
+    val top = ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("user_id")).limit(20)
+    val probes = top.select(col("user_id"), col("exact_n"),
+      explode(array(CmSeeds.zipWithIndex.map { case (seed, d) =>
+        struct(lit(d).as("d"),
+          shiftrightunsigned(mix64(col("user_id"), seed), 55).as("j"))
+      }: _*)).as("c"))
+      .select(col("user_id"), col("exact_n"),
+        col("c.d").as("d"), col("c.j").as("j"))
+    probes.join(broadcast(cells), Seq("d", "j"))
+      .groupBy(col("user_id"), col("exact_n"))
+      .agg(min(col("cell")).as("cm_est"))
+      .select(col("user_id"), col("exact_n"), col("cm_est"),
+        (col("cm_est") - col("exact_n")).as("overcount"))
+  }
+
+  /** Oracle: per-user exact counts (cheap at oracle scale) fan out
+    * through the same four-seed HUGEINT mix chain; registers are
+    * SUM(user count) per (d, j); estimates are MIN over d. */
+  val q200Sql: String = {
+    val seeds = CmSeeds.zipWithIndex
+      .map { case (s, d) => s"($d, ${java.lang.Long.toUnsignedString(s)})" }
+      .mkString(", ")
+    s"""WITH uc AS (
+       |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events
+       |  WHERE user_id IS NOT NULL GROUP BY 1),
+       |sd(d, seed) AS (VALUES $seeds),
+       |h0 AS (SELECT u.user_id, u.n, sd.d,
+       |  (xor(u.user_id::HUGEINT, sd.seed::HUGEINT)
+       |   + 11400714819323198485) % 18446744073709551616 AS z0
+       |  FROM uc u CROSS JOIN sd),
+       |h1 AS (SELECT *, xor(z0, z0 >> 30) AS z1 FROM h0),
+       |h2 AS (SELECT *,
+       |  ((z1 % 4294967296) * 13787848793156543929
+       |   + ((z1 // 4294967296) * 13787848793156543929 % 4294967296)
+       |     * 4294967296) % 18446744073709551616 AS z2 FROM h1),
+       |h3 AS (SELECT *, xor(z2, z2 >> 27) AS z3 FROM h2),
+       |h4 AS (SELECT *,
+       |  ((z3 % 4294967296) * 10723151780598845931
+       |   + ((z3 // 4294967296) * 10723151780598845931 % 4294967296)
+       |     * 4294967296) % 18446744073709551616 AS z4 FROM h3),
+       |hj AS (SELECT user_id, n, d,
+       |  xor(z4, z4 >> 31) // 36028797018963968 AS j FROM h4),
+       |cells AS (SELECT d, j, CAST(SUM(n) AS BIGINT) AS cell
+       |  FROM hj GROUP BY 1, 2),
+       |top AS (SELECT user_id, n AS exact_n FROM uc
+       |  ORDER BY n DESC, user_id LIMIT 20)
+       |SELECT t.user_id, t.exact_n, MIN(c.cell) AS cm_est,
+       |  MIN(c.cell) - t.exact_n AS overcount
+       |FROM top t
+       |JOIN hj ON hj.user_id = t.user_id
+       |JOIN cells c ON c.d = hj.d AND c.j = hj.j
+       |GROUP BY 1, 2""".stripMargin
+  }
 }

@@ -327,6 +327,11 @@ class ExchangeBudgetSpec extends SparkTestBase {
     "q199_benford"        -> 2,  // per-row leading-digit kernel into ONE
                                  // 9-group map-side tally; the total-n
                                  // window gathers the 9-row digit table
+    "q200_countmin"       -> 3,  // (d,j) cell tally collapses map-side
+                                 // to 2048 groups; exact side is one
+                                 // user agg + TakeOrdered(20); cells
+                                 // broadcast onto the 20 probes
+                                 // (measured 2; headroom 1)
     "q134_decontaminate"  -> 5)  // content-class collapses sit behind
                                  // their checkpoints (one map-side-
                                  // combined groupBy per side — the

@@ -202,4 +202,15 @@ class SketchStatsSpec extends SparkTestBase {
     // register index uses the TOP p bits
     assert((HllAggregate.mix64(42L) >>> 54) < 1024)
   }
+
+  test("Mix64Expression: codegen and interpreted paths agree with mix64") {
+    import graft.functions.{HllAggregate, Mix64Expression}
+    val df = spark.range(-5000L, 5000L, 7L).toDF("k")
+    val seed = 0x243F6A8885A308D3L
+    val got = df.select(col("k"), Mix64Expression.mix64(col("k"), seed).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    got.foreach { case (k, h) =>
+      assert(h == HllAggregate.mix64(k ^ seed), s"mismatch at k=$k")
+    }
+  }
 }
