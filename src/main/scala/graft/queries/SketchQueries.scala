@@ -40,15 +40,22 @@ object SketchQueries {
   // and keep only the sketch path.
   // ------------------------------------------------------------------
   def q196HllDistinct(spark: SparkSession, dir: String): DataFrame = {
-    val regs = Tables.events(spark, dir)
+    val ev = Tables.events(spark, dir)
       .filter(col("user_id").isNotNull)
-      .groupBy(col("event_type"))
-      .agg(
-        HllAggregate.hllRegisters(col("user_id"), 10).as("regs"),
-        countDistinct(col("user_id")).as("exact_users"))
-    val perReg = regs.select(
-      col("event_type"), col("exact_users"),
-      explode(col("regs")).as("r"))
+      .select(col("event_type"), col("user_id"))
+    // SEPARATE aggregations, tiny broadcast join: fusing the sketch
+    // with countDistinct plants an Expand above the corpus, whose
+    // thousands of (type,user) groups push the TypedImperativeAggregate
+    // off ObjectHashAggregate onto sort-agg — a whole-corpus sort (the
+    // round-5 fallback gotcha; measured 2.2x at 10x before the split).
+    // Alone, the sketch agg has |types| groups and stays hash-based.
+    val regs = ev.groupBy(col("event_type"))
+      .agg(HllAggregate.hllRegisters(col("user_id"), 10).as("regs"))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    val perReg = regs.join(broadcast(exact), "event_type")
+      .select(col("event_type"), col("exact_users"),
+        explode(col("regs")).as("r"))
     perReg
       .groupBy(col("event_type"), col("exact_users"))
       .agg(
