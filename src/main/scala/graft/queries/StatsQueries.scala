@@ -692,4 +692,114 @@ object StatsQueries {
       |    / CAST(t.pos_n * t.neg_n * 2 AS DOUBLE), 6) AS auc
       |FROM cum c JOIN tot t ON c.event_type = t.event_type
       |GROUP BY 1, 2, 3""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q201: per-source quantile normalization — each event type's value
+  // distribution is remapped onto the POOLED distribution by exact
+  // ECDF inverse transform (the quantile-normalization operator of
+  // Bolstad et al. 2003, re-expressed rank-exactly): for a type-t
+  // value v, norm(v) = min{ v' : cumPool(v') * n_t >= cum_t(v) * N }.
+  // The cross-multiplied inequality keeps every comparison in BIGINT —
+  // no quantile fraction is ever materialized as a float. This is the
+  // calibration step that makes per-source quality thresholds
+  // comparable before mixing corpora.
+  //
+  // 100 TB shape: ONE corpus-sized (type, value-point) tally; CDFs via
+  // the two-level bucket idiom (q186); the pooled CDF's bucket-offset
+  // window runs over the ~domain/1024-row bucket list. The rank lookup
+  // is a per-type ORDERED MERGE of two domain-sized CDFs — pooled rows
+  // fan out behind a broadcast, and a first-following-pooled window
+  // partitioned by (type) resolves min-v'-satisfying in one pass, so
+  // nothing quadratic and nothing corpus-sized enters a window.
+  // BIGINT regime: cum * N products need n_t * N < 2^63 per type —
+  // beyond that the keys move to DECIMAL(38,0), the plan unchanged.
+  // ------------------------------------------------------------------
+  def q201QuantileNormalize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), round(col("value") * 100).cast(LongType).as("v"))
+    val pts = ev.groupBy(col("event_type"), col("v")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // reused: per-type CDF, pooled CDF, totals
+    // per-type CDF (two-level: bucket offsets + within-bucket cumsum)
+    val merged = pts.withColumn("b", expr("v div 1024"))
+    val wOffT = Window.partitionBy(col("event_type")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offT = merged.groupBy(col("event_type"), col("b"))
+      .agg(sum(col("cnt")).as("bs"))
+      .select(col("event_type"), col("b"),
+        coalesce(sum(col("bs")).over(wOffT), lit(0L)).as("off"))
+    val wInT = Window.partitionBy(col("event_type"), col("b")).orderBy(col("v"))
+    val cumT = merged.join(broadcast(offT), Seq("event_type", "b"))
+      .select(col("event_type"), col("v"),
+        (col("off") + sum(col("cnt")).over(wInT)).as("cum"))
+    // pooled CDF (same idiom; the offset window rides the tiny bucket list)
+    val pooled = pts.groupBy(col("v")).agg(sum(col("cnt")).as("pcnt"))
+      .withColumn("b", expr("v div 1024"))
+    val wOffP = Window.orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offP = pooled.groupBy(col("b")).agg(sum(col("pcnt")).as("bs"))
+      .select(col("b"), coalesce(sum(col("bs")).over(wOffP), lit(0L)).as("off"))
+    val wInP = Window.partitionBy(col("b")).orderBy(col("v"))
+    val cumP = pooled.join(broadcast(offP), Seq("b"))
+      .select(col("v").as("pv"), (col("off") + sum(col("pcnt")).over(wInP)).as("pcum"))
+      .localCheckpoint() // fanned out per type below
+    val tot = pts.groupBy(col("event_type")).agg(sum(col("cnt")).as("n_t"))
+    val nAll = pts.agg(sum(col("cnt")).as("n_all"))
+    // per-type ordered merge: targets keyed cum*N, pooled keyed pcum*n_t;
+    // pooled sorts after targets at equal key (tag), so the first
+    // following pooled row is exactly min v' with pcum*n_t >= cum*N
+    val types = tot.crossJoin(broadcast(nAll))
+    val targets = cumT.join(broadcast(types), "event_type")
+      .select(col("event_type"), col("v"),
+        (col("cum") * col("n_all")).as("key"), lit(0).as("tag"),
+        lit(null).cast(LongType).as("pv"))
+    val probes = cumP.crossJoin(broadcast(types))
+      .select(col("event_type"), lit(null).cast(LongType).as("v"),
+        (col("pcum") * col("n_t")).as("key"), lit(1).as("tag"), col("pv"))
+    // REVERSED order + growing frame: Spark evaluates an
+    // [unboundedPreceding, currentRow] frame incrementally (O(n) per
+    // partition), while [currentRow, unboundedFollowing] recomputes per
+    // row (O(n²) — measured 70 s at sf0.1 before this flip). last() of
+    // the reversed order is exactly the first following pooled row of
+    // the forward order; pooled tag sorts first at equal key so the >=
+    // match stays inclusive.
+    val wNext = Window.partitionBy(col("event_type"))
+      .orderBy(col("key").desc, col("tag").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    targets.unionByName(probes)
+      .withColumn("norm_v", last(col("pv"), ignoreNulls = true).over(wNext))
+      .filter(col("tag") === 0)
+      .select(col("event_type"), col("v"), col("norm_v"))
+  }
+
+  /** Oracle: plain per-type and pooled CDF windows; the min-satisfying
+    * lookup is an ASOF JOIN on NEGATED keys (ASOF matches the largest
+    * right key <= left key, so negation turns it into the smallest
+    * right key >= left key). */
+  val q201Sql: String =
+    """WITH ev AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v FROM events),
+      |pts AS (SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM ev GROUP BY 1, 2),
+      |cum_t AS (
+      |  SELECT event_type, v,
+      |    CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY v) AS BIGINT) AS cum
+      |  FROM pts),
+      |pooled AS (
+      |  SELECT v AS pv,
+      |    CAST(SUM(SUM(cnt)) OVER (ORDER BY v) AS BIGINT) AS pcum
+      |  FROM pts GROUP BY v),
+      |tot AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n_t
+      |  FROM pts GROUP BY 1),
+      |nall AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_all FROM pts),
+      |targets AS (
+      |  SELECT c.event_type, c.v, c.cum * nall.n_all AS key
+      |  FROM cum_t c CROSS JOIN nall),
+      |probes AS (
+      |  SELECT t.event_type, p.pv, p.pcum * t.n_t AS key
+      |  FROM pooled p CROSS JOIN tot t)
+      |SELECT tg.event_type, tg.v, pr.pv AS norm_v
+      |FROM targets tg
+      |ASOF JOIN probes pr
+      |  ON pr.event_type = tg.event_type AND -pr.key <= -tg.key""".stripMargin
 }

@@ -332,6 +332,12 @@ class ExchangeBudgetSpec extends SparkTestBase {
                                  // user agg + TakeOrdered(20); cells
                                  // broadcast onto the 20 probes
                                  // (measured 2; headroom 1)
+    "q201_quantile_normalize" -> 8, // value-point tally behind its
+                                 // checkpoint; per-type + pooled CDFs
+                                 // each spend bucket-offset + within-
+                                 // bucket windows (domain-bounded),
+                                 // totals aggs, one per-type ordered
+                                 // merge window; fan-outs broadcast
     "q134_decontaminate"  -> 5)  // content-class collapses sit behind
                                  // their checkpoints (one map-side-
                                  // combined groupBy per side — the
