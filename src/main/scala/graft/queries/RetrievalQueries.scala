@@ -651,4 +651,113 @@ object RetrievalQueries {
       |  CAST(SUM(micro_bits) // greatest(SUM(n_scored), 1) AS BIGINT)
       |    AS mean_micro_bits
       |FROM perdoc GROUP BY lang""".stripMargin
+
+  // RRF rank weights (q202): round-half-up micros of 1/(60+r) for ranks
+  // 1..20, generated with INTEGER arithmetic only (no runtime float),
+  // shared verbatim with the oracle VALUES list. k = 60 is the
+  // Cormack/Clarke/Buettcher default.
+  private val RrfMicro: Seq[(Int, Long)] =
+    (1 to 20).map(r => r -> (2000000L + (60 + r)) / (2L * (60 + r)))
+
+  // ------------------------------------------------------------------
+  // q202: reciprocal-rank fusion of two retrievers (Cormack, Clarke &
+  // Buettcher 2009) over the fixed query workload — ranker A orders by
+  // total query-term frequency, ranker B by query-term coverage with a
+  // shortest-document tiebreak; both integer scores, so the per-query
+  // rankings are exact. Fusion: each doc's fused score is the sum of
+  // frozen micro-weights 1/(60+rank) over the rankers where it appears
+  // in the top 20; top 5 per query by (fused desc, doc_id). The
+  // ensemble step every multi-retriever search stack runs — lexical +
+  // semantic lists merge the same way.
+  //
+  // 100 TB shape: corpus-sized work is the postings of the query terms
+  // (qterms broadcast into the scan, q139's shape); ONE (qid, doc)
+  // aggregation; rank windows partition per (qid, ranker) over
+  // candidate lists; weights and the final top-5 are dimension-sized.
+  // ------------------------------------------------------------------
+  /** q202's corpus stage — the only part that touches all documents.
+    * Package-visible so ExchangeBudgetSpec can gate it: the
+    * localCheckpoint in q202RrfFusion hides it from the final plan. */
+  private[graft] def q202CandPlan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val qterms = QueryTerms.toDF("qid", "term")
+    val words = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+    words.join(broadcast(qterms), "term")
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(count(lit(1)).as("sa"),           // ranker A: total tf
+        countDistinct(col("term")).as("cov"), // ranker B: coverage...
+        first(col("n_chars")).as("len"))      // ...tiebroken by length
+  }
+
+  def q202RrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TopKAggregate.topK
+    import spark.implicits._
+    val weights = RrfMicro.toDF("rnk", "w")
+    val cand = q202CandPlan(spark, dir)
+      .localCheckpoint() // both ranker heaps read it
+    // top-20 per (qid, ranker) via bounded map-side heaps — the
+    // row_number() dual sorts each query's WHOLE candidate list on one
+    // task (only |queries| partitions; measured 1.6x at 10x). Ranker
+    // B's composite order (cov desc, len asc) packs exactly into one
+    // double: cov*2^40 - len*2^20 (all addends < 2^53, no rounding);
+    // doc_id asc is the heap's built-in tiebreak.
+    val listA = cand.groupBy(col("qid"))
+      .agg(topK(col("sa").cast(DoubleType), col("doc_id"), 20).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("p", "e")))
+      .select(col("qid"), col("e.id").as("doc_id"), (col("p") + 1).as("rnk"))
+    val listB = cand.groupBy(col("qid"))
+      .agg(topK(col("cov").cast(DoubleType) * 1099511627776.0
+          - col("len").cast(DoubleType) * 1048576.0,
+        col("doc_id"), 20).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("p", "e")))
+      .select(col("qid"), col("e.id").as("doc_id"), (col("p") + 1).as("rnk"))
+    listA.unionByName(listB)
+      .join(broadcast(weights), "rnk")
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("w")).as("fused_micro"))
+      .groupBy(col("qid"))
+      .agg(topK(col("fused_micro").cast(DoubleType), col("doc_id"), 5).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("p0", "e")))
+      .select(col("qid"), col("e.id").as("doc_id"),
+        col("e.score").cast(LongType).as("fused_micro"),
+        (col("p0") + 1).cast(IntegerType).as("p"))
+  }
+
+  val q202Sql: String = {
+    val qvals = QueryTerms.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+    val wvals = RrfMicro.map { case (r, w) => s"($r, $w)" }.mkString(", ")
+    s"""WITH qt(qid, term) AS (VALUES $qvals),
+       |wt(rnk, w) AS (VALUES $wvals),
+       |words AS (
+       |  SELECT doc_id, n_chars, unnest(str_split(text, ' ')) AS term
+       |  FROM documents),
+       |cand AS (
+       |  SELECT qt.qid, w.doc_id,
+       |    CAST(COUNT(*) AS BIGINT) AS sa,
+       |    CAST(COUNT(DISTINCT w.term) AS BIGINT) AS cov,
+       |    MIN(w.n_chars) AS len
+       |  FROM words w JOIN qt ON w.term = qt.term AND w.term <> ''
+       |  GROUP BY 1, 2),
+       |la AS (
+       |  SELECT qid, doc_id, row_number() OVER
+       |    (PARTITION BY qid ORDER BY sa DESC, doc_id) AS rnk FROM cand),
+       |lb AS (
+       |  SELECT qid, doc_id, row_number() OVER
+       |    (PARTITION BY qid ORDER BY cov DESC, len, doc_id) AS rnk FROM cand),
+       |fused AS (
+       |  SELECT qid, doc_id, CAST(SUM(w) AS BIGINT) AS fused_micro
+       |  FROM (SELECT * FROM la WHERE rnk <= 20
+       |        UNION ALL SELECT * FROM lb WHERE rnk <= 20) u
+       |  JOIN wt USING (rnk)
+       |  GROUP BY 1, 2)
+       |SELECT CAST(qid AS BIGINT) AS qid, doc_id, fused_micro,
+       |  CAST(p AS INTEGER) AS p FROM (
+       |  SELECT qid, doc_id, fused_micro, row_number() OVER
+       |    (PARTITION BY qid ORDER BY fused_micro DESC, doc_id) AS p
+       |  FROM fused) r
+       |WHERE p <= 5""".stripMargin
+  }
 }

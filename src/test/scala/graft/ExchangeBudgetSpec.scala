@@ -332,6 +332,11 @@ class ExchangeBudgetSpec extends SparkTestBase {
                                  // user agg + TakeOrdered(20); cells
                                  // broadcast onto the 20 probes
                                  // (measured 2; headroom 1)
+    "q202_rrf_fusion"     -> 2,  // post-checkpoint assembly: one qid
+                                 // exchange per ranker's top-20 heap;
+                                 // fusion agg + final top-5 ride the
+                                 // qid partitioning (rank-list-sized
+                                 // input). Corpus stage gated below.
     "q201_quantile_normalize" -> 8, // value-point tally behind its
                                  // checkpoint; per-type + pooled CDFs
                                  // each spend bucket-offset + within-
@@ -429,6 +434,14 @@ class ExchangeBudgetSpec extends SparkTestBase {
     val n = exchangesOf(graft.queries.BehaviorQueries
       .q185WinMatrixPlan(spark, sf()))
     assert(n <= 2, s"q185 corpus stage has $n exchanges (budget 2)")
+  }
+
+  test("q202 candidate stage: broadcast term join + distinct-expand agg") {
+    val n = exchangesOf(graft.queries.RetrievalQueries
+      .q202CandPlan(spark, sf()))
+    assert(n <= 2, s"q202 corpus stage has $n exchanges (budget 2: the " +
+      "countDistinct expand's (qid,doc,term) partial + (qid,doc) merge; " +
+      "the query-term join must stay broadcast)")
   }
 
   test("q189 transition tally: user window + (from,to) agg = two exchanges") {
