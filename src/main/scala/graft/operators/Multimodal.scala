@@ -167,6 +167,54 @@ object Multimodal {
       }
   }
 
+  final case class WebpFeatures(
+      media_id: Long, format: Option[String], width: Option[Long],
+      height: Option[Long], has_alpha: Option[Boolean],
+      n_frames: Option[Int], loop_count: Option[Int],
+      riff_bytes: Option[Long])
+
+  /** Synthesize a canonical WebP (RIFF) container per row, cycling
+    * through all three variants — lossy `VP8 `, lossless `VP8L`, and
+    * extended animated `VP8X`/`ANIM`/`ANMF` — so every dimension
+    * encoding the parser supports is exercised in-corpus
+    * ([[WebpHeaders]]). The web-image sibling of [[synthTiff]]. */
+  def synthWebp(df: DataFrame, idCol: String): DataFrame = {
+    implicit val enc: Encoder[MediaRecord] = Encoders.product[MediaRecord]
+    df.select(col(idCol).cast(LongType))
+      .as(Encoders.scalaLong)
+      .mapPartitions { rows =>
+        rows.map { id =>
+          val w = 16 + (id % 7).toInt * 48
+          val h = 16 + (id % 9).toInt * 32
+          val webp = (id % 3) match {
+            case 0 => WebpHeaders.buildLossy(w, h, (id % 50).toInt, id)
+            case 1 => WebpHeaders.buildLossless(w, h, id % 2 == 0,
+              (id % 50).toInt, id)
+            case _ => WebpHeaders.buildAnimated(w, h, id % 2 == 0,
+              1 + (id % 4).toInt, (id % 5).toInt, id)
+          }
+          MediaRecord(id, webp, "image/webp", webp.length.toLong)
+        }
+      }.toDF()
+  }
+
+  /** WebP metadata extraction — per-partition kernel over the real
+    * RIFF chunk walk; non-WebP payloads report all-null metadata,
+    * never a fake. */
+  def extractWebpFeatures(media: DataFrame): Dataset[WebpFeatures] = {
+    implicit val enc: Encoder[WebpFeatures] = Encoders.product[WebpFeatures]
+    media.select("media_id", "content", "mime_type", "n_bytes")
+      .as(Encoders.product[MediaRecord])
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val meta = WebpHeaders.parse(r.content)
+          WebpFeatures(r.media_id, meta.map(_.format), meta.map(_.width),
+            meta.map(_.height), meta.map(_.hasAlpha), meta.map(_.nFrames),
+            meta.map(_.loopCount), meta.map(_.riffBytes))
+        }
+      }
+  }
+
   /** Synthesize a canonical ISO-BMFF (MP4) container per row from a
     * text payload (payload bytes stand in for the mdat media stream):
     * the video analog of [[synthWav]] — the CONTAINER is real

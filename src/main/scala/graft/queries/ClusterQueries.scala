@@ -450,4 +450,83 @@ object ClusterQueries {
       |       FROM r2 LEFT JOIN c3 USING (node))
       |SELECT node, r AS rank_scaled FROM r3
       |ORDER BY r DESC, node ASC LIMIT 20""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q205: label-propagation community detection (Raghavan 2007) —
+  // three SYNCHRONOUS unrolled rounds over the q79/q95 supplier link
+  // graph, made deterministic by the fixed tie-break (max neighbor-
+  // label count, then MIN label): the classic near-linear community
+  // finder used to group near-duplicate clusters, crawl hosts, or
+  // entity blocks without choosing k. Isolated nodes keep their own
+  // label. The argmax is max(struct(cnt, -label)) — one aggregate, no
+  // window over an unbounded partition.
+  //
+  // Scale shape: the undirected edge list is built ONCE
+  // (localCheckpoint); per round the label vector (∝ nodes ≪ edges)
+  // is broadcast onto it — the q79 convention — so each round's only
+  // shuffle is the (dst,label) tally, itself map-side combined and
+  // bounded by per-node neighbor-label diversity. Output collapses to
+  // a community-size histogram (dimension-sized).
+  // ------------------------------------------------------------------
+  def q205LabelPropagation(spark: SparkSession, dir: String): DataFrame = {
+    val sup = Tables.supplier(spark, dir)
+      .select(col("s_suppkey").cast(LongType).as("id"))
+    val ns = sup.count()
+    // the undecimated q79 graph is near-complete at test SFs and
+    // collapses to ONE community — decimating by orderkey keeps a real
+    // mix of isolated nodes, small clusters, and a giant component, so
+    // every code path (keep-own-label, tie-break, propagation) is live
+    val e0 = Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") % 97 === 0)
+      .select(col("l_suppkey").cast(LongType).as("src"),
+        (col("l_partkey") % ns + 1L).as("dst"))
+    val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = sup.select(col("id"), col("id").as("label"))
+    for (_ <- 1 to 3) {
+      val best = edges
+        .join(broadcast(labels.withColumnRenamed("id", "src")), "src")
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("dst"))
+        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+        .select(col("dst").as("id"), (-col("m.nl")).as("new_label"))
+      labels = sup.join(best, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("new_label"), col("id")).as("label"))
+    }
+    labels.groupBy(col("label")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_communities"), min(col("label")).as("min_label"))
+  }
+
+  val q205Sql: String = {
+    def round(i: Int): String =
+      s"""c$i AS (
+         |  SELECT e.dst AS id, l.label, COUNT(*) AS cnt
+         |  FROM e JOIN l${i - 1} l ON e.src = l.id GROUP BY 1, 2),
+         |b$i AS (
+         |  SELECT id, label FROM (
+         |    SELECT id, label, row_number() OVER
+         |      (PARTITION BY id ORDER BY cnt DESC, label) AS rn FROM c$i)
+         |  WHERE rn = 1),
+         |l$i AS (
+         |  SELECT p.id, COALESCE(b.label, p.id) AS label
+         |  FROM l0 p LEFT JOIN b$i b USING (id))""".stripMargin
+    s"""WITH ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM supplier),
+       |e0 AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+       |         (l_partkey % (SELECT n FROM ns)) + 1 AS dst
+       |       FROM lineitem WHERE l_orderkey % 97 = 0),
+       |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+       |l0 AS (SELECT CAST(s_suppkey AS BIGINT) AS id,
+       |         CAST(s_suppkey AS BIGINT) AS label FROM supplier),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)},
+       |comm AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS sz
+       |  FROM l3 GROUP BY 1)
+       |SELECT sz AS cluster_size, COUNT(*) AS n_communities,
+       |  CAST(MIN(label) AS BIGINT) AS min_label
+       |FROM comm GROUP BY 1""".stripMargin
+  }
 }

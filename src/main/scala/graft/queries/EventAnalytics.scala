@@ -869,4 +869,103 @@ object EventAnalytics {
       |  CAST(b AS BIGINT) AS trend_micro, CAST(fc AS BIGINT) AS fc_micro,
       |  CAST(n * 1000000 - fc AS BIGINT) AS err_micro
       |FROM r""".stripMargin
+
+  /** q206's corpus stage — the only part that touches all events.
+    * Package-visible so ExchangeBudgetSpec can gate it: the
+    * localCheckpoint in q206TheilSen hides it from the final plan. */
+  private[graft] def q206DailyPlan(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("y"))
+
+  // ------------------------------------------------------------------
+  // q206: Theil–Sen robust trend + Kendall's τ per event type — the
+  // outlier-immune complement to Holt's smoother (q198): the slope
+  // estimate is the MEDIAN of all pairwise daily slopes (up to 29%
+  // contamination tolerated), and Kendall's τ-a over the same pairs
+  // scores trend monotonicity. Slopes are exact rationals (dy, dx
+  // BIGINT); the median is selected by sorting (dy/dx double, dy, dx)
+  // — the float only breaks astronomically-near ties and the integer
+  // tie-break makes the total order identical in both engines — and
+  // is EMITTED as the exact (dy, dx) pair plus one truncating micro
+  // division. τ counts concordant/discordant pairs as pure integers.
+  //
+  // Scale shape: the corpus collapses to (type, day) counts in ONE
+  // map-side-combined agg (gated separately — it hides behind the
+  // checkpoint); all pair work is calendar-dimension-sized (days² per
+  // type), the self-join broadcasts one side, and the rank window
+  // partitions per type over those bounded pair lists.
+  // ------------------------------------------------------------------
+  def q206TheilSen(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = q206DailyPlan(spark, dir)
+      .withColumn("x",
+        datediff(col("day"), lit("2024-01-01").cast(DateType)).cast(LongType))
+      .localCheckpoint() // both self-join sides read it
+    val a = daily.select(col("event_type"), col("x").as("xa"), col("y").as("ya"))
+    val b = daily.select(col("event_type"), col("x").as("xb"), col("y").as("yb"))
+    val pairs = a.join(broadcast(b),
+        a("event_type") === b("event_type") && col("xa") < col("xb"))
+      .select(a("event_type"),
+        (col("yb") - col("ya")).as("dy"), (col("xb") - col("xa")).as("dx"))
+    val w = Window.partitionBy(col("event_type"))
+    val ranked = pairs
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("dy").cast(DoubleType) / col("dx"), col("dy"), col("dx"))))
+      .withColumn("np", count(lit(1)).over(w))
+    val med = ranked.filter(col("rn") === expr("(np + 1) div 2"))
+      .select(col("event_type"), col("np").as("n_pairs"),
+        col("dy").as("med_dy"), col("dx").as("med_dx"),
+        expr("(dy * 1000000) div dx").as("slope_micro"))
+    val tau = pairs.groupBy(col("event_type"))
+      .agg(sum(when(col("dy") > 0, 1L).otherwise(0L)).as("concordant"),
+        sum(when(col("dy") < 0, 1L).otherwise(0L)).as("discordant"))
+    val nd = daily.groupBy(col("event_type")).agg(count(lit(1)).as("n_days"))
+    med.join(tau, "event_type").join(nd, "event_type")
+      .select(col("event_type"), col("n_days"), col("n_pairs"),
+        col("med_dy"), col("med_dx"), col("slope_micro"),
+        col("concordant"), col("discordant"),
+        expr("((concordant - discordant) * 1000000) div n_pairs")
+          .as("tau_micro"))
+  }
+
+  val q206Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2),
+      |d2 AS (
+      |  SELECT event_type,
+      |    CAST(date_diff('day', DATE '2024-01-01', day) AS BIGINT) AS x, y
+      |  FROM daily),
+      |p AS (
+      |  SELECT a.event_type, b.y - a.y AS dy, b.x - a.x AS dx
+      |  FROM d2 a JOIN d2 b
+      |    ON a.event_type = b.event_type AND a.x < b.x),
+      |r AS (
+      |  SELECT event_type, dy, dx,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY CAST(dy AS DOUBLE) / dx, dy, dx) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS np
+      |  FROM p),
+      |med AS (
+      |  SELECT event_type, CAST(np AS BIGINT) AS n_pairs,
+      |    dy AS med_dy, dx AS med_dx,
+      |    CAST((dy * 1000000) // dx AS BIGINT) AS slope_micro
+      |  FROM r WHERE rn = (np + 1) // 2),
+      |tau AS (
+      |  SELECT event_type,
+      |    CAST(SUM(CASE WHEN dy > 0 THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+      |    CAST(SUM(CASE WHEN dy < 0 THEN 1 ELSE 0 END) AS BIGINT) AS discordant
+      |  FROM p GROUP BY 1),
+      |nd AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+      |  FROM d2 GROUP BY 1)
+      |SELECT m.event_type, nd.n_days, m.n_pairs, m.med_dy, m.med_dx,
+      |  m.slope_micro, t.concordant, t.discordant,
+      |  CAST(((t.concordant - t.discordant) * 1000000) // m.n_pairs AS BIGINT)
+      |    AS tau_micro
+      |FROM med m JOIN tau t ON m.event_type = t.event_type
+      |JOIN nd ON nd.event_type = m.event_type""".stripMargin
 }

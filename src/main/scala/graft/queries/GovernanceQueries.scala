@@ -523,4 +523,78 @@ object GovernanceQueries {
        |    / (CAST(w.n AS DOUBLE) * pm.p_micro * 1000000.0), 4) AS chi2_contrib
        |FROM wn w JOIN pm ON pm.digit = w.digit""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // q203: t-closeness audit (Li, Li & Venkatasubramanian 2007) — the
+  // third rung of the release-privacy ladder after k-anonymity (q153)
+  // and l-diversity (q190): a QI class can be large AND diverse yet
+  // still leak if its sensitive-attribute DISTRIBUTION skews far from
+  // the corpus-wide one. For a categorical sensitive attribute the
+  // Earth Mover's Distance reduces to total variation:
+  // ½·Σ|p_i − q_i|. Everything stays EXACT integer arithmetic via
+  // cross-multiplication — |cnt·N − g·T| over DECIMAL(38,0) (cnt·N
+  // overflows int64 at corpus scale), one truncating division at the
+  // micro output, and the t=0.2 flag as the integer test 5·num>2·T·N.
+  //
+  // Scale shape: ONE corpus pass — the (QI, source) tally, map-side
+  // combined; every later step (per-source marginals, class totals,
+  // the class×source fan-out) works on dimension-sized tables, with
+  // the source marginal broadcast.
+  // ------------------------------------------------------------------
+  /** q203's corpus stage — the only part that touches all documents.
+    * Package-visible so ExchangeBudgetSpec can gate it: the
+    * localCheckpoint in q203TCloseness hides it from the final plan. */
+  private[graft] def q203ClassCountsPlan(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        floor(col("n_chars") / lit(500)).cast(LongType).as("len_bucket"),
+        col("source"))
+      .groupBy(col("lang"), col("len_bucket"), col("source"))
+      .agg(count(lit(1)).as("cnt"))
+
+  def q203TCloseness(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val cc = q203ClassCountsPlan(spark, dir)
+      .localCheckpoint() // reused by the marginal, the totals, and the join
+    val g = cc.groupBy(col("source")).agg(sum(col("cnt")).as("g"))
+    val n = g.agg(sum(col("g")).as("n_total"))
+    val cls = cc.groupBy(col("lang"), col("len_bucket"))
+      .agg(sum(col("cnt")).as("t"))
+    cls.crossJoin(broadcast(g)).crossJoin(broadcast(n))
+      .join(cc, Seq("lang", "len_bucket", "source"), "left")
+      .select(col("lang"), col("len_bucket"), col("t"), col("n_total"),
+        abs(coalesce(col("cnt"), lit(0L)).cast(dec) * col("n_total").cast(dec)
+          - col("g").cast(dec) * col("t").cast(dec)).as("dev"))
+      .groupBy(col("lang"), col("len_bucket"), col("t"), col("n_total"))
+      .agg(sum(col("dev")).as("num"))
+      .select(col("lang"), col("len_bucket"), col("t").as("class_size"),
+        expr("CAST((num * 1000000) div (2 * CAST(t AS DECIMAL(38,0)) " +
+          "* CAST(n_total AS DECIMAL(38,0))) AS BIGINT)").as("tvd_micro"),
+        (col("num") * lit(5) >
+          col("t").cast(dec) * col("n_total").cast(dec) * lit(2))
+          .as("flagged"))
+  }
+
+  val q203Sql: String =
+    """WITH cc AS (
+      |  SELECT lang, CAST(floor(n_chars / 500) AS BIGINT) AS len_bucket,
+      |    source, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM documents GROUP BY 1, 2, 3),
+      |g AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS g FROM cc GROUP BY 1),
+      |n AS (SELECT CAST(SUM(g) AS BIGINT) AS n_total FROM g),
+      |cls AS (
+      |  SELECT lang, len_bucket, CAST(SUM(cnt) AS BIGINT) AS t
+      |  FROM cc GROUP BY 1, 2),
+      |fan AS (
+      |  SELECT c.lang, c.len_bucket, c.t, n.n_total,
+      |    abs(CAST(COALESCE(cc.cnt, 0) AS HUGEINT) * n.n_total
+      |      - CAST(s.g AS HUGEINT) * c.t) AS dev
+      |  FROM cls c CROSS JOIN g s CROSS JOIN n
+      |  LEFT JOIN cc ON cc.lang = c.lang AND cc.len_bucket = c.len_bucket
+      |    AND cc.source = s.source)
+      |SELECT lang, len_bucket, t AS class_size,
+      |  CAST((SUM(dev) * 1000000)
+      |    // (2 * CAST(t AS HUGEINT) * n_total) AS BIGINT) AS tvd_micro,
+      |  (SUM(dev) * 5 > 2 * CAST(t AS HUGEINT) * n_total) AS flagged
+      |FROM fan GROUP BY lang, len_bucket, t, n_total""".stripMargin
 }

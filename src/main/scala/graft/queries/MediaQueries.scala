@@ -498,4 +498,59 @@ object MediaQueries {
       |  CAST(MAX(rms2) AS BIGINT) AS max_rms2,
       |  CAST(SUM(zc) AS BIGINT) AS total_zc
       |FROM fr GROUP BY 1""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q204: WebP container metadata curation — build a REAL RIFF/WebP
+  // file per document ([[graft.operators.WebpHeaders]]), cycling
+  // through all three variants (lossy VP8 frame tag, lossless VP8L
+  // packed word, extended VP8X canvas + ANIM/ANMF animation chunks),
+  // parse it back through the chunk walk, and profile the corpus per
+  // (format, alpha). Frame and loop counts keep stills and animations
+  // apart in image dedup; the declared RIFF size gates the writer's
+  // chunk-length/padding arithmetic. The oracle restates the synthesis
+  // formulas INCLUDING the container-size arithmetic, so both the
+  // writer and all three dimension decoders are correctness-gated.
+  //
+  // 100 TB: per-row build→parse kernels feeding one map-side-combined
+  // hash-agg — the q187/q191 shape.
+  // ------------------------------------------------------------------
+  def q204WebpMeta(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.synthWebp(Tables.documents(spark, dir), "doc_id")
+    Multimodal.extractWebpFeatures(media).toDF()
+      .groupBy(col("format"), col("has_alpha"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("width") * col("height")).as("sum_pixels"),
+        sum(col("n_frames").cast(LongType)).as("sum_frames"),
+        sum(col("loop_count").cast(LongType)).as("sum_loops"),
+        sum(col("riff_bytes")).as("sum_riff_bytes"),
+        max(col("width")).as("max_width"))
+  }
+
+  val q204Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CASE doc_id % 3 WHEN 0 THEN 'lossy' WHEN 1 THEN 'lossless'
+      |         ELSE 'extended' END AS format,
+      |    16 + (doc_id % 7) * 48 AS w,
+      |    16 + (doc_id % 9) * 32 AS h,
+      |    CASE WHEN doc_id % 3 = 0 THEN FALSE
+      |         ELSE doc_id % 2 = 0 END AS has_alpha,
+      |    CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 4 ELSE 1 END AS frames,
+      |    CASE WHEN doc_id % 3 = 2 THEN doc_id % 5 ELSE 0 END AS loops,
+      |    doc_id % 50 AS extra
+      |  FROM documents),
+      |r AS (
+      |  SELECT format, has_alpha, w, h, frames, loops,
+      |    CASE doc_id % 3
+      |      WHEN 0 THEN 22 + extra + (extra % 2)
+      |      WHEN 1 THEN 17 + extra + ((extra + 1) % 2)
+      |      ELSE 36 + 46 * frames END AS riff
+      |  FROM d)
+      |SELECT format, has_alpha, COUNT(*) AS n_files,
+      |  CAST(SUM(w * h) AS BIGINT) AS sum_pixels,
+      |  CAST(SUM(frames) AS BIGINT) AS sum_frames,
+      |  CAST(SUM(loops) AS BIGINT) AS sum_loops,
+      |  CAST(SUM(riff) AS BIGINT) AS sum_riff_bytes,
+      |  CAST(MAX(w) AS BIGINT) AS max_width
+      |FROM r GROUP BY 1, 2""".stripMargin
 }

@@ -343,6 +343,23 @@ class ExchangeBudgetSpec extends SparkTestBase {
                                  // bucket windows (domain-bounded),
                                  // totals aggs, one per-type ordered
                                  // merge window; fan-outs broadcast
+    "q203_t_closeness"    -> 3,  // post-checkpoint: class totals, the
+                                 // source marginal, its 1-row total —
+                                 // all over the dimension-sized (QI,
+                                 // source) tally; fan-out broadcasts
+    "q204_webp_meta"      -> 1,  // per-row build->parse kernels into
+                                 // ONE map-side-combined format tally
+    "q205_label_propagation" -> 10, // 3 rounds x ((dst,label) tally +
+                                 // its dst argmax re-agg, both tally-
+                                 // sized; labels broadcast onto the
+                                 // checkpointed edges) + node-sized
+                                 // keep-label joins + the two final
+                                 // community histogram aggs
+    "q206_theil_sen"      -> 3,  // post-checkpoint: per-type rank
+                                 // window over day-pair lists + tau
+                                 // and n_days aggs (all calendar-
+                                 // dimension-sized); corpus tally
+                                 // gated separately below
     "q134_decontaminate"  -> 5)  // content-class collapses sit behind
                                  // their checkpoints (one map-side-
                                  // combined groupBy per side — the
@@ -434,6 +451,19 @@ class ExchangeBudgetSpec extends SparkTestBase {
     val n = exchangesOf(graft.queries.BehaviorQueries
       .q185WinMatrixPlan(spark, sf()))
     assert(n <= 2, s"q185 corpus stage has $n exchanges (budget 2)")
+  }
+
+  test("q203 corpus stage: one map-side-combined (QI, source) tally") {
+    val n = exchangesOf(graft.queries.GovernanceQueries
+      .q203ClassCountsPlan(spark, sf()))
+    assert(n <= 1, s"q203 class-count tally has $n exchanges (budget 1); " +
+      "the EMD arithmetic must stay on the dimension-sized checkpoint")
+  }
+
+  test("q206 corpus stage: one map-side-combined (type, day) tally") {
+    val n = exchangesOf(graft.queries.EventAnalytics.q206DailyPlan(spark, sf()))
+    assert(n <= 1, s"q206 daily tally has $n exchanges (budget 1); the " +
+      "pair/median work must stay on the calendar-sized checkpoint")
   }
 
   test("q202 candidate stage: broadcast term join + distinct-expand agg") {
