@@ -529,4 +529,170 @@ object ClusterQueries {
        |  CAST(MIN(label) AS BIGINT) AS min_label
        |FROM comm GROUP BY 1""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // q207: k-core peel (Seidman 1983) — three unrolled rounds of the
+  // degeneracy peel that underlies spam/host-graph triage and
+  // dedup-cluster densification: repeatedly drop nodes of degree < k
+  // (k=5) and the edges they carry, reporting the (n_alive, n_edges)
+  // trajectory per round. The supplier graph is decimated harder than
+  // q205's (orderkey % 199) so the peel actually bites — each round
+  // removes real mass at both test SFs instead of converging at once.
+  //
+  // Scale shape: the directed edge list is built ONCE
+  // (localCheckpoint); per round ONE map-side-combined degree tally,
+  // then the alive set (∝ nodes ≪ edges) broadcasts back onto the
+  // edges for the two endpoint semi-joins — the corpus-sized side
+  // never re-shuffles. Round outputs are single counts; the result
+  // frame is assembled from three dimension-sized actions.
+  // ------------------------------------------------------------------
+  // ------------------------------------------------------------------
+  // q211: local clustering-coefficient profile (Watts–Strogatz 1998) —
+  // the per-node sibling of q117's global transitivity: each node's
+  // LCC = triangles_at(v) / C(deg(v), 2), folded into a decile
+  // histogram. The profile separates clique-like neighborhoods from
+  // star hubs — the shape signal host-graph spam triage and
+  // dedup-cluster QA read (a near-dup cluster should be clique-like;
+  // a template hub is a star with LCC ≈ 0). Same degree-orientation
+  // wedge probe as q117, but over the q205 decimated graph (q117's
+  // strong-tie gate leaves a near-clique whose every node sits in one
+  // band) and the triangle join keeps all three endpoints, exploding
+  // them to per-node counts — exact integer permille in 25-permille
+  // bands, truncating division.
+  //
+  // Scale shape: identical to q117 (edge list checkpointed, degree
+  // broadcast, oriented wedge self-join bounded by the orientation
+  // trick); the per-node explode adds one tally whose input is the
+  // triangle list, then everything is degree-dimension-sized.
+  // ------------------------------------------------------------------
+  def q211LccProfile(spark: SparkSession, dir: String): DataFrame = {
+    val ns = Tables.supplier(spark, dir).count()
+    val und = Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") % 97 === 0)
+      .select(col("l_suppkey").as("s"), (col("l_partkey") % ns + 1L).as("d"))
+      .filter(col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("u"),
+        greatest(col("s"), col("d")).as("v"))
+      .distinct()
+      .localCheckpoint() // read by degree, orientation, and probe stages
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("dg"))
+    val orient = und
+      .join(broadcast(deg.select(col("node").as("u"), col("dg").as("du"))), "u")
+      .join(broadcast(deg.select(col("node").as("v"), col("dg").as("dv"))), "v")
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("a"), col("v").as("b")))
+          .otherwise(struct(col("v").as("a"), col("u").as("b"))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+    val wedges = orient.as("x").join(orient.as("y"),
+        col("x.a") === col("y.a") && col("x.b") < col("y.b"))
+      .select(col("x.a").as("a"), col("x.b").as("u"), col("y.b").as("v"))
+    val tris = wedges.join(und, Seq("u", "v"), "left_semi")
+    val perNode = tris
+      .select(explode(array(col("a"), col("u"), col("v"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("tri"))
+    deg.join(perNode, Seq("node"), "left")
+      .filter(col("dg") >= 2) // LCC undefined below two neighbors
+      .select(col("node"), col("dg"),
+        coalesce(col("tri"), lit(0L)).as("tri"))
+      .withColumn("lcc_permille", expr("(tri * 2000) div (dg * (dg - 1))"))
+      .groupBy(expr("lcc_permille div 25").as("band"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("tri")).as("sum_tri"),
+        max(col("dg")).as("max_degree"))
+  }
+
+  val q211Sql: String =
+    """WITH ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM supplier),
+      |und AS (
+      |  SELECT DISTINCT
+      |    LEAST(l_suppkey, (l_partkey % (SELECT n FROM ns)) + 1) AS u,
+      |    GREATEST(l_suppkey, (l_partkey % (SELECT n FROM ns)) + 1) AS v
+      |  FROM lineitem WHERE l_orderkey % 97 = 0
+      |    AND l_suppkey <> (l_partkey % (SELECT n FROM ns)) + 1),
+      |deg AS (
+      |  SELECT node, CAST(COUNT(*) AS BIGINT) AS dg FROM (
+      |    SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+      |  GROUP BY node),
+      |orient AS (
+      |  SELECT CASE WHEN (du.dg, und.u) < (dv.dg, und.v) THEN und.u ELSE und.v END AS a,
+      |         CASE WHEN (du.dg, und.u) < (dv.dg, und.v) THEN und.v ELSE und.u END AS b
+      |  FROM und JOIN deg du ON und.u = du.node JOIN deg dv ON und.v = dv.node),
+      |tris AS (
+      |  SELECT x.a AS a, x.b AS u, y.b AS v FROM orient x JOIN orient y
+      |  ON x.a = y.a AND x.b < y.b
+      |  WHERE EXISTS (SELECT 1 FROM und WHERE und.u = x.b AND und.v = y.b)),
+      |pn AS (
+      |  SELECT node, CAST(COUNT(*) AS BIGINT) AS tri FROM (
+      |    SELECT a AS node FROM tris UNION ALL SELECT u FROM tris
+      |    UNION ALL SELECT v FROM tris)
+      |  GROUP BY node),
+      |lcc AS (
+      |  SELECT d.node, d.dg, COALESCE(pn.tri, 0) AS tri,
+      |    (COALESCE(pn.tri, 0) * 2000) // (d.dg * (d.dg - 1)) AS lcc_permille
+      |  FROM deg d LEFT JOIN pn ON pn.node = d.node
+      |  WHERE d.dg >= 2)
+      |SELECT CAST(lcc_permille // 25 AS BIGINT) AS band,
+      |  COUNT(*) AS n_nodes, CAST(SUM(tri) AS BIGINT) AS sum_tri,
+      |  CAST(MAX(dg) AS BIGINT) AS max_degree
+      |FROM lcc GROUP BY 1""".stripMargin
+
+  /** q207's per-round corpus stages — the loop body, package-visible
+    * so ExchangeBudgetSpec can gate one representative round (the
+    * driver-assembled result frame hides them from the final plan).
+    * The alive tally is the round's ONE shuffle; the endpoint filter
+    * must stay broadcast-only. */
+  private[graft] def q207AlivePlan(e: DataFrame, k: Int): DataFrame =
+    e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .filter(col("d") >= k).select(col("src").as("id"))
+
+  private[graft] def q207FilterPlan(e: DataFrame, alive: DataFrame): DataFrame =
+    e.join(broadcast(alive.withColumnRenamed("id", "src")), "src")
+      .join(broadcast(alive.withColumnRenamed("id", "dst")), "dst")
+      .select(col("src"), col("dst"))
+
+  def q207KCorePeel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 5
+    val ns = Tables.supplier(spark, dir).count()
+    val e0 = Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") % 199 === 0)
+      .select(col("l_suppkey").cast(LongType).as("src"),
+        (col("l_partkey") % ns + 1L).as("dst"))
+    var e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    val out = Seq.newBuilder[(Int, Long, Long)]
+    for (r <- 1 to 3) {
+      val alive = q207AlivePlan(e, k)
+        .localCheckpoint() // broadcast to BOTH endpoint filters
+      e = q207FilterPlan(e, alive)
+        .localCheckpoint() // next round peels the shrunken list
+      out += ((r, alive.count(), e.count()))
+    }
+    out.result().toDF("round", "n_alive", "n_edges")
+  }
+
+  val q207Sql: String = {
+    def peel(i: Int): String =
+      s"""a$i AS (SELECT src AS id FROM e${i - 1}
+         |  GROUP BY src HAVING COUNT(*) >= 5),
+         |e$i AS (SELECT p.src, p.dst FROM e${i - 1} p
+         |  JOIN a$i x ON p.src = x.id JOIN a$i y ON p.dst = y.id)""".stripMargin
+    s"""WITH ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM supplier),
+       |ed AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+       |         (l_partkey % (SELECT n FROM ns)) + 1 AS dst
+       |       FROM lineitem WHERE l_orderkey % 199 = 0),
+       |e0 AS (SELECT src, dst FROM ed UNION SELECT dst, src FROM ed),
+       |${peel(1)},
+       |${peel(2)},
+       |${peel(3)}
+       |SELECT 1 AS round, (SELECT COUNT(*) FROM a1) AS n_alive,
+       |  (SELECT COUNT(*) FROM e1) AS n_edges
+       |UNION ALL SELECT 2, (SELECT COUNT(*) FROM a2),
+       |  (SELECT COUNT(*) FROM e2)
+       |UNION ALL SELECT 3, (SELECT COUNT(*) FROM a3),
+       |  (SELECT COUNT(*) FROM e3)""".stripMargin
+  }
 }

@@ -870,6 +870,86 @@ object EventAnalytics {
       |  CAST(n * 1000000 - fc AS BIGINT) AS err_micro
       |FROM r""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q210: two-sided CUSUM changepoint monitor (Page 1954) over the
+  // daily event volume — the classic sequential level-shift detector
+  // next to the EWMA point-anomaly gate (q156) and Holt's smoother
+  // (q198): S⁺ accumulates upward deviations past a 5% slack band
+  // around the series mean, S⁻ downward ones, and either crossing
+  // h = 3× the daily mean raises the alarm. All arithmetic is exact
+  // integer micros — the reference level and slack come from one
+  // truncating division each, and the recursion replays term-for-term
+  // in the oracle's recursive CTE (the q198 contract shape).
+  //
+  // Scale shape: the corpus collapses to the (day, n) tally in ONE
+  // map-side-combined agg (q198DailyPlan, plan-gated there); the
+  // recursion runs driver-side on the calendar-sized series, which is
+  // the right venue for an inherently sequential O(days) scan.
+  // ------------------------------------------------------------------
+  /** The CUSUM recursion, pure: (day count) series → per-day
+    * (s_pos, s_neg, alarm). Package-visible so CusumSpec can pin the
+    * alarm semantics on a hand-built shifted series — the driver data
+    * is stationary enough that sf0.1 never alarms, and a constant
+    * column cannot catch a flipped comparison. refMicro is the
+    * in-control reference level ×1e6; slack = ref/20, h = ref/4. */
+  private[graft] def cusumTrajectory(
+      ys: Seq[Long], refMicro: Long): Seq[(Long, Long, Boolean)] = {
+    val slack = refMicro / 20
+    val h = refMicro / 4
+    var (sPos, sNeg) = (0L, 0L)
+    ys.map { y =>
+      sPos = math.max(0L, sPos + y * 1000000L - refMicro - slack)
+      sNeg = math.max(0L, sNeg + refMicro - slack - y * 1000000L)
+      (sPos, sNeg, sPos > h || sNeg > h)
+    }
+  }
+
+  def q210Cusum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val series = q206DailyPlan(spark, dir) // (event_type, day, y)
+      .orderBy(col("event_type"), col("day"))
+      .collect().map(r => (r.getString(0), r.getDate(1), r.getLong(2)))
+    require(series.nonEmpty, "CUSUM needs at least one day")
+    val out = series.groupBy(_._1).toSeq.flatMap { case (etype, rows) =>
+      val days = rows.map(_._2)
+      val ys = rows.map(_._3).toSeq
+      val week = ys.take(7)
+      val ref = week.sum * 1000000L / week.length // truncating; both engines
+      days.lazyZip(ys).lazyZip(cusumTrajectory(ys, ref)).map {
+        case (day, y, (sPos, sNeg, alarm)) => (etype, day, y, sPos, sNeg, alarm)
+      }
+    }
+    out.toDF("event_type", "day", "n", "s_pos", "s_neg", "alarm")
+  }
+
+  val q210Sql: String =
+    """WITH RECURSIVE daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |idx AS (
+      |  SELECT event_type, day, n, row_number() OVER
+      |    (PARTITION BY event_type ORDER BY day) AS t
+      |  FROM daily),
+      |p AS (
+      |  SELECT event_type, (SUM(n) * 1000000) // COUNT(*) AS ref
+      |  FROM idx WHERE t <= 7 GROUP BY 1),
+      |r(event_type, t, day, n, s_pos, s_neg) AS (
+      |  SELECT i.event_type, 1, i.day, i.n,
+      |    greatest(0, i.n * 1000000 - p.ref - p.ref // 20),
+      |    greatest(0, p.ref - p.ref // 20 - i.n * 1000000)
+      |  FROM idx i JOIN p ON p.event_type = i.event_type WHERE i.t = 1
+      |  UNION ALL
+      |  SELECT i.event_type, i.t, i.day, i.n,
+      |    greatest(0, r.s_pos + i.n * 1000000 - p.ref - p.ref // 20),
+      |    greatest(0, r.s_neg + p.ref - p.ref // 20 - i.n * 1000000)
+      |  FROM r JOIN idx i ON i.event_type = r.event_type AND i.t = r.t + 1
+      |  JOIN p ON p.event_type = i.event_type)
+      |SELECT r.event_type, r.day, r.n, CAST(r.s_pos AS BIGINT) AS s_pos,
+      |  CAST(r.s_neg AS BIGINT) AS s_neg,
+      |  (r.s_pos > p.ref // 4 OR r.s_neg > p.ref // 4) AS alarm
+      |FROM r JOIN p ON p.event_type = r.event_type""".stripMargin
+
   /** q206's corpus stage — the only part that touches all events.
     * Package-visible so ExchangeBudgetSpec can gate it: the
     * localCheckpoint in q206TheilSen hides it from the final plan. */

@@ -843,4 +843,51 @@ object PretrainQueries {
       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
       |  CAST(SUM(n_chars * epochs) AS BIGINT) AS effective_chars
       |FROM sched GROUP BY source, quartile""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q209: importance-weight health diagnostics — the effective sample
+  // size (Kong 1992: ESS = (Σw)²/Σw²) and max-weight share every
+  // weighted-mixture sampler (q104/q128/q141/q142) should be audited
+  // by before training: a source whose ESS/n collapses or whose top
+  // document carries a large share of the total weight is being
+  // sampled as if it were a handful of documents. Weights are the
+  // size-proportional sampler's (w = n_chars); all three ratios are
+  // exact integer arithmetic — DECIMAL(38,0) squares (Σw² overflows
+  // int64 at corpus scale) and one truncating micro division each.
+  //
+  // Scale shape: ONE corpus pass, ONE map-side-combined per-source
+  // aggregation; nothing else touches the data.
+  // ------------------------------------------------------------------
+  def q209EssDiagnostics(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    Tables.documents(spark, dir)
+      .select(col("source"), col("n_chars").cast(LongType).as("w"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("w")).as("sum_w"),
+        sum((col("w") * col("w")).cast(dec)).as("sum_w2"),
+        max(col("w")).as("max_w"))
+      .select(col("source"), col("n_docs"), col("sum_w"), col("max_w"),
+        expr("CAST((CAST(sum_w AS DECIMAL(38,0)) * sum_w) div sum_w2 AS BIGINT)")
+          .as("ess"),
+        expr("CAST((CAST(sum_w AS DECIMAL(38,0)) * sum_w * 1000000) " +
+          "div (sum_w2 * n_docs) AS BIGINT)").as("ess_ratio_micro"),
+        expr("CAST((CAST(max_w AS DECIMAL(38,0)) * 1000000) div sum_w AS BIGINT)")
+          .as("max_share_micro"))
+  }
+
+  val q209Sql: String =
+    """WITH d AS (
+      |  SELECT source, CAST(n_chars AS BIGINT) AS w FROM documents)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(w) AS BIGINT) AS sum_w,
+      |  CAST(MAX(w) AS BIGINT) AS max_w,
+      |  CAST((CAST(SUM(w) AS HUGEINT) * CAST(SUM(w) AS HUGEINT))
+      |    // SUM(CAST(w AS HUGEINT) * w) AS BIGINT) AS ess,
+      |  CAST((CAST(SUM(w) AS HUGEINT) * CAST(SUM(w) AS HUGEINT) * 1000000)
+      |    // (SUM(CAST(w AS HUGEINT) * w) * COUNT(*)) AS BIGINT)
+      |    AS ess_ratio_micro,
+      |  CAST((CAST(MAX(w) AS HUGEINT) * 1000000)
+      |    // CAST(SUM(w) AS HUGEINT) AS BIGINT) AS max_share_micro
+      |FROM d GROUP BY 1""".stripMargin
 }

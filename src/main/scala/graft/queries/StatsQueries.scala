@@ -802,4 +802,85 @@ object StatsQueries {
       |FROM targets tg
       |ASOF JOIN probes pr
       |  ON pr.event_type = tg.event_type AND -pr.key <= -tg.key""".stripMargin
+
+  /** q208's corpus stage — the only part that touches all documents.
+    * Package-visible so ExchangeBudgetSpec can gate it: the
+    * localCheckpoint in q208ConformalCoverage hides it from the final
+    * plan. */
+  private[graft] def q208PointsPlan(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"), col("n_chars").cast(LongType).as("s"))
+      .groupBy(col("lang"), col("s"))
+      .agg(
+        sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("cal"),
+        sum(when(col("doc_id") % 2 === 1, 1L).otherwise(0L)).as("ev"))
+
+  // ------------------------------------------------------------------
+  // q208: split-conformal calibration coverage (Vovk 2005; Angelopoulos
+  // & Bates 2021) — the distribution-free guarantee check an eval
+  // pipeline runs on any score-based filter: per language, the even
+  // docs calibrate a 90% nonconformity threshold (score = n_chars) as
+  // the ⌈0.9·(n+1)⌉-th order statistic, and the odd docs measure
+  // realized coverage against it. Everything is exact: the rank is
+  // integer ceil arithmetic, the order statistic is selected off a
+  // value-point CDF (no per-doc sort), coverage is one truncating
+  // micro division. A conformal threshold that drifts off its nominal
+  // coverage is the canonical symptom of calibration/eval leakage.
+  //
+  // Scale shape: ONE corpus pass tallies calibration and eval counts
+  // per (lang, score-point) together (conditional sums, q128's trick);
+  // the CDF window rides per-lang VALUE-POINT lists (bounded by the
+  // score domain, not the corpus), and the threshold/coverage joins
+  // broadcast dimension-sized tables.
+  // ------------------------------------------------------------------
+  def q208ConformalCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = q208PointsPlan(spark, dir)
+      .localCheckpoint() // reused: totals, CDF, coverage
+    val tot = pts.groupBy(col("lang"))
+      .agg(sum(col("cal")).as("n_cal"), sum(col("ev")).as("n_eval"))
+      .withColumn("k", expr("(9 * (n_cal + 1) + 9) div 10"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("s"))
+    val qh = pts.withColumn("cum", sum(col("cal")).over(w))
+      .join(broadcast(tot), "lang")
+      .groupBy(col("lang"))
+      .agg(min(when(col("cum") >= col("k"), col("s"))).as("qhat"))
+    val cov = pts.join(broadcast(qh), "lang")
+      .groupBy(col("lang"))
+      .agg(sum(when(col("s") <= col("qhat"), col("ev")).otherwise(0L))
+        .as("covered"))
+    tot.join(qh, "lang").join(cov, "lang")
+      .select(col("lang"), col("n_cal"), col("n_eval"), col("k"),
+        col("qhat"), col("covered"),
+        expr("(covered * 1000000) div n_eval").as("coverage_micro"))
+  }
+
+  val q208Sql: String =
+    """WITH d AS (
+      |  SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS s FROM documents),
+      |pts AS (
+      |  SELECT lang, s,
+      |    CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cal,
+      |    CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ev
+      |  FROM d GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT lang, CAST(SUM(cal) AS BIGINT) AS n_cal,
+      |    CAST(SUM(ev) AS BIGINT) AS n_eval,
+      |    CAST((9 * (SUM(cal) + 1) + 9) // 10 AS BIGINT) AS k
+      |  FROM pts GROUP BY 1),
+      |cum AS (
+      |  SELECT lang, s,
+      |    SUM(cal) OVER (PARTITION BY lang ORDER BY s) AS cum
+      |  FROM pts),
+      |qh AS (
+      |  SELECT c.lang, MIN(CASE WHEN c.cum >= t.k THEN c.s END) AS qhat
+      |  FROM cum c JOIN tot t USING (lang) GROUP BY 1),
+      |cov AS (
+      |  SELECT p.lang,
+      |    CAST(SUM(CASE WHEN p.s <= q.qhat THEN p.ev ELSE 0 END) AS BIGINT)
+      |      AS covered
+      |  FROM pts p JOIN qh q USING (lang) GROUP BY 1)
+      |SELECT t.lang, t.n_cal, t.n_eval, t.k, q.qhat, c.covered,
+      |  CAST((c.covered * 1000000) // t.n_eval AS BIGINT) AS coverage_micro
+      |FROM tot t JOIN qh q ON q.lang = t.lang JOIN cov c ON c.lang = t.lang""".stripMargin
 }

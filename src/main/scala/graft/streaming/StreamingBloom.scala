@@ -1,0 +1,134 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.functions.Mix64Expression
+
+/**
+ * Streaming Bloom membership: a 2^p-bit OR-bitmap maintained across
+ * micro-batches — the seen-set / benchmark-blocklist structure behind
+ * cross-batch decontamination (the streaming sibling of q73's static
+ * bloom gate): every arriving document fingerprint is folded in, and
+ * later batches ask "was this key EVER seen?" without storing keys.
+ *
+ * Per batch the corpus maps each key to its k bit positions inside the
+ * scan (k independently seeded codegen'd [[Mix64Expression]] draws,
+ * pos_i = mix64(key ^ seed_i) & (m−1)), then a map-side
+ * partial-deduped DISTINCT bounds what crosses the exchange to at most
+ * m positions per partition; only the ≤m distinct positions reach the
+ * driver. Because OR is idempotent, commutative, and associative, the
+ * bitmap after any batch sequence equals the one-shot bitmap over
+ * their union — at-least-once replays cannot corrupt membership, and
+ * sharded bitmaps merge by the same OR.
+ *
+ * Resume persists/restores the non-zero words through a cache table
+ * (the [[StreamingDistinct]] convention), failing fast on a p
+ * mismatch. No false negatives ever; the false-positive rate is the
+ * standard (1 − e^{−kn/m})^k, reported by [[StreamingBloom#fppMicro]]
+ * for monitoring.
+ */
+final class StreamingBloom(val p: Int, val k: Int) {
+  require(p >= 6 && p <= 26, s"p must be in [6,26], got $p")
+  require(k >= 1 && k <= 16, s"k must be in [1,16], got $k")
+
+  private val m = 1L << p
+  private val words = new Array[Long]((m >>> 6).toInt)
+  private var inserted = 0L
+
+  /** Bits set so far (popcount over the bitmap). */
+  def cardinality: Long = words.map(java.lang.Long.bitCount(_).toLong).sum
+
+  /** Keys folded in so far (counts replays; monitoring only). */
+  def insertedKeys: Long = inserted
+
+  // the i-th hash's seed; plain Long wraparound is the point (the
+  // Spark path replays the same arithmetic inside Mix64's codegen)
+  private def seed(i: Int): Long = i.toLong * 0x9E3779B97F4A7C15L
+
+  private def positions(key: Long): Array[Int] = Array.tabulate(k) { i =>
+    (graft.functions.HllAggregate.mix64(key ^ seed(i)) & (m - 1)).toInt
+  }
+
+  /** Fold one micro-batch (one LONG column `key`) into the bitmap.
+    * The k per-key positions are computed in the scan; DISTINCT's
+    * map-side partial dedup caps the exchange at m positions per
+    * partition, and the driver sees only the ≤m distinct positions. */
+  def processBatch(batch: DataFrame): Unit = {
+    val keys = batch.select(col("key").cast(LongType).as("key"))
+      .filter(col("key").isNotNull)
+    inserted += keys.count()
+    val pos = keys
+      .select(explode(array((0 until k).map(i =>
+        Mix64Expression.mix64(col("key"), seed(i))
+          .bitwiseAND(lit(m - 1))): _*)).as("pos"))
+      .distinct()
+      .collect()
+    pos.foreach { r =>
+      val b = r.getLong(0)
+      words((b >>> 6).toInt) |= 1L << (b & 63)
+    }
+  }
+
+  /** Membership: true = possibly seen (no false negatives). */
+  def mightContain(key: Long): Boolean =
+    positions(key).forall { b =>
+      (words(b >>> 6) & (1L << (b & 63))) != 0
+    }
+
+  /** Merge another shard's bitmap (same p, k) by OR — idempotent. */
+  def merge(other: StreamingBloom): Unit = {
+    require(other.p == p && other.k == k,
+      s"bloom parameter mismatch: ($p,$k) vs (${other.p},${other.k})")
+    var i = 0
+    while (i < words.length) { words(i) |= other.words(i); i += 1 }
+    inserted += other.inserted
+  }
+
+  /** Standard false-positive estimate (1 − e^{−kn/m})^k in micros,
+    * from the observed bit load — monitoring only, not a contract. */
+  def fppMicro: Long = {
+    val load = cardinality.toDouble / m.toDouble
+    math.round(math.pow(load, k.toDouble) * 1e6)
+  }
+
+  /** Persist the non-zero words for resume (StreamingDistinct
+    * convention: one (index, word) row per non-zero word plus a
+    * parameter row at index -1). */
+  def saveTo(cache: graft.cache.SparkCache, name: String): Unit = {
+    val spark = cache.spark
+    import spark.implicits._
+    val rows = (-1, p.toLong * 100 + k) +:
+      words.zipWithIndex.collect { case (w, i) if w != 0L => (i, w) }.toSeq
+    rows.toDF("j", "w").write.mode("overwrite")
+      .saveAsTable(s"`${cache.database}`.`$name`")
+  }
+}
+
+object StreamingBloom {
+
+  /** Restore a persisted bitmap; fresh instance when the table is
+    * absent. Fails fast when the stored (p, k) don't match — resuming
+    * a bloom with different hashing silently breaks membership. */
+  def restore(cache: graft.cache.SparkCache, name: String,
+      p: Int, k: Int): StreamingBloom = {
+    val sb = new StreamingBloom(p, k)
+    val spark = cache.spark
+    val table = s"`${cache.database}`.`$name`"
+    if (spark.catalog.tableExists(table)) {
+      val rows = spark.table(table).collect()
+      val params = rows.find(_.getInt(0) == -1)
+        .getOrElse(sys.error(s"bloom state $name has no parameter row"))
+        .getLong(1)
+      require(params == p.toLong * 100 + k,
+        s"bloom state $name was written with p=${params / 100} k=${params % 100}; " +
+          s"cannot resume with p=$p k=$k")
+      rows.filter(_.getInt(0) >= 0).foreach { r =>
+        sb.words(r.getInt(0)) = r.getLong(1)
+      }
+      sb.inserted = -1L // unknown after restore; bitmap is the contract
+    }
+    sb
+  }
+}

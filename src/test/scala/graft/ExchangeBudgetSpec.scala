@@ -360,6 +360,22 @@ class ExchangeBudgetSpec extends SparkTestBase {
                                  // and n_days aggs (all calendar-
                                  // dimension-sized); corpus tally
                                  // gated separately below
+    "q208_conformal_coverage" -> 4, // post-checkpoint, all value-point-
+                                 // sized: per-lang totals, the CDF
+                                 // window's lang partition, threshold
+                                 // + coverage aggs (thresholds and
+                                 // totals broadcast); corpus tally
+                                 // gated separately below
+    "q209_ess_diagnostics" -> 1, // ONE map-side-combined per-source
+                                 // moment aggregation; nothing else
+                                 // touches the corpus
+    "q211_lcc_profile"    -> 4,  // post-checkpoint (edge dedup hides
+                                 // behind it): degree tally, the
+                                 // oriented wedge self-join's apex
+                                 // co-shuffle, per-node triangle
+                                 // explode tally, final band agg —
+                                 // degrees broadcast, wedge volume
+                                 // bounded by the orientation trick
     "q134_decontaminate"  -> 5)  // content-class collapses sit behind
                                  // their checkpoints (one map-side-
                                  // combined groupBy per side — the
@@ -458,6 +474,30 @@ class ExchangeBudgetSpec extends SparkTestBase {
       .q203ClassCountsPlan(spark, sf()))
     assert(n <= 1, s"q203 class-count tally has $n exchanges (budget 1); " +
       "the EMD arithmetic must stay on the dimension-sized checkpoint")
+  }
+
+  test("q207 peel round: one degree tally; endpoint filter broadcast-only") {
+    import org.apache.spark.sql.functions._
+    val ns = graft.sources.Tables.supplier(spark, sf()).count()
+    val e0 = graft.sources.Tables.lineitem(spark, sf())
+      .filter(col("l_orderkey") % 199 === 0)
+      .select(col("l_suppkey").cast("long").as("src"),
+        (col("l_partkey") % ns + 1L).as("dst"))
+    val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    val alive = graft.queries.ClusterQueries.q207AlivePlan(e, 5)
+    assert(exchangesOf(alive) <= 1,
+      "q207 alive tally must be the round's ONE shuffle")
+    val filtered = graft.queries.ClusterQueries
+      .q207FilterPlan(e, alive.localCheckpoint())
+    assert(exchangesOf(filtered) == 0,
+      "q207 endpoint filter must stay broadcast-only (0 hash exchanges)")
+  }
+
+  test("q208 corpus stage: one map-side-combined (lang, score-point) tally") {
+    val n = exchangesOf(graft.queries.StatsQueries.q208PointsPlan(spark, sf()))
+    assert(n <= 1, s"q208 point tally has $n exchanges (budget 1); the " +
+      "CDF/threshold work must stay on the value-point checkpoint")
   }
 
   test("q206 corpus stage: one map-side-combined (type, day) tally") {
