@@ -286,6 +286,78 @@ case class RollingWindowsExpression(child: Expression, w: Int, hashed: Boolean)
   override def prettyName: String = if (hashed) "rolling_window_hashes" else "rolling_windows"
 }
 
+/**
+ * Word-granularity content-defined chunking (the Rabin/FastCDC idea at
+ * token level, q212): a polynomial rolling hash over the last `w` word
+ * values cuts a chunk boundary wherever `h % d == 0`, so boundaries
+ * depend only on LOCAL content — insert a paragraph and every chunk
+ * outside it keeps its digest, which is what makes CDC the byte/token
+ * dedup primitive (fixed-size blocks lose alignment after one edit).
+ * Emits the md5 digest of each chunk (space-rejoined words); the final
+ * word always closes the last chunk.
+ *
+ * Replay parity (the oracle recomputes every step): words =
+ * `split(text, ' ')` keep-empties; word value = first 6 hex digits of
+ * its md5 as an integer; h_i = Σ_{j=0..w-1} v_{i-j}·B^j mod M with
+ * B = 1000003, M = 1e9+7 — every intermediate fits in int64 on both
+ * engines. No min/max chunk clamps: those reintroduce sequential
+ * state, and the oracle's stateless per-position replay is the point.
+ */
+case class CdcChunksExpression(child: Expression, w: Int, d: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  private val B = 1000003L
+  private val M = 1000000007L
+  private val pow: Array[Long] = {
+    val a = new Array[Long](w)
+    a(0) = 1L
+    var j = 1
+    while (j < w) { a(j) = a(j - 1) * B % M; j += 1 }
+    a
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.toString.split(" ", -1)
+    val n = toks.length
+    val v = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      v(i) = java.lang.Long.parseLong(TextHash.md5hex(toks(i)).substring(0, 6), 16)
+      i += 1
+    }
+    val out = Seq.newBuilder[Any]
+    var start = 0
+    i = 0
+    while (i < n) {
+      val isLast = i == n - 1
+      val cut = isLast || (i >= w - 1 && {
+        var h = 0L
+        var j = 0
+        while (j < w) { h += v(i - j) % M * pow(j) % M; j += 1 }
+        h % M % d == 0
+      })
+      if (cut) {
+        val sb = new java.lang.StringBuilder()
+        var k = start
+        while (k <= i) {
+          if (k > start) sb.append(' ')
+          sb.append(toks(k))
+          k += 1
+        }
+        out += UTF8String.fromString(TextHash.md5hex(sb.toString))
+        start = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.result().toArray)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "cdc_chunks"
+}
+
 object TextHashFunctions {
   import org.apache.spark.sql.GraftBridge
 
@@ -309,4 +381,7 @@ object TextHashFunctions {
 
   def rollingWindowHashes(text: Column, w: Int = 8): Column =
     GraftBridge.column(RollingWindowsExpression(GraftBridge.expression(text), w, hashed = true))
+
+  def cdcChunks(text: Column, w: Int = 4, d: Int = 32): Column =
+    GraftBridge.column(CdcChunksExpression(GraftBridge.expression(text), w, d))
 }

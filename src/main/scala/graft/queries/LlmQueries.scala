@@ -1492,4 +1492,79 @@ object LlmQueries {
       |  COALESCE(h.hits, 0) AS hits,
       |  COALESCE(h.hits, 0) * 1000 // ((SELECT n FROM nq) * 10) AS recall_pm
       |FROM np LEFT JOIN hits h USING (nprobe)""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q212: content-defined chunk dedup profile — the Rabin/FastCDC idea
+  // at word granularity ([[graft.functions.CdcChunksExpression]]): a
+  // polynomial rolling hash over the last 4 word values cuts a
+  // boundary wherever h % 32 == 0, so chunk digests survive edits
+  // outside the touched chunk (fixed-size blocks lose alignment after
+  // ONE insertion — the reason storage and corpus dedup pipelines cut
+  // on content, not offsets). Reports per-source chunk counts,
+  // distinct digests, and the duplicated-chunk ratio — the byte-level
+  // sibling of span dedup (q106) that needs no shingle index. The
+  // oracle replays every step: word values from md5 prefixes, the
+  // modular rolling hash with inlined power constants, prefix-sum
+  // chunk assignment, digesting each chunk's rejoined words.
+  //
+  // 100 TB: one compiled per-row kernel in the scan (boundaries are
+  // LOCAL — no cross-row state), then ONE (source, digest) distinct-
+  // expand aggregation. Nothing else touches the corpus.
+  // ------------------------------------------------------------------
+  def q212CdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextHashFunctions.cdcChunks
+    // CPU-dense per-row kernel: spread an under-partitioned input (one
+    // small parquet file = one split = one task) across the cores; at
+    // real scale the scan has enough splits and this is a no-op
+    val docs = Tables.documents(spark, dir)
+    val cores = spark.sparkContext.defaultParallelism
+    val spread = if (docs.rdd.getNumPartitions * 2 < cores)
+      docs.repartition(cores) else docs
+    spread
+      .select(col("source"), explode(cdcChunks(col("text"), 4, 32)).as("digest"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("digest")).as("n_distinct"))
+      .select(col("source"), col("n_chunks"), col("n_distinct"),
+        expr("((n_chunks - n_distinct) * 1000000) div n_chunks")
+          .as("dup_micro"))
+  }
+
+  val q212Sql: String =
+    """WITH words AS (
+      |  SELECT doc_id, source, w.i AS idx, w.word,
+      |    CAST('0x' || substr(md5(w.word), 1, 6) AS BIGINT) AS v
+      |  FROM documents,
+      |    LATERAL (SELECT UNNEST(str_split(text, ' ')) AS word,
+      |             generate_subscripts(str_split(text, ' '), 1) AS i) w),
+      |n AS (SELECT doc_id, MAX(idx) AS n FROM words GROUP BY 1),
+      |h AS (
+      |  SELECT w0.doc_id, w0.source, w0.idx, w0.word,
+      |    CASE WHEN w0.idx >= 4 THEN
+      |      ((w0.v * 1) % 1000000007 + (w1.v * 1000003) % 1000000007
+      |       + (w2.v * 5993009) % 1000000007
+      |       + (w3.v * 26937076) % 1000000007) % 1000000007 % 32
+      |    END AS hmod
+      |  FROM words w0
+      |  LEFT JOIN words w1 ON w1.doc_id = w0.doc_id AND w1.idx = w0.idx - 1
+      |  LEFT JOIN words w2 ON w2.doc_id = w0.doc_id AND w2.idx = w0.idx - 2
+      |  LEFT JOIN words w3 ON w3.doc_id = w0.doc_id AND w3.idx = w0.idx - 3),
+      |cuts AS (
+      |  SELECT h.doc_id, h.source, h.idx, h.word,
+      |    CASE WHEN h.idx = n.n OR h.hmod = 0 THEN 1 ELSE 0 END AS cut
+      |  FROM h JOIN n ON n.doc_id = h.doc_id),
+      |asg AS (
+      |  SELECT doc_id, source, idx, word,
+      |    COALESCE(SUM(cut) OVER (PARTITION BY doc_id ORDER BY idx
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cid
+      |  FROM cuts),
+      |chunks AS (
+      |  SELECT doc_id, source,
+      |    md5(string_agg(word, ' ' ORDER BY idx)) AS digest
+      |  FROM asg GROUP BY doc_id, source, cid)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+      |  CAST(COUNT(DISTINCT digest) AS BIGINT) AS n_distinct,
+      |  CAST(((COUNT(*) - COUNT(DISTINCT digest)) * 1000000)
+      |    // COUNT(*) AS BIGINT) AS dup_micro
+      |FROM chunks GROUP BY 1""".stripMargin
 }

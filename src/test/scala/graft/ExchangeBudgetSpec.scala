@@ -376,6 +376,12 @@ class ExchangeBudgetSpec extends SparkTestBase {
                                  // explode tally, final band agg —
                                  // degrees broadcast, wedge volume
                                  // bounded by the orientation trick
+    "q212_cdc_chunks"     -> 3,  // compiled CDC kernel in the scan
+                                 // (+1 spread repartition when the
+                                 // input is underpartitioned); the
+                                 // (source, digest) distinct expand's
+                                 // two agg levels — partial dedup
+                                 // bounds what crosses
     "q134_decontaminate"  -> 5)  // content-class collapses sit behind
                                  // their checkpoints (one map-side-
                                  // combined groupBy per side — the
