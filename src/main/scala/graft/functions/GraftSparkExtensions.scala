@@ -47,5 +47,12 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("top_word_count"),
       new ExpressionInfo(classOf[TopWordCountExpression].getName, "top_word_count"),
       (args: Seq[Expression]) => TopWordCountExpression(args.head)))
+
+    // cdc_chunks(text) — q212's word-granularity content-defined
+    // chunk digests with the frozen (w=4, d=32) boundary parameters
+    ext.injectFunction((
+      FunctionIdentifier("cdc_chunks"),
+      new ExpressionInfo(classOf[CdcChunksExpression].getName, "cdc_chunks"),
+      (args: Seq[Expression]) => CdcChunksExpression(args.head, 4, 32)))
   }
 }

@@ -215,6 +215,95 @@ object Multimodal {
       }
   }
 
+  final case class PdfFeatures(
+      media_id: Long, version: Option[String], n_objects: Option[Int],
+      n_pages: Option[Int], box_w: Option[Int], box_h: Option[Int],
+      title: Option[String], offsets_valid: Option[Boolean])
+
+  final case class ZipFeatures(
+      media_id: Long, n_entries: Option[Int], total_bytes: Option[Long],
+      crc_mismatches: Option[Int], offsets_valid: Option[Boolean])
+
+  /** Synthesize a canonical classic-xref PDF per row: version, page
+    * count, media box, and title all derive deterministically from the
+    * id ([[PdfHeaders.buildPdf]]). The document-container sibling of
+    * [[synthTiff]]/[[synthWebp]]. */
+  def synthPdf(df: DataFrame, idCol: String): DataFrame = {
+    implicit val enc: Encoder[MediaRecord] = Encoders.product[MediaRecord]
+    df.select(col(idCol).cast(LongType))
+      .as(Encoders.scalaLong)
+      .mapPartitions { rows =>
+        rows.map { id =>
+          val (w, h) = (id % 3) match {
+            case 0 => (612, 792) // US letter
+            case 1 => (595, 842) // A4
+            case _ => (420, 595) // A5
+          }
+          val pdf = PdfHeaders.buildPdf(
+            version = if (id % 2 == 0) "1.4" else "1.7",
+            nPages = 1 + (id % 5).toInt,
+            boxWidth = w, boxHeight = h,
+            title = s"doc-$id")
+          MediaRecord(id, pdf, "application/pdf", pdf.length.toLong)
+        }
+      }.toDF()
+  }
+
+  /** PDF metadata extraction — per-partition kernel over the real
+    * xref walk; non-PDF payloads report all-null metadata, never a
+    * fake. */
+  def extractPdfFeatures(media: DataFrame): Dataset[PdfFeatures] = {
+    implicit val enc: Encoder[PdfFeatures] = Encoders.product[PdfFeatures]
+    media.select("media_id", "content", "mime_type", "n_bytes")
+      .as(Encoders.product[MediaRecord])
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val meta = PdfHeaders.parse(r.content)
+          PdfFeatures(r.media_id, meta.map(_.version), meta.map(_.nObjects),
+            meta.map(_.nPages), meta.map(_.boxWidth), meta.map(_.boxHeight),
+            meta.map(_.title), meta.map(_.offsetsValid))
+        }
+      }
+  }
+
+  /** Synthesize a STORED-method ZIP archive per row: entry count,
+    * names, and payload lengths derive deterministically from the id
+    * ([[ZipHeaders.buildZip]]); payload bytes come from the same
+    * seeded formula the oracle replays by length only (CRC integrity
+    * is checked ON the bytes, not recomputed by the oracle). */
+  def synthZip(df: DataFrame, idCol: String): DataFrame = {
+    implicit val enc: Encoder[MediaRecord] = Encoders.product[MediaRecord]
+    df.select(col(idCol).cast(LongType))
+      .as(Encoders.scalaLong)
+      .mapPartitions { rows =>
+        rows.map { id =>
+          val entries = (0 until (1 + (id % 4)).toInt).map { j =>
+            val len = 10 + ((id + j) % 50).toInt
+            val data = Array.tabulate(len)(i => ((id * 31 + j * 17 + i) & 0xFF).toByte)
+            (s"f$j.txt", data)
+          }
+          val zip = ZipHeaders.buildZip(entries)
+          MediaRecord(id, zip, "application/zip", zip.length.toLong)
+        }
+      }.toDF()
+  }
+
+  /** ZIP manifest extraction with CRC verification — per-partition
+    * kernel over the central-directory walk; non-ZIP payloads report
+    * all-null metadata, never a fake. */
+  def extractZipFeatures(media: DataFrame): Dataset[ZipFeatures] = {
+    implicit val enc: Encoder[ZipFeatures] = Encoders.product[ZipFeatures]
+    media.select("media_id", "content", "mime_type", "n_bytes")
+      .as(Encoders.product[MediaRecord])
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val meta = ZipHeaders.parse(r.content)
+          ZipFeatures(r.media_id, meta.map(_.nEntries), meta.map(_.totalBytes),
+            meta.map(_.crcMismatches), meta.map(_.offsetsValid))
+        }
+      }
+  }
+
   /** Synthesize a canonical ISO-BMFF (MP4) container per row from a
     * text payload (payload bytes stand in for the mdat media stream):
     * the video analog of [[synthWav]] — the CONTAINER is real

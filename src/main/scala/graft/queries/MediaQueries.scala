@@ -553,4 +553,89 @@ object MediaQueries {
       |  CAST(SUM(riff) AS BIGINT) AS sum_riff_bytes,
       |  CAST(MAX(w) AS BIGINT) AS max_width
       |FROM r GROUP BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q213: PDF container metadata curation — build a REAL classic-xref
+  // PDF per document ([[graft.operators.PdfHeaders]]: catalog, pages
+  // tree, per-page media boxes, Info dictionary, byte-exact xref +
+  // trailer), parse it back through the xref walk (every object
+  // offset validated against its `i 0 obj` header), and profile the
+  // corpus per (version, page size) — the triage every document-
+  // extraction pipeline runs before rendering a page. The oracle
+  // restates the synthesis formulas including the object-count
+  // arithmetic, so writer and parser are both correctness-gated.
+  //
+  // 100 TB: per-row build→parse kernels feeding one map-side-combined
+  // hash-agg — the q187/q191/q204 shape.
+  // ------------------------------------------------------------------
+  def q213PdfMeta(spark: SparkSession, dir: String): DataFrame = {
+    // regex-heavy per-row parse: spread an under-partitioned input
+    // (one parquet file = one split) across the cores; no-op at scale
+    val docs = Tables.documents(spark, dir)
+    val cores = spark.sparkContext.defaultParallelism
+    val spread = if (docs.rdd.getNumPartitions * 2 < cores)
+      docs.repartition(cores) else docs
+    val media = Multimodal.synthPdf(spread, "doc_id")
+    Multimodal.extractPdfFeatures(media).toDF()
+      .groupBy(col("version"), col("box_w"), col("box_h"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("n_pages").cast(LongType)).as("sum_pages"),
+        sum(col("n_objects").cast(LongType)).as("sum_objects"),
+        sum(when(col("offsets_valid"), 1L).otherwise(0L)).as("n_valid"))
+  }
+
+  val q213Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 2 = 0 THEN '1.4' ELSE '1.7' END AS version,
+      |    CASE doc_id % 3 WHEN 0 THEN 612 WHEN 1 THEN 595 ELSE 420 END AS w,
+      |    CASE doc_id % 3 WHEN 0 THEN 792 WHEN 1 THEN 842 ELSE 595 END AS h,
+      |    1 + doc_id % 5 AS pages
+      |  FROM documents)
+      |SELECT version, CAST(w AS INT) AS box_w, CAST(h AS INT) AS box_h,
+      |  COUNT(*) AS n_files,
+      |  CAST(SUM(pages) AS BIGINT) AS sum_pages,
+      |  CAST(SUM(pages + 3) AS BIGINT) AS sum_objects,
+      |  CAST(COUNT(*) AS BIGINT) AS n_valid
+      |FROM d GROUP BY 1, 2, 3""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q214: ZIP shard manifest with CRC audit — build a REAL
+  // STORED-method ZIP per document ([[graft.operators.ZipHeaders]]:
+  // local headers, central directory, EOCD, byte-exact offsets),
+  // parse it back through the central-directory walk, and RE-COMPUTE
+  // each entry's CRC-32 against the recorded value — the per-shard
+  // corruption check an archive-ingest pipeline runs before
+  // extraction (the ZIP complement of the tar manifest, q171). The
+  // oracle recomputes entry counts and payload-size sums from the
+  // synthesis formulas and pins mismatches at zero — a writer or
+  // parser that corrupts one byte of layout flips a CRC or an offset
+  // flag immediately.
+  //
+  // 100 TB: per-row build→parse kernels feeding one map-side-combined
+  // hash-agg.
+  // ------------------------------------------------------------------
+  def q214ZipManifest(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.synthZip(Tables.documents(spark, dir), "doc_id")
+    Multimodal.extractZipFeatures(media).toDF()
+      .groupBy(col("n_entries"))
+      .agg(count(lit(1)).as("n_archives"),
+        sum(col("total_bytes")).as("sum_bytes"),
+        sum(col("crc_mismatches").cast(LongType)).as("crc_mismatches"),
+        sum(when(col("offsets_valid"), 1L).otherwise(0L)).as("n_valid"))
+  }
+
+  val q214Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, CAST(1 + doc_id % 4 AS INT) AS n_entries
+      |  FROM documents),
+      |e AS (
+      |  SELECT d.doc_id, d.n_entries,
+      |    10 + ((d.doc_id + j.range) % 50) AS len
+      |  FROM d JOIN range(4) j ON j.range < d.n_entries)
+      |SELECT n_entries, COUNT(DISTINCT doc_id) AS n_archives,
+      |  CAST(SUM(len) AS BIGINT) AS sum_bytes,
+      |  CAST(0 AS BIGINT) AS crc_mismatches,
+      |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_valid
+      |FROM e GROUP BY 1""".stripMargin
 }

@@ -382,6 +382,12 @@ class ExchangeBudgetSpec extends SparkTestBase {
                                  // (source, digest) distinct expand's
                                  // two agg levels — partial dedup
                                  // bounds what crosses
+    "q213_pdf_meta"       -> 2,  // per-row build->parse kernels (+1
+                                 // spread repartition when the input
+                                 // is underpartitioned) into ONE
+                                 // map-side-combined tally
+    "q214_zip_manifest"   -> 1,  // per-row build->parse kernels into
+                                 // ONE map-side-combined tally
     "q134_decontaminate"  -> 5)  // content-class collapses sit behind
                                  // their checkpoints (one map-side-
                                  // combined groupBy per side — the

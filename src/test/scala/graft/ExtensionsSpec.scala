@@ -24,13 +24,16 @@ class ExtensionsSpec extends SparkTestBase {
         """SELECT uuid7() AS id,
           |  simhash('alpha beta gamma') AS sh,
           |  shingle_minhash('a b c d e').sig[0] AS mh,
-          |  top_word_count('a b a c a b') AS twc""".stripMargin)
+          |  top_word_count('a b a c a b') AS twc,
+          |  cdc_chunks('a b a c a b') AS cdc""".stripMargin)
         .collect()(0)
       assert(row.getString(0).matches(
         "[0-9a-f]{8}-[0-9a-f]{4}-7[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}"))
       assert(row.getString(1).length == 64)
       assert(row.getString(2).length == 32)
       assert(row.getInt(3) == 3) // 'a' appears 3 times
+      val cdc = row.getSeq[String](4)
+      assert(cdc.nonEmpty && cdc.forall(_.length == 32))
     } finally {
       SparkSession.clearActiveSession()
       prev.foreach(SparkSession.setDefaultSession)
