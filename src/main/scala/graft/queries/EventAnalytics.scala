@@ -950,6 +950,49 @@ object EventAnalytics {
       |  (r.s_pos > p.ref // 4 OR r.s_neg > p.ref // 4) AS alarm
       |FROM r JOIN p ON p.event_type = r.event_type""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q216: Fano-factor burstiness per event type — variance-to-mean of
+  // the daily counts, the dispersion test that separates Poisson-like
+  // steady traffic (F ≈ 1) from bursty (F > 1) or clamped/quota'd
+  // (F < 1) streams; the stationary-dispersion companion to the CUSUM
+  // level monitor (q210) and the seasonal decomposition (q194).
+  // Exact integers end-to-end: F = var/mean = (n·Σy² − (Σy)²) /
+  // ((n−1)·Σy) after cancelling the 1/n, DECIMAL(38,0) squares, one
+  // truncating micro division.
+  //
+  // Scale shape: the corpus collapses through q206DailyPlan's ONE
+  // map-side-combined (type, day) tally (plan-gated there); the
+  // moment aggregation rides the calendar-sized result.
+  // ------------------------------------------------------------------
+  def q216FanoFactor(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    q206DailyPlan(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("y")).as("sum_y"),
+        sum((col("y") * col("y")).cast(dec)).as("sy2"))
+      .filter(col("n_days") >= 2)
+      .select(col("event_type"), col("n_days"), col("sum_y"),
+        expr("CAST(((n_days * sy2 - CAST(sum_y AS DECIMAL(38,0)) * sum_y)" +
+          " * 1000000) div ((n_days - 1) * CAST(sum_y AS DECIMAL(38,0)))" +
+          " AS BIGINT)").as("fano_micro"))
+  }
+
+  val q216Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2),
+      |m AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+      |    CAST(SUM(y) AS BIGINT) AS sum_y,
+      |    SUM(CAST(y AS HUGEINT) * y) AS sy2
+      |  FROM daily GROUP BY 1)
+      |SELECT event_type, n_days, sum_y,
+      |  CAST(((n_days * sy2 - CAST(sum_y AS HUGEINT) * sum_y) * 1000000)
+      |    // ((n_days - 1) * CAST(sum_y AS HUGEINT)) AS BIGINT) AS fano_micro
+      |FROM m WHERE n_days >= 2""".stripMargin
+
   /** q206's corpus stage — the only part that touches all events.
     * Package-visible so ExchangeBudgetSpec can gate it: the
     * localCheckpoint in q206TheilSen hides it from the final plan. */

@@ -597,4 +597,67 @@ object GovernanceQueries {
       |    // (2 * CAST(t AS HUGEINT) * n_total) AS BIGINT) AS tvd_micro,
       |  (SUM(dev) * 5 > 2 * CAST(t AS HUGEINT) * n_total) AS flagged
       |FROM fan GROUP BY lang, len_bucket, t, n_total""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q215: Gini coefficient of document-length inequality per source —
+  // the concentration audit a corpus report runs next to the
+  // histogram (q78) and source-skew (q96) checks: a source whose few
+  // giant documents carry most of the bytes behaves like a much
+  // smaller source under any length-weighted sampler (q209's ESS is
+  // the weight-side view of the same pathology). Computed EXACTLY
+  // from the sorted-prefix-sum identity G = (2·Σi·y_(i) − (n+1)·Σy)
+  // / (n·Σy), where Σi·y_(i) folds over VALUE POINTS — a value v with
+  // count c at cumulative offset r contributes v·(c·r + c(c+1)/2) —
+  // so no per-document sort ever happens. DECIMAL(38,0) keeps the
+  // rank-weighted sum exact at corpus scale; one truncating micro
+  // division at the output.
+  //
+  // Scale shape: ONE corpus pass — the (source, length) tally,
+  // map-side combined; the rank window rides per-source value-point
+  // lists (bounded by the length domain, not the corpus).
+  // ------------------------------------------------------------------
+  def q215LengthGini(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = DecimalType(38, 0)
+    val pts = Tables.documents(spark, dir)
+      .select(col("source"), col("n_chars").cast(LongType).as("v"))
+      .groupBy(col("source"), col("v")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("source")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    pts
+      .withColumn("r", coalesce(sum(col("cnt")).over(w), lit(0L)))
+      .groupBy(col("source"))
+      .agg(sum(col("cnt")).as("n_docs"),
+        sum((col("v") * col("cnt")).cast(dec)).as("tot"),
+        // cnt*(cnt+1) is always even, so `div 2` is exact — decimal `/`
+        // would introduce a fractional scale into the rank-weighted sum
+        sum((col("v").cast(dec) * (col("cnt").cast(dec) * col("r").cast(dec)
+          + expr("CAST((cnt * (cnt + 1)) div 2 AS DECIMAL(38,0))")))).as("s"))
+      .select(col("source"), col("n_docs"),
+        col("tot").cast(LongType).as("sum_chars"),
+        expr("CAST(((2 * s - (n_docs + 1) * tot) * 1000000) " +
+          "div (CAST(n_docs AS DECIMAL(38,0)) * tot) AS BIGINT)")
+          .as("gini_micro"))
+  }
+
+  val q215Sql: String =
+    """WITH pts AS (
+      |  SELECT source, CAST(n_chars AS BIGINT) AS v,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM documents GROUP BY 1, 2),
+      |rk AS (
+      |  SELECT source, v, cnt,
+      |    COALESCE(SUM(cnt) OVER (PARTITION BY source ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS r
+      |  FROM pts),
+      |agg AS (
+      |  SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_docs,
+      |    SUM(CAST(v AS HUGEINT) * cnt) AS tot,
+      |    SUM(CAST(v AS HUGEINT) * (cnt * CAST(r AS HUGEINT)
+      |      + cnt * (cnt + 1) // 2)) AS s
+      |  FROM rk GROUP BY 1)
+      |SELECT source, n_docs, CAST(tot AS BIGINT) AS sum_chars,
+      |  CAST(((2 * s - (n_docs + 1) * tot) * 1000000)
+      |    // (CAST(n_docs AS HUGEINT) * tot) AS BIGINT) AS gini_micro
+      |FROM agg""".stripMargin
 }

@@ -388,6 +388,11 @@ class ExchangeBudgetSpec extends SparkTestBase {
                                  // map-side-combined tally
     "q214_zip_manifest"   -> 1,  // per-row build->parse kernels into
                                  // ONE map-side-combined tally
+    "q215_length_gini"    -> 2,  // (source, length) value-point tally
+                                 // + per-source moment agg off the
+                                 // rank window (value-domain-bounded)
+    "q216_fano_factor"    -> 2,  // the (type, day) tally + the
+                                 // calendar-sized moment agg
     "q134_decontaminate"  -> 5)  // content-class collapses sit behind
                                  // their checkpoints (one map-side-
                                  // combined groupBy per side — the
