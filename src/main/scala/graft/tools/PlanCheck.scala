@@ -27,7 +27,15 @@ object PlanCheck {
       // — the final frame is a LocalTableScan of the k collected rows;
       // each round's distributed plan is a scan + TakeOrdered already
       // audited elsewhere; nothing to plan-audit in the output frame.
-      "q135_bpe_merges", "q138_coreset")
+      "q135_bpe_merges", "q138_coreset",
+      // q155/q185/q189/q198/q207/q210: driver-assembled trajectory /
+      // solution frames (unigram EM, Bradley–Terry MM, Markov power
+      // iteration, Holt recursion, k-core peel rounds, CUSUM) — the
+      // output is a LocalTableScan; the corpus stages are plan-gated
+      // in ExchangeBudgetSpec instead
+      "q155_unigram_tokenizer", "q185_bradley_terry",
+      "q189_markov_stationary", "q198_holt_forecast",
+      "q207_kcore_peel", "q210_cusum")
 
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (!skip.contains(name)) {
@@ -113,7 +121,22 @@ object PlanCheck {
               "q174_kneser_ney",
               // q184: per-config 1-row tallies ride IdentityBroadcast
               // cross joins (truth/candidate counts are single rows)
-              "q184_lsh_s_curve")
+              "q184_lsh_s_curve",
+              // q203: class×source fan-out crosses the ~|sources|-row
+              // marginal and the 1-row total, both broadcast by design
+              "q203_t_closeness",
+              // q192: dense source×vocab fan-out over the DF-gated
+              // vocabulary dimension (JSD needs the zero cells)
+              "q192_source_jsd",
+              // q193: 1-row log-log regression coefficients broadcast
+              // back onto the bucket curve
+              "q193_heaps_law",
+              // q195: journeys × the constant pattern dimension
+              // (substring containment is non-equi by nature)
+              "q195_sequence_pattern",
+              // q201: per-type fan-out of the pooled value-point CDF
+              // (types × value points, both dimension-sized)
+              "q201_quantile_normalize")
               .contains(name))
         ).collect { case (f, true) => f }
         val scans = plan.linesIterator
