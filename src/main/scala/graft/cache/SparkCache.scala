@@ -245,11 +245,12 @@ final class SparkCache(
     val trimmed = sql.trim
     val body = if (trimmed.endsWith(";")) trimmed.dropRight(1) else trimmed
     if (body.contains(";"))
-      throw new IllegalArgumentException("Multiple statements are not allowed")
+      throw new graft.errors.CacheSqlGuardError(
+        "Multiple statements are not allowed", "multi_statement")
     val first = body.split("\\s+").headOption.map(_.toLowerCase(java.util.Locale.ROOT)).getOrElse("")
     if (!ReadOnlyPrefixes.contains(first))
-      throw new IllegalArgumentException(
-        s"Only read-only queries are allowed (got: $first)")
+      throw new graft.errors.CacheSqlGuardError(
+        s"Only read-only queries are allowed (got: $first)", first)
   }
 
   /** `run_sql_query` equivalent: guarded, optional row cap. The USE is

@@ -1,7 +1,7 @@
 package graft.mcp
 
 import graft.sources.Registry
-import graft.sources.Registry.{ApiDocsUrl, ConnectorMetadata, InstallType}
+import graft.sources.Registry.{ApiDocsUrl, ConnectorMetadata, ConnectorVersionInfo, InstallType}
 
 /**
  * MCP registry tool set (reference `airbyte/mcp/registry.py`): connector
@@ -65,5 +65,33 @@ object RegistryTools {
       m.documentationUrl.map(u =>
         ApiDocsUrl("Airbyte Documentation", u, "other", requiresLogin = false)).toSeq ++
         m.externalDocs
+    }
+
+  /** `get_connector_version_history` (mcp/registry.py:227-291 →
+    * registry.py:544-618): None when the connector is not in the
+    * registry (the reference returns "Connector not found."); otherwise
+    * the parsed changelog rows, most recent first, with the release
+    * dates of the newest `numVersionsToValidate` entries overridden by
+    * the registry document's release-candidate commit dates when
+    * present. `changelogHtml` is caller-supplied (zero-egress analog of
+    * the docs.airbyte.com fetch — an unfetchable changelog maps to an
+    * empty string and yields the reference's empty-list behavior).
+    * `limit` mirrors the deprecated MCP parameter: positive values
+    * truncate to the most recent N. */
+  def getConnectorVersionHistory(
+      registry: Seq[ConnectorMetadata],
+      name: String,
+      changelogHtml: String,
+      numVersionsToValidate: Int = 5,
+      limit: Option[Int] = None): Option[Seq[ConnectorVersionInfo]] =
+    Registry.connectorMetadata(registry, name).map { _ =>
+      val parsed = Registry.parseChangelogHtml(changelogHtml, name)
+      val validated = parsed.zipWithIndex.map { case (v, i) =>
+        if (i < numVersionsToValidate)
+          Registry.registryVersionDate(registry, name, v.version)
+            .map(d => v.copy(releaseDate = Some(d))).getOrElse(v)
+        else v
+      }
+      limit.filter(_ > 0).map(validated.take).getOrElse(validated)
     }
 }

@@ -35,9 +35,16 @@ object TrustedExecution {
     * gate is disabled (reference AirbyteTrustedExecutionRequiredError). */
   final class TrustedExecutionRequiredException(val feature: String)
       extends RuntimeException(
-        s"Trusted execution is required for: $feature. Set $EnvVar=1 " +
-          "in the server environment to enable trusted-machine capabilities " +
-          "(local filesystem access, connector execution, server-side secret resolution).")
+        s"Trusted execution is required for: $feature.")
+      with graft.errors.GraftError {
+    override def baseMessage: String =
+      s"Trusted execution is required for: $feature."
+    override def guidance: Option[String] = Some(
+      s"Set $EnvVar=1 in the server environment to enable " +
+        "trusted-machine capabilities (local filesystem access, " +
+        "connector execution, server-side secret resolution).")
+    override def context: Map[String, Any] = Map("feature" -> feature)
+  }
 
   /** Whether trusted execution is enabled (`_guards.py:29-37`). */
   def isEnabled: Boolean =

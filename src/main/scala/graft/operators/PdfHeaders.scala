@@ -73,7 +73,9 @@ object PdfHeaders {
     if (bytes == null || bytes.length < 40) return None
     val s = new String(bytes, StandardCharsets.ISO_8859_1)
     if (!s.startsWith("%PDF-")) return None
-    val version = s.substring(5, s.indexOf('\n')).trim
+    val nl = s.indexOf('\n')
+    if (nl < 0) return None // '%PDF-' header with no newline: malformed
+    val version = s.substring(5, nl).trim
     if (!version.matches("1\\.[0-9]")) return None
     val sx = s.lastIndexOf("startxref")
     if (sx < 0) return None

@@ -70,9 +70,10 @@ object ZipHeaders {
         .putInt(offsets(i))
         .put(nb)
     }
+    val cdEnd = out.position() // capture BEFORE the EOCD record starts
     out.putInt(EocdSig).putShort(0).putShort(0)
       .putShort(entries.length.toShort).putShort(entries.length.toShort)
-      .putInt(out.position() - cdOff - 18).putInt(cdOff).putShort(0)
+      .putInt(cdEnd - cdOff).putInt(cdOff).putShort(0)
     out.array()
   }
 

@@ -22,6 +22,26 @@ object ClusterQueries {
   private val K = 8
   private val Eps = 0.42
 
+  /** Shared broadcast/shuffle auto-switch for every node-dimension
+    * side (rank, label, alive, degree vectors) joined onto a
+    * corpus-sized edge list — the q79 convention generalized. Node
+    * sets at or under `graft.graph.broadcastNodes` (default 5M; the
+    * older `graft.pagerank.broadcastNodes` name is honored so q79
+    * callers keep working) broadcast, and edges never shuffle; beyond
+    * it the frame is returned unhinted so the join co-shuffles — node
+    * vectors grow linearly with data, and at 100x an unconditional
+    * broadcast is the first thing that stops fitting in executor
+    * memory. GraphNodeJoinSpec pins both plan shapes and their
+    * row-for-row equivalence for q205/q207/q211/q117. */
+  private[graft] def nodeBroadcastLimit(spark: SparkSession): Long =
+    spark.conf.getOption("graft.graph.broadcastNodes")
+      .orElse(spark.conf.getOption("graft.pagerank.broadcastNodes"))
+      .map(_.toLong).getOrElse(5000000L)
+
+  private[graft] def nodeSide(spark: SparkSession, nodeCount: Long)(
+      df: DataFrame): DataFrame =
+    if (nodeCount <= nodeBroadcastLimit(spark)) broadcast(df) else df
+
   // ------------------------------------------------------------------
   // q59: semantic dedup — cluster assignment (broadcast centroids, no
   // corpus shuffle) → within-cluster pair prune (the cluster is the
@@ -329,8 +349,10 @@ object ClusterQueries {
       .union(und.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("dg"))
     val orient = und
-      .join(broadcast(deg.select(col("node").as("u"), col("dg").as("du"))), "u")
-      .join(broadcast(deg.select(col("node").as("v"), col("dg").as("dv"))), "v")
+      .join(nodeSide(spark, ns)(
+        deg.select(col("node").as("u"), col("dg").as("du"))), "u")
+      .join(nodeSide(spark, ns)(
+        deg.select(col("node").as("v"), col("dg").as("dv"))), "v")
       .select(
         when(col("du") < col("dv") ||
           (col("du") === col("dv") && col("u") < col("v")),
@@ -398,10 +420,7 @@ object ClusterQueries {
   def q79PageRank(spark: SparkSession, dir: String): DataFrame = {
     val sup = Tables.supplier(spark, dir).select(col("s_suppkey").as("node"))
     val ns = sup.count()
-    val broadcastLimit = spark.conf
-      .getOption("graft.pagerank.broadcastNodes").map(_.toLong)
-      .getOrElse(5000000L)
-    val useBroadcast = ns <= broadcastLimit
+    val useBroadcast = ns <= nodeBroadcastLimit(spark)
     val edges = Tables.lineitem(spark, dir)
       .select(col("l_suppkey").as("src"),
         (col("l_partkey") % ns + 1L).as("dst"))
@@ -463,10 +482,13 @@ object ClusterQueries {
   //
   // Scale shape: the undirected edge list is built ONCE
   // (localCheckpoint); per round the label vector (∝ nodes ≪ edges)
-  // is broadcast onto it — the q79 convention — so each round's only
-  // shuffle is the (dst,label) tally, itself map-side combined and
-  // bounded by per-node neighbor-label diversity. Output collapses to
-  // a community-size histogram (dimension-sized).
+  // joins onto it through the q79 broadcast/shuffle auto-switch
+  // (nodeSide): under graft.graph.broadcastNodes the vector
+  // broadcasts and each round's only shuffle is the (dst,label)
+  // tally, itself map-side combined and bounded by per-node
+  // neighbor-label diversity; beyond it the edges are pre-partitioned
+  // on src once and each round co-shuffles only the label vector.
+  // Output collapses to a community-size histogram (dimension-sized).
   // ------------------------------------------------------------------
   def q205LabelPropagation(spark: SparkSession, dir: String): DataFrame = {
     val sup = Tables.supplier(spark, dir)
@@ -480,12 +502,17 @@ object ClusterQueries {
       .filter(col("l_orderkey") % 97 === 0)
       .select(col("l_suppkey").cast(LongType).as("src"),
         (col("l_partkey") % ns + 1L).as("dst"))
-    val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint()
+    val useBroadcast = ns <= nodeBroadcastLimit(spark)
+    val edges0 = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    // join-based mode pre-partitions the edges on src ONCE (the q79
+    // convention) so each round co-shuffles only the label vector
+    val edges = (if (useBroadcast) edges0 else edges0.repartition(col("src")))
+      .localCheckpoint()
     var labels = sup.select(col("id"), col("id").as("label"))
     for (_ <- 1 to 3) {
       val best = edges
-        .join(broadcast(labels.withColumnRenamed("id", "src")), "src")
+        .join(nodeSide(spark, ns)(labels.withColumnRenamed("id", "src")), "src")
         .groupBy(col("dst"), col("label"))
         .agg(count(lit(1)).as("cnt"))
         .groupBy(col("dst"))
@@ -541,10 +568,13 @@ object ClusterQueries {
   //
   // Scale shape: the directed edge list is built ONCE
   // (localCheckpoint); per round ONE map-side-combined degree tally,
-  // then the alive set (∝ nodes ≪ edges) broadcasts back onto the
-  // edges for the two endpoint semi-joins — the corpus-sized side
-  // never re-shuffles. Round outputs are single counts; the result
-  // frame is assembled from three dimension-sized actions.
+  // then the alive set (∝ nodes ≪ edges) joins back onto the edges
+  // for the two endpoint filters through the q79 broadcast/shuffle
+  // auto-switch (nodeSide) — under the threshold the corpus-sized
+  // side never re-shuffles; beyond it the shrinking edge list
+  // co-shuffles, bounded memory either way. Round outputs are single
+  // counts; the result frame is assembled from three dimension-sized
+  // actions.
   // ------------------------------------------------------------------
   // ------------------------------------------------------------------
   // q211: local clustering-coefficient profile (Watts–Strogatz 1998) —
@@ -561,9 +591,10 @@ object ClusterQueries {
   // bands, truncating division.
   //
   // Scale shape: identical to q117 (edge list checkpointed, degree
-  // broadcast, oriented wedge self-join bounded by the orientation
-  // trick); the per-node explode adds one tally whose input is the
-  // triangle list, then everything is degree-dimension-sized.
+  // side through the q79 broadcast/shuffle auto-switch, oriented
+  // wedge self-join bounded by the orientation trick); the per-node
+  // explode adds one tally whose input is the triangle list, then
+  // everything is degree-dimension-sized.
   // ------------------------------------------------------------------
   def q211LccProfile(spark: SparkSession, dir: String): DataFrame = {
     val ns = Tables.supplier(spark, dir).count()
@@ -579,8 +610,10 @@ object ClusterQueries {
       .union(und.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("dg"))
     val orient = und
-      .join(broadcast(deg.select(col("node").as("u"), col("dg").as("du"))), "u")
-      .join(broadcast(deg.select(col("node").as("v"), col("dg").as("dv"))), "v")
+      .join(nodeSide(spark, ns)(
+        deg.select(col("node").as("u"), col("dg").as("du"))), "u")
+      .join(nodeSide(spark, ns)(
+        deg.select(col("node").as("v"), col("dg").as("dv"))), "v")
       .select(
         when(col("du") < col("dv") ||
           (col("du") === col("dv") && col("u") < col("v")),
@@ -648,9 +681,10 @@ object ClusterQueries {
     e.groupBy(col("src")).agg(count(lit(1)).as("d"))
       .filter(col("d") >= k).select(col("src").as("id"))
 
-  private[graft] def q207FilterPlan(e: DataFrame, alive: DataFrame): DataFrame =
-    e.join(broadcast(alive.withColumnRenamed("id", "src")), "src")
-      .join(broadcast(alive.withColumnRenamed("id", "dst")), "dst")
+  private[graft] def q207FilterPlan(e: DataFrame, alive: DataFrame,
+      hint: DataFrame => DataFrame = broadcast): DataFrame =
+    e.join(hint(alive.withColumnRenamed("id", "src")), "src")
+      .join(hint(alive.withColumnRenamed("id", "dst")), "dst")
       .select(col("src"), col("dst"))
 
   def q207KCorePeel(spark: SparkSession, dir: String): DataFrame = {
@@ -666,8 +700,8 @@ object ClusterQueries {
     val out = Seq.newBuilder[(Int, Long, Long)]
     for (r <- 1 to 3) {
       val alive = q207AlivePlan(e, k)
-        .localCheckpoint() // broadcast to BOTH endpoint filters
-      e = q207FilterPlan(e, alive)
+        .localCheckpoint() // hinted into BOTH endpoint filters
+      e = q207FilterPlan(e, alive, nodeSide(spark, ns))
         .localCheckpoint() // next round peels the shrunken list
       out += ((r, alive.count(), e.count()))
     }

@@ -876,7 +876,7 @@ object EventAnalytics {
   // next to the EWMA point-anomaly gate (q156) and Holt's smoother
   // (q198): S⁺ accumulates upward deviations past a 5% slack band
   // around the series mean, S⁻ downward ones, and either crossing
-  // h = 3× the daily mean raises the alarm. All arithmetic is exact
+  // h = ref/4 (a quarter of the daily-mean reference) raises the alarm. All arithmetic is exact
   // integer micros — the reference level and slack come from one
   // truncating division each, and the recursion replays term-for-term
   // in the oracle's recursive CTE (the q198 contract shape).

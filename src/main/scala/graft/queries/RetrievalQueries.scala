@@ -692,6 +692,22 @@ object RetrievalQueries {
         first(col("n_chars")).as("len"))      // ...tiebroken by length
   }
 
+  /** Ranker-B composite sort key: (cov DESC, len ASC) packed exactly
+    * into one double as cov*2^32 - len. Field separation requires
+    * len < 2^32 (enforced loudly by assert_true — Spark caps single
+    * strings below 2^31 chars, so only a lying n_chars column can
+    * trip it); exactness requires cov < 2^21 (cov is bounded by the
+    * fixed QueryTerms list). Factored out so RetrievalPackingSpec can
+    * pin the ordering on million-char documents the driver data never
+    * produces. */
+  private[graft] def q202RankerBKey(cov: org.apache.spark.sql.Column,
+      len: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    coalesce(
+      assert_true(len < lit(4294967296L),
+        lit("q202 ranker-B packing requires n_chars < 2^32")
+      ).cast(DoubleType),
+      lit(0.0)) + cov.cast(DoubleType) * 4294967296.0 - len.cast(DoubleType)
+
   def q202RrfFusion(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.TopKAggregate.topK
     import spark.implicits._
@@ -702,16 +718,20 @@ object RetrievalQueries {
     // row_number() dual sorts each query's WHOLE candidate list on one
     // task (only |queries| partitions; measured 1.6x at 10x). Ranker
     // B's composite order (cov desc, len asc) packs exactly into one
-    // double: cov*2^40 - len*2^20 (all addends < 2^53, no rounding);
+    // double: cov*2^32 - len. Field separation needs len < 2^32 (any
+    // real document satisfies this — Spark caps a single string below
+    // 2^31 chars — and the assert_true guard rejects a lying n_chars
+    // column loudly instead of silently mis-ordering); exactness needs
+    // cov < 2^21 so both addends and the difference stay under 2^53
+    // (cov is bounded by the fixed QueryTerms list, far below that).
     // doc_id asc is the heap's built-in tiebreak.
     val listA = cand.groupBy(col("qid"))
       .agg(topK(col("sa").cast(DoubleType), col("doc_id"), 20).as("top"))
       .select(col("qid"), posexplode(col("top")).as(Seq("p", "e")))
       .select(col("qid"), col("e.id").as("doc_id"), (col("p") + 1).as("rnk"))
     val listB = cand.groupBy(col("qid"))
-      .agg(topK(col("cov").cast(DoubleType) * 1099511627776.0
-          - col("len").cast(DoubleType) * 1048576.0,
-        col("doc_id"), 20).as("top"))
+      .agg(topK(q202RankerBKey(col("cov"), col("len")), col("doc_id"), 20)
+        .as("top"))
       .select(col("qid"), posexplode(col("top")).as(Seq("p", "e")))
       .select(col("qid"), col("e.id").as("doc_id"), (col("p") + 1).as("rnk"))
     listA.unionByName(listB)

@@ -99,7 +99,8 @@ final class DeclarativeSource(
 
   private def streamName(s: JsonNode): String =
     Option(s.get("name")).map(_.asText()).getOrElse(
-      throw new IllegalArgumentException("declarative stream without a name"))
+      throw new graft.errors.ManifestError("declarative stream without a name",
+        Map("component" -> "stream")))
 
   private def streamByName(stream: String): JsonNode =
     streamNodes.find(s => streamName(s).equalsIgnoreCase(stream))
@@ -173,8 +174,9 @@ final class DeclarativeSource(
 
   private def retrieverOf(s: JsonNode): JsonNode =
     Option(s.get("retriever")).getOrElse(
-      throw new IllegalArgumentException(
-        s"stream '${streamName(s)}' has no retriever"))
+      throw new graft.errors.ManifestError(
+        s"stream '${streamName(s)}' has no retriever",
+        Map("stream_name" -> streamName(s), "component" -> "retriever")))
 
   /** Request headers the manifest's `requester.authenticator` would
     * attach, resolved against config (CDK authenticator semantics):
@@ -195,8 +197,9 @@ final class DeclarativeSource(
       case Some(a) =>
         def field(n: String): String = Option(a.get(n)).map(x =>
           interpolate(x.asText(), hydratedConfig, Map.empty)).getOrElse(
-          throw new IllegalArgumentException(
-            s"authenticator missing required field '$n'"))
+          throw new graft.errors.ManifestError(
+            s"authenticator missing required field '$n'",
+            Map("component" -> "authenticator", "field" -> n)))
         Option(a.get("type")).map(_.asText()).getOrElse("") match {
           case "BearerAuthenticator" =>
             Map("Authorization" -> s"Bearer ${field("api_token")}")
@@ -220,8 +223,9 @@ final class DeclarativeSource(
             val enc = java.util.Base64.getEncoder
               .encodeToString(s"$user:$pass".getBytes("UTF-8"))
             Map("Authorization" -> s"Basic $enc")
-          case other => throw new IllegalArgumentException(
-            s"unsupported authenticator type '$other'")
+          case other => throw new graft.errors.ManifestError(
+            s"unsupported authenticator type '$other'",
+            Map("component" -> "authenticator", "authenticator_type" -> other))
         }
     }
   }
@@ -230,7 +234,9 @@ final class DeclarativeSource(
     * request_parameters (manifest order), all interpolated. */
   private def requestUrl(s: JsonNode, slice: Map[String, String]): String = {
     val requester = Option(retrieverOf(s).get("requester")).getOrElse(
-      throw new IllegalArgumentException(s"stream '${streamName(s)}' has no requester"))
+      throw new graft.errors.ManifestError(
+      s"stream '${streamName(s)}' has no requester",
+      Map("stream_name" -> streamName(s), "component" -> "requester")))
     val urlBase = Option(requester.get("url_base")).map(_.asText()).getOrElse("")
     val path = Option(requester.get("path")).map(_.asText()).getOrElse("")
     val joined =
@@ -275,12 +281,14 @@ final class DeclarativeSource(
   private def substreamSlices(s: JsonNode, pr: JsonNode): Seq[Map[String, String]] = {
     val configs = Option(pr.get("parent_stream_configs")).toSeq
       .flatMap(_.elements().asScala)
-    if (configs.isEmpty) throw new IllegalArgumentException(
-      s"stream '${streamName(s)}': SubstreamPartitionRouter needs parent_stream_configs")
+    if (configs.isEmpty) throw new graft.errors.ManifestError(
+      s"stream '${streamName(s)}': SubstreamPartitionRouter needs parent_stream_configs",
+      Map("stream_name" -> streamName(s), "component" -> "SubstreamPartitionRouter"))
     val mapperLocal = mapper
     configs.flatMap { c =>
       val parent = Option(c.get("stream")).getOrElse(
-        throw new IllegalArgumentException("parent_stream_config needs stream"))
+        throw new graft.errors.ManifestError("parent_stream_config needs stream",
+        Map("component" -> "SubstreamPartitionRouter")))
       val parentKey = c.get("parent_key").asText()
       val field = c.get("partition_field").asText()
       val seen = scala.collection.mutable.LinkedHashSet.empty[String]
@@ -353,7 +361,8 @@ final class DeclarativeSource(
       .flatMap(rs => Option(rs.get("record_filter")))
       .map { rf =>
         Option(rf.get("condition")).map(_.asText()).getOrElse(
-          throw new IllegalArgumentException("record_filter needs condition"))
+          throw new graft.errors.ManifestError("record_filter needs condition",
+            Map("component" -> "record_filter")))
       }
     DeclarativeComponents.RecordPipeline(fieldPathOf(s), filterCond,
       DeclarativeComponents.parseTransforms(s), hydratedConfig)
@@ -492,7 +501,8 @@ object DeclarativeSource {
     var depth = 0
     while (hasRef(cur) && depth < 16) { cur = expandOnce(cur, cur); depth += 1 }
     if (hasRef(cur))
-      throw new IllegalArgumentException("manifest $ref depth/cycle exceeded")
+      throw new graft.errors.ManifestError("manifest $ref depth/cycle exceeded",
+        Map("component" -> "$ref"))
     cur
   }
 

@@ -30,6 +30,19 @@ object Registry {
   final case class ApiDocsUrl(title: String, url: String,
       docType: String = "other", requiresLogin: Boolean = false)
 
+  /** One changelog entry (reference `ConnectorVersionInfo`,
+    * `registry.py:358-367`): the parsed row plus the derived DockerHub
+    * and changelog URLs; `parsingErrors` records recoverable oddities
+    * (no PR link, multiple PR links) instead of failing the row. */
+  final case class ConnectorVersionInfo(
+      version: String,
+      releaseDate: Option[String],
+      dockerImageUrl: String,
+      changelogUrl: String,
+      prUrl: Option[String] = None,
+      prTitle: Option[String] = None,
+      parsingErrors: Seq[String] = Seq.empty)
+
   final case class ConnectorMetadata(
       name: String,
       dockerRepository: String,
@@ -44,7 +57,13 @@ object Registry {
       /** The connector's config spec JSON when the registry document
         * carries one (`spec` entry) — the zero-egress stand-in for the
         * reference's per-version registry spec fetch. */
-      specJson: Option[String] = None) {
+      specJson: Option[String] = None,
+      /** Release-candidate commit dates (version → YYYY-MM-DD) from the
+        * document's `releases.releaseCandidates[v].generated.git
+        * .commit_timestamp` — the data `fetch_registry_version_date`
+        * (reference `_registry_utils.py:99-121`) reads over HTTP,
+        * captured at parse time so the date override is pure. */
+      releaseCandidateDates: Map[String, String] = Map.empty) {
     def canonicalName: String = name.toLowerCase(java.util.Locale.ROOT)
   }
 
@@ -79,6 +98,13 @@ object Registry {
               Option(d.get("type")).map(_.asText()).getOrElse("other"),
               Option(d.get("requiresLogin")).exists(_.asBoolean(false)))
           }
+        val rcDates = Option(e.at("/releases/releaseCandidates"))
+          .filter(_.isObject).map { rcs =>
+            rcs.fields().asScala.flatMap { entry =>
+              val ts = entry.getValue.at("/generated/git/commit_timestamp").asText("")
+              DatePrefix.findPrefixOf(ts).map(d => entry.getKey -> d)
+            }.toMap
+          }.getOrElse(Map.empty[String, String])
         ConnectorMetadata(
           name = name,
           dockerRepository = repo,
@@ -88,7 +114,8 @@ object Registry {
           installTypes = types.result(),
           documentationUrl = Option(e.get("documentationUrl")).map(_.asText()),
           externalDocs = extDocs,
-          specJson = Option(e.get("spec")).map(_.toString))
+          specJson = Option(e.get("spec")).map(_.toString),
+          releaseCandidateDates = rcDates)
       })
     }
   }
@@ -109,4 +136,76 @@ object Registry {
   def connectorMetadata(
       registry: Seq[ConnectorMetadata], name: String): Option[ConnectorMetadata] =
     registry.find(_.canonicalName == name.toLowerCase(java.util.Locale.ROOT))
+
+  private val DatePrefix = """\d{4}-\d{2}-\d{2}""".r
+
+  // parse_changelog_html's row/PR shapes (_registry_utils.py:31-37): the
+  // rendered docs page is minified HTML with unclosed <td> cells and
+  // unquoted hrefs, so the row regex keys on the <tr><td...<td...<tr>
+  // rhythm rather than well-formed markup.
+  private val ChangelogRow =
+    """(?s)<tr><td[^>]*>([^<]+)<td[^>]*>([^<]+)<td[^>]*>(.*?)<td[^>]*>(.*?)<tr>""".r
+  private val PrLink =
+    """<a href=https://github\.com/airbytehq/airbyte/pull/(\d+)[^>]*>(\d+)</a>""".r
+  private val Tag = """<[^>]+>""".r
+
+  /** Parse a connector docs changelog into version history — the pure
+    * core of `get_connector_version_history` (reference
+    * `_registry_utils.py:13-96` `parse_changelog_html`): one entry per
+    * table row whose date cell starts with YYYY-MM-DD; the first PR
+    * link wins (extras become a parsing error, a missing link another);
+    * the subject cell is tag-stripped and entity-unescaped into the PR
+    * title. The HTML is caller-supplied (zero-egress analog of the
+    * reference's docs fetch). */
+  def parseChangelogHtml(htmlContent: String,
+      connectorName: String): Seq[ConnectorVersionInfo] = {
+    val connectorType =
+      if (connectorName.startsWith("source-")) "sources" else "destinations"
+    val shortName = connectorName
+      .replace("source-", "").replace("destination-", "")
+    val changelogUrl =
+      s"https://docs.airbyte.com/integrations/$connectorType/$shortName#changelog"
+    ChangelogRow.findAllMatchIn(htmlContent).flatMap { m =>
+      val version = m.group(1).trim
+      val date = m.group(2).trim
+      val prCell = m.group(3)
+      val subject = m.group(4).trim
+      if (DatePrefix.findPrefixOf(date).isEmpty) None
+      else {
+        val prMatches = PrLink.findAllMatchIn(prCell).toSeq
+        val errors = Seq.newBuilder[String]
+        val (prUrl, prTitle) = prMatches.headOption match {
+          case Some(first) =>
+            val prNumber = first.group(1)
+            if (prMatches.length > 1) errors +=
+              s"Multiple PRs found for version $version, using first PR: $prNumber"
+            val title = Tag.replaceAllIn(subject, "")
+              .replace("&quot;", "\"").replace("&amp;", "&")
+              .replace("&lt;", "<").replace("&gt;", ">").trim
+            (Some(s"https://github.com/airbytehq/airbyte/pull/$prNumber"),
+              Some(title))
+          case None =>
+            errors += s"No PR link found in changelog for version $version"
+            (None, None)
+        }
+        Some(ConnectorVersionInfo(
+          version = version,
+          releaseDate = Some(date).filter(_.nonEmpty),
+          dockerImageUrl =
+            s"https://hub.docker.com/r/airbyte/$connectorName/tags?name=$version",
+          changelogUrl = changelogUrl,
+          prUrl = prUrl,
+          prTitle = prTitle,
+          parsingErrors = errors.result()))
+      }
+    }.toSeq
+  }
+
+  /** The registry-date lookup `fetch_registry_version_date`
+    * (_registry_utils.py:85-121) made pure: read the release-candidate
+    * commit date for `version` out of the already-parsed document. */
+  def registryVersionDate(registry: Seq[ConnectorMetadata],
+      connectorName: String, version: String): Option[String] =
+    connectorMetadata(registry, connectorName)
+      .flatMap(_.releaseCandidateDates.get(version))
 }

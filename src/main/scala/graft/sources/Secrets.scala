@@ -86,7 +86,13 @@ object Secrets {
   final class SecretNotFoundException(val secretName: String)
     extends RuntimeException(
       s"Secret not found: '$secretName' was not resolved by any " +
-        "registered secret manager")
+        "registered secret manager") with graft.errors.GraftError {
+    override def baseMessage: String = s"Secret not found: '$secretName'."
+    override def guidance: Option[String] = Some(
+      "Register a secret manager that provides this name (env var, " +
+        ".env file, or a custom SecretManager), or pass the value directly.")
+    override def context: Map[String, Any] = Map("secret_name" -> secretName)
+  }
 
   // ------------------------------------------------------------------
   // Ordered secret-source registry (reference secrets/config.py:14-76):

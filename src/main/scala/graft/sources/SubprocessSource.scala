@@ -132,13 +132,12 @@ final class SubprocessSource(
         }
       status match {
         case Some(("SUCCEEDED", _)) => ()
-        case Some((s, msg)) => throw new IllegalStateException(
-          s"Connection check failed ($s): $msg")
+        case Some((s, msg)) =>
+          throw new graft.errors.ConnectorCheckFailedError(name, s, msg)
         case None =>
-          val err = stderrTail()
-          throw new IllegalStateException(
-            "Connector emitted no CONNECTION_STATUS" +
-              (if (err.nonEmpty) s"; stderr tail:\n$err" else ""))
+          throw new graft.errors.ConnectorCheckFailedError(name,
+            "NO_STATUS", "Connector emitted no CONNECTION_STATUS",
+            Some(stderrTail()))
       }
     } finally {
       proc.destroy()
@@ -174,10 +173,8 @@ final class SubprocessSource(
               done = true
               val code = proc.waitFor()
               if (code != 0 && !stopEvent.get) {
-                val err = stderrTail()
-                throw new IllegalStateException(
-                  s"Connector '$name' exited with code $code" +
-                    (if (err.nonEmpty) s"; stderr tail:\n$err" else ""))
+                throw new graft.errors.SubprocessFailedError(
+                  name, code, Some(stderrTail()))
               }
             }
           }

@@ -1,6 +1,10 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
 
 /**
  * Physical-plan audit: prints the formatted plan for each (non-pipeline)
@@ -8,8 +12,56 @@ import org.apache.spark.sql.SparkSession
  * broadcast on dimension joins, cartesian products, absent whole-stage
  * codegen. Run after changing any query; the checks encode the 100 TB
  * design rules from SURVEY §4.
+ *
+ * The BNLJ allowlist below is NOT self-certified: every query whose
+ * executed plan contains a BroadcastNestedLoopJoin — allowlisted or
+ * not — also has its build side's MEASURED row count audited against
+ * `--bnljMax` (default 100000). A refactor that grows a "tiny"
+ * allowlisted side past the threshold flags `BNLJ_GROWN` and fails
+ * the run (exit 1), so the allowlist comments can't go stale silently.
  */
 object PlanCheck {
+
+  /** Measured output rows of a broadcast exchange, descending through
+    * AQE query stages and reused exchanges. */
+  private def broadcastRows(p: SparkPlan): Option[Long] = p match {
+    case q: QueryStageExec => broadcastRows(q.plan)
+    case r: ReusedExchangeExec => broadcastRows(r.child)
+    case other =>
+      other.metrics.get("numOutputRows").map(_.value)
+        .orElse(other.children.iterator.map(broadcastRows).collectFirst {
+          case Some(n) => n
+        })
+  }
+
+  private def collectBnlj(p: SparkPlan): Seq[BroadcastNestedLoopJoinExec] = {
+    val here = p match {
+      case b: BroadcastNestedLoopJoinExec => Seq(b)
+      case _ => Seq.empty
+    }
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    here ++ kids.flatMap(collectBnlj)
+  }
+
+  /** Audit every BNLJ build side in an EXECUTED frame's final plan:
+    * one violation string per broadcast side whose measured row count
+    * exceeds `maxRows`. Call after an action — AQE finalizes the plan
+    * and populates exchange metrics only once the job has run. */
+  def auditBnljBuildSides(df: DataFrame, maxRows: Long): Seq[String] = {
+    import org.apache.spark.sql.catalyst.optimizer.BuildLeft
+    collectBnlj(df.queryExecution.executedPlan).flatMap { b =>
+      val build = if (b.buildSide == BuildLeft) b.left else b.right
+      broadcastRows(build) match {
+        case Some(n) if n > maxRows => Some(s"BNLJ_GROWN(rows=$n>max=$maxRows)")
+        case _ => None
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val spark = SparkSession.builder().master("local[8]")
@@ -18,6 +70,10 @@ object PlanCheck {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val bnljMax = args.sliding(2).collectFirst {
+      case Array("--bnljMax", n) => n.toLong
+    }.getOrElse(100000L)
+    var anyGrown = false
 
     // pipeline queries (q2x) mutate cache tables — plan-audit the rest
     val skip = Set("q20_merge_upsert", "q21_append", "q22_replace",
@@ -138,7 +194,15 @@ object PlanCheck {
               // (types × value points, both dimension-sized)
               "q201_quantile_normalize")
               .contains(name))
-        ).collect { case (f, true) => f }
+        ).collect { case (f, true) => f } ++ {
+          // measured-build-side audit for EVERY BNLJ, allowlisted or not
+          val grown =
+            if (plan.contains("BroadcastNestedLoopJoin"))
+              auditBnljBuildSides(df, bnljMax)
+            else Seq.empty
+          if (grown.nonEmpty) anyGrown = true
+          grown
+        }
         val scans = plan.linesIterator
           .filter(l => l.contains("PushedFilters") || l.contains("ReadSchema"))
           .take(4).mkString("\n    ")
@@ -149,5 +213,10 @@ object PlanCheck {
       }
     }
     spark.stop()
+    if (anyGrown) {
+      System.err.println("[plancheck] FAIL: a BNLJ build side outgrew " +
+        s"--bnljMax=$bnljMax; fix the plan or justify a higher threshold")
+      sys.exit(1)
+    }
   }
 }

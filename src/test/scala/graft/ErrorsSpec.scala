@@ -1,0 +1,82 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.errors._
+
+/** Structured error model (reference `exceptions.py:66-186`
+  * PyAirbyteError parity): every user-facing failure renders message +
+  * guidance + docs hint + titled context properties + log output, stays
+  * catchable under its JDK base class, and projects a PII-safe logging
+  * map. */
+class ErrorsSpec extends AnyFunSuite {
+
+  test("render carries message, class, guidance, context, log output") {
+    val e = new SubprocessFailedError("source-faker", 2,
+      Some("line one\nline two"))
+    val r = e.render
+    assert(r.startsWith("The connector subprocess failed. (SubprocessFailedError)"))
+    assert(r.contains("-" * 60))
+    assert(r.contains("SubprocessFailedError: The connector subprocess failed."))
+    assert(r.contains("Inspect the stderr tail"))
+    assert(r.contains("Connector Name: 'source-faker'"))
+    assert(r.contains("Exit Code: 2"))
+    assert(r.contains("Log output: \n        line one\n        line two"))
+    assert(e.getMessage == r, "getMessage must return the rendered block")
+  }
+
+  test("JDK base-class contracts: input vs state errors") {
+    assert(new CacheSqlGuardError("Only read-only queries are allowed", "drop")
+      .isInstanceOf[IllegalArgumentException])
+    assert(new ManifestError("record_filter needs condition")
+      .isInstanceOf[IllegalArgumentException])
+    assert(new ConnectorCheckFailedError("s", "FAILED", "bad credentials")
+      .isInstanceOf[IllegalStateException])
+    assert(new SubprocessFailedError("s", 1)
+      .isInstanceOf[IllegalStateException])
+  }
+
+  test("check failure renders status and detail; guard renders guidance") {
+    val c = new ConnectorCheckFailedError("source-x", "FAILED", "bad credentials")
+    assert(c.render.contains("Status: 'FAILED'"))
+    assert(c.render.contains("Detail: 'bad credentials'"))
+    assert(c.render.contains("re-run check()"))
+    val g = new CacheSqlGuardError("Only read-only queries are allowed (got: drop)", "drop")
+    assert(g.render.contains("single read-only statement"))
+    assert(g.render.contains("Violation: 'drop'"))
+  }
+
+  test("cause chain renders and survives") {
+    val cause = new java.io.IOException("disk gone")
+    val e = new GraftConnectorError("Read failed.", cause = cause)
+    assert(e.getCause eq cause)
+    assert(e.render.contains("Caused by: java.io.IOException: disk gone"))
+  }
+
+  test("safeLoggingMap keeps only the PII-safe allowlist") {
+    val e = new GraftConnectorError("Boom.",
+      context = Map("connector_name" -> "source-x", "exit_code" -> 3,
+        "api_key" -> "SECRET", "stream_name" -> "users"))
+    val m = e.safeLoggingMap
+    assert(m == Map("class" -> "GraftConnectorError", "message" -> "Boom.",
+      "connector_name" -> "source-x", "stream_name" -> "users",
+      "exit_code" -> 3))
+  }
+
+  test("existing domain exceptions join the model") {
+    val s = new graft.sources.Secrets.SecretNotFoundException("MY_TOKEN")
+    assert(s.isInstanceOf[GraftError])
+    assert(s.render.contains("Secret Name: 'MY_TOKEN'"))
+    assert(s.render.contains("Register a secret manager"))
+    val t = new graft.mcp.TrustedExecution.TrustedExecutionRequiredException("run_sql_query")
+    assert(t.isInstanceOf[GraftError])
+    assert(t.render.contains("Feature: 'run_sql_query'"))
+    assert(t.render.contains("GRAFT_MCP_TRUSTED_EXECUTION"))
+  }
+
+  test("log file path renders when provided") {
+    val p = java.nio.file.Paths.get("/tmp/graft/logs/x.log")
+    val e = new GraftConnectorError("Failed.", logFile = Some(p))
+    assert(e.render.contains(s"Log file: ${p.toAbsolutePath}"))
+  }
+}

@@ -178,7 +178,9 @@ class ReferenceFixtureSpec extends SparkTestBase {
     val e = intercept[IllegalStateException] {
       src.sync(cache, spark, streams = Seq("stream1"))
     }
-    assert(e.getMessage.contains("exited with code 1"), e.getMessage)
+    // structured error model: exit code is a named context property
+    assert(e.isInstanceOf[graft.errors.SubprocessFailedError])
+    assert(e.getMessage.contains("Exit Code: 1"), e.getMessage)
     assert(e.getMessage.contains("An error"), "stderr tail must surface")
     cache.dropAll()
   }

@@ -281,7 +281,11 @@ class SubprocessSpec extends SparkTestBase {
     }
     assert(got.length == 5, "records before the crash must still arrive")
     assert(got.forall(_.contains("\"id\"")))
-    assert(e.getMessage.contains("exited with code"), e.getMessage)
+    // structured error model: exit code is a named context property
+    val se = e.asInstanceOf[graft.errors.SubprocessFailedError]
+    assert(se.context("connector_name") == "crashy")
+    assert(se.context.contains("exit_code"))
+    assert(e.getMessage.contains("Exit Code"), e.getMessage)
   }
 
   test("an intentional early stop (record limit) is NOT treated as a crash") {
