@@ -69,6 +69,22 @@ final class StreamingDistinct(val p: Int) {
   /** Registers that never saw a key — feeds linear counting. */
   def zeroRegisters: Int = regs.count(_ == 0)
 
+  /** Merge another summary (same p) by per-register max — the HLL
+    * union, exact under any interleaving/replay (idempotent,
+    * commutative, associative like processBatch's fold). */
+  def merge(other: StreamingDistinct): Unit = {
+    require(other.p == p,
+      s"cannot merge HLL summaries with different precisions ($p vs ${other.p})")
+    val theirs = other.registers
+    val merged = regs.clone()
+    var i = 0
+    while (i < m) {
+      if (theirs(i) > merged(i)) merged(i) = theirs(i)
+      i += 1
+    }
+    regs = merged
+  }
+
   /** Persist registers for resume (the StreamingDedup convention: state
     * lives in a cache table, one (index, value) row per register). */
   def saveTo(cache: graft.cache.SparkCache, name: String): Unit = {

@@ -151,7 +151,94 @@ object Cli {
         println(s"[cli] destination-smoke-test: delivered $delivered records")
         spark.stop()
 
+      case "sketch" =>
+        // operate the streaming sketches the way the reference CLI
+        // operates syncs: persist/restore/merge against cache tables
+        val spark = session()
+        val cache = new SparkCache(spark, opts.getOrElse("db", "graft_cache"))
+        cache.reopen()
+        println("[cli] " + runSketch(spark, cache, opts))
+        spark.stop()
+
       case other => usage(); fail(s"unknown command '$other'")
+    }
+  }
+
+  /** `sketch` command body, session-injected so LifecycleSpec can
+    * drive it end-to-end without stopping the shared test session:
+    *
+    *   sketch --kind distinct|bloom|reservoir [--db NAME] [--name N]
+    *          [--op update|show|merge] [--table T --column C]
+    *          [--others n1,n2] [--probe v1,v2] [--p 12] [--k 3] [--size 256]
+    *
+    * update folds `--table`/`--column` of the cache db into the named
+    * persisted sketch; merge unions the `--others` summaries in; show
+    * only restores. Every op persists (update/merge) and prints the
+    * summary line. */
+  private[graft] def runSketch(spark: SparkSession,
+      cache: SparkCache, opts: Map[String, String]): String = {
+    import graft.streaming.{StreamingBloom, StreamingDistinct, StreamingReservoir}
+    import org.apache.spark.sql.functions.col
+    val kind = opts.getOrElse("kind", fail("--kind distinct|bloom|reservoir"))
+    val name = opts.getOrElse("name", s"graft_sketch_$kind")
+    val op = opts.getOrElse("op", "update")
+    def batch(): org.apache.spark.sql.DataFrame = {
+      val t = opts.getOrElse("table", fail("--table is required for --op update"))
+      val c = opts.getOrElse("column", fail("--column is required for --op update"))
+      spark.table(s"`${cache.database}`.`$t`").select(col(c).as("key"))
+    }
+    def others(): Seq[String] = opts.getOrElse("others",
+      fail("--others n1,n2 is required for --op merge"))
+      .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    kind match {
+      case "distinct" =>
+        val p = opts.getOrElse("p", "12").toInt
+        val sk = StreamingDistinct.restore(cache, name, p)
+        op match {
+          case "update" => sk.processBatch(batch()); sk.saveTo(cache, name)
+          case "merge" =>
+            others().foreach(o =>
+              sk.merge(StreamingDistinct.restore(cache, o, p)))
+            sk.saveTo(cache, name)
+          case "show" => ()
+          case o => fail(s"unknown sketch op '$o'")
+        }
+        s"sketch '$name' (hll p=$p): estimate=${sk.estimate} " +
+          s"zero_registers=${sk.zeroRegisters}"
+      case "bloom" =>
+        val p = opts.getOrElse("p", "16").toInt
+        val k = opts.getOrElse("k", "3").toInt
+        val sk = StreamingBloom.restore(cache, name, p, k)
+        op match {
+          case "update" => sk.processBatch(batch()); sk.saveTo(cache, name)
+          case "merge" =>
+            others().foreach(o =>
+              sk.merge(StreamingBloom.restore(cache, o, p, k)))
+            sk.saveTo(cache, name)
+          case "show" => ()
+          case o => fail(s"unknown sketch op '$o'")
+        }
+        val probes = opts.get("probe").toSeq
+          .flatMap(_.split(',').filter(_.nonEmpty))
+          .map(v => s"$v=${sk.mightContain(v.trim.toLong)}")
+        s"sketch '$name' (bloom p=$p k=$k): inserted=${sk.insertedKeys} " +
+          s"set_bits=${sk.cardinality} fpp_micro=${sk.fppMicro}" +
+          (if (probes.nonEmpty) s" probe{${probes.mkString(",")}}" else "")
+      case "reservoir" =>
+        val k = opts.getOrElse("size", "256").toInt
+        val sk = StreamingReservoir.restore(cache, name, k)
+        op match {
+          case "update" => sk.processBatch(batch()); sk.saveTo(cache, name)
+          case "merge" =>
+            others().foreach(o =>
+              sk.merge(StreamingReservoir.restore(cache, o, k)))
+            sk.saveTo(cache, name)
+          case "show" => ()
+          case o => fail(s"unknown sketch op '$o'")
+        }
+        s"sketch '$name' (reservoir k=$k): size=${sk.size} " +
+          s"distinct_estimate=${sk.distinctEstimate}"
+      case o => fail(s"unknown sketch kind '$o'")
     }
   }
 
@@ -189,7 +276,8 @@ object Cli {
       |  sync (--manifest M [--fixtures D] [--config k=v ...] | --source smoke-test [--scenarios ...]) [--db NAME] [--streams a,b] [--strategy auto|append|replace|merge]
       |  benchmark [--records N]
       |  smoke-test [--scenarios fast|all|names] [--namespace-suffix S] [--reuse-namespace NS] [--custom-scenarios-file F] [--skip-preflight true]
-      |  destination-smoke-test --db NAME --stream S --cmd "shell command"""".stripMargin)
+      |  destination-smoke-test --db NAME --stream S --cmd "shell command"
+      |  sketch --kind distinct|bloom|reservoir [--db NAME] [--name N] [--op update|show|merge] [--table T --column C] [--others n1,n2] [--probe v1,v2] [--p P] [--k K] [--size N]""".stripMargin)
 
   private def fail(msg: String): Nothing = {
     System.err.println(s"[cli] ERROR: $msg")

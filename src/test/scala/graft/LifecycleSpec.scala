@@ -59,4 +59,55 @@ class LifecycleSpec extends SparkTestBase {
     assert(cache.latestState("crm", "users").get.contains("2024-01-04"))
     cache.dropAll()
   }
+
+  test("CLI sketch surface: update → persist → restore → shard merge") {
+    val cache = SparkCache.fresh(spark, "graft_test_sketch_cli")
+    // two "shards" of ids with overlap: 0..599 and 400..999
+    spark.range(0, 600).toDF("uid")
+      .write.mode("overwrite").saveAsTable("`graft_test_sketch_cli`.`shard_a`")
+    spark.range(400, 1000).toDF("uid")
+      .write.mode("overwrite").saveAsTable("`graft_test_sketch_cli`.`shard_b`")
+    def sketch(kv: (String, String)*): String =
+      graft.tools.Cli.runSketch(spark, cache, kv.toMap)
+
+    // per-shard HLL update, persisted under distinct names
+    val a = sketch("kind" -> "distinct", "name" -> "sk_a", "p" -> "12",
+      "op" -> "update", "table" -> "shard_a", "column" -> "uid")
+    val b = sketch("kind" -> "distinct", "name" -> "sk_b", "p" -> "12",
+      "op" -> "update", "table" -> "shard_b", "column" -> "uid")
+    assert(a.contains("sk_a") && b.contains("sk_b"))
+
+    // a NEW run (restore path) merges the shards; the union estimate
+    // must equal the single-sketch estimate over the union of keys
+    val merged = sketch("kind" -> "distinct", "name" -> "sk_union",
+      "p" -> "12", "op" -> "merge", "others" -> "sk_a,sk_b")
+    val direct = {
+      val sk = new graft.streaming.StreamingDistinct(12)
+      sk.processBatch(spark.range(0, 1000).toDF("key"))
+      sk.estimate
+    }
+    assert(merged.contains(s"estimate=$direct"),
+      s"merged shard estimate must equal direct union estimate: $merged vs $direct")
+    // show restores the persisted union without mutating it
+    assert(sketch("kind" -> "distinct", "name" -> "sk_union", "p" -> "12",
+      "op" -> "show") == merged)
+
+    // bloom: update then probe members and non-members through the CLI line
+    sketch("kind" -> "bloom", "name" -> "sk_bl", "p" -> "16", "k" -> "3",
+      "op" -> "update", "table" -> "shard_a", "column" -> "uid")
+    val probed = sketch("kind" -> "bloom", "name" -> "sk_bl", "p" -> "16",
+      "k" -> "3", "op" -> "show", "probe" -> "5,599,123456789")
+    assert(probed.contains("5=true") && probed.contains("599=true"),
+      probed)
+
+    // reservoir: shard updates merge into a deterministic bottom-k union
+    sketch("kind" -> "reservoir", "name" -> "sk_ra", "size" -> "64",
+      "op" -> "update", "table" -> "shard_a", "column" -> "uid")
+    sketch("kind" -> "reservoir", "name" -> "sk_rb", "size" -> "64",
+      "op" -> "update", "table" -> "shard_b", "column" -> "uid")
+    val r = sketch("kind" -> "reservoir", "name" -> "sk_ru", "size" -> "64",
+      "op" -> "merge", "others" -> "sk_ra,sk_rb")
+    assert(r.contains("size=64"), r)
+    cache.dropAll()
+  }
 }
