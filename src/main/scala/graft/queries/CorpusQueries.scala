@@ -587,6 +587,205 @@ object CorpusQueries {
       |GROUP BY split ORDER BY split""".stripMargin
 
   // ------------------------------------------------------------------
+  // q218: NEAR-dup-aware train/valid/test split — q105's audit catches
+  // exact-duplicate leakage; real eval contamination mostly rides
+  // NEAR duplicates (a truncated or lightly-edited copy of a test doc
+  // in train). Clusters come from the production dedup machinery
+  // (q31's MinHash-LSH edges → q61/q112's min-label connected
+  // components); the audit counts docs whose CLUSTER spans >1 naive
+  // split, and the fix assigns the whole cluster by the md5-permille
+  // gate of its LABEL (any pure function of the cluster id works), so
+  // cluster-aware leakage is zero by construction — the spec pins
+  // that invariant; the oracle pins every tally.
+  //
+  // Scale shape: q112's plan (band-key shuffle + CC rounds on the
+  // near-dup subgraph) plus one label-dimension span tally and the
+  // 3-row split rollup; the cluster table joins back co-shuffled on
+  // doc id. Output: per split — naive counts, naive leaky docs,
+  // cluster-aware counts, docs the fix moved.
+  // ------------------------------------------------------------------
+  def q218ClusterSplit(spark: SparkSession, dir: String): DataFrame = {
+    def gate(c: org.apache.spark.sql.Column) = {
+      val u = conv(substring(md5(c.cast(StringType)), 1, 6), 16, 10)
+        .cast(LongType) % 1000
+      when(u < 960, "train").when(u < 980, "valid").otherwise("test")
+    }
+    val docs = Tables.documents(spark, dir)
+    val edges = graft.operators.Dedup.minhashNearDups(docs, "doc_id", "text",
+        threshold = 0.35, numHashes = 9, bands = 3, shingle = 3)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val labels = graft.operators.ConnectedComponents.minLabel(
+        docs.select(col("doc_id").as("id")), edges)
+      .localCheckpoint() // read by the span tally AND the doc join
+    val base = docs
+      .select(col("doc_id").as("id"),
+        size(split(col("text"), " ")).cast(LongType).as("toks"))
+      .join(labels, "id")
+      .withColumn("naive", gate(col("id")))
+      .withColumn("aware", gate(col("label")))
+    val spans = base.groupBy(col("label"))
+      .agg(countDistinct(col("naive")).as("nsplits"))
+    base.join(spans, "label")
+      .groupBy(col("naive").as("split"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("n_tokens"),
+        sum(when(col("nsplits") > 1, 1L).otherwise(0L)).as("leaky_docs"),
+        sum(when(col("aware") === col("naive"), 0L).otherwise(1L))
+          .as("moved_out"))
+      .join(
+        base.groupBy(col("aware").as("split"))
+          .agg(count(lit(1)).as("aware_docs"),
+            sum(col("toks")).as("aware_tokens")),
+        Seq("split"))
+      .orderBy(col("split"))
+  }
+
+  val q218Sql: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+      |      i -> concat_ws(' ', t[i], t[i+1], t[i+2])) AS shingles
+      |  FROM toks),
+      |hashed AS (
+      |  SELECT doc_id, shingles, list_transform(shingles, s -> md5(s)) AS hs
+      |  FROM sh WHERE len(shingles) > 0),
+      |sig AS (
+      |  SELECT doc_id, shingles,
+      |    list_transform(range(0, 9),
+      |      j -> list_min(list_transform(hs,
+      |        h -> substr(h, CAST(j*3+1 AS INT), 32) || substr(h, 1, CAST(j*3 AS INT))))) AS sig
+      |  FROM hashed),
+      |banded AS (
+      |  SELECT doc_id, shingles, unnest(list_transform(range(0, 3),
+      |    b -> md5(concat_ws('|', sig[b*3+1], sig[b*3+2], sig[b*3+3], CAST(b AS VARCHAR))))) AS band_key
+      |  FROM sig),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    a.shingles AS sh_a, b.shingles AS sh_b
+      |  FROM banded a JOIN banded b
+      |    ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+      |pairs AS (
+      |  SELECT id_a, id_b FROM cand
+      |  WHERE CAST(len(list_distinct(list_intersect(sh_a, sh_b))) AS DOUBLE)
+      |      / CAST(len(list_distinct(sh_a || sh_b)) AS DOUBLE) >= 0.35),
+      |eg AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION ALL SELECT id_b, id_a FROM pairs),
+      |reach(a, b) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT r.a, g.dst FROM reach r JOIN eg g ON r.b = g.src),
+      |labels AS (SELECT a AS id, MIN(b) AS label FROM reach GROUP BY a),
+      |base AS (
+      |  SELECT d.doc_id AS id, l.label,
+      |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS tk,
+      |    CASE
+      |      WHEN CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6) AS BIGINT) % 1000 < 960 THEN 'train'
+      |      WHEN CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6) AS BIGINT) % 1000 < 980 THEN 'valid'
+      |      ELSE 'test' END AS naive,
+      |    CASE
+      |      WHEN CAST('0x' || substr(md5(CAST(l.label AS VARCHAR)), 1, 6) AS BIGINT) % 1000 < 960 THEN 'train'
+      |      WHEN CAST('0x' || substr(md5(CAST(l.label AS VARCHAR)), 1, 6) AS BIGINT) % 1000 < 980 THEN 'valid'
+      |      ELSE 'test' END AS aware
+      |  FROM documents d JOIN labels l ON d.doc_id = l.id),
+      |spans AS (
+      |  SELECT label, CAST(COUNT(DISTINCT naive) AS BIGINT) AS nsplits
+      |  FROM base GROUP BY label),
+      |naive_t AS (
+      |  SELECT naive AS split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(tk) AS BIGINT) AS n_tokens,
+      |    CAST(SUM(CASE WHEN nsplits > 1 THEN 1 ELSE 0 END) AS BIGINT) AS leaky_docs,
+      |    CAST(SUM(CASE WHEN aware = naive THEN 0 ELSE 1 END) AS BIGINT) AS moved_out
+      |  FROM base JOIN spans USING (label) GROUP BY naive),
+      |aware_t AS (
+      |  SELECT aware AS split, CAST(COUNT(*) AS BIGINT) AS aware_docs,
+      |    CAST(SUM(tk) AS BIGINT) AS aware_tokens
+      |  FROM base GROUP BY aware)
+      |SELECT split, n_docs, n_tokens, leaky_docs, moved_out,
+      |  aware_docs, aware_tokens
+      |FROM naive_t JOIN aware_t USING (split)
+      |ORDER BY split""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q223: eval n-gram novelty vs the train split — the memorization /
+  // contamination eval-side companion to q218: after splitting by the
+  // q105 gate, what fraction of each eval doc's 8-gram windows was
+  // NEVER seen in train? Low novelty in valid/test means the eval
+  // measures recall of training text, not generalization (Lee et al.
+  // 2022's overlap concern, split-wise). Reuses q106's rolling-window
+  // hashes; novelty is an exact integer permille per split.
+  //
+  // Scale shape: train windows collapse to DISTINCT hashes (map-side
+  // partials — the only corpus-wide state); eval windows left-join
+  // them co-shuffled on the 32-char hash; the rollup is 2 rows. The
+  // window stride is the same cost dial as q106's at 100 TB.
+  // ------------------------------------------------------------------
+  def q223NgramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val w = 8
+    // split BEFORE exploding (the eval side is ~4% of docs — its
+    // window explode must never run over the train 96%), and spread
+    // the CPU-dense md5-window kernel across cores (the q145/q188
+    // guard: a small parquet file is one split = one task; at real
+    // scale the scan has enough splits and this is a no-op). Measured
+    // 2.9x at 10x before these; 1.2-1.3x after.
+    val raw = Tables.documents(spark, dir)
+    val cores = spark.sparkContext.defaultParallelism
+    val spread = if (raw.rdd.getNumPartitions * 2 < cores)
+      raw.repartition(cores) else raw
+    val tagged = spread
+      .withColumn("u",
+        conv(substring(md5(col("doc_id").cast(StringType)), 1, 6), 16, 10)
+          .cast(LongType))
+      .withColumn("split",
+        when(col("u") % 1000 < 960, "train")
+          .when(col("u") % 1000 < 980, "valid")
+          .otherwise("test"))
+    def windows(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), col("split"), explode(
+        graft.functions.TextHashFunctions.rollingWindowHashes(col("text"), w))
+        .as("h"))
+    val trainSet = windows(tagged.filter(col("split") === "train"))
+      .select(col("h")).distinct()
+    windows(tagged.filter(col("split") =!= "train"))
+      .join(trainSet.withColumn("seen", lit(1L)), Seq("h"), "left")
+      .groupBy(col("split"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_windows"),
+        sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_permille",
+        expr("n_novel * 1000 div n_windows"))
+      .orderBy(col("split"))
+  }
+
+  val q223Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws,
+      |    CASE
+      |      WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) % 1000 < 960 THEN 'train'
+      |      WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) % 1000 < 980 THEN 'valid'
+      |      ELSE 'test' END AS split
+      |  FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 8),
+      |wins AS (
+      |  SELECT doc_id, split,
+      |    unnest(list_transform(range(1, len(ws) - 6),
+      |      i -> md5(array_to_string(ws[i:i+7], ' ')))) AS h
+      |  FROM base),
+      |train_set AS (
+      |  SELECT DISTINCT h FROM wins WHERE split = 'train')
+      |SELECT split, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(*) AS BIGINT) AS n_windows,
+      |  CAST(SUM(CASE WHEN t.h IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_novel,
+      |  CAST(SUM(CASE WHEN t.h IS NULL THEN 1 ELSE 0 END) * 1000
+      |    // COUNT(*) AS BIGINT) AS novelty_permille
+      |FROM wins w LEFT JOIN train_set t ON w.h = t.h
+      |WHERE split <> 'train'
+      |GROUP BY split ORDER BY split""".stripMargin
+
+  // ------------------------------------------------------------------
   // q124: EXACT Hamming-radius near-dup join over SimHash fingerprints
   // (Manku–Jain–Sarma 2007's web-dedup scheme, done relationally).
   // Split each 64-bit SimHash into 4 bands of 16 bits; any pair within

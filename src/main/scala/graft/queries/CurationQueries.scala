@@ -1034,6 +1034,85 @@ object CurationQueries {
       |  n_latin > 0 AND (n_cyrillic > 0 OR n_greek > 0) AS confusable
       |FROM counts""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q217: Otsu adaptive quality threshold (Otsu 1979) — instead of a
+  // hand-picked cutoff on a quality score (q64's fixed rules, q140's
+  // fixed perplexity buckets), derive the threshold FROM the corpus:
+  // the score is the type-token ratio in permille (vocabulary richness
+  // — boilerplate/templated text scores low), binned to 64 cells, and
+  // Otsu picks the bin boundary maximizing between-class variance
+  // σ²B(t) = w0·w1·(μ0−μ1)². All-integer argmax: with S = Σ bin·cnt,
+  // N = Σ cnt, and prefix sums (cum_n, cum_s), the comparison key is
+  // (cum_s·N − S·cum_n)² div (cum_n·(N−cum_n)) — exact integral
+  // division in both engines (numerator through DECIMAL(38,0));
+  // tie → lowest bin.
+  //
+  // Scale shape: ONE map-side-combined 64-cell histogram is the only
+  // corpus shuffle; the prefix-sum window and argmax run on the
+  // 64-row bin dimension. At extreme N (where (62·N²/4)² nears 38
+  // digits) divide the histogram counts by their GCD first — the
+  // argmax is scale-invariant in the counts.
+  // ------------------------------------------------------------------
+  def q217OtsuThreshold(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    // integer TTR permille, binned by 16 → 0..62 (div, never float /)
+    val bin = expr(
+      "CAST(size(array_distinct(split(text, ' '))) AS BIGINT) * 1000 " +
+        "div greatest(CAST(size(split(text, ' ')) AS BIGINT), 1) div 16")
+    val hist = docs
+      .select(bin.as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // 64-row dimension: totals + prefix sums read it
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.orderBy(col("bin")).rowsBetween(W.unboundedPreceding, W.currentRow)
+    val tot = hist.agg(sum(col("cnt")).as("n"),
+      sum(col("bin") * col("cnt")).as("s"))
+    val cum = hist
+      .withColumn("cum_n", sum(col("cnt")).over(w))
+      .withColumn("cum_s", sum(col("bin") * col("cnt")).over(w))
+    val scored = cum.crossJoin(broadcast(tot))
+      .filter(col("cum_n") > 0 && col("cum_n") < col("n")) // both classes live
+      .withColumn("a", col("cum_s") * col("n") - col("s") * col("cum_n"))
+      .withColumn("key",
+        expr("CAST(a AS DECIMAL(38,0)) * CAST(a AS DECIMAL(38,0)) " +
+          "div (cum_n * (n - cum_n))"))
+    scored.orderBy(col("key").desc, col("bin").asc).limit(1)
+      .select(col("bin").as("threshold_bin"),
+        col("key").cast(LongType).as("between_var_key"),
+        col("cum_n").as("n_below"),
+        (col("n") - col("cum_n")).as("n_above"),
+        col("cum_s").as("bin_sum_below"),
+        (col("s") - col("cum_s")).as("bin_sum_above"))
+  }
+
+  val q217Sql: String =
+    """WITH sc AS (
+      |  SELECT CAST(len(list_distinct(string_split(text, ' '))) * 1000
+      |      // GREATEST(len(string_split(text, ' ')), 1) AS BIGINT) AS s
+      |  FROM documents),
+      |hist AS (
+      |  SELECT s // 16 AS bin, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM sc GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+      |  CAST(SUM(bin * cnt) AS BIGINT) AS s FROM hist),
+      |cum AS (
+      |  SELECT bin, cnt,
+      |    CAST(SUM(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum_n,
+      |    CAST(SUM(bin * cnt) OVER (ORDER BY bin) AS BIGINT) AS cum_s
+      |  FROM hist),
+      |scored AS (
+      |  SELECT bin, cum_n, cum_s, n, s,
+      |    CAST(cum_s * n - s * cum_n AS HUGEINT) AS a
+      |  FROM cum CROSS JOIN tot
+      |  WHERE cum_n > 0 AND cum_n < n)
+      |SELECT CAST(bin AS BIGINT) AS threshold_bin,
+      |  CAST(a * a // (cum_n * (n - cum_n)) AS BIGINT) AS between_var_key,
+      |  cum_n AS n_below, n - cum_n AS n_above,
+      |  cum_s AS bin_sum_below, s - cum_s AS bin_sum_above
+      |FROM scored
+      |ORDER BY a * a // (cum_n * (n - cum_n)) DESC, bin ASC
+      |LIMIT 1""".stripMargin
+
   val q169Sql: String =
     """WITH dec AS (
       |  SELECT doc_id,

@@ -28,6 +28,139 @@ object LlmQueries {
   def q30DedupExact(spark: SparkSession, dir: String): DataFrame =
     Dedup.exact(Tables.documents(spark, dir), "doc_id", "text")
 
+  // ------------------------------------------------------------------
+  // q220: soft-dedup weights and effective dataset size — the
+  // alternative to DROPPING duplicates (q30/q61): keep every copy but
+  // downweight it by 1/cluster_size (SoftDeDup-style loss weighting),
+  // so the corpus' EFFECTIVE size is Σ 1/c over docs = the distinct
+  // count, and per-source effective token mass shows which sources'
+  // apparent volume is duplication. weight_micro = 1e6 div c exact;
+  // eff_tokens_micro sums (toks·1e6) div c per doc.
+  //
+  // Scale shape: one content-hash tally (the q30 shuffle), join back
+  // co-shuffled on the hash, one per-source rollup — no new wide
+  // state; everything after the collapse moves 32-char digests.
+  // ------------------------------------------------------------------
+  def q220SoftDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), md5(col("text")).as("h"),
+        expr("CAST(size(split(text, ' ')) AS BIGINT)").as("toks"))
+    val sizes = docs.groupBy(col("h")).agg(count(lit(1)).as("c"))
+    docs.join(sizes, "h")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("raw_docs"),
+        sum(col("toks")).as("raw_tokens"),
+        sum(expr("1000000 div c")).as("eff_docs_micro"),
+        sum(expr("(toks * 1000000) div c")).as("eff_tokens_micro"))
+      .withColumn("dup_factor_permille",
+        expr("(raw_tokens * 1000000000) div greatest(eff_tokens_micro, 1)"))
+  }
+
+  val q220Sql: String =
+    """WITH d AS (
+      |  SELECT source, md5(text) AS h,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+      |  FROM documents),
+      |sz AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY h)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS raw_docs,
+      |  CAST(SUM(toks) AS BIGINT) AS raw_tokens,
+      |  CAST(SUM(1000000 // c) AS BIGINT) AS eff_docs_micro,
+      |  CAST(SUM((toks * 1000000) // c) AS BIGINT) AS eff_tokens_micro,
+      |  CAST((SUM(toks) * 1000000000)
+      |    // GREATEST(SUM((toks * 1000000) // c), 1) AS BIGINT)
+      |    AS dup_factor_permille
+      |FROM d JOIN sz USING (h)
+      |GROUP BY source""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q222: cross-source near-dup contamination matrix — q147 maps
+  // EXACT-copy overlap between sources; syndication and scraping
+  // overlap is mostly NEAR duplicates, so this rolls q31's verified
+  // MinHash-LSH pairs up to a (source, source) matrix: which source
+  // pairs share edited/truncated copies, and how many docs each cell
+  // touches. The matrix is the triage input for source-level dedup
+  // ordering (drop the mirror, keep the origin).
+  //
+  // Scale shape: q31's plan (band-key shuffle + verify) + two
+  // id-keyed source lookups co-shuffled on the endpoint ids + a
+  // source²-dimension tally; the doc-count column explodes each pair
+  // into its two endpoints before a distinct count — still pair-sized.
+  // ------------------------------------------------------------------
+  def q222SourceNearDupMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val src = docs.select(col("doc_id"), col("source"))
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+        threshold = 0.35, numHashes = 9, bands = 3, shingle = 3)
+      .join(src.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("source", "sa"), "id_a")
+      .join(src.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("source", "sb"), "id_b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"),
+        col("id_a"), col("id_b"))
+      .localCheckpoint() // read by the pair tally and the doc explode
+    val cells = pairs.groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val docsPerCell = pairs
+      .select(col("source_a"), col("source_b"),
+        explode(array(col("id_a"), col("id_b"))).as("id"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(countDistinct(col("id")).as("n_docs"))
+    cells.join(docsPerCell, Seq("source_a", "source_b"))
+      .withColumn("cross_source",
+        (col("source_a") =!= col("source_b")).cast("int").cast(LongType))
+  }
+
+  val q222Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+      |      i -> concat_ws(' ', t[i], t[i+1], t[i+2])) AS shingles
+      |  FROM toks),
+      |hashed AS (
+      |  SELECT doc_id, shingles, list_transform(shingles, s -> md5(s)) AS hs
+      |  FROM sh WHERE len(shingles) > 0),
+      |sig AS (
+      |  SELECT doc_id, shingles,
+      |    list_transform(range(0, 9),
+      |      j -> list_min(list_transform(hs,
+      |        h -> substr(h, CAST(j*3+1 AS INT), 32) || substr(h, 1, CAST(j*3 AS INT))))) AS sig
+      |  FROM hashed),
+      |banded AS (
+      |  SELECT doc_id, shingles, unnest(list_transform(range(0, 3),
+      |    b -> md5(concat_ws('|', sig[b*3+1], sig[b*3+2], sig[b*3+3], CAST(b AS VARCHAR))))) AS band_key
+      |  FROM sig),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    a.shingles AS sh_a, b.shingles AS sh_b
+      |  FROM banded a JOIN banded b
+      |    ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+      |pairs AS (
+      |  SELECT id_a, id_b FROM cand
+      |  WHERE CAST(len(list_distinct(list_intersect(sh_a, sh_b))) AS DOUBLE)
+      |      / CAST(len(list_distinct(sh_a || sh_b)) AS DOUBLE) >= 0.35),
+      |sp AS (
+      |  SELECT LEAST(da.source, db.source) AS source_a,
+      |    GREATEST(da.source, db.source) AS source_b, id_a, id_b
+      |  FROM pairs
+      |  JOIN documents da ON pairs.id_a = da.doc_id
+      |  JOIN documents db ON pairs.id_b = db.doc_id),
+      |cells AS (
+      |  SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+      |  FROM sp GROUP BY 1, 2),
+      |dpc AS (
+      |  SELECT source_a, source_b,
+      |    CAST(COUNT(DISTINCT id) AS BIGINT) AS n_docs
+      |  FROM (SELECT source_a, source_b, id_a AS id FROM sp
+      |        UNION ALL SELECT source_a, source_b, id_b FROM sp)
+      |  GROUP BY 1, 2)
+      |SELECT source_a, source_b, n_pairs, n_docs,
+      |  CAST(CASE WHEN source_a <> source_b THEN 1 ELSE 0 END AS BIGINT)
+      |    AS cross_source
+      |FROM cells JOIN dpc USING (source_a, source_b)""".stripMargin
+
   val q30Sql: String =
     """SELECT sha256(text) AS content_hash, MIN(doc_id) AS keep_id,
       |  COUNT(*) AS n_copies

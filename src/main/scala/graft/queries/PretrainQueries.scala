@@ -890,4 +890,96 @@ object PretrainQueries {
       |  CAST((CAST(MAX(w) AS HUGEINT) * 1000000)
       |    // CAST(SUM(w) AS HUGEINT) AS BIGINT) AS max_share_micro
       |FROM d GROUP BY 1""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q219: length-bucketing padding waste — the batch-assembly cost
+  // model next to the packing/assembly queries (q136/q137): bucketed
+  // batching pads every doc up to its bucket's token capacity
+  // (multiples of 64, truncated at the 4096-token context), so the
+  // padded fraction per bucket prices the throughput lost to short
+  // sequences, and the truncated-token column prices what the context
+  // cap destroys. All integer: waste_permille = padding·1000 div
+  // capacity. ONE map-side-combined bucket tally is the only shuffle;
+  // output is ≤ 64 bucket rows.
+  // ------------------------------------------------------------------
+  def q219PaddingWaste(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(expr("CAST(size(split(text, ' ')) AS BIGINT)").as("tk"))
+      .select(least(col("tk"), lit(4096L)).as("kept"),
+        greatest(col("tk") - 4096L, lit(0L)).as("cut"))
+      .withColumn("bucket",
+        expr("least(((kept + 63) div 64) * 64, 4096)"))
+    docs.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("kept")).as("n_tokens"),
+        sum(col("bucket") - col("kept")).as("n_padding"),
+        sum(col("cut")).as("n_truncated"))
+      .withColumn("waste_permille",
+        expr("n_padding * 1000 div (n_docs * bucket)"))
+  }
+
+  val q219Sql: String =
+    """WITH d AS (
+      |  SELECT LEAST(CAST(len(string_split(text, ' ')) AS BIGINT), 4096) AS kept,
+      |    GREATEST(CAST(len(string_split(text, ' ')) AS BIGINT) - 4096, 0) AS cut
+      |  FROM documents),
+      |b AS (
+      |  SELECT LEAST(((kept + 63) // 64) * 64, 4096) AS bucket, kept, cut
+      |  FROM d)
+      |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(kept) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(bucket - kept) AS BIGINT) AS n_padding,
+      |  CAST(SUM(cut) AS BIGINT) AS n_truncated,
+      |  CAST(SUM(bucket - kept) * 1000 // (COUNT(*) * bucket) AS BIGINT)
+      |    AS waste_permille
+      |FROM b GROUP BY bucket""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q221: Good–Turing unseen-mass estimate (Good 1953; Gale & Sampson
+  // 1995 simple GT) — the vocabulary-saturation companion to Heaps'
+  // law (q193) and Zipf (q131): per source, the probability mass of
+  // UNSEEN word types is estimated by the singleton share p0 = N1/N,
+  // and the smoothed count for once-seen types is r1* = 2·N2/N1.
+  // A source with high p0 is under-sampled (more data adds new
+  // vocabulary); p0 → 0 means the source is lexically saturated.
+  // Exact integers in micro units; div throughout.
+  //
+  // Scale shape: (source, term) tally → (source, freq) frequency-of-
+  // frequencies tally → per-source rollup; each stage map-side
+  // combines, nothing wider than the vocabulary ever shuffles.
+  // ------------------------------------------------------------------
+  def q221GoodTuring(spark: SparkSession, dir: String): DataFrame = {
+    val freq = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy(col("source"), col("t")).agg(count(lit(1)).as("cnt"))
+    freq.groupBy(col("source"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("cnt") === 1L, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("cnt") === 2L, 1L).otherwise(0L)).as("n2"))
+      .select(col("source"), col("n_tokens"), col("vocab"), col("n1"),
+        col("n2"),
+        expr("n1 * 1000000 div n_tokens").as("p0_micro"),
+        expr("CASE WHEN n1 > 0 THEN 2 * n2 * 1000000 div n1 " +
+          "ELSE 0 END").as("r1_star_micro"))
+  }
+
+  val q221Sql: String =
+    """WITH toks AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS t FROM documents),
+      |freq AS (
+      |  SELECT source, t, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks
+      |  WHERE t <> '' GROUP BY source, t),
+      |agg AS (
+      |  SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+      |    CAST(COUNT(*) AS BIGINT) AS vocab,
+      |    CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(SUM(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+      |  FROM freq GROUP BY source)
+      |SELECT source, n_tokens, vocab, n1, n2,
+      |  CAST(n1 * 1000000 // n_tokens AS BIGINT) AS p0_micro,
+      |  CAST(CASE WHEN n1 > 0 THEN 2 * n2 * 1000000 // n1 ELSE 0 END
+      |    AS BIGINT) AS r1_star_micro
+      |FROM agg""".stripMargin
 }

@@ -192,7 +192,10 @@ object PlanCheck {
               "q195_sequence_pattern",
               // q201: per-type fan-out of the pooled value-point CDF
               // (types × value points, both dimension-sized)
-              "q201_quantile_normalize")
+              "q201_quantile_normalize",
+              // q217: 1-row (N, S) totals broadcast onto the 64-row
+              // bin dimension (the q86/q88 one-row-stats shape)
+              "q217_otsu_threshold")
               .contains(name))
         ).collect { case (f, true) => f } ++ {
           // measured-build-side audit for EVERY BNLJ, allowlisted or not

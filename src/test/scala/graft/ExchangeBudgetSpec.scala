@@ -393,6 +393,22 @@ class ExchangeBudgetSpec extends SparkTestBase {
                                  // rank window (value-domain-bounded)
     "q216_fano_factor"    -> 2,  // the (type, day) tally + the
                                  // calendar-sized moment agg
+    "q217_otsu_threshold" -> 3,  // 64-cell histogram sits behind its
+                                 // checkpoint; after it: the one-row
+                                 // totals gather, the 64-row prefix
+                                 // window's single-partition sort, and
+                                 // the argmax TakeOrdered
+    "q219_padding_waste"  -> 1,  // ONE map-side-combined bucket tally
+    "q220_soft_dedup"     -> 3,  // content-hash tally, hash join-back
+                                 // (co-shuffle at scale; AQE may
+                                 // broadcast at test SFs), source
+                                 // rollup
+    "q221_good_turing"    -> 2,  // (source, term) tally + per-source
+                                 // freq-of-freq rollup
+    "q223_ngram_novelty"  -> 5,  // spread repartition (underpartition
+                                 // guard), train-window distinct, the
+                                 // eval join co-shuffle, countDistinct
+                                 // expand partials + final split rollup
     "q134_decontaminate"  -> 5)  // content-class collapses sit behind
                                  // their checkpoints (one map-side-
                                  // combined groupBy per side — the
