@@ -1,5 +1,7 @@
 package graft.errors
 
+import scala.collection.immutable.ListMap
+
 /**
  * Structured error model (reference `airbyte/exceptions.py:66-186`
  * `PyAirbyteError`): every user-facing failure carries a short
@@ -28,8 +30,11 @@ trait GraftError extends Throwable {
   /** Docs link (reference `help_url`). */
   def helpUrl: Option[String] = None
 
-  /** Named properties — the structured part (reference `context`). */
-  def context: Map[String, Any] = Map.empty
+  /** Named properties — the structured part (reference `context`).
+    * Insertion-ordered (the reference's dict preserves insertion
+    * order, and `render`/`getMessage` must be deterministic): a plain
+    * immutable Map reorders above 4 entries, so the type is ListMap. */
+  def context: ListMap[String, Any] = ListMap.empty
 
   /** Captured connector/log output, when available. */
   def logText: Option[String] = None
@@ -91,7 +96,7 @@ trait GraftError extends Throwable {
 class GraftInputError(
     override val baseMessage: String,
     override val guidance: Option[String] = None,
-    override val context: Map[String, Any] = Map.empty,
+    override val context: ListMap[String, Any] = ListMap.empty,
     override val helpUrl: Option[String] = None,
     cause: Throwable = null)
   extends IllegalArgumentException(baseMessage, cause) with GraftError
@@ -101,7 +106,7 @@ class GraftInputError(
 class GraftConnectorError(
     override val baseMessage: String,
     override val guidance: Option[String] = None,
-    override val context: Map[String, Any] = Map.empty,
+    override val context: ListMap[String, Any] = ListMap.empty,
     override val logText: Option[String] = None,
     override val logFile: Option[java.nio.file.Path] = None,
     override val helpUrl: Option[String] = None,
@@ -119,8 +124,8 @@ final class ConnectorCheckFailedError(
     baseMessage = "The connector failed its connection check.",
     guidance = Some("Verify the connector configuration and credentials, " +
       "then re-run check()."),
-    context = Map("connector_name" -> connectorName, "status" -> status) ++
-      (if (detail.nonEmpty) Map("detail" -> detail) else Map.empty),
+    context = ListMap("connector_name" -> connectorName, "status" -> status) ++
+      (if (detail.nonEmpty) ListMap("detail" -> detail) else ListMap.empty),
     logText = stderrTail.filter(_.nonEmpty))
 
 /** The connector subprocess exited nonzero mid-read (reference
@@ -133,7 +138,7 @@ final class SubprocessFailedError(
     baseMessage = "The connector subprocess failed.",
     guidance = Some("Inspect the stderr tail / log file for the root " +
       "cause; partial batches from a crashed connector are never committed."),
-    context = Map("connector_name" -> connectorName, "exit_code" -> exitCode),
+    context = ListMap("connector_name" -> connectorName, "exit_code" -> exitCode),
     logText = stderrTail.filter(_.nonEmpty))
 
 /** The read-only SQL guard rejected a statement (reference cache-layer
@@ -146,7 +151,7 @@ final class CacheSqlGuardError(
     guidance = Some("run_sql_query accepts a single read-only statement " +
       "(SELECT / SHOW / DESCRIBE / EXPLAIN); use the write strategies or " +
       "execute_sql for DDL."),
-    context = Map("violation" -> statementKind))
+    context = ListMap("violation" -> statementKind))
 
 /** A declarative manifest is structurally invalid (reference manifest
   * validation in the declarative source path). */
@@ -157,4 +162,4 @@ final class ManifestError(
     baseMessage,
     guidance = Some("Check the manifest against the declarative component " +
       "schema; the failing component is named in the context."),
-    context = ctx)
+    context = ListMap.from(ctx))

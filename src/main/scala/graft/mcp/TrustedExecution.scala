@@ -43,7 +43,8 @@ object TrustedExecution {
       s"Set $EnvVar=1 in the server environment to enable " +
         "trusted-machine capabilities (local filesystem access, " +
         "connector execution, server-side secret resolution).")
-    override def context: Map[String, Any] = Map("feature" -> feature)
+    override def context: scala.collection.immutable.ListMap[String, Any] =
+      scala.collection.immutable.ListMap("feature" -> feature)
   }
 
   /** Whether trusted execution is enabled (`_guards.py:29-37`). */

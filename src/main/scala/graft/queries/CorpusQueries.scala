@@ -625,6 +625,9 @@ object CorpusQueries {
       .withColumn("aware", gate(col("label")))
     val spans = base.groupBy(col("label"))
       .agg(countDistinct(col("naive")).as("nsplits"))
+    // FULL OUTER: a split populated under only one assignment (e.g. no
+    // cluster label gates to 'test' on a small corpus) must still be
+    // reported — an inner join would hide moved-in-only splits
     base.join(spans, "label")
       .groupBy(col("naive").as("split"))
       .agg(
@@ -637,7 +640,14 @@ object CorpusQueries {
         base.groupBy(col("aware").as("split"))
           .agg(count(lit(1)).as("aware_docs"),
             sum(col("toks")).as("aware_tokens")),
-        Seq("split"))
+        Seq("split"), "full_outer")
+      .select(col("split"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("leaky_docs"), lit(0L)).as("leaky_docs"),
+        coalesce(col("moved_out"), lit(0L)).as("moved_out"),
+        coalesce(col("aware_docs"), lit(0L)).as("aware_docs"),
+        coalesce(col("aware_tokens"), lit(0L)).as("aware_tokens"))
       .orderBy(col("split"))
   }
 
@@ -703,9 +713,14 @@ object CorpusQueries {
       |  SELECT aware AS split, CAST(COUNT(*) AS BIGINT) AS aware_docs,
       |    CAST(SUM(tk) AS BIGINT) AS aware_tokens
       |  FROM base GROUP BY aware)
-      |SELECT split, n_docs, n_tokens, leaky_docs, moved_out,
-      |  aware_docs, aware_tokens
-      |FROM naive_t JOIN aware_t USING (split)
+      |SELECT split,
+      |  COALESCE(n_docs, 0) AS n_docs,
+      |  COALESCE(n_tokens, 0) AS n_tokens,
+      |  COALESCE(leaky_docs, 0) AS leaky_docs,
+      |  COALESCE(moved_out, 0) AS moved_out,
+      |  COALESCE(aware_docs, 0) AS aware_docs,
+      |  COALESCE(aware_tokens, 0) AS aware_tokens
+      |FROM naive_t FULL OUTER JOIN aware_t USING (split)
       |ORDER BY split""".stripMargin
 
   // ------------------------------------------------------------------

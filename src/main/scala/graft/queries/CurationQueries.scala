@@ -1072,7 +1072,12 @@ object CurationQueries {
       .withColumn("cum_s", sum(col("bin") * col("cnt")).over(w))
     val scored = cum.crossJoin(broadcast(tot))
       .filter(col("cum_n") > 0 && col("cum_n") < col("n")) // both classes live
-      .withColumn("a", col("cum_s") * col("n") - col("s") * col("cum_n"))
+      // the products reach 62·N² — past ~3.8e8 docs that wraps a Long
+      // silently in non-ANSI Spark, so the operands go DECIMAL(38,0)
+      // BEFORE multiplying (the SQL side's HUGEINT does the same)
+      .withColumn("a",
+        col("cum_s").cast("decimal(38,0)") * col("n").cast("decimal(38,0)") -
+          col("s").cast("decimal(38,0)") * col("cum_n").cast("decimal(38,0)"))
       .withColumn("key",
         expr("CAST(a AS DECIMAL(38,0)) * CAST(a AS DECIMAL(38,0)) " +
           "div (cum_n * (n - cum_n))"))
@@ -1102,7 +1107,7 @@ object CurationQueries {
       |  FROM hist),
       |scored AS (
       |  SELECT bin, cum_n, cum_s, n, s,
-      |    CAST(cum_s * n - s * cum_n AS HUGEINT) AS a
+      |    CAST(cum_s AS HUGEINT) * n - CAST(s AS HUGEINT) * cum_n AS a
       |  FROM cum CROSS JOIN tot
       |  WHERE cum_n > 0 AND cum_n < n)
       |SELECT CAST(bin AS BIGINT) AS threshold_bin,

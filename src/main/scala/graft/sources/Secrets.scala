@@ -91,7 +91,8 @@ object Secrets {
     override def guidance: Option[String] = Some(
       "Register a secret manager that provides this name (env var, " +
         ".env file, or a custom SecretManager), or pass the value directly.")
-    override def context: Map[String, Any] = Map("secret_name" -> secretName)
+    override def context: scala.collection.immutable.ListMap[String, Any] =
+      scala.collection.immutable.ListMap("secret_name" -> secretName)
   }
 
   // ------------------------------------------------------------------

@@ -219,8 +219,12 @@ object Cli {
           case o => fail(s"unknown sketch op '$o'")
         }
         val probes = opts.get("probe").toSeq
-          .flatMap(_.split(',').filter(_.nonEmpty))
-          .map(v => s"$v=${sk.mightContain(v.trim.toLong)}")
+          .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+          .map { v =>
+            val key = v.toLongOption.getOrElse(
+              fail(s"--probe expects comma-separated integers, got '$v'"))
+            s"$v=${sk.mightContain(key)}"
+          }
         s"sketch '$name' (bloom p=$p k=$k): inserted=${sk.insertedKeys} " +
           s"set_bits=${sk.cardinality} fpp_micro=${sk.fppMicro}" +
           (if (probes.nonEmpty) s" probe{${probes.mkString(",")}}" else "")

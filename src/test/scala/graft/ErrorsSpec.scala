@@ -46,6 +46,18 @@ class ErrorsSpec extends AnyFunSuite {
     assert(g.render.contains("Violation: 'drop'"))
   }
 
+  test("context renders in insertion order beyond 4 entries") {
+    // a plain immutable Map switches to HashMap above 4 entries and
+    // reorders; the ListMap contract keeps getMessage deterministic
+    val e = new GraftConnectorError("Boom.",
+      context = scala.collection.immutable.ListMap(
+        "k6" -> 6, "k2" -> 2, "k9" -> 9, "k1" -> 1, "k5" -> 5, "k3" -> 3))
+    val r = e.render
+    val at = Seq("K6:", "K2:", "K9:", "K1:", "K5:", "K3:").map(r.indexOf)
+    assert(at.forall(_ >= 0), r)
+    assert(at == at.sorted, s"context order not preserved: $at\n$r")
+  }
+
   test("cause chain renders and survives") {
     val cause = new java.io.IOException("disk gone")
     val e = new GraftConnectorError("Read failed.", cause = cause)
@@ -55,7 +67,8 @@ class ErrorsSpec extends AnyFunSuite {
 
   test("safeLoggingMap keeps only the PII-safe allowlist") {
     val e = new GraftConnectorError("Boom.",
-      context = Map("connector_name" -> "source-x", "exit_code" -> 3,
+      context = scala.collection.immutable.ListMap(
+        "connector_name" -> "source-x", "exit_code" -> 3,
         "api_key" -> "SECRET", "stream_name" -> "users"))
     val m = e.safeLoggingMap
     assert(m == Map("class" -> "GraftConnectorError", "message" -> "Boom.",

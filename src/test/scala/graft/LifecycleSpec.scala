@@ -100,6 +100,18 @@ class LifecycleSpec extends SparkTestBase {
     assert(probed.contains("5=true") && probed.contains("599=true"),
       probed)
 
+    // a non-numeric probe value goes through the CLI's fail() path
+    // (usage-style IllegalArgumentException), never a raw
+    // NumberFormatException
+    val badProbe = intercept[IllegalArgumentException] {
+      sketch("kind" -> "bloom", "name" -> "sk_bl", "p" -> "16", "k" -> "3",
+        "op" -> "show", "probe" -> "5, not-a-number ,9")
+    }
+    assert(!badProbe.isInstanceOf[NumberFormatException])
+    assert(badProbe.getMessage.contains("comma-separated integers"),
+      badProbe.getMessage)
+    assert(badProbe.getMessage.contains("'not-a-number'"), badProbe.getMessage)
+
     // reservoir: shard updates merge into a deterministic bottom-k union
     sketch("kind" -> "reservoir", "name" -> "sk_ra", "size" -> "64",
       "op" -> "update", "table" -> "shard_a", "column" -> "uid")
