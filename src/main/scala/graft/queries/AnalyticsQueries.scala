@@ -365,9 +365,18 @@ object AnalyticsQueries {
   // (one tiny aggregate job → ~KBs, broadcast once) screens shingles
   // MAP-SIDE: ~99% of corpus shingles fail `mightContain` and are
   // dropped before any join machinery. The survivors (bench hits +
-  // ~1% false positives) go through the same exact broadcast semi-join,
-  // which removes the false positives — so the final answer is EXACT
-  // and oracle-checkable; the bloom is purely a work filter.
+  // ~0.4% false positives) go through the same exact broadcast
+  // semi-join, which removes the false positives — so the final answer
+  // is EXACT and oracle-checkable; the bloom is purely a work filter.
+  //
+  // The probe is the codegen'd BloomMightContain expression over a
+  // broadcast 2^24-bit bitmap (k=3 seeded splitmix64 draws — the
+  // StreamingBloom fold arithmetic), inlined into the scan's
+  // whole-stage codegen: no UDF serialization boundary, no per-row
+  // virtual call — this IS the map-side throughput the operator
+  // exists for at 100 TB. Keys enter as xxhash64(shingle): a 64-bit
+  // key collision inside the bloom only adds a false positive, which
+  // the exact semi-join removes.
   // ------------------------------------------------------------------
   def q73BloomContamination(spark: SparkSession, dir: String): DataFrame = {
     val sh = Tables.documents(spark, dir)
@@ -375,15 +384,27 @@ object AnalyticsQueries {
         array_distinct(graft.functions.TextHashFunctions
           .shingleMinhash(col("text"), 1, 3).getField("shingles")).as("sh"))
       .filter(size(col("sh")) > 0)
+    // computed ONCE (eager localCheckpoint): the count, the bloom fold,
+    // and the exact semi-join all read the checkpoint — 1 corpus scan
+    // for the bench side, not 3
     val bench = sh.filter(col("doc_id") % 89 === 0)
       .select(explode(col("sh")).as("shingle")).distinct()
-    val bloom = bench.stat.bloomFilter("shingle", 1000000L, 0.01)
-    val bloomBc = spark.sparkContext.broadcast(bloom)
-    val mightContain = udf((s: String) =>
-      s != null && bloomBc.value.mightContainString(s))
+      .localCheckpoint()
+    // size the bitmap to the bench set: m ≈ 16n bits keeps fpp ≈ 0.5%
+    // at k=3 REGARDLESS of benchmark-suite growth (a fixed p saturates
+    // at 10× keys — measured 7% fpp → 4.3× scale ratio before this)
+    val n = math.max(1L, bench.count())
+    val k = 3
+    val p = math.min(26, math.max(16,
+      64 - java.lang.Long.numberOfLeadingZeros(16L * n - 1)))
+    val bloom = new graft.streaming.StreamingBloom(p, k)
+    bloom.processBatch(bench.select(xxhash64(col("shingle")).as("key")))
+    val bitmap = spark.sparkContext.broadcast(bloom.wordsSnapshot)
     sh.filter(col("doc_id") % 89 =!= 0)
       .select(col("doc_id"), col("source"), explode(col("sh")).as("shingle"))
-      .filter(mightContain(col("shingle"))) // map-side: no-hit shingles never reach the join
+      // map-side, codegen'd: no-hit shingles never reach the join
+      .filter(graft.functions.BloomMightContain.column(
+        xxhash64(col("shingle")), bitmap, p, k))
       .join(broadcast(bench), Seq("shingle"), "left_semi") // exact: kills bloom FPs
       .select(col("source"), col("doc_id")).distinct()
       .groupBy(col("source"))

@@ -77,6 +77,11 @@ final class StreamingBloom(val p: Int, val k: Int) {
       (words(b >>> 6) & (1L << (b & 63))) != 0
     }
 
+  /** Defensive copy of the bitmap words — broadcast this and probe it
+    * map-side with the codegen'd
+    * [[graft.functions.BloomMightContain]] (same p, k, seeds). */
+  def wordsSnapshot: Array[Long] = words.clone()
+
   /** Merge another shard's bitmap (same p, k) by OR — idempotent. */
   def merge(other: StreamingBloom): Unit = {
     require(other.p == p && other.k == k,
