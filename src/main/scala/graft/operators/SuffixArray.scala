@@ -179,6 +179,85 @@ object SuffixArray {
     identical.unionByName(work)
   }
 
+  // ------------------------------------------------------------------
+  // Index persistence — the suffix array is BUILD-ONCE-QUERY-MANY: at
+  // corpus scale the log-rounds construction is the expensive step and
+  // its output is an index other sessions interrogate, so it persists
+  // to cache tables instead of dying with the session memo. Layout:
+  //   <name>__rounds : (d, p, rank) partitioned by len — one partition
+  //                    directory per doubling round, so loading round
+  //                    `len` is a PRUNED scan of that directory only
+  //   <name>__meta   : (n_suffixes, stamp, n_rounds) — `stamp` is the
+  //                    caller's corpus staleness token (mtime+size);
+  //                    a mismatch means the corpus was regenerated
+  //                    under the same path and the index is invalid
+  // Tables are written EXTERNAL (explicit path under the cache db) so
+  // a fresh JVM's in-memory catalog can re-register them via
+  // SparkCache.reopen() — the same recovery path the ELT tables use.
+  // ------------------------------------------------------------------
+
+  /** Persist a built index under `name` in `cache`. Overwrites any
+    * previous index of that name (stale rounds never survive: the
+    * rounds table is replaced in one overwrite, meta last). */
+  def persist(sa: SA, cache: graft.cache.SparkCache, name: String,
+      stamp: String): Unit = {
+    val spark = sa.ranks.sparkSession
+    val all = sa.rounds
+      .map { case (len, t) =>
+        t.select(col("d"), col("p"), col("rank"), lit(len).as("len"))
+      }
+      .reduce(_.unionByName(_))
+    writeExternal(cache, s"${name}__rounds", all, partitionBy = Seq("len"))
+    val meta = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(Row(sa.nSuffixes, stamp, sa.rounds.size)), 1),
+      StructType(Seq(
+        StructField("n_suffixes", LongType, nullable = false),
+        StructField("stamp", StringType, nullable = false),
+        StructField("n_rounds", IntegerType, nullable = false))))
+    writeExternal(cache, s"${name}__meta", meta, partitionBy = Nil)
+  }
+
+  /** Reload a persisted index, or None when absent / stamp-stale /
+    * structurally short (meta written but rounds incomplete). Round
+    * tables come back as PRUNED scans of the partitioned rounds table
+    * — no localCheckpoint: reading the index from parquet IS the
+    * scale behavior persistence exists for. */
+  def load(cache: graft.cache.SparkCache, name: String,
+      stamp: String): Option[SA] = {
+    if (!cache.tableExists(s"${name}__meta") ||
+        !cache.tableExists(s"${name}__rounds")) return None
+    val metaRow = cache.table(s"${name}__meta").collect().headOption
+      .getOrElse(return None)
+    if (metaRow.getAs[String]("stamp") != stamp) return None
+    val rounds = cache.table(s"${name}__rounds")
+    // partition-column type is directory-name-inferred (IntegerType
+    // for small lens) — normalize to Long explicitly
+    val lens = rounds.select(col("len").cast(LongType)).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    if (lens.size != metaRow.getAs[Int]("n_rounds")) return None
+    val tables = lens.map { l =>
+      (l, rounds.filter(col("len") === l).select("d", "p", "rank"))
+    }
+    Some(SA(tables.last._2, tables, metaRow.getAs[Long]("n_suffixes")))
+  }
+
+  /** External-table overwrite under the cache db's directory: data at
+    * an explicit LOCATION so `DROP TABLE` / a dead catalog never
+    * deletes the index, and `reopen()` can re-register it. */
+  private def writeExternal(cache: graft.cache.SparkCache, stream: String,
+      df: DataFrame, partitionBy: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    val t = cache.tableName(stream)
+    val dir = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      s"${cache.database}.db/${graft.names.NameNormalizer.normalize(stream)}")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val w = df.write.mode("overwrite").option("path", dir.toString)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .saveAsTable(t)
+  }
+
   /**
    * Suffix-array order as a global 1-based row number (ties in rank
    * broken by (d, p) — the deterministic adjacency a SQL oracle's

@@ -22,19 +22,23 @@ object SuffixQueries {
     Tables.documents(spark, dir).filter(col("doc_id") % 10 === 0)
 
   // Build-once-query-many: the suffix array is an INDEX — q163 (ranks)
-  // and q164 (longest repeats) interrogate the same structure, so the
-  // log-rounds construction runs once per (session, corpus) and both
-  // queries reuse the localCheckpointed round tables. At corpus scale
-  // the same boundary is where the SA would persist to a table instead
-  // of a session memo.
+  // and q164 (longest repeats) interrogate the same structure. The
+  // log-rounds construction runs once per (corpus, stamp) and PERSISTS
+  // to cache tables (`graft.sa.db`, default graft_sa_index): a later
+  // session — the actual 100 TB shape, where the index outlives any
+  // one job — reloads the rounds as pruned parquet scans via
+  // SuffixArray.load instead of rebuilding. The session ConcurrentHashMap
+  // stays as an L1 so the two queries in one JVM share one load.
   private val saCache =
     new java.util.concurrent.ConcurrentHashMap[String, SuffixArray.SA]()
 
-  /** Cache key includes the corpus file's mtime+size, so regenerating
-    * the data under the same path invalidates the entry (stale index =
-    * silently wrong ranks). Bounded: a key churn (many corpora in one
-    * JVM) clears the map rather than pinning dead localCheckpoint
-    * blocks for the application's lifetime. */
+  /** Cache key / staleness stamp is the corpus file's mtime+size, so
+    * regenerating the data under the same path invalidates both the
+    * session memo AND the persisted index (stale index = silently
+    * wrong ranks). Memo bounded: key churn clears the map rather than
+    * pinning dead blocks for the application's lifetime. Persistence
+    * is on by default; `graft.sa.persist=false` keeps everything
+    * session-local (read-only warehouse environments). */
   private def cachedSa(spark: SparkSession, dir: String): SuffixArray.SA = {
     val f = java.nio.file.Paths.get(dir, "documents.parquet")
     val stamp =
@@ -44,7 +48,23 @@ object SuffixQueries {
     if (saCache.size > 8) saCache.clear()
     saCache.computeIfAbsent(
       s"${spark.sparkContext.applicationId}|$dir|$stamp",
-      _ => SuffixArray.build(shard(spark, dir), "doc_id", "text"))
+      _ => {
+        if (spark.conf.get("graft.sa.persist", "true").toBoolean) {
+          val cache = new graft.cache.SparkCache(spark,
+            spark.conf.get("graft.sa.db", "graft_sa_index"))
+          cache.reopen() // fresh JVM: re-register leftover index tables
+          val name = "sa_" + java.security.MessageDigest.getInstance("MD5")
+            .digest(dir.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString.take(12)
+          SuffixArray.load(cache, name, stamp).getOrElse {
+            val sa = SuffixArray.build(shard(spark, dir), "doc_id", "text")
+            SuffixArray.persist(sa, cache, name, stamp)
+            // hand back the TABLE-BACKED copy: queries then run over
+            // the persisted index's lineage-free pruned scans
+            SuffixArray.load(cache, name, stamp).getOrElse(sa)
+          }
+        } else SuffixArray.build(shard(spark, dir), "doc_id", "text")
+      })
   }
 
   // ------------------------------------------------------------------
