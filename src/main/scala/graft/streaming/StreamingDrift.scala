@@ -98,11 +98,65 @@ final class StreamingDrift(keyCol: String, valueCol: String, bins: Int = 10) {
       }
       .start()
 
+  /** Merge another shard's FROZEN reference (shards monitor disjoint
+    * key ranges): key-disjoint union; for a key both shards froze,
+    * THIS monitor's rows win — a reference is a frozen snapshot, and
+    * re-binning two references with different per-key ranges is not
+    * meaningful, so first-freeze-wins is the only consistent rule. */
+  def merge(other: StreamingDrift): Unit =
+    (reference, other.reference) match {
+      case (Some(a), Some(b)) =>
+        val mineOnly = a.select(col("k")).distinct()
+        reference = Some(a.unionByName(
+            b.join(mineOnly, Seq("k"), "left_anti"))
+          .localCheckpoint())
+      case (None, b @ Some(_)) => reference = b
+      case _ => ()
+    }
+
+  /** Persist the frozen reference for resume (cache-table convention;
+    * an unfrozen monitor writes an empty table). */
+  def saveTo(cache: graft.cache.SparkCache, name: String): Unit = {
+    val spark = cache.spark
+    val t = s"`${cache.database}`.`$name`"
+    reference.getOrElse {
+      spark.range(0).select(lit("").as("k"), lit(0).cast(IntegerType).as("b"),
+        lit(0L).as("cr"), lit(0.0).as("mn"), lit(0.0).as("mx")).limit(0)
+    }.write.mode("overwrite").saveAsTable(t)
+  }
+
   /** Keys in `batch` with no reference histogram (schema/category drift). */
   def novelKeys(batch: DataFrame): DataFrame = reference match {
     case Some(ref) =>
       batch.select(col(keyCol).as("k")).distinct()
         .join(ref.select(col("k")).distinct(), Seq("k"), "left_anti")
     case None => batch.select(col(keyCol).as("k")).limit(0)
+  }
+}
+
+object StreamingDrift {
+
+  /** Restore a persisted frozen reference; fresh (unfrozen) monitor
+    * when the table is absent or empty. `bins` comes back from the
+    * stored histogram itself (max bin index + 1), so a restore can't
+    * silently re-bin against a different resolution than the freeze. */
+  def restore(cache: graft.cache.SparkCache, name: String,
+      keyCol: String, valueCol: String, defaultBins: Int = 10): StreamingDrift = {
+    val table = s"`${cache.database}`.`$name`"
+    if (cache.spark.catalog.tableExists(table)) {
+      val ref = cache.spark.table(table)
+        .select(col("k"), col("b").cast(IntegerType).as("b"),
+          col("cr").cast(LongType).as("cr"),
+          col("mn").cast(DoubleType).as("mn"),
+          col("mx").cast(DoubleType).as("mx"))
+        .localCheckpoint()
+      if (ref.count() > 0) {
+        val storedBins = ref.agg(max(col("b"))).collect()(0).getInt(0) + 1
+        val d = new StreamingDrift(keyCol, valueCol, storedBins)
+        d.reference = Some(ref)
+        return d
+      }
+    }
+    new StreamingDrift(keyCol, valueCol, defaultBins)
   }
 }

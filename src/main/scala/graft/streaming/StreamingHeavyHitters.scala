@@ -63,17 +63,30 @@ final class StreamingHeavyHitters(val k: Int) {
     counts.foreach { case (t, c) =>
       merged = merged.updated(t, merged.getOrElse(t, 0L) + c)
     }
-    // prune to k by the mergeable decrement: subtract the (k+1)-largest
-    // value from everyone; ≤ k survivors, error grows by ≤ that value —
-    // which is itself ≤ (mass this round)/(k+1)
-    if (merged.size > k) {
-      val cut = merged.values.toSeq.sorted(Ordering[Long].reverse)(k)
-      merged = merged.collect {
-        case (t, c) if c - cut > 0 => t -> (c - cut)
-      }
-    }
-    summary = merged
+    summary = pruned(merged)
     totalN += batchN
+  }
+
+  /** Prune to k by the mergeable decrement: subtract the (k+1)-largest
+    * value from everyone; ≤ k survivors, error grows by ≤ that value —
+    * which is itself ≤ (mass this round)/(k+1). */
+  private def pruned(m: Map[String, Long]): Map[String, Long] =
+    if (m.size <= k) m
+    else {
+      val cut = m.values.toSeq.sorted(Ordering[Long].reverse)(k)
+      m.collect { case (t, c) if c - cut > 0 => t -> (c - cut) }
+    }
+
+  /** Merge another shard's summary (Agarwal et al. 2012 — MG summaries
+    * are mergeable: counter-wise sum, then the same decrement prune;
+    * the combined error bound stays (N₁+N₂)/(k+1)). */
+  def merge(other: StreamingHeavyHitters): Unit = {
+    var m = summary
+    other.snapshot.foreach { case (t, c) =>
+      m = m.updated(t, m.getOrElse(t, 0L) + c)
+    }
+    summary = pruned(m)
+    totalN += other.n
   }
 
   /** Heavy hitters at threshold N/denom from the current summary. */

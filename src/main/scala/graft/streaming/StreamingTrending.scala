@@ -33,6 +33,36 @@ final class StreamingTrending(textCol: String, k: Int = 10) {
   /** Current decayed score table: (term, score). */
   def scores: Option[DataFrame] = state
 
+  /** Top-n terms by decayed score from the CURRENT state (no fold) —
+    * bounded heap via orderBy+limit (TakeOrderedAndProject). */
+  def top(n: Int): Seq[(String, Long)] = state match {
+    case Some(s) => s.orderBy(col("score").desc, col("term").asc).limit(n)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    case None => Seq.empty
+  }
+
+  /** Merge another shard's decayed scores (associative sum — shards
+    * that saw disjoint batch streams combine exactly). */
+  def merge(other: StreamingTrending): Unit =
+    (state, other.state) match {
+      case (Some(a), Some(b)) =>
+        state = Some(a.unionByName(b)
+          .groupBy(col("term")).agg(sum(col("score")).as("score"))
+          .localCheckpoint())
+      case (None, b @ Some(_)) => state = b
+      case _ => ()
+    }
+
+  /** Persist the decayed score table for resume (the StreamingDistinct
+    * cache-table convention). */
+  def saveTo(cache: graft.cache.SparkCache, name: String): Unit = {
+    val spark = cache.spark
+    val t = s"`${cache.database}`.`$name`"
+    state.getOrElse {
+      spark.range(0).select(lit("").as("term"), lit(0L).as("score")).limit(0)
+    }.write.mode("overwrite").saveAsTable(t)
+  }
+
   /**
    * One micro-batch: fold counts into the decayed state and return the
    * top-k trending rows (rank, term, score, batch_cnt), score = decayed
@@ -67,5 +97,25 @@ final class StreamingTrending(textCol: String, k: Int = 10) {
         Window.orderBy(col("score").desc, col("term").asc)).cast("long"))
       .select(col("rank"), col("term"), col("score"),
         col("cnt").as("batch_cnt"))
+  }
+}
+
+object StreamingTrending {
+
+  /** Restore a persisted score table; fresh instance when absent.
+    * `textCol` is the batch column later `processBatch` calls split. */
+  def restore(cache: graft.cache.SparkCache, name: String,
+      textCol: String, k: Int): StreamingTrending = {
+    val t = new StreamingTrending(textCol, k)
+    val table = s"`${cache.database}`.`$name`"
+    if (cache.spark.catalog.tableExists(table)) {
+      val s = cache.spark.table(table)
+        .select(org.apache.spark.sql.functions.col("term"),
+          org.apache.spark.sql.functions.col("score")
+            .cast(org.apache.spark.sql.types.LongType).as("score"))
+        .localCheckpoint()
+      if (s.count() > 0) t.state = Some(s)
+    }
+    t
   }
 }

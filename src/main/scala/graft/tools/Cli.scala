@@ -167,9 +167,11 @@ object Cli {
   /** `sketch` command body, session-injected so LifecycleSpec can
     * drive it end-to-end without stopping the shared test session:
     *
-    *   sketch --kind distinct|bloom|reservoir [--db NAME] [--name N]
-    *          [--op update|show|merge] [--table T --column C]
-    *          [--others n1,n2] [--probe v1,v2] [--p 12] [--k 3] [--size 256]
+    *   sketch --kind distinct|bloom|reservoir|trending|heavy|drift
+    *          [--db NAME] [--name N] [--op update|show|merge]
+    *          [--table T --column C] [--key-column KC]
+    *          [--others n1,n2] [--probe v1,v2] [--p 12] [--k 3]
+    *          [--size 256] [--denom D] [--bins B]
     *
     * update folds `--table`/`--column` of the cache db into the named
     * persisted sketch; merge unions the `--others` summaries in; show
@@ -177,9 +179,11 @@ object Cli {
     * summary line. */
   private[graft] def runSketch(spark: SparkSession,
       cache: SparkCache, opts: Map[String, String]): String = {
-    import graft.streaming.{StreamingBloom, StreamingDistinct, StreamingReservoir}
+    import graft.streaming.{StreamingBloom, StreamingDistinct, StreamingDrift,
+      StreamingHeavyHitters, StreamingReservoir, StreamingTrending}
     import org.apache.spark.sql.functions.col
-    val kind = opts.getOrElse("kind", fail("--kind distinct|bloom|reservoir"))
+    val kind = opts.getOrElse("kind",
+      fail("--kind distinct|bloom|reservoir|trending|heavy|drift"))
     val name = opts.getOrElse("name", s"graft_sketch_$kind")
     val op = opts.getOrElse("op", "update")
     def batch(): org.apache.spark.sql.DataFrame = {
@@ -242,6 +246,86 @@ object Cli {
         }
         s"sketch '$name' (reservoir k=$k): size=${sk.size} " +
           s"distinct_estimate=${sk.distinctEstimate}"
+      case "trending" =>
+        // decayed heavy hitters over a TEXT column: update folds one
+        // batch (halve + add), merge sums shard scores associatively
+        val k = opts.getOrElse("k", "10").toInt
+        val sk = StreamingTrending.restore(cache, name, "key", k)
+        op match {
+          case "update" => sk.processBatch(batch()); sk.saveTo(cache, name)
+          case "merge" =>
+            others().foreach(o =>
+              sk.merge(StreamingTrending.restore(cache, o, "key", k)))
+            sk.saveTo(cache, name)
+          case "show" => ()
+          case o => fail(s"unknown sketch op '$o'")
+        }
+        val tops = sk.top(k).map { case (t, s) => s"$t:$s" }
+        s"sketch '$name' (trending k=$k): terms=${tops.size} " +
+          s"top{${tops.mkString(",")}}"
+      case "heavy" =>
+        // Misra–Gries heavy hitters over a token column; --denom sets
+        // the report threshold N/denom (default the summary's own k+1
+        // resolution floor)
+        val k = opts.getOrElse("k", "16").toInt
+        val denom = opts.get("denom").map { d =>
+          d.toIntOption.getOrElse(fail(s"--denom expects an integer, got '$d'"))
+        }.getOrElse(k + 1)
+        val sk = StreamingHeavyHitters.restore(cache, name, k)
+        op match {
+          case "update" =>
+            sk.processBatch(batch().select(col("key").as("token")))
+            sk.saveTo(cache, name)
+          case "merge" =>
+            others().foreach(o =>
+              sk.merge(StreamingHeavyHitters.restore(cache, o, k)))
+            sk.saveTo(cache, name)
+          case "show" => ()
+          case o => fail(s"unknown sketch op '$o'")
+        }
+        val hh = sk.heavyHitters(denom).map { case (t, c) => s"$t:$c" }
+        s"sketch '$name' (heavy k=$k): n=${sk.n} " +
+          s"counters=${sk.snapshot.size} hitters_at_n/${denom}{${hh.mkString(",")}}"
+      case "drift" =>
+        // PSI drift monitor: --key-column groups, --column is the
+        // value; the FIRST update freezes the reference, later updates
+        // report PSI against it; merge unions disjoint key shards
+        val kc = opts.getOrElse("key-column",
+          fail("--key-column is required for --kind drift"))
+        val bins = opts.getOrElse("bins", "10").toInt
+        def driftBatch(): org.apache.spark.sql.DataFrame = {
+          val t = opts.getOrElse("table", fail("--table is required for --op update"))
+          val c = opts.getOrElse("column", fail("--column is required for --op update"))
+          spark.table(s"`${cache.database}`.`$t`")
+            .select(col(kc).cast("string").as("k"), col(c).as("v"))
+        }
+        val sk = StreamingDrift.restore(cache, name, "k", "v", bins)
+        def refKeys: Long = sk.referenceHistogram
+          .map(_.select(col("k")).distinct().count()).getOrElse(0L)
+        op match {
+          case "update" =>
+            val frozen = sk.referenceHistogram.isDefined
+            val out = sk.processBatch(driftBatch())
+            sk.saveTo(cache, name)
+            if (!frozen)
+              s"sketch '$name' (drift bins=$bins): reference frozen keys=$refKeys"
+            else {
+              val worst = out.orderBy(col("psi").desc, col("k").asc).limit(3)
+                .collect().map(r => s"${r.getString(0)}:${r.getDouble(3)}")
+              s"sketch '$name' (drift bins=$bins): keys=$refKeys " +
+                s"top_psi{${worst.mkString(",")}}"
+            }
+          case "merge" =>
+            others().foreach(o =>
+              sk.merge(StreamingDrift.restore(cache, o, "k", "v", bins)))
+            sk.saveTo(cache, name)
+            s"sketch '$name' (drift bins=$bins): keys=$refKeys (merged)"
+          case "show" =>
+            s"sketch '$name' (drift bins=$bins): " +
+              (if (sk.referenceHistogram.isDefined) s"frozen keys=$refKeys"
+               else "unfrozen")
+          case o => fail(s"unknown sketch op '$o'")
+        }
       case o => fail(s"unknown sketch kind '$o'")
     }
   }
@@ -281,7 +365,7 @@ object Cli {
       |  benchmark [--records N]
       |  smoke-test [--scenarios fast|all|names] [--namespace-suffix S] [--reuse-namespace NS] [--custom-scenarios-file F] [--skip-preflight true]
       |  destination-smoke-test --db NAME --stream S --cmd "shell command"
-      |  sketch --kind distinct|bloom|reservoir [--db NAME] [--name N] [--op update|show|merge] [--table T --column C] [--others n1,n2] [--probe v1,v2] [--p P] [--k K] [--size N]""".stripMargin)
+      |  sketch --kind distinct|bloom|reservoir|trending|heavy|drift [--db NAME] [--name N] [--op update|show|merge] [--table T --column C] [--key-column KC] [--others n1,n2] [--probe v1,v2] [--p P] [--k K] [--size N] [--denom D] [--bins B]""".stripMargin)
 
   private def fail(msg: String): Nothing = {
     System.err.println(s"[cli] ERROR: $msg")

@@ -122,4 +122,76 @@ class LifecycleSpec extends SparkTestBase {
     assert(r.contains("size=64"), r)
     cache.dropAll()
   }
+
+  test("CLI sketch surface: trending / heavy / drift end-to-end") {
+    val cache = SparkCache.fresh(spark, "graft_test_sketch_cli2")
+    def sketch(kv: (String, String)*): String =
+      graft.tools.Cli.runSketch(spark, cache, kv.toMap)
+
+    // --- trending: two shard updates, then a merged union ------------
+    Seq("spark rocks", "spark scales", "ducks quack").toDF("txt")
+      .write.mode("overwrite").saveAsTable("`graft_test_sketch_cli2`.`texts_a`")
+    Seq("spark wins", "geese honk").toDF("txt")
+      .write.mode("overwrite").saveAsTable("`graft_test_sketch_cli2`.`texts_b`")
+    val ta = sketch("kind" -> "trending", "name" -> "tr_a", "k" -> "5",
+      "op" -> "update", "table" -> "texts_a", "column" -> "txt")
+    assert(ta.contains("spark:2"), ta) // 2 mentions in shard a
+    sketch("kind" -> "trending", "name" -> "tr_b", "k" -> "5",
+      "op" -> "update", "table" -> "texts_b", "column" -> "txt")
+    val tm = sketch("kind" -> "trending", "name" -> "tr_u", "k" -> "5",
+      "op" -> "merge", "others" -> "tr_a,tr_b")
+    assert(tm.contains("spark:3"), tm) // associative shard sum
+    // a NEW restore (show) serves the persisted union unchanged
+    assert(sketch("kind" -> "trending", "name" -> "tr_u", "k" -> "5",
+      "op" -> "show") == tm)
+    // a second update halves the union's scores before adding
+    val t2 = sketch("kind" -> "trending", "name" -> "tr_u", "k" -> "5",
+      "op" -> "update", "table" -> "texts_b", "column" -> "txt")
+    assert(t2.contains("spark:2"), t2) // 3 div 2 + 1 = 2
+
+    // --- heavy: skewed tokens, shard merge, threshold report ---------
+    val toks = (Seq.fill(60)("hot") ++ Seq.fill(25)("warm") ++
+      (1 to 15).map(i => s"cold$i")).zipWithIndex
+    toks.take(50).map(_._1).toDF("tok")
+      .write.mode("overwrite").saveAsTable("`graft_test_sketch_cli2`.`toks_a`")
+    toks.drop(50).map(_._1).toDF("tok")
+      .write.mode("overwrite").saveAsTable("`graft_test_sketch_cli2`.`toks_b`")
+    sketch("kind" -> "heavy", "name" -> "hh_a", "k" -> "8",
+      "op" -> "update", "table" -> "toks_a", "column" -> "tok")
+    sketch("kind" -> "heavy", "name" -> "hh_b", "k" -> "8",
+      "op" -> "update", "table" -> "toks_b", "column" -> "tok")
+    val hm = sketch("kind" -> "heavy", "name" -> "hh_u", "k" -> "8",
+      "op" -> "merge", "others" -> "hh_a,hh_b", "denom" -> "4")
+    // MG guarantee: hot (60/100 > 100/4) must be reported after merge
+    assert(hm.contains("n=100") && hm.contains("hot:"), hm)
+    assert(sketch("kind" -> "heavy", "name" -> "hh_u", "k" -> "8",
+      "op" -> "show", "denom" -> "4") == hm)
+
+    // --- drift: freeze reference, then PSI against a shifted batch ---
+    (1 to 100).map(i => ("m1", i.toDouble)).toDF("metric", "v")
+      .write.mode("overwrite").saveAsTable("`graft_test_sketch_cli2`.`vals_ref`")
+    (1 to 100).map(i => ("m1", i.toDouble + 80)).toDF("metric", "v")
+      .write.mode("overwrite").saveAsTable("`graft_test_sketch_cli2`.`vals_cur`")
+    val d1 = sketch("kind" -> "drift", "name" -> "dr_1", "bins" -> "10",
+      "key-column" -> "metric", "op" -> "update",
+      "table" -> "vals_ref", "column" -> "v")
+    assert(d1.contains("reference frozen keys=1"), d1)
+    // the restore path picks the frozen reference up from the table
+    val d2 = sketch("kind" -> "drift", "name" -> "dr_1", "bins" -> "10",
+      "key-column" -> "metric", "op" -> "update",
+      "table" -> "vals_cur", "column" -> "v")
+    assert(d2.contains("top_psi{m1:"), d2)
+    val psi = d2.split("top_psi\\{m1:")(1).stripSuffix("}").toDouble
+    assert(psi > 0.25, s"an 80% range shift must alert (psi=$psi)")
+    // shard merge: a second monitor over a DISJOINT key unions in
+    (1 to 50).map(i => ("m2", i * 2.0)).toDF("metric", "v")
+      .write.mode("overwrite").saveAsTable("`graft_test_sketch_cli2`.`vals_m2`")
+    sketch("kind" -> "drift", "name" -> "dr_2", "bins" -> "10",
+      "key-column" -> "metric", "op" -> "update",
+      "table" -> "vals_m2", "column" -> "v")
+    val dm = sketch("kind" -> "drift", "name" -> "dr_u", "bins" -> "10",
+      "key-column" -> "metric", "op" -> "merge", "others" -> "dr_1,dr_2")
+    assert(dm.contains("keys=2"), dm)
+    cache.dropAll()
+  }
 }
