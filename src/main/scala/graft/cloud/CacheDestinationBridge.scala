@@ -2,7 +2,10 @@ package graft.cloud
 
 import org.apache.spark.sql.SparkSession
 
+import scala.collection.immutable.ListMap
+
 import graft.cache.SparkCache
+import graft.errors.GraftInputError
 import graft.sources.Secrets
 
 /**
@@ -65,19 +68,23 @@ object CacheDestinationBridge {
     val declared = Option(node.get("destinationType"))
       .orElse(Option(node.get("DESTINATION_TYPE")))
       .map(_.asText())
-      .getOrElse(throw new IllegalArgumentException(
-        s"Missing 'destinationType' in keys " +
-          s"${scala.jdk.CollectionConverters.IteratorHasAsScala(node.fieldNames()).asScala.toList}."))
+      .getOrElse(throw new GraftInputError(
+        "Missing 'destinationType' in destination config.",
+        context = ListMap("keys" -> scala.jdk.CollectionConverters
+          .IteratorHasAsScala(node.fieldNames()).asScala.toList.mkString(","))))
     if (!supportedDestinationTypes.contains(declared))
-      throw new IllegalArgumentException(
+      throw new GraftInputError(
         s"Cannot convert destination to a cache configuration. Destination " +
-          s"type $declared not supported. Supported cache types: " +
-          s"${supportedDestinationTypes.toList.sorted}")
+          s"type $declared not supported.",
+        guidance = Some(s"Supported cache types: " +
+          s"${supportedDestinationTypes.toList.sorted}"),
+        context = ListMap("destination_type" -> declared))
     val database = schemaName.orElse(
       Option(node.get("database")).map(_.asText())
         .orElse(Option(node.get("schema")).map(_.asText())))
-      .getOrElse(throw new IllegalArgumentException(
-        "destination config needs a 'database' (or 'schema') field"))
+      .getOrElse(throw new GraftInputError(
+        "destination config needs a 'database' (or 'schema') field",
+        context = ListMap("destination_type" -> declared)))
     new SparkCache(spark,
       database = database,
       tablePrefix = Option(node.get("table_prefix")).map(_.asText()).getOrElse(""),

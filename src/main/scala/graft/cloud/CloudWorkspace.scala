@@ -3,10 +3,12 @@ package graft.cloud
 import java.util.concurrent.atomic.AtomicLong
 
 import scala.collection.concurrent.TrieMap
+import scala.collection.immutable.ListMap
 
 import org.apache.spark.sql.SparkSession
 
 import graft.cache.SparkCache
+import graft.errors.{GraftConnectorError, GraftError, GraftInputError}
 import graft.datasets.CachedDataset
 import graft.protocol.WriteStrategy
 import graft.sources.Source
@@ -85,9 +87,17 @@ final case class CheckResult(
   * the reference's `AirbyteConnectionSyncError`
   * (`cloud/sync_results.py:365-389`). */
 final class ConnectionSyncError(
-    val connectionId: String, val jobId: Long, message: String)
+    val connectionId: String, val jobId: Long, detail: String)
   extends RuntimeException(
-    s"Sync of connection '$connectionId' (job $jobId) failed: $message")
+    s"Sync of connection '$connectionId' (job $jobId) failed: $detail")
+  with GraftError {
+  override def baseMessage: String = "The connection sync failed."
+  override def guidance: Option[String] = Some(
+    "Inspect the job's attempt logs, fix the connector, then re-run the sync.")
+  override def context: ListMap[String, Any] =
+    ListMap("connection_id" -> connectionId, "job_id" -> jobId)
+  override def logText: Option[String] = Option(detail).filter(_.nonEmpty)
+}
 
 /**
  * Transport abstraction over the workspace control plane — the surface
@@ -531,8 +541,11 @@ final class CloudWorkspace(val workspaceId: String, val api: WorkspaceApi) {
       preValidate: Boolean = true): CustomCloudSourceDefinition = {
     if (preValidate) CustomSourceDefinitions.validateManifest(manifestYaml)
     if (unique && definitionRegistry.values.exists(_.name == name))
-      throw new IllegalArgumentException(
-        s"Duplicate custom_source_definition resource: '$name'")
+      throw new GraftInputError(
+        s"Duplicate custom_source_definition resource: '$name'",
+        guidance = Some("Pass unique=false to allow a same-named " +
+          "definition, or pick a new name."),
+        context = ListMap("definition_name" -> name))
     val id = s"def-${definitionIds.incrementAndGet()}"
     definitionRegistry.put(id, CustomSourceDefinitionInfo(
       id, name, manifestYaml,
@@ -625,9 +638,11 @@ final class CloudConnection(val workspace: CloudWorkspace, val connectionId: Str
     val desired = if (enabled) "active" else "inactive"
     if (info.status == desired) {
       if (ignoreNoop) return
-      throw new IllegalArgumentException(
-        s"Connection is already ${if (enabled) "enabled" else "disabled"}. " +
-          s"Current status: ${info.status}")
+      throw new GraftInputError(
+        s"Connection is already ${if (enabled) "enabled" else "disabled"}.",
+        guidance = Some("Pass ignoreNoop=true to make the transition a no-op."),
+        context = ListMap("connection_id" -> connectionId,
+          "status" -> info.status))
     }
     api.patchConnection(connectionId, status = Some(desired)); ()
   }
@@ -724,7 +739,12 @@ sealed abstract class CloudConnector(
   def permanentlyDelete(): Unit
   protected def checkedResult(r: CheckResult, raiseOnError: Boolean): CheckResult = {
     if (raiseOnError && !r.success)
-      throw new IllegalArgumentException(s"Check failed: $r")
+      throw new GraftConnectorError(
+        s"Check failed: $r",
+        guidance = Some("Inspect the connector configuration, then re-run " +
+          "check()."),
+        context = ListMap("connector_id" -> connectorId,
+          "connector_type" -> connectorType))
     r
   }
 }
@@ -814,8 +834,11 @@ final class SyncResult(api: WorkspaceApi, val connectionId: String, val jobId: L
     if (sqlCache == null) {
       val destId = api.getConnection(connectionId).destinationId
       val config = api.destinationConfig(destId).getOrElse(
-        throw new IllegalStateException(
-          s"destination '$destId' has no config document to open as a cache"))
+        throw new GraftConnectorError(
+          s"destination '$destId' has no config document to open as a cache",
+          guidance = Some("Only destinations registered with a config " +
+            "document can back a SQL cache."),
+          context = ListMap("destination_id" -> destId)))
       sqlCache = CacheDestinationBridge.destinationToCache(
         api.destinationCache(connectionId).spark, config)
     }

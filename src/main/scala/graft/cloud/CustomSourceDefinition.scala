@@ -1,5 +1,6 @@
 package graft.cloud
 
+import graft.errors.{GraftInputError, ManifestError}
 import graft.sources.{DeclarativeSource, Source}
 
 /**
@@ -36,15 +37,17 @@ object CustomSourceDefinitions {
       try new com.fasterxml.jackson.dataformat.yaml.YAMLMapper().readTree(manifestYaml)
       catch { case scala.util.control.NonFatal(_) => null }
     if (node == null || !node.isObject)
-      throw new IllegalArgumentException("Manifest must be a dictionary")
+      throw new ManifestError("Manifest must be a dictionary")
     val missing = Seq("version", "type").filterNot(node.has)
     if (missing.nonEmpty)
-      throw new IllegalArgumentException(
-        s"Manifest missing required fields: ${missing.mkString(", ")}")
+      throw new ManifestError(
+        s"Manifest missing required fields: ${missing.mkString(", ")}",
+        Map("missing_fields" -> missing.mkString(", ")))
     val t = node.get("type").asText()
     if (t != "DeclarativeSource")
-      throw new IllegalArgumentException(
-        s"Manifest type must be 'DeclarativeSource', got '$t'")
+      throw new ManifestError(
+        s"Manifest type must be 'DeclarativeSource', got '$t'",
+        Map("manifest_type" -> t))
   }
 
   private[cloud] def manifestVersion(manifestYaml: String): Option[String] =
@@ -99,10 +102,12 @@ final class CustomCloudSourceDefinition(
   def permanentlyDelete(safeMode: Boolean = true): Unit = {
     val n = info.name.toLowerCase(java.util.Locale.ROOT)
     if (safeMode && !n.contains("delete-me") && !n.contains("deleteme"))
-      throw new IllegalArgumentException(
-        s"Refusing to delete definition '${info.name}': safe mode requires the " +
-          "name to contain 'delete-me' or 'deleteme'. Rename it first or pass " +
-          "safeMode=false.")
+      throw new GraftInputError(
+        s"Refusing to delete definition '${info.name}': safe mode requires " +
+          "the name to contain 'delete-me' or 'deleteme'.",
+        guidance = Some("Rename it first or pass safeMode=false."),
+        context = scala.collection.immutable.ListMap(
+          "definition_name" -> info.name))
     registry.remove(definitionId)
     workspace.draftRegistry.remove(definitionId); ()
   }

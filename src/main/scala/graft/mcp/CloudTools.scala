@@ -2,8 +2,11 @@ package graft.mcp
 
 import org.apache.spark.sql.SparkSession
 
+import scala.collection.immutable.ListMap
+
 import graft.cache.SparkCache
 import graft.cloud.CloudWorkspace
+import graft.errors.GraftInputError
 import graft.sources.Source
 
 /**
@@ -248,14 +251,16 @@ object CloudTools {
       cronExpression: Option[String] = None,
       manualSchedule: Option[Boolean] = None): String = {
     if (enabled.isEmpty && cronExpression.isEmpty && manualSchedule.isEmpty)
-      throw new IllegalArgumentException(
+      throw new GraftInputError(
         "At least one setting must be provided: 'enabled', 'cron_expression', " +
-          "or 'manual_schedule'.")
+          "or 'manual_schedule'.",
+        context = ListMap("connection_id" -> connectionId))
     if (cronExpression.isDefined && manualSchedule.contains(true))
-      throw new IllegalArgumentException(
-        "Cannot specify both 'cron_expression' and 'manual_schedule=True'. " +
-          "Use 'cron_expression' for scheduled syncs or 'manual_schedule=True' " +
-          "for manual-only syncs.")
+      throw new GraftInputError(
+        "Cannot specify both 'cron_expression' and 'manual_schedule=True'.",
+        guidance = Some("Use 'cron_expression' for scheduled syncs or " +
+          "'manual_schedule=True' for manual-only syncs."),
+        context = ListMap("connection_id" -> connectionId))
     val conn = ws.getConnection(connectionId)
     val changes = Seq.newBuilder[String]
     enabled.foreach { e =>
@@ -287,8 +292,9 @@ object CloudTools {
           """{"ERROR": "No state is set for this connection (stateType: not_set)"}"""
         else state
       case "catalog" => conn.dumpRawCatalog()
-      case other => throw new IllegalArgumentException(
-        s"artifact_type must be 'state' or 'catalog', got '$other'")
+      case other => throw new GraftInputError(
+        s"artifact_type must be 'state' or 'catalog', got '$other'",
+        context = ListMap("artifact_type" -> other))
     }
   }
 
@@ -349,10 +355,13 @@ object CloudTools {
           case Seq(one) => one
           case Seq() => throw new NoSuchElementException(
             s"no organization named '$name'")
-          case many => throw new IllegalArgumentException(
-            s"organization name '$name' is ambiguous (${many.size} matches)")
+          case many => throw new GraftInputError(
+            s"organization name '$name' is ambiguous (${many.size} matches)",
+            guidance = Some("Pass organization_id to disambiguate."),
+            context = ListMap("organization_name" -> name,
+              "matches" -> many.size))
         }
-      case (None, None) => throw new IllegalArgumentException(
+      case (None, None) => throw new GraftInputError(
         "either organization_id or organization_name is required")
     }
 

@@ -3,7 +3,10 @@ package graft.mcp
 import java.time.{Instant, ZoneOffset}
 import java.time.format.DateTimeFormatter
 
+import scala.collection.immutable.ListMap
+
 import graft.cloud.{CloudWorkspace, JobInfo, JobStatus}
+import graft.errors.GraftInputError
 import graft.sources.Registry.ConnectorMetadata
 
 /**
@@ -41,10 +44,12 @@ object InteractiveFlows {
       if (Precedence.contains(value)) value
       else Precedence.find { case (_, p) => value == p.toString }
         .map(_._1)
-        .getOrElse(throw new IllegalArgumentException(
-          s"Unrecognized support level: '$value'. Expected keyword " +
+        .getOrElse(throw new GraftInputError(
+          s"Unrecognized support level: '$value'.",
+          guidance = Some(s"Expected keyword " +
             s"(${Precedence.keys.toList.sorted.mkString(", ")}) or integer " +
-            s"(${Precedence.values.toList.sorted.mkString(", ")})."))
+            s"(${Precedence.values.toList.sorted.mkString(", ")})."),
+          context = ListMap("support_level" -> value)))
 
     def precedence(level: String): Int = Precedence.getOrElse(level, 0)
   }
@@ -52,8 +57,10 @@ object InteractiveFlows {
   /** `ConnectorType.parse` (_shared_models.py:47-62). */
   def parseConnectorType(value: String): String =
     if (value == "source" || value == "destination") value
-    else throw new IllegalArgumentException(
-      s"Unrecognized connector type: '$value'. Expected one of: `source`, `destination`.")
+    else throw new GraftInputError(
+      s"Unrecognized connector type: '$value'.",
+      guidance = Some("Expected one of: `source`, `destination`."),
+      context = ListMap("connector_type" -> value))
 
   // ------------------------------------------------------------------
   // Connector catalog flow (_registry_ui.py)
@@ -165,20 +172,23 @@ object InteractiveFlows {
       search: String = "",
       limit: Int = 0): CatalogResult = {
     if (limit < 0)
-      throw new IllegalArgumentException("Limit parameter must be non-negative.")
+      throw new GraftInputError("Limit parameter must be non-negative.",
+        context = ListMap("limit" -> limit))
     var eff: Option[String] = if (certified) Some("certified") else None
     if (supportLevel.nonEmpty) {
-      if (certified) throw new IllegalArgumentException(
-        "Cannot specify both `certified` and `support_level`. Use " +
-          "`certified=True` as shorthand or `support_level` for explicit control.")
+      if (certified) throw new GraftInputError(
+        "Cannot specify both `certified` and `support_level`.",
+        guidance = Some("Use `certified=True` as shorthand or " +
+          "`support_level` for explicit control."))
       eff = Some(SupportLevel.parse(supportLevel))
     }
     val effMin =
       if (minSupportLevel.nonEmpty) Some(SupportLevel.parse(minSupportLevel)) else None
     if (eff.isDefined && effMin.isDefined)
-      throw new IllegalArgumentException(
+      throw new GraftInputError(
         "Cannot specify both `certified` or `support_level` and " +
-          "`min_support_level`. Use an exact match or a threshold.")
+          "`min_support_level`.",
+        guidance = Some("Use an exact match or a threshold."))
     val effType =
       if (connectorType.nonEmpty) Some(parseConnectorType(connectorType)) else None
 
@@ -188,8 +198,10 @@ object InteractiveFlows {
     def typeOf(m: ConnectorMetadata): String =
       if (m.canonicalName.startsWith("source-")) "source"
       else if (m.canonicalName.startsWith("destination-")) "destination"
-      else throw new IllegalArgumentException(
-        s"Cannot determine connector type from connector name: '${m.name}'.")
+      else throw new GraftInputError(
+        s"Cannot determine connector type from connector name: '${m.name}'.",
+        guidance = Some("Connector names start with `source-` or `destination-`."),
+        context = ListMap("connector_name" -> m.name))
 
     val searchLower = search.toLowerCase(java.util.Locale.ROOT)
     def searchable(m: ConnectorMetadata): Seq[String] =
@@ -304,10 +316,14 @@ object InteractiveFlows {
       maxJobs: Int = 30,
       agentContext: String = "min",
       suppressUi: Boolean = false): SyncHistoryResult = {
-    require(maxJobs >= 1 && maxJobs <= 100,
-      s"max_jobs must be within [1, 100], got $maxJobs")
-    require(Set("verbose", "summary", "min")(agentContext),
-      s"agent_context must be one of verbose|summary|min, got '$agentContext'")
+    if (maxJobs < 1 || maxJobs > 100)
+      throw new GraftInputError(
+        s"max_jobs must be within [1, 100], got $maxJobs",
+        context = ListMap("max_jobs" -> maxJobs))
+    if (!Set("verbose", "summary", "min")(agentContext))
+      throw new GraftInputError(
+        s"agent_context must be one of verbose|summary|min, got '$agentContext'",
+        context = ListMap("agent_context" -> agentContext))
     val conn = ws.api.getConnection(connectionId)
     val name = if (conn.name.nonEmpty) conn.name else connectionId
     // from_tail=True: the LAST maxJobs jobs, newest first (:148-151)
@@ -434,8 +450,10 @@ object InteractiveFlows {
     private var filter: String = "All"
     def statusFilter: String = filter
     def setStatusFilter(category: String): this.type = {
-      require(validCategories(category),
-        s"unknown status category '$category' (valid: $validCategories)")
+      if (!validCategories(category))
+        throw new GraftInputError(
+          s"unknown status category '$category' (valid: $validCategories)",
+          context = ListMap("category" -> category))
       filter = category; this
     }
     def visibleRows: Seq[ConnectionSyncStatus] =
@@ -466,14 +484,22 @@ object InteractiveFlows {
       agentContext: String = "min",
       suppressUi: Boolean = false,
       nowMs: Long = System.currentTimeMillis()): WorkspaceSyncStatusResult = {
-    require(maxConnections >= 1 && maxConnections <= 100,
-      s"max_connections must be within [1, 100], got $maxConnections")
-    require(maxJobsPerConnection >= 1 && maxJobsPerConnection <= 10,
-      s"max_jobs_per_connection must be within [1, 10], got $maxJobsPerConnection")
-    require(recentHours >= 1 && recentHours <= 720,
-      s"recent_hours must be within [1, 720], got $recentHours")
-    require(Set("verbose", "summary", "min")(agentContext),
-      s"agent_context must be one of verbose|summary|min, got '$agentContext'")
+    if (maxConnections < 1 || maxConnections > 100)
+      throw new GraftInputError(
+        s"max_connections must be within [1, 100], got $maxConnections",
+        context = ListMap("max_connections" -> maxConnections))
+    if (maxJobsPerConnection < 1 || maxJobsPerConnection > 10)
+      throw new GraftInputError(
+        s"max_jobs_per_connection must be within [1, 10], got $maxJobsPerConnection",
+        context = ListMap("max_jobs_per_connection" -> maxJobsPerConnection))
+    if (recentHours < 1 || recentHours > 720)
+      throw new GraftInputError(
+        s"recent_hours must be within [1, 720], got $recentHours",
+        context = ListMap("recent_hours" -> recentHours))
+    if (!Set("verbose", "summary", "min")(agentContext))
+      throw new GraftInputError(
+        s"agent_context must be one of verbose|summary|min, got '$agentContext'",
+        context = ListMap("agent_context" -> agentContext))
 
     val statuses = ws.api.listConnections().take(maxConnections).map { conn =>
       val jobs = ws.api.listJobs(conn.connectionId)

@@ -1,5 +1,6 @@
 package graft.mcp
 
+import scala.collection.immutable.ListMap
 import scala.jdk.CollectionConverters._
 import scala.util.{Failure, Success, Try}
 
@@ -7,6 +8,7 @@ import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types._
 
+import graft.errors.GraftInputError
 import graft.cache.SparkCache
 import graft.protocol.WriteStrategy
 import graft.sources.{Destination, ReadResult, Secrets, Source}
@@ -177,20 +179,24 @@ object LocalTools {
       val text = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
       val node = try mapper.readTree(text) catch {
         case e: Exception =>
-          throw new IllegalArgumentException(s"Error reading configuration file $f: $e")
+          throw new GraftInputError(s"Error reading configuration file $f: $e",
+            guidance = Some("The file must contain a JSON object."),
+            context = ListMap("config_file" -> f), cause = e)
       }
       if (node == null || !node.isObject)
-        throw new IllegalArgumentException(
-          s"Configuration file must contain a valid JSON object")
+        throw new GraftInputError(
+          "Configuration file must contain a valid JSON object",
+          context = ListMap("config_file" -> f))
       doc = Secrets.deepUpdate(doc, node.toString)
     }
     config.foreach { c =>
       val node = try mapper.readTree(c) catch {
         case e: Exception =>
-          throw new IllegalArgumentException(s"Invalid JSON in config parameter: $e")
+          throw new GraftInputError(s"Invalid JSON in config parameter: $e",
+            cause = e)
       }
       if (!node.isObject)
-        throw new IllegalArgumentException("Parsed JSON config must be an object")
+        throw new GraftInputError("Parsed JSON config must be an object")
       doc = Secrets.deepUpdate(doc, node.toString)
     }
     if (Secrets.containsSecretReference(mapper.readTree(doc)))
@@ -199,11 +205,13 @@ object LocalTools {
     configSpecJsonSchema.foreach { spec =>
       val hardcoded = Secrets.detectHardcodedSecrets(doc, Some(spec))
       if (hardcoded.nonEmpty)
-        throw new IllegalArgumentException(
+        throw new GraftInputError(
           "Configuration contains hardcoded secrets in fields: " +
-            hardcoded.map(_.mkString(".")).mkString(", ") +
-            ". Please use environment variables instead: set the value to " +
-            "`secret_reference::ENV_VAR_NAME`.")
+            hardcoded.map(_.mkString(".")).mkString(", ") + ".",
+          guidance = Some("Please use environment variables instead: set " +
+            "the value to `secret_reference::ENV_VAR_NAME`."),
+          context = ListMap(
+            "fields" -> hardcoded.map(_.mkString(".")).mkString(", ")))
     }
     configSecretName.foreach { secretName =>
       TrustedExecution.requireTrusted(
@@ -214,8 +222,9 @@ object LocalTools {
         case _: Exception => null
       }
       if (node == null || !node.isObject)
-        throw new IllegalArgumentException(
-          s"Secret '$secretName' must contain a valid JSON object")
+        throw new GraftInputError(
+          s"Secret '$secretName' must contain a valid JSON object",
+          context = ListMap("secret_name" -> secretName))
       doc = Secrets.deepUpdate(doc, node.toString)
     }
     doc

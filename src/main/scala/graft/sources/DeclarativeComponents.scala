@@ -4,6 +4,8 @@ import scala.collection.mutable.ArrayBuffer
 import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+import graft.errors.ManifestError
 import com.fasterxml.jackson.databind.node.ObjectNode
 
 /**
@@ -205,7 +207,8 @@ object DeclarativeComponents {
         s"paginator type '$other' not supported (DefaultPaginator, NoPagination)")
     }
     val strat = Option(pag.get("pagination_strategy")).getOrElse(
-      throw new IllegalArgumentException("DefaultPaginator needs pagination_strategy"))
+      throw new ManifestError("DefaultPaginator needs pagination_strategy",
+        Map("component" -> "DefaultPaginator")))
     val kind = Option(strat.get("type")).map(_.asText()).getOrElse("")
     val paramName = Option(pag.get("page_token_option"))
       .flatMap { opt =>
@@ -219,19 +222,22 @@ object DeclarativeComponents {
     val pageSize = Option(strat.get("page_size")).map(_.asInt()).getOrElse(
       kind match {
         case "CursorPagination" => Int.MaxValue // cursor decides, not size
-        case _ => throw new IllegalArgumentException(s"$kind needs page_size")
+        case _ => throw new ManifestError(s"$kind needs page_size",
+          Map("component" -> kind, "field" -> "page_size"))
       })
     kind match {
       case "PageIncrement" | "OffsetIncrement" =>
-        if (paramName.isEmpty) throw new IllegalArgumentException(
-          s"$kind needs page_token_option.field_name (request_parameter)")
+        if (paramName.isEmpty) throw new ManifestError(
+          s"$kind needs page_token_option.field_name (request_parameter)",
+          Map("component" -> kind, "field" -> "page_token_option.field_name"))
         Some(PaginatorSpec(kind, pageSize,
           Option(strat.get("start_from_page")).map(_.asInt()).getOrElse(0),
           Option(strat.get("inject_on_first_request")).exists(_.asBoolean()),
           paramName, None, stopOnMissing = false))
       case "CursorPagination" =>
         val tpl = Option(strat.get("cursor_value")).map(_.asText()).getOrElse(
-          throw new IllegalArgumentException("CursorPagination needs cursor_value"))
+          throw new ManifestError("CursorPagination needs cursor_value",
+            Map("component" -> "CursorPagination", "field" -> "cursor_value")))
         // stop_condition, when present, must be the standard
         // "cursor absent" shape — our walk already stops on a missing
         // cursor, so we only validate that the manifest means the same.
@@ -262,7 +268,8 @@ object DeclarativeComponents {
                 s"AddFields nested path ${path.mkString("/")} not supported")
               TransformOp("AddFields", path.head,
                 Some(Option(f.get("value")).map(_.asText()).getOrElse(
-                  throw new IllegalArgumentException("AddFields needs value"))),
+                  throw new ManifestError("AddFields needs value",
+                    Map("component" -> "AddFields")))),
                 Option(f.get("value_type")).map(_.asText()))
             }
           case "RemoveFields" =>
@@ -326,7 +333,9 @@ object TemplateEval {
         case "record" => walk(record, keys)
         case "response" => walk(response, keys)
         case "last_record" => walk(lastRecord, keys)
-        case other => throw new IllegalStateException(s"context $other")
+        case other => throw new ManifestError(
+          s"unknown template context '$other'",
+          Map("component" -> "template", "template_context" -> other))
       }
     case s if s.length >= 2 &&
         ((s.head == '\'' && s.last == '\'') || (s.head == '"' && s.last == '"')) =>
@@ -369,8 +378,9 @@ object ConditionEval {
       slice: Map[String, String], record: JsonNode): Boolean = {
     val expr = condition match {
       case wholeTemplate(e) => e.trim
-      case other => throw new IllegalArgumentException(
-        s"record filter condition must be a '{{ ... }}' template: $other")
+      case other => throw new ManifestError(
+        s"record filter condition must be a '{{ ... }}' template: $other",
+        Map("component" -> "record_filter"))
     }
     expr match {
       case cmp(l, op, r) =>

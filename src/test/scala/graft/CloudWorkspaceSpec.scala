@@ -305,8 +305,13 @@ class CloudWorkspaceSpec extends SparkTestBase {
     })
     val failed = ws.getSource(emptyId).check()
     assert(!failed.success && failed.toString.startsWith("Failed:"))
-    intercept[IllegalArgumentException](
+    // a failed check is a CONNECTOR error (IllegalStateException base,
+    // the ConnectorCheckFailedError convention) with named context
+    val checkErr = intercept[IllegalStateException](
       ws.getSource(emptyId).check(raiseOnError = true))
+    assert(checkErr.isInstanceOf[graft.errors.GraftError])
+    assert(checkErr.asInstanceOf[graft.errors.GraftError]
+      .context("connector_type") == "source")
     intercept[NoSuchElementException](ws.getSource("src-999"))
 
     // MCP describe tools surface the refreshed names
@@ -352,7 +357,7 @@ class CloudWorkspaceSpec extends SparkTestBase {
     // validation mirrors the reference messages
     assert(intercept[IllegalArgumentException](
       ws.publishCustomSourceDefinition("x", "- just\n- a list\n"))
-      .getMessage == "Manifest must be a dictionary")
+      .getMessage.startsWith("Manifest must be a dictionary"))
     assert(intercept[IllegalArgumentException](
       ws.publishCustomSourceDefinition("x", "foo: bar\n"))
       .getMessage.contains("missing required fields: version, type"))

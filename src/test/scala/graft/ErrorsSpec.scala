@@ -92,4 +92,70 @@ class ErrorsSpec extends AnyFunSuite {
     val e = new GraftConnectorError("Failed.", logFile = Some(p))
     assert(e.render.contains(s"Log file: ${p.toAbsolutePath}"))
   }
+
+  // ---- whole-API adoption: every user-facing boundary throws a ----
+  // ---- GraftError with named context, under its old JDK base ------
+
+  private def asGraft(t: Throwable): GraftError = {
+    assert(t.isInstanceOf[GraftError], s"${t.getClass} must join GraftError")
+    t.asInstanceOf[GraftError]
+  }
+
+  test("interactive-flows boundary: input guards carry context") {
+    import graft.mcp.InteractiveFlows
+    val e1 = intercept[IllegalArgumentException](
+      InteractiveFlows.SupportLevel.parse("gold"))
+    assert(asGraft(e1).context("support_level") == "gold")
+    val e2 = intercept[IllegalArgumentException](
+      InteractiveFlows.parseConnectorType("pipeline"))
+    assert(asGraft(e2).context("connector_type") == "pipeline")
+    assert(asGraft(e2).guidance.exists(_.contains("`source`")))
+  }
+
+  test("cloud-tools boundary: mutual-exclusion guards carry guidance") {
+    val ws = new graft.cloud.CloudWorkspace("w1",
+      new graft.cloud.LocalWorkspaceApi(SparkTestBase.session))
+    val e = intercept[IllegalArgumentException](
+      graft.mcp.CloudTools.updateCloudConnection(ws, "c1",
+        cronExpression = Some("0 * * * *"), manualSchedule = Some(true)))
+    val g = asGraft(e)
+    assert(g.context("connection_id") == "c1")
+    assert(g.guidance.exists(_.contains("manual-only")))
+  }
+
+  test("local-tools boundary: config JSON errors carry context") {
+    val e = intercept[IllegalArgumentException](
+      graft.mcp.LocalTools.resolveConnectorConfig(
+        config = Some("[1,2,3]"), configFile = None,
+        configSecretName = None, configSpecJsonSchema = None))
+    assert(asGraft(e).baseMessage.contains("must be an object"))
+  }
+
+  test("cache-destination bridge boundary: unsupported type carries context") {
+    val spark = SparkTestBase.session
+    val e = intercept[IllegalArgumentException](
+      graft.cloud.CacheDestinationBridge.destinationToCache(spark,
+        """{"destinationType":"oracle","database":"x"}"""))
+    val g = asGraft(e)
+    assert(g.context("destination_type") == "oracle")
+    assert(g.guidance.exists(_.contains("Supported cache types")))
+  }
+
+  test("custom-source-definition boundary: manifest errors are ManifestError") {
+    val e = intercept[ManifestError](
+      graft.cloud.CustomSourceDefinitions.validateManifest("type: Wrong\nversion: 1\n"))
+    assert(e.context("manifest_type") == "Wrong")
+    val e2 = intercept[ManifestError](
+      graft.cloud.CustomSourceDefinitions.validateManifest("version: 1\n"))
+    assert(e2.context("missing_fields") == "type")
+  }
+
+  test("connection-sync error joins the model with job context and log text") {
+    val e = new graft.cloud.ConnectionSyncError("conn-9", 42L, "connector exploded")
+    assert(e.isInstanceOf[GraftError])
+    assert(e.context == scala.collection.immutable.ListMap(
+      "connection_id" -> "conn-9", "job_id" -> 42L))
+    assert(e.render.contains("connector exploded"))
+    assert(e.render.contains("Job Id: 42"))
+  }
 }
