@@ -273,4 +273,115 @@ object SuffixQueries {
       |GROUP BY 1, 2
       |ORDER BY n_shared DESC, da, db
       |LIMIT 20""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q224: duplicated-token fraction — the Lee et al. 2022 §4 headline
+  // number for exact-substring dedup: what fraction of each source's
+  // tokens sits inside a span of ≥ L tokens that occurs AT LEAST TWICE
+  // anywhere in the corpus (within or across docs)? q164 finds the
+  // single longest repeat; this measures the total duplicated MASS the
+  // dedup pass would touch — the go/no-go audit before running it.
+  //
+  // Exactness via the SA property that the max LCP of a suffix with
+  // ANY other suffix is attained at an SA-order neighbor: a substring
+  // starting at position q occurs twice iff its length ≤ maxlcp(q) =
+  // max(LCP with prev, LCP with next). Token i of doc d is duplicated
+  // iff some q ≤ i has maxlcp(q) ≥ max(L, i−q+1) — i.e. i lies in the
+  // interval [q, q+maxlcp(q)) of a suffix with maxlcp(q) ≥ L. Tokens
+  // covered = per-doc interval-union length, computed by the
+  // running-max-end sweep (one doc-keyed window), never materializing
+  // per-token rows.
+  //
+  // Scale shape: reuses the PERSISTED suffix-array index (q163/q164's
+  // build, reloaded as pruned scans); adjacent pairs + the LCP descent
+  // are 2·log(n) keyed joins on the pair set; the neighbor-max and the
+  // sweep are one (d,p) shuffle + one doc-partitioned window; output
+  // is one row per source.
+  // ------------------------------------------------------------------
+  def q224DupTokenFraction(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val L = 5
+    val docs = shard(spark, dir)
+    val sa = cachedSa(spark, dir)
+    val ord = SuffixArray.order(sa).localCheckpoint()
+    val pairs = ord.as("a")
+      .join(ord.as("b"), col("b.rn") === col("a.rn") + 1)
+      .select(col("a.d").as("da"), col("a.p").as("pa"),
+        col("b.d").as("db"), col("b.p").as("pb"))
+    val withLcp = SuffixArray.lcp(sa, pairs)
+      .localCheckpoint() // read twice: once per neighbor direction
+    val spans = withLcp.select(col("da").as("d"), col("pa").as("p"), col("lcp"))
+      .unionByName(
+        withLcp.select(col("db").as("d"), col("pb").as("p"), col("lcp")))
+      .groupBy(col("d"), col("p")).agg(max(col("lcp")).as("m"))
+      .filter(col("m") >= L)
+    // interval-union sweep: contribution = end − max(start, running
+    // max end of earlier intervals), clamped at 0
+    val w = Window.partitionBy(col("d")).orderBy(col("p").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val covered = spans
+      .withColumn("e", col("p") + col("m")) // exclusive end
+      .withColumn("pm", max(col("e")).over(w))
+      .select(col("d"),
+        greatest(lit(0L),
+          col("e") - greatest(col("p"), coalesce(col("pm"), col("p"))))
+          .as("cov"))
+      .groupBy(col("d")).agg(sum(col("cov")).as("dup"))
+    docs
+      .select(col("doc_id").as("d"), col("source"),
+        size(array_remove(split(col("text"), " "), ""))
+          .cast(LongType).as("toks"))
+      .join(covered, Seq("d"), "left_outer")
+      .groupBy(col("source"))
+      .agg(sum(col("toks")).as("total_tokens"),
+        sum(coalesce(col("dup"), lit(0L))).as("dup_tokens"))
+      .withColumn("dup_permille",
+        expr("dup_tokens * 1000 div total_tokens"))
+      .orderBy(col("source"))
+  }
+
+  val q224Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source,
+      |    list_filter(string_split(text, ' '), t -> t <> '') AS tl
+      |  FROM documents WHERE doc_id % 10 = 0),
+      |suf AS (
+      |  SELECT doc_id, pos, list_slice(tl, pos, len(tl)) AS s
+      |  FROM (SELECT doc_id, tl, unnest(range(1, len(tl) + 1)) AS pos
+      |        FROM toks)),
+      |ord AS (
+      |  SELECT doc_id, pos, s,
+      |    ROW_NUMBER() OVER (ORDER BY s, doc_id, pos) AS rn
+      |  FROM suf),
+      |adj AS (
+      |  SELECT a.doc_id AS da, a.pos AS pa, b.doc_id AS db, b.pos AS pb,
+      |    CAST(len(list_filter(range(1, least(len(a.s), len(b.s)) + 1),
+      |      i -> list_slice(a.s, 1, i) = list_slice(b.s, 1, i))) AS BIGINT)
+      |      AS lcp
+      |  FROM ord a JOIN ord b ON b.rn = a.rn + 1),
+      |spans AS (
+      |  SELECT d, p, MAX(lcp) AS m FROM (
+      |    SELECT da AS d, pa AS p, lcp FROM adj
+      |    UNION ALL SELECT db, pb, lcp FROM adj) u
+      |  GROUP BY d, p HAVING MAX(lcp) >= 5),
+      |sweep AS (
+      |  SELECT d, p, p + m AS e,
+      |    MAX(p + m) OVER (PARTITION BY d ORDER BY p
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      |  FROM spans),
+      |cov AS (
+      |  SELECT d, CAST(SUM(GREATEST(0, e - GREATEST(p, COALESCE(pm, p))))
+      |    AS BIGINT) AS dup
+      |  FROM sweep GROUP BY d),
+      |tot AS (
+      |  SELECT doc_id AS d, source, CAST(len(tl) AS BIGINT) AS toks
+      |  FROM toks)
+      |SELECT source,
+      |  CAST(SUM(toks) AS BIGINT) AS total_tokens,
+      |  CAST(SUM(COALESCE(dup, 0)) AS BIGINT) AS dup_tokens,
+      |  CAST(SUM(COALESCE(dup, 0)) * 1000 // SUM(toks) AS BIGINT)
+      |    AS dup_permille
+      |FROM tot LEFT JOIN cov USING (d)
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
 }
