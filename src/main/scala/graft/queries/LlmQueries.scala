@@ -1700,4 +1700,83 @@ object LlmQueries {
       |  CAST(((COUNT(*) - COUNT(DISTINCT digest)) * 1000000)
       |    // COUNT(*) AS BIGINT) AS dup_micro
       |FROM chunks GROUP BY 1""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q225: benchmark-proximity screen in EMBEDDING space — the
+  // decontamination companion to the token-level screens (q47 n-gram
+  // semi-join, q73 bloom): a paraphrased or lightly-edited benchmark
+  // copy shares no 3-gram with the original but sits near cosine 1 in
+  // embedding space, which is exactly what token screens miss. For
+  // every corpus vector, the max cosine to ANY benchmark vector
+  // (vec_id % 89 = 0 — q73's bench gate), banded into audit buckets
+  // per label: dup_risk ≥ .95, near ≥ .90, related ≥ .80, clean.
+  // Similarities round to 4 dp then quantize to an integer permyriad
+  // BEFORE banding/summing, so band edges and totals are bit-portable
+  // across engines (the q35/q140 conventions).
+  //
+  // Scale shape: the bench side IS the benchmark suite — small by
+  // construction — broadcast once; each corpus row scores ≤ |bench|
+  // candidates map-side through the compiled DotProductExpression
+  // kernel (an intentional tiny-side broadcast BNLJ, q35's contract),
+  // the per-vector max is a partial agg, and the output is
+  // labels × 4 bands.
+  // ------------------------------------------------------------------
+  def q225BenchProximity(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val bench = emb.filter(col("vec_id") % 89 === 0)
+      .select(col("embedding").as("bv"))
+    val best = emb.filter(col("vec_id") % 89 =!= 0)
+      .crossJoin(broadcast(bench))
+      .select(col("vec_id"), col("label"),
+        round(Similarity.cosine(col("embedding"), col("bv")), 4).as("sim"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(round(max(col("sim")) * 10000).cast(LongType).as("pm"))
+    best
+      .withColumn("band",
+        when(col("pm") >= 9500, "dup_risk")
+          .when(col("pm") >= 9000, "near")
+          .when(col("pm") >= 8000, "related")
+          .otherwise("clean"))
+      .groupBy(col("label"), col("band"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("pm")).as("sum_best_pm"))
+      .orderBy(col("label"), col("band"))
+  }
+
+  val q225Sql: String =
+    """WITH b AS (
+      |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS bv
+      |  FROM embeddings WHERE vec_id % 89 = 0),
+      |c AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      |  FROM embeddings WHERE vec_id % 89 <> 0),
+      |scored AS (
+      |  SELECT c.vec_id, c.label,
+      |    ROUND(CASE
+      |      WHEN sqrt(list_dot_product(cv, cv))
+      |           * sqrt(list_dot_product(bv, bv)) > 0
+      |      THEN list_dot_product(cv, bv)
+      |           / (sqrt(list_dot_product(cv, cv))
+      |              * sqrt(list_dot_product(bv, bv)))
+      |      ELSE 0 END, 4) AS sim
+      |  FROM c CROSS JOIN b),
+      |best AS (
+      |  SELECT vec_id, label,
+      |    CAST(ROUND(MAX(sim) * 10000) AS BIGINT) AS pm
+      |  FROM scored GROUP BY vec_id, label),
+      |banded AS (
+      |  SELECT label,
+      |    CASE WHEN pm >= 9500 THEN 'dup_risk'
+      |         WHEN pm >= 9000 THEN 'near'
+      |         WHEN pm >= 8000 THEN 'related'
+      |         ELSE 'clean' END AS band,
+      |    pm
+      |  FROM best)
+      |SELECT label, band,
+      |  CAST(COUNT(*) AS BIGINT) AS n_vecs,
+      |  CAST(SUM(pm) AS BIGINT) AS sum_best_pm
+      |FROM banded
+      |GROUP BY label, band
+      |ORDER BY label, band""".stripMargin
 }

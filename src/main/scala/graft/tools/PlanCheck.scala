@@ -164,6 +164,9 @@ object PlanCheck {
               // variants are the raw-scale path) — broadcast is the
               // decimated side
               "q126_mutual_knn",
+              // q225: the bench side is the benchmark suite — small by
+              // construction — broadcast into the max-cosine screen
+              "q225_bench_proximity",
               // q152: 10-row query set broadcast into the scoring cross
               // join (q35's shape)
               "q152_hard_negatives",

@@ -405,6 +405,9 @@ class ExchangeBudgetSpec extends SparkTestBase {
                                  // rollup
     "q221_good_turing"    -> 2,  // (source, term) tally + per-source
                                  // freq-of-freq rollup
+    "q225_bench_proximity" -> 3, // per-vector max agg, band tally,
+                                 // final order range (bench side is a
+                                 // broadcast BNLJ by design)
     "q223_ngram_novelty"  -> 5,  // spread repartition (underpartition
                                  // guard), train-window distinct, the
                                  // eval join co-shuffle, countDistinct
