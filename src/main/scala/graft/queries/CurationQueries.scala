@@ -1133,4 +1133,102 @@ object CurationQueries {
       |    AS n_accented,
       |  md5(clean) AS clean_md5
       |FROM n""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q226: quality-rule ablation matrix — which of q64's Gopher rules
+  // does the filtering WORK? Per (lang, rule): docs/tokens failing the
+  // rule, and docs/tokens the rule ALONE removes (fails it, passes the
+  // other three) — the marginal mass you'd recover by dropping that
+  // rule. This is the triage every curation pipeline runs before
+  // tightening or relaxing a filter: a rule with large fail mass but
+  // near-zero sole-blocker mass is redundant; a rule with large
+  // sole-blocker mass is the binding constraint.
+  //
+  // Scale shape: identical to q64 — all four rules are per-row integer
+  // kernels (the compiled top-word counter included), ONE lang shuffle
+  // carrying 16 partial sums, then a 4-row-per-lang stack of the
+  // aggregated frame (post-agg, so the explode multiplies langs, not
+  // docs). Zero additional corpus passes over q64.
+  // ------------------------------------------------------------------
+  def q226RuleAblation(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val nWords = size(split(col("text"), " ")).cast(LongType)
+    val nWordChars = (length(col("text")) - (nWords - 1)).cast(LongType)
+    val padded = concat(lit(" "), col("text"), lit(" "))
+    val nStop = Seq("the", "a", "and", "of")
+      .map(w => when(padded.contains(s" $w "), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val topCount = TextHashFunctions.topWordCount(col("text")).cast(LongType)
+    val scored = docs.select(col("lang"), nWords.as("toks"),
+      (nWords >= 50).as("r1"),
+      (nWordChars >= nWords * 3 && nWordChars <= nWords * 10).as("r2"),
+      (nStop >= 2).as("r3"),
+      (topCount * 5 <= nWords).as("r4"))
+    val rules = Seq("r1", "r2", "r3", "r4")
+    val aggs = rules.flatMap { r =>
+      val fail = !col(r)
+      val sole = fail && rules.filterNot(_ == r).map(col).reduce(_ && _)
+      Seq(
+        sum(when(fail, 1L).otherwise(0L)).as(s"${r}_fail_docs"),
+        sum(when(fail, col("toks")).otherwise(0L)).as(s"${r}_fail_tokens"),
+        sum(when(sole, 1L).otherwise(0L)).as(s"${r}_sole_docs"),
+        sum(when(sole, col("toks")).otherwise(0L)).as(s"${r}_sole_tokens"))
+    }
+    val names = Map("r1" -> "wordcount", "r2" -> "meanlen",
+      "r3" -> "stopwords", "r4" -> "topword")
+    val stackArgs = rules.map { r =>
+      s"'${names(r)}', ${r}_fail_docs, ${r}_fail_tokens, " +
+        s"${r}_sole_docs, ${r}_sole_tokens"
+    }.mkString(", ")
+    scored.groupBy(col("lang")).agg(aggs.head, aggs.tail: _*)
+      .select(col("lang"), expr(s"stack(4, $stackArgs) AS " +
+        "(rule, fail_docs, fail_tokens, sole_docs, sole_tokens)"))
+      .orderBy(col("lang"), col("rule"))
+  }
+
+  val q226Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+      |    length(text) - (len(string_split(text, ' ')) - 1) AS n_word_chars,
+      |    (CASE WHEN ' ' || text || ' ' LIKE '% the %' THEN 1 ELSE 0 END +
+      |     CASE WHEN ' ' || text || ' ' LIKE '% a %' THEN 1 ELSE 0 END +
+      |     CASE WHEN ' ' || text || ' ' LIKE '% and %' THEN 1 ELSE 0 END +
+      |     CASE WHEN ' ' || text || ' ' LIKE '% of %' THEN 1 ELSE 0 END) AS n_stop
+      |  FROM documents),
+      |top AS (
+      |  SELECT doc_id, MAX(c) AS top_count FROM (
+      |    SELECT doc_id, w, COUNT(*) AS c
+      |    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      |    WHERE w <> '' GROUP BY doc_id, w) GROUP BY doc_id),
+      |scored AS (
+      |  SELECT b.lang, b.toks,
+      |    b.toks >= 50 AS r1,
+      |    b.n_word_chars >= b.toks * 3 AND b.n_word_chars <= b.toks * 10 AS r2,
+      |    b.n_stop >= 2 AS r3,
+      |    t.top_count * 5 <= b.toks AS r4
+      |  FROM base b JOIN top t USING (doc_id)),
+      |m AS (
+      |  SELECT lang, rule,
+      |    CASE rule
+      |      WHEN 'wordcount' THEN NOT r1
+      |      WHEN 'meanlen' THEN NOT r2
+      |      WHEN 'stopwords' THEN NOT r3
+      |      ELSE NOT r4 END AS fail,
+      |    CASE rule
+      |      WHEN 'wordcount' THEN NOT r1 AND r2 AND r3 AND r4
+      |      WHEN 'meanlen' THEN r1 AND NOT r2 AND r3 AND r4
+      |      WHEN 'stopwords' THEN r1 AND r2 AND NOT r3 AND r4
+      |      ELSE r1 AND r2 AND r3 AND NOT r4 END AS sole,
+      |    toks
+      |  FROM scored CROSS JOIN (
+      |    SELECT unnest(['wordcount', 'meanlen', 'stopwords', 'topword']) AS rule))
+      |SELECT lang, rule,
+      |  CAST(SUM(CASE WHEN fail THEN 1 ELSE 0 END) AS BIGINT) AS fail_docs,
+      |  CAST(SUM(CASE WHEN fail THEN toks ELSE 0 END) AS BIGINT) AS fail_tokens,
+      |  CAST(SUM(CASE WHEN sole THEN 1 ELSE 0 END) AS BIGINT) AS sole_docs,
+      |  CAST(SUM(CASE WHEN sole THEN toks ELSE 0 END) AS BIGINT) AS sole_tokens
+      |FROM m
+      |GROUP BY lang, rule
+      |ORDER BY lang, rule""".stripMargin
 }

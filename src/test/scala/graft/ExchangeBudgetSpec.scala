@@ -405,6 +405,9 @@ class ExchangeBudgetSpec extends SparkTestBase {
                                  // rollup
     "q221_good_turing"    -> 2,  // (source, term) tally + per-source
                                  // freq-of-freq rollup
+    "q226_rule_ablation"  -> 2,  // ONE lang shuffle with 16 partial
+                                 // sums (the stack is post-agg) +
+                                 // final order range
     "q225_bench_proximity" -> 3, // per-vector max agg, band tally,
                                  // final order range (bench side is a
                                  // broadcast BNLJ by design)
