@@ -242,6 +242,42 @@ object SuffixArray {
     Some(SA(tables.last._2, tables, metaRow.getAs[Long]("n_suffixes")))
   }
 
+  /** Persist the SA-adjacent LCP frame (da, pa, db, pb, lcp) — the
+    * canonical companion array of a suffix array: every repeat-mass
+    * query (longest repeats, duplicated-token fraction) starts from
+    * it, so it persists next to the rounds under the SAME staleness
+    * stamp (carried as a column; one table, no second meta). */
+  def persistAdjacentLcp(lcp: DataFrame, cache: graft.cache.SparkCache,
+      name: String, stamp: String): Unit =
+    writeExternal(cache, s"${name}__lcp",
+      lcp.select(col("da"), col("pa"), col("db"), col("pb"), col("lcp"),
+        lit(stamp).as("stamp")),
+      partitionBy = Nil)
+
+  /** Reload the persisted adjacent-LCP frame, or None when absent /
+    * stamp-stale / empty (an empty frame is cheap to recompute and
+    * indistinguishable from a failed write). */
+  def loadAdjacentLcp(cache: graft.cache.SparkCache, name: String,
+      stamp: String): Option[DataFrame] = {
+    if (!cache.tableExists(s"${name}__lcp")) return None
+    val t = cache.table(s"${name}__lcp")
+    val st = t.select(col("stamp")).limit(1).collect()
+      .headOption.map(_.getString(0))
+    if (!st.contains(stamp)) None
+    else Some(t.select("da", "pa", "db", "pb", "lcp"))
+  }
+
+  /** The SA-adjacent pair set with LCPs, computed from a built index:
+    * global order, rn/rn+1 self-join, sparse-table LCP descent. */
+  def adjacentLcp(sa: SA): DataFrame = {
+    val ord = order(sa).localCheckpoint()
+    val pairs = ord.as("a")
+      .join(ord.as("b"), col("b.rn") === col("a.rn") + 1)
+      .select(col("a.d").as("da"), col("a.p").as("pa"),
+        col("b.d").as("db"), col("b.p").as("pb"))
+    lcp(sa, pairs)
+  }
+
   /** External-table overwrite under the cache db's directory: data at
     * an explicit LOCATION so `DROP TABLE` / a dead catalog never
     * deletes the index, and `reopen()` can re-register it. */

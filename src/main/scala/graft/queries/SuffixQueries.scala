@@ -67,6 +67,40 @@ object SuffixQueries {
       })
   }
 
+  // The SA-adjacent LCP frame is the second half of the index (every
+  // repeat-mass query starts from it), so it shares the memo +
+  // persistence lifecycle: computed once per (corpus, stamp), persisted
+  // under the same staleness stamp, reloaded as a plain scan.
+  private val lcpCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def cachedAdjacentLcp(spark: SparkSession, dir: String): DataFrame = {
+    val f = java.nio.file.Paths.get(dir, "documents.parquet")
+    val stamp =
+      if (java.nio.file.Files.exists(f))
+        s"${java.nio.file.Files.getLastModifiedTime(f).toMillis}:${java.nio.file.Files.size(f)}"
+      else "absent"
+    if (lcpCache.size > 8) lcpCache.clear()
+    lcpCache.computeIfAbsent(
+      s"${spark.sparkContext.applicationId}|$dir|$stamp",
+      _ => {
+        if (spark.conf.get("graft.sa.persist", "true").toBoolean) {
+          val cache = new graft.cache.SparkCache(spark,
+            spark.conf.get("graft.sa.db", "graft_sa_index"))
+          cache.reopen()
+          val name = "sa_" + java.security.MessageDigest.getInstance("MD5")
+            .digest(dir.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString.take(12)
+          SuffixArray.loadAdjacentLcp(cache, name, stamp).getOrElse {
+            val lcp = SuffixArray.adjacentLcp(cachedSa(spark, dir))
+              .localCheckpoint()
+            SuffixArray.persistAdjacentLcp(lcp, cache, name, stamp)
+            SuffixArray.loadAdjacentLcp(cache, name, stamp).getOrElse(lcp)
+          }
+        } else SuffixArray.adjacentLcp(cachedSa(spark, dir)).localCheckpoint()
+      })
+  }
+
   // ------------------------------------------------------------------
   // q163: suffix-array ranks — dense rank of every corpus suffix in
   // lexicographic token order, built by prefix doubling (log-rounds of
@@ -110,13 +144,7 @@ object SuffixQueries {
   // ------------------------------------------------------------------
   def q164LongestRepeats(spark: SparkSession, dir: String): DataFrame = {
     val docs = shard(spark, dir)
-    val sa = cachedSa(spark, dir)
-    val ord = SuffixArray.order(sa).localCheckpoint()
-    val pairs = ord.as("a")
-      .join(ord.as("b"), col("b.rn") === col("a.rn") + 1)
-      .select(col("a.d").as("da"), col("a.p").as("pa"),
-        col("b.d").as("db"), col("b.p").as("pb"))
-    val withLcp = SuffixArray.lcp(sa, pairs).filter(col("lcp") >= 1)
+    val withLcp = cachedAdjacentLcp(spark, dir).filter(col("lcp") >= 1)
     val arrays = docs.select(col("doc_id").as("da"),
       array_remove(split(col("text"), " "), "").as("tl"))
     withLcp
@@ -302,14 +330,9 @@ object SuffixQueries {
     import org.apache.spark.sql.expressions.Window
     val L = 5
     val docs = shard(spark, dir)
-    val sa = cachedSa(spark, dir)
-    val ord = SuffixArray.order(sa).localCheckpoint()
-    val pairs = ord.as("a")
-      .join(ord.as("b"), col("b.rn") === col("a.rn") + 1)
-      .select(col("a.d").as("da"), col("a.p").as("pa"),
-        col("b.d").as("db"), col("b.p").as("pb"))
-    val withLcp = SuffixArray.lcp(sa, pairs)
-      .localCheckpoint() // read twice: once per neighbor direction
+    // read twice (once per neighbor direction) from the shared
+    // memoized/persisted LCP frame
+    val withLcp = cachedAdjacentLcp(spark, dir)
     val spans = withLcp.select(col("da").as("d"), col("pa").as("p"), col("lcp"))
       .unionByName(
         withLcp.select(col("db").as("d"), col("pb").as("p"), col("lcp")))

@@ -67,6 +67,20 @@ class SuffixArrayPersistSpec extends SparkTestBase {
     cache.dropAll()
   }
 
+  test("adjacent-LCP frame persists and reloads under the same stamp") {
+    val cache = SparkCache.fresh(spark, "graft_test_sa_lcp")
+    val built = SuffixArray.build(docs(), "doc_id", "text")
+    val lcp = SuffixArray.adjacentLcp(built)
+    val expect = lcp.collect().map(_.toSeq).toSet
+    SuffixArray.persistAdjacentLcp(lcp, cache, "sa_l", stamp = "s1")
+    assert(SuffixArray.loadAdjacentLcp(cache, "sa_l", "s2").isEmpty,
+      "stale stamp must refuse the LCP frame")
+    val re = SuffixArray.loadAdjacentLcp(cache, "sa_l", "s1")
+    assert(re.isDefined)
+    assert(re.get.collect().map(_.toSeq).toSet == expect)
+    cache.dropAll()
+  }
+
   test("a stale stamp refuses to load; a rewrite under the new stamp serves it") {
     val cache = SparkCache.fresh(spark, "graft_test_sa_stale")
     val built = SuffixArray.build(docs(), "doc_id", "text")
