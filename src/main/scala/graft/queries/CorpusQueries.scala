@@ -1250,4 +1250,71 @@ object CorpusQueries {
       |SELECT bucket, cum_tokens, cum_vocab, log_t, log_v,
       |  (SELECT round(regr_slope(log_v, log_t), 4) FROM pts) AS heaps_beta
       |FROM pts""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q227: Zipf-slope corpus health per source — the rank-frequency
+  // companion to q193's Heaps fit: natural text follows
+  // freq ∝ rank^s with s ≈ −1 over the head of the distribution;
+  // templated/boilerplate-heavy sources flatten (s → 0 head, a few
+  // terms dominate → steeper), and the per-source slope is the
+  // one-number triage for "does this source look like language".
+  // Fit over the top-200 ranks (the power-law head; the tail bends by
+  // construction), ln addends rounded at 6 dp before the regression
+  // (the q193/q131 exact-addend protocol), slope/intercept at 4 dp.
+  //
+  // Scale shape: ONE map-side-combined (source, term) tally; the rank
+  // window partitions by source over the VOCABULARY (not the corpus);
+  // everything after runs on ≤ 200 rows per source.
+  // ------------------------------------------------------------------
+  def q227ZipfSlope(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy(col("source"), col("t")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("c").desc, col("t").asc)
+    // n_types rides the SAME source-partitioned window pass as the
+    // rank — a separate groupBy would re-run the corpus token tally
+    counts
+      .withColumn("r", row_number().over(w).cast(LongType))
+      .withColumn("n_types",
+        count(lit(1)).over(Window.partitionBy(col("source"))))
+      .filter(col("r") <= 200)
+      .withColumn("log_r", round(log(col("r").cast(DoubleType)), 6))
+      .withColumn("log_c", round(log(col("c").cast(DoubleType)), 6))
+      .groupBy(col("source"))
+      .agg(max(col("n_types")).as("n_types"),
+        count(lit(1)).as("n_ranks"),
+        round(regr_slope(col("log_c"), col("log_r")), 4).as("zipf_slope"),
+        round(regr_intercept(col("log_c"), col("log_r")), 4)
+          .as("zipf_intercept"))
+      .select(col("source"), col("n_types"), col("n_ranks"),
+        col("zipf_slope"), col("zipf_intercept"))
+      .orderBy(col("source"))
+  }
+
+  val q227Sql: String =
+    """WITH counts AS (
+      |  SELECT source, u.t AS t, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM documents, UNNEST(string_split(text, ' ')) AS u(t)
+      |  WHERE u.t <> ''
+      |  GROUP BY source, u.t),
+      |ranked AS (
+      |  SELECT source, c,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY c DESC, t ASC) AS BIGINT) AS r,
+      |    CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_types
+      |  FROM counts),
+      |pts AS (
+      |  SELECT source, r, c, n_types,
+      |    round(ln(CAST(r AS DOUBLE)), 6) AS log_r,
+      |    round(ln(CAST(c AS DOUBLE)), 6) AS log_c
+      |  FROM ranked WHERE r <= 200)
+      |SELECT source, MAX(n_types) AS n_types,
+      |  CAST(COUNT(*) AS BIGINT) AS n_ranks,
+      |  round(regr_slope(log_c, log_r), 4) AS zipf_slope,
+      |  round(regr_intercept(log_c, log_r), 4) AS zipf_intercept
+      |FROM pts GROUP BY source
+      |ORDER BY source""".stripMargin
 }

@@ -405,6 +405,9 @@ class ExchangeBudgetSpec extends SparkTestBase {
                                  // rollup
     "q221_good_turing"    -> 2,  // (source, term) tally + per-source
                                  // freq-of-freq rollup
+    "q227_zipf_slope"     -> 3,  // (source,term) tally, the shared
+                                 // source window (rank + n_types),
+                                 // final order range
     "q226_rule_ablation"  -> 2,  // ONE lang shuffle with 16 partial
                                  // sums (the stack is post-agg) +
                                  // final order range
