@@ -82,6 +82,23 @@ final class StreamingBloom(val p: Int, val k: Int) {
     * [[graft.functions.BloomMightContain]] (same p, k, seeds). */
   def wordsSnapshot: Array[Long] = words.clone()
 
+  /** Map-side DataFrame screen over the CURRENT bitmap: rows of
+    * `batch` whose LONG `key` column is possibly-seen (`keepSeen =
+    * true`, e.g. "route suspects to the exact check") or definitely
+    * unseen (`keepSeen = false`, e.g. "drop everything the blocklist
+    * ever saw" — exact, because a bloom has no false negatives, only
+    * extra drops at the fpp rate). The probe is the codegen'd
+    * [[graft.functions.BloomMightContain]] over a broadcast snapshot —
+    * it inlines into the scan's whole-stage codegen, the streaming
+    * twin of q73's batch screen. Snapshot semantics: keys folded in
+    * AFTER this call do not affect the returned frame. */
+  def filterSeen(batch: DataFrame, keepSeen: Boolean = true): DataFrame = {
+    val bc = batch.sparkSession.sparkContext.broadcast(wordsSnapshot)
+    val probe = graft.functions.BloomMightContain.column(
+      col("key").cast(LongType), bc, p, k)
+    batch.filter(if (keepSeen) probe else !probe)
+  }
+
   /** Merge another shard's bitmap (same p, k) by OR — idempotent. */
   def merge(other: StreamingBloom): Unit = {
     require(other.p == p && other.k == k,

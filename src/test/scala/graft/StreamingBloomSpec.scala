@@ -73,4 +73,32 @@ class StreamingBloomSpec extends SparkTestBase {
       assert(e2.getMessage.contains("cannot resume"))
     } finally cache.dropAll()
   }
+
+  test("filterSeen screens map-side: unseen-drop is exact, seen-keep is a superset") {
+    val sb = new StreamingBloom(p = 16, k = 3)
+    val seen = (1L to 3000L).map(_ * 2654435761L)
+    sb.processBatch(spark.createDataset(seen).toDF("key"))
+    val fresh = (1L to 2000L).map(_ * 40503L + 7L).filterNot(seen.toSet)
+    val batch = spark.createDataset(seen.take(500) ++ fresh).toDF("key")
+    // keepSeen=false: every truly-seen key MUST be gone (no false
+    // negatives), survivors are a subset of the fresh keys
+    val unseen = sb.filterSeen(batch, keepSeen = false)
+      .collect().map(_.getLong(0)).toSet
+    assert(unseen.intersect(seen.toSet).isEmpty,
+      "a seen key survived the unseen-only screen")
+    assert(unseen.subsetOf(fresh.toSet))
+    // keepSeen=true: ALL seen keys kept; extras only at the fpp rate
+    val kept = sb.filterSeen(batch, keepSeen = true)
+      .collect().map(_.getLong(0)).toSet
+    assert(seen.take(500).forall(kept),
+      "a seen key was dropped by the seen-only screen")
+    // the two screens partition the batch
+    assert(kept.size + unseen.size == batch.count())
+    // snapshot semantics: later folds don't change an already-built frame
+    val frame = sb.filterSeen(batch, keepSeen = false)
+    val before = frame.count()
+    sb.processBatch(spark.createDataset(fresh.take(100)).toDF("key"))
+    assert(frame.count() == before,
+      "filterSeen must snapshot the bitmap at call time")
+  }
 }
