@@ -660,4 +660,49 @@ object GovernanceQueries {
       |  CAST(((2 * s - (n_docs + 1) * tot) * 1000000)
       |    // (CAST(n_docs AS HUGEINT) * tot) AS BIGINT) AS gini_micro
       |FROM agg""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q228: k-anonymity audit — the BASE metric of the release-privacy
+  // family next to q190 (l-diversity) and q203 (t-closeness), over the
+  // SAME quasi-identifier convention (lang, n_chars div 500): a record
+  // is k-anonymous iff at least k records share its quasi-identifier
+  // class, so the anonymity level of a release is the MINIMUM class
+  // size, and the re-identification exposure is the mass sitting in
+  // small classes. Per lang: class count, the k floor, and the
+  // docs/classes below the k=5 publishing threshold.
+  //
+  // Scale shape: ONE map-side-combined quasi-identifier tally (classes
+  // dimension, not corpus), then a per-lang rollup of the class table.
+  // ------------------------------------------------------------------
+  def q228KAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val classes = Tables.documents(spark, dir)
+      .select(col("lang"),
+        floor(col("n_chars") / lit(500)).cast(LongType).as("len_bucket"))
+      .groupBy(col("lang"), col("len_bucket"))
+      .agg(count(lit(1)).as("k"))
+    classes.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(col("k")).as("n_docs"),
+        min(col("k")).as("k_anonymity"),
+        sum(when(col("k") < 5, 1L).otherwise(0L)).as("classes_below_k5"),
+        sum(when(col("k") < 5, col("k")).otherwise(0L)).as("docs_below_k5"))
+      .orderBy(col("lang"))
+  }
+
+  val q228Sql: String =
+    """WITH classes AS (
+      |  SELECT lang, CAST(FLOOR(n_chars / 500) AS BIGINT) AS len_bucket,
+      |    CAST(COUNT(*) AS BIGINT) AS k
+      |  FROM documents GROUP BY lang, len_bucket)
+      |SELECT lang,
+      |  CAST(COUNT(*) AS BIGINT) AS n_classes,
+      |  CAST(SUM(k) AS BIGINT) AS n_docs,
+      |  CAST(MIN(k) AS BIGINT) AS k_anonymity,
+      |  CAST(SUM(CASE WHEN k < 5 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS classes_below_k5,
+      |  CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+      |    AS docs_below_k5
+      |FROM classes
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
 }

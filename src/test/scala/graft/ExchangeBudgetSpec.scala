@@ -405,6 +405,8 @@ class ExchangeBudgetSpec extends SparkTestBase {
                                  // rollup
     "q221_good_turing"    -> 2,  // (source, term) tally + per-source
                                  // freq-of-freq rollup
+    "q228_k_anonymity"    -> 3,  // quasi-identifier class tally,
+                                 // per-lang rollup, final order range
     "q227_zipf_slope"     -> 3,  // (source,term) tally, the shared
                                  // source window (rank + n_types),
                                  // final order range
