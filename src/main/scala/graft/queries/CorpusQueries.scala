@@ -1263,26 +1263,28 @@ object CorpusQueries {
   // (the q193/q131 exact-addend protocol), slope/intercept at 4 dp.
   //
   // Scale shape: ONE map-side-combined (source, term) tally; the rank
-  // window partitions by source over the VOCABULARY (not the corpus);
-  // everything after runs on ≤ 200 rows per source.
+  // head comes out of a bounded top-k heap (TopKTermAggregate) in the
+  // SAME per-source aggregation that counts n_types — map-side combine
+  // keeps at most 200 terms per source per partition, so the shuffle
+  // after the tally carries k-row heaps, never the vocabulary tail
+  // (a rank window would sort a source's whole 10⁸-term vocabulary on
+  // one reducer to discard all but 200 rows).
   // ------------------------------------------------------------------
   def q227ZipfSlope(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TopKTermAggregate.topKTerm
     val counts = Tables.documents(spark, dir)
       .select(col("source"), explode(split(col("text"), " ")).as("t"))
       .filter(col("t") =!= "")
       .groupBy(col("source"), col("t")).agg(count(lit(1)).as("c"))
-    val w = Window.partitionBy(col("source"))
-      .orderBy(col("c").desc, col("t").asc)
-    // n_types rides the SAME source-partitioned window pass as the
-    // rank — a separate groupBy would re-run the corpus token tally
     counts
-      .withColumn("r", row_number().over(w).cast(LongType))
-      .withColumn("n_types",
-        count(lit(1)).over(Window.partitionBy(col("source"))))
-      .filter(col("r") <= 200)
+      .groupBy(col("source"))
+      .agg(topKTerm(col("c"), col("t"), 200).as("head"),
+        count(lit(1)).as("n_types"))
+      .select(col("source"), col("n_types"),
+        posexplode(col("head")).as(Seq("pos", "e")))
+      .withColumn("r", (col("pos") + 1).cast(LongType))
       .withColumn("log_r", round(log(col("r").cast(DoubleType)), 6))
-      .withColumn("log_c", round(log(col("c").cast(DoubleType)), 6))
+      .withColumn("log_c", round(log(col("e.c").cast(DoubleType)), 6))
       .groupBy(col("source"))
       .agg(max(col("n_types")).as("n_types"),
         count(lit(1)).as("n_ranks"),

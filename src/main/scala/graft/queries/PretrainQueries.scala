@@ -257,26 +257,28 @@ object PretrainQueries {
   // q131: Zipf rank-frequency slope per source — the power-law sanity
   // check on a corpus's token distribution (natural text ≈ −1; a slope
   // near 0 flags templated/synthetic content, steep flags boilerplate).
-  // One token tally (the only corpus-sized shuffle), a per-source rank
-  // window over the tally (vocabulary-sized), and a least-squares slope
+  // One token tally (the only corpus-sized shuffle); the top-100 rank
+  // head comes out of a bounded per-source heap (TopKTermAggregate,
+  // map-side combined — a rank window would sort the whole per-source
+  // vocabulary on one reducer to keep 100 rows); least-squares slope
   // via regr_slope on log-log points (log2 values rounded to 6 dp →
   // identical regression inputs in both engines).
   // ------------------------------------------------------------------
   def q131ZipfSlope(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TopKTermAggregate.topKTerm
     val freq = Tables.documents(spark, dir)
       .select(col("source"), explode(split(col("text"), " ")).as("t"))
       .filter(col("t") =!= "")
       .groupBy(col("source"), col("t")).agg(count(lit(1)).as("cnt"))
     freq
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("source"))
-          .orderBy(col("cnt").desc, col("t"))))
-      .filter(col("rnk") <= 100)
+      .groupBy(col("source"))
+      .agg(topKTerm(col("cnt"), col("t"), 100).as("head"))
+      .select(col("source"), posexplode(col("head")).as(Seq("pos", "e")))
+      .withColumn("rnk", (col("pos") + 1).cast(IntegerType))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_ranks"),
         round(regr_slope(
-          round(log2(col("cnt").cast(DoubleType)), 6),
+          round(log2(col("e.c").cast(DoubleType)), 6),
           round(log2(col("rnk").cast(DoubleType)), 6)), 4).as("zipf_slope"))
   }
 

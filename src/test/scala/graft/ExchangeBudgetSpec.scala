@@ -124,7 +124,8 @@ class ExchangeBudgetSpec extends SparkTestBase {
                                  // type spine distinct, totals, psi
                                  // agg; all but the bin pass are
                                  // dimension-sized
-    "q131_zipf_slope"     -> 3,  // token tally, per-source rank window,
+    "q131_zipf_slope"     -> 3,  // token tally, per-source bounded
+                                 // top-k heap agg (map-side combined),
                                  // slope agg
     "q132_embed_corr"     -> 1,  // ONE single-partition gram gather —
                                  // the corpus never shuffles; pair
@@ -408,8 +409,9 @@ class ExchangeBudgetSpec extends SparkTestBase {
     "q228_k_anonymity"    -> 3,  // quasi-identifier class tally,
                                  // per-lang rollup, final order range
     "q227_zipf_slope"     -> 3,  // (source,term) tally, the shared
-                                 // source window (rank + n_types),
-                                 // final order range
+                                 // source heap agg (top-200 + n_types
+                                 // in one bounded pass), final order
+                                 // range
     "q226_rule_ablation"  -> 2,  // ONE lang shuffle with 16 partial
                                  // sums (the stack is post-agg) +
                                  // final order range
