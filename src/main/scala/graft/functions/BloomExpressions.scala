@@ -4,7 +4,7 @@ import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.types.{BooleanType, DataType}
 
 /**
@@ -30,12 +30,18 @@ case class BloomMightContain(
     bitmap: Broadcast[Array[Long]],
     p: Int,
     k: Int)
-  extends UnaryExpression {
+  extends UnaryExpression with ImplicitCastInputTypes {
 
   require(p >= 6 && p <= 26, s"p must be in [6,26], got $p")
   require(k >= 1 && k <= 16, s"k must be in [1,16], got $k")
 
   override def dataType: DataType = BooleanType
+
+  // analysis-time contract: the key must be (implicitly castable to)
+  // LONG — numeric children coerce, an incompatible child fails
+  // analysis instead of class-casting at runtime (interpreted) or
+  // silently mis-coercing (codegen)
+  override def inputTypes = GraftBridge.longInputTypes(1)
 
   private def mask: Long = (1L << p) - 1
 

@@ -285,9 +285,14 @@ object SuffixArray {
       df: DataFrame, partitionBy: Seq[String]): Unit = {
     val spark = df.sparkSession
     val t = cache.tableName(stream)
+    // directory = the catalog's database location (what reopen() walks,
+    // honoring a custom LOCATION) + the PREFIXED table name (what
+    // reopen() registers) — deriving either differently would register
+    // the index under a name load() never looks up (silent rebuild)
     val dir = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"),
-      s"${cache.database}.db/${graft.names.NameNormalizer.normalize(stream)}")
+      new org.apache.hadoop.fs.Path(
+        spark.catalog.getDatabase(cache.database).locationUri),
+      cache.tablePrefix + graft.names.NameNormalizer.normalize(stream))
     spark.sql(s"DROP TABLE IF EXISTS $t")
     val w = df.write.mode("overwrite").option("path", dir.toString)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)

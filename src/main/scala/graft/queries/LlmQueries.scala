@@ -1350,8 +1350,18 @@ object LlmQueries {
         col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("bands", "id_a", "id_b")
     // exact ground truth via inverted index (set-semantics Jaccard on
-    // distinct shingles: inter / (na + nb - inter))
-    val posts = withSig.select(col("id"), explode(col("shingles")).as("s"))
+    // distinct shingles: inter / (na + nb - inter)). The posting
+    // self-join is quadratic in each shingle's document frequency, so
+    // boilerplate shingles are CAPPED at df ≤ 50 (q165's winnowing
+    // convention, mirrored in the oracle): a shingle shared by >50 docs
+    // is template mass, not near-duplication evidence, and without the
+    // cap one hot shingle at corpus scale makes the truth side O(df²).
+    val dfCap = 50
+    val postsAll = withSig.select(col("id"), explode(col("shingles")).as("s"))
+    val posts = postsAll.join(
+      postsAll.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= dfCap).select(col("s")),
+      Seq("s"), "left_semi")
     val pairInter = posts.alias("x")
       .join(posts.alias("y"), col("x.s") === col("y.s") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
@@ -1410,7 +1420,10 @@ object LlmQueries {
       |  SELECT DISTINCT a.bands, a.id AS id_a, b.id AS id_b
       |  FROM banded a JOIN banded b
       |    ON a.bands = b.bands AND a.band_key = b.band_key AND a.id < b.id),
-      |posts AS (SELECT id, unnest(dsh) AS s FROM hashed),
+      |posts_all AS (SELECT id, unnest(dsh) AS s FROM hashed),
+      |posts AS (
+      |  SELECT id, s FROM posts_all
+      |  WHERE s IN (SELECT s FROM posts_all GROUP BY s HAVING COUNT(*) <= 50)),
       |pairs AS (
       |  SELECT x.id AS id_a, y.id AS id_b, COUNT(*) AS inter
       |  FROM posts x JOIN posts y ON x.s = y.s AND x.id < y.id
@@ -1720,8 +1733,33 @@ object LlmQueries {
   // kernel (an intentional tiny-side broadcast BNLJ, q35's contract),
   // the per-vector max is a partial agg, and the output is
   // labels × 4 bands.
+  //
+  // Path selection (the q147 pattern): the exact broadcast screen is
+  // linear in |corpus|×|bench| — right while the bench side is a fixed
+  // benchmark suite, a hazard when a user screens against a LARGE
+  // bench set. An explicit `graft.q225.ann` wins; otherwise a cheap
+  // bench-count probe auto-switches to the IVF composition
+  // (q225BenchProximityAnn) past `graft.q225.autoAnnBench` (default
+  // 50 000 bench vectors — past that the broadcast blob is tens of MB
+  // and the per-row candidate count stops being "tiny side").
   // ------------------------------------------------------------------
-  def q225BenchProximity(spark: SparkSession, dir: String): DataFrame = {
+  private val AutoAnnBenchDefault = 50000L
+
+  def q225BenchProximity(spark: SparkSession, dir: String): DataFrame =
+    spark.conf.getOption("graft.q225.ann").map(_.toBoolean) match {
+      case Some(true) => q225BenchProximityAnn(spark, dir)
+      case Some(false) => q225BenchProximityExact(spark, dir)
+      case None =>
+        val threshold = spark.conf.getOption("graft.q225.autoAnnBench")
+          .map(_.toLong).getOrElse(AutoAnnBenchDefault)
+        val benchCount = Tables.embeddings(spark, dir)
+          .filter(col("vec_id") % 89 === 0).count()
+        if (benchCount > threshold) q225BenchProximityAnn(spark, dir)
+        else q225BenchProximityExact(spark, dir)
+    }
+
+  private[graft] def q225BenchProximityExact(
+      spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val bench = emb.filter(col("vec_id") % 89 === 0)
       .select(col("embedding").as("bv"))
@@ -1731,6 +1769,40 @@ object LlmQueries {
         round(Similarity.cosine(col("embedding"), col("bv")), 4).as("sim"))
       .groupBy(col("vec_id"), col("label"))
       .agg(round(max(col("sim")) * 10000).cast(LongType).as("pm"))
+    q225Bands(best)
+  }
+
+  /**
+   * Large-bench path of q225: the per-vector best-bench cosine comes
+   * from `Similarity.ivfTopK` (q42's centroid-routed inverted lists —
+   * each corpus vector scores only the `nprobe` nearest bench lists,
+   * never the whole suite), k=1, then the same permyriad banding.
+   * Approximation is ONE-SIDED: a missed list can only lower the best
+   * sim, so vectors drift toward cleaner bands, never into dup_risk —
+   * AnnRecallSpec bounds the drift against the exact plan. Corpus
+   * vectors whose probed lists held no candidate band as clean (pm 0).
+   */
+  private[graft] def q225BenchProximityAnn(
+      spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val nlist = spark.conf.getOption("graft.q225.nlist").map(_.toInt).getOrElse(16)
+    val nprobe = spark.conf.getOption("graft.q225.nprobe").map(_.toInt).getOrElse(4)
+    val bench = emb.filter(col("vec_id") % 89 === 0)
+      .select(col("vec_id").as("bid"), col("embedding").as("bvec"))
+    val corp = emb.filter(col("vec_id") % 89 =!= 0)
+    val best = Similarity.ivfTopK(
+        bench, corp.select(col("vec_id"), col("embedding")),
+        "bid", "bvec", "vec_id", "embedding",
+        k = 1, nlist = nlist, nprobe = nprobe)
+      .select(col("query_id").as("vec_id"),
+        round(col("sim") * 10000).cast(LongType).as("pm"))
+    q225Bands(corp.select(col("vec_id"), col("label"))
+      .join(best, Seq("vec_id"), "left")
+      .withColumn("pm", coalesce(col("pm"), lit(0L))))
+  }
+
+  /** Shared banding/rollup tail: (vec_id, label, pm) → label × band. */
+  private def q225Bands(best: DataFrame): DataFrame =
     best
       .withColumn("band",
         when(col("pm") >= 9500, "dup_risk")
@@ -1741,7 +1813,6 @@ object LlmQueries {
       .agg(count(lit(1)).as("n_vecs"),
         sum(col("pm")).as("sum_best_pm"))
       .orderBy(col("label"), col("band"))
-  }
 
   val q225Sql: String =
     """WITH b AS (

@@ -326,8 +326,32 @@ object SuffixQueries {
   // sweep are one (d,p) shuffle + one doc-partitioned window; output
   // is one row per source.
   // ------------------------------------------------------------------
-  def q224DupTokenFraction(spark: SparkSession, dir: String): DataFrame = {
+  /**
+   * Per-doc interval-union length: spans (d, p, m) = "[p, p+m) is
+   * covered in doc d" → (d, dup) = total covered positions, overlaps
+   * and nesting counted ONCE. One doc-keyed window, never per-token
+   * rows: a span's contribution is end − max(start, running max end of
+   * earlier-starting spans), clamped at 0 (a nested span's end never
+   * exceeds the running max → contributes 0; a partial overlap counts
+   * only its uncovered tail). Correctness-critical for q224 and pinned
+   * by IntervalUnionSweepSpec against a brute-force position-marking
+   * reference.
+   */
+  private[graft] def intervalUnionCovered(spans: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("d")).orderBy(col("p").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    spans
+      .withColumn("e", col("p") + col("m")) // exclusive end
+      .withColumn("pm", max(col("e")).over(w))
+      .select(col("d"),
+        greatest(lit(0L),
+          col("e") - greatest(col("p"), coalesce(col("pm"), col("p"))))
+          .as("cov"))
+      .groupBy(col("d")).agg(sum(col("cov")).as("dup"))
+  }
+
+  def q224DupTokenFraction(spark: SparkSession, dir: String): DataFrame = {
     val L = 5
     val docs = shard(spark, dir)
     // read twice (once per neighbor direction) from the shared
@@ -338,18 +362,7 @@ object SuffixQueries {
         withLcp.select(col("db").as("d"), col("pb").as("p"), col("lcp")))
       .groupBy(col("d"), col("p")).agg(max(col("lcp")).as("m"))
       .filter(col("m") >= L)
-    // interval-union sweep: contribution = end − max(start, running
-    // max end of earlier intervals), clamped at 0
-    val w = Window.partitionBy(col("d")).orderBy(col("p").asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val covered = spans
-      .withColumn("e", col("p") + col("m")) // exclusive end
-      .withColumn("pm", max(col("e")).over(w))
-      .select(col("d"),
-        greatest(lit(0L),
-          col("e") - greatest(col("p"), coalesce(col("pm"), col("p"))))
-          .as("cov"))
-      .groupBy(col("d")).agg(sum(col("cov")).as("dup"))
+    val covered = intervalUnionCovered(spans)
     docs
       .select(col("doc_id").as("d"), col("source"),
         size(array_remove(split(col("text"), " "), ""))

@@ -425,7 +425,10 @@ object ConditionEval {
       case "<=" => c <= 0
       case ">" => c > 0
       case "<" => c < 0
-      case other => throw new IllegalArgumentException(s"operator $other")
+      case other => throw new ManifestError(
+        s"record_filter comparison operator '$other' unsupported",
+        Map("operator" -> other,
+          "supported" -> "== != >= <= > <"))
     }
   }
 

@@ -146,7 +146,8 @@ final class DeclarativeSource(
       try {
         val urls = sliceUrls(s)
         if (urls.isEmpty)
-          throw new IllegalStateException(s"check failed for '$s': no slices")
+          throw new graft.errors.ConnectorCheckFailedError(
+            name, "failed", s"stream '$s' produced no slices to check")
         val (url, slice) = urls.head
         val body = readLocal(url, fixtureRoot)
         val _ = slice
@@ -207,9 +208,10 @@ final class DeclarativeSource(
             val target = Option(a.get("inject_into"))
             target.flatMap(t => Option(t.get("inject_into")).map(_.asText()))
               .foreach { into =>
-                if (into != "header") throw new IllegalArgumentException(
+                if (into != "header") throw new graft.errors.ManifestError(
                   s"ApiKeyAuthenticator inject_into '$into' unsupported " +
-                    "(only 'header'; parameters would change fixture URLs)")
+                    "(only 'header'; parameters would change fixture URLs)",
+                  Map("inject_into" -> into, "supported" -> "header"))
               }
             val headerName = Option(a.get("header")).map(_.asText())
               .orElse(target.flatMap(t =>
@@ -388,9 +390,10 @@ final class DeclarativeSource(
 
   private def streamSchema(s: JsonNode): ObjectNode = {
     val loader = Option(s.get("schema_loader")).getOrElse(
-      throw new IllegalArgumentException(
+      throw new graft.errors.ManifestError(
         s"stream '${streamName(s)}' needs a schema_loader " +
-          "(InlineSchemaLoader or JsonFileSchemaLoader)"))
+          "(InlineSchemaLoader or JsonFileSchemaLoader)",
+        Map("stream_name" -> streamName(s), "component" -> "schema_loader")))
     Option(loader.get("type")).map(_.asText()).getOrElse("") match {
       case "InlineSchemaLoader" =>
         loader.get("schema").deepCopy[ObjectNode]()
@@ -538,8 +541,9 @@ object DeclarativeSource {
   private[sources] def resolvePointer(root: JsonNode, ref: String): JsonNode = {
     val parts = ref.stripPrefix("#").stripPrefix("/").split('/').filter(_.nonEmpty)
     parts.foldLeft(root) { (n, p) =>
-      Option(n.get(p)).getOrElse(throw new IllegalArgumentException(
-        s"manifest ref not found: $ref (missing '$p')"))
+      Option(n.get(p)).getOrElse(throw new graft.errors.ManifestError(
+        s"manifest ref not found: $ref (missing '$p')",
+        Map("ref" -> ref, "missing_segment" -> p)))
     }
   }
 
@@ -565,9 +569,12 @@ object DeclarativeSource {
       if (url.startsWith("file://")) url.stripPrefix("file://")
       else if (url.startsWith("http://") || url.startsWith("https://")) {
         val rest = url.replaceFirst("^https?://", "")
-        val root = fixtureRoot.getOrElse(throw new IllegalArgumentException(
+        val root = fixtureRoot.getOrElse(throw new graft.errors.GraftInputError(
           s"http(s) URL '$url' needs a fixtureRoot with recorded responses " +
-            "(this interpreter has no network egress)"))
+            "(this interpreter has no network egress)",
+          guidance = Some("Pass fixtureRoot pointing at a directory of " +
+            "recorded responses laid out as <root>/<host>/<path>."),
+          context = scala.collection.immutable.ListMap("url" -> url)))
         s"${root.stripSuffix("/")}/$rest"
       } else fixtureRoot match {
         case Some(root) if !url.startsWith("/") => s"${root.stripSuffix("/")}/$url"

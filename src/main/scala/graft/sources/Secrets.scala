@@ -26,7 +26,10 @@ object Secrets {
       catch { case _: Exception => false }
     /** `parse_json` (base.py:88-102). */
     def parseJson: JsonNode = {
-      if (!isJson) throw new IllegalArgumentException("Secret value is not valid JSON.")
+      if (!isJson) throw new graft.errors.GraftInputError(
+        "Secret value is not valid JSON.",
+        guidance = Some("parseJson requires the secret to hold a JSON " +
+          "object; use unwrap for plain string secrets."))
       Secrets.mapper.readTree(value)
     }
     override def toString: String = "<SecretString: ****>"
@@ -227,7 +230,12 @@ object Secrets {
   def hydrateSecrets(configJson: String): String = {
     val root = mapper.readTree(configJson)
     if (!root.isObject)
-      throw new IllegalArgumentException("config must be a JSON object")
+      throw new graft.errors.GraftInputError(
+        "config must be a JSON object",
+        guidance = Some("Pass the connector config as a JSON object " +
+          "(`{...}`), not a scalar or array."),
+        context = scala.collection.immutable.ListMap(
+          "config_node_type" -> root.getNodeType.toString))
     val copy = root.deepCopy[JsonNode]()
     hydrateObject(copy.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode])
     mapper.writeValueAsString(copy)

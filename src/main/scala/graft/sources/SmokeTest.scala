@@ -60,7 +60,11 @@ object SmokeTest {
   def loadCustomScenariosFile(path: String): Seq[SmokeTestScenarios.Scenario] = {
     val p = java.nio.file.Paths.get(path)
     if (!java.nio.file.Files.exists(p))
-      throw new IllegalArgumentException(s"Custom scenarios file not found: $path")
+      throw new graft.errors.GraftInputError(
+        s"Custom scenarios file not found: $path",
+        guidance = Some("Pass an existing JSON or YAML file via " +
+          "--custom-scenarios-file."),
+        context = scala.collection.immutable.ListMap("path" -> path))
     val text = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
     // YAML is a JSON superset here: one mapper reads both
     val node = new com.fasterxml.jackson.dataformat.yaml.YAMLMapper().readTree(text)
@@ -68,9 +72,10 @@ object SmokeTest {
       if (node != null && node.isArray) node
       else if (node != null && node.isObject && node.has("custom_scenarios"))
         node.get("custom_scenarios")
-      else throw new IllegalArgumentException(
+      else throw new graft.errors.GraftInputError(
         "Custom scenarios file must contain a list of scenarios " +
-          "or a dict with a 'custom_scenarios' key.")
+          "or a dict with a 'custom_scenarios' key.",
+        context = scala.collection.immutable.ListMap("path" -> path))
     SmokeTestSource
       .configFromJson(s"""{"custom_scenarios":${listNode.toString}}""")
       .customScenarios

@@ -305,8 +305,10 @@ object SmokeTestScenarios {
     * distributed ([[largeBatchFrame]]). */
   def recordStrings(s: Scenario): Seq[String] = s.recordGenerator match {
     case Some("large_batch") =>
-      throw new IllegalArgumentException(
-        "large_batch records are generated distributed; use largeBatchFrame")
+      throw new graft.errors.GraftInputError(
+        "large_batch records are generated distributed; use largeBatchFrame",
+        context = scala.collection.immutable.ListMap(
+          "scenario" -> s.name, "record_generator" -> "large_batch"))
     case Some("large_strings") =>
       val quick = ("The quick brown fox jumps over the lazy dog. " * 250).trim
       val pack = ("Pack my box with five dozen liquor jugs. " * 2500).trim
@@ -314,7 +316,11 @@ object SmokeTestScenarios {
         s"""{"id":1,"short_value":"${"x" * 1000}","medium_value":"${"y" * 10000}","large_value":"${"z" * 100000}"}""",
         s"""{"id":2,"short_value":"Hello, World!","medium_value":"$quick","large_value":"$pack"}""")
     case Some(other) =>
-      throw new IllegalArgumentException(s"unknown record generator '$other'")
+      throw new graft.errors.GraftInputError(
+        s"unknown record generator '$other'",
+        guidance = Some("Supported generators: large_batch, large_strings."),
+        context = scala.collection.immutable.ListMap(
+          "scenario" -> s.name, "record_generator" -> other))
     case None => s.records
   }
 

@@ -87,8 +87,10 @@ final class SmokeTestSource(
     * reference's message on an invalid configuration. */
   def check(): Unit = {
     if (scenarios.isEmpty)
-      throw new IllegalArgumentException(
-        "No scenarios available. Check scenario_filter config.")
+      throw new graft.errors.GraftInputError(
+        "No scenarios available. Check scenario_filter config.",
+        guidance = Some("The scenario_filter matched nothing; loosen or " +
+          "remove it, or add custom_scenarios."))
   }
 
   /** Connector spec (`spec`, source.py:81-191). */
@@ -215,34 +217,44 @@ object SmokeTestSource {
    * `large_batch_record_count`, `all_fast_streams`, `all_slow_streams`,
    * `scenario_filter`, `namespace`) with the reference's validation
    * messages (`_validate_custom_scenarios`, source.py:270-296; `check`
-   * :304-316). Throws IllegalArgumentException on the first problem.
+   * :304-316). Throws GraftInputError (an IllegalArgumentException)
+   * with the failing scenario named in the context on the first problem.
    */
   def configFromJson(json: String): SmokeTestConfig = {
     import scala.jdk.CollectionConverters._
+    import scala.collection.immutable.ListMap
+    def bad(msg: String, ctx: (String, Any)*): Nothing =
+      throw new graft.errors.GraftInputError(msg,
+        guidance = Some("Fix the custom_scenarios entry named in the " +
+          "context; each scenario needs a name, a json_schema object, " +
+          "and optionally a records array of objects."),
+        context = ListMap(ctx: _*))
     val root = mapper.readTree(json)
     val rawCustom = root.get("custom_scenarios")
     if (rawCustom != null && !rawCustom.isArray)
-      throw new IllegalArgumentException(
-        "'custom_scenarios' must be an array of objects.")
+      bad("'custom_scenarios' must be an array of objects.",
+        "config_key" -> "custom_scenarios")
     val custom = Option(rawCustom).toSeq.flatMap(_.elements().asScala.toSeq)
       .zipWithIndex.map { case (cs, i) =>
-        if (!cs.isObject) throw new IllegalArgumentException(
-          s"Custom scenario at index $i must be an object.")
+        if (!cs.isObject)
+          bad(s"Custom scenario at index $i must be an object.",
+            "scenario_index" -> i)
         val nm = Option(cs.get("name")).map(_.asText()).filter(_.nonEmpty)
-          .getOrElse(throw new IllegalArgumentException(
-            s"Custom scenario at index $i is missing 'name'."))
+          .getOrElse(bad(s"Custom scenario at index $i is missing 'name'.",
+            "scenario_index" -> i))
         val schemaNode = cs.get("json_schema")
         if (schemaNode == null || !schemaNode.isObject)
-          throw new IllegalArgumentException(
-            s"Custom scenario '$nm' must provide 'json_schema' as an object.")
+          bad(s"Custom scenario '$nm' must provide 'json_schema' as an object.",
+            "scenario" -> nm)
         val recsNode = cs.get("records")
         if (recsNode != null && !recsNode.isArray)
-          throw new IllegalArgumentException(
-            s"Custom scenario '$nm' has invalid 'records': expected an array of objects.")
+          bad(s"Custom scenario '$nm' has invalid 'records': expected an array of objects.",
+            "scenario" -> nm)
         val recs = Option(recsNode).toSeq.flatMap(_.elements().asScala.toSeq)
           .zipWithIndex.map { case (r, j) =>
-            if (!r.isObject) throw new IllegalArgumentException(
-              s"Custom scenario '$nm' record at index $j must be an object.")
+            if (!r.isObject)
+              bad(s"Custom scenario '$nm' record at index $j must be an object.",
+                "scenario" -> nm, "record_index" -> j)
             r.toString
           }
         val pk = Option(cs.get("primary_key")).filter(_.isArray).map { arr =>

@@ -32,13 +32,19 @@ object Sources {
     val picked = Seq(localExecutable.isDefined,
       sourceManifest.isDefined, manifestPath.isDefined).count(identity)
     if (picked > 1)
-      throw new IllegalArgumentException(
-        "localExecutable, sourceManifest and manifestPath are mutually exclusive")
+      throw new graft.errors.GraftInputError(
+        "localExecutable, sourceManifest and manifestPath are mutually exclusive",
+        guidance = Some("Pass exactly one of localExecutable, " +
+          "sourceManifest or manifestPath."),
+        context = scala.collection.immutable.ListMap("source_name" -> name))
     (localExecutable, sourceManifest, manifestPath) match {
       case (Some(cmd), _, _) =>
         new SubprocessSource(name,
-          catalog.getOrElse(throw new IllegalArgumentException(
-            "localExecutable needs a configured catalog (run discover first)")),
+          catalog.getOrElse(throw new graft.errors.GraftInputError(
+            "localExecutable needs a configured catalog (run discover first)",
+            guidance = Some("Call discover() on the connector and pass " +
+              "the resulting catalog."),
+            context = scala.collection.immutable.ListMap("source_name" -> name))),
           cmd)
       case (_, Some(yaml), _) =>
         new DeclarativeSource(name, yaml, config, fixtureRoot)

@@ -60,11 +60,15 @@ object ProtocolDataSource {
 
   def schemaFor(options: CaseInsensitiveStringMap): StructType = {
     val catalogJson = Option(options.get("catalogJson")).getOrElse(
-      throw new IllegalArgumentException(
-        "graft protocol source needs option 'catalogJson' (discover output)"))
+      throw new graft.errors.GraftInputError(
+        "graft protocol source needs option 'catalogJson' (discover output)",
+        guidance = Some("Pass .option(\"catalogJson\", source.discoverJson) " +
+          "on the read.")))
     val stream = Option(options.get("stream")).getOrElse(
-      throw new IllegalArgumentException(
-        "graft protocol source needs option 'stream'"))
+      throw new graft.errors.GraftInputError(
+        "graft protocol source needs option 'stream'",
+        guidance = Some("Pass .option(\"stream\", <stream name>) naming a " +
+          "stream from the configured catalog.")))
     val declared = ConfiguredCatalog.fromCatalogJson(catalogJson)(stream).schema
     StructType(declared.fields :+ StructField(ExtractedAt, TimestampType))
   }
@@ -76,7 +80,10 @@ object ProtocolDataSource {
       Option(options.get("paths")).map { js =>
         mapper.readTree(js).elements().asScala.map(_.asText()).toSeq
       }.orElse(Option(options.get("path")).map(Seq(_)))
-        .getOrElse(throw new IllegalArgumentException("no path given"))
+        .getOrElse(throw new graft.errors.GraftInputError(
+          "no path given",
+          guidance = Some("Pass .option(\"path\", ...) or a JSON array " +
+            "via .option(\"paths\", ...).")))
     val conf = new Configuration()
     paths.flatMap { p =>
       val hp = new Path(p)

@@ -15,13 +15,15 @@ import graft.functions.Mix64Expression
  *
  * Per batch the corpus maps each key to its k bit positions inside the
  * scan (k independently seeded codegen'd [[Mix64Expression]] draws,
- * pos_i = mix64(key ^ seed_i) & (m−1)), then a map-side
- * partial-deduped DISTINCT bounds what crosses the exchange to at most
- * m positions per partition; only the ≤m distinct positions reach the
- * driver. Because OR is idempotent, commutative, and associative, the
- * bitmap after any batch sequence equals the one-shot bitmap over
- * their union — at-least-once replays cannot corrupt membership, and
- * sharded bitmaps merge by the same OR.
+ * pos_i = mix64(key ^ seed_i) & (m−1)), each partition folds its
+ * positions into a LOCAL word array, and the partition bitmaps
+ * tree-reduce by OR — the driver receives ready-made m-bit blobs
+ * (m/8 bytes each), never position rows (a distinct+collect would
+ * ship up to min(k·n, 2^p) ≈ 67M rows at p=26). Because OR is
+ * idempotent, commutative, and associative, the bitmap after any
+ * batch sequence equals the one-shot bitmap over their union —
+ * at-least-once replays cannot corrupt membership, and sharded
+ * bitmaps merge by the same OR.
  *
  * Resume persists/restores the non-zero words through a cache table
  * (the [[StreamingDistinct]] convention), failing fast on a p
@@ -52,23 +54,36 @@ final class StreamingBloom(val p: Int, val k: Int) {
   }
 
   /** Fold one micro-batch (one LONG column `key`) into the bitmap.
-    * The k per-key positions are computed in the scan; DISTINCT's
-    * map-side partial dedup caps the exchange at m positions per
-    * partition, and the driver sees only the ≤m distinct positions. */
+    * The k per-key positions are computed in the scan (codegen'd);
+    * each partition ORs them into a local word array and the arrays
+    * tree-reduce — the only data that ever leaves an executor is the
+    * m-bit bitmap itself, never per-key position rows. */
   def processBatch(batch: DataFrame): Unit = {
     val keys = batch.select(col("key").cast(LongType).as("key"))
       .filter(col("key").isNotNull)
-    inserted += keys.count()
-    val pos = keys
+    val n = keys.count()
+    inserted += n
+    if (n == 0) return
+    val wlen = words.length
+    val folded = keys
       .select(explode(array((0 until k).map(i =>
         Mix64Expression.mix64(col("key"), seed(i))
           .bitwiseAND(lit(m - 1))): _*)).as("pos"))
-      .distinct()
-      .collect()
-    pos.foreach { r =>
-      val b = r.getLong(0)
-      words((b >>> 6).toInt) |= 1L << (b & 63)
-    }
+      .rdd.mapPartitions { it =>
+        val w = new Array[Long](wlen)
+        it.foreach { r =>
+          val b = r.getLong(0)
+          w((b >>> 6).toInt) |= 1L << (b & 63)
+        }
+        Iterator.single(w)
+      }
+      .treeReduce({ (a, b) =>
+        var i = 0
+        while (i < a.length) { a(i) |= b(i); i += 1 }
+        a
+      }, depth = 2)
+    var i = 0
+    while (i < words.length) { words(i) |= folded(i); i += 1 }
   }
 
   /** Membership: true = possibly seen (no false negatives). */

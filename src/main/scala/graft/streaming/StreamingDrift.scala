@@ -21,7 +21,7 @@ import org.apache.spark.sql.types._
  * age. The log2 addends round to 6 dp — the batch PSI is reproducible
  * regardless of batch partitioning (q89's exact-addend contract).
  */
-final class StreamingDrift(keyCol: String, valueCol: String, bins: Int = 10) {
+final class StreamingDrift(keyCol: String, valueCol: String, val bins: Int = 10) {
 
   @volatile private var reference: Option[DataFrame] = None
 
@@ -103,7 +103,12 @@ final class StreamingDrift(keyCol: String, valueCol: String, bins: Int = 10) {
     * THIS monitor's rows win — a reference is a frozen snapshot, and
     * re-binning two references with different per-key ranges is not
     * meaningful, so first-freeze-wins is the only consistent rule. */
-  def merge(other: StreamingDrift): Unit =
+  def merge(other: StreamingDrift): Unit = {
+    // same fail-fast contract as StreamingBloom.merge's p/k check: a
+    // shard frozen at a different --bins would silently misalign PSI
+    // for its keys (current values bin with THIS monitor's resolution)
+    require(other.bins == bins,
+      s"drift bin-count mismatch: $bins vs ${other.bins}")
     (reference, other.reference) match {
       case (Some(a), Some(b)) =>
         val mineOnly = a.select(col("k")).distinct()
@@ -113,6 +118,7 @@ final class StreamingDrift(keyCol: String, valueCol: String, bins: Int = 10) {
       case (None, b @ Some(_)) => reference = b
       case _ => ()
     }
+  }
 
   /** Persist the frozen reference for resume (cache-table convention;
     * an unfrozen monitor writes an empty table). */

@@ -13,6 +13,12 @@ object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** `AbstractDataType` is `private[sql]`; expressions outside this
+    * package that mix in ExpectsInputTypes need their input-type list
+    * built here. */
+  def longInputTypes(n: Int): Seq[types.AbstractDataType] =
+    Seq.fill(n)(types.LongType)
+
   /**
    * Distributed Arrow IPC export (reference S11, `caches/base.py:292-322`
    * — chunked `to_arrow`): each partition's rows become self-describing

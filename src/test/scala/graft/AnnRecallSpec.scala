@@ -107,4 +107,33 @@ class AnnRecallSpec extends SparkTestBase {
     }.toSeq.sortBy(_._1)
     assert(got == ref)
   }
+
+  test("q225: IVF off-ramp drifts one-sided vs the exact screen and keeps most dup_risk mass") {
+    import graft.queries.LlmQueries
+    val dir = sf()
+    def bands(df: org.apache.spark.sql.DataFrame): Map[(String, String), (Long, Long)] =
+      df.as[(String, String, Long, Long)].collect()
+        .map { case (l, b, n, s) => (l, b) -> (n, s) }.toMap
+    val exact = bands(LlmQueries.q225BenchProximityExact(spark, dir))
+    val ann = bands(LlmQueries.q225BenchProximityAnn(spark, dir))
+    // same universe: every corpus vector lands in exactly one band
+    assert(exact.values.map(_._1).sum == ann.values.map(_._1).sum)
+    // one-sided approximation: a missed list can only LOWER the best
+    // sim, so total best-pm mass never grows under ANN
+    val exactMass = exact.values.map(_._2).sum
+    val annMass = ann.values.map(_._2).sum
+    assert(annMass <= exactMass,
+      s"ANN mass $annMass must not exceed exact $exactMass")
+    // and the probed lists keep the bulk of it (recall floor for the
+    // default nlist=16 / nprobe=4 on the test corpus)
+    assert(annMass * 10 >= exactMass * 7,
+      s"ANN kept ${annMass}pm of ${exactMass}pm — recall fell below 70%")
+    // the screen's reason to exist: dup_risk detections survive routing
+    val exactDup = exact.collect { case ((_, "dup_risk"), (n, _)) => n }.sum
+    val annDup = ann.collect { case ((_, "dup_risk"), (n, _)) => n }.sum
+    assert(annDup <= exactDup, "ANN cannot invent dup_risk vectors")
+    if (exactDup > 0)
+      assert(annDup * 2 >= exactDup,
+        s"ANN found $annDup of $exactDup dup_risk vectors — below the 50% floor")
+  }
 }

@@ -75,4 +75,23 @@ class BloomMightContainSpec extends SparkTestBase {
     assert(filterLine.get.contains("*"),
       s"probe fell out of whole-stage codegen:\n$plan")
   }
+
+  test("non-LONG key fails analysis (ExpectsInputTypes), INT coerces") {
+    val sb = builtOver(Seq(1L, 2L))
+    val bc = spark.sparkContext.broadcast(sb.wordsSnapshot)
+    // an un-castable child (array) is rejected at ANALYSIS — the old
+    // bare UnaryExpression ClassCast'd at runtime instead
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.range(0, 3).toDF("key")
+        .select(BloomMightContain.column(array(lit(1.0)), bc, p, k))
+        .collect()
+    }
+    assert(e.getMessage.toLowerCase(java.util.Locale.ROOT).contains("type"))
+    // an INT child is implicitly cast to LONG and probes correctly
+    val ok = spark.range(0, 3).toDF("key")
+      .select(BloomMightContain.column(
+        col("key").cast(org.apache.spark.sql.types.IntegerType), bc, p, k).as("hit"))
+      .collect().map(_.getBoolean(0)).toSeq
+    assert(ok == Seq(false, true, true).map(identity))
+  }
 }

@@ -158,4 +158,47 @@ class ErrorsSpec extends AnyFunSuite {
     assert(e.render.contains("connector exploded"))
     assert(e.render.contains("Job Id: 42"))
   }
+
+  test("sources boundary: smoke-test config validation names the scenario") {
+    val e = intercept[IllegalArgumentException](
+      graft.sources.SmokeTestSource.configFromJson(
+        """{"custom_scenarios":[{"name":"s1"}]}"""))
+    val g = asGraft(e)
+    assert(g.baseMessage.contains("'json_schema'"))
+    assert(g.context("scenario") == "s1")
+    val e2 = intercept[IllegalArgumentException](
+      graft.sources.SmokeTestSource.configFromJson(
+        """{"custom_scenarios":[42]}"""))
+    assert(asGraft(e2).context("scenario_index") == 0)
+  }
+
+  test("sources boundary: factory arg conflicts carry the source name") {
+    val e = intercept[IllegalArgumentException](
+      graft.sources.Sources.getSource("demo",
+        localExecutable = Some(Seq("x")), sourceManifest = Some("y: 1")))
+    val g = asGraft(e)
+    assert(g.baseMessage.contains("mutually exclusive"))
+    assert(g.context("source_name") == "demo")
+  }
+
+  test("sources boundary: secrets validation is structured") {
+    val e = intercept[IllegalArgumentException](
+      graft.sources.Secrets.hydrateSecrets("[1,2]"))
+    val g = asGraft(e)
+    assert(g.baseMessage == "config must be a JSON object")
+    assert(g.context("config_node_type") == "ARRAY")
+    val s = new graft.sources.Secrets.SecretString("not json")
+    val e2 = intercept[IllegalArgumentException](s.parseJson)
+    assert(asGraft(e2).guidance.exists(_.contains("unwrap")))
+  }
+
+  test("sources boundary: v2 data-source option validation gives wiring guidance") {
+    val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("stream", "users"))
+    val e = intercept[IllegalArgumentException](
+      graft.sources.v2.ProtocolDataSource.schemaFor(opts))
+    val g = asGraft(e)
+    assert(g.baseMessage.contains("catalogJson"))
+    assert(g.guidance.exists(_.contains("discoverJson")))
+  }
 }

@@ -98,4 +98,19 @@ class StreamingDriftSpec extends SparkTestBase {
     } finally q.stop()
     assert(seen.map(_._1) == Seq("a") && seen.head._2 > 0.0)
   }
+
+  test("merge fails fast on a bin-count mismatch (StreamingBloom p/k contract)") {
+    import spark.implicits._
+    val a = new StreamingDrift("event_type", "value", bins = 10)
+    val b = new StreamingDrift("event_type", "value", bins = 8)
+    a.processBatch(Seq(("x", 1.0), ("x", 2.0)).toDF("event_type", "value"))
+    b.processBatch(Seq(("y", 1.0), ("y", 2.0)).toDF("event_type", "value"))
+    val e = intercept[IllegalArgumentException](a.merge(b))
+    assert(e.getMessage.contains("bin-count mismatch"))
+    // same bins still merges key-disjoint shards
+    val c = new StreamingDrift("event_type", "value", bins = 10)
+    c.processBatch(Seq(("z", 1.0), ("z", 2.0)).toDF("event_type", "value"))
+    a.merge(c)
+    assert(a.referenceHistogram.get.select("k").distinct().count() == 2)
+  }
 }

@@ -101,6 +101,26 @@ class SuffixArrayPersistSpec extends SparkTestBase {
     cache.dropAll()
   }
 
+  test("persist honors tablePrefix: reopen re-registers under the prefixed name") {
+    SparkCache.fresh(spark, "graft_test_sa_prefix").dropAll()
+    val cache = new SparkCache(spark, "graft_test_sa_prefix", tablePrefix = "pfx_")
+    val built = SuffixArray.build(docs(), "doc_id", "text")
+    SuffixArray.persist(built, cache, "sa_px", stamp = "s1")
+    val expectRanks = rankSet(built)
+
+    // fresh-JVM simulation: drop catalog entries, keep external files
+    spark.sql(s"DROP TABLE ${cache.tableName("sa_px__rounds")}")
+    spark.sql(s"DROP TABLE ${cache.tableName("sa_px__meta")}")
+    val cache2 = new SparkCache(spark, "graft_test_sa_prefix", tablePrefix = "pfx_")
+    val reopened = cache2.reopen()
+    assert(reopened.toSet == Set("pfx_sa_px__rounds", "pfx_sa_px__meta"),
+      s"reopen must find the PREFIXED directories: $reopened")
+    val loaded = SuffixArray.load(cache2, "sa_px", stamp = "s1")
+    assert(loaded.isDefined, "prefixed-cache index must reload, not silently rebuild")
+    assert(rankSet(loaded.get) == expectRanks)
+    cache.dropAll()
+  }
+
   test("loading round tables prunes to one partition directory") {
     val cache = SparkCache.fresh(spark, "graft_test_sa_prune")
     val built = SuffixArray.build(docs(), "doc_id", "text")
