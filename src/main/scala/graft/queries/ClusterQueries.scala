@@ -729,4 +729,215 @@ object ClusterQueries {
        |UNION ALL SELECT 3, (SELECT COUNT(*) FROM a3),
        |  (SELECT COUNT(*) FROM e3)""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // q229: HITS hubs & authorities (Kleinberg 1999) over the q79
+  // supplier link graph — the directed-graph dual of PageRank that
+  // crawl pipelines use to separate DIRECTORY pages (hubs: link to many
+  // good sources) from CONTENT pages (authorities: linked by many good
+  // hubs) when prioritizing fetch/refresh budgets. Two synchronous
+  // unrolled rounds: auth(v) = Σ hub over in-edges, hub(u) = Σ auth
+  // over out-edges, each renormalized to max = 10^6 in INTEGER
+  // arithmetic (x * 10^6 div max — bit-portable across engines, no
+  // float norms).
+  //
+  // Scale shape (the q79 contract): the edge list is pre-partitioned
+  // ONCE per join key (src for the auth step, dst for the hub step,
+  // both checkpointed) so each iteration re-shuffles only the k-node
+  // score vector, which rides `nodeSide` — broadcast under the 5M-node
+  // threshold, co-shuffled join beyond. The renormalizing max is a
+  // 1-row aggregate broadcast back. Iterations are fixed (2), so the
+  // whole plan is static.
+  // ------------------------------------------------------------------
+  def q229Hits(spark: SparkSession, dir: String): DataFrame = {
+    val sup = Tables.supplier(spark, dir).select(col("s_suppkey").as("node"))
+    val ns = sup.count()
+    val side = nodeSide(spark, ns) _
+    val edges = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey").as("src"),
+        (col("l_partkey") % ns + 1L).as("dst"))
+      .distinct()
+    val useBroadcast = ns <= nodeBroadcastLimit(spark)
+    val edgeBySrc =
+      (if (useBroadcast) edges else edges.repartition(col("src")))
+        .localCheckpoint()
+    val edgeByDst =
+      (if (useBroadcast) edgeBySrc else edgeBySrc.repartition(col("dst")))
+        .localCheckpoint()
+
+    def renorm(scores: DataFrame, c: String): DataFrame =
+      scores.crossJoin(
+          broadcast(scores.agg(max(col(c)).as("mx"))))
+        .select(col("node"),
+          expr(s"$c * 1000000 div greatest(mx, 1)").as(c))
+
+    var hub = sup.select(col("node"), lit(1000000L).as("h"))
+    var auth = sup.select(col("node"), lit(0L).as("a"))
+    for (_ <- 1 to 2) {
+      val aRaw = edgeBySrc
+        .join(side(hub.withColumnRenamed("node", "src")), "src")
+        .groupBy(col("dst")).agg(sum(col("h")).as("a"))
+        .withColumnRenamed("dst", "node")
+      // each score vector is read TWICE (next half-step + final join);
+      // the eager checkpoint materializes the k-node frame once instead
+      // of re-executing the whole preceding iteration chain per reader
+      auth = renorm(
+        sup.join(aRaw, Seq("node"), "left")
+          .select(col("node"), coalesce(col("a"), lit(0L)).as("a")), "a")
+        .localCheckpoint()
+      val hRaw = edgeByDst
+        .join(side(auth.withColumnRenamed("node", "dst")), "dst")
+        .groupBy(col("src")).agg(sum(col("a")).as("h"))
+        .withColumnRenamed("src", "node")
+      hub = renorm(
+        sup.join(hRaw, Seq("node"), "left")
+          .select(col("node"), coalesce(col("h"), lit(0L)).as("h")), "h")
+        .localCheckpoint()
+    }
+    auth.join(hub, "node")
+      .select(col("node"), col("a").as("auth_scaled"), col("h").as("hub_scaled"))
+      .orderBy(col("auth_scaled").desc, col("hub_scaled").desc, col("node").asc)
+      .limit(20)
+  }
+
+  val q229Sql: String = {
+    // one unrolled round: auth from hubs h<i-1>, hub from auths a<i>
+    def round(i: Int): String = {
+      val hPrev = s"h${i - 1}"
+      s"""ar$i AS (SELECT e.dst AS node, SUM($hPrev.h) AS a
+         |       FROM e JOIN $hPrev ON $hPrev.node = e.src GROUP BY e.dst),
+         |a$i AS (SELECT n.node,
+         |       COALESCE(ar$i.a, 0) * 1000000
+         |         // greatest((SELECT MAX(a) FROM ar$i), 1) AS a
+         |       FROM nodes n LEFT JOIN ar$i USING (node)),
+         |hr$i AS (SELECT e.src AS node, SUM(a$i.a) AS h
+         |       FROM e JOIN a$i ON a$i.node = e.dst GROUP BY e.src),
+         |h$i AS (SELECT n.node,
+         |       COALESCE(hr$i.h, 0) * 1000000
+         |         // greatest((SELECT MAX(h) FROM hr$i), 1) AS h
+         |       FROM nodes n LEFT JOIN hr$i USING (node))""".stripMargin
+    }
+    s"""WITH ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM supplier),
+       |nodes AS (SELECT s_suppkey AS node FROM supplier),
+       |e AS (SELECT DISTINCT l_suppkey AS src,
+       |        (l_partkey % (SELECT n FROM ns)) + 1 AS dst FROM lineitem),
+       |h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS h FROM nodes),
+       |${round(1)},
+       |${round(2)}
+       |SELECT a2.node, CAST(a2.a AS BIGINT) AS auth_scaled,
+       |  CAST(h2.h AS BIGINT) AS hub_scaled
+       |FROM a2 JOIN h2 USING (node)
+       |ORDER BY auth_scaled DESC, hub_scaled DESC, node ASC
+       |LIMIT 20""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // q230: Davies–Bouldin cluster-quality index per label — the
+  // centroid-based separation audit for an embedding space: for each
+  // label cluster, the worst (S_i + S_j) / M_ij ratio against any
+  // other cluster, where S is the RMS distance of members to their
+  // centroid and M the centroid distance. High ratio = the label
+  // blurs into a neighbor (mislabeled data, collapsed embedding space)
+  // — the audit you run before trusting label-stratified sampling or
+  // classifier training. Chosen over silhouette because silhouette is
+  // O(n²) in members; DB is centroid-based, so the corpus contributes
+  // ONE pass of per-(label,pos) integer sums and everything after is
+  // k×64-dimension arithmetic.
+  //
+  // Exactness protocol: components scale to 1e6 ints (q60), scatter
+  // numerator n·Σc² − (Σc)² accumulates in DECIMAL(38,0) with operands
+  // cast BEFORE the products (q217 — Long wraps past ~2^63), centroid
+  // distances fold left-to-right over pos-sorted arrays (the q60
+  // list_dot_product convention), S/M round at 6 dp and ratios at 4 dp.
+  // ------------------------------------------------------------------
+  def q230DaviesBouldin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val comps = e.select(col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("label"), col("pos"),
+        round(col("x").cast(DoubleType) * 1000000.0).cast(LongType).as("c"))
+    val byPos = comps.groupBy(col("label"), col("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"),
+        sum(col("c").cast("decimal(38,0)") * col("c").cast("decimal(38,0)"))
+          .as("sc2"))
+    val perLabel = byPos
+      .withColumn("ssd",
+        col("n").cast("decimal(38,0)") * col("sc2") -
+          col("sc").cast("decimal(38,0)") * col("sc").cast("decimal(38,0)"))
+      .withColumn("m", col("sc").cast(DoubleType) / col("n").cast(DoubleType))
+      .groupBy(col("label"))
+      .agg(max(col("n")).as("n_vecs"),
+        sum(col("ssd")).as("t"),
+        transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("cent"))
+      .withColumn("s", round(
+        sqrt(col("t").cast(DoubleType)) /
+          (col("n_vecs").cast(DoubleType) * 1000000.0), 6))
+      .select(col("label"), col("n_vecs"), col("s"), col("cent"))
+      .localCheckpoint() // k rows; both sides of the pair join
+    val a = perLabel.alias("a")
+    val b = perLabel.alias("b")
+    val ratios = a.join(b, col("a.label") =!= col("b.label"))
+      .withColumn("m_ij", round(
+        sqrt(aggregate(
+          zip_with(col("a.cent"), col("b.cent"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, v) => acc + v)) / 1000000.0, 6))
+      .withColumn("r", round(
+        (col("a.s") + col("b.s")) / greatest(col("m_ij"), lit(1e-12)), 4))
+    ratios
+      .groupBy(col("a.label").as("label"))
+      .agg(max(col("a.n_vecs")).as("n_vecs"),
+        max(col("a.s")).as("scatter"),
+        max(struct(col("r"), (-col("b.label")).as("neg")))
+          .as("worst"))
+      .select(col("label"), col("n_vecs"), col("scatter"),
+        (-col("worst.neg")).as("worst_other"),
+        col("worst.r").as("db_ratio"))
+      .orderBy(col("label"))
+  }
+
+  val q230Sql: String =
+    """WITH v AS (
+      |  SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      |  FROM embeddings),
+      |comp AS (
+      |  SELECT label, g.pos,
+      |    CAST(round(vec[CAST(g.pos AS INT)] * 1000000.0) AS BIGINT) AS c
+      |  FROM v CROSS JOIN generate_series(1, 64) g(pos)),
+      |bypos AS (
+      |  SELECT label, pos, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(c) AS BIGINT) AS sc,
+      |    SUM(CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0))) AS sc2
+      |  FROM comp GROUP BY label, pos),
+      |lab AS (
+      |  SELECT label, MAX(n) AS n_vecs,
+      |    SUM(CAST(n AS DECIMAL(38,0)) * sc2
+      |        - CAST(sc AS DECIMAL(38,0)) * CAST(sc AS DECIMAL(38,0))) AS t,
+      |    list(CAST(sc AS DOUBLE) / CAST(n AS DOUBLE) ORDER BY pos) AS cent
+      |  FROM bypos GROUP BY label),
+      |scat AS (
+      |  SELECT label, n_vecs,
+      |    round(sqrt(CAST(t AS DOUBLE)) / (CAST(n_vecs AS DOUBLE) * 1000000.0), 6) AS s,
+      |    cent
+      |  FROM lab),
+      |pairs AS (
+      |  SELECT a.label AS la, a.n_vecs, a.s AS sa, b.label AS lb, b.s AS sb,
+      |    round(sqrt(list_dot_product(
+      |      list_transform(range(1, 65),
+      |        i -> a.cent[CAST(i AS INT)] - b.cent[CAST(i AS INT)]),
+      |      list_transform(range(1, 65),
+      |        i -> a.cent[CAST(i AS INT)] - b.cent[CAST(i AS INT)]))) / 1000000.0, 6)
+      |      AS m_ij
+      |  FROM scat a JOIN scat b ON a.label <> b.label),
+      |ratios AS (
+      |  SELECT la, n_vecs, sa,
+      |    round((sa + sb) / greatest(m_ij, 1e-12), 4) AS r, lb
+      |  FROM pairs),
+      |worst AS (
+      |  SELECT la, n_vecs, sa, r, lb,
+      |    ROW_NUMBER() OVER (PARTITION BY la ORDER BY r DESC, lb ASC) AS rn
+      |  FROM ratios)
+      |SELECT la AS label, n_vecs, sa AS scatter, lb AS worst_other,
+      |  r AS db_ratio
+      |FROM worst WHERE rn = 1 ORDER BY label""".stripMargin
 }

@@ -155,6 +155,114 @@ object GovernanceQueries {
       |FROM scored GROUP BY bin""".stripMargin
 
   // ------------------------------------------------------------------
+  // q231: Brier-score decomposition (Murphy 1973) — the one-row audit
+  // behind q183's reliability table: Brier = mean (p − y)², split into
+  // reliability (binned calibration error, lower better), resolution
+  // (how much the bins separate outcomes, higher better), and
+  // uncertainty ō(1−ō) (the data's irreducible floor). The trio says
+  // WHY a quality/langid classifier's Brier is what it is — miscalibrated
+  // (fixable by recalibration) vs unresolving (needs new features).
+  // Same scorer and 10-bin layout as q183.
+  //
+  // Exactness: predictions live as micro-ints (q183), so Σ(p−y)² is
+  // the INTEGER Σ(pred_micro − y·10⁶)² — exact in DECIMAL(38,0) with
+  // operands cast before products (q217) — and the per-bin terms
+  // (sum_pred − n_pos·10⁶)² and (n_pos·N − P·n)² are exact integer
+  // decimals too; each bin's double addend rounds at 6 dp before the
+  // ≤10-row sum (q130's protocol), final values at 6 dp.
+  //
+  // Scale shape: ONE map-side-combined pass builds the global sums AND
+  // the 10-bin table; everything after is ≤10-row arithmetic.
+  // ------------------------------------------------------------------
+  def q231BrierDecomposition(spark: SparkSession, dir: String): DataFrame = {
+    val pred = round(lit(1.0) / (lit(1.0) +
+      exp(-(col("n_chars").cast(DoubleType) / 1000.0 - 1.0))), 6)
+    val scored = Tables.documents(spark, dir)
+      .select(
+        least(floor(pred * 10.0), lit(9.0)).cast(LongType).as("bin"),
+        round(pred * 1000000.0).cast(LongType).as("pred_micro"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+    val bins = scored.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("pred_micro")).as("sp"),
+        sum(col("y")).as("np"),
+        sum((col("pred_micro") - col("y") * 1000000L).cast("decimal(38,0)") *
+            (col("pred_micro") - col("y") * 1000000L).cast("decimal(38,0)"))
+          .as("se"))
+    val tot = bins.agg(
+        sum(col("n")).as("nn"), sum(col("np")).as("pp"),
+        sum(col("se")).as("se_all"))
+      .localCheckpoint() // 1 row, joined back twice
+    val dRel = (col("sp").cast("decimal(38,0)") -
+      col("np").cast("decimal(38,0)") * lit(1000000L).cast("decimal(38,0)"))
+    val dRes = (col("np").cast("decimal(38,0)") * col("nn").cast("decimal(38,0)") -
+      col("pp").cast("decimal(38,0)") * col("n").cast("decimal(38,0)"))
+    bins.crossJoin(broadcast(tot))
+      .select(col("nn"), col("pp"), col("se_all"),
+        // reliability addend: n_k (p̄_k − ō_k)² = (sp − np·10⁶)²/(n_k·10¹²);
+        // the DIFFERENCE is exact integer decimal, the square runs in
+        // double (a decimal square of the resolution term would pass
+        // 10³⁸ at ~10¹² docs) — deterministic either way
+        round(dRel.cast(DoubleType) * dRel.cast(DoubleType) /
+          (col("n").cast(DoubleType) * 1e12), 6).as("rel_k"),
+        // resolution addend: n_k (ō_k − ō)² = (np·N − pp·n_k)²/(n_k·N²)
+        round(dRes.cast(DoubleType) * dRes.cast(DoubleType) /
+          (col("n").cast(DoubleType) * col("nn").cast(DoubleType) *
+            col("nn").cast(DoubleType)), 6).as("res_k"))
+      .groupBy(col("nn"), col("pp"), col("se_all"))
+      .agg(round(sum(col("rel_k")), 6).as("rel_sum"),
+        round(sum(col("res_k")), 6).as("res_sum"))
+      .select(
+        col("nn").as("n"),
+        round(col("se_all").cast(DoubleType) /
+          (col("nn").cast(DoubleType) * 1e12), 6).as("brier"),
+        round(col("rel_sum") / col("nn").cast(DoubleType), 6).as("reliability"),
+        round(col("res_sum") / col("nn").cast(DoubleType), 6).as("resolution"),
+        round(col("pp").cast(DoubleType) / col("nn").cast(DoubleType) *
+          (lit(1.0) - col("pp").cast(DoubleType) / col("nn").cast(DoubleType)), 6)
+          .as("uncertainty"))
+  }
+
+  val q231Sql: String =
+    """WITH scored AS (
+      |  SELECT
+      |    CAST(least(floor(round(1/(1+exp(-(CAST(n_chars AS DOUBLE)/1000.0 - 1.0))),6)*10.0), 9.0) AS BIGINT) AS bin,
+      |    CAST(round(round(1/(1+exp(-(CAST(n_chars AS DOUBLE)/1000.0 - 1.0))),6)*1000000.0) AS BIGINT) AS pred_micro,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      |  FROM documents),
+      |bins AS (
+      |  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(pred_micro) AS BIGINT) AS sp,
+      |    CAST(SUM(y) AS BIGINT) AS np,
+      |    SUM(CAST(pred_micro - y*1000000 AS DECIMAL(38,0))
+      |        * CAST(pred_micro - y*1000000 AS DECIMAL(38,0))) AS se
+      |  FROM scored GROUP BY bin),
+      |tot AS (
+      |  SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(np) AS BIGINT) AS pp,
+      |    SUM(se) AS se_all
+      |  FROM bins),
+      |addends AS (
+      |  SELECT t.nn, t.pp, t.se_all,
+      |    round(CAST(b.sp - b.np*1000000 AS DOUBLE)
+      |        * CAST(b.sp - b.np*1000000 AS DOUBLE)
+      |        / (CAST(b.n AS DOUBLE) * 1e12), 6) AS rel_k,
+      |    round(CAST(CAST(b.np AS DECIMAL(38,0)) * t.nn
+      |            - CAST(t.pp AS DECIMAL(38,0)) * b.n AS DOUBLE)
+      |        * CAST(CAST(b.np AS DECIMAL(38,0)) * t.nn
+      |            - CAST(t.pp AS DECIMAL(38,0)) * b.n AS DOUBLE)
+      |        / (CAST(b.n AS DOUBLE) * CAST(t.nn AS DOUBLE) * CAST(t.nn AS DOUBLE)), 6)
+      |      AS res_k
+      |  FROM bins b CROSS JOIN tot t)
+      |SELECT nn AS n,
+      |  round(CAST(se_all AS DOUBLE) / (CAST(nn AS DOUBLE) * 1e12), 6) AS brier,
+      |  round(round(SUM(rel_k), 6) / CAST(nn AS DOUBLE), 6) AS reliability,
+      |  round(round(SUM(res_k), 6) / CAST(nn AS DOUBLE), 6) AS resolution,
+      |  round(CAST(pp AS DOUBLE) / CAST(nn AS DOUBLE)
+      |    * (1.0 - CAST(pp AS DOUBLE) / CAST(nn AS DOUBLE)), 6) AS uncertainty
+      |FROM addends
+      |GROUP BY nn, pp, se_all""".stripMargin
+
+  // ------------------------------------------------------------------
   // q151: URL canonicalization dedup — the cheapest, first dedup pass
   // of a crawl pipeline: normalize scheme/host case, strip default
   // ports and trailing slashes, drop tracking parameters (utm_*, ref,

@@ -408,6 +408,14 @@ class ExchangeBudgetSpec extends SparkTestBase {
                                  // freq-of-freq rollup
     "q228_k_anonymity"    -> 3,  // quasi-identifier class tally,
                                  // per-lang rollup, final order range
+    "q230_davies_bouldin" -> 2,  // post-checkpoint: k²-pair worst-ratio
+                                 // rollup + final order range (the one
+                                 // corpus pass — the (label,pos) tally —
+                                 // sits behind the k-row checkpoint)
+    "q231_brier_decomposition" -> 3, // ONE bin tally; the 1-row totals
+                                 // gather is checkpointed, the ≤10-row
+                                 // addend rollup + final keyed agg ride
+                                 // two tiny exchanges
     "q227_zipf_slope"     -> 3,  // (source,term) tally, the shared
                                  // source heap agg (top-200 + n_types
                                  // in one bounded pass), final order
