@@ -167,6 +167,12 @@ object PlanCheck {
               // q225: the bench side is the benchmark suite — small by
               // construction — broadcast into the max-cosine screen
               "q225_bench_proximity",
+              // q230: k-row (≤64-label) per-label stats self-paired for
+              // the worst-separation ratio — dimension × dimension
+              "q230_davies_bouldin",
+              // q231: 1-row corpus-totals broadcast into the ≤10-bin
+              // addend table (q86's shape)
+              "q231_brier_decomposition",
               // q152: 10-row query set broadcast into the scoring cross
               // join (q35's shape)
               "q152_hard_negatives",
