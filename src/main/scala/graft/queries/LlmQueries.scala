@@ -1850,4 +1850,228 @@ object LlmQueries {
       |FROM banded
       |GROUP BY label, band
       |ORDER BY label, band""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q232: containment screen — the ASYMMETRIC dedup measure symmetric
+  // Jaccard misses: a short quote lifted from a long doc has
+  // C(quote→doc) = |A∩B|/|A| ≈ 1 while J stays tiny (the union is
+  // dominated by the long doc) — exactly the partial copies every
+  // τ-Jaccard dedup pass leaves behind. The probe set is synthesized
+  // deterministically (the corpus has no excerpt column — q151's
+  // convention: the SCREEN is the operator under test): every 20th
+  // doc's 40-token prefix plays the "quote", and the screen must trace
+  // each one back to a containing corpus doc. 5-gram shingles (longer
+  // than q33's 3-grams: quotes must match verbatim runs, not shared
+  // vocabulary); flagged = containment ≥ 0.8 with Jaccard < 0.5.
+  //
+  // Scale shape: exact-class collapse on the corpus side, df ≤ 50
+  // boilerplate cap on the corpus postings (q146/q165), ONE
+  // directional posting join (probe × corpus — never a self-join), a
+  // bounded per-probe argmax (candidates ≤ df-cap × probe shingles).
+  // Integer permille output.
+  // ------------------------------------------------------------------
+  def q232Containment(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val classes = docs.groupBy(col("text")).agg(min(col("doc_id")).as("id"))
+    val corpus = classes.select(col("id"),
+        array_distinct(graft.functions.TextHashFunctions
+          .shingleMinhash(col("text"), 1, 5).getField("shingles")).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"), col("sh"), size(col("sh")).cast(LongType).as("n"))
+      .localCheckpoint()
+    val cPostsAll = corpus.select(col("id"), col("n"), explode(col("sh")).as("s"))
+    val cPosts = cPostsAll.join(
+      cPostsAll.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 50).select(col("s")),
+      Seq("s"), "left_semi")
+    val probes = docs.filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id").as("eid"),
+        concat_ws(" ", slice(array_remove(split(col("text"), " "), ""),
+          1, 40)).as("prefix"))
+      .select(col("eid"),
+        array_distinct(graft.functions.TextHashFunctions
+          .shingleMinhash(col("prefix"), 1, 5).getField("shingles")).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("eid"), size(col("sh")).cast(LongType).as("n_e"),
+        explode(col("sh")).as("s"))
+    val scored = probes
+      .join(cPosts.select(col("id").as("cid"), col("n").as("n_c"), col("s")), "s")
+      .groupBy(col("eid"), col("cid"), col("n_e"), col("n_c"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("cont_pm", expr("inter * 1000 div n_e"))
+      .withColumn("jac_pm", expr("inter * 1000 div (n_e + n_c - inter)"))
+    // best container per probe (bounded candidate set per eid)
+    val w = Window.partitionBy(col("eid"))
+      .orderBy(col("cont_pm").desc, col("jac_pm").desc, col("cid").asc)
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("cont_pm") >= 800 && col("jac_pm") < 500)
+      .select(col("eid").as("excerpt_id"), col("cid").as("container_id"),
+        col("n_e").as("n_excerpt"), col("n_c").as("n_container"),
+        col("inter"), col("cont_pm"), col("jac_pm"))
+      .orderBy(col("excerpt_id"))
+  }
+
+  val q232Sql: String =
+    """WITH cls AS (SELECT MIN(doc_id) AS id, text FROM documents GROUP BY text),
+      |ctoks AS (SELECT id, string_split(text, ' ') AS t FROM cls),
+      |csh AS (
+      |  SELECT id, list_distinct(list_transform(
+      |    range(1, greatest(len(t) - 4, 0) + 1),
+      |    i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))) AS dsh
+      |  FROM ctoks),
+      |corpus AS (
+      |  SELECT id, dsh, CAST(len(dsh) AS BIGINT) AS n
+      |  FROM csh WHERE len(dsh) > 0),
+      |cposts_all AS (SELECT id, n, unnest(dsh) AS s FROM corpus),
+      |cposts AS (
+      |  SELECT id, n, s FROM cposts_all
+      |  WHERE s IN (SELECT s FROM cposts_all GROUP BY s HAVING COUNT(*) <= 50)),
+      |ptoks AS (
+      |  SELECT doc_id AS eid,
+      |    list_slice(list_filter(string_split(text, ' '), w -> w <> ''), 1, 40) AS t
+      |  FROM documents WHERE doc_id % 20 = 0),
+      |psh AS (
+      |  SELECT eid, list_distinct(list_transform(
+      |    range(1, greatest(len(t) - 4, 0) + 1),
+      |    i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))) AS dsh
+      |  FROM ptoks),
+      |pposts AS (
+      |  SELECT eid, CAST(len(dsh) AS BIGINT) AS n_e, unnest(dsh) AS s
+      |  FROM psh WHERE len(dsh) > 0),
+      |scored AS (
+      |  SELECT p.eid, c.id AS cid, p.n_e, c.n AS n_c,
+      |    CAST(COUNT(*) AS BIGINT) AS inter
+      |  FROM pposts p JOIN cposts c ON p.s = c.s
+      |  GROUP BY 1, 2, 3, 4),
+      |pm AS (
+      |  SELECT eid, cid, n_e, n_c, inter,
+      |    inter * 1000 // n_e AS cont_pm,
+      |    inter * 1000 // (n_e + n_c - inter) AS jac_pm
+      |  FROM scored),
+      |best AS (
+      |  SELECT eid, cid, n_e, n_c, inter, cont_pm, jac_pm,
+      |    ROW_NUMBER() OVER (PARTITION BY eid
+      |      ORDER BY cont_pm DESC, jac_pm DESC, cid ASC) AS rn
+      |  FROM pm)
+      |SELECT eid AS excerpt_id, cid AS container_id,
+      |  n_e AS n_excerpt, n_c AS n_container, inter, cont_pm, jac_pm
+      |FROM best WHERE rn = 1 AND cont_pm >= 800 AND jac_pm < 500
+      |ORDER BY excerpt_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q233: dedup-threshold impact curve — "what would Jaccard-dedup at
+  // τ cost me?" for τ ∈ {50,60,70,80,90}%: the number of documents
+  // and token mass removed BEFORE running the pass, so the threshold
+  // is chosen from evidence, not convention. Removal semantics are
+  // q112's keep-lowest-id rule: a doc is redundant at τ iff it has
+  // Jaccard ≥ τ with ANY lower-id doc — one pair table serves every
+  // threshold (the sweep explodes thresholds over the pair frame, not
+  // over the corpus).
+  //
+  // Scale shape: exact-class collapse, df ≤ 50 capped postings, ONE
+  // posting-join pair aggregation, then the curve is arithmetic over
+  // pair rows; token totals are ONE map-side corpus tally. At corpus
+  // scale the pair table composes over q31's banded candidates instead
+  // — τ ≥ 0.5 makes LSH banding recall-safe — the exact posting join
+  // here is the calibration anchor (q146's contract).
+  // ------------------------------------------------------------------
+  def q233DedupThresholdCurve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val classes = docs.groupBy(col("text")).agg(min(col("doc_id")).as("id"))
+    val withSh = classes.select(col("id"),
+        array_distinct(graft.functions.TextHashFunctions
+          .shingleMinhash(col("text"), 1, 3).getField("shingles")).as("sh"),
+        size(array_remove(split(col("text"), " "), ""))
+          .cast(LongType).as("toks"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"), col("toks"), col("sh"),
+        size(col("sh")).cast(LongType).as("n"))
+      .localCheckpoint()
+    val postsAll = withSh.select(col("id"), col("n"), explode(col("sh")).as("s"))
+    val posts = postsAll.join(
+      postsAll.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 50).select(col("s")),
+      Seq("s"), "left_semi")
+    val pairs = posts.alias("a")
+      .join(posts.alias("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jac_pm", expr("inter * 1000 div (n_a + n_b - inter)"))
+    // redundant set per τ: distinct HIGHER ids with a ≥τ partner below
+    val taus = Seq(500L, 600L, 700L, 800L, 900L)
+    val removed = pairs
+      .select(col("id_b").as("id"), col("jac_pm"),
+        explode(array(taus.map(lit): _*)).as("tau"))
+      .filter(col("jac_pm") >= col("tau"))
+      .select(col("tau"), col("id")).distinct()
+      .join(withSh.select(col("id"), col("toks")), "id")
+      .groupBy(col("tau"))
+      .agg(count(lit(1)).as("n_docs_removed"),
+        sum(col("toks")).as("tokens_removed"))
+    val totals = withSh.agg(
+      count(lit(1)).as("n_classes"), sum(col("toks")).as("total_tokens"))
+    taus.toDF("tau")
+      .join(removed, Seq("tau"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("tau"),
+        coalesce(col("n_docs_removed"), lit(0L)).as("n_docs_removed"),
+        coalesce(col("tokens_removed"), lit(0L)).as("tokens_removed"),
+        col("n_classes"), col("total_tokens"),
+        expr("coalesce(tokens_removed, cast(0 as bigint)) * 1000000 div total_tokens")
+          .as("removed_micro"))
+      .orderBy(col("tau"))
+  }
+
+  val q233Sql: String =
+    """WITH cls AS (
+      |  SELECT MIN(doc_id) AS id, text FROM documents GROUP BY text),
+      |toks AS (SELECT id, string_split(text, ' ') AS t FROM cls),
+      |sh AS (
+      |  SELECT id,
+      |    list_distinct(list_transform(
+      |      range(1, greatest(len(t) - 2, 0) + 1),
+      |      i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS dsh,
+      |    CAST(len(list_filter(t, w -> w <> '')) AS BIGINT) AS toks
+      |  FROM toks),
+      |sized AS (
+      |  SELECT id, toks, dsh, CAST(len(dsh) AS BIGINT) AS n
+      |  FROM sh WHERE len(dsh) > 0),
+      |posts_all AS (SELECT id, n, unnest(dsh) AS s FROM sized),
+      |posts AS (
+      |  SELECT id, n, s FROM posts_all
+      |  WHERE s IN (SELECT s FROM posts_all GROUP BY s HAVING COUNT(*) <= 50)),
+      |pairs AS (
+      |  SELECT a.id AS id_a, b.id AS id_b, a.n AS n_a, b.n AS n_b,
+      |    CAST(COUNT(*) AS BIGINT) AS inter
+      |  FROM posts a JOIN posts b ON a.s = b.s AND a.id < b.id
+      |  GROUP BY 1, 2, 3, 4),
+      |jac AS (
+      |  SELECT id_b AS id, inter * 1000 // (n_a + n_b - inter) AS jac_pm
+      |  FROM pairs),
+      |taus(tau) AS (VALUES (CAST(500 AS BIGINT)), (CAST(600 AS BIGINT)),
+      |  (CAST(700 AS BIGINT)), (CAST(800 AS BIGINT)), (CAST(900 AS BIGINT))),
+      |removed AS (
+      |  SELECT t.tau, j.id FROM taus t JOIN jac j ON j.jac_pm >= t.tau
+      |  GROUP BY t.tau, j.id),
+      |rm AS (
+      |  SELECT r.tau, CAST(COUNT(*) AS BIGINT) AS n_docs_removed,
+      |    CAST(SUM(s.toks) AS BIGINT) AS tokens_removed
+      |  FROM removed r JOIN sized s ON s.id = r.id GROUP BY r.tau),
+      |tot AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+      |    CAST(SUM(toks) AS BIGINT) AS total_tokens
+      |  FROM sized)
+      |SELECT t.tau,
+      |  COALESCE(rm.n_docs_removed, 0) AS n_docs_removed,
+      |  COALESCE(rm.tokens_removed, 0) AS tokens_removed,
+      |  tot.n_classes, tot.total_tokens,
+      |  COALESCE(rm.tokens_removed, 0) * 1000000 // tot.total_tokens
+      |    AS removed_micro
+      |FROM taus t LEFT JOIN rm ON rm.tau = t.tau CROSS JOIN tot
+      |ORDER BY t.tau""".stripMargin
 }

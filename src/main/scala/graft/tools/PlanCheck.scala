@@ -173,6 +173,9 @@ object PlanCheck {
               // q231: 1-row corpus-totals broadcast into the ≤10-bin
               // addend table (q86's shape)
               "q231_brier_decomposition",
+              // q233: 1-row corpus-totals broadcast into the 5-row
+              // threshold curve (q86's shape)
+              "q233_dedup_threshold_curve",
               // q152: 10-row query set broadcast into the scoring cross
               // join (q35's shape)
               "q152_hard_negatives",

@@ -408,6 +408,16 @@ class ExchangeBudgetSpec extends SparkTestBase {
                                  // freq-of-freq rollup
     "q228_k_anonymity"    -> 3,  // quasi-identifier class tally,
                                  // per-lang rollup, final order range
+    "q232_containment"    -> 8,  // corpus df tally + capped-posting
+                                 // semi-join co-shuffle, probe×corpus
+                                 // posting join, (eid,cid) pair agg,
+                                 // per-probe argmax window, final order
+                                 // range (probe side explodes map-side)
+    "q233_dedup_threshold_curve" -> 9, // same posting machinery as
+                                 // q232 (self-join flavor) + (tau,id)
+                                 // distinct, tau rollup, token
+                                 // join-back, 1-row totals gather,
+                                 // final order range
     "q230_davies_bouldin" -> 2,  // post-checkpoint: k²-pair worst-ratio
                                  // rollup + final order range (the one
                                  // corpus pass — the (label,pos) tally —
