@@ -1319,4 +1319,254 @@ object CorpusQueries {
       |  round(regr_intercept(log_c, log_r), 4) AS zipf_intercept
       |FROM pts GROUP BY source
       |ORDER BY source""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q235: term burstiness (Church & Gale 1995) — for every CORPUS-WIDE
+  // term (document frequency ≥ 5% of docs), the mean occurrences per
+  // CONTAINING document: burstiness = tf / df. High-df terms with high
+  // burstiness are the boilerplate signature (navigation chrome,
+  // license headers — the same string repeated many times wherever it
+  // appears); high-df low-burstiness terms are ordinary function words.
+  // This is the term-level triage that picks candidates for q113's
+  // span-level boilerplate extraction.
+  //
+  // Scale shape: one (doc, term) tally (map-side combined — per-doc tf
+  // bounds what crosses), one term rollup, a 1-row totals gather for
+  // the relative df gate, final order range. The ≥5% relative gate
+  // bounds the OUTPUT independently of corpus size: Σdf = total
+  // tokens, so at most mean_doc_len / 0.05 terms can clear it — the
+  // result is a fixed-size report at any N, and no top-k heap or rank
+  // window is needed at all.
+  // ------------------------------------------------------------------
+  def q235TermBurstiness(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+    val stats = tf.groupBy(col("t"))
+      .agg(count(lit(1)).as("df"), sum(col("c")).as("tf"))
+    val totals = docs.agg(count(lit(1)).as("n_docs"))
+    stats.crossJoin(totals)
+      .filter(col("df") * 20 >= col("n_docs"))
+      .select(col("t").as("term"), col("df"), col("tf"),
+        round(col("tf").cast(DoubleType) / col("df").cast(DoubleType), 4)
+          .as("burstiness"),
+        round(col("df").cast(DoubleType) / col("n_docs").cast(DoubleType), 4)
+          .as("doc_coverage"),
+        (col("tf") >= col("df") * 2).as("boilerplate_flag"))
+      .orderBy(col("df").desc, col("term"))
+  }
+
+  val q235Sql: String =
+    """WITH tf AS (
+      |  SELECT doc_id, u.t AS t, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM documents, UNNEST(string_split(text, ' ')) AS u(t)
+      |  WHERE u.t <> ''
+      |  GROUP BY doc_id, u.t),
+      |stats AS (
+      |  SELECT t, CAST(COUNT(*) AS BIGINT) AS df, CAST(SUM(c) AS BIGINT) AS tf
+      |  FROM tf GROUP BY t),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+      |SELECT t AS term, df, tf,
+      |  round(CAST(tf AS DOUBLE) / CAST(df AS DOUBLE), 4) AS burstiness,
+      |  round(CAST(df AS DOUBLE) / CAST(n_docs AS DOUBLE), 4) AS doc_coverage,
+      |  tf >= df * 2 AS boilerplate_flag
+      |FROM stats, tot
+      |WHERE df * 20 >= n_docs
+      |ORDER BY df DESC, term""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q238: lexical-concentration profile per source — Yule's K (Yule
+  // 1944) and the unigram-entropy effective vocabulary (2^H, the
+  // "perplexity" of the source's term distribution). K measures how
+  // concentrated the repetition is (K ≈ 100–200 for natural prose;
+  // machine-generated or boilerplate-heavy text runs far higher);
+  // 2^H is the number of equally-likely types that would produce the
+  // same entropy — the two together separate "small vocabulary" from
+  // "skewed vocabulary", which Zipf slope (q131/q227) alone cannot.
+  //
+  // Identities that keep the plan tiny: Σ_m m²·V(m) = Σ_t cnt_t², so
+  // the frequency SPECTRUM never materializes — everything folds out
+  // of the (source, term) tally in one rollup. K's numerator and N²
+  // go through DECIMAL(38,0)/HUGEINT (cnt² sums overflow BIGINT on
+  // big sources); entropy addends are micro-int fixed-point
+  // (cnt·round(log2(cnt)·10⁶) — exact per-term, order-independent
+  // sum), so H = log2(N) − Σa/(10⁶·N) is ONE identical double
+  // expression over exact integers in both engines.
+  //
+  // Scale shape: one corpus-sized (source, term) tally (map-side
+  // combined), one per-source rollup, final order range. No window,
+  // no spectrum table, no top-k needed.
+  // ------------------------------------------------------------------
+  def q238LexicalConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val tally = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy(col("source"), col("t")).agg(count(lit(1)).as("cnt"))
+    val aMicro = col("cnt") *
+      round(log2(col("cnt").cast(DoubleType)) * lit(1000000.0), 0).cast(LongType)
+    tally
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("cnt")).as("n_tokens"),
+        sum((col("cnt").cast(dec) * col("cnt").cast(dec))).as("sum_cnt2"),
+        sum(aMicro.cast(dec)).as("sum_a"))
+      .select(col("source"), col("n_types"), col("n_tokens"),
+        // K = 10^4 · (Σcnt² − N) / N², published as micro-K (K·10⁶)
+        expr("CAST(((sum_cnt2 - n_tokens) * 10000000000) div " +
+          "(CAST(n_tokens AS DECIMAL(38,0)) * n_tokens) AS BIGINT)")
+          .as("yule_k_micro"),
+        round(log2(col("n_tokens").cast(DoubleType)) -
+          col("sum_a").cast(DoubleType) /
+            (lit(1000000.0) * col("n_tokens").cast(DoubleType)), 6)
+          .as("entropy_bits"),
+        round(pow(lit(2.0),
+          log2(col("n_tokens").cast(DoubleType)) -
+            col("sum_a").cast(DoubleType) /
+              (lit(1000000.0) * col("n_tokens").cast(DoubleType))), 4)
+          .as("effective_vocab"),
+        expr("CAST((n_types * 1000000) div n_tokens AS BIGINT)")
+          .as("ttr_micro"))
+      .orderBy(col("source"))
+  }
+
+  val q238Sql: String =
+    """WITH toks AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS t FROM documents),
+      |tally AS (
+      |  SELECT source, t, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM toks WHERE t <> '' GROUP BY source, t),
+      |agg AS (
+      |  SELECT source,
+      |    CAST(COUNT(*) AS BIGINT) AS n_types,
+      |    CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+      |    SUM(CAST(cnt AS HUGEINT) * cnt) AS sum_cnt2,
+      |    SUM(cnt * CAST(round(log2(CAST(cnt AS DOUBLE)) * 1000000.0, 0)
+      |      AS HUGEINT)) AS sum_a
+      |  FROM tally GROUP BY source)
+      |SELECT source, n_types, n_tokens,
+      |  CAST(((sum_cnt2 - n_tokens) * 10000000000) //
+      |    (CAST(n_tokens AS HUGEINT) * n_tokens) AS BIGINT) AS yule_k_micro,
+      |  round(log2(CAST(n_tokens AS DOUBLE)) -
+      |    CAST(sum_a AS DOUBLE) / (1000000.0 * CAST(n_tokens AS DOUBLE)), 6)
+      |    AS entropy_bits,
+      |  round(pow(2.0, log2(CAST(n_tokens AS DOUBLE)) -
+      |    CAST(sum_a AS DOUBLE) / (1000000.0 * CAST(n_tokens AS DOUBLE))), 4)
+      |    AS effective_vocab,
+      |  CAST((n_types * 1000000) // n_tokens AS BIGINT) AS ttr_micro
+      |FROM agg ORDER BY source""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q241: Burrows' Delta stylometric distance between sources (Burrows
+  // 2002) — over the corpus top-K most-frequent terms, the mean
+  // absolute z-score difference of per-source relative frequencies.
+  // Low Delta between two "different" sources flags shared templating
+  // or a mirrored crawl; uniformly high Delta certifies the style
+  // diversity a pretraining mix wants. The mean term cancels inside
+  // |z_a − z_b|, so Delta(a,b) = (1/K)·Σ_t |f_at − f_bt| / σ_t needs
+  // only per-term σ over sources — never a per-source mean table.
+  //
+  // Float parity: relative frequencies are exact ppb integers
+  // (cnt·10⁹ div total); σ_t's variance numerator n·S2 − S1² is exact
+  // DECIMAL/HUGEINT; each pair addend is ONE identical double
+  // expression (|Δf|/σ) micro-rounded to an integer before the exact
+  // sum, so no float accumulates across terms.
+  //
+  // Scale shape: one corpus-sized (source, term) tally, a corpus-term
+  // rollup feeding a BOUNDED global top-K heap (map-side pruned — the
+  // vocabulary never sorts on one task), then everything downstream is
+  // |sources|×K dimension-sized: densify via broadcast crossJoin,
+  // per-term σ over ≤|sources| rows, pairwise join on term. Output is
+  // |sources|² rows at any corpus size.
+  // ------------------------------------------------------------------
+  def q241BurrowsDelta(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TopKTermAggregate.topKTerm
+    val K = 150
+    val dec = DecimalType(38, 0)
+    val tally = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy(col("source"), col("t")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // reused: vocab gate AND the frequency table
+    val vocab = tally.groupBy(col("t")).agg(sum(col("cnt")).as("tot"))
+      .agg(topKTerm(col("tot"), col("t"), K).as("head"))
+      .select(explode(col("head")).as("e"))
+      .select(col("e.t").as("t"))
+    val totals = tally.groupBy(col("source")).agg(sum(col("cnt")).as("tot_s"))
+    val freqs = tally.join(broadcast(vocab), "t")
+      .join(broadcast(totals), "source")
+      .select(col("source"), col("t"),
+        expr("CAST((CAST(cnt AS DECIMAL(38,0)) * 1000000000) div tot_s " +
+          "AS BIGINT)").as("f"))
+    val dense = totals.select(col("source")).crossJoin(broadcast(vocab))
+      .join(freqs, Seq("source", "t"), "left")
+      .na.fill(0L, Seq("f"))
+      .localCheckpoint() // reused: per-term sigma AND both pair sides
+    val stats = dense.groupBy(col("t"))
+      .agg(count(lit(1)).as("n_s"),
+        sum(col("f")).as("s1"),
+        sum((col("f").cast(dec) * col("f").cast(dec))).as("s2"))
+      .withColumn("var_num",
+        col("n_s").cast(dec) * col("s2") - col("s1").cast(dec) * col("s1").cast(dec))
+      .filter(col("var_num") > 0)
+      .select(col("t"),
+        sqrt(col("var_num").cast(DoubleType) /
+          (col("n_s").cast(DoubleType) * (col("n_s") - lit(1L)).cast(DoubleType)))
+          .as("sigma"))
+    val a = dense.select(col("source").as("sa"), col("t"), col("f").as("fa"))
+    val b = dense.select(col("source").as("sb"), col("t"), col("f").as("fb"))
+    a.join(b, Seq("t")).filter(col("sa") < col("sb"))
+      .join(broadcast(stats), "t")
+      .withColumn("addend",
+        round(abs(col("fa") - col("fb")).cast(DoubleType) / col("sigma") *
+          lit(1000000.0), 0).cast(LongType))
+      .groupBy(col("sa"), col("sb"))
+      .agg(count(lit(1)).as("n_terms"),
+        expr("CAST(SUM(addend) div COUNT(*) AS BIGINT)").as("delta_micro"))
+      .orderBy(col("sa"), col("sb"))
+  }
+
+  val q241Sql: String =
+    """WITH toks AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS t FROM documents),
+      |tally AS (
+      |  SELECT source, t, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM toks WHERE t <> '' GROUP BY source, t),
+      |vocab AS (
+      |  SELECT t FROM (
+      |    SELECT t, SUM(cnt) AS tot,
+      |      row_number() OVER (ORDER BY SUM(cnt) DESC, t) AS r
+      |    FROM tally GROUP BY t) WHERE r <= 150),
+      |totals AS (
+      |  SELECT source, CAST(SUM(cnt) AS BIGINT) AS tot_s
+      |  FROM tally GROUP BY source),
+      |dense AS (
+      |  SELECT s.source, v.t,
+      |    COALESCE(CAST((CAST(c.cnt AS HUGEINT) * 1000000000) // c.tot_s
+      |      AS BIGINT), 0) AS f
+      |  FROM (SELECT source FROM totals) s CROSS JOIN vocab v
+      |  LEFT JOIN (SELECT tally.source, tally.t, cnt, tot_s
+      |    FROM tally JOIN totals ON tally.source = totals.source) c
+      |    ON c.source = s.source AND c.t = v.t),
+      |stats AS (
+      |  SELECT t,
+      |    sqrt(CAST(CAST(COUNT(*) AS HUGEINT) * SUM(CAST(f AS HUGEINT) * f)
+      |        - CAST(SUM(f) AS HUGEINT) * SUM(f) AS DOUBLE) /
+      |      (CAST(COUNT(*) AS DOUBLE) * CAST(COUNT(*) - 1 AS DOUBLE)))
+      |      AS sigma
+      |  FROM dense GROUP BY t
+      |  HAVING CAST(COUNT(*) AS HUGEINT) * SUM(CAST(f AS HUGEINT) * f)
+      |    - CAST(SUM(f) AS HUGEINT) * SUM(f) > 0),
+      |pairs AS (
+      |  SELECT a.source AS sa, b.source AS sb,
+      |    CAST(round(CAST(abs(a.f - b.f) AS DOUBLE) / st.sigma * 1000000.0, 0)
+      |      AS BIGINT) AS addend
+      |  FROM dense a JOIN dense b ON a.t = b.t AND a.source < b.source
+      |  JOIN stats st ON st.t = a.t)
+      |SELECT sa, sb, CAST(COUNT(*) AS BIGINT) AS n_terms,
+      |  CAST(SUM(addend) // COUNT(*) AS BIGINT) AS delta_micro
+      |FROM pairs GROUP BY sa, sb
+      |ORDER BY sa, sb""".stripMargin
 }

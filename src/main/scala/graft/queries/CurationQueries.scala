@@ -1231,4 +1231,103 @@ object CurationQueries {
       |FROM m
       |GROUP BY lang, rule
       |ORDER BY lang, rule""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q234: readability profile per source (Flesch reading-ease +
+  // Flesch–Kincaid grade, Kincaid et al. 1975). The counts are the
+  // classic deterministic heuristics: words = space-split tokens,
+  // sentences = max(1, count of [.!?] characters), syllables = vowel
+  // runs [aeiouy]+ per lowercased token with a floor of 1. The pooled
+  // score (computed from corpus-total counts, not a mean of per-doc
+  // scores) is the stable per-source number; the per-doc FK grade only
+  // feeds the easy/medium/hard band tallies.
+  //
+  // Float parity: every count is exact integer arithmetic per row; the
+  // two pooled scores are ONE identically-structured double expression
+  // over the exact sums, rounded 4 dp. Band cuts compare per-doc
+  // doubles built from exact integers with the same expression shape
+  // in both engines (IEEE evaluation is bit-identical).
+  //
+  // Scale shape: zero-shuffle per-row kernels (split/regexp/array fold
+  // — all codegen'd builtins) into ONE map-side-combined source tally,
+  // then the final order range. No explode: syllables come out of an
+  // `aggregate` fold over the token array, so the hot path never
+  // multiplies rows by tokens.
+  // ------------------------------------------------------------------
+  def q234Readability(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nWords = size(toks).cast(LongType)
+    val nSents = greatest(lit(1L),
+      length(regexp_replace(col("text"), "[^.!?]", "")).cast(LongType))
+    val nSylls = aggregate(
+      transform(split(lower(col("text")), " "),
+        t => greatest(lit(1), size(regexp_extract_all(t, lit("[aeiouy]+"), lit(0))))
+          .cast(LongType)),
+      lit(0L), (acc, x) => acc + x)
+    val scored = Tables.documents(spark, dir).select(
+      col("source"), nWords.as("w"), nSents.as("s"), nSylls.as("syl"))
+      .withColumn("fk",
+        lit(0.39) * (col("w").cast(DoubleType) / col("s").cast(DoubleType)) +
+          lit(11.8) * (col("syl").cast(DoubleType) / col("w").cast(DoubleType)) -
+          lit(15.59))
+    scored.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("w")).as("total_words"),
+        sum(col("s")).as("total_sentences"),
+        sum(col("syl")).as("total_syllables"),
+        sum(when(col("fk") < 8.0, 1L).otherwise(0L)).as("n_easy"),
+        sum(when(col("fk") >= 8.0 && col("fk") <= 12.0, 1L).otherwise(0L))
+          .as("n_medium"),
+        sum(when(col("fk") > 12.0, 1L).otherwise(0L)).as("n_hard"))
+      .withColumn("fre_pooled", round(
+        lit(206.835) -
+          lit(1.015) * (col("total_words").cast(DoubleType) /
+            col("total_sentences").cast(DoubleType)) -
+          lit(84.6) * (col("total_syllables").cast(DoubleType) /
+            col("total_words").cast(DoubleType)), 4))
+      .withColumn("fk_pooled", round(
+        lit(0.39) * (col("total_words").cast(DoubleType) /
+          col("total_sentences").cast(DoubleType)) +
+          lit(11.8) * (col("total_syllables").cast(DoubleType) /
+            col("total_words").cast(DoubleType)) -
+          lit(15.59), 4))
+      .select(col("source"), col("n_docs"), col("total_words"),
+        col("total_sentences"), col("total_syllables"),
+        col("fre_pooled"), col("fk_pooled"),
+        col("n_easy"), col("n_medium"), col("n_hard"))
+      .orderBy(col("source"))
+  }
+
+  val q234Sql: String =
+    """WITH base AS (
+      |  SELECT source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+      |    greatest(CAST(1 AS BIGINT),
+      |      CAST(length(regexp_replace(text, '[^.!?]', '', 'g')) AS BIGINT)) AS s,
+      |    CAST(list_sum(list_transform(string_split(lower(text), ' '),
+      |      t -> greatest(1, len(regexp_extract_all(t, '[aeiouy]+')))))
+      |      AS BIGINT) AS syl
+      |  FROM documents),
+      |scored AS (
+      |  SELECT source, w, s, syl,
+      |    0.39 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE)) +
+      |      11.8 * (CAST(syl AS DOUBLE) / CAST(w AS DOUBLE)) - 15.59 AS fk
+      |  FROM base)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(w) AS BIGINT) AS total_words,
+      |  CAST(SUM(s) AS BIGINT) AS total_sentences,
+      |  CAST(SUM(syl) AS BIGINT) AS total_syllables,
+      |  round(206.835 -
+      |    1.015 * (CAST(SUM(w) AS DOUBLE) / CAST(SUM(s) AS DOUBLE)) -
+      |    84.6 * (CAST(SUM(syl) AS DOUBLE) / CAST(SUM(w) AS DOUBLE)), 4)
+      |    AS fre_pooled,
+      |  round(0.39 * (CAST(SUM(w) AS DOUBLE) / CAST(SUM(s) AS DOUBLE)) +
+      |    11.8 * (CAST(SUM(syl) AS DOUBLE) / CAST(SUM(w) AS DOUBLE)) - 15.59, 4)
+      |    AS fk_pooled,
+      |  CAST(SUM(CASE WHEN fk < 8.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_easy,
+      |  CAST(SUM(CASE WHEN fk >= 8.0 AND fk <= 12.0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_medium,
+      |  CAST(SUM(CASE WHEN fk > 12.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hard
+      |FROM scored GROUP BY source
+      |ORDER BY source""".stripMargin
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.functions.GramAggregate
+import graft.functions.{GramAggregate, LongGramAggregate}
 import graft.operators.{Bpe, Dedup}
 import graft.sources.Tables
 
@@ -984,4 +984,351 @@ object PretrainQueries {
       |  CAST(CASE WHEN n1 > 0 THEN 2 * n2 * 1000000 // n1 ELSE 0 END
       |    AS BIGINT) AS r1_star_micro
       |FROM agg""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q237: distinct-n lexical diversity per source (Li et al. 2016's
+  // distinct-1/2/3): unique n-grams ÷ total n-grams for n ∈ {1,2,3}.
+  // Low distinct-2/3 with ordinary distinct-1 is the signature of
+  // templated or looping text (the same phrases recombined) that
+  // per-doc repetition rules (q48) miss when the repetition is spread
+  // ACROSS documents — the source-level complement to q223's novelty.
+  //
+  // Scale shape: n-grams are built map-side by an array transform over
+  // the token list (one slide per n, no join, no window over token
+  // rows), one flatten+explode into a (source, n, gram) tally, then a
+  // (source, n) rollup where COUNT(*) of tally rows IS the distinct
+  // count — two map-side-combined aggregations, never a countDistinct
+  // expand. Output is exactly 3 rows per source at any corpus size.
+  //
+  // The exact tally is still shuffle-LINEAR in token count (every
+  // distinct gram string crosses the wire once — measured 8× wall on
+  // the 10× replica), so past `graft.q237.autoApproxTokens` (default
+  // 1e8 tokens; explicit `graft.q237.approx` wins — q147's path-
+  // selection pattern) the distinct side switches to a per-(source,n)
+  // HLL sketch: partial-aggregable, so gram strings NEVER shuffle and
+  // only 3·|sources| kilobyte sketches move. The oracle pins the
+  // exact path; the sketch path carries lgK=14's ~0.4% error.
+  // ------------------------------------------------------------------
+  def q237NgramDiversity(spark: SparkSession, dir: String): DataFrame =
+    spark.conf.getOption("graft.q237.approx").map(_.toBoolean) match {
+      case Some(true) => q237NgramDiversityHll(spark, dir)
+      case Some(false) => q237NgramDiversityExact(spark, dir)
+      case None =>
+        val threshold = spark.conf.getOption("graft.q237.autoApproxTokens")
+          .map(_.toLong).getOrElse(100000000L)
+        val tokens = Tables.documents(spark, dir)
+          .agg(sum(size(split(col("text"), " ")).cast(LongType)).as("n"))
+          .collect()(0).getLong(0)
+        if (tokens > threshold) q237NgramDiversityHll(spark, dir)
+        else q237NgramDiversityExact(spark, dir)
+    }
+
+  private def q237NgramDiversityExact(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    def grams(n: Int): Column = {
+      val arr = when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - lit(n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+        .otherwise(array().cast(ArrayType(StringType)))
+      transform(arr, g => struct(lit(n).as("n"), g.as("g")))
+    }
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(flatten(array(grams(1), grams(2), grams(3)))).as("e"))
+      .select(col("source"), col("e.n").as("n"), col("e.g").as("g"))
+      .groupBy(col("source"), col("n"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source"), col("n"))
+      .agg(count(lit(1)).as("distinct_ngrams"), sum(col("c")).as("total_ngrams"))
+      .withColumn("diversity", round(
+        col("distinct_ngrams").cast(DoubleType) /
+          col("total_ngrams").cast(DoubleType), 4))
+      .orderBy(col("source"), col("n"))
+  }
+
+  /**
+   * Sketch path of q237: the distinct-gram count per (source, n) comes
+   * from one mergeable HLL per group (lgK=14, ~0.4% standard error —
+   * q147's calibration), so the aggregation is fully partial-
+   * aggregable and NO gram string ever crosses an exchange; the total
+   * count rides the same rollup. Work past the scan is 3·|sources|
+   * sketch merges regardless of corpus size.
+   */
+  private def q237NgramDiversityHll(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    def grams(n: Int): Column = {
+      val arr = when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - lit(n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+        .otherwise(array().cast(ArrayType(StringType)))
+      transform(arr, g => struct(lit(n).as("n"), g.as("g")))
+    }
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(flatten(array(grams(1), grams(2), grams(3)))).as("e"))
+      .select(col("source"), col("e.n").as("n"), col("e.g").as("g"))
+      .groupBy(col("source"), col("n"))
+      .agg(round(hll_sketch_estimate(hll_sketch_agg(col("g"), lit(14))))
+          .cast(LongType).as("distinct_ngrams"),
+        count(lit(1)).as("total_ngrams"))
+      .withColumn("diversity", round(
+        col("distinct_ngrams").cast(DoubleType) /
+          col("total_ngrams").cast(DoubleType), 4))
+      .orderBy(col("source"), col("n"))
+  }
+
+  val q237Sql: String =
+    """WITH toks AS (
+      |  SELECT source, string_split(text, ' ') AS t FROM documents),
+      |g AS (
+      |  SELECT source, ns.n AS n, u.g AS g
+      |  FROM toks, (VALUES (1), (2), (3)) AS ns(n),
+      |    UNNEST(CASE WHEN len(t) >= ns.n THEN
+      |      list_transform(range(1, len(t) - ns.n + 2),
+      |        i -> array_to_string(list_slice(t, i, i + ns.n - 1), ' '))
+      |      ELSE CAST([] AS VARCHAR[]) END) AS u(g)),
+      |tally AS (
+      |  SELECT source, n, g, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM g GROUP BY source, n, g)
+      |SELECT source, CAST(n AS INT) AS n,
+      |  CAST(COUNT(*) AS BIGINT) AS distinct_ngrams,
+      |  CAST(SUM(c) AS BIGINT) AS total_ngrams,
+      |  round(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 4) AS diversity
+      |FROM tally GROUP BY source, n
+      |ORDER BY source, n""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q242: top principal component of the embedding space — the
+  // dominant direction of variance, the first step of embedding
+  // whitening (Mu & Viswanath 2018's "all-but-the-top": removing it
+  // improves retrieval/similarity quality) and the 1-D projection
+  // used to spot anisotropy and batch effects.
+  //
+  // Exactness by construction — NO float ever enters the pipeline:
+  // embeddings are milli-quantized to integers per element, the Gram
+  // sums fold through LongGramAggregate (exact in any order), and the
+  // covariance n·Σxy − Σx·Σy is iterated by REPEATED MATRIX SQUARING
+  // (16 squarings ≡ 2¹⁶ power-iteration steps — plain power iteration
+  // stalls on this data's ~0.99 eigengap, squaring does not), each
+  // squaring renormalized to ±10⁶ fixed-point by truncating integer
+  // division. Everything runs in BigInteger arithmetic on the DRIVER
+  // over the d×d matrix; DuckDB replays the identical integer
+  // recursion in HUGEINT, so both engines produce bit-identical
+  // loadings WITHOUT convergence arguments — the squaring count is
+  // part of the contract (TopComponentSpec separately pins alignment
+  // with the double-precision eigensolver at |cos| > 0.999). Sign is
+  // fixed by making the largest-|loading| component (lowest index on
+  // ties) positive; variance explained is the Rayleigh quotient over
+  // the trace, exact integer division to micro.
+  //
+  // 100 TB shape: the corpus NEVER shuffles — LongGramAggregate folds
+  // each partition into one ~2 k-long buffer (q132's Gram shape, long
+  // buffer so no 2⁵³ ceiling) and only partial buffers merge; the
+  // collect is ONE dimension-sized row, and the iteration is O(d²) on
+  // the driver (d = 64). ONE exchange end to end.
+  // ------------------------------------------------------------------
+  /** The milli-quantization shared by q242/q243 and their oracles. */
+  private def milliVec: Column = transform(col("embedding"),
+    e => round(e.cast(DoubleType) * lit(1000.0), 0).cast(LongType))
+
+  /**
+   * Driver-side exact top-component solve shared by q242/q243: ONE
+   * LongGramAggregate pass, then integer covariance + 16 matrix
+   * squarings in BigInt. Returns (m, vf, n): the scaled integer
+   * covariance, the sign-fixed ±10⁶ fixed-point loading vector, and
+   * the row count — all bit-identical to the DuckDB CTE replay.
+   */
+  private def topComponentSolve(
+      spark: SparkSession, dir: String): (Array[Array[BigInt]], Array[BigInt], BigInt) = {
+    val d = EmbDim
+    val squarings = 16
+    val triLen = d * (d + 1) / 2
+    val g = Tables.embeddings(spark, dir)
+      .agg(LongGramAggregate.gram(milliVec, d).as("g"))
+      .head().getSeq[Long](0)
+    val n = BigInt(g(triLen + d))
+    def sxy(i: Int, j: Int): BigInt = {
+      val (a, b) = if (i <= j) (i, j) else (j, i)
+      BigInt(g(a * d - a * (a - 1) / 2 + (b - a)))
+    }
+    def sx(i: Int): BigInt = BigInt(g(triLen + i))
+    val cov = Array.tabulate(d, d)((i, j) => n * sxy(i, j) - sx(i) * sx(j))
+    val scale = (cov.flatten.map(_.abs).max / 1000000) max BigInt(1)
+    // BigInt `/` truncates toward zero — same as Spark `div` and DuckDB `//`
+    val m = cov.map(_.map(_ / scale))
+    var p = m.map(_.clone)
+    var it = 0
+    while (it < squarings) {
+      val pp = Array.tabulate(d, d)((i, j) =>
+        (0 until d).map(x => p(i)(x) * p(x)(j)).foldLeft(BigInt(0))(_ + _))
+      val s = (pp.flatten.map(_.abs).max / 1000000) max BigInt(1)
+      p = pp.map(_.map(_ / s))
+      it += 1
+    }
+    // P ≈ rank-1 λ^(2^16)·v₁v₁ᵀ (rescaled): its row sums point along v₁
+    val w = Array.tabulate(d)(i => p(i).foldLeft(BigInt(0))(_ + _))
+    val mxw = w.map(_.abs).max
+    val v = if (mxw > 0) w.map(x => (x * 1000000) / mxw)
+            else Array.fill(d)(BigInt(0))
+    val maxIdx = v.indices.minBy(i => (-v(i).abs, i))
+    val sgn = if (v(maxIdx) < 0) BigInt(-1) else BigInt(1)
+    (m, v.map(_ * sgn), n)
+  }
+
+  def q242TopComponent(spark: SparkSession, dir: String): DataFrame = {
+    val d = EmbDim
+    val (m, vf, n) = topComponentSolve(spark, dir)
+    val num = (for (i <- 0 until d; j <- 0 until d) yield m(i)(j) * vf(i) * vf(j))
+      .foldLeft(BigInt(0))(_ + _)
+    val den = vf.map(x => x * x).foldLeft(BigInt(0))(_ + _)
+    val trace = (0 until d).map(i => m(i)(i)).foldLeft(BigInt(0))(_ + _)
+    val veMicro = (num * 1000000) / (den * trace)
+    import spark.implicits._
+    (0 until d).map(i => (i, vf(i).toLong, veMicro.toLong, n.toLong))
+      .toDF("dim", "loading_micro", "var_explained_micro", "n_vecs")
+      .orderBy(col("dim"))
+  }
+
+  /** Shared CTE chain through `vf` (the sign-fixed loading vector) —
+    * the oracle replay of [[topComponentSolve]], reused by q242/q243. */
+  private val topComponentCtes: String = {
+    val iter = (k: Int) =>
+      s"""p$k AS MATERIALIZED (
+         |  SELECT a.i AS i, b.j AS j, SUM(a.v * b.v) AS c
+         |  FROM q${k - 1} a JOIN q${k - 1} b ON a.j = b.i GROUP BY a.i, b.j),
+         |q$k AS MATERIALIZED (
+         |  SELECT i, j, c // (SELECT greatest(CAST(1 AS HUGEINT),
+         |    MAX(abs(c)) // 1000000) FROM p$k) AS v
+         |  FROM p$k),""".stripMargin
+    """WITH mil AS MATERIALIZED (
+      |  SELECT vec_id, CAST(r.i AS INT) AS i,
+      |    CAST(round(CAST(embedding[r.i + 1] AS DOUBLE) * 1000.0, 0)
+      |      AS BIGINT) AS x
+      |  FROM embeddings, range(64) r(i)),
+      |sums AS (
+      |  SELECT a.i AS i, b.i AS j, SUM(CAST(a.x AS HUGEINT) * b.x) AS sxy
+      |  FROM mil a JOIN mil b ON a.vec_id = b.vec_id GROUP BY a.i, b.i),
+      |sx AS (SELECT i, CAST(SUM(x) AS HUGEINT) AS sx FROM mil GROUP BY i),
+      |nn AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM embeddings),
+      |cov AS (
+      |  SELECT s.i, s.j, n * s.sxy - a.sx * b.sx AS c
+      |  FROM sums s JOIN sx a ON a.i = s.i JOIN sx b ON b.i = s.j
+      |  CROSS JOIN nn),
+      |scl AS (SELECT greatest(CAST(1 AS HUGEINT), MAX(abs(c)) // 1000000)
+      |  AS s FROM cov),
+      |m AS MATERIALIZED (SELECT i, j, c // s AS v FROM cov CROSS JOIN scl),
+      |q0 AS (SELECT i, j, v FROM m),
+      |""".stripMargin +
+      (1 to 16).map(iter).mkString("\n") +
+      """
+      |wv AS (SELECT i, SUM(v) AS w FROM q16 GROUP BY i),
+      |vv AS (SELECT i, (w * 1000000) // (SELECT MAX(abs(w)) FROM wv) AS v
+      |  FROM wv),
+      |sgn AS (SELECT CASE WHEN
+      |    (SELECT v FROM vv ORDER BY abs(v) DESC, i LIMIT 1) < 0
+      |  THEN -1 ELSE 1 END AS s),
+      |vf AS MATERIALIZED (SELECT i, v * s AS v FROM vv CROSS JOIN sgn)""".stripMargin
+  }
+
+  val q242Sql: String = topComponentCtes +
+    """,
+      |num AS (SELECT SUM(a.v * m.v * b.v) AS num
+      |  FROM m JOIN vf a ON a.i = m.i JOIN vf b ON b.i = m.j),
+      |den AS (SELECT SUM(v * v) AS den FROM vf),
+      |tr AS (SELECT SUM(v) AS tr FROM m WHERE i = j)
+      |SELECT CAST(vf.i AS INT) AS dim, CAST(vf.v AS BIGINT) AS loading_micro,
+      |  CAST((num * 1000000) // (den * tr) AS BIGINT) AS var_explained_micro,
+      |  CAST(n AS BIGINT) AS n_vecs
+      |FROM vf CROSS JOIN num CROSS JOIN den CROSS JOIN tr CROSS JOIN nn
+      |ORDER BY dim""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q243: principal-component projection audit — one-way ANOVA of the
+  // q242 top-component projection across labels: does the dominant
+  // variance direction encode the LABEL (a batch effect / shortcut the
+  // "all-but-the-top" removal would fix) or is it label-neutral? Per
+  // label: projection mean and std; globally: η² (between-group share
+  // of the sum of squares, exact micro integer) and the F statistic.
+  //
+  // Exactness: the loading vector comes from the shared BigInt solve
+  // (bit-identical to the oracle's CTE replay); each row's projection
+  // is an exact integer dot (milli·micro fixed point, zip_with fold —
+  // zero shuffle); group sums/squares are exact DECIMAL/HUGEINT. The
+  // sum-of-squares decomposition (Σ s_g²/n_g truncating divisions —
+  // quotients ~10²⁶ overflow Spark `div`'s LONG return, so it runs on
+  // the DRIVER in BigInt over the collected |labels|-row group table,
+  // truncation-identical to the oracle's HUGEINT `//`); η² is exact
+  // integer micro; F and std are single identical double expressions
+  // over exact integers (driver doubles attached as literals, rounded
+  // by the engine's own round like every other suite float).
+  //
+  // 100 TB shape: gram job (ONE exchange, q242's), then ONE per-label
+  // tally of per-row integer dots; everything after is |labels|-sized.
+  // ------------------------------------------------------------------
+  def q243PcProjectionAudit(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val (_, vf, _) = topComponentSolve(spark, dir)
+    val vLit = array(vf.map(x => lit(x.toLong)): _*)
+    val proj = aggregate(zip_with(milliVec, vLit, (x, v) => x * v),
+      lit(0L), (acc, x) => acc + x)
+    val grp = Tables.embeddings(spark, dir)
+      .select(col("label"), proj.as("p"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_g"), sum(col("p").cast(dec)).as("s_g"),
+        sum((col("p").cast(dec) * col("p").cast(dec))).as("ss_g"))
+      .localCheckpoint() // reused: per-label rows AND the ANOVA collect
+    val rows = grp.collect() // |labels| rows — dimension-sized
+    def big(x: java.math.BigDecimal): BigInt = BigInt(x.toBigInteger)
+    val nAll = rows.map(r => BigInt(r.getLong(1))).foldLeft(BigInt(0))(_ + _)
+    val sAll = rows.map(r => big(r.getDecimal(2))).foldLeft(BigInt(0))(_ + _)
+    val ssAll = rows.map(r => big(r.getDecimal(3))).foldLeft(BigInt(0))(_ + _)
+    val k = rows.length
+    // BigInt `/` truncates toward zero — identical to DuckDB `//`
+    val sbPart = rows.map(r => big(r.getDecimal(2)).pow(2) / BigInt(r.getLong(1)))
+      .foldLeft(BigInt(0))(_ + _)
+    val ssb = sbPart - (sAll * sAll) / nAll
+    val sst = ssAll - (sAll * sAll) / nAll
+    val etaMicro = ((ssb * 1000000) / sst).toLong
+    val fStat = (ssb.toDouble / (k - 1).toDouble) /
+      ((sst - ssb).toDouble / (nAll - k).toDouble)
+    grp
+      .select(col("label").cast(IntegerType).as("label"), col("n_g"),
+        expr("CAST(s_g div n_g AS BIGINT)").as("mean_proj"),
+        round(sqrt(
+          (col("n_g").cast(dec) * col("ss_g") -
+            col("s_g") * col("s_g")).cast(DoubleType) /
+            (col("n_g").cast(DoubleType) *
+              (col("n_g") - lit(1L)).cast(DoubleType))), 4).as("std_proj"),
+        lit(etaMicro).as("eta_sq_micro"),
+        round(lit(fStat), 4).as("f_stat"))
+      .orderBy(col("label"))
+  }
+
+  val q243Sql: String = topComponentCtes +
+    """,
+      |pr AS MATERIALIZED (
+      |  SELECT m0.vec_id, SUM(m0.x * vf.v) AS p
+      |  FROM mil m0 JOIN vf ON vf.i = m0.i GROUP BY m0.vec_id),
+      |grp AS (
+      |  SELECT l.label, CAST(COUNT(*) AS BIGINT) AS n_g,
+      |    CAST(SUM(p.p) AS HUGEINT) AS s_g,
+      |    SUM(CAST(p.p AS HUGEINT) * p.p) AS ss_g
+      |  FROM pr p JOIN (SELECT vec_id, label FROM embeddings) l
+      |    ON l.vec_id = p.vec_id GROUP BY l.label),
+      |fs AS (
+      |  SELECT CAST(SUM(n_g) AS HUGEINT) AS n, CAST(COUNT(*) AS BIGINT) AS k,
+      |    SUM((s_g * s_g) // n_g) - (SUM(s_g) * SUM(s_g)) // CAST(SUM(n_g)
+      |      AS HUGEINT) AS ssb,
+      |    SUM(ss_g) - (SUM(s_g) * SUM(s_g)) // CAST(SUM(n_g) AS HUGEINT)
+      |      AS sst
+      |  FROM grp)
+      |SELECT CAST(g.label AS INT) AS label, g.n_g,
+      |  CAST(g.s_g // g.n_g AS BIGINT) AS mean_proj,
+      |  round(sqrt(CAST(g.n_g * g.ss_g - g.s_g * g.s_g AS DOUBLE) /
+      |    (CAST(g.n_g AS DOUBLE) * CAST(g.n_g - 1 AS DOUBLE))), 4)
+      |    AS std_proj,
+      |  CAST((f.ssb * 1000000) // f.sst AS BIGINT) AS eta_sq_micro,
+      |  round((CAST(f.ssb AS DOUBLE) / CAST(f.k - 1 AS DOUBLE)) /
+      |    (CAST(f.sst - f.ssb AS DOUBLE) / CAST(f.n - f.k AS DOUBLE)), 4)
+      |    AS f_stat
+      |FROM grp g CROSS JOIN fs f ORDER BY label""".stripMargin
 }

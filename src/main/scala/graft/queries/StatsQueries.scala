@@ -883,4 +883,279 @@ object StatsQueries {
       |SELECT t.lang, t.n_cal, t.n_eval, t.k, q.qhat, c.covered,
       |  CAST((c.covered * 1000000) // t.n_eval AS BIGINT) AS coverage_micro
       |FROM tot t JOIN qh q ON q.lang = t.lang JOIN cov c ON c.lang = t.lang""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q236: Hill tail-index estimator (Hill 1975) of the per-source
+  // document-length distribution: over the top k = 20 order statistics
+  // x_(1) ≥ … ≥ x_(k) ≥ x_(k+1),
+  //   H = (1/k) Σ_{i≤k} (ln x_(i) − ln x_(k+1)),   α̂ = 1 / H.
+  // α̂ is the heavy-tail exponent — the principled companion to q215's
+  // Gini: a source whose length tail is TOO heavy (α̂ ≲ 2, infinite
+  // variance) will dominate token mass with a few mega-documents and
+  // needs a length cap before mixing; α̂ large means a short-tailed,
+  // well-behaved source.
+  //
+  // Float parity: each ln is scaled to an exact micro-integer
+  // (round(ln(x)·10⁶)) BEFORE summation — Σ over doubles would be
+  // partial-order-dependent; Σ over BIGINTs is exact in any order.
+  // H and α̂ are then single double divisions of exact integers, 6/4 dp.
+  //
+  // Scale shape: the order statistics come from the bounded TopK heap
+  // (map-side pruned — at most k+1 rows per source per partition cross
+  // the shuffle), NOT a rank window: ranking lengths with row_number()
+  // would sort each source's entire document population on one reducer
+  // to keep 21 rows. One tally + final order range.
+  // ------------------------------------------------------------------
+  def q236HillTail(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TopKAggregate.topK
+    val k = 20
+    val microLn = (c: Column) =>
+      round(log(c) * lit(1000000.0), 0).cast(LongType)
+    val head = Tables.documents(spark, dir)
+      .filter(col("n_chars") > 0)
+      .groupBy(col("source"))
+      .agg(topK(col("n_chars").cast(DoubleType), col("doc_id"), k + 1).as("h"),
+        count(lit(1)).as("n_docs"))
+      .filter(size(col("h")) === k + 1)
+    val denom = col("a_top") - lit(k.toLong) * col("a_tail")
+    head
+      .withColumn("a_top", aggregate(slice(col("h"), 1, k), lit(0L),
+        (acc, e) => acc + microLn(e.getField("score"))))
+      .withColumn("a_tail", microLn(element_at(col("h"), k + 1).getField("score")))
+      .select(col("source"), col("n_docs"), lit(k.toLong).as("k"),
+        element_at(col("h"), k + 1).getField("score").cast(LongType).as("x_tail"),
+        round(denom.cast(DoubleType) / lit(k * 1000000.0), 6).as("hill_h"),
+        when(denom === 0L, lit(null).cast(DoubleType))
+          .otherwise(round(lit(k * 1000000.0) / denom.cast(DoubleType), 4))
+          .as("tail_alpha"))
+      .orderBy(col("source"))
+  }
+
+  val q236Sql: String =
+    """WITH ranked AS (
+      |  SELECT source, n_chars, doc_id,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY n_chars DESC, doc_id ASC) AS r,
+      |    COUNT(*) OVER (PARTITION BY source) AS n_docs
+      |  FROM documents WHERE n_chars > 0),
+      |head AS (SELECT * FROM ranked WHERE r <= 21 AND n_docs >= 21),
+      |addends AS (
+      |  SELECT source, MAX(n_docs) AS n_docs,
+      |    SUM(CASE WHEN r <= 20 THEN
+      |      CAST(round(ln(CAST(n_chars AS DOUBLE)) * 1000000.0, 0) AS BIGINT)
+      |      ELSE 0 END) AS a_top,
+      |    MAX(CASE WHEN r = 21 THEN
+      |      CAST(round(ln(CAST(n_chars AS DOUBLE)) * 1000000.0, 0) AS BIGINT)
+      |      END) AS a_tail,
+      |    MAX(CASE WHEN r = 21 THEN CAST(n_chars AS BIGINT) END) AS x_tail
+      |  FROM head GROUP BY source)
+      |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+      |  CAST(20 AS BIGINT) AS k, x_tail,
+      |  round(CAST(a_top - 20 * a_tail AS DOUBLE) / 20000000.0, 6) AS hill_h,
+      |  CASE WHEN a_top - 20 * a_tail = 0 THEN NULL
+      |       ELSE round(20000000.0 / CAST(a_top - 20 * a_tail AS DOUBLE), 4)
+      |       END AS tail_alpha
+      |FROM addends ORDER BY source""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q239: Mann–Whitney U drift test — each event type's value
+  // distribution vs the 'view' baseline, the rank-sum companion to
+  // q186's KS: U answers "does one distribution stochastically
+  // dominate?" where KS answers "do the CDFs differ anywhere?". Exact
+  // tie-corrected form over grouped value counts: with c1/c0 the
+  // per-value counts and cum0 the inclusive baseline CDF,
+  //   2·U₁ = Σ_v c1·(2·cum0 − c0)            (ties count half — kept
+  //                                            doubled so it stays int)
+  //   σ² = n1·n0/12 · ((n+1) − Σ(t³−t)/(n(n−1))),  t = c1+c0
+  //   z = (2U₁ − n1·n0) / (2σ),   r_rb = 2U₁/(n1·n0) − 1.
+  // Every statistic is an exact integer (DECIMAL/HUGEINT where cubes
+  // can overflow); z is ONE identical double expression over those
+  // integers, and the rank-biserial effect size is pure integer
+  // division — no float ranking anywhere.
+  //
+  // 100 TB shape: identical to q186 — the corpus collapses to (type,
+  // value-point) counts map-side; the CDF prefix-sum uses the same
+  // two-level bucket-offset idiom so no window ever sees more than the
+  // VALUE DOMAIN (≤ ~100·range points), regardless of row count.
+  // ------------------------------------------------------------------
+  def q239MannWhitneyDrift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = DecimalType(38, 0)
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), round(col("value") * 100).cast(LongType).as("v"))
+    val pts = ev.groupBy(col("event_type"), col("v")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // reused: own side, baseline fan-out, type list
+    val others = pts.select(col("event_type")).distinct()
+      .filter(col("event_type") =!= "view")
+    val tagged = pts.filter(col("event_type") =!= "view")
+      .select(col("event_type"), col("v"), col("cnt").as("c1"), lit(0L).as("c0"))
+      .unionByName(pts.filter(col("event_type") === "view")
+        .select(col("v"), col("cnt"))
+        .crossJoin(broadcast(others))
+        .select(col("event_type"), col("v"), lit(0L).as("c1"), col("cnt").as("c0")))
+    val merged = tagged.groupBy(col("event_type"), col("v"))
+      .agg(sum(col("c1")).as("c1"), sum(col("c0")).as("c0"))
+      .withColumn("b", expr("v div 1024"))
+      .localCheckpoint() // reused: bucket subtotals, cumsum, totals
+    val bucketTot = merged.groupBy(col("event_type"), col("b"))
+      .agg(sum(col("c0")).as("bs0"))
+    val wOff = Window.partitionBy(col("event_type")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketTot.select(col("event_type"), col("b"),
+      coalesce(sum(col("bs0")).over(wOff), lit(0L)).as("off0"))
+    val wIn = Window.partitionBy(col("event_type"), col("b")).orderBy(col("v"))
+    val cum = merged.join(broadcast(offsets), Seq("event_type", "b"))
+      .select(col("event_type"), col("c1"), col("c0"),
+        (col("off0") + sum(col("c0")).over(wIn)).as("cum0"))
+    val t = col("c1") + col("c0")
+    val agg = cum.groupBy(col("event_type"))
+      .agg(sum(col("c1")).as("n1"), sum(col("c0")).as("n0"),
+        sum((col("c1").cast(dec) *
+          (lit(2).cast(dec) * col("cum0").cast(dec) - col("c0").cast(dec))))
+          .as("u_twice_d"),
+        sum((t.cast(dec) * t.cast(dec) * t.cast(dec) - t.cast(dec)))
+          .as("tie_d"))
+    val n = col("n1") + col("n0")
+    val sigma = sqrt(
+      (col("n1") * col("n0")).cast(DoubleType) *
+        ((n + lit(1L)).cast(DoubleType) -
+          col("tie_d").cast(DoubleType) /
+            (n.cast(DoubleType) * (n - lit(1L)).cast(DoubleType))) /
+        lit(12.0))
+    agg
+      .select(col("event_type"), col("n1"), col("n0"),
+        col("u_twice_d").cast(LongType).as("u_twice"),
+        expr("CAST(((u_twice_d - CAST(n1 AS DECIMAL(38,0)) * n0) * 1000000) " +
+          "div (CAST(n1 AS DECIMAL(38,0)) * n0) AS BIGINT)")
+          .as("rank_biserial_micro"),
+        when(sigma === 0.0, lit(null).cast(DoubleType))
+          .otherwise(round(
+            (col("u_twice_d").cast(DoubleType) -
+              (col("n1") * col("n0")).cast(DoubleType)) /
+              (lit(2.0) * sigma), 4))
+          .as("z_score"))
+      .orderBy(col("event_type"))
+  }
+
+  val q239Sql: String =
+    """WITH ev AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v FROM events),
+      |pts AS (SELECT event_type, v, COUNT(*) AS cnt FROM ev GROUP BY 1, 2),
+      |others AS (SELECT DISTINCT event_type FROM pts WHERE event_type <> 'view'),
+      |tagged AS (
+      |  SELECT event_type, v, cnt AS c1, 0 AS c0 FROM pts WHERE event_type <> 'view'
+      |  UNION ALL
+      |  SELECT o.event_type, p.v, 0 AS c1, p.cnt AS c0
+      |  FROM pts p CROSS JOIN others o WHERE p.event_type = 'view'),
+      |merged AS (
+      |  SELECT event_type, v, CAST(SUM(c1) AS BIGINT) AS c1,
+      |    CAST(SUM(c0) AS BIGINT) AS c0
+      |  FROM tagged GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT event_type, c1, c0,
+      |    CAST(SUM(c0) OVER (PARTITION BY event_type ORDER BY v) AS BIGINT)
+      |      AS cum0
+      |  FROM merged),
+      |agg AS (
+      |  SELECT event_type,
+      |    CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c0) AS BIGINT) AS n0,
+      |    SUM(CAST(c1 AS HUGEINT) * (2 * CAST(cum0 AS HUGEINT) - c0))
+      |      AS u_twice_d,
+      |    SUM(CAST(c1 + c0 AS HUGEINT) * (c1 + c0) * (c1 + c0)
+      |      - (c1 + c0)) AS tie_d
+      |  FROM cum GROUP BY 1)
+      |SELECT event_type, n1, n0,
+      |  CAST(u_twice_d AS BIGINT) AS u_twice,
+      |  CAST(((u_twice_d - CAST(n1 AS HUGEINT) * n0) * 1000000) //
+      |    (CAST(n1 AS HUGEINT) * n0) AS BIGINT) AS rank_biserial_micro,
+      |  CASE WHEN sqrt(CAST(n1 * n0 AS DOUBLE) *
+      |      (CAST(n1 + n0 + 1 AS DOUBLE) - CAST(tie_d AS DOUBLE) /
+      |        (CAST(n1 + n0 AS DOUBLE) * CAST(n1 + n0 - 1 AS DOUBLE))) / 12.0)
+      |      = 0.0 THEN NULL
+      |    ELSE round((CAST(u_twice_d AS DOUBLE) - CAST(n1 * n0 AS DOUBLE)) /
+      |      (2.0 * sqrt(CAST(n1 * n0 AS DOUBLE) *
+      |        (CAST(n1 + n0 + 1 AS DOUBLE) - CAST(tie_d AS DOUBLE) /
+      |          (CAST(n1 + n0 AS DOUBLE) * CAST(n1 + n0 - 1 AS DOUBLE))) /
+      |        12.0)), 4)
+      |    END AS z_score
+      |FROM agg ORDER BY event_type""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q240: chi-squared test of independence, source × lang — "is the
+  // language mix the same across sources?" — the categorical
+  // counterpart of q192's distributional JSD and the global test that
+  // complements q186/q239's per-type drift checks. With o the observed
+  // cell, r/c the margins and T the total, each cell contributes
+  // (o − rc/T)²/(rc/T) = (o·T − r·c)² / (r·c·T); the per-cell addend
+  // is computed micro-fixed-point in DECIMAL/HUGEINT (the squared
+  // numerator overflows BIGINT at ~10⁵ rows) and SUMMED EXACTLY, so
+  // χ² needs no float arithmetic at all. Cramér's V is the one final
+  // double expression (χ²/(n·min(R−1,C−1)) under a sqrt), 4 dp.
+  //
+  // 100 TB shape: ONE map-side-combined contingency tally (cells are
+  // |sources|×|langs| — dimension-sized); margins and the total are
+  // rollups OF THE CELL TABLE (never re-scan the corpus), broadcast
+  // back onto the cells; final 1-row agg. Nothing after the first
+  // exchange is corpus-sized.
+  // ------------------------------------------------------------------
+  def q240ChiSquared(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val cells = Tables.documents(spark, dir)
+      .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("o"))
+      .localCheckpoint() // reused: margins, total, and the addend pass
+    val rows = cells.groupBy(col("source")).agg(sum(col("o")).as("r"))
+    val cols_ = cells.groupBy(col("lang")).agg(sum(col("o")).as("c"))
+    val tot = cells.agg(sum(col("o")).as("t_all"),
+      countDistinct(col("source")).as("n_r"),
+      countDistinct(col("lang")).as("n_c"))
+    val dev = col("o").cast(dec) * col("t_all").cast(dec) -
+      col("r").cast(dec) * col("c").cast(dec)
+    val addend = expr(
+      "CAST((dev * dev * 1000000) div " +
+        "(CAST(r AS DECIMAL(38,0)) * c * t_all) AS DECIMAL(38,0))")
+    cells
+      .join(broadcast(rows), "source")
+      .join(broadcast(cols_), "lang")
+      .crossJoin(broadcast(tot))
+      .withColumn("dev", dev)
+      .agg(max(col("n_r")).as("n_sources"), max(col("n_c")).as("n_langs"),
+        max(col("t_all")).as("n"),
+        sum(addend).cast(LongType).as("chi2_micro"))
+      .withColumn("dof", (col("n_sources") - 1) * (col("n_langs") - 1))
+      .withColumn("cramers_v", round(sqrt(
+        (col("chi2_micro").cast(DoubleType) / lit(1000000.0)) /
+          (col("n").cast(DoubleType) *
+            least(col("n_sources") - 1, col("n_langs") - 1)
+              .cast(DoubleType))), 4))
+      .select(col("n_sources"), col("n_langs"), col("n"), col("dof"),
+        col("chi2_micro"), col("cramers_v"))
+  }
+
+  val q240Sql: String =
+    """WITH cells AS (
+      |  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS o
+      |  FROM documents GROUP BY 1, 2),
+      |rows_ AS (SELECT source, CAST(SUM(o) AS BIGINT) AS r
+      |  FROM cells GROUP BY 1),
+      |cols_ AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS c
+      |  FROM cells GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(o) AS BIGINT) AS t_all,
+      |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_r,
+      |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_c FROM cells),
+      |add_ AS (
+      |  SELECT n_r, n_c, t_all,
+      |    (CAST(o AS HUGEINT) * t_all - CAST(r AS HUGEINT) * c) AS dev,
+      |    CAST(r AS HUGEINT) * c * t_all AS den
+      |  FROM cells JOIN rows_ USING (source) JOIN cols_ USING (lang)
+      |    CROSS JOIN tot)
+      |SELECT MAX(n_r) AS n_sources, MAX(n_c) AS n_langs,
+      |  MAX(t_all) AS n,
+      |  (MAX(n_r) - 1) * (MAX(n_c) - 1) AS dof,
+      |  CAST(SUM((dev * dev * 1000000) // den) AS BIGINT) AS chi2_micro,
+      |  round(sqrt((CAST(SUM((dev * dev * 1000000) // den) AS DOUBLE)
+      |      / 1000000.0) /
+      |    (CAST(MAX(t_all) AS DOUBLE) *
+      |      CAST(least(MAX(n_r) - 1, MAX(n_c) - 1) AS DOUBLE))), 4)
+      |    AS cramers_v
+      |FROM add_""".stripMargin
 }

@@ -436,6 +436,40 @@ class ExchangeBudgetSpec extends SparkTestBase {
     "q225_bench_proximity" -> 3, // per-vector max agg, band tally,
                                  // final order range (bench side is a
                                  // broadcast BNLJ by design)
+    "q234_readability"    -> 2,  // zero-shuffle per-row count kernels,
+                                 // ONE source tally, final order range
+    "q235_term_burstiness" -> 4, // (doc,term) tf tally, term rollup,
+                                 // 1-row totals gather for the relative
+                                 // df gate, final order range
+    "q236_hill_tail_index" -> 2, // bounded top-(k+1) heap per source
+                                 // (map-side pruned — never a rank
+                                 // window), final order range
+    "q237_ngram_diversity" -> 3, // (source,n,gram) tally built from
+                                 // map-side array slides, (source,n)
+                                 // rollup, final order range
+    "q238_lexical_concentration" -> 3, // (source,term) tally, ONE
+                                 // source rollup (spectrum folds into
+                                 // it via Σm²V=Σcnt²), order range
+    "q239_mann_whitney"   -> 5,  // q186's two-level CDF shape: bucket
+                                 // subtotals, offset window, within-
+                                 // bucket cumsum window, final type
+                                 // agg, order range — all value-domain
+    "q240_chi_squared"    -> 5,  // margins + countDistinct-expand tot
+                                 // off the checkpointed cell table
+                                 // (broadcast back), final 1-row agg
+    "q241_burrows_delta"  -> 4,  // vocab/totals behind checkpoint;
+                                 // pair join reuses ONE t-shuffle of
+                                 // dense (AQE ReusedExchange), sigma
+                                 // t-agg broadcast back, pair agg,
+                                 // order range
+    "q242_top_component"  -> 1,  // gram folds map-side in its own job
+                                 // (ONE exchange there); the published
+                                 // frame is dimension-sized local rows
+                                 // + order range
+    "q243_pc_projection"  -> 1,  // per-row integer dots fold into the
+                                 // label tally behind its checkpoint
+                                 // (and the gram job's ONE exchange);
+                                 // visible: the final order range
     "q223_ngram_novelty"  -> 5,  // spread repartition (underpartition
                                  // guard), train-window distinct, the
                                  // eval join co-shuffle, countDistinct
