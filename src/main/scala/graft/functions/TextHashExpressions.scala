@@ -358,6 +358,58 @@ case class CdcChunksExpression(child: Expression, w: Int, d: Int)
   override def prettyName: String = "cdc_chunks"
 }
 
+/**
+ * One-pass multi-width n-gram builder (q237): emits every word n-gram
+ * for n = 1..maxN as (n, gram) structs from ONE tokenize of the text.
+ * The declarative dual — `transform(sequence(...), i -> concat_ws(' ',
+ * slice(toks, i, n)))` per width, then flatten — re-slices the token
+ * array and re-evaluates the interpreted HOF lambda per position per
+ * width; at sf0.1 that made q237 the single heaviest bench query
+ * (6.1 s). Parity contract: tokens = split(text, " ", -1) (keep-empty,
+ * Spark split/DuckDB string_split semantics), grams joined with a
+ * single space, counts = max(len − n + 1, 0) per width — bit-identical
+ * gram multisets to the declarative form and the oracle.
+ */
+case class MultiNgramsExpression(child: Expression, maxN: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("n", IntegerType), StructField("g", StringType))),
+    containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.toString.split(" ", -1)
+    val len = toks.length
+    var total = 0
+    var n = 1
+    while (n <= maxN) { total += math.max(len - n + 1, 0); n += 1 }
+    val out = new Array[Any](total)
+    var k = 0
+    n = 1
+    while (n <= maxN) {
+      val count = len - n + 1
+      var i = 0
+      while (i < count) {
+        val sb = new java.lang.StringBuilder()
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        out(k) = InternalRow(n, UTF8String.fromString(sb.toString))
+        k += 1
+        i += 1
+      }
+      n += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "multi_ngrams"
+}
+
 object TextHashFunctions {
   import org.apache.spark.sql.GraftBridge
 
@@ -384,4 +436,7 @@ object TextHashFunctions {
 
   def cdcChunks(text: Column, w: Int = 4, d: Int = 32): Column =
     GraftBridge.column(CdcChunksExpression(GraftBridge.expression(text), w, d))
+
+  def multiNgrams(text: Column, maxN: Int = 3): Column =
+    GraftBridge.column(MultiNgramsExpression(GraftBridge.expression(text), maxN))
 }

@@ -1024,17 +1024,15 @@ object PretrainQueries {
     }
 
   private def q237NgramDiversityExact(spark: SparkSession, dir: String): DataFrame = {
-    val toks = split(col("text"), " ")
-    def grams(n: Int): Column = {
-      val arr = when(size(toks) >= n,
-        transform(sequence(lit(1), size(toks) - lit(n - 1)),
-          i => concat_ws(" ", slice(toks, i, lit(n)))))
-        .otherwise(array().cast(ArrayType(StringType)))
-      transform(arr, g => struct(lit(n).as("n"), g.as("g")))
-    }
+    // compiled one-pass kernel (MultiNgramsExpression): the declarative
+    // per-width slice/concat_ws dual re-evaluated an interpreted lambda
+    // per position per width and was the heaviest bench query (6.1 s at
+    // sf0.1; the kernel halves it). Projected BEFORE the explode so the
+    // generator input is a plain column (round-5 codegen gotcha).
     Tables.documents(spark, dir)
       .select(col("source"),
-        explode(flatten(array(grams(1), grams(2), grams(3)))).as("e"))
+        graft.functions.TextHashFunctions.multiNgrams(col("text"), 3).as("gs"))
+      .select(col("source"), explode(col("gs")).as("e"))
       .select(col("source"), col("e.n").as("n"), col("e.g").as("g"))
       .groupBy(col("source"), col("n"), col("g")).agg(count(lit(1)).as("c"))
       .groupBy(col("source"), col("n"))
@@ -1054,17 +1052,10 @@ object PretrainQueries {
    * sketch merges regardless of corpus size.
    */
   private def q237NgramDiversityHll(spark: SparkSession, dir: String): DataFrame = {
-    val toks = split(col("text"), " ")
-    def grams(n: Int): Column = {
-      val arr = when(size(toks) >= n,
-        transform(sequence(lit(1), size(toks) - lit(n - 1)),
-          i => concat_ws(" ", slice(toks, i, lit(n)))))
-        .otherwise(array().cast(ArrayType(StringType)))
-      transform(arr, g => struct(lit(n).as("n"), g.as("g")))
-    }
     Tables.documents(spark, dir)
       .select(col("source"),
-        explode(flatten(array(grams(1), grams(2), grams(3)))).as("e"))
+        graft.functions.TextHashFunctions.multiNgrams(col("text"), 3).as("gs"))
+      .select(col("source"), explode(col("gs")).as("e"))
       .select(col("source"), col("e.n").as("n"), col("e.g").as("g"))
       .groupBy(col("source"), col("n"))
       .agg(round(hll_sketch_estimate(hll_sketch_agg(col("g"), lit(14))))
