@@ -410,6 +410,65 @@ case class MultiNgramsExpression(child: Expression, maxN: Int)
   override def prettyName: String = "multi_ngrams"
 }
 
+/**
+ * One-pass readability counts (q234): words, sentence marks, and
+ * syllables from a SINGLE character scan. Parity contract with the
+ * declarative form and the DuckDB oracle:
+ *   words     = length of split(text, " ", -1)   (keep-empty),
+ *   sentences = max(1, count of [.!?] characters),
+ *   syllables = Σ per token max(1, maximal [aeiouy]+ runs of the
+ *               lowercased token)  — empty tokens floor to 1 exactly
+ *               like greatest(1, regexp_extract_all(...)).
+ * The declarative dual lowercases + regexp-extracts per token through
+ * interpreted HOFs (three passes over the text); this walks the chars
+ * once. Vowel classification is per-character lowercase (ASCII-stable,
+ * locale-independent), identical to `lower()` for the [aeiouyAEIOUY]
+ * set the runs depend on.
+ */
+case class ReadabilityCountsExpression(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("w", LongType), StructField("s", LongType),
+    StructField("syl", LongType)))
+
+  private def isVowel(c: Char): Boolean = {
+    val lc = Character.toLowerCase(c)
+    lc == 'a' || lc == 'e' || lc == 'i' || lc == 'o' || lc == 'u' || lc == 'y'
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val t = input.toString
+    var words = 1L
+    var sents = 0L
+    var syl = 0L
+    var runsInTok = 0L
+    var inRun = false
+    var i = 0
+    val len = t.length
+    while (i < len) {
+      val c = t.charAt(i)
+      if (c == ' ') {
+        syl += math.max(1L, runsInTok)
+        runsInTok = 0L
+        inRun = false
+        words += 1L
+      } else {
+        if (c == '.' || c == '!' || c == '?') sents += 1L
+        if (isVowel(c)) {
+          if (!inRun) { runsInTok += 1L; inRun = true }
+        } else inRun = false
+      }
+      i += 1
+    }
+    syl += math.max(1L, runsInTok) // close the final token (also "" -> 1)
+    InternalRow(words, math.max(1L, sents), syl)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "readability_counts"
+}
+
 object TextHashFunctions {
   import org.apache.spark.sql.GraftBridge
 
@@ -439,4 +498,7 @@ object TextHashFunctions {
 
   def multiNgrams(text: Column, maxN: Int = 3): Column =
     GraftBridge.column(MultiNgramsExpression(GraftBridge.expression(text), maxN))
+
+  def readabilityCounts(text: Column): Column =
+    GraftBridge.column(ReadabilityCountsExpression(GraftBridge.expression(text)))
 }

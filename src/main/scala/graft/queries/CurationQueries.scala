@@ -1255,17 +1255,16 @@ object CurationQueries {
   // multiplies rows by tokens.
   // ------------------------------------------------------------------
   def q234Readability(spark: SparkSession, dir: String): DataFrame = {
-    val toks = split(col("text"), " ")
-    val nWords = size(toks).cast(LongType)
-    val nSents = greatest(lit(1L),
-      length(regexp_replace(col("text"), "[^.!?]", "")).cast(LongType))
-    val nSylls = aggregate(
-      transform(split(lower(col("text")), " "),
-        t => greatest(lit(1), size(regexp_extract_all(t, lit("[aeiouy]+"), lit(0))))
-          .cast(LongType)),
-      lit(0L), (acc, x) => acc + x)
-    val scored = Tables.documents(spark, dir).select(
-      col("source"), nWords.as("w"), nSents.as("s"), nSylls.as("syl"))
+    // compiled one-scan counts (ReadabilityCountsExpression): the
+    // declarative dual (regexp_replace + per-token regexp_extract_all
+    // through interpreted HOFs) walked the text three times and ran 3×
+    // slower at the 10× scale; parity is contractual (see the kernel's
+    // Scaladoc) and the oracle recomputes the declarative form
+    val r = graft.functions.TextHashFunctions.readabilityCounts(col("text"))
+    val scored = Tables.documents(spark, dir)
+      .select(col("source"), r.as("r"))
+      .select(col("source"), col("r.w").as("w"), col("r.s").as("s"),
+        col("r.syl").as("syl"))
       .withColumn("fk",
         lit(0.39) * (col("w").cast(DoubleType) / col("s").cast(DoubleType)) +
           lit(11.8) * (col("syl").cast(DoubleType) / col("w").cast(DoubleType)) -
