@@ -167,7 +167,7 @@ object Cli {
   /** `sketch` command body, session-injected so LifecycleSpec can
     * drive it end-to-end without stopping the shared test session:
     *
-    *   sketch --kind distinct|bloom|reservoir|trending|heavy|drift
+    *   sketch --kind distinct|bloom|reservoir|trending|heavy|drift|quantile
     *          [--db NAME] [--name N] [--op update|show|merge]
     *          [--table T --column C] [--key-column KC]
     *          [--others n1,n2] [--probe v1,v2] [--p 12] [--k 3]
@@ -180,10 +180,11 @@ object Cli {
   private[graft] def runSketch(spark: SparkSession,
       cache: SparkCache, opts: Map[String, String]): String = {
     import graft.streaming.{StreamingBloom, StreamingDistinct, StreamingDrift,
+      StreamingQuantiles,
       StreamingHeavyHitters, StreamingReservoir, StreamingTrending}
     import org.apache.spark.sql.functions.col
     val kind = opts.getOrElse("kind",
-      fail("--kind distinct|bloom|reservoir|trending|heavy|drift"))
+      fail("--kind distinct|bloom|reservoir|trending|heavy|drift|quantile"))
     val name = opts.getOrElse("name", s"graft_sketch_$kind")
     val op = opts.getOrElse("op", "update")
     def batch(): org.apache.spark.sql.DataFrame = {
@@ -326,6 +327,37 @@ object Cli {
                else "unfrozen")
           case o => fail(s"unknown sketch op '$o'")
         }
+      case "quantile" =>
+        // exact quantile monitor over a quantized grid: --key-column
+        // groups, --column is the value, --scale the grid (×scale
+        // integer points); counts are additive, shard merge is exact
+        val kc = opts.getOrElse("key-column",
+          fail("--key-column is required for --kind quantile"))
+        val scale = opts.getOrElse("scale", "100").toInt
+        def quantBatch(): org.apache.spark.sql.DataFrame = {
+          val t = opts.getOrElse("table", fail("--table is required for --op update"))
+          val c = opts.getOrElse("column", fail("--column is required for --op update"))
+          spark.table(s"`${cache.database}`.`$t`")
+            .select(col(kc).cast("string").as("k"), col(c).as("v"))
+        }
+        val sk = StreamingQuantiles.restore(cache, name, "k", "v", scale)
+        op match {
+          case "update" => sk.processBatch(quantBatch()); sk.saveTo(cache, name)
+          case "merge" =>
+            others().foreach(o =>
+              sk.merge(StreamingQuantiles.restore(cache, o, "k", "v", scale)))
+            sk.saveTo(cache, name)
+          case "show" => ()
+          case o => fail(s"unknown sketch op '$o'")
+        }
+        val qline = sk.quantiles(Seq(0.5, 0.9, 0.99)).collect()
+          .groupBy(_.getString(0)).toSeq.sortBy(_._1).take(3)
+          .map { case (k, rows) =>
+            val m = rows.map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+            s"$k{p50=${m(0.5)},p90=${m(0.9)},p99=${m(0.99)}}"
+          }
+        s"sketch '$name' (quantile scale=${sk.scale}): n=${sk.n} " +
+          qline.mkString(",")
       case o => fail(s"unknown sketch kind '$o'")
     }
   }
@@ -365,7 +397,7 @@ object Cli {
       |  benchmark [--records N]
       |  smoke-test [--scenarios fast|all|names] [--namespace-suffix S] [--reuse-namespace NS] [--custom-scenarios-file F] [--skip-preflight true]
       |  destination-smoke-test --db NAME --stream S --cmd "shell command"
-      |  sketch --kind distinct|bloom|reservoir|trending|heavy|drift [--db NAME] [--name N] [--op update|show|merge] [--table T --column C] [--key-column KC] [--others n1,n2] [--probe v1,v2] [--p P] [--k K] [--size N] [--denom D] [--bins B]""".stripMargin)
+      |  sketch --kind distinct|bloom|reservoir|trending|heavy|drift|quantile [--db NAME] [--name N] [--op update|show|merge] [--table T --column C] [--key-column KC] [--others n1,n2] [--probe v1,v2] [--p P] [--k K] [--size N] [--denom D] [--bins B] [--scale S]""".stripMargin)
 
   private def fail(msg: String): Nothing = {
     System.err.println(s"[cli] ERROR: $msg")

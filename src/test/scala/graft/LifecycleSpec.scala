@@ -192,6 +192,26 @@ class LifecycleSpec extends SparkTestBase {
     val dm = sketch("kind" -> "drift", "name" -> "dr_u", "bins" -> "10",
       "key-column" -> "metric", "op" -> "merge", "others" -> "dr_1,dr_2")
     assert(dm.contains("keys=2"), dm)
+
+    // --- quantile: shard updates, exact merged p50/p90/p99 -----------
+    (1 to 60).map(i => ("lat", i.toDouble)).toDF("metric", "v")
+      .write.mode("overwrite").saveAsTable("`graft_test_sketch_cli2`.`lat_a`")
+    (61 to 100).map(i => ("lat", i.toDouble)).toDF("metric", "v")
+      .write.mode("overwrite").saveAsTable("`graft_test_sketch_cli2`.`lat_b`")
+    sketch("kind" -> "quantile", "name" -> "qt_a", "scale" -> "100",
+      "key-column" -> "metric", "op" -> "update",
+      "table" -> "lat_a", "column" -> "v")
+    sketch("kind" -> "quantile", "name" -> "qt_b", "scale" -> "100",
+      "key-column" -> "metric", "op" -> "update",
+      "table" -> "lat_b", "column" -> "v")
+    // merged shards = exact quantiles of the union 1..100
+    val qm = sketch("kind" -> "quantile", "name" -> "qt_u", "scale" -> "100",
+      "key-column" -> "metric", "op" -> "merge", "others" -> "qt_a,qt_b")
+    assert(qm.contains("n=100") &&
+      qm.contains("lat{p50=50.0,p90=90.0,p99=99.0}"), qm)
+    // a NEW restore (show) serves the persisted union unchanged
+    assert(sketch("kind" -> "quantile", "name" -> "qt_u", "scale" -> "100",
+      "key-column" -> "metric", "op" -> "show") == qm)
     cache.dropAll()
   }
 }
