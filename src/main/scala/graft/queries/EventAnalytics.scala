@@ -1091,4 +1091,106 @@ object EventAnalytics {
       |    AS tau_micro
       |FROM med m JOIN tau t ON m.event_type = t.event_type
       |JOIN nd ON nd.event_type = m.event_type""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q244: autocorrelation function of daily event volume per type,
+  // lags 1–7 — the periodicity detector that says WHICH lag repeats
+  // (weekly seasonality shows as a ρ₇ spike) where q194's seasonal
+  // decomposition assumes the period and q210's CUSUM finds level
+  // shifts. Series = the GAP-FILLED day spine (q69's convention —
+  // missing days are real zeros, not absent rows; skipping them would
+  // silently splice non-adjacent days into "adjacent" pairs).
+  //
+  // Exactness: with S=Σx, Q=Σx², and per-lag P=Σx_t·x_{t+k},
+  // A=Σ_pairs x_t, B=Σ_pairs x_{t+k} (all exact integer sums off the
+  // SAME lag join), the mean-centered sample ACF multiplies out to
+  //   ρ_k = (N²·P − N·S·(A+B) + (N−k)·S²) / (N·(N·Q − S²))
+  // — ONE double division of exact DECIMAL/HUGEINT integers, 6 dp.
+  //
+  // 100 TB shape: the corpus collapses to (type, day) counts in one
+  // map-side-combined tally; the spine, lag self-join, and every
+  // aggregate after are DAY-DOMAIN-sized. The lag join explodes 7
+  // offsets from each day row — never a window over raw events.
+  // ------------------------------------------------------------------
+  def q244DailyAcf(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val maxLag = 7
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val span = daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val spine = span.select(col("event_type"), explode(
+      expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val series = spine.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"),
+        datediff(col("day"), lit("1970-01-01")).cast(LongType).as("t"),
+        coalesce(col("x"), lit(0L)).as("x"))
+      .localCheckpoint() // reused: totals AND both sides of the lag join
+    val tot = series.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+        sum((col("x").cast(dec) * col("x").cast(dec))).as("q"))
+    val lagged = series
+      .select(col("event_type"), col("t"), col("x"),
+        explode(expr(s"sequence(1, $maxLag)")).as("k"))
+      .withColumn("t2", col("t") + col("k"))
+      .join(series.select(col("event_type"), col("t").as("t2"),
+        col("x").as("y")), Seq("event_type", "t2"))
+      .groupBy(col("event_type"), col("k"))
+      .agg(sum((col("x").cast(dec) * col("y").cast(dec))).as("p"),
+        sum(col("x")).as("a"), sum(col("y")).as("b"))
+    lagged.join(broadcast(tot), "event_type")
+      .select(col("event_type"), col("k").cast(IntegerType).as("lag"),
+        col("n").as("n_days"),
+        round(
+          (col("n").cast(dec) * col("n").cast(dec) * col("p") -
+            col("n").cast(dec) * col("s").cast(dec) *
+              (col("a").cast(dec) + col("b").cast(dec)) +
+            (col("n") - col("k")).cast(dec) * col("s").cast(dec) *
+              col("s").cast(dec)).cast(DoubleType) /
+          (col("n").cast(dec) *
+            (col("n").cast(dec) * col("q") -
+              col("s").cast(dec) * col("s").cast(dec))).cast(DoubleType),
+          6).as("acf"))
+      .orderBy(col("event_type"), col("lag"))
+  }
+
+  val q244Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |span AS (
+      |  SELECT event_type, MIN(day) AS d0, MAX(day) AS d1
+      |  FROM daily GROUP BY 1),
+      |spine AS (
+      |  SELECT s.event_type, s.d0 + CAST(u.i AS INT) AS day,
+      |    CAST(date_diff('day', DATE '1970-01-01', s.d0) + u.i AS BIGINT) AS t
+      |  FROM span s,
+      |    UNNEST(range(0, date_diff('day', s.d0, s.d1) + 1)) AS u(i)),
+      |series AS (
+      |  SELECT sp.event_type, sp.t, CAST(COALESCE(d.x, 0) AS BIGINT) AS x
+      |  FROM spine sp LEFT JOIN daily d
+      |    ON d.event_type = sp.event_type AND d.day = sp.day),
+      |tot AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS HUGEINT) AS s,
+      |    SUM(CAST(x AS HUGEINT) * x) AS q
+      |  FROM series GROUP BY 1),
+      |lagged AS (
+      |  SELECT a.event_type, k.k,
+      |    SUM(CAST(a.x AS HUGEINT) * b.x) AS p,
+      |    CAST(SUM(a.x) AS HUGEINT) AS a_sum,
+      |    CAST(SUM(b.x) AS HUGEINT) AS b_sum
+      |  FROM series a, (VALUES (1),(2),(3),(4),(5),(6),(7)) k(k), series b
+      |  WHERE b.event_type = a.event_type AND b.t = a.t + k.k
+      |  GROUP BY 1, 2)
+      |SELECT l.event_type, CAST(l.k AS INT) AS lag, t.n AS n_days,
+      |  round(CAST(CAST(t.n AS HUGEINT) * t.n * l.p
+      |      - CAST(t.n AS HUGEINT) * t.s * (l.a_sum + l.b_sum)
+      |      + CAST(t.n - l.k AS HUGEINT) * t.s * t.s AS DOUBLE) /
+      |    CAST(CAST(t.n AS HUGEINT) *
+      |      (CAST(t.n AS HUGEINT) * t.q - t.s * t.s) AS DOUBLE), 6) AS acf
+      |FROM lagged l JOIN tot t ON t.event_type = l.event_type
+      |ORDER BY l.event_type, lag""".stripMargin
 }

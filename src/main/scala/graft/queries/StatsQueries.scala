@@ -1158,4 +1158,108 @@ object StatsQueries {
       |      CAST(least(MAX(n_r) - 1, MAX(n_c) - 1) AS DOUBLE))), 4)
       |    AS cramers_v
       |FROM add_""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q245: Theil's uncertainty coefficient, source ↔ lang (Theil 1970)
+  // — the information-theoretic companion to q240's χ²: U(lang|source)
+  // = I(source;lang)/H(lang) says what FRACTION of the language
+  // uncertainty the source identity removes (χ² says "dependent",
+  // U says "how much", on a 0–1 scale, and asymmetrically).
+  //
+  // Exact protocol: every entropy/MI term is o·round(log2(·)·10⁶) —
+  // the log2 computed once in an IDENTICAL double expression over
+  // exact integers (q89's addend contract), the products and sums
+  // exact DECIMAL/HUGEINT. MI and both entropies share the SAME
+  // T·10⁶ scaling, so each U is a ratio of two exact integers — one
+  // double division, 6 dp.
+  //
+  // 100 TB shape: the same ONE map-side-combined contingency tally as
+  // q240 (cells are dimension-sized); margins/totals are rollups of
+  // the checkpointed cell table; final 1-row assembly.
+  // ------------------------------------------------------------------
+  def q245TheilsU(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val cells = Tables.documents(spark, dir)
+      .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("o"))
+      .localCheckpoint() // reused: margins, total, MI addends
+    val rows = cells.groupBy(col("source")).agg(sum(col("o")).as("r"))
+    val cols_ = cells.groupBy(col("lang")).agg(sum(col("o")).as("c"))
+    val tot = cells.agg(sum(col("o")).as("t_all"))
+    def entScaled(margin: DataFrame, cnt: String): DataFrame = margin
+      .crossJoin(broadcast(tot))
+      .agg((max(col("t_all")).cast(dec) *
+        round(log2(max(col("t_all")).cast(DoubleType)) * lit(1000000.0), 0)
+          .cast(LongType).cast(dec) -
+        sum(col(cnt).cast(dec) *
+          round(log2(col(cnt).cast(DoubleType)) * lit(1000000.0), 0)
+            .cast(LongType).cast(dec))).as("h"))
+    val hLang = entScaled(cols_, "c").select(col("h").as("h_lang"))
+    val hSrc = entScaled(rows, "r").select(col("h").as("h_src"))
+    val mi = cells
+      .join(broadcast(rows), "source").join(broadcast(cols_), "lang")
+      .crossJoin(broadcast(tot))
+      .agg(sum(col("o").cast(dec) *
+        round(log2(col("o").cast(DoubleType) * col("t_all").cast(DoubleType) /
+          (col("r").cast(DoubleType) * col("c").cast(DoubleType))) *
+          lit(1000000.0), 0).cast(LongType).cast(dec)).as("mi"),
+        max(col("t_all")).as("n"))
+    mi.crossJoin(broadcast(hLang)).crossJoin(broadcast(hSrc))
+      .select(col("n"),
+        round(col("h_lang").cast(DoubleType) /
+          (col("n").cast(DoubleType) * lit(1000000.0)), 6).as("h_lang_bits"),
+        round(col("h_src").cast(DoubleType) /
+          (col("n").cast(DoubleType) * lit(1000000.0)), 6).as("h_source_bits"),
+        round(col("mi").cast(DoubleType) /
+          (col("n").cast(DoubleType) * lit(1000000.0)), 6).as("mi_bits"),
+        round(col("mi").cast(DoubleType) / col("h_lang").cast(DoubleType), 6)
+          .as("u_lang_given_source"),
+        round(col("mi").cast(DoubleType) / col("h_src").cast(DoubleType), 6)
+          .as("u_source_given_lang"))
+  }
+
+  val q245Sql: String =
+    """WITH cells AS (
+      |  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS o
+      |  FROM documents GROUP BY 1, 2),
+      |rows_ AS (SELECT source, CAST(SUM(o) AS BIGINT) AS r
+      |  FROM cells GROUP BY 1),
+      |cols_ AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS c
+      |  FROM cells GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(o) AS BIGINT) AS t_all FROM cells),
+      |hl AS (
+      |  SELECT CAST(MAX(t_all) AS HUGEINT) *
+      |      CAST(round(log2(CAST(MAX(t_all) AS DOUBLE)) * 1000000.0, 0)
+      |        AS BIGINT) -
+      |    SUM(CAST(c AS HUGEINT) *
+      |      CAST(round(log2(CAST(c AS DOUBLE)) * 1000000.0, 0) AS BIGINT))
+      |    AS h_lang
+      |  FROM cols_ CROSS JOIN tot),
+      |hs AS (
+      |  SELECT CAST(MAX(t_all) AS HUGEINT) *
+      |      CAST(round(log2(CAST(MAX(t_all) AS DOUBLE)) * 1000000.0, 0)
+      |        AS BIGINT) -
+      |    SUM(CAST(r AS HUGEINT) *
+      |      CAST(round(log2(CAST(r AS DOUBLE)) * 1000000.0, 0) AS BIGINT))
+      |    AS h_src
+      |  FROM rows_ CROSS JOIN tot),
+      |mi AS (
+      |  SELECT SUM(CAST(o AS HUGEINT) *
+      |      CAST(round(log2(CAST(o AS DOUBLE) * CAST(t_all AS DOUBLE) /
+      |        (CAST(r AS DOUBLE) * CAST(c AS DOUBLE))) * 1000000.0, 0)
+      |        AS BIGINT)) AS mi,
+      |    MAX(t_all) AS n
+      |  FROM cells JOIN rows_ USING (source) JOIN cols_ USING (lang)
+      |    CROSS JOIN tot)
+      |SELECT n,
+      |  round(CAST(h_lang AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0), 6)
+      |    AS h_lang_bits,
+      |  round(CAST(h_src AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0), 6)
+      |    AS h_source_bits,
+      |  round(CAST(mi AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0), 6)
+      |    AS mi_bits,
+      |  round(CAST(mi AS DOUBLE) / CAST(h_lang AS DOUBLE), 6)
+      |    AS u_lang_given_source,
+      |  round(CAST(mi AS DOUBLE) / CAST(h_src AS DOUBLE), 6)
+      |    AS u_source_given_lang
+      |FROM mi CROSS JOIN hl CROSS JOIN hs""".stripMargin
 }

@@ -470,6 +470,14 @@ class ExchangeBudgetSpec extends SparkTestBase {
                                  // label tally behind its checkpoint
                                  // (and the gram job's ONE exchange);
                                  // visible: the final order range
+    "q244_daily_acf"      -> 3,  // day tally behind the series
+                                 // checkpoint; visible: per-(type,lag)
+                                 // pair agg, per-type totals agg,
+                                 // order range — all DAY-DOMAIN-sized
+    "q245_theils_u"       -> 8,  // margin rollups + 1-row entropy/MI
+                                 // aggs off the checkpointed cell
+                                 // table — every input is
+                                 // dimension-sized (|sources|+|langs|)
     "q223_ngram_novelty"  -> 5,  // spread repartition (underpartition
                                  // guard), train-window distinct, the
                                  // eval join co-shuffle, countDistinct
