@@ -207,7 +207,13 @@ object PlanCheck {
               "q201_quantile_normalize",
               // q217: 1-row (N, S) totals broadcast onto the 64-row
               // bin dimension (the q86/q88 one-row-stats shape)
-              "q217_otsu_threshold")
+              "q217_otsu_threshold",
+              // q235: 1-row doc-count total broadcast into the term
+              // stats for the relative-df gate (q88's shape)
+              "q235_term_burstiness",
+              // q240/q245: 1-row contingency-total broadcast onto the
+              // dimension-sized cell/margin tables (q88's shape)
+              "q240_chi_squared", "q245_theils_u")
               .contains(name))
         ).collect { case (f, true) => f } ++ {
           // measured-build-side audit for EVERY BNLJ, allowlisted or not
