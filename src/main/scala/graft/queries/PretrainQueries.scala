@@ -1117,9 +1117,18 @@ object PretrainQueries {
   // collect is ONE dimension-sized row, and the iteration is O(d²) on
   // the driver (d = 64). ONE exchange end to end.
   // ------------------------------------------------------------------
-  /** The milli-quantization shared by q242/q243 and their oracles. */
+  /** The milli-quantization shared by q242/q243/q246 and their oracles. */
   private def milliVec: Column = transform(col("embedding"),
     e => round(e.cast(DoubleType) * lit(1000.0), 0).cast(LongType))
+
+  /** One LongGramAggregate pass: the raw exact buffer + n. */
+  private def longGram(spark: SparkSession, dir: String): (Seq[Long], Long) = {
+    val d = EmbDim
+    val g = Tables.embeddings(spark, dir)
+      .agg(LongGramAggregate.gram(milliVec, d).as("g"))
+      .head().getSeq[Long](0)
+    (g, g(d * (d + 1) / 2 + d))
+  }
 
   /**
    * Driver-side exact top-component solve shared by q242/q243: ONE
@@ -1322,4 +1331,73 @@ object PretrainQueries {
       |    (CAST(f.sst - f.ssb AS DOUBLE) / CAST(f.n - f.k AS DOUBLE)), 4)
       |    AS f_stat
       |FROM grp g CROSS JOIN fs f ORDER BY label""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q246: variance-normalized embedding outliers — top-20 vectors by
+  // diagonal Mahalanobis distance D² = Σ_i (x_i − μ_i)²/σ_i². The
+  // dimension-aware companion to q107's centroid-cosine pruning: a
+  // vector extreme in a LOW-variance dimension is the real anomaly
+  // (encoder glitch, corrupt decode, wrong modality), which the
+  // unnormalized cosine misses when high-variance dimensions dominate.
+  //
+  // Exactness: milli-quantized integers; per-dim moments from the ONE
+  // LongGramAggregate pass (diag + sums, exact any order); per-dim
+  // addend ((n·x − S)² / (n·Q − S²), both exact LONGs) evaluated as
+  // ONE identical double expression, micro-rounded per dim, summed
+  // exactly per vector; constant dims (zero variance) contribute 0 by
+  // guard in both engines.
+  //
+  // 100 TB shape: the gram job (ONE exchange) then a ZERO-shuffle
+  // per-row zip_with fold with the 64-long moment arrays inlined as
+  // literals; the top-20 is TakeOrderedAndProject (per-task heaps,
+  // never a global sort).
+  // ------------------------------------------------------------------
+  def q246MahalanobisOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val d = EmbDim
+    val (g, n) = longGram(spark, dir)
+    val triLen = d * (d + 1) / 2
+    val s = (0 until d).map(i => g(triLen + i))
+    val q = (0 until d).map(i => g(i * d - i * (i - 1) / 2))
+    val den = (0 until d).map(i => n * q(i) - s(i) * s(i))
+    val sArr = array(s.map(lit): _*)
+    val dArr = array(den.map(lit): _*)
+    val t1 = zip_with(milliVec, sArr, (x, sv) => lit(n) * x - sv)
+    val t2 = zip_with(t1, dArr, (t, dv) =>
+      when(dv === 0L, lit(0L)).otherwise(
+        round(t.cast(DoubleType) * t.cast(DoubleType) / dv.cast(DoubleType) *
+          lit(1000000.0), 0).cast(LongType)))
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        aggregate(t2, lit(0L), (acc, x) => acc + x).as("d2_micro"))
+      .orderBy(col("d2_micro").desc, col("vec_id"))
+      .limit(20)
+  }
+
+  val q246Sql: String =
+    """WITH mil AS MATERIALIZED (
+      |  SELECT vec_id, CAST(r.i AS INT) AS i,
+      |    CAST(round(CAST(embedding[r.i + 1] AS DOUBLE) * 1000.0, 0)
+      |      AS BIGINT) AS x
+      |  FROM embeddings, range(64) r(i)),
+      |mom AS (
+      |  SELECT i, CAST(COUNT(*) AS HUGEINT) AS n,
+      |    CAST(SUM(x) AS HUGEINT) AS s,
+      |    SUM(CAST(x AS HUGEINT) * x) AS q
+      |  FROM mil GROUP BY i),
+      |add_ AS (
+      |  SELECT m.vec_id,
+      |    CASE WHEN mo.n * mo.q - mo.s * mo.s = 0 THEN 0
+      |      ELSE CAST(round(CAST(mo.n * m.x - mo.s AS DOUBLE) *
+      |        CAST(mo.n * m.x - mo.s AS DOUBLE) /
+      |        CAST(mo.n * mo.q - mo.s * mo.s AS DOUBLE) * 1000000.0, 0)
+      |        AS BIGINT)
+      |      END AS a
+      |  FROM mil m JOIN mom mo ON mo.i = m.i),
+      |d2 AS (
+      |  SELECT vec_id, CAST(SUM(a) AS BIGINT) AS d2_micro
+      |  FROM add_ GROUP BY vec_id)
+      |SELECT d.vec_id, e.label, d.d2_micro
+      |FROM d2 d JOIN embeddings e ON e.vec_id = d.vec_id
+      |ORDER BY d.d2_micro DESC, d.vec_id
+      |LIMIT 20""".stripMargin
 }

@@ -478,6 +478,10 @@ class ExchangeBudgetSpec extends SparkTestBase {
                                  // aggs off the checkpointed cell
                                  // table — every input is
                                  // dimension-sized (|sources|+|langs|)
+    "q246_mahalanobis"    -> 0,  // gram folds in its own job (ONE
+                                 // exchange there); the scored scan is
+                                 // a zero-shuffle zip_with fold into
+                                 // TakeOrderedAndProject
     "q223_ngram_novelty"  -> 5,  // spread repartition (underpartition
                                  // guard), train-window distinct, the
                                  // eval join co-shuffle, countDistinct
