@@ -432,9 +432,13 @@ case class ReadabilityCountsExpression(child: Expression)
     StructField("w", LongType), StructField("s", LongType),
     StructField("syl", LongType)))
 
-  private def isVowel(c: Char): Boolean = {
-    val lc = Character.toLowerCase(c)
-    lc == 'a' || lc == 'e' || lc == 'i' || lc == 'o' || lc == 'u' || lc == 'y'
+  // explicit ASCII both-case membership — no case-conversion call at
+  // all (LocaleSafetySpec's gate), identical to `lower()` for the
+  // [aeiouyAEIOUY] set the vowel runs depend on
+  private def isVowel(c: Char): Boolean = (c: @annotation.switch) match {
+    case 'a' | 'e' | 'i' | 'o' | 'u' | 'y' |
+         'A' | 'E' | 'I' | 'O' | 'U' | 'Y' => true
+    case _ => false
   }
 
   override def nullSafeEval(input: Any): Any = {
