@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.{GramAggregate, LongGramAggregate}
-import graft.operators.{Bpe, Dedup}
+import graft.operators.{Bpe, Dedup, IntEigen}
 import graft.sources.Tables
 
 /**
@@ -1132,56 +1132,22 @@ object PretrainQueries {
 
   /**
    * Driver-side exact top-component solve shared by q242/q243: ONE
-   * LongGramAggregate pass, then integer covariance + 16 matrix
-   * squarings in BigInt. Returns (m, vf, n): the scaled integer
+   * LongGramAggregate pass, then [[IntEigen]]'s integer covariance +
+   * matrix-squaring solve. Returns (m, vf, n): the scaled integer
    * covariance, the sign-fixed ±10⁶ fixed-point loading vector, and
    * the row count — all bit-identical to the DuckDB CTE replay.
    */
   private def topComponentSolve(
       spark: SparkSession, dir: String): (Array[Array[BigInt]], Array[BigInt], BigInt) = {
-    val d = EmbDim
-    val squarings = 16
-    val triLen = d * (d + 1) / 2
-    val g = Tables.embeddings(spark, dir)
-      .agg(LongGramAggregate.gram(milliVec, d).as("g"))
-      .head().getSeq[Long](0)
-    val n = BigInt(g(triLen + d))
-    def sxy(i: Int, j: Int): BigInt = {
-      val (a, b) = if (i <= j) (i, j) else (j, i)
-      BigInt(g(a * d - a * (a - 1) / 2 + (b - a)))
-    }
-    def sx(i: Int): BigInt = BigInt(g(triLen + i))
-    val cov = Array.tabulate(d, d)((i, j) => n * sxy(i, j) - sx(i) * sx(j))
-    val scale = (cov.flatten.map(_.abs).max / 1000000) max BigInt(1)
-    // BigInt `/` truncates toward zero — same as Spark `div` and DuckDB `//`
-    val m = cov.map(_.map(_ / scale))
-    var p = m.map(_.clone)
-    var it = 0
-    while (it < squarings) {
-      val pp = Array.tabulate(d, d)((i, j) =>
-        (0 until d).map(x => p(i)(x) * p(x)(j)).foldLeft(BigInt(0))(_ + _))
-      val s = (pp.flatten.map(_.abs).max / 1000000) max BigInt(1)
-      p = pp.map(_.map(_ / s))
-      it += 1
-    }
-    // P ≈ rank-1 λ^(2^16)·v₁v₁ᵀ (rescaled): its row sums point along v₁
-    val w = Array.tabulate(d)(i => p(i).foldLeft(BigInt(0))(_ + _))
-    val mxw = w.map(_.abs).max
-    val v = if (mxw > 0) w.map(x => (x * 1000000) / mxw)
-            else Array.fill(d)(BigInt(0))
-    val maxIdx = v.indices.minBy(i => (-v(i).abs, i))
-    val sgn = if (v(maxIdx) < 0) BigInt(-1) else BigInt(1)
-    (m, v.map(_ * sgn), n)
+    val (g, n) = longGram(spark, dir)
+    val m = IntEigen.covScaled(g.map(BigInt(_)).toIndexedSeq, EmbDim)
+    (m, IntEigen.topComponent(m), BigInt(n))
   }
 
   def q242TopComponent(spark: SparkSession, dir: String): DataFrame = {
     val d = EmbDim
     val (m, vf, n) = topComponentSolve(spark, dir)
-    val num = (for (i <- 0 until d; j <- 0 until d) yield m(i)(j) * vf(i) * vf(j))
-      .foldLeft(BigInt(0))(_ + _)
-    val den = vf.map(x => x * x).foldLeft(BigInt(0))(_ + _)
-    val trace = (0 until d).map(i => m(i)(i)).foldLeft(BigInt(0))(_ + _)
-    val veMicro = (num * 1000000) / (den * trace)
+    val veMicro = IntEigen.varExplainedMicro(m, vf)
     import spark.implicits._
     (0 until d).map(i => (i, vf(i).toLong, veMicro.toLong, n.toLong))
       .toDF("dim", "loading_micro", "var_explained_micro", "n_vecs")

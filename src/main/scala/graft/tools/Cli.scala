@@ -167,7 +167,7 @@ object Cli {
   /** `sketch` command body, session-injected so LifecycleSpec can
     * drive it end-to-end without stopping the shared test session:
     *
-    *   sketch --kind distinct|bloom|reservoir|trending|heavy|drift|quantile
+    *   sketch --kind distinct|bloom|reservoir|trending|heavy|drift|quantile|embdrift
     *          [--db NAME] [--name N] [--op update|show|merge]
     *          [--table T --column C] [--key-column KC]
     *          [--others n1,n2] [--probe v1,v2] [--p 12] [--k 3]
@@ -180,11 +180,11 @@ object Cli {
   private[graft] def runSketch(spark: SparkSession,
       cache: SparkCache, opts: Map[String, String]): String = {
     import graft.streaming.{StreamingBloom, StreamingDistinct, StreamingDrift,
-      StreamingQuantiles,
+      StreamingEmbeddingDrift, StreamingQuantiles,
       StreamingHeavyHitters, StreamingReservoir, StreamingTrending}
     import org.apache.spark.sql.functions.col
     val kind = opts.getOrElse("kind",
-      fail("--kind distinct|bloom|reservoir|trending|heavy|drift|quantile"))
+      fail("--kind distinct|bloom|reservoir|trending|heavy|drift|quantile|embdrift"))
     val name = opts.getOrElse("name", s"graft_sketch_$kind")
     val op = opts.getOrElse("op", "update")
     def batch(): org.apache.spark.sql.DataFrame = {
@@ -358,6 +358,34 @@ object Cli {
           }
         s"sketch '$name' (quantile scale=${sk.scale}): n=${sk.n} " +
           qline.mkString(",")
+      case "embdrift" =>
+        // embedding-space drift: --column is an array<float> vector
+        // column; the FIRST update freezes the reference Gram, later
+        // updates report the top-component cosine against it
+        val dim = opts.getOrElse("dim", "64").toInt
+        def embBatch(): org.apache.spark.sql.DataFrame = {
+          val t = opts.getOrElse("table", fail("--table is required for --op update"))
+          val c = opts.getOrElse("column", fail("--column is required for --op update"))
+          spark.table(s"`${cache.database}`.`$t`").select(col(c).as("v"))
+        }
+        val sk = StreamingEmbeddingDrift.restore(cache, name, "v", dim)
+        op match {
+          case "update" => sk.processBatch(embBatch()); sk.saveTo(cache, name)
+          case "merge" =>
+            others().foreach(o =>
+              sk.merge(StreamingEmbeddingDrift.restore(cache, o, "v", dim)))
+            sk.saveTo(cache, name)
+          case "show" => ()
+          case o => fail(s"unknown sketch op '$o'")
+        }
+        sk.report() match {
+          case Some(r) =>
+            s"sketch '$name' (embdrift d=${sk.d}): n=${r.nCur} " +
+              f"ref_n=${r.nRef} cosine=${r.cosine}%.4f " +
+              s"var_ref_micro=${r.refVarExplainedMicro} " +
+              s"var_cur_micro=${r.curVarExplainedMicro}"
+          case None => s"sketch '$name' (embdrift d=${sk.d}): unfrozen"
+        }
       case o => fail(s"unknown sketch kind '$o'")
     }
   }
@@ -397,7 +425,7 @@ object Cli {
       |  benchmark [--records N]
       |  smoke-test [--scenarios fast|all|names] [--namespace-suffix S] [--reuse-namespace NS] [--custom-scenarios-file F] [--skip-preflight true]
       |  destination-smoke-test --db NAME --stream S --cmd "shell command"
-      |  sketch --kind distinct|bloom|reservoir|trending|heavy|drift|quantile [--db NAME] [--name N] [--op update|show|merge] [--table T --column C] [--key-column KC] [--others n1,n2] [--probe v1,v2] [--p P] [--k K] [--size N] [--denom D] [--bins B] [--scale S]""".stripMargin)
+      |  sketch --kind distinct|bloom|reservoir|trending|heavy|drift|quantile|embdrift [--db NAME] [--name N] [--op update|show|merge] [--table T --column C] [--key-column KC] [--others n1,n2] [--probe v1,v2] [--p P] [--k K] [--size N] [--denom D] [--bins B] [--scale S] [--dim D]""".stripMargin)
 
   private def fail(msg: String): Nothing = {
     System.err.println(s"[cli] ERROR: $msg")

@@ -212,6 +212,22 @@ class LifecycleSpec extends SparkTestBase {
     // a NEW restore (show) serves the persisted union unchanged
     assert(sketch("kind" -> "quantile", "name" -> "qt_u", "scale" -> "100",
       "key-column" -> "metric", "op" -> "show") == qm)
+
+    // --- embdrift: freeze, same-axis fold stays high-cosine ----------
+    val rnd = new scala.util.Random(99)
+    def emb(axis: Int, n: Int) = Seq.fill(n)(
+      (0 until 8).map(i => ((if (i == axis) rnd.nextGaussian() * 4 else 0.0)
+        + rnd.nextGaussian() * 0.2).toFloat))
+    emb(2, 200).toDF("vec")
+      .write.mode("overwrite").saveAsTable("`graft_test_sketch_cli2`.`emb_a`")
+    val e1 = sketch("kind" -> "embdrift", "name" -> "ed_1", "dim" -> "8",
+      "op" -> "update", "table" -> "emb_a", "column" -> "vec")
+    assert(e1.contains("cosine=1.0000"), e1) // first fold: cum == ref
+    val e2 = sketch("kind" -> "embdrift", "name" -> "ed_1", "dim" -> "8",
+      "op" -> "update", "table" -> "emb_a", "column" -> "vec")
+    assert(e2.contains("n=400") && e2.contains("ref_n=200"), e2)
+    assert(sketch("kind" -> "embdrift", "name" -> "ed_1", "dim" -> "8",
+      "op" -> "show") == e2)
     cache.dropAll()
   }
 }
