@@ -473,6 +473,79 @@ case class ReadabilityCountsExpression(child: Expression)
   override def prettyName: String = "readability_counts"
 }
 
+/**
+ * One-pass code-switching profile (q247): cuts the text into fixed
+ * `w`-token windows, language-IDs each window by marker-hit argmax
+ * (ties resolve to the LAST language code in sorted order, 'und' on
+ * zero hits — q36's exact rule), drops 'und' windows, and returns
+ * struct(n_windows, n_lang_windows, mixed, switches) where mixed =
+ * ≥2 distinct remaining languages and switches = adjacent unequal
+ * pairs. The declarative dual evaluates the whole langId expression
+ * tree interpreted per window inside nested HOFs (6× at the 10×
+ * replica); this walks tokens once with hash-set membership. Parity
+ * contract: tokens = split(text, " ", -1) keep-empty; window count =
+ * ceil(len/w) ≥ 1.
+ */
+case class CodeSwitchExpression(
+    child: Expression, w: Int, markers: Seq[(String, Seq[String])])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_windows", LongType), StructField("n_lang_windows", LongType),
+    StructField("mixed", BooleanType), StructField("switches", LongType)))
+
+  // sorted ascending so "last wins ties" is a simple >= sweep
+  private val langs: Array[(String, Set[String])] =
+    markers.sortBy(_._1).map { case (l, ms) => (l, ms.toSet) }.toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.toString.split(" ", -1)
+    val nWin = (toks.length + w - 1) / w
+    var prev: String = null
+    var nLang = 0L
+    var switches = 0L
+    var firstLang: String = null
+    var mixed = false
+    val hits = new Array[Int](langs.length)
+    var b = 0
+    while (b < nWin) {
+      java.util.Arrays.fill(hits, 0)
+      var i = b * w
+      val end = math.min(i + w, toks.length)
+      while (i < end) {
+        var l = 0
+        while (l < langs.length) {
+          if (langs(l)._2.contains(toks(i))) hits(l) += 1
+          l += 1
+        }
+        i += 1
+      }
+      // argmax, ties to the LAST (highest-index = lexicographically
+      // last) language; 'und' (skip) when the best count is zero
+      var best = -1
+      var bestHits = 0
+      var l = 0
+      while (l < langs.length) {
+        if (hits(l) > 0 && hits(l) >= bestHits) { best = l; bestHits = hits(l) }
+        l += 1
+      }
+      if (best >= 0) {
+        val lang = langs(best)._1
+        nLang += 1L
+        if (prev != null && prev != lang) switches += 1L
+        if (firstLang == null) firstLang = lang
+        else if (lang != firstLang) mixed = true
+        prev = lang
+      }
+      b += 1
+    }
+    InternalRow(nWin.toLong, nLang, mixed, switches)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "code_switch_profile"
+}
+
 object TextHashFunctions {
   import org.apache.spark.sql.GraftBridge
 
@@ -505,4 +578,9 @@ object TextHashFunctions {
 
   def readabilityCounts(text: Column): Column =
     GraftBridge.column(ReadabilityCountsExpression(GraftBridge.expression(text)))
+
+  def codeSwitchProfile(text: Column, w: Int,
+      markers: Seq[(String, Seq[String])]): Column =
+    GraftBridge.column(
+      CodeSwitchExpression(GraftBridge.expression(text), w, markers))
 }

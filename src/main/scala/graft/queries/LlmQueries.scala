@@ -2074,4 +2074,95 @@ object LlmQueries {
       |    AS removed_micro
       |FROM taus t LEFT JOIN rm ON rm.tau = t.tau CROSS JOIN tot
       |ORDER BY t.tau""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q247: code-switching detection per source — documents whose
+  // language CHANGES mid-text. Whole-document language ID (q36)
+  // averages the signal away: a half-English half-Spanish page gets
+  // one confident label and slips past per-lang curation filters, yet
+  // mixed-language documents are exactly what hurts tokenizer fertility
+  // (q143) and per-lang quality rules (q226). Each doc is cut into
+  // fixed 20-token windows, each window language-ID'd with q36's
+  // marker-argmax rule (same tie-break: LAST language code wins, 'und'
+  // when no hits), 'und' windows dropped, and a doc is MIXED when ≥2
+  // distinct languages remain; switches = adjacent unequal pairs.
+  //
+  // All arithmetic is integer (window counts, switch tallies, micro
+  // ratios by integer division) — no float anywhere.
+  //
+  // Scale shape: the windowing, per-window argmax, and switch count
+  // are all per-row array ops (zero shuffle); ONE map-side-combined
+  // source tally, final order range. Window strings are built per doc
+  // — never exploded into (doc, window) rows.
+  // ------------------------------------------------------------------
+  def q247CodeSwitching(spark: SparkSession, dir: String): DataFrame = {
+    // compiled one-pass kernel (CodeSwitchExpression): the declarative
+    // dual — window strings via sequence/slice/concat_ws, then the
+    // whole langId expression tree interpreted per window inside
+    // nested HOFs — ran 6× at the 10× replica; the kernel walks the
+    // tokens once with hash-set marker membership. KernelParitySpec
+    // pins window/argmax/switch parity on adversarial texts.
+    val p = graft.functions.TextHashFunctions
+      .codeSwitchProfile(col("text"), 20, Markers)
+    Tables.documents(spark, dir)
+      .select(col("source"), p.as("p"))
+      .select(col("source"), col("p.n_windows").as("n_windows"),
+        col("p.n_lang_windows").as("n_lang_windows"),
+        col("p.mixed").as("mixed"), col("p.switches").as("sw"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("mixed"), 1L).otherwise(0L)).as("n_mixed_docs"),
+        sum(col("n_windows")).as("total_windows"),
+        sum(col("sw")).as("total_switches"))
+      .withColumn("mixed_ratio_micro",
+        expr("CAST((n_mixed_docs * 1000000) div n_docs AS BIGINT)"))
+      .withColumn("switch_rate_micro",
+        expr("CAST((total_switches * 1000000) div greatest(total_windows, 1) " +
+          "AS BIGINT)"))
+      .orderBy(col("source"))
+  }
+
+  val q247Sql: String = {
+    def hits(lang: String, v: String): String = {
+      val set = Markers.toMap.apply(lang).map(m => s"'$m'").mkString(", ")
+      s"len(list_filter(string_split($v, ' '), x -> x IN ($set)))"
+    }
+    s"""WITH base AS (
+       |  SELECT source, string_split(text, ' ') AS t FROM documents),
+       |win AS (
+       |  SELECT source,
+       |    list_transform(range(0, (len(t) + 19) // 20),
+       |      i -> array_to_string(list_slice(t, i * 20 + 1, i * 20 + 20), ' '))
+       |      AS ws
+       |  FROM base),
+       |langs AS (
+       |  SELECT source, len(ws) AS n_windows,
+       |    list_filter(list_transform(ws, w ->
+       |      CASE WHEN ${hits("zh", "w")} >= ${hits("es", "w")}
+       |                AND ${hits("zh", "w")} >= ${hits("en", "w")}
+       |                AND ${hits("zh", "w")} > 0 THEN 'zh'
+       |           WHEN ${hits("es", "w")} >= ${hits("en", "w")}
+       |                AND ${hits("es", "w")} > 0 THEN 'es'
+       |           WHEN ${hits("en", "w")} > 0 THEN 'en'
+       |           ELSE 'und' END), l -> l <> 'und') AS ls
+       |  FROM win),
+       |per_doc AS (
+       |  SELECT source, n_windows, len(ls) AS n_lang_windows,
+       |    len(list_distinct(ls)) >= 2 AS mixed,
+       |    CASE WHEN len(ls) >= 2 THEN
+       |      list_sum(list_transform(range(1, len(ls)),
+       |        i -> CASE WHEN ls[i] <> ls[i + 1] THEN 1 ELSE 0 END))
+       |      ELSE 0 END AS sw
+       |  FROM langs)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN mixed THEN 1 ELSE 0 END) AS BIGINT) AS n_mixed_docs,
+       |  CAST(SUM(n_windows) AS BIGINT) AS total_windows,
+       |  CAST(SUM(sw) AS BIGINT) AS total_switches,
+       |  CAST((SUM(CASE WHEN mixed THEN 1 ELSE 0 END) * 1000000)
+       |    // COUNT(*) AS BIGINT) AS mixed_ratio_micro,
+       |  CAST((SUM(sw) * 1000000) // greatest(SUM(n_windows), 1) AS BIGINT)
+       |    AS switch_rate_micro
+       |FROM per_doc GROUP BY source
+       |ORDER BY source""".stripMargin
+  }
 }

@@ -482,6 +482,9 @@ class ExchangeBudgetSpec extends SparkTestBase {
                                  // exchange there); the scored scan is
                                  // a zero-shuffle zip_with fold into
                                  // TakeOrderedAndProject
+    "q247_code_switching" -> 2,  // zero-shuffle compiled window/langid
+                                 // kernel, ONE source tally, final
+                                 // order range
     "q223_ngram_novelty"  -> 5,  // spread repartition (underpartition
                                  // guard), train-window distinct, the
                                  // eval join co-shuffle, countDistinct

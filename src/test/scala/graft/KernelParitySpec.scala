@@ -52,6 +52,42 @@ class KernelParitySpec extends SparkTestBase {
     }
   }
 
+  test("CodeSwitchExpression equals the declarative window/langId form") {
+    import graft.operators.TextAnalysis
+    import graft.queries.LlmQueries.Markers
+    // marker-dense generator so windows actually flip languages
+    val markerWord = Gen.oneOf(Markers.flatMap(_._2) ++ Seq("noise", "zz", ""))
+    val mixedText = Gen.choose(0, 90)
+      .flatMap(n => Gen.listOfN(n, markerWord).map(_.mkString(" ")))
+    val texts = (0 until 200).map(i =>
+      mixedText.pureApply(Gen.Parameters.default, Seed(1000L + i)))
+    val df = texts.toDF("text")
+    val W = 20
+    val toks = split(col("text"), " ")
+    val nWin = expr(s"(size(split(text, ' ')) + ${W - 1}) div $W")
+    val windows = transform(sequence(lit(0L), nWin - lit(1L)),
+      i => concat_ws(" ", slice(toks, (i * W + 1).cast(IntegerType), lit(W))))
+    val langs = filter(
+      transform(windows, w => TextAnalysis.langId(w, Markers)),
+      l => l =!= "und")
+    val nl = size(langs)
+    val declSw = when(nl >= 2,
+      aggregate(
+        zip_with(slice(langs, lit(1), nl - 1), slice(langs, lit(2), nl - 1),
+          (a, b) => when(a =!= b, 1L).otherwise(0L)),
+        lit(0L), (acc, x) => acc + x)).otherwise(lit(0L))
+    val k = graft.functions.TextHashFunctions.codeSwitchProfile(col("text"), W, Markers)
+    val bad = df.select(col("text"),
+      k.getField("n_windows").as("kw"), size(windows).cast("long").as("dw"),
+      k.getField("n_lang_windows").as("kl"), nl.cast("long").as("dl"),
+      k.getField("mixed").as("km"), (size(array_distinct(langs)) >= 2).as("dm"),
+      k.getField("switches").as("ks"), declSw.as("ds"))
+      .filter(col("kw") =!= col("dw") || col("kl") =!= col("dl") ||
+        col("km") =!= col("dm") || col("ks") =!= col("ds"))
+      .collect()
+    assert(bad.isEmpty, bad.take(3).mkString("; "))
+  }
+
   test("ReadabilityCountsExpression equals the declarative regexp form") {
     val df = samples(200).toDF("text")
     val toks = split(col("text"), " ")
