@@ -90,6 +90,17 @@ final class StreamingEmbeddingDrift(vecCol: String, val d: Int = 64) {
     if (reference.isEmpty) reference = other.reference.map(_.clone())
   }
 
+  /** Test-only state injection (spec pins the >BIGINT persist path,
+    * which real folds only reach after ~10⁹ batches). */
+  private[graft] def setStateForTest(
+      ref: Option[Array[BigInt]], cum: Option[Array[BigInt]]): Unit = {
+    reference = ref
+    cumulative = cum
+  }
+
+  private[graft] def stateForTest: (Option[Seq[BigInt]], Option[Seq[BigInt]]) =
+    (reference.map(_.toSeq), cumulative.map(_.toSeq))
+
   /** foreachBatch harness. */
   def start(stream: DataFrame,
       sink: StreamingEmbeddingDrift => Unit): org.apache.spark.sql.streaming.StreamingQuery =
@@ -101,16 +112,18 @@ final class StreamingEmbeddingDrift(vecCol: String, val d: Int = 64) {
       .start()
 
   /** Persist both Gram buffers (values as DECIMAL(38,0) — cumulative
-    * sums outgrow BIGINT on long streams). */
+    * sums outgrow BIGINT on long streams; they ride as STRINGS into
+    * the cast because the default BigDecimal encoder is (38,18) and
+    * would overflow to null past ~10²⁰ BEFORE any explicit cast). */
   def saveTo(cache: graft.cache.SparkCache, name: String): Unit = {
     val spark = cache.spark
     import spark.implicits._
     val t = s"`${cache.database}`.`$name`"
     val rows =
       reference.toSeq.flatMap(b => b.zipWithIndex.map { case (v, i) =>
-        ("ref", i, new java.math.BigDecimal(v.bigInteger)) }) ++
+        ("ref", i, v.toString) }) ++
       cumulative.toSeq.flatMap(b => b.zipWithIndex.map { case (v, i) =>
-        ("cum", i, new java.math.BigDecimal(v.bigInteger)) })
+        ("cum", i, v.toString) })
     rows.toDF("slot", "idx", "val")
       .select(col("slot"), col("idx"),
         col("val").cast(DecimalType(38, 0)).as("val"))

@@ -79,6 +79,22 @@ class StreamingEmbeddingDriftSpec extends SparkTestBase {
       val fresh = StreamingEmbeddingDrift.restore(cache, "sed_missing",
         "embedding", defaultD = 16)
       assert(fresh.d == 16 && fresh.n == 0L && fresh.report().isEmpty)
+
+      // Gram entries past BIGINT (a ~10⁹-batch stream) must round-trip
+      // exactly — the default BigDecimal encoder is (38,18) and would
+      // overflow these to null if values rode it instead of strings
+      val dim = 2
+      val bufLen = dim * (dim + 1) / 2 + dim + 1
+      val big = Array.tabulate(bufLen)(i =>
+        BigInt("123456789012345678901234567") * (i + 1) *
+          (if (i % 2 == 0) 1 else -1))
+      val huge = new StreamingEmbeddingDrift("embedding", dim)
+      huge.setStateForTest(Some(big.clone()), Some(big.map(_ * 3)))
+      huge.saveTo(cache, "sed_huge")
+      val hback = StreamingEmbeddingDrift.restore(cache, "sed_huge", "embedding")
+      assert(hback.d == dim)
+      assert(hback.stateForTest ==
+        ((Some(big.toSeq), Some(big.map(_ * 3).toSeq))))
     } finally cache.dropAll()
   }
 
