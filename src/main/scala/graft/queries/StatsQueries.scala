@@ -1262,4 +1262,94 @@ object StatsQueries {
       |  round(CAST(mi AS DOUBLE) / CAST(h_src AS DOUBLE), 6)
       |    AS u_source_given_lang
       |FROM mi CROSS JOIN hl CROSS JOIN hs""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q248: blocking-quality audit for q158's entity-resolution scheme
+  // (first word + first letter of the second word) — the two numbers
+  // a record-linkage pipeline tunes on (Christen 2012): REDUCTION
+  // RATIO (pair-space shrinkage) and PAIR COMPLETENESS (recall of
+  // true matches inside the blocks). RR needs NO pair join at all:
+  // candidate pairs = Σ_blocks c(c−1)/2 off ONE block tally — the
+  // audit is strictly cheaper than the join it certifies. PC is
+  // estimated on the every-20th-key decimation (q232's convention):
+  // true matches = Jaro–Winkler ≥ 0.95 brute-forced within the
+  // decimated sample (the calibration anchor — the only intentionally
+  // quadratic piece, bounded by the decimation), and a true pair is
+  // CAUGHT when both block keys agree.
+  //
+  // Exactness: all pair counts are c(c−1)/2 integers in DECIMAL/
+  // HUGEINT (n² overflows BIGINT at ~4e9 rows); rr/pc are exact
+  // integer-division micros; the JW decision reuses the compiled
+  // kernel pinned bit-equal to DuckDB's (JaroWinklerSpec).
+  // ------------------------------------------------------------------
+  def q248BlockingAudit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.StringSimilarityFunctions.jaroWinkler
+    val dec = DecimalType(38, 0)
+    val p = Tables.part(spark, dir).select(
+      col("p_partkey"), col("p_name"),
+      split(col("p_name"), " ").getItem(0).as("adj"),
+      substring(split(col("p_name"), " ").getItem(1), 1, 1).as("b2"))
+      .localCheckpoint() // reused: totals, block tally, sample side
+    val tot = p.agg(count(lit(1)).as("n"))
+      .select(col("n"),
+        expr("CAST((CAST(n AS DECIMAL(38,0)) * (n - 1)) div 2 " +
+          "AS DECIMAL(38,0))").as("total_pairs"))
+    val cand = p.groupBy(col("adj"), col("b2")).agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(
+        expr("CAST((CAST(c AS DECIMAL(38,0)) * (c - 1)) div 2 " +
+          "AS DECIMAL(38,0))")), lit(0).cast(dec)).as("cand_pairs"))
+    val sample = p.filter(col("p_partkey") % 20 === 0)
+    val sb = sample.select(col("p_partkey").as("k2"), col("p_name").as("n2"),
+      col("adj").as("adj2"), col("b2").as("b22"))
+    val pc = sample.crossJoin(broadcast(sb))
+      .filter(col("p_partkey") < col("k2"))
+      .withColumn("jw", jaroWinkler(col("p_name"), col("n2")))
+      .filter(col("jw") >= 0.95)
+      .agg(count(lit(1)).as("sample_true"),
+        sum(when(col("adj") === col("adj2") && col("b2") === col("b22"), 1L)
+          .otherwise(0L)).as("sample_caught"))
+    tot.crossJoin(broadcast(cand)).crossJoin(broadcast(pc))
+      .select(col("n"),
+        col("total_pairs").cast(LongType).as("total_pairs"),
+        col("cand_pairs").cast(LongType).as("cand_pairs"),
+        expr("CAST(((total_pairs - cand_pairs) * 1000000) div total_pairs " +
+          "AS BIGINT)").as("rr_micro"),
+        col("sample_true"), col("sample_caught"),
+        expr("CAST(CASE WHEN sample_true > 0 THEN " +
+          "(sample_caught * 1000000) div sample_true ELSE NULL END AS BIGINT)")
+          .as("pc_micro"))
+  }
+
+  val q248Sql: String =
+    """WITH p AS (
+      |  SELECT p_partkey, p_name,
+      |    string_split(p_name, ' ')[1] AS adj,
+      |    substr(string_split(p_name, ' ')[2], 1, 1) AS b2
+      |  FROM part),
+      |tot AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    (CAST(COUNT(*) AS HUGEINT) * (COUNT(*) - 1)) // 2 AS total_pairs
+      |  FROM p),
+      |cand AS (
+      |  SELECT COALESCE(SUM((CAST(c AS HUGEINT) * (c - 1)) // 2),
+      |    CAST(0 AS HUGEINT)) AS cand_pairs
+      |  FROM (SELECT adj, b2, CAST(COUNT(*) AS BIGINT) AS c
+      |        FROM p GROUP BY adj, b2)),
+      |pc AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS sample_true,
+      |    CAST(COALESCE(SUM(CASE WHEN a.adj = b.adj AND a.b2 = b.b2
+      |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS sample_caught
+      |  FROM p a JOIN p b
+      |    ON a.p_partkey % 20 = 0 AND b.p_partkey % 20 = 0
+      |    AND a.p_partkey < b.p_partkey
+      |  WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.95)
+      |SELECT n, CAST(total_pairs AS BIGINT) AS total_pairs,
+      |  CAST(cand_pairs AS BIGINT) AS cand_pairs,
+      |  CAST(((total_pairs - cand_pairs) * 1000000) // total_pairs AS BIGINT)
+      |    AS rr_micro,
+      |  sample_true, sample_caught,
+      |  CAST(CASE WHEN sample_true > 0 THEN
+      |    (sample_caught * 1000000) // sample_true ELSE NULL END AS BIGINT)
+      |    AS pc_micro
+      |FROM tot CROSS JOIN cand CROSS JOIN pc""".stripMargin
 }

@@ -213,7 +213,11 @@ object PlanCheck {
               "q235_term_burstiness",
               // q240/q245: 1-row contingency-total broadcast onto the
               // dimension-sized cell/margin tables (q88's shape)
-              "q240_chi_squared", "q245_theils_u")
+              "q240_chi_squared", "q245_theils_u",
+              // q248: the PC truth side is the every-20th-key
+              // decimation brute-forced by design (q126/q232's
+              // decimated-anchor class); RR itself needs no pair join
+              "q248_blocking_audit")
               .contains(name))
         ).collect { case (f, true) => f } ++ {
           // measured-build-side audit for EVERY BNLJ, allowlisted or not

@@ -485,6 +485,10 @@ class ExchangeBudgetSpec extends SparkTestBase {
     "q247_code_switching" -> 2,  // zero-shuffle compiled window/langid
                                  // kernel, ONE source tally, final
                                  // order range
+    "q248_blocking_audit" -> 4,  // off the checkpointed key frame:
+                                 // block tally + its 1-row rollup,
+                                 // 1-row total, 1-row sample-PC agg
+                                 // (decimated broadcast BNLJ anchor)
     "q223_ngram_novelty"  -> 5,  // spread repartition (underpartition
                                  // guard), train-window distinct, the
                                  // eval join co-shuffle, countDistinct
