@@ -371,13 +371,36 @@ case class CdcChunksExpression(child: Expression, w: Int, d: Int)
  * gram multisets to the declarative form and the oracle.
  */
 case class MultiNgramsExpression(child: Expression, maxN: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(
     StructType(Seq(StructField("n", IntegerType), StructField("g", StringType))),
     containsNull = false)
 
-  override def nullSafeEval(input: Any): Any = {
+  override def nullSafeEval(input: Any): Any =
+    MultiNgramsExpression.compute(input.asInstanceOf[UTF8String], maxN)
+
+  /** Real codegen (the JaroWinkler/BloomMightContain pattern): the
+    * kernel inlines as a static invoke, so the enclosing
+    * whole-stage-codegen span stays intact instead of breaking at a
+    * CodegenFallback Expression walk — q237's tally feeds straight
+    * from the generated scan loop. */
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.MultiNgramsExpression.compute($c, $maxN)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "multi_ngrams"
+}
+
+object MultiNgramsExpression {
+
+  /** One tokenize, every n-gram for n = 1..maxN; shared by the
+    * interpreted eval and the generated code (parity by construction). */
+  def compute(input: UTF8String, maxN: Int): ArrayData = {
     val toks = input.toString.split(" ", -1)
     val len = toks.length
     var total = 0
@@ -405,9 +428,71 @@ case class MultiNgramsExpression(child: Expression, maxN: Int)
     }
     new GenericArrayData(out)
   }
+}
+
+/**
+ * Row-local term-frequency kernel (q235): one tokenize of the text
+ * into the distinct non-empty terms with their per-document counts,
+ * as (t, c) structs. A document is one row, so per-doc tf needs no
+ * exchange at all — the round-13 formulation (`explode → groupBy
+ * (doc_id, term)`) shuffled the ENTIRE token stream with a no-op
+ * map-side combine because (doc_id, term) keys are unique to one
+ * partition. Emitting (term, c) pairs row-locally means the ONLY
+ * exchange downstream is the term rollup, where combine is effective:
+ * each partition sends at most its distinct terms, not its tokens.
+ * Parity contract: terms = split(text, ' ') minus empty tokens
+ * (matching `WHERE t <> ''`), counts exact, order unspecified
+ * (consumers aggregate).
+ */
+case class TermCountsExpression(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("t", StringType), StructField("c", LongType))),
+    containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    TermCountsExpression.compute(input.asInstanceOf[UTF8String])
+
+  /** Real codegen: static invoke inside the whole-stage span. */
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TermCountsExpression.compute($c)")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
-  override def prettyName: String = "multi_ngrams"
+  override def prettyName: String = "term_counts"
+}
+
+object TermCountsExpression {
+
+  /** One tokenize + open hash tally; shared by the interpreted eval
+    * and the generated code (parity by construction). */
+  def compute(input: UTF8String): ArrayData = {
+    val toks = input.toString.split(" ", -1)
+    val m = new java.util.LinkedHashMap[String, java.lang.Long](
+      math.max(16, toks.length), 0.75f)
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (t.nonEmpty) {
+        val prev = m.get(t)
+        m.put(t, if (prev == null) 1L else prev.longValue + 1L)
+      }
+      i += 1
+    }
+    val out = new Array[Any](m.size)
+    val it = m.entrySet().iterator()
+    var k = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(k) = InternalRow(UTF8String.fromString(e.getKey), e.getValue.longValue)
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /**
@@ -421,27 +506,51 @@ case class MultiNgramsExpression(child: Expression, maxN: Int)
  *               like greatest(1, regexp_extract_all(...)).
  * The declarative dual lowercases + regexp-extracts per token through
  * interpreted HOFs (three passes over the text); this walks the chars
- * once. Vowel classification is per-character lowercase (ASCII-stable,
- * locale-independent), identical to `lower()` for the [aeiouyAEIOUY]
- * set the runs depend on.
+ * once. Vowel classification follows the ORACLE's `lower()` (DuckDB/
+ * utf8proc SIMPLE per-codepoint mapping): the ASCII set [aeiouyAEIOUY]
+ * plus U+0130 'İ', the one non-ASCII codepoint whose simple lowercase
+ * lands in [aeiouy] (utf8proc: İ → 'i'; verified live — Java's FULL
+ * mapping İ → "i̇" differs, which is why the kernel pins the
+ * mapping itself instead of calling any toLowerCase).
  */
 case class ReadabilityCountsExpression(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = StructType(Seq(
     StructField("w", LongType), StructField("s", LongType),
     StructField("syl", LongType)))
 
-  // explicit ASCII both-case membership — no case-conversion call at
-  // all (LocaleSafetySpec's gate), identical to `lower()` for the
-  // [aeiouyAEIOUY] set the vowel runs depend on
+  override def nullSafeEval(input: Any): Any =
+    ReadabilityCountsExpression.compute(input.asInstanceOf[UTF8String])
+
+  /** Real codegen: static invoke inside the whole-stage span (the
+    * JaroWinkler pattern), replacing the round-13 CodegenFallback. */
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ReadabilityCountsExpression.compute($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "readability_counts"
+}
+
+object ReadabilityCountsExpression {
+
+  // explicit membership — no case-conversion call at all
+  // (LocaleSafetySpec's gate), identical to the oracle's simple-mapping
+  // lower() for every codepoint whose lowercase can reach [aeiouy]:
+  // the ASCII both-case set and U+0130 (the only such non-ASCII char)
   private def isVowel(c: Char): Boolean = (c: @annotation.switch) match {
     case 'a' | 'e' | 'i' | 'o' | 'u' | 'y' |
-         'A' | 'E' | 'I' | 'O' | 'U' | 'Y' => true
+         'A' | 'E' | 'I' | 'O' | 'U' | 'Y' | 'İ' => true
     case _ => false
   }
 
-  override def nullSafeEval(input: Any): Any = {
+  /** One character scan; shared by the interpreted eval and the
+    * generated code (parity by construction). */
+  def compute(input: UTF8String): InternalRow = {
     val t = input.toString
     var words = 1L
     var sents = 0L
@@ -468,9 +577,6 @@ case class ReadabilityCountsExpression(child: Expression)
     syl += math.max(1L, runsInTok) // close the final token (also "" -> 1)
     InternalRow(words, math.max(1L, sents), syl)
   }
-
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
-  override def prettyName: String = "readability_counts"
 }
 
 /**
@@ -488,7 +594,7 @@ case class ReadabilityCountsExpression(child: Expression)
  */
 case class CodeSwitchExpression(
     child: Expression, w: Int, markers: Seq[(String, Seq[String])])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = StructType(Seq(
     StructField("n_windows", LongType), StructField("n_lang_windows", LongType),
@@ -498,7 +604,25 @@ case class CodeSwitchExpression(
   private val langs: Array[(String, Set[String])] =
     markers.sortBy(_._1).map { case (l, ms) => (l, ms.toSet) }.toArray
 
-  override def nullSafeEval(input: Any): Any = {
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  /** Real codegen: the marker tables ride into the generated class as
+    * a reference object (ctx.addReferenceObj — they're per-instance
+    * state, unlike the static kernels above), and the window loop runs
+    * as one virtual call inside the whole-stage span. */
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("codeSwitch", this,
+      classOf[CodeSwitchExpression].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  /** One token walk; shared by the interpreted eval and the generated
+    * code (parity by construction). */
+  def compute(input: UTF8String): InternalRow = {
     val toks = input.toString.split(" ", -1)
     val nWin = (toks.length + w - 1) / w
     var prev: String = null
@@ -575,6 +699,9 @@ object TextHashFunctions {
 
   def multiNgrams(text: Column, maxN: Int = 3): Column =
     GraftBridge.column(MultiNgramsExpression(GraftBridge.expression(text), maxN))
+
+  def termCounts(text: Column): Column =
+    GraftBridge.column(TermCountsExpression(GraftBridge.expression(text)))
 
   def readabilityCounts(text: Column): Column =
     GraftBridge.column(ReadabilityCountsExpression(GraftBridge.expression(text)))

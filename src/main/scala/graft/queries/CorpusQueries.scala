@@ -1330,20 +1330,25 @@ object CorpusQueries {
   // This is the term-level triage that picks candidates for q113's
   // span-level boilerplate extraction.
   //
-  // Scale shape: one (doc, term) tally (map-side combined — per-doc tf
-  // bounds what crosses), one term rollup, a 1-row totals gather for
-  // the relative df gate, final order range. The ≥5% relative gate
-  // bounds the OUTPUT independently of corpus size: Σdf = total
-  // tokens, so at most mean_doc_len / 0.05 terms can clear it — the
-  // result is a fixed-size report at any N, and no top-k heap or rank
-  // window is needed at all.
+  // Scale shape: per-doc tf is ROW-LOCAL — a document is one row, so
+  // the compiled TermCountsExpression kernel emits (term, c) pairs
+  // with zero exchange (the round-13 `explode → groupBy(doc_id, term)`
+  // form shuffled the entire token stream with a no-op map-side
+  // combine, the one 1000-executor network hazard left in the suite).
+  // Then ONE term rollup where combine is effective (each partition
+  // emits ≤ its distinct terms), a 1-row totals gather for the
+  // relative df gate, final order range. The ≥5% relative gate bounds
+  // the OUTPUT independently of corpus size: Σdf = total tokens, so at
+  // most mean_doc_len / 0.05 terms can clear it — the result is a
+  // fixed-size report at any N, and no top-k heap or rank window is
+  // needed at all.
   // ------------------------------------------------------------------
   def q235TermBurstiness(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val tf = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-      .filter(col("t") =!= "")
-      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+      .select(explode(graft.functions.TextHashFunctions
+        .termCounts(col("text"))).as("e"))
+      .select(col("e.t").as("t"), col("e.c").as("c"))
     val stats = tf.groupBy(col("t"))
       .agg(count(lit(1)).as("df"), sum(col("c")).as("tf"))
     val totals = docs.agg(count(lit(1)).as("n_docs"))
@@ -1397,14 +1402,40 @@ object CorpusQueries {
   //
   // Scale shape: one corpus-sized (source, term) tally (map-side
   // combined), one per-source rollup, final order range. No window,
-  // no spectrum table, no top-k needed.
+  // no spectrum table, no top-k needed. The tally's exchange carries
+  // DISTINCT terms (combine is effective), but past ~10⁹ distinct
+  // terms even that is the bottleneck — so past
+  // `graft.q238.autoApproxTokens` (default 10⁹; explicit
+  // `graft.q238.approx` wins — q237's path-selection pattern) the
+  // tally keys on xxhash64(term) instead of the term STRING: every
+  // aggregate here depends only on the count multiset, never on term
+  // identity, so the exchange narrows to 8-byte longs and the result
+  // is EXACT unless two distinct terms collide in 64 bits (expected
+  // collisions n²/2⁶⁵ ≈ 0.03 at 10⁹ terms — Q238ApproxParitySpec pins
+  // hashed ≡ exact on the test corpus). The oracle pins the exact
+  // path.
   // ------------------------------------------------------------------
-  def q238LexicalConcentration(spark: SparkSession, dir: String): DataFrame = {
+  def q238LexicalConcentration(spark: SparkSession, dir: String): DataFrame =
+    spark.conf.getOption("graft.q238.approx").map(_.toBoolean) match {
+      case Some(h) => q238Body(spark, dir, hashed = h)
+      case None =>
+        val threshold = spark.conf.getOption("graft.q238.autoApproxTokens")
+          .map(_.toLong).getOrElse(1000000000L)
+        val tokens = Tables.documents(spark, dir)
+          .agg(sum(size(split(col("text"), " ")).cast(LongType)).as("n"))
+          .collect()(0).getLong(0)
+        q238Body(spark, dir, hashed = tokens > threshold)
+    }
+
+  private def q238Body(
+      spark: SparkSession, dir: String, hashed: Boolean): DataFrame = {
     val dec = DecimalType(38, 0)
-    val tally = Tables.documents(spark, dir)
+    val toks = Tables.documents(spark, dir)
       .select(col("source"), explode(split(col("text"), " ")).as("t"))
       .filter(col("t") =!= "")
-      .groupBy(col("source"), col("t")).agg(count(lit(1)).as("cnt"))
+    val key = if (hashed) xxhash64(col("t")) else col("t")
+    val tally = toks
+      .groupBy(col("source"), key.as("t")).agg(count(lit(1)).as("cnt"))
     val aMicro = col("cnt") *
       round(log2(col("cnt").cast(DoubleType)) * lit(1000000.0), 0).cast(LongType)
     tally
@@ -1480,26 +1511,86 @@ object CorpusQueries {
   // |sources|×K dimension-sized: densify via broadcast crossJoin,
   // per-term σ over ≤|sources| rows, pairwise join on term. Output is
   // |sources|² rows at any corpus size.
+  //
+  // Past ~10⁹ distinct terms the tally exchange's term STRINGS become
+  // the bottleneck, so past `graft.q241.autoApproxTokens` (default
+  // 10⁹; explicit `graft.q241.approx` wins) the vocabulary heap FEED
+  // switches to an xxhash64 key: top-K candidate hashes ride a narrow
+  // (hash, count) exchange + bounded heap, candidate term strings are
+  // recovered by ONE broadcast hash semi-join (a 64-bit collision only
+  // WIDENS the candidate set — the collided hash's count is the sum of
+  // its terms', never less than either), and the final top-K re-ranks
+  // the recovered candidates by the EXACT (count, term) order. The
+  // result can differ from the exact path only when a count tie
+  // plateau straddles rank K (hash order picks different plateau
+  // members than lexicographic order); Q241ApproxParitySpec pins the
+  // drift bound on the test corpus. The oracle pins the exact path.
   // ------------------------------------------------------------------
-  def q241BurrowsDelta(spark: SparkSession, dir: String): DataFrame = {
+  def q241BurrowsDelta(spark: SparkSession, dir: String): DataFrame =
+    spark.conf.getOption("graft.q241.approx").map(_.toBoolean) match {
+      case Some(h) => q241Body(spark, dir, hashedFeed = h)
+      case None =>
+        val threshold = spark.conf.getOption("graft.q241.autoApproxTokens")
+          .map(_.toLong).getOrElse(1000000000L)
+        val tokens = Tables.documents(spark, dir)
+          .agg(sum(size(split(col("text"), " ")).cast(LongType)).as("n"))
+          .collect()(0).getLong(0)
+        q241Body(spark, dir, hashedFeed = tokens > threshold)
+    }
+
+  private def q241Body(
+      spark: SparkSession, dir: String, hashedFeed: Boolean): DataFrame = {
     import graft.functions.TopKTermAggregate.topKTerm
+    import graft.functions.TopKAggregate.topK
     val K = 150
     val dec = DecimalType(38, 0)
-    val tally = Tables.documents(spark, dir)
-      .select(col("source"), explode(split(col("text"), " ")).as("t"))
-      .filter(col("t") =!= "")
-      .groupBy(col("source"), col("t")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint() // reused: vocab gate AND the frequency table
-    val vocab = tally.groupBy(col("t")).agg(sum(col("cnt")).as("tot"))
-      .agg(topKTerm(col("tot"), col("t"), K).as("head"))
-      .select(explode(col("head")).as("e"))
-      .select(col("e.t").as("t"))
-    val totals = tally.groupBy(col("source")).agg(sum(col("cnt")).as("tot_s"))
-    val freqs = tally.join(broadcast(vocab), "t")
-      .join(broadcast(totals), "source")
-      .select(col("source"), col("t"),
-        expr("CAST((CAST(cnt AS DECIMAL(38,0)) * 1000000000) div tot_s " +
-          "AS BIGINT)").as("f"))
+    val (vocab, totals, freqs) = if (!hashedFeed) {
+      val tally = Tables.documents(spark, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("t"))
+        .filter(col("t") =!= "")
+        .groupBy(col("source"), col("t")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint() // reused: vocab gate AND the frequency table
+      val vocab = tally.groupBy(col("t")).agg(sum(col("cnt")).as("tot"))
+        .agg(topKTerm(col("tot"), col("t"), K).as("head"))
+        .select(explode(col("head")).as("e"))
+        .select(col("e.t").as("t"))
+      val totals = tally.groupBy(col("source")).agg(sum(col("cnt")).as("tot_s"))
+      val freqs = tally.join(broadcast(vocab), "t")
+        .join(broadcast(totals), "source")
+        .select(col("source"), col("t"),
+          expr("CAST((CAST(cnt AS DECIMAL(38,0)) * 1000000000) div tot_s " +
+            "AS BIGINT)").as("f"))
+      (vocab, totals, freqs)
+    } else {
+      val toks = Tables.documents(spark, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("t"))
+        .filter(col("t") =!= "")
+      // narrow feed: only (8-byte hash, partial count) cross the wire,
+      // pruned map-side by the bounded heap; counts ≤ 2⁵³ ride exactly
+      // in the heap's double score
+      val headHashes = toks.groupBy(xxhash64(col("t")).as("h"))
+        .agg(count(lit(1)).as("tot"))
+        .agg(topK(col("tot").cast(DoubleType), col("h"), K).as("head"))
+        .select(explode(col("head")).as("e"))
+        .select(col("e.id").as("h"))
+      // candidate recovery + per-source counts in ONE pass over the
+      // token stream; the semi-join keeps ≤ K hashes' worth of terms
+      val candTally = toks
+        .join(broadcast(headHashes), xxhash64(col("t")) === col("h"), "left_semi")
+        .groupBy(col("source"), col("t")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint() // reused: exact re-rank AND the frequency table
+      val vocab = candTally.groupBy(col("t")).agg(sum(col("cnt")).as("tot"))
+        .agg(topKTerm(col("tot"), col("t"), K).as("head"))
+        .select(explode(col("head")).as("e"))
+        .select(col("e.t").as("t"))
+      val totals = toks.groupBy(col("source")).agg(count(lit(1)).as("tot_s"))
+      val freqs = candTally.join(broadcast(vocab), "t")
+        .join(broadcast(totals), "source")
+        .select(col("source"), col("t"),
+          expr("CAST((CAST(cnt AS DECIMAL(38,0)) * 1000000000) div tot_s " +
+            "AS BIGINT)").as("f"))
+      (vocab, totals, freqs)
+    }
     val dense = totals.select(col("source")).crossJoin(broadcast(vocab))
       .join(freqs, Seq("source", "t"), "left")
       .na.fill(0L, Seq("f"))

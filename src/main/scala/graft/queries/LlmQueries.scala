@@ -1858,11 +1858,17 @@ object LlmQueries {
   // dominated by the long doc) — exactly the partial copies every
   // τ-Jaccard dedup pass leaves behind. The probe set is synthesized
   // deterministically (the corpus has no excerpt column — q151's
-  // convention: the SCREEN is the operator under test): every 20th
-  // doc's 40-token prefix plays the "quote", and the screen must trace
-  // each one back to a containing corpus doc. 5-gram shingles (longer
-  // than q33's 3-grams: quotes must match verbatim runs, not shared
-  // vocabulary); flagged = containment ≥ 0.8 with Jaccard < 0.5.
+  // convention: the SCREEN is the operator under test): an
+  // ABSOLUTE-SIZE doc_id decimation (modulus derived from one count()
+  // probe to target `graft.q232.probeTarget` ≈ 100 probes — the
+  // oracle pins the default) takes each probe doc's 40-token prefix
+  // as the "quote", and the screen must trace each one back to a
+  // containing corpus doc. The round-13 fixed `% 20` grew the probe
+  // side linearly with the corpus; the derived modulus keeps the
+  // probe×corpus join's probe side CONSTANT at any scale. 5-gram
+  // shingles (longer than q33's 3-grams: quotes must match verbatim
+  // runs, not shared vocabulary); flagged = containment ≥ 0.8 with
+  // Jaccard < 0.5.
   //
   // Scale shape: exact-class collapse on the corpus side, df ≤ 50
   // boilerplate cap on the corpus postings (q146/q165), ONE
@@ -1885,7 +1891,11 @@ object LlmQueries {
       cPostsAll.groupBy(col("s")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= 50).select(col("s")),
       Seq("s"), "left_semi")
-    val probes = docs.filter(col("doc_id") % 20 === 0)
+    val probeTarget = spark.conf.getOption("graft.q232.probeTarget")
+      .map(_.toLong).getOrElse(100L)
+    val probeMod = graft.queries.StatsQueries.sampleModulus(
+      docs.count(), probeTarget)
+    val probes = docs.filter(col("doc_id") % probeMod === 0)
       .select(col("doc_id").as("eid"),
         concat_ws(" ", slice(array_remove(split(col("text"), " "), ""),
           1, 40)).as("prefix"))
@@ -1928,10 +1938,11 @@ object LlmQueries {
       |cposts AS (
       |  SELECT id, n, s FROM cposts_all
       |  WHERE s IN (SELECT s FROM cposts_all GROUP BY s HAVING COUNT(*) <= 50)),
+      |pm_ AS (SELECT greatest(1, COUNT(*) // 100) AS m FROM documents),
       |ptoks AS (
       |  SELECT doc_id AS eid,
       |    list_slice(list_filter(string_split(text, ' '), w -> w <> ''), 1, 40) AS t
-      |  FROM documents WHERE doc_id % 20 = 0),
+      |  FROM documents WHERE doc_id % (SELECT m FROM pm_) = 0),
       |psh AS (
       |  SELECT eid, list_distinct(list_transform(
       |    range(1, greatest(len(t) - 4, 0) + 1),

@@ -1308,10 +1308,19 @@ object PretrainQueries {
   //
   // Exactness: milli-quantized integers; per-dim moments from the ONE
   // LongGramAggregate pass (diag + sums, exact any order); per-dim
-  // addend ((n·x − S)² / (n·Q − S²), both exact LONGs) evaluated as
-  // ONE identical double expression, micro-rounded per dim, summed
-  // exactly per vector; constant dims (zero variance) contribute 0 by
-  // guard in both engines.
+  // addend ((n·x − S)² / (n·Q − S²)) evaluated as ONE identical double
+  // expression, micro-rounded per dim, summed exactly per vector;
+  // constant dims (zero variance) contribute 0 by guard in both
+  // engines. The numerator n·x − S stays an exact LONG to ~2e15 rows
+  // (|x| ≤ ~4e3 milli-units), but the denominator n·Q − S² grows as
+  // n²·σ² and wraps LONG near 10⁶ vectors — so the driver moments run
+  // in BigInt (the covScaled convention) and den reaches the plan as a
+  // DOUBLE literal: BigInt.toDouble is round-to-nearest, the same
+  // conversion DuckDB applies in its HUGEINT→DOUBLE cast, so the
+  // one-double-expression parity contract holds at any n. den = 0
+  // (constant dim) survives the conversion exactly — a nonzero
+  // integer's double image is ≥ 1.0 — so the zero guard tests the
+  // double literal directly.
   //
   // 100 TB shape: the gram job (ONE exchange) then a ZERO-shuffle
   // per-row zip_with fold with the 64-long moment arrays inlined as
@@ -1322,15 +1331,16 @@ object PretrainQueries {
     val d = EmbDim
     val (g, n) = longGram(spark, dir)
     val triLen = d * (d + 1) / 2
-    val s = (0 until d).map(i => g(triLen + i))
-    val q = (0 until d).map(i => g(i * d - i * (i - 1) / 2))
-    val den = (0 until d).map(i => n * q(i) - s(i) * s(i))
-    val sArr = array(s.map(lit): _*)
-    val dArr = array(den.map(lit): _*)
+    val nB = BigInt(n)
+    val s = (0 until d).map(i => BigInt(g(triLen + i)))
+    val q = (0 until d).map(i => BigInt(g(i * d - i * (i - 1) / 2)))
+    val den = (0 until d).map(i => nB * q(i) - s(i) * s(i))
+    val sArr = array(s.map(x => lit(x.toLong)): _*)
+    val dArr = array(den.map(x => lit(x.toDouble)): _*)
     val t1 = zip_with(milliVec, sArr, (x, sv) => lit(n) * x - sv)
     val t2 = zip_with(t1, dArr, (t, dv) =>
-      when(dv === 0L, lit(0L)).otherwise(
-        round(t.cast(DoubleType) * t.cast(DoubleType) / dv.cast(DoubleType) *
+      when(dv === 0.0, lit(0L)).otherwise(
+        round(t.cast(DoubleType) * t.cast(DoubleType) / dv *
           lit(1000000.0), 0).cast(LongType)))
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"),

@@ -24,6 +24,18 @@ object StatsQueries {
   private def dec(c: Column, p: Int = 18, s: Int = 4): Column =
     c.cast(DecimalType(p, s))
 
+  /** Absolute-size decimation modulus: the key stride that keeps a
+    * `key % m == 0` sample at ~`target` rows regardless of table size
+    * (m = max(1, n div target) — truncating division, identical to
+    * DuckDB `greatest(1, COUNT(*) // target)` so an oracle can derive
+    * the SAME modulus in SQL). For n ≤ target the sample is the whole
+    * table (m = 1); for n > target the sample size is < 2·target
+    * (n/(n div target) < 2·target for n ≥ target — pinned in
+    * SampleModulusSpec), so any brute-force truth anchor built on it
+    * has CONSTANT cost at any corpus size. */
+  def sampleModulus(n: Long, target: Long): Long =
+    math.max(1L, n / math.max(1L, target))
+
   // ------------------------------------------------------------------
   // q56: correlation + least-squares regression from exact moments.
   // Single aggregation pass (one shuffle on the group key) computes all
@@ -1271,16 +1283,24 @@ object StatsQueries {
   // true matches inside the blocks). RR needs NO pair join at all:
   // candidate pairs = Σ_blocks c(c−1)/2 off ONE block tally — the
   // audit is strictly cheaper than the join it certifies. PC is
-  // estimated on the every-20th-key decimation (q232's convention):
-  // true matches = Jaro–Winkler ≥ 0.95 brute-forced within the
-  // decimated sample (the calibration anchor — the only intentionally
-  // quadratic piece, bounded by the decimation), and a true pair is
-  // CAUGHT when both block keys agree.
+  // estimated on an ABSOLUTE-SIZE key decimation: the modulus is
+  // derived from one count() probe to target a constant-row sample
+  // (`graft.q248.sampleTarget`, default 2000 — the oracle pins the
+  // default), so the brute-force truth anchor's cost is a CONSTANT
+  // ~target²/2 JW comparisons at ANY corpus size. The round-13
+  // fixed-fraction `% 20` grew the broadcast side linearly and the
+  // comparisons quadratically with N — a genuine 100×-scale killer.
+  // True matches = Jaro–Winkler ≥ 0.95 brute-forced within the sample
+  // (the calibration anchor — the only intentionally quadratic-in-
+  // target piece), and a true pair is CAUGHT when both block keys
+  // agree.
   //
   // Exactness: all pair counts are c(c−1)/2 integers in DECIMAL/
   // HUGEINT (n² overflows BIGINT at ~4e9 rows); rr/pc are exact
   // integer-division micros; the JW decision reuses the compiled
-  // kernel pinned bit-equal to DuckDB's (JaroWinklerSpec).
+  // kernel pinned bit-equal to DuckDB's (JaroWinklerSpec); a sample
+  // with zero true pairs reports caught = 0 (not NULL — the oracle's
+  // COALESCE) and pc_micro = NULL.
   // ------------------------------------------------------------------
   def q248BlockingAudit(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.StringSimilarityFunctions.jaroWinkler
@@ -1290,6 +1310,9 @@ object StatsQueries {
       split(col("p_name"), " ").getItem(0).as("adj"),
       substring(split(col("p_name"), " ").getItem(1), 1, 1).as("b2"))
       .localCheckpoint() // reused: totals, block tally, sample side
+    val target = spark.conf.getOption("graft.q248.sampleTarget")
+      .map(_.toLong).getOrElse(2000L)
+    val modulus = StatsQueries.sampleModulus(p.count(), target)
     val tot = p.agg(count(lit(1)).as("n"))
       .select(col("n"),
         expr("CAST((CAST(n AS DECIMAL(38,0)) * (n - 1)) div 2 " +
@@ -1298,7 +1321,7 @@ object StatsQueries {
       .agg(coalesce(sum(
         expr("CAST((CAST(c AS DECIMAL(38,0)) * (c - 1)) div 2 " +
           "AS DECIMAL(38,0))")), lit(0).cast(dec)).as("cand_pairs"))
-    val sample = p.filter(col("p_partkey") % 20 === 0)
+    val sample = p.filter(col("p_partkey") % modulus === 0)
     val sb = sample.select(col("p_partkey").as("k2"), col("p_name").as("n2"),
       col("adj").as("adj2"), col("b2").as("b22"))
     val pc = sample.crossJoin(broadcast(sb))
@@ -1306,8 +1329,8 @@ object StatsQueries {
       .withColumn("jw", jaroWinkler(col("p_name"), col("n2")))
       .filter(col("jw") >= 0.95)
       .agg(count(lit(1)).as("sample_true"),
-        sum(when(col("adj") === col("adj2") && col("b2") === col("b22"), 1L)
-          .otherwise(0L)).as("sample_caught"))
+        coalesce(sum(when(col("adj") === col("adj2") && col("b2") === col("b22"),
+          1L).otherwise(0L)), lit(0L)).as("sample_caught"))
     tot.crossJoin(broadcast(cand)).crossJoin(broadcast(pc))
       .select(col("n"),
         col("total_pairs").cast(LongType).as("total_pairs"),
@@ -1335,12 +1358,14 @@ object StatsQueries {
       |    CAST(0 AS HUGEINT)) AS cand_pairs
       |  FROM (SELECT adj, b2, CAST(COUNT(*) AS BIGINT) AS c
       |        FROM p GROUP BY adj, b2)),
+      |m AS (SELECT greatest(1, COUNT(*) // 2000) AS m FROM p),
       |pc AS (
       |  SELECT CAST(COUNT(*) AS BIGINT) AS sample_true,
       |    CAST(COALESCE(SUM(CASE WHEN a.adj = b.adj AND a.b2 = b.b2
       |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS sample_caught
       |  FROM p a JOIN p b
-      |    ON a.p_partkey % 20 = 0 AND b.p_partkey % 20 = 0
+      |    ON a.p_partkey % (SELECT m FROM m) = 0
+      |    AND b.p_partkey % (SELECT m FROM m) = 0
       |    AND a.p_partkey < b.p_partkey
       |  WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.95)
       |SELECT n, CAST(total_pairs AS BIGINT) AS total_pairs,

@@ -48,7 +48,13 @@ final class StreamingEmbeddingDrift(vecCol: String, val d: Int = 64) {
   /** Rows in the frozen reference. */
   def referenceN: Long = reference.map(_(bufLen - 1).toLong).getOrElse(0L)
 
-  /** Fold one micro-batch; the first call freezes the reference. */
+  /** Fold one micro-batch; the first NON-EMPTY batch freezes the
+    * reference. An empty first batch (n = 0, all-zero Gram) must NOT
+    * freeze: a zero reference makes topComponent return the zero
+    * vector, so every later report() would read cosine 0.0 —
+    * indistinguishable from maximal drift — and first-freeze-wins
+    * would make that permanent. The monitor stays unfrozen until real
+    * rows arrive. */
   def processBatch(batch: DataFrame): Unit = {
     val g = batch.agg(LongGramAggregate.gram(milli, d).as("g"))
       .head().getSeq[Long](0).map(BigInt(_)).toArray
@@ -56,7 +62,7 @@ final class StreamingEmbeddingDrift(vecCol: String, val d: Int = 64) {
       case Some(c) => c.zip(g).map { case (a, b) => a + b }
       case None => g
     })
-    if (reference.isEmpty) reference = Some(g.clone())
+    if (reference.isEmpty && g(bufLen - 1) != 0) reference = Some(g.clone())
   }
 
   /**

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+import graft.queries.CorpusQueries
+
+/**
+ * Drift bounds for the hashed (scale) paths of q238/q241 against their
+ * exact duals on the test corpus. q238's hashed tally is EXACTLY equal
+ * unless two distinct terms collide in 64 bits (none at this corpus
+ * size — expected collisions n²/2⁶⁵); q241's hashed vocabulary feed
+ * re-ranks recovered candidates by the exact (count, term) order, so
+ * it can drift only where a count-tie plateau straddles rank K — the
+ * bound below pins how much that moves the published Delta.
+ */
+class ApproxParitySpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def withApprox[A](key: String, v: Boolean)(f: => A): A = {
+    spark.conf.set(key, v.toString)
+    try f finally spark.conf.unset(key)
+  }
+
+  test("q238 hashed tally equals the exact path bit-for-bit") {
+    val exact = withApprox("graft.q238.approx", false)(
+      CorpusQueries.q238LexicalConcentration(spark, dir).collect().toSeq)
+    val hashed = withApprox("graft.q238.approx", true)(
+      CorpusQueries.q238LexicalConcentration(spark, dir).collect().toSeq)
+    assert(hashed == exact)
+  }
+
+  test("q241 hashed vocabulary feed stays within the tie-plateau drift bound") {
+    def byPair(rows: Seq[Row]): Map[(String, String), Long] =
+      rows.map(r => ((r.getString(0), r.getString(1)), r.getLong(3))).toMap
+    val exact = byPair(withApprox("graft.q241.approx", false)(
+      CorpusQueries.q241BurrowsDelta(spark, dir).collect().toSeq))
+    val hashed = byPair(withApprox("graft.q241.approx", true)(
+      CorpusQueries.q241BurrowsDelta(spark, dir).collect().toSeq))
+    assert(hashed.keySet == exact.keySet) // same source pairs
+    exact.foreach { case (pair, d) =>
+      val h = hashed(pair)
+      // plateau swaps touch only boundary terms: ≤ 5% relative drift
+      assert(math.abs(h - d).toDouble <= 0.05 * math.max(1L, d),
+        s"pair $pair exact=$d hashed=$h")
+    }
+  }
+}

@@ -438,9 +438,11 @@ class ExchangeBudgetSpec extends SparkTestBase {
                                  // broadcast BNLJ by design)
     "q234_readability"    -> 2,  // zero-shuffle per-row count kernels,
                                  // ONE source tally, final order range
-    "q235_term_burstiness" -> 4, // (doc,term) tf tally, term rollup,
-                                 // 1-row totals gather for the relative
-                                 // df gate, final order range
+    "q235_term_burstiness" -> 3, // term rollup (per-doc tf is ROW-
+                                 // LOCAL via TermCountsExpression — the
+                                 // old (doc,term) token-stream exchange
+                                 // is gone), 1-row totals gather for
+                                 // the relative df gate, order range
     "q236_hill_tail_index" -> 2, // bounded top-(k+1) heap per source
                                  // (map-side pruned — never a rank
                                  // window), final order range

@@ -88,6 +88,36 @@ class KernelParitySpec extends SparkTestBase {
     assert(bad.isEmpty, bad.take(3).mkString("; "))
   }
 
+  test("ReadabilityCountsExpression follows the oracle's simple-mapping " +
+      "lower() on U+0130") {
+    // DuckDB (utf8proc) lower('İ') = 'i' — a 1-char SIMPLE mapping, so
+    // 'İ' behaves as a vowel continuing runs; Java's FULL mapping
+    // ("i" + combining dot) would break them. Expected values below are
+    // hand-pinned against a live DuckDB run of the q234 oracle
+    // expressions on these exact texts.
+    val cases = Seq(
+      ("aİa bİb İa İ", 4L, 1L, 4L),
+      ("Xİ oİo! rhythm.İ", 3L, 2L, 4L))
+    val df = cases.map(_._1).toDF("text")
+    val r = TextHashFunctions.readabilityCounts(col("text"))
+    val got = df.select(r.getField("w"), r.getField("s"), r.getField("syl"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(got.toSeq == cases.map(c => (c._2, c._3, c._4)))
+  }
+
+  test("TermCountsExpression equals the split/filter/groupBy reference") {
+    val df = samples(200).toDF("text")
+    val rows = df.select(col("text"),
+      TextHashFunctions.termCounts(col("text")).as("tc")).collect()
+    rows.foreach { r =>
+      val expected = r.getString(0).split(" ", -1).filter(_.nonEmpty)
+        .groupBy(identity).map { case (t, xs) => (t, xs.length.toLong) }
+      val got = r.getSeq[org.apache.spark.sql.Row](1)
+        .map(x => (x.getString(0), x.getLong(1))).toMap
+      assert(got == expected, s"text='${r.getString(0)}'")
+    }
+  }
+
   test("ReadabilityCountsExpression equals the declarative regexp form") {
     val df = samples(200).toDF("text")
     val toks = split(col("text"), " ")

@@ -50,6 +50,17 @@ class StreamingEmbeddingDriftSpec extends SparkTestBase {
     assert(math.abs(moved.cosine) < 0.7, s"rotated axis kept ${moved.cosine}")
   }
 
+  test("an empty first batch does not freeze the reference") {
+    val m = new StreamingEmbeddingDrift("embedding", d)
+    m.processBatch(cloud(seed = 9, n = 0, axis = 3).toDF("embedding"))
+    // no rows yet: unfrozen, no report — a zero reference would have
+    // pinned every later cosine to 0.0 (= maximal drift) permanently
+    assert(!m.isFrozen && m.report().isEmpty && m.n == 0L)
+    m.processBatch(cloud(seed = 10, n = 400, axis = 3).toDF("embedding"))
+    assert(m.isFrozen && m.referenceN == 400L && m.n == 400L)
+    assert(math.abs(m.report().get.cosine) > 0.999)
+  }
+
   test("shard merge equals single-monitor folding exactly") {
     val b1 = cloud(seed = 4, n = 300, axis = 1)
     val b2 = cloud(seed = 5, n = 300, axis = 1)
