@@ -1660,4 +1660,108 @@ object CorpusQueries {
       |  CAST(SUM(addend) // COUNT(*) AS BIGINT) AS delta_micro
       |FROM pairs GROUP BY sa, sb
       |ORDER BY sa, sb""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q249: frequency-THRESHOLD vocabulary coverage — for coverage
+  // targets 90/95/99% of token mass, the smallest per-term count
+  // threshold m* whose "count ≥ m*" head reaches the target, with the
+  // vocabulary size and exact coverage at that cut. The
+  // policy-faithful dual of q122's RANK-based cutoff: real tokenizer
+  // vocab rules are "keep terms with freq ≥ m" (they never split a
+  // count plateau the way a rank cut must), and the threshold form is
+  // what q235's df gate and q221's Good–Turing tail consume.
+  //
+  // Scale shape — the structural difference from q122: q122 ranks the
+  // FULL vocabulary through one single-partition window (defensible at
+  // tens of millions of types, but still |vocab|-sized); here the
+  // window runs over the frequency SPECTRUM (count → #types), which is
+  // DISTINCT-COUNT-VALUE-sized (≤ O(√tokens): Σ over distinct counts
+  // ≥ 1+2+…+k), thousands of rows at any corpus size. Term tally fed
+  // by the row-local TermCountsExpression kernel (q235's convention);
+  // no vocab sort, no top-k — the head is characterized by its
+  // threshold, never enumerated.
+  //
+  // Exactness: all masses are exact integers; coverage/vocab shares
+  // are DECIMAL(38,0)·10⁶ truncating divisions (mass·10⁶ overflows
+  // BIGINT past ~9e12 tokens); threshold selection compares
+  // cum_mass·100 ≥ target·total in DECIMAL — no floats anywhere.
+  // ------------------------------------------------------------------
+  def q249VocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val dec = DecimalType(38, 0)
+    val tally = Tables.documents(spark, dir)
+      .select(explode(TextHashFunctions.termCounts(col("text"))).as("e"))
+      .select(col("e.t").as("t"), col("e.c").as("c"))
+      .groupBy(col("t")).agg(sum(col("c")).as("cnt"))
+    val spectrum = tally.groupBy(col("cnt")).agg(count(lit(1)).as("v"))
+      .withColumn("mass", col("cnt") * col("v"))
+      .localCheckpoint() // reused: cumulative window AND the totals
+    // spectrum is value-domain-sized: the single-partition window is a
+    // deliberate, bounded gather (distinct count values, not terms)
+    val w = Window.orderBy(col("cnt").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = spectrum
+      .withColumn("cum_mass", sum(col("mass")).over(w))
+      .withColumn("cum_vocab", sum(col("v")).over(w))
+    val tot = spectrum.agg(sum(col("mass")).as("total_mass"),
+      sum(col("v")).as("total_vocab"))
+    val targets = Seq(90, 95, 99).toDF("target_pct")
+    val qualified = cum.crossJoin(broadcast(tot)).crossJoin(broadcast(targets))
+      .filter(col("cum_mass").cast(dec) * 100 >=
+        col("target_pct").cast(dec) * col("total_mass").cast(dec))
+    val wBest = Window.partitionBy(col("target_pct")).orderBy(col("cnt").desc)
+    qualified
+      .withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .select(col("target_pct"),
+        col("cnt").as("min_count"),
+        col("cum_vocab").as("vocab_size"),
+        expr("CAST((CAST(cum_vocab AS DECIMAL(38,0)) * 1000000) " +
+          "div total_vocab AS BIGINT)").as("vocab_ppm"),
+        expr("CAST((CAST(cum_mass AS DECIMAL(38,0)) * 1000000) " +
+          "div total_mass AS BIGINT)").as("coverage_ppm"),
+        col("cum_mass").as("tokens_covered"),
+        col("total_mass").as("total_tokens"))
+      .orderBy(col("target_pct"))
+  }
+
+  val q249Sql: String =
+    """WITH tally AS (
+      |  SELECT u.t AS t, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM documents, UNNEST(string_split(text, ' ')) AS u(t)
+      |  WHERE u.t <> '' GROUP BY u.t),
+      |spec AS (
+      |  SELECT cnt, CAST(COUNT(*) AS BIGINT) AS v, cnt * COUNT(*) AS mass
+      |  FROM tally GROUP BY cnt),
+      |cum AS (
+      |  SELECT cnt, v, mass,
+      |    CAST(SUM(mass) OVER (ORDER BY cnt DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum_mass,
+      |    CAST(SUM(v) OVER (ORDER BY cnt DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum_vocab
+      |  FROM spec),
+      |tot AS (
+      |  SELECT CAST(SUM(mass) AS BIGINT) AS total_mass,
+      |    CAST(SUM(v) AS BIGINT) AS total_vocab FROM spec),
+      |tgt(target_pct) AS (VALUES (90), (95), (99)),
+      |q AS (
+      |  SELECT target_pct, cnt, cum_vocab, cum_mass, total_vocab,
+      |    total_mass,
+      |    ROW_NUMBER() OVER (PARTITION BY target_pct ORDER BY cnt DESC)
+      |      AS rn
+      |  FROM cum CROSS JOIN tot CROSS JOIN tgt
+      |  WHERE CAST(cum_mass AS HUGEINT) * 100 >=
+      |    CAST(target_pct AS HUGEINT) * total_mass)
+      |SELECT CAST(target_pct AS INT) AS target_pct, cnt AS min_count,
+      |  cum_vocab AS vocab_size,
+      |  CAST((CAST(cum_vocab AS HUGEINT) * 1000000) // total_vocab
+      |    AS BIGINT) AS vocab_ppm,
+      |  CAST((CAST(cum_mass AS HUGEINT) * 1000000) // total_mass
+      |    AS BIGINT) AS coverage_ppm,
+      |  cum_mass AS tokens_covered, total_mass AS total_tokens
+      |FROM q WHERE rn = 1
+      |ORDER BY target_pct""".stripMargin
 }

@@ -1,0 +1,291 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.LongGramAggregate
+import graft.operators.Similarity
+import graft.sources.Tables
+
+/**
+ * Embedding-space dataset audits (round 14): the three structural
+ * checks a training-data pipeline runs on an embedding table BEFORE
+ * trusting it for dedup/retrieval/curriculum decisions — effective
+ * rank (has the space collapsed?), k-NN label disagreement (are the
+ * labels noisy?), and hubness (is the metric pathological in this
+ * dimensionality?). Complements q242/q243/q246 (dominant-direction
+ * family) and q126 (mutual-kNN edges).
+ *
+ * Float-parity discipline: Gram moments are exact integers via
+ * LongGramAggregate (milli-quantized, order-independent); the k-NN
+ * queries reuse `Similarity.bruteForceTopK`'s rounded-cosine + id
+ * tiebreak contract (bit-matched to the oracle's ROW_NUMBER form);
+ * ratios are DECIMAL/HUGEINT truncating-division micros; q252's
+ * skewness is ONE identical double expression over exact integer
+ * moments in both engines.
+ */
+object EmbedAuditQueries {
+
+  private val EmbDim = 64
+
+  private def milliVec: Column = transform(col("embedding"),
+    e => round(e.cast(DoubleType) * lit(1000.0), 0).cast(LongType))
+
+  // ------------------------------------------------------------------
+  // q250: effective rank (participation ratio) of the embedding
+  // covariance per label — PR = tr(C)²/tr(C²) = (Σλ)²/Σλ² ∈ [1, d],
+  // the eigenvalue-free anisotropy number (Gao et al. 2019's
+  // representation-collapse diagnostic): PR ≈ d is isotropic, PR ≈ 1
+  // is a collapsed (rank-1) cloud that will defeat cosine dedup and
+  // ANN recall alike. Needs NO eigensolve: tr(C²) = ΣᵢⱼCᵢⱼ² for
+  // symmetric C, so both traces fold straight out of the Gram.
+  //
+  // Exactness: ONE LongGramAggregate pass per label (the corpus never
+  // shuffles — fixed-size long buffers combine map-side, |labels|
+  // buffers reach the driver); covariance n·Σxy − Σx·Σy, both traces,
+  // and PR·10⁶ all in driver BigInt (the q243 collected-dimension
+  // pattern), truncation-identical to the oracle's HUGEINT replay.
+  //
+  // 100 TB shape: one exchange (the label gather of ~2k-long buffers);
+  // everything after is |labels|·d² driver arithmetic.
+  // ------------------------------------------------------------------
+  def q250EffectiveRank(spark: SparkSession, dir: String): DataFrame = {
+    val d = EmbDim
+    val triLen = d * (d + 1) / 2
+    import spark.implicits._
+    val rows = Tables.embeddings(spark, dir)
+      .groupBy(col("label"))
+      .agg(LongGramAggregate.gram(milliVec, d).as("g"))
+      .collect() // |labels| rows of fixed-size buffers — dimension-sized
+    val out = rows.map { r =>
+      val label = r.getAs[Number](0).intValue
+      val g = r.getSeq[Long](1)
+      val n = BigInt(g(triLen + d))
+      def sxy(i: Int, j: Int): BigInt = {
+        val (a, b) = if (i <= j) (i, j) else (j, i)
+        BigInt(g(a * d - a * (a - 1) / 2 + (b - a)))
+      }
+      def sx(i: Int): BigInt = BigInt(g(triLen + i))
+      var tr = BigInt(0)
+      var tr2 = BigInt(0)
+      var i = 0
+      while (i < d) {
+        var j = 0
+        while (j < d) {
+          val c = n * sxy(i, j) - sx(i) * sx(j)
+          if (i == j) tr += c
+          tr2 += c * c
+          j += 1
+        }
+        i += 1
+      }
+      val pr = if (tr2 == 0) BigInt(0) else (tr * tr * 1000000) / tr2
+      (label, n.toLong, pr.toLong)
+    }
+    out.toSeq.toDF("label", "n_vecs", "pr_micro").orderBy(col("label"))
+  }
+
+  val q250Sql: String =
+    """WITH mil AS MATERIALIZED (
+      |  SELECT vec_id, label, CAST(r.i AS INT) AS i,
+      |    CAST(round(CAST(embedding[r.i + 1] AS DOUBLE) * 1000.0, 0)
+      |      AS BIGINT) AS x
+      |  FROM embeddings, range(64) r(i)),
+      |sums AS (
+      |  SELECT a.label, a.i AS i, b.i AS j,
+      |    SUM(CAST(a.x AS HUGEINT) * b.x) AS sxy
+      |  FROM mil a JOIN mil b ON a.vec_id = b.vec_id
+      |  GROUP BY a.label, a.i, b.i),
+      |sx AS (SELECT label, i, CAST(SUM(x) AS HUGEINT) AS sx
+      |  FROM mil GROUP BY label, i),
+      |nn AS (SELECT label, CAST(COUNT(*) AS HUGEINT) AS n
+      |  FROM embeddings GROUP BY label),
+      |cov AS (
+      |  SELECT s.label, s.i, s.j, n.n * s.sxy - a.sx * b.sx AS c
+      |  FROM sums s
+      |  JOIN sx a ON a.label = s.label AND a.i = s.i
+      |  JOIN sx b ON b.label = s.label AND b.i = s.j
+      |  JOIN nn n ON n.label = s.label),
+      |agg AS (
+      |  SELECT label,
+      |    SUM(CASE WHEN i = j THEN c ELSE 0 END) AS tr,
+      |    SUM(c * c) AS tr2
+      |  FROM cov GROUP BY label)
+      |SELECT CAST(a.label AS INT) AS label, CAST(n.n AS BIGINT) AS n_vecs,
+      |  CAST(CASE WHEN tr2 = 0 THEN 0
+      |    ELSE (tr * tr * 1000000) // tr2 END AS BIGINT) AS pr_micro
+      |FROM agg a JOIN nn n ON n.label = a.label
+      |ORDER BY label""".stripMargin
+
+  /** Shared k-NN edge set for q251/q252: every vector queries the
+    * corpus for its top-10 cosine neighbors. Exact brute force (the
+    * CORRECTNESS anchor — q35/q126's contract, query side broadcast +
+    * bounded map-side heaps) up to `graft.embaudit.annThreshold`
+    * vectors (default 50k, the q225 convention); past it — or under an
+    * explicit `graft.embaudit.ann` — the SAME downstream composes over
+    * `Similarity.ivfTopK`'s partitioned index, so neither the
+    * broadcast nor the pair count grows with the corpus. The oracle
+    * pins the exact path; ApproxParitySpec bounds the ANN drift. */
+  private def knnEdges(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val useAnn = spark.conf.getOption("graft.embaudit.ann")
+      .map(_.toBoolean).getOrElse {
+        val threshold = spark.conf.getOption("graft.embaudit.annThreshold")
+          .map(_.toLong).getOrElse(50000L)
+        emb.count() > threshold
+      }
+    if (useAnn)
+      Similarity.ivfTopK(emb, queries, "vec_id", "embedding", "qid", "qv",
+        k = k, nlist = 64, nprobe = 8)
+    else
+      Similarity.bruteForceTopK(emb, queries,
+        "vec_id", "embedding", "qid", "qv", k = k)
+  }
+
+  // ------------------------------------------------------------------
+  // q251: k-NN label-disagreement noise screen (Confident-Learning /
+  // deep-kNN flavored, Northcutt 2021): for each vector, the fraction
+  // of its 10 nearest cosine neighbors carrying a DIFFERENT label; per
+  // label the mean disagreement and the suspect count (majority of
+  // neighbors disagree). High mean disagreement for one label = label
+  // noise or a class the encoder cannot separate — either way that
+  // label's data needs review before it feeds a curriculum (q136) or
+  // a stratified split (q218).
+  //
+  // Exactness: disagreement counts are integers off the shared k-NN
+  // edge set; the per-label mean is ONE ppm truncating division of
+  // exact sums. Plan: broadcast query side + bounded heaps (no global
+  // sort), two label joins on the k·n edge rows, one label rollup.
+  // ------------------------------------------------------------------
+  def q251LabelNoise(spark: SparkSession, dir: String): DataFrame = {
+    val labels = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label").cast(IntegerType).as("label"))
+    val edges = knnEdges(spark, dir, k = 10)
+      .join(labels.select(col("vec_id").as("query_id"),
+        col("label").as("ql")), "query_id")
+      .join(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("nl")), "neighbor_id")
+    edges.groupBy(col("query_id"), col("ql"))
+      .agg(count(lit(1)).as("kk"),
+        sum(when(col("ql") =!= col("nl"), 1L).otherwise(0L)).as("dis"))
+      .groupBy(col("ql").as("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("CAST(SUM(dis) * 1000000 div SUM(kk) AS BIGINT)")
+          .as("mean_disagree_ppm"),
+        sum(when(col("dis") * 2 > col("kk"), 1L).otherwise(0L))
+          .as("n_suspects"))
+      .orderBy(col("label"))
+  }
+
+  val q251Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |sims AS (
+      |  SELECT a.vec_id AS q, a.label AS ql, b.vec_id AS nb, b.label AS nl,
+      |    ROUND(list_dot_product(a.v, b.v) /
+      |      (sqrt(list_dot_product(a.v, a.v)) *
+      |       sqrt(list_dot_product(b.v, b.v))), 4) AS sim
+      |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+      |ranked AS (
+      |  SELECT q, ql, nl,
+      |    ROW_NUMBER() OVER (PARTITION BY q ORDER BY sim DESC, nb ASC) AS rk
+      |  FROM sims),
+      |pv AS (
+      |  SELECT q, ql, CAST(COUNT(*) AS BIGINT) AS kk,
+      |    CAST(SUM(CASE WHEN ql <> nl THEN 1 ELSE 0 END) AS BIGINT) AS dis
+      |  FROM ranked WHERE rk <= 10 GROUP BY q, ql)
+      |SELECT CAST(ql AS INT) AS label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+      |  CAST(SUM(dis) * 1000000 // SUM(kk) AS BIGINT) AS mean_disagree_ppm,
+      |  CAST(SUM(CASE WHEN dis * 2 > kk THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_suspects
+      |FROM pv GROUP BY ql ORDER BY label""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q252: hubness audit — the k-occurrence distribution N₁₀(x) (how
+  // many vectors list x among their 10 nearest neighbors) per label:
+  // max (the biggest hub), antihub count (N = 0), and the skewness of
+  // N₁₀ (Radovanović 2010's S_{N_k} — the standard hubness statistic;
+  // strongly right-skewed N_k means distance concentration is
+  // distorting EVERY kNN-based op: dedup, retrieval, q251 itself).
+  //
+  // Exactness: N_k counts are integers off the shared k-NN edge set
+  // (antihubs via left join + zero-fill); skewness g₁ =
+  // (n²S₃ − 3nS₁S₂ + 2S₁³)/(nS₂ − S₁²)^{3/2} with S₁/S₂/S₃ exact
+  // DECIMAL/HUGEINT sums — the whole numerator/denominator exact, ONE
+  // identical double expression at the end (q56's moment protocol).
+  // ------------------------------------------------------------------
+  def q252Hubness(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val labels = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label").cast(IntegerType).as("label"))
+    val occ = knnEdges(spark, dir, k = 10)
+      .groupBy(col("neighbor_id").as("vec_id"))
+      .agg(count(lit(1)).as("nk"))
+    val full = labels.join(occ, Seq("vec_id"), "left")
+      .na.fill(0L, Seq("nk"))
+    full.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        max(col("nk")).as("max_k_occ"),
+        sum(when(col("nk") === 0L, 1L).otherwise(0L)).as("n_antihubs"),
+        sum(col("nk").cast(dec)).as("s1"),
+        sum((col("nk").cast(dec) * col("nk").cast(dec))).as("s2"),
+        sum((col("nk").cast(dec) * col("nk").cast(dec) * col("nk").cast(dec)))
+          .as("s3"))
+      .select(col("label"), col("n").as("n_vecs"), col("max_k_occ"),
+        col("n_antihubs"),
+        // degenerate (all N_k equal) → NULL, not NaN/inf, both engines
+        when(col("n").cast(dec) * col("s2") - col("s1") * col("s1") > 0,
+          round(
+            (col("n").cast(dec) * col("n").cast(dec) * col("s3") -
+              lit(3) * col("n").cast(dec) * col("s1") * col("s2") +
+              lit(2) * col("s1") * col("s1") * col("s1")).cast(DoubleType) /
+            sqrt(pow((col("n").cast(dec) * col("s2") -
+              col("s1") * col("s1")).cast(DoubleType), 3.0)), 4))
+          .as("skewness"))
+      .orderBy(col("label"))
+  }
+
+  val q252Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |sims AS (
+      |  SELECT a.vec_id AS q, b.vec_id AS nb,
+      |    ROUND(list_dot_product(a.v, b.v) /
+      |      (sqrt(list_dot_product(a.v, a.v)) *
+      |       sqrt(list_dot_product(b.v, b.v))), 4) AS sim
+      |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+      |ranked AS (
+      |  SELECT q, nb,
+      |    ROW_NUMBER() OVER (PARTITION BY q ORDER BY sim DESC, nb ASC) AS rk
+      |  FROM sims),
+      |occ AS (
+      |  SELECT nb AS vec_id, CAST(COUNT(*) AS BIGINT) AS nk
+      |  FROM ranked WHERE rk <= 10 GROUP BY nb),
+      |full_ AS (
+      |  SELECT e.vec_id, e.label, COALESCE(o.nk, 0) AS nk
+      |  FROM (SELECT vec_id, label FROM embeddings) e
+      |  LEFT JOIN occ o ON o.vec_id = e.vec_id),
+      |agg AS (
+      |  SELECT label, CAST(COUNT(*) AS HUGEINT) AS n,
+      |    CAST(MAX(nk) AS BIGINT) AS max_k_occ,
+      |    CAST(SUM(CASE WHEN nk = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_antihubs,
+      |    CAST(SUM(nk) AS HUGEINT) AS s1,
+      |    SUM(CAST(nk AS HUGEINT) * nk) AS s2,
+      |    SUM(CAST(nk AS HUGEINT) * nk * nk) AS s3
+      |  FROM full_ GROUP BY label)
+      |SELECT CAST(label AS INT) AS label, CAST(n AS BIGINT) AS n_vecs,
+      |  max_k_occ, n_antihubs,
+      |  CASE WHEN n * s2 - s1 * s1 > 0 THEN
+      |    round(CAST(n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1
+      |        AS DOUBLE) /
+      |      sqrt(pow(CAST(n * s2 - s1 * s1 AS DOUBLE), 3.0)), 4)
+      |  ELSE NULL END AS skewness
+      |FROM agg ORDER BY label""".stripMargin
+}

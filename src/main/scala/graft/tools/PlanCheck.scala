@@ -214,10 +214,20 @@ object PlanCheck {
               // q240/q245: 1-row contingency-total broadcast onto the
               // dimension-sized cell/margin tables (q88's shape)
               "q240_chi_squared", "q245_theils_u",
-              // q248: the PC truth side is the every-20th-key
-              // decimation brute-forced by design (q126/q232's
+              // q248: the PC truth side is the ABSOLUTE-SIZE key
+              // decimation (sampleModulus-derived, constant ~2000 rows
+              // at any scale) brute-forced by design (q126/q232's
               // decimated-anchor class); RR itself needs no pair join
-              "q248_blocking_audit")
+              "q248_blocking_audit",
+              // q249: 1-row totals + 3-row coverage-target dim crossed
+              // into the spectrum under a non-equi threshold predicate
+              // (q122's shape, but over the value-domain-sized spectrum)
+              "q249_vocab_coverage",
+              // q251/q252: the exact brute-force kNN anchor (q35/q126's
+              // class) — the query side IS the corpus here, so these
+              // are exact-anchor queries whose corpus-scale path is the
+              // identical downstream over Similarity.ivfTopK
+              "q251_label_noise", "q252_hubness")
               .contains(name))
         ).collect { case (f, true) => f } ++ {
           // measured-build-side audit for EVERY BNLJ, allowlisted or not

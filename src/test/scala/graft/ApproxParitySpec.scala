@@ -30,6 +30,30 @@ class ApproxParitySpec extends SparkTestBase {
     assert(hashed == exact)
   }
 
+  test("q251/q252 ANN off-ramp stays within the recall drift bound") {
+    import graft.queries.EmbedAuditQueries
+    def noise(ann: Boolean) = withApprox("graft.embaudit.ann", ann)(
+      EmbedAuditQueries.q251LabelNoise(spark, dir).collect()
+        .map(r => r.getInt(0) -> (r.getLong(2), r.getLong(3))).toMap)
+    val exact = noise(false)
+    val ann = noise(true)
+    assert(ann.keySet == exact.keySet)
+    exact.foreach { case (label, (ppm, suspects)) =>
+      val (appm, asus) = ann(label)
+      // IVF nprobe=8/64 recall perturbs which neighbors are inspected,
+      // not the label structure: mean disagreement moves ≤ 15 pp and
+      // the suspect tally stays in the same ballpark
+      assert(math.abs(appm - ppm) <= 150000L,
+        s"label $label exact=$ppm ann=$appm")
+      assert(math.abs(asus - suspects) <= math.max(3L, suspects),
+        s"label $label suspects exact=$suspects ann=$asus")
+    }
+    def hub(ann: Boolean) = withApprox("graft.embaudit.ann", ann)(
+      EmbedAuditQueries.q252Hubness(spark, dir).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap)
+    assert(hub(true).keySet == hub(false).keySet) // same label universe
+  }
+
   test("q241 hashed vocabulary feed stays within the tie-plateau drift bound") {
     def byPair(rows: Seq[Row]): Map[(String, String), Long] =
       rows.map(r => ((r.getString(0), r.getString(1)), r.getLong(3))).toMap

@@ -490,7 +490,23 @@ class ExchangeBudgetSpec extends SparkTestBase {
     "q248_blocking_audit" -> 4,  // off the checkpointed key frame:
                                  // block tally + its 1-row rollup,
                                  // 1-row total, 1-row sample-PC agg
-                                 // (decimated broadcast BNLJ anchor)
+                                 // (absolute-size broadcast BNLJ anchor)
+    "q249_vocab_coverage" -> 4,  // term tally + spectrum behind the
+                                 // checkpoint; after it: the value-
+                                 // domain-sized cumulative window
+                                 // (deliberate bounded SinglePartition),
+                                 // 1-row totals, per-target pick window,
+                                 // final order range
+    "q250_effective_rank" -> 1,  // gram fold runs in its own collect
+                                 // job (ONE label exchange of fixed
+                                 // buffers); the published frame is a
+                                 // |labels|-row local relation + order
+    "q251_label_noise"    -> 3,  // per-query bounded heap agg (map-side
+                                 // pruned), per-label rollup, order
+                                 // range; label sides broadcast
+    "q252_hubness"        -> 5,  // heap agg, k-occurrence tally, the
+                                 // antihub left join's id co-shuffle,
+                                 // label moment rollup, order range
     "q223_ngram_novelty"  -> 5,  // spread repartition (underpartition
                                  // guard), train-window distinct, the
                                  // eval join co-shuffle, countDistinct
