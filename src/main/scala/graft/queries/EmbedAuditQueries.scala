@@ -128,7 +128,13 @@ object EmbedAuditQueries {
     * broadcast nor the pair count grows with the corpus. The oracle
     * pins the exact path; ApproxParitySpec bounds the ANN drift. */
   private def knnEdges(spark: SparkSession, dir: String, k: Int): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
+    // CPU-dense pair loop over a SMALL parquet (1-2 splits): spread an
+    // under-partitioned corpus or the whole n·n dot-product loop
+    // serializes on one task (the q145 guard)
+    val cores = spark.sparkContext.defaultParallelism
+    val raw = Tables.embeddings(spark, dir)
+    val emb = if (raw.rdd.getNumPartitions * 2 < cores) raw.repartition(cores)
+      else raw
     val queries = emb.select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val useAnn = spark.conf.getOption("graft.embaudit.ann")
       .map(_.toBoolean).getOrElse {

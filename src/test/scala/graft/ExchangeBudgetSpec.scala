@@ -501,12 +501,15 @@ class ExchangeBudgetSpec extends SparkTestBase {
                                  // job (ONE label exchange of fixed
                                  // buffers); the published frame is a
                                  // |labels|-row local relation + order
-    "q251_label_noise"    -> 3,  // per-query bounded heap agg (map-side
-                                 // pruned), per-label rollup, order
-                                 // range; label sides broadcast
-    "q252_hubness"        -> 5,  // heap agg, k-occurrence tally, the
-                                 // antihub left join's id co-shuffle,
-                                 // label moment rollup, order range
+    "q251_label_noise"    -> 4,  // spread repartition (underpartition
+                                 // guard), per-query bounded heap agg
+                                 // (map-side pruned), per-label rollup,
+                                 // order range; label sides broadcast
+    "q252_hubness"        -> 6,  // spread repartition (underpartition
+                                 // guard), heap agg, k-occurrence
+                                 // tally, the antihub left join's id
+                                 // co-shuffle, label moment rollup,
+                                 // order range
     "q223_ngram_novelty"  -> 5,  // spread repartition (underpartition
                                  // guard), train-window distinct, the
                                  // eval join co-shuffle, countDistinct
