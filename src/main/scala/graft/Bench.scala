@@ -129,8 +129,12 @@ object Bench {
           .filter(_ >= 0)).toMap
       }
     val byQuery: Map[String, Seq[Double]] = names.map { n =>
-      val xs = base(n) ++ extra.getOrElse(n, Nil)
-      n -> (if (xs.size >= 4) xs.sorted.dropRight(1) else xs)
+      val ex = extra.getOrElse(n, Nil)
+      val xs = base(n) ++ ex
+      // the trim belongs ONLY to re-measured contention outliers — a
+      // clean repeats>=4 run must keep every sample or all medians
+      // bias low
+      n -> (if (ex.nonEmpty && xs.size >= 4) xs.sorted.dropRight(1) else xs)
     }.toMap
     val results = names.map(n => n -> median(byQuery(n)))
     // The driver captures only the last 2000 characters of output and

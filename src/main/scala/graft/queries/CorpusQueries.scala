@@ -1415,16 +1415,28 @@ object CorpusQueries {
   // hashed ≡ exact on the test corpus). The oracle pins the exact
   // path.
   // ------------------------------------------------------------------
+  /** Cheap corpus-size probe for the auto-approx switches: estimated
+    * token count from the `n_chars` column (column-pruned scan — no
+    * text decode, no tokenize; ~5 chars per token incl. separator, so
+    * it OVERESTIMATES slightly, which errs toward the scale path —
+    * the safe direction for an order-of-magnitude switch). NULL-safe:
+    * an empty corpus probes as 0 tokens (exact path). Replaces the
+    * round-13 probe that re-tokenized the whole corpus just to pick a
+    * path. */
+  private[queries] def tokenCountEstimate(spark: SparkSession, dir: String): Long = {
+    val r = Tables.documents(spark, dir)
+      .agg(sum(col("n_chars").cast(LongType)).as("n")).collect()(0)
+    if (r.isNullAt(0)) 0L else r.getLong(0) / 5L
+  }
+
   def q238LexicalConcentration(spark: SparkSession, dir: String): DataFrame =
     spark.conf.getOption("graft.q238.approx").map(_.toBoolean) match {
       case Some(h) => q238Body(spark, dir, hashed = h)
       case None =>
         val threshold = spark.conf.getOption("graft.q238.autoApproxTokens")
           .map(_.toLong).getOrElse(1000000000L)
-        val tokens = Tables.documents(spark, dir)
-          .agg(sum(size(split(col("text"), " ")).cast(LongType)).as("n"))
-          .collect()(0).getLong(0)
-        q238Body(spark, dir, hashed = tokens > threshold)
+        q238Body(spark, dir,
+          hashed = tokenCountEstimate(spark, dir) > threshold)
     }
 
   private def q238Body(
@@ -1532,10 +1544,8 @@ object CorpusQueries {
       case None =>
         val threshold = spark.conf.getOption("graft.q241.autoApproxTokens")
           .map(_.toLong).getOrElse(1000000000L)
-        val tokens = Tables.documents(spark, dir)
-          .agg(sum(size(split(col("text"), " ")).cast(LongType)).as("n"))
-          .collect()(0).getLong(0)
-        q241Body(spark, dir, hashedFeed = tokens > threshold)
+        q241Body(spark, dir,
+          hashedFeed = tokenCountEstimate(spark, dir) > threshold)
     }
 
   private def q241Body(
@@ -1663,9 +1673,11 @@ object CorpusQueries {
 
   // ------------------------------------------------------------------
   // q249: frequency-THRESHOLD vocabulary coverage — for coverage
-  // targets 90/95/99% of token mass, the smallest per-term count
-  // threshold m* whose "count ≥ m*" head reaches the target, with the
-  // vocabulary size and exact coverage at that cut. The
+  // targets 90/95/99% of token mass, the HIGHEST per-term count
+  // cutoff m* whose "count ≥ m*" head still reaches the target (i.e.
+  // the MINIMAL head: raising the cutoff one more step would drop
+  // below the target), with the vocabulary size and exact coverage at
+  // that cut. The
   // policy-faithful dual of q122's RANK-based cutoff: real tokenizer
   // vocab rules are "keep terms with freq ≥ m" (they never split a
   // count plateau the way a rank cut must), and the threshold form is

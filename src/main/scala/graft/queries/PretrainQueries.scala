@@ -1016,9 +1016,9 @@ object PretrainQueries {
       case None =>
         val threshold = spark.conf.getOption("graft.q237.autoApproxTokens")
           .map(_.toLong).getOrElse(100000000L)
-        val tokens = Tables.documents(spark, dir)
-          .agg(sum(size(split(col("text"), " ")).cast(LongType)).as("n"))
-          .collect()(0).getLong(0)
+        // column-pruned n_chars estimate (CorpusQueries helper) — the
+        // round-13 probe re-tokenized the whole corpus to pick a path
+        val tokens = CorpusQueries.tokenCountEstimate(spark, dir)
         if (tokens > threshold) q237NgramDiversityHll(spark, dir)
         else q237NgramDiversityExact(spark, dir)
     }
