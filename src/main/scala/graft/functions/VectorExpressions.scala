@@ -39,16 +39,49 @@ private object VecOps {
 
 /** Left-to-right double-fold dot product of two numeric arrays. */
 case class DotProductExpression(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true // ragged/null-element inputs → null
   private lazy val lFloat = VecOps.isFloatArray(left.dataType)
   private lazy val rFloat = VecOps.isFloatArray(right.dataType)
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
+  override def nullSafeEval(a: Any, b: Any): Any =
+    DotProductExpression.compute(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], lFloat, rFloat)
+
+  /** Real codegen (round 14 — this kernel sits inside the n·n pair
+    * loops of q34/q35/q42/q251/q252, where the CodegenFallback wrapper
+    * broke the whole-stage span per PAIR): one static invoke, with the
+    * boxed-null contract for ragged/null-element inputs carried into
+    * ev.isNull. Element types are known at codegen time, so the float
+    * flags inline as literals. */
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("vecDot")
+      s"""
+         |java.lang.Double $r =
+         |  graft.functions.DotProductExpression.compute($a, $b, $lFloat, $rFloat);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r.doubleValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "vec_dot"
+}
+
+object DotProductExpression {
+
+  /** Shared by the interpreted eval and the generated code (parity by
+    * construction); null (boxed) on ragged or null-element input —
+    * exactly what the declarative zip_with fold yields. */
+  def compute(x: ArrayData, y: ArrayData,
+      lFloat: Boolean, rFloat: Boolean): java.lang.Double = {
     val n = x.numElements()
     if (n != y.numElements()) return null
     var s = 0.0
@@ -58,24 +91,44 @@ case class DotProductExpression(left: Expression, right: Expression)
       s += VecOps.elem(x, i, lFloat) * VecOps.elem(y, i, rFloat)
       i += 1
     }
-    s
+    java.lang.Double.valueOf(s)
   }
-
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
-    copy(left = l, right = r)
-  override def prettyName: String = "vec_dot"
 }
 
 /** L2 norm via the same left-to-right double fold. */
 case class L2NormExpression(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true // null element → null, as the fold would
   private lazy val isFloat = VecOps.isFloatArray(child.dataType)
 
-  override def nullSafeEval(input: Any): Any = {
-    val x = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    L2NormExpression.compute(input.asInstanceOf[ArrayData], isFloat)
+
+  /** Real codegen — same boxed-null static-invoke shape as vec_dot. */
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("vecNorm")
+      s"""
+         |java.lang.Double $r =
+         |  graft.functions.L2NormExpression.compute($c, $isFloat);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r.doubleValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "vec_norm"
+}
+
+object L2NormExpression {
+
+  /** Shared by the interpreted eval and the generated code. */
+  def compute(x: ArrayData, isFloat: Boolean): java.lang.Double = {
     val n = x.numElements()
     var s = 0.0
     var i = 0
@@ -85,11 +138,8 @@ case class L2NormExpression(child: Expression)
       s += v * v
       i += 1
     }
-    math.sqrt(s)
+    java.lang.Double.valueOf(math.sqrt(s))
   }
-
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
-  override def prettyName: String = "vec_norm"
 }
 
 /**
