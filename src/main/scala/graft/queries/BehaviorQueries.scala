@@ -543,4 +543,160 @@ object BehaviorQueries {
        |LEFT JOIN r ON r.i = t.t
        |JOIN p5 ON p5.t = t.t""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // q253: sequence-surprisal anomaly screen — the behavioral dual of
+  // q89's text surprisal: a first-order Markov model over event-type
+  // transitions is fit on the WHOLE log, then every user's trajectory
+  // is scored by its mean transition surprisal; the top-20 most
+  // improbable trajectories are the bot/replay/instrumentation-bug
+  // candidates an interaction-data pipeline quarantines before SFT
+  // export (q98's transition matrix tells you THE MODEL; this tells
+  // you WHO deviates from it).
+  //
+  // Exactness: each transition's log-prob addend is
+  // round(log2(c_pc)·10⁶) − round(log2(c_p)·10⁶) — both terms rounded
+  // to integers separately (counts ≥ 1, so both logs ≥ 0 and HALF_UP
+  // agrees in both engines), summed exactly; the per-user mean is ONE
+  // truncating division of NON-NEGATIVE integers (−sum is taken before
+  // the div so no engine's negative-division convention is in play).
+  //
+  // Scale shape: one user-partitioned lag window (per-user sequences,
+  // the q16 shape), a type-pair-domain-sized transition tally broadcast
+  // back, a per-user rollup that reuses the window's user_id
+  // partitioning, and a top-20 TakeOrderedAndProject — per-task heaps,
+  // never a global sort.
+  // ------------------------------------------------------------------
+  def q253SequenceSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val trans = ev
+      .select(col("user_id"), col("event_type"),
+        lag(col("event_type"), 1).over(w).as("prev"))
+      .filter(col("prev").isNotNull)
+    val pairC = trans.groupBy(col("prev"), col("event_type"))
+      .agg(count(lit(1)).as("cpc"))
+    val prevC = trans.groupBy(col("prev")).agg(count(lit(1)).as("cp"))
+    val lp = pairC.join(prevC, "prev")
+      .select(col("prev"), col("event_type"),
+        (round(log2(col("cpc").cast(DoubleType)) * lit(1000000.0), 0)
+            .cast(LongType) -
+          round(log2(col("cp").cast(DoubleType)) * lit(1000000.0), 0)
+            .cast(LongType)).as("a"))
+    trans.join(broadcast(lp), Seq("prev", "event_type"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_transitions"), sum(col("a")).as("sum_a"))
+      .select(col("user_id"), col("n_transitions"),
+        expr("CAST((-sum_a) div n_transitions AS BIGINT)")
+          .as("surprisal_micro"))
+      .orderBy(col("surprisal_micro").desc, col("user_id"))
+      .limit(20)
+  }
+
+  val q253Sql: String =
+    """WITH trans AS (
+      |  SELECT user_id, event_type, prev FROM (
+      |    SELECT user_id, event_type,
+      |      LAG(event_type, 1) OVER (PARTITION BY user_id
+      |        ORDER BY ts ASC, event_id ASC) AS prev
+      |    FROM events) x WHERE prev IS NOT NULL),
+      |pairc AS (
+      |  SELECT prev, event_type, CAST(COUNT(*) AS BIGINT) AS cpc
+      |  FROM trans GROUP BY prev, event_type),
+      |prevc AS (
+      |  SELECT prev, CAST(COUNT(*) AS BIGINT) AS cp
+      |  FROM trans GROUP BY prev),
+      |lp AS (
+      |  SELECT p.prev, p.event_type,
+      |    CAST(round(log2(CAST(cpc AS DOUBLE)) * 1000000.0, 0) AS BIGINT) -
+      |    CAST(round(log2(CAST(cp AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS a
+      |  FROM pairc p JOIN prevc c ON c.prev = p.prev)
+      |SELECT t.user_id, CAST(COUNT(*) AS BIGINT) AS n_transitions,
+      |  CAST((-SUM(a)) // COUNT(*) AS BIGINT) AS surprisal_micro
+      |FROM trans t JOIN lp ON lp.prev = t.prev
+      |  AND lp.event_type = t.event_type
+      |GROUP BY t.user_id
+      |ORDER BY surprisal_micro DESC, user_id
+      |LIMIT 20""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q254: session-gap sensitivity sweep — how the session count, the
+  // events-per-session density, and the break probability move as the
+  // inactivity timeout τ sweeps {5, 15, 30, 60} minutes. q16 commits
+  // to τ=30 min; this is the evidence for that choice (a plateau
+  // between two τ values means the boundary is stable; a cliff means
+  // sessionization is an artifact of the timeout). Identity that makes
+  // it one pass: n_sessions(τ) = n_users + #{gaps > τ} — no
+  // re-sessionization per τ, every sweep point is a conditional sum
+  // over the SAME lag pass.
+  //
+  // Exactness: gaps are integer seconds (floor(epoch) in both
+  // engines, the q16 contract); all sweep outputs are integer
+  // divisions of exact counts. Scale shape: ONE user-partitioned lag
+  // window, ONE 1-row aggregate, a 4-row constant sweep dimension.
+  // ------------------------------------------------------------------
+  def q254SessionGapSweep(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val gaps = ev
+      .select(col("user_id"),
+        unix_timestamp(col("ts")).as("sec"),
+        unix_timestamp(lag(col("ts"), 1).over(w)).as("prev_sec"))
+    val taus = Seq(300L, 900L, 1800L, 3600L)
+    val aggCols =
+      count(lit(1)).as("n_events") ::
+      sum(when(col("prev_sec").isNull, 1L).otherwise(0L)).as("n_users") ::
+      sum(when(col("prev_sec").isNotNull, 1L).otherwise(0L)).as("n_gaps") ::
+      taus.map(t => sum(when(col("prev_sec").isNotNull &&
+        col("sec") - col("prev_sec") > t, 1L).otherwise(0L)).as(s"b$t")).toList
+    val aggs = gaps.agg(aggCols.head, aggCols.tail: _*)
+    aggs.select(col("n_events"), col("n_users"), col("n_gaps"),
+        expr("stack(4, 300L, b300, 900L, b900, 1800L, b1800, 3600L, b3600)")
+          .as(Seq("tau_s", "n_breaks")))
+      .select(col("tau_s"),
+        (col("n_users") + col("n_breaks")).as("n_sessions"),
+        expr("CAST(n_events * 1000 div (n_users + n_breaks) AS BIGINT)")
+          .as("events_per_session_milli"),
+        expr("CAST(CASE WHEN n_gaps > 0 THEN n_breaks * 1000000 div n_gaps " +
+          "ELSE 0 END AS BIGINT)").as("break_ppm"))
+      .orderBy(col("tau_s"))
+  }
+
+  val q254Sql: String =
+    """WITH gaps AS (
+      |  SELECT user_id,
+      |    CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec,
+      |    CAST(FLOOR(epoch(CAST(LAG(ts, 1) OVER (PARTITION BY user_id
+      |      ORDER BY ts ASC, event_id ASC) AS TIMESTAMP))) AS BIGINT)
+      |      AS prev_sec
+      |  FROM events),
+      |agg AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+      |    CAST(SUM(CASE WHEN prev_sec IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_users,
+      |    CAST(SUM(CASE WHEN prev_sec IS NOT NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_gaps,
+      |    CAST(SUM(CASE WHEN prev_sec IS NOT NULL AND sec - prev_sec > 300
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS b300,
+      |    CAST(SUM(CASE WHEN prev_sec IS NOT NULL AND sec - prev_sec > 900
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS b900,
+      |    CAST(SUM(CASE WHEN prev_sec IS NOT NULL AND sec - prev_sec > 1800
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS b1800,
+      |    CAST(SUM(CASE WHEN prev_sec IS NOT NULL AND sec - prev_sec > 3600
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS b3600
+      |  FROM gaps),
+      |sweep(tau_s) AS (VALUES (CAST(300 AS BIGINT)), (900), (1800), (3600))
+      |SELECT tau_s,
+      |  n_users + CASE tau_s WHEN 300 THEN b300 WHEN 900 THEN b900
+      |    WHEN 1800 THEN b1800 ELSE b3600 END AS n_sessions,
+      |  CAST(n_events * 1000 // (n_users + CASE tau_s WHEN 300 THEN b300
+      |    WHEN 900 THEN b900 WHEN 1800 THEN b1800 ELSE b3600 END)
+      |    AS BIGINT) AS events_per_session_milli,
+      |  CAST(CASE WHEN n_gaps > 0 THEN (CASE tau_s WHEN 300 THEN b300
+      |    WHEN 900 THEN b900 WHEN 1800 THEN b1800 ELSE b3600 END)
+      |    * 1000000 // n_gaps ELSE 0 END AS BIGINT) AS break_ppm
+      |FROM sweep CROSS JOIN agg
+      |ORDER BY tau_s""".stripMargin
 }

@@ -1,0 +1,286 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+
+/**
+ * Dedup-policy audits (round 14): the two questions a pipeline answers
+ * BEFORE committing to a near-dup pass — is the near-dup relation
+ * clique-like enough for cluster-collapse semantics (q255), and how
+ * much NON-benchmark data would benchmark decontamination take with it
+ * (q256)? Complements q233 (threshold impact curve) and q134 (the
+ * decontamination pass itself).
+ *
+ * Both build on the suite's exact posting-join machinery: exact-class
+ * collapse first (the duplicate-blowup guard), df ≤ 50 capped postings
+ * (the boilerplate guard), ONE pair aggregation, integer permille
+ * similarity — the q232/q233 calibration-anchor contract, with q31's
+ * banded candidates as the declared corpus-scale composition.
+ */
+object DedupAuditQueries {
+
+  /** Distinct 3-word shingles per exact-text class (id = min doc_id),
+    * with the class's shingle-set size. */
+  private def classShingles(docs: DataFrame): DataFrame =
+    docs.groupBy(col("text")).agg(min(col("doc_id")).as("id"))
+      .select(col("id"),
+        array_distinct(graft.functions.TextHashFunctions
+          .shingleMinhash(col("text"), 1, 3).getField("shingles")).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"), col("sh"), size(col("sh")).cast(LongType).as("n"))
+
+  /** df ≤ 50 capped (id, n, s) postings from a class-shingle frame. */
+  private def cappedPosts(withSh: DataFrame): DataFrame = {
+    val all = withSh.select(col("id"), col("n"), explode(col("sh")).as("s"))
+    all.join(
+      all.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 50).select(col("s")),
+      Seq("s"), "left_semi")
+  }
+
+  // ------------------------------------------------------------------
+  // q255: near-dup graph transitivity audit — is the Jaccard ≥ 0.3
+  // relation CLIQUE-LIKE? Cluster-collapse dedup (q61's connected
+  // components + q112's keep-best) silently assumes near-duplication
+  // is roughly transitive: if A~B and B~C, collapsing {A,B,C} to one
+  // representative is only faithful when A~C mostly holds. This audit
+  // measures it: global transitivity = 3·triangles / wedges over the
+  // pair graph. High (→1) certifies cluster semantics; low means
+  // chains of borderline pairs are getting merged and the dedup pass
+  // is removing non-duplicates — lower τ impact curves (q233) can't
+  // see this failure mode.
+  //
+  // Scale shape: exact-class collapse, df ≤ 50 capped postings, ONE
+  // pair aggregation with an ALL-INTEGER τ test (inter·1000 ≥
+  // (n_a+n_b−inter)·300 — no division, no rounding), then everything
+  // is edge-domain-sized: degree tally, wedge sum in DECIMAL
+  // (Σd(d−1)/2 overflows BIGINT on hub nodes at ~4e9 edges), oriented
+  // 2-path join + closing semi-join for triangles (a<b<c orientation
+  // counts each triangle exactly once). At corpus scale the pair
+  // table composes over q31's banded candidates (τ = 0.3 needs the
+  // banding-recall caveat documented there).
+  // ------------------------------------------------------------------
+  def q255DupGraphTransitivity(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val posts = cappedPosts(
+      classShingles(Tables.documents(spark, dir)).localCheckpoint())
+    val edges = posts.alias("a")
+      .join(posts.alias("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("u"), col("b.id").as("v"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .filter(col("inter") * 1000 >= (col("na") + col("nb") - col("inter")) * 300)
+      .select(col("u"), col("v"))
+      .localCheckpoint() // reused: degrees, 2-path join, closing semi
+    val deg = edges.select(col("u").as("x"))
+      .union(edges.select(col("v").as("x")))
+      .groupBy(col("x")).agg(count(lit(1)).as("d"))
+    val nodes = deg.agg(count(lit(1)).as("n_nodes"),
+      coalesce(sum(expr(
+        "CAST((CAST(d AS DECIMAL(38,0)) * (d - 1)) div 2 AS DECIMAL(38,0))")),
+        lit(0).cast(dec)).as("n_wedges"))
+    val nEdges = edges.agg(count(lit(1)).as("n_edges"))
+    // oriented 2-paths u<v<w closed by the (u,w) edge
+    val tri = edges.alias("e1")
+      .join(edges.alias("e2"), col("e1.v") === col("e2.u"))
+      .select(col("e1.u").as("u"), col("e2.v").as("w"))
+      .join(edges.select(col("u").as("cu"), col("v").as("cw")),
+        col("u") === col("cu") && col("w") === col("cw"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    nodes.crossJoin(broadcast(nEdges)).crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"),
+        col("n_wedges").cast(LongType).as("n_wedges"),
+        col("n_triangles"),
+        expr("CAST(CASE WHEN n_wedges > 0 THEN " +
+          "(CAST(n_triangles AS DECIMAL(38,0)) * 3000000) div n_wedges " +
+          "ELSE NULL END AS BIGINT)").as("transitivity_ppm"))
+  }
+
+  val q255Sql: String =
+    """WITH cls AS (SELECT MIN(doc_id) AS id, text FROM documents GROUP BY text),
+      |toks AS (SELECT id, string_split(text, ' ') AS t FROM cls),
+      |csh AS (
+      |  SELECT id, list_distinct(list_transform(
+      |    range(1, greatest(len(t) - 2, 0) + 1),
+      |    i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS dsh
+      |  FROM toks),
+      |withsh AS (
+      |  SELECT id, dsh, CAST(len(dsh) AS BIGINT) AS n
+      |  FROM csh WHERE len(dsh) > 0),
+      |posts_all AS (SELECT id, n, unnest(dsh) AS s FROM withsh),
+      |posts AS (
+      |  SELECT id, n, s FROM posts_all
+      |  WHERE s IN (SELECT s FROM posts_all GROUP BY s HAVING COUNT(*) <= 50)),
+      |edges AS (
+      |  SELECT a.id AS u, b.id AS v
+      |  FROM posts a JOIN posts b ON a.s = b.s AND a.id < b.id
+      |  GROUP BY a.id, b.id, a.n, b.n
+      |  HAVING COUNT(*) * 1000 >= (a.n + b.n - COUNT(*)) * 300),
+      |deg AS (
+      |  SELECT x, CAST(COUNT(*) AS BIGINT) AS d
+      |  FROM (SELECT u AS x FROM edges UNION ALL SELECT v FROM edges)
+      |  GROUP BY x),
+      |nodes AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+      |    COALESCE(SUM((CAST(d AS HUGEINT) * (d - 1)) // 2),
+      |      CAST(0 AS HUGEINT)) AS n_wedges
+      |  FROM deg),
+      |ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM edges),
+      |tri AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+      |  FROM edges e1 JOIN edges e2 ON e1.v = e2.u
+      |  WHERE EXISTS (SELECT 1 FROM edges c
+      |    WHERE c.u = e1.u AND c.v = e2.v))
+      |SELECT n_nodes, n_edges, CAST(n_wedges AS BIGINT) AS n_wedges,
+      |  n_triangles,
+      |  CAST(CASE WHEN n_wedges > 0 THEN
+      |    (CAST(n_triangles AS HUGEINT) * 3000000) // n_wedges
+      |    ELSE NULL END AS BIGINT) AS transitivity_ppm
+      |FROM nodes CROSS JOIN ne CROSS JOIN tri""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q256: decontamination collateral audit — how much NON-benchmark
+  // training data would q134's benchmark decontamination remove, by
+  // source and threshold? Over-aggressive decontamination silently
+  // deletes legitimate data that merely SHARES PHRASES with a
+  // benchmark (the collateral q134's pass never reports); this puts a
+  // number on it per source for τ ∈ {0.35 (q134's own), 0.5, 0.7}
+  // BEFORE the pass runs, off one pair table (q233's sweep shape: τ
+  // explodes over the bounded per-class max table, never the corpus).
+  //
+  // Removal semantics mirror q134: a train doc is removed at τ iff
+  // its max Jaccard against ANY benchmark doc ≥ τ. Classes collapse
+  // on (text, source) — the verdict depends only on text, but removal
+  // accounting is per source; identical text appearing in k sources
+  // duplicates shingle work at most |sources|-fold (bounded, unlike
+  // corpus duplication). Benchmark side: doc_id % 7 = 0, q134's
+  // synthesized convention — in production the benchmark suite is a
+  // small CONSTANT set, so the probe side of the posting join does
+  // not grow with the corpus.
+  //
+  // Exactness: all-integer τ tests (inter·1000 ≥ union·τ_pm), exact
+  // member/token sums, ppm by truncating division.
+  // ------------------------------------------------------------------
+  def q256DecontamCollateral(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"),
+        size(array_remove(split(col("text"), " "), ""))
+          .cast(LongType).as("toks"))
+    val benchSh = classShingles(
+      docs.filter(col("doc_id") % 7 === 0).select(col("doc_id"), col("text")))
+      .localCheckpoint()
+    val train = docs.filter(col("doc_id") % 7 =!= 0)
+    val trainCls = train.groupBy(col("text"), col("source"))
+      .agg(min(col("doc_id")).as("id"), count(lit(1)).as("members"),
+        sum(col("toks")).as("cls_toks"))
+      .localCheckpoint() // reused: shingle side AND the removal rollup
+    val trainSh = trainCls
+      .select(col("id"), col("source"), col("members"), col("cls_toks"),
+        array_distinct(graft.functions.TextHashFunctions
+          .shingleMinhash(col("text"), 1, 3).getField("shingles")).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"), col("source"), col("members"), col("cls_toks"),
+        col("sh"), size(col("sh")).cast(LongType).as("n"))
+    val tPosts = cappedPosts(
+      trainSh.select(col("id"), col("sh"), col("n")))
+    val bPosts = cappedPosts(benchSh)
+      .select(col("id").as("bid"), col("n").as("nb"), col("s"))
+    val best = tPosts.join(bPosts, "s")
+      .groupBy(col("id"), col("bid"), col("n"), col("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .select(col("id"),
+        (col("inter") * 1000).as("i1000"),
+        (col("n") + col("nb") - col("inter")).as("uni"))
+      .groupBy(col("id"))
+      .agg(max(expr("CAST(i1000 * 1000000 div uni AS BIGINT)")).as("jac_ppm2"))
+    // jac in permille·1000 (ppm of union) so the τ test stays integer
+    val taus = Seq(350L, 500L, 700L).toDF("tau_pm")
+    val verdicts = trainCls
+      .join(best.select(col("id"), col("jac_ppm2")), Seq("id"), "left")
+      .na.fill(0L, Seq("jac_ppm2"))
+      .crossJoin(broadcast(taus))
+      .withColumn("removed", col("jac_ppm2") >= col("tau_pm") * 1000)
+    verdicts.groupBy(col("tau_pm"), col("source"))
+      .agg(sum(when(col("removed"), col("members")).otherwise(0L))
+          .as("docs_removed"),
+        sum(when(col("removed"), col("cls_toks")).otherwise(0L))
+          .as("tokens_removed"),
+        sum(col("members")).as("total_docs"))
+      .select(col("tau_pm"), col("source"), col("docs_removed"),
+        col("tokens_removed"),
+        expr("CAST(CASE WHEN total_docs > 0 THEN " +
+          "docs_removed * 1000000 div total_docs ELSE 0 END AS BIGINT)")
+          .as("removed_ppm"))
+      .orderBy(col("tau_pm"), col("source"))
+  }
+
+  val q256Sql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, source, text,
+      |    CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+      |      AS BIGINT) AS toks
+      |  FROM documents),
+      |bcls AS (
+      |  SELECT MIN(doc_id) AS id, text FROM docs
+      |  WHERE doc_id % 7 = 0 GROUP BY text),
+      |bsh0 AS (
+      |  SELECT id, list_distinct(list_transform(
+      |    range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+      |    i -> concat_ws(' ', string_split(text, ' ')[i],
+      |      string_split(text, ' ')[i+1], string_split(text, ' ')[i+2])))
+      |    AS dsh
+      |  FROM bcls),
+      |bsh AS (SELECT id, dsh, CAST(len(dsh) AS BIGINT) AS n
+      |  FROM bsh0 WHERE len(dsh) > 0),
+      |bposts_all AS (SELECT id AS bid, n AS nb, unnest(dsh) AS s FROM bsh),
+      |bposts AS (
+      |  SELECT bid, nb, s FROM bposts_all
+      |  WHERE s IN (SELECT s FROM bposts_all GROUP BY s
+      |    HAVING COUNT(*) <= 50)),
+      |tcls AS (
+      |  SELECT text, source, MIN(doc_id) AS id,
+      |    CAST(COUNT(*) AS BIGINT) AS members,
+      |    CAST(SUM(toks) AS BIGINT) AS cls_toks
+      |  FROM docs WHERE doc_id % 7 <> 0 GROUP BY text, source),
+      |tsh0 AS (
+      |  SELECT id, list_distinct(list_transform(
+      |    range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+      |    i -> concat_ws(' ', string_split(text, ' ')[i],
+      |      string_split(text, ' ')[i+1], string_split(text, ' ')[i+2])))
+      |    AS dsh
+      |  FROM tcls),
+      |tsh AS (SELECT id, dsh, CAST(len(dsh) AS BIGINT) AS n
+      |  FROM tsh0 WHERE len(dsh) > 0),
+      |tposts_all AS (SELECT id, n, unnest(dsh) AS s FROM tsh),
+      |tposts AS (
+      |  SELECT id, n, s FROM tposts_all
+      |  WHERE s IN (SELECT s FROM tposts_all GROUP BY s
+      |    HAVING COUNT(*) <= 50)),
+      |pairs AS (
+      |  SELECT t.id, b.bid, t.n, b.nb, CAST(COUNT(*) AS BIGINT) AS inter
+      |  FROM tposts t JOIN bposts b ON t.s = b.s
+      |  GROUP BY t.id, b.bid, t.n, b.nb),
+      |best AS (
+      |  SELECT id, MAX(CAST(inter * 1000 * 1000000 //
+      |    (n + nb - inter) AS BIGINT)) AS jac_ppm2
+      |  FROM pairs GROUP BY id),
+      |sweep(tau_pm) AS (VALUES (CAST(350 AS BIGINT)), (500), (700)),
+      |verdicts AS (
+      |  SELECT s.tau_pm, t.source, t.members, t.cls_toks,
+      |    COALESCE(b.jac_ppm2, 0) >= s.tau_pm * 1000 AS removed
+      |  FROM tcls t LEFT JOIN best b ON b.id = t.id CROSS JOIN sweep s)
+      |SELECT tau_pm, source,
+      |  CAST(SUM(CASE WHEN removed THEN members ELSE 0 END) AS BIGINT)
+      |    AS docs_removed,
+      |  CAST(SUM(CASE WHEN removed THEN cls_toks ELSE 0 END) AS BIGINT)
+      |    AS tokens_removed,
+      |  CAST(CASE WHEN SUM(members) > 0 THEN
+      |    SUM(CASE WHEN removed THEN members ELSE 0 END) * 1000000
+      |      // SUM(members) ELSE 0 END AS BIGINT) AS removed_ppm
+      |FROM verdicts GROUP BY tau_pm, source
+      |ORDER BY tau_pm, source""".stripMargin
+}

@@ -227,7 +227,16 @@ object PlanCheck {
               // class) — the query side IS the corpus here, so these
               // are exact-anchor queries whose corpus-scale path is the
               // identical downstream over Similarity.ivfTopK
-              "q251_label_noise", "q252_hubness")
+              "q251_label_noise", "q252_hubness",
+              // q254: the 4-row tau sweep stacks over a 1-row aggregate
+              // (q86's one-row-stats shape)
+              "q254_session_gap_sweep",
+              // q255: three 1-row count frames crossed for the single
+              // summary row
+              "q255_dup_transitivity",
+              // q256: 3-row tau sweep broadcast into the class-verdict
+              // frame (q233's threshold-curve shape)
+              "q256_decontam_collateral")
               .contains(name))
         ).collect { case (f, true) => f } ++ {
           // measured-build-side audit for EVERY BNLJ, allowlisted or not

@@ -505,7 +505,27 @@ class ExchangeBudgetSpec extends SparkTestBase {
                                  // guard), per-query bounded heap agg
                                  // (map-side pruned), per-label rollup,
                                  // order range; label sides broadcast
-    "q252_hubness"        -> 6,  // spread repartition (underpartition
+    "q252_hubness"        -> 6,
+    "q253_sequence_surprisal" -> 4, // per-user lag window, transition
+                                 // pair tally, prev-marginal tally
+                                 // (both type-domain-sized, broadcast
+                                 // back), user rollup reusing the
+                                 // window's partitioning; top-20 is
+                                 // TakeOrderedAndProject
+    "q254_session_gap_sweep" -> 2, // ONE per-user lag window + ONE
+                                 // 1-row aggregate; the 4-tau sweep is
+                                 // a stack over the 1-row frame
+    "q255_dup_transitivity" -> 8, // pair agg + degree tally + two 1-row
+                                 // gathers + 2-path co-shuffles (u, v)
+                                 // + closing-semi co-shuffle + final
+                                 // 1-row crossJoins — everything after
+                                 // the checkpointed edge set is
+                                 // edge-domain-sized
+    "q256_decontam_collateral" -> 8, // class tallies behind checkpoints;
+                                 // bench/train df gates, pair agg,
+                                 // per-class max, verdict join, (tau,
+                                 // source) rollup, order range — all
+                                 // class- or pair-domain-sized  // spread repartition (underpartition
                                  // guard), heap agg, k-occurrence
                                  // tally, the antihub left join's id
                                  // co-shuffle, label moment rollup,
