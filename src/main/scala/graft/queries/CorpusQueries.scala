@@ -1417,16 +1417,19 @@ object CorpusQueries {
   // ------------------------------------------------------------------
   /** Cheap corpus-size probe for the auto-approx switches: estimated
     * token count from the `n_chars` column (column-pruned scan — no
-    * text decode, no tokenize; ~5 chars per token incl. separator, so
-    * it OVERESTIMATES slightly, which errs toward the scale path —
-    * the safe direction for an order-of-magnitude switch). NULL-safe:
-    * an empty corpus probes as 0 tokens (exact path). Replaces the
-    * round-13 probe that re-tokenized the whole corpus just to pick a
-    * path. */
+    * text decode, no tokenize). chars/4 is an ESTIMATE for an
+    * order-of-magnitude switch, not a bound: exact at 3-char tokens
+    * (+1 separator), it OVERESTIMATES for ≥4-char natural-language
+    * tokens (erring toward the scale path — the safe direction) and
+    * underestimates only for degenerate ≤2-char-token corpora, where
+    * the explicit `graft.q23x.approx` conf or a lowered threshold is
+    * the override. NULL-safe: an empty corpus probes as 0 tokens
+    * (exact path). Replaces the round-13 probe that re-tokenized the
+    * whole corpus just to pick a path. */
   private[queries] def tokenCountEstimate(spark: SparkSession, dir: String): Long = {
     val r = Tables.documents(spark, dir)
       .agg(sum(col("n_chars").cast(LongType)).as("n")).collect()(0)
-    if (r.isNullAt(0)) 0L else r.getLong(0) / 5L
+    if (r.isNullAt(0)) 0L else r.getLong(0) / 4L
   }
 
   def q238LexicalConcentration(spark: SparkSession, dir: String): DataFrame =

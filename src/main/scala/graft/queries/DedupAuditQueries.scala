@@ -78,10 +78,13 @@ object DedupAuditQueries {
     val deg = edges.select(col("u").as("x"))
       .union(edges.select(col("v").as("x")))
       .groupBy(col("x")).agg(count(lit(1)).as("d"))
+    // wedge sum: Σd(d−1) folds in DECIMAL and is halved ONCE at the end
+    // (Σd(d−1) is even, so the decimal division is exact) — a per-node
+    // `div 2` would route each term through IntegralDivide's LONG
+    // return, whose quotient wraps on a >4.3e9-degree hub
     val nodes = deg.agg(count(lit(1)).as("n_nodes"),
-      coalesce(sum(expr(
-        "CAST((CAST(d AS DECIMAL(38,0)) * (d - 1)) div 2 AS DECIMAL(38,0))")),
-        lit(0).cast(dec)).as("n_wedges"))
+      (coalesce(sum(col("d").cast(dec) * (col("d") - lit(1)).cast(dec)),
+        lit(0).cast(dec)) / lit(2)).cast(dec).as("n_wedges"))
     val nEdges = edges.agg(count(lit(1)).as("n_edges"))
     // oriented 2-paths u<v<w closed by the (u,w) edge
     val tri = edges.alias("e1")
@@ -125,8 +128,8 @@ object DedupAuditQueries {
       |  GROUP BY x),
       |nodes AS (
       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
-      |    COALESCE(SUM((CAST(d AS HUGEINT) * (d - 1)) // 2),
-      |      CAST(0 AS HUGEINT)) AS n_wedges
+      |    COALESCE(SUM(CAST(d AS HUGEINT) * (d - 1)),
+      |      CAST(0 AS HUGEINT)) // 2 AS n_wedges
       |  FROM deg),
       |ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM edges),
       |tri AS (
@@ -197,13 +200,14 @@ object DedupAuditQueries {
         (col("n") + col("nb") - col("inter")).as("uni"))
       .groupBy(col("id"))
       .agg(max(expr("CAST(i1000 * 1000000 div uni AS BIGINT)")).as("jac_ppm2"))
-    // jac in permille·1000 (ppm of union) so the τ test stays integer
+    // jac_ppm2 is Jaccard·10⁹ (inter·1000·10⁶ / union), so the τ test
+    // against tau_pm (permille) needs tau_pm·10⁶ — both exact integers
     val taus = Seq(350L, 500L, 700L).toDF("tau_pm")
     val verdicts = trainCls
       .join(best.select(col("id"), col("jac_ppm2")), Seq("id"), "left")
       .na.fill(0L, Seq("jac_ppm2"))
       .crossJoin(broadcast(taus))
-      .withColumn("removed", col("jac_ppm2") >= col("tau_pm") * 1000)
+      .withColumn("removed", col("jac_ppm2") >= col("tau_pm") * 1000000L)
     verdicts.groupBy(col("tau_pm"), col("source"))
       .agg(sum(when(col("removed"), col("members")).otherwise(0L))
           .as("docs_removed"),
@@ -271,7 +275,7 @@ object DedupAuditQueries {
       |sweep(tau_pm) AS (VALUES (CAST(350 AS BIGINT)), (500), (700)),
       |verdicts AS (
       |  SELECT s.tau_pm, t.source, t.members, t.cls_toks,
-      |    COALESCE(b.jac_ppm2, 0) >= s.tau_pm * 1000 AS removed
+      |    COALESCE(b.jac_ppm2, 0) >= s.tau_pm * 1000000 AS removed
       |  FROM tcls t LEFT JOIN best b ON b.id = t.id CROSS JOIN sweep s)
       |SELECT tau_pm, source,
       |  CAST(SUM(CASE WHEN removed THEN members ELSE 0 END) AS BIGINT)

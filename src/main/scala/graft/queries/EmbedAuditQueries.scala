@@ -140,7 +140,10 @@ object EmbedAuditQueries {
       .map(_.toBoolean).getOrElse {
         val threshold = spark.conf.getOption("graft.embaudit.annThreshold")
           .map(_.toLong).getOrElse(50000L)
-        emb.count() > threshold
+        // probe the RAW scan: counting the repartitioned frame would
+        // execute the guard's round-robin shuffle once just for the
+        // count and again for the real query
+        raw.count() > threshold
       }
     if (useAnn)
       Similarity.ivfTopK(emb, queries, "vec_id", "embedding", "qid", "qv",

@@ -501,11 +501,17 @@ class ExchangeBudgetSpec extends SparkTestBase {
                                  // job (ONE label exchange of fixed
                                  // buffers); the published frame is a
                                  // |labels|-row local relation + order
-    "q251_label_noise"    -> 4,  // spread repartition (underpartition
-                                 // guard), per-query bounded heap agg
-                                 // (map-side pruned), per-label rollup,
-                                 // order range; label sides broadcast
-    "q252_hubness"        -> 6,
+    "q251_label_noise"    -> 3,  // per-query bounded heap agg (map-side
+                                 // pruned), per-label rollup, order
+                                 // range; label sides broadcast (the
+                                 // underpartition-guard repartition is
+                                 // RoundRobin — uncounted by this
+                                 // spec's hash|range|Single regex)
+    "q252_hubness"        -> 5,  // heap agg, k-occurrence tally, the
+                                 // antihub left join's id co-shuffle,
+                                 // label moment rollup, order range
+                                 // (RoundRobin guard uncounted, as
+                                 // q251)
     "q253_sequence_surprisal" -> 4, // per-user lag window, transition
                                  // pair tally, prev-marginal tally
                                  // (both type-domain-sized, broadcast
@@ -525,11 +531,7 @@ class ExchangeBudgetSpec extends SparkTestBase {
                                  // bench/train df gates, pair agg,
                                  // per-class max, verdict join, (tau,
                                  // source) rollup, order range — all
-                                 // class- or pair-domain-sized  // spread repartition (underpartition
-                                 // guard), heap agg, k-occurrence
-                                 // tally, the antihub left join's id
-                                 // co-shuffle, label moment rollup,
-                                 // order range
+                                 // class- or pair-domain-sized
     "q223_ngram_novelty"  -> 5,  // spread repartition (underpartition
                                  // guard), train-window distinct, the
                                  // eval join co-shuffle, countDistinct
