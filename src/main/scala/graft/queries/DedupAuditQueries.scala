@@ -78,6 +78,7 @@ object DedupAuditQueries {
     val deg = edges.select(col("u").as("x"))
       .union(edges.select(col("v").as("x")))
       .groupBy(col("x")).agg(count(lit(1)).as("d"))
+      .localCheckpoint() // read by the wedge sum AND both orientation joins
     // wedge sum: Σd(d−1) folds in DECIMAL and is halved ONCE at the end
     // (Σd(d−1) is even, so the decimal division is exact) — a per-node
     // `div 2` would route each term through IntegralDivide's LONG
@@ -86,12 +87,34 @@ object DedupAuditQueries {
       (coalesce(sum(col("d").cast(dec) * (col("d") - lit(1)).cast(dec)),
         lit(0).cast(dec)) / lit(2)).cast(dec).as("n_wedges"))
     val nEdges = edges.agg(count(lit(1)).as("n_edges"))
-    // oriented 2-paths u<v<w closed by the (u,w) edge
-    val tri = edges.alias("e1")
-      .join(edges.alias("e2"), col("e1.v") === col("e2.u"))
-      .select(col("e1.u").as("u"), col("e2.v").as("w"))
-      .join(edges.select(col("u").as("cu"), col("v").as("cw")),
-        col("u") === col("cu") && col("w") === col("cw"), "left_semi")
+    // DEGREE-ordered orientation (q117's convention): generating
+    // 2-paths from the LOWER-degree endpoint bounds the blowup at
+    // Σ d_oriented² instead of a hub's d² — on a dup graph a
+    // boilerplate-heavy near-dup hub is exactly where id-orientation
+    // explodes. Triangle COUNT is orientation-invariant (each triangle
+    // counted once from its unique degree-min corner), so the
+    // id-oriented oracle stays bit-identical.
+    val orient = edges
+      .join(deg.select(col("x").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("x").as("v"), col("d").as("dv")), "v")
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("a"), col("v").as("b")))
+          .otherwise(struct(col("v").as("a"), col("u").as("b"))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+    val wedges2 = orient.alias("x")
+      .join(orient.alias("y"),
+        col("x.a") === col("y.a") && col("x.b") < col("y.b"))
+      .select(col("x.b").as("u"), col("y.b").as("v"))
+    // close against the UNDIRECTED edge set: the third side may run in
+    // either id order
+    val und = edges.select(least(col("u"), col("v")).as("u"),
+      greatest(col("u"), col("v")).as("v"))
+    val tri = wedges2
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .join(und, Seq("u", "v"), "left_semi")
       .agg(count(lit(1)).as("n_triangles"))
     nodes.crossJoin(broadcast(nEdges)).crossJoin(broadcast(tri))
       .select(col("n_nodes"), col("n_edges"),
