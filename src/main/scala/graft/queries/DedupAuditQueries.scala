@@ -64,7 +64,6 @@ object DedupAuditQueries {
   // banding-recall caveat documented there).
   // ------------------------------------------------------------------
   def q255DupGraphTransitivity(spark: SparkSession, dir: String): DataFrame = {
-    val dec = DecimalType(38, 0)
     val posts = cappedPosts(
       classShingles(Tables.documents(spark, dir)).localCheckpoint())
     val edges = posts.alias("a")
@@ -74,7 +73,17 @@ object DedupAuditQueries {
       .agg(count(lit(1)).as("inter"))
       .filter(col("inter") * 1000 >= (col("na") + col("nb") - col("inter")) * 300)
       .select(col("u"), col("v"))
-      .localCheckpoint() // reused: degrees, 2-path join, closing semi
+    graphTransitivity(edges)
+  }
+
+  /** Triangle/wedge/transitivity stats of an undirected edge set
+    * (`u` < `v`, LONG node ids, no duplicates) — q255's engine,
+    * factored so TransitivitySpec can pin it against a brute-force
+    * reference on random graphs (the degree-ordered orientation is
+    * exactly the kind of refactor a property gate should watch). */
+  private[graft] def graphTransitivity(edges0: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val edges = edges0.localCheckpoint() // reused: degrees, 2-path, semi
     val deg = edges.select(col("u").as("x"))
       .union(edges.select(col("v").as("x")))
       .groupBy(col("x")).agg(count(lit(1)).as("d"))
