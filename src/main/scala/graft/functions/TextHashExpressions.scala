@@ -65,13 +65,38 @@ private[graft] object TextHash {
  * `sig` is null when the text has fewer than `n` tokens.
  */
 case class ShingleMinhashExpression(child: Expression, k: Int = 9, n: Int = 3)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = StructType(Seq(
     StructField("shingles", ArrayType(StringType), nullable = false),
     StructField("sig", ArrayType(StringType), nullable = true)))
 
-  override def nullSafeEval(input: Any): Any = {
+  override def nullSafeEval(input: Any): Any =
+    ShingleMinhashExpression.compute(input.asInstanceOf[UTF8String], k, n)
+
+  /** Real codegen (the MultiNgrams/TermCounts static-invoke pattern):
+    * this was the LAST CodegenFallback kernel with a large bench
+    * footprint — 15 call sites across the shingle family (q31/q33/
+    * q134/q232/q233/q255/q256). Inlining as a static call keeps the
+    * enclosing whole-stage span intact instead of breaking at an
+    * interpreted Expression walk. */
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ShingleMinhashExpression.compute($c, $k, $n)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "shingle_minhash"
+}
+
+object ShingleMinhashExpression {
+
+  /** tokenize → shingle → md5 → k-rotation min fold, one pass; shared
+    * by the interpreted eval and the generated code (parity by
+    * construction). */
+  def compute(input: UTF8String, k: Int, n: Int): InternalRow = {
     val sh = TextHash.shingles(input.toString, n)
     val shArr: ArrayData =
       new GenericArrayData(sh.map(s => UTF8String.fromString(s): Any))
@@ -97,9 +122,6 @@ case class ShingleMinhashExpression(child: Expression, k: Int = 9, n: Int = 3)
       InternalRow(shArr, new GenericArrayData(sig))
     }
   }
-
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
-  override def prettyName: String = "shingle_minhash"
 }
 
 /**

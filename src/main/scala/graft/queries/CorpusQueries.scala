@@ -1530,14 +1530,18 @@ object CorpusQueries {
   // Past ~10⁹ distinct terms the tally exchange's term STRINGS become
   // the bottleneck, so past `graft.q241.autoApproxTokens` (default
   // 10⁹; explicit `graft.q241.approx` wins) the vocabulary heap FEED
-  // switches to an xxhash64 key: top-K candidate hashes ride a narrow
-  // (hash, count) exchange + bounded heap, candidate term strings are
-  // recovered by ONE broadcast hash semi-join (a 64-bit collision only
-  // WIDENS the candidate set — the collided hash's count is the sum of
-  // its terms', never less than either), and the final top-K re-ranks
-  // the recovered candidates by the EXACT (count, term) order. The
-  // result can differ from the exact path only when a count tie
-  // plateau straddles rank K (hash order picks different plateau
+  // switches to an xxhash64 key: top-2K candidate hashes ride a
+  // narrow (hash, count) exchange + bounded heap, candidate term
+  // strings are recovered by ONE broadcast hash semi-join, and the
+  // final top-K re-ranks the recovered candidates by the EXACT
+  // (count, term) order. A 64-bit collision inflates the collided
+  // hash's count (sum of its terms'), which can push OTHER hashes
+  // down the bounded heap — the K slack (2K candidates for a K-term
+  // vocabulary) means a true top-K term is lost only if collisions
+  // displace K further hashes at once; with expected collisions
+  // ~n²/2⁶⁵ the recall guarantee is probabilistic, not absolute. The
+  // result can otherwise differ from the exact path only when a count
+  // tie plateau straddles rank K (hash order picks different plateau
   // members than lexicographic order); Q241ApproxParitySpec pins the
   // drift bound on the test corpus. The oracle pins the exact path.
   // ------------------------------------------------------------------
@@ -1580,10 +1584,12 @@ object CorpusQueries {
         .filter(col("t") =!= "")
       // narrow feed: only (8-byte hash, partial count) cross the wire,
       // pruned map-side by the bounded heap; counts ≤ 2⁵³ ride exactly
-      // in the heap's double score
+      // in the heap's double score. 2K slack: a collision-inflated
+      // hash can evict at most one slot, so a true top-K hash falls
+      // out only past K simultaneous displacements (see header)
       val headHashes = toks.groupBy(xxhash64(col("t")).as("h"))
         .agg(count(lit(1)).as("tot"))
-        .agg(topK(col("tot").cast(DoubleType), col("h"), K).as("head"))
+        .agg(topK(col("tot").cast(DoubleType), col("h"), 2 * K).as("head"))
         .select(explode(col("head")).as("e"))
         .select(col("e.id").as("h"))
       // candidate recovery + per-source counts in ONE pass over the

@@ -59,21 +59,81 @@ object DedupAuditQueries {
   // is edge-domain-sized: degree tally, wedge sum in DECIMAL
   // (Σd(d−1)/2 overflows BIGINT on hub nodes at ~4e9 edges), oriented
   // 2-path join + closing semi-join for triangles (a<b<c orientation
-  // counts each triangle exactly once). At corpus scale the pair
-  // table composes over q31's banded candidates (τ = 0.3 needs the
-  // banding-recall caveat documented there).
+  // counts each triangle exactly once).
+  //
+  // Corpus scale: `graft.q255.banded` swaps the pair SOURCE for
+  // MinHash-banded candidates + the identical capped-τ verify
+  // (`bandedEdges` below). The default 3-band×3-row layout is
+  // recall-unsafe at τ = 0.3 (per-pair hit probability
+  // 1−(1−0.3³)³ ≈ 8% at the threshold — q184's S-curve), so the
+  // banded source uses 9 bands × 1 row: 1−(1−s)⁹ ≥ 96% at s = 0.3
+  // and ≥ 99.98% at s = 0.6. Verification is the SAME integer test,
+  // so banded edges are a SUBSET of the exact edge set (precision 1
+  // by construction); BandedRecallSpec pins the recall floor.
   // ------------------------------------------------------------------
   def q255DupGraphTransitivity(spark: SparkSession, dir: String): DataFrame = {
-    val posts = cappedPosts(
-      classShingles(Tables.documents(spark, dir)).localCheckpoint())
-    val edges = posts.alias("a")
+    val docs = Tables.documents(spark, dir)
+    val banded = spark.conf.getOption("graft.q255.banded").exists(_.toBoolean)
+    graphTransitivity(if (banded) bandedEdges(docs) else exactEdges(docs))
+  }
+
+  /** Exact τ = 0.3 near-dup edge set over capped postings — the
+    * CORRECTNESS anchor (the oracle replays this path). The posting
+    * self-join is quadratic in per-shingle df, bounded by the ≤ 50
+    * cap. */
+  private[graft] def exactEdges(docs: DataFrame): DataFrame = {
+    val posts = cappedPosts(classShingles(docs).localCheckpoint())
+    posts.alias("a")
       .join(posts.alias("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("u"), col("b.id").as("v"),
         col("a.n").as("na"), col("b.n").as("nb"))
       .agg(count(lit(1)).as("inter"))
       .filter(col("inter") * 1000 >= (col("na") + col("nb") - col("inter")) * 300)
       .select(col("u"), col("v"))
-    graphTransitivity(edges)
+  }
+
+  /** Banded corpus-scale pair source for q255 (`graft.q255.banded`):
+    * q31's candidate machinery with a τ≈0.3-tuned layout — 9 bands of
+    * 1 MinHash row each, so a true edge (capped Jaccard ≥ 0.3 implies
+    * FULL-set Jaccard ≥ 0.3, which the signature estimates) is missed
+    * with probability ≤ 0.7⁹ ≈ 4%. Candidates are verified with
+    * EXACTLY the exact path's capped-intersection integer τ test, so
+    * bandedEdges ⊆ exactEdges — the transitivity statistic drifts
+    * only through the ≤4%-per-edge recall loss, never through false
+    * edges. The only corpus-sized exchange is the band-key self-join
+    * (each class contributes 9 keys); the verify is per-candidate
+    * array intersection, never a posting re-join. */
+  private[graft] def bandedEdges(docs: DataFrame): DataFrame = {
+    import graft.operators.Dedup
+    val numHashes = 9
+    val cls = docs.groupBy(col("text")).agg(min(col("doc_id")).as("id"))
+      .select(col("id"), graft.functions.TextHashFunctions
+        .shingleMinhash(col("text"), numHashes, 3).as("sm"))
+      .select(col("id"), array_distinct(col("sm.shingles")).as("sh"),
+        col("sm.sig").as("sig"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"), col("sh"), size(col("sh")).cast(LongType).as("n"),
+        col("sig"))
+      .localCheckpoint() // reused: band explode AND the capped verify side
+    val capSets = cappedPosts(cls.select(col("id"), col("sh"), col("n")))
+      .groupBy(col("id"), col("n")).agg(collect_list(col("s")).as("cs"))
+    val bandKeys = cls.select(col("id"),
+      explode(array((0 until numHashes).map(b =>
+        Dedup.bandKey(col("sig"), b, 1)): _*)).as("bk"))
+    val cand = bandKeys.alias("x")
+      .join(bandKeys.alias("y"),
+        col("x.bk") === col("y.bk") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("u"), col("y.id").as("v"))
+      .dropDuplicates("u", "v")
+    cand
+      .join(capSets.select(col("id").as("u"), col("n").as("na"),
+        col("cs").as("csa")), "u")
+      .join(capSets.select(col("id").as("v"), col("n").as("nb"),
+        col("cs").as("csb")), "v")
+      .withColumn("inter",
+        size(array_intersect(col("csa"), col("csb"))).cast(LongType))
+      .filter(col("inter") * 1000 >= (col("na") + col("nb") - col("inter")) * 300)
+      .select(col("u"), col("v"))
   }
 
   /** Triangle/wedge/transitivity stats of an undirected edge set
@@ -200,15 +260,32 @@ object DedupAuditQueries {
   // member/token sums, ppm by truncating division.
   // ------------------------------------------------------------------
   def q256DecontamCollateral(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val docs = Tables.documents(spark, dir)
+    // the % 7 split is the SYNTHESIZED benchmark convention (no real
+    // benchmark table ships with the TPC-H-ish testdata) — the oracle
+    // pins this form; production callers pass their actual benchmark
+    // suite through the overload below
+    decontamCollateral(spark,
+      docs.filter(col("doc_id") % 7 =!= 0),
+      docs.filter(col("doc_id") % 7 === 0).select(col("doc_id"), col("text")))
+  }
+
+  /** Production form: collateral audit of `train` (doc_id, source,
+    * text) against an ACTUAL benchmark table (doc_id, text) — the same
+    * decontamination index q134 builds — instead of the synthesized
+    * % 7 split. Semantics identical to the gated q256 path; the % 7
+    * form stays the oracle anchor (DecontamOverloadSpec pins the two
+    * agree on the synthesized split and that planted benchmark copies
+    * are reported as removed). */
+  def decontamCollateral(
+      spark: SparkSession, train0: DataFrame, bench: DataFrame): DataFrame = {
+    import spark.implicits._
+    val train = train0
       .select(col("doc_id"), col("source"), col("text"),
         size(array_remove(split(col("text"), " "), ""))
           .cast(LongType).as("toks"))
-    val benchSh = classShingles(
-      docs.filter(col("doc_id") % 7 === 0).select(col("doc_id"), col("text")))
+    val benchSh = classShingles(bench.select(col("doc_id"), col("text")))
       .localCheckpoint()
-    val train = docs.filter(col("doc_id") % 7 =!= 0)
     val trainCls = train.groupBy(col("text"), col("source"))
       .agg(min(col("doc_id")).as("id"), count(lit(1)).as("members"),
         sum(col("toks")).as("cls_toks"))

@@ -49,12 +49,20 @@ object EmbedAuditQueries {
   //
   // 100 TB shape: one exchange (the label gather of ~2k-long buffers);
   // everything after is |labels|·d² driver arithmetic.
+  //
+  // Row eligibility is DECLARED, not latent: both engines filter to
+  // non-null, exactly-d-dimensional embeddings BEFORE counting, so
+  // n_vecs is the number of vectors that actually fed the Gram (the
+  // aggregate would silently skip null/ragged rows while a bare
+  // COUNT(*) oracle counted them — the two would disagree on the
+  // first malformed row).
   // ------------------------------------------------------------------
   def q250EffectiveRank(spark: SparkSession, dir: String): DataFrame = {
     val d = EmbDim
     val triLen = d * (d + 1) / 2
     import spark.implicits._
     val rows = Tables.embeddings(spark, dir)
+      .filter(col("embedding").isNotNull && size(col("embedding")) === d)
       .groupBy(col("label"))
       .agg(LongGramAggregate.gram(milliVec, d).as("g"))
       .collect() // |labels| rows of fixed-size buffers — dimension-sized
@@ -87,11 +95,14 @@ object EmbedAuditQueries {
   }
 
   val q250Sql: String =
-    """WITH mil AS MATERIALIZED (
+    """WITH ok AS (
+      |  SELECT vec_id, label, embedding FROM embeddings
+      |  WHERE embedding IS NOT NULL AND len(embedding) = 64),
+      |mil AS MATERIALIZED (
       |  SELECT vec_id, label, CAST(r.i AS INT) AS i,
       |    CAST(round(CAST(embedding[r.i + 1] AS DOUBLE) * 1000.0, 0)
       |      AS BIGINT) AS x
-      |  FROM embeddings, range(64) r(i)),
+      |  FROM ok, range(64) r(i)),
       |sums AS (
       |  SELECT a.label, a.i AS i, b.i AS j,
       |    SUM(CAST(a.x AS HUGEINT) * b.x) AS sxy
@@ -100,7 +111,7 @@ object EmbedAuditQueries {
       |sx AS (SELECT label, i, CAST(SUM(x) AS HUGEINT) AS sx
       |  FROM mil GROUP BY label, i),
       |nn AS (SELECT label, CAST(COUNT(*) AS HUGEINT) AS n
-      |  FROM embeddings GROUP BY label),
+      |  FROM ok GROUP BY label),
       |cov AS (
       |  SELECT s.label, s.i, s.j, n.n * s.sxy - a.sx * b.sx AS c
       |  FROM sums s
@@ -127,6 +138,19 @@ object EmbedAuditQueries {
     * `Similarity.ivfTopK`'s partitioned index, so neither the
     * broadcast nor the pair count grows with the corpus. The oracle
     * pins the exact path; ApproxParitySpec bounds the ANN drift. */
+  /** IVF list count for an N-vector self-kNN audit: nlist ≈ √N. At
+    * FIXED nlist the audit (query side = corpus) does
+    * N·(N/nlist)·nprobe candidate dots — still quadratic. √N lists of
+    * ~√N vectors each balance candidate work (N·√N·nprobe) against
+    * centroid routing (N·√N) — the classic IVF operating point. Floor
+    * 64 keeps corpora just past the brute-force threshold from
+    * degenerating to a handful of giant lists; cap 10⁶ bounds the
+    * broadcast centroid table (~0.5 GB of 64-dim milli vectors) on a
+    * trillion-vector corpus. */
+  private[graft] def annNlist(n: Long): Int =
+    math.max(64L, math.ceil(math.sqrt(n.toDouble)).toLong)
+      .min(1000000L).toInt
+
   private def knnEdges(spark: SparkSession, dir: String, k: Int): DataFrame = {
     // CPU-dense pair loop over a SMALL parquet (1-2 splits): spread an
     // under-partitioned corpus or the whole n·n dot-product loop
@@ -136,18 +160,20 @@ object EmbedAuditQueries {
     val emb = if (raw.rdd.getNumPartitions * 2 < cores) raw.repartition(cores)
       else raw
     val queries = emb.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    // probe the RAW scan: counting the repartitioned frame would
+    // execute the guard's round-robin shuffle once just for the
+    // count and again for the real query. The count serves BOTH the
+    // path switch and the ANN index sizing, so it runs at most once.
+    lazy val n = raw.count()
     val useAnn = spark.conf.getOption("graft.embaudit.ann")
       .map(_.toBoolean).getOrElse {
         val threshold = spark.conf.getOption("graft.embaudit.annThreshold")
           .map(_.toLong).getOrElse(50000L)
-        // probe the RAW scan: counting the repartitioned frame would
-        // execute the guard's round-robin shuffle once just for the
-        // count and again for the real query
-        raw.count() > threshold
+        n > threshold
       }
     if (useAnn)
       Similarity.ivfTopK(emb, queries, "vec_id", "embedding", "qid", "qv",
-        k = k, nlist = 64, nprobe = 8)
+        k = k, nlist = annNlist(n), nprobe = 8)
     else
       Similarity.bruteForceTopK(emb, queries,
         "vec_id", "embedding", "qid", "qv", k = k)

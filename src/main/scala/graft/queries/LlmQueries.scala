@@ -496,18 +496,25 @@ object LlmQueries {
   // clustering pipelines build before community detection (SemDeDup's
   // blocking graph, dataset-cartography neighborhoods): (a,b) is an
   // edge iff b is in a's top-3 cosine neighbors AND a is in b's.
-  // Exact, over a vec_id%5 decimation: the all-pairs score matrix is
-  // the exact baseline (same contract as q35 vs q42 — brute force is
-  // the CORRECTNESS anchor; at corpus scale the identical mutual
-  // filter composes over `Similarity.ivfTopK`'s partitioned index
-  // instead of the broadcast cross join). Plan: one broadcast of the
-  // decimated query side, per-query bounded top-k heaps (map-side
-  // pruning, no global sort), then the mutuality semi-join on the
-  // directed edge set — each side of which is ≤ 3·n rows.
+  // Exact, over an ABSOLUTE-size decimation (the q248/q232
+  // sampleModulus convention): modulus = max(1, n div 400), so the
+  // anchor holds ~400 vectors (≤ ~640k scored pairs) at ANY corpus
+  // size — the round-14 fixed %5 grew the pair matrix as (N/5)². The
+  // oracle derives the SAME modulus in SQL. The all-pairs score
+  // matrix over that bounded sample is the exact baseline (same
+  // contract as q35 vs q42 — brute force is the CORRECTNESS anchor;
+  // at corpus scale the identical mutual filter composes over
+  // `Similarity.ivfTopK`'s partitioned index instead of the broadcast
+  // cross join). Plan: one broadcast of the decimated query side,
+  // per-query bounded top-k heaps (map-side pruning, no global sort),
+  // then the mutuality semi-join on the directed edge set — each side
+  // of which is ≤ 3·n rows.
   // ------------------------------------------------------------------
   def q126MutualKnn(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-      .filter(col("vec_id") % 5 === 0)
+    val all = Tables.embeddings(spark, dir)
+    val modulus = graft.queries.StatsQueries.sampleModulus(all.count(), 400L)
+    val emb = all
+      .filter(col("vec_id") % modulus === 0)
       .select(col("vec_id"), col("embedding"))
     val knn = Similarity.bruteForceTopK(emb,
       emb.select(col("vec_id").as("qid"), col("embedding").as("qv")),
@@ -520,8 +527,9 @@ object LlmQueries {
   }
 
   val q126Sql: String =
-    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      |  FROM embeddings WHERE vec_id % 5 = 0),
+    """WITH m_ AS (SELECT greatest(1, COUNT(*) // 400) AS m FROM embeddings),
+      |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings WHERE vec_id % (SELECT m FROM m_) = 0),
       |sims AS (SELECT a.vec_id AS qa, b.vec_id AS qb,
       |    ROUND(list_dot_product(a.v, b.v) /
       |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS sim
@@ -1785,10 +1793,17 @@ object LlmQueries {
   private[graft] def q225BenchProximityAnn(
       spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val nlist = spark.conf.getOption("graft.q225.nlist").map(_.toInt).getOrElse(16)
-    val nprobe = spark.conf.getOption("graft.q225.nprobe").map(_.toInt).getOrElse(4)
     val bench = emb.filter(col("vec_id") % 89 === 0)
       .select(col("vec_id").as("bid"), col("embedding").as("bvec"))
+    // nlist scales as √|bench| (EmbedAuditQueries.annNlist — the same
+    // balance point as q251/q252's self-kNN: at a FIXED nlist the
+    // corpus×bench candidate work N·(B/nlist)·nprobe stays
+    // quadratic-in-scale since B = N/89 grows with the corpus). An
+    // explicit `graft.q225.nlist` still wins; the count is a
+    // column-pruned metadata-cheap probe.
+    val nlist = spark.conf.getOption("graft.q225.nlist").map(_.toInt)
+      .getOrElse(EmbedAuditQueries.annNlist(bench.count()))
+    val nprobe = spark.conf.getOption("graft.q225.nprobe").map(_.toInt).getOrElse(4)
     val corp = emb.filter(col("vec_id") % 89 =!= 0)
     val best = Similarity.ivfTopK(
         bench, corp.select(col("vec_id"), col("embedding")),

@@ -118,6 +118,51 @@ class KernelParitySpec extends SparkTestBase {
     }
   }
 
+  test("ShingleMinhashExpression interpreted eval equals the codegen path") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.ShingleMinhashExpression
+    val texts = samples(200)
+    // codegen path: the DataFrame collect runs the generated projection
+    val viaCodegen = texts.toDF("text")
+      .select(col("text"),
+        TextHashFunctions.shingleMinhash(col("text"), 9, 3).as("sm"))
+      .collect()
+      .map(r => r.getString(0) -> {
+        val s = r.getStruct(1)
+        (s.getSeq[String](0), Option(s.getSeq[String](1)).map(_.toSeq))
+      }).toMap
+    // interpreted path: direct Literal eval (nullSafeEval)
+    texts.foreach { t =>
+      val row = ShingleMinhashExpression(Literal(UTF8String.fromString(t)), 9, 3)
+        .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+      val sh = row.getArray(0)
+      val shingles = (0 until sh.numElements())
+        .map(i => sh.getUTF8String(i).toString)
+      val sig = if (row.isNullAt(1)) None
+        else {
+          val a = row.getArray(1)
+          Some((0 until a.numElements()).map(i => a.getUTF8String(i).toString))
+        }
+      val (csh, csig) = viaCodegen(t)
+      assert(shingles == csh && sig.map(_.toSeq) == csig, s"text='$t'")
+    }
+  }
+
+  test("ShingleMinhashExpression inlines into whole-stage codegen") {
+    // a real scan, not a LocalRelation — ConvertToLocalRelation would
+    // constant-fold the projection away before any codegen happens
+    val df = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(TextHashFunctions.shingleMinhash(col("text"), 9, 3).as("sm"))
+      .filter(size(col("sm.shingles")) >= 0)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val line = plan.linesIterator.find(_.contains("shingle_minhash"))
+    assert(line.isDefined, s"kernel not in executed plan:\n$plan")
+    assert(line.get.contains("*"),
+      s"shingle_minhash fell out of whole-stage codegen:\n$plan")
+  }
+
   test("ReadabilityCountsExpression equals the declarative regexp form") {
     val df = samples(200).toDF("text")
     val toks = split(col("text"), " ")

@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.Row
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
 
 import graft.queries.DedupAuditQueries
 
@@ -65,6 +67,41 @@ class TransitivitySpec extends SparkTestBase {
       yield (i.toLong, j.toLong)).toSet
     val g = k6 ++ Set((5L, 20L), (20L, 21L))
     assert(run(g) == reference(g))
+  }
+
+  // ------------------------------------------------------------------
+  // ScalaCheck generator (the IntervalUnionSweep/BpeSpec bar): graphs
+  // with 1–4 DISCONNECTED components (node-id offsets 1000 apart) of
+  // varying size and density. The fixed 8-seed × 3-density grid above
+  // never produces a disconnected graph, and the engine's degree
+  // tally + orientation must not leak counts across components.
+  // ------------------------------------------------------------------
+  private def componentGen(offset: Long): Gen[Set[(Long, Long)]] = for {
+    n <- Gen.choose(2, 9)
+    density <- Gen.choose(0.1, 0.9)
+    picks <- Gen.listOfN(n * (n - 1) / 2, Gen.choose(0.0, 1.0))
+  } yield {
+    val pairs = for { i <- 0 until n; j <- (i + 1) until n }
+      yield (offset + i, offset + j)
+    pairs.zip(picks).collect { case (e, r) if r < density => e }.toSet
+  }
+
+  private val graphGen: Gen[Set[(Long, Long)]] = for {
+    nComp <- Gen.choose(1, 4)
+    comps <- Gen.sequence[List[Set[(Long, Long)]], Set[(Long, Long)]](
+      (0 until nComp).toList.map(c => componentGen(c * 1000L)))
+  } yield comps.flatten.toSet
+
+  test("generated multi-component graphs match the brute-force reference") {
+    (0 until 60).foreach { i =>
+      val g = graphGen.pureApply(Gen.Parameters.default, Seed(i.toLong))
+      // engine input contract: u < v, duplicate-free — the generator
+      // must uphold it or the run proves nothing
+      assert(g.forall { case (u, v) => u < v },
+        s"seed $i: generator emitted a reversed edge")
+      assert(g.size == g.map { case (u, v) => (u, v) }.size) // Set ⇒ no dups
+      if (g.nonEmpty) assert(run(g) == reference(g), s"seed $i: $g")
+    }
   }
 
   test("a single edge has zero wedges and NULL transitivity") {
