@@ -103,29 +103,39 @@ object DedupAuditQueries {
     * edges. The only corpus-sized exchange is the band-key self-join
     * (each class contributes 9 keys); the verify is per-candidate
     * array intersection, never a posting re-join. */
-  private[graft] def bandedEdges(docs: DataFrame): DataFrame = {
-    import graft.operators.Dedup
-    val numHashes = 9
-    val cls = docs.groupBy(col("text")).agg(min(col("doc_id")).as("id"))
+  /** Distinct-shingle classes WITH their 9-component MinHash
+    * signatures: (id, sh, n, sig) — shared by the banded q255 pair
+    * source and q260's estimator calibration. */
+  private def sigClasses(docs: DataFrame): DataFrame =
+    docs.groupBy(col("text")).agg(min(col("doc_id")).as("id"))
       .select(col("id"), graft.functions.TextHashFunctions
-        .shingleMinhash(col("text"), numHashes, 3).as("sm"))
+        .shingleMinhash(col("text"), 9, 3).as("sm"))
       .select(col("id"), array_distinct(col("sm.shingles")).as("sh"),
         col("sm.sig").as("sig"))
       .filter(size(col("sh")) > 0)
       .select(col("id"), col("sh"), size(col("sh")).cast(LongType).as("n"),
         col("sig"))
-      .localCheckpoint() // reused: band explode AND the capped verify side
-    val capSets = cappedPosts(cls.select(col("id"), col("sh"), col("n")))
-      .groupBy(col("id"), col("n")).agg(collect_list(col("s")).as("cs"))
+
+  /** Distinct candidate pairs (u < v) from the τ≈0.3-tuned 9-band ×
+    * 1-row layout over `sigClasses` output. */
+  private def bandCandidates(cls: DataFrame): DataFrame = {
+    import graft.operators.Dedup
     val bandKeys = cls.select(col("id"),
-      explode(array((0 until numHashes).map(b =>
+      explode(array((0 until 9).map(b =>
         Dedup.bandKey(col("sig"), b, 1)): _*)).as("bk"))
-    val cand = bandKeys.alias("x")
+    bandKeys.alias("x")
       .join(bandKeys.alias("y"),
         col("x.bk") === col("y.bk") && col("x.id") < col("y.id"))
       .select(col("x.id").as("u"), col("y.id").as("v"))
       .dropDuplicates("u", "v")
-    cand
+  }
+
+  private[graft] def bandedEdges(docs: DataFrame): DataFrame = {
+    val cls = sigClasses(docs)
+      .localCheckpoint() // reused: band explode AND the capped verify side
+    val capSets = cappedPosts(cls.select(col("id"), col("sh"), col("n")))
+      .groupBy(col("id"), col("n")).agg(collect_list(col("s")).as("cs"))
+    bandCandidates(cls)
       .join(capSets.select(col("id").as("u"), col("n").as("na"),
         col("cs").as("csa")), "u")
       .join(capSets.select(col("id").as("v"), col("n").as("nb"),
@@ -396,4 +406,100 @@ object DedupAuditQueries {
       |      // SUM(members) ELSE 0 END AS BIGINT) AS removed_ppm
       |FROM verdicts GROUP BY tau_pm, source
       |ORDER BY tau_pm, source""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q260: MinHash estimator calibration — the whole dedup family
+  // (q31/q184/q222/q255-banded) trusts "matching signature components
+  // / k ≈ Jaccard"; this measures that estimator against EXACT Jaccard
+  // on the live corpus, binned by the estimate itself: for every
+  // banded candidate pair, the number of equal components (1..9) vs
+  // the exact distinct-shingle Jaccard — n_pairs, mean, min and max
+  // true J per estimated-match count. A calibrated signature shows
+  // mean_jac ≈ est/9 with tight min/max; heavy mass at high est with
+  // low true J means the rotation family is correlated on this corpus
+  // and every banded recall number upstream is optimistic. q184 audits
+  // the BANDING layout (candidate recall/precision); this audits the
+  // ESTIMATOR the banding is built from.
+  //
+  // Exactness: est is an integer component count; true J is the
+  // all-integer inter·10⁶ div (n_a+n_b−inter) over distinct shingle
+  // sets; mean is one truncating division of exact sums. Candidates
+  // come from the 9×1 band join, so the pair domain is the banding's
+  // own candidate set (never all pairs) and every pair has est ≥ 1.
+  //
+  // 100 TB shape: exact-class collapse, one band-key exchange, then
+  // per-candidate array intersections; the rollup output is ≤ 9 rows.
+  // ------------------------------------------------------------------
+  def q260MinhashCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val cls = sigClasses(Tables.documents(spark, dir))
+      .localCheckpoint() // reused: band explode AND both pair sides
+    val sides = cls.select(col("id"), col("sh"), col("n"), col("sig"))
+    val pairs = bandCandidates(cls)
+      .join(sides.select(col("id").as("u"), col("sh").as("sha"),
+        col("n").as("na"), col("sig").as("siga")), "u")
+      .join(sides.select(col("id").as("v"), col("sh").as("shb"),
+        col("n").as("nb"), col("sig").as("sigb")), "v")
+      .withColumn("est", aggregate(
+        zip_with(col("siga"), col("sigb"),
+          (a, b) => when(a === b, 1L).otherwise(0L)),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("inter",
+        size(array_intersect(col("sha"), col("shb"))).cast(LongType))
+      .select(col("est"),
+        expr("CAST(inter * 1000000 div (na + nb - inter) AS BIGINT)")
+          .as("jac_ppm"))
+    pairs.groupBy(col("est").as("est_matches"))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("CAST(SUM(jac_ppm) div COUNT(*) AS BIGINT)")
+          .as("mean_jac_ppm"),
+        min(col("jac_ppm")).as("min_jac_ppm"),
+        max(col("jac_ppm")).as("max_jac_ppm"))
+      .orderBy(col("est_matches"))
+  }
+
+  val q260Sql: String =
+    """WITH cls AS (SELECT MIN(doc_id) AS id, text FROM documents GROUP BY text),
+      |toks AS (SELECT id, string_split(text, ' ') AS t FROM cls),
+      |sh AS (
+      |  SELECT id, list_transform(
+      |    range(1, greatest(len(t) - 2, 0) + 1),
+      |    i -> concat_ws(' ', t[i], t[i+1], t[i+2])) AS shingles
+      |  FROM toks),
+      |hashed AS (
+      |  SELECT id, list_distinct(shingles) AS dsh,
+      |    list_transform(shingles, s -> md5(s)) AS hs
+      |  FROM sh WHERE len(shingles) > 0),
+      |sig AS MATERIALIZED (
+      |  SELECT id, dsh, CAST(len(dsh) AS BIGINT) AS n,
+      |    list_transform(range(0, 9),
+      |      j -> list_min(list_transform(hs,
+      |        h -> substr(h, CAST(j*3+1 AS INT), 32) ||
+      |          substr(h, 1, CAST(j*3 AS INT))))) AS sg
+      |  FROM hashed),
+      |banded AS (
+      |  SELECT id, unnest(list_transform(range(0, 9),
+      |    b -> md5(concat_ws('|', sg[b+1], CAST(b AS VARCHAR))))) AS bk
+      |  FROM sig),
+      |cand AS (
+      |  SELECT DISTINCT a.id AS ia, b.id AS ib
+      |  FROM banded a JOIN banded b ON a.bk = b.bk AND a.id < b.id),
+      |pairs AS (
+      |  SELECT
+      |    CAST(len(list_filter(range(0, 9),
+      |      j -> sa.sg[j+1] = sb.sg[j+1])) AS BIGINT) AS est,
+      |    CAST(len(list_intersect(sa.dsh, sb.dsh)) AS BIGINT) AS inter,
+      |    sa.n + sb.n AS nn
+      |  FROM cand c
+      |  JOIN sig sa ON sa.id = c.ia
+      |  JOIN sig sb ON sb.id = c.ib),
+      |j AS (
+      |  SELECT est,
+      |    CAST(inter * 1000000 // (nn - inter) AS BIGINT) AS jac_ppm
+      |  FROM pairs)
+      |SELECT est AS est_matches, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |  CAST(CAST(SUM(jac_ppm) AS HUGEINT) // COUNT(*) AS BIGINT)
+      |    AS mean_jac_ppm,
+      |  MIN(jac_ppm) AS min_jac_ppm,
+      |  MAX(jac_ppm) AS max_jac_ppm
+      |FROM j GROUP BY est ORDER BY est""".stripMargin
 }

@@ -323,4 +323,92 @@ object EmbedAuditQueries {
       |      sqrt(pow(CAST(n * s2 - s1 * s1 AS DOUBLE), 3.0)), 4)
       |  ELSE NULL END AS skewness
       |FROM agg ORDER BY label""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q257: per-dimension quantization-readiness audit — for each of the
+  // d embedding dimensions: value count, absolute max, mean, the
+  // outlier factor absmax/rms (SmoothQuant/LLM.int8's activation-
+  // outlier diagnostic — a dimension whose max dwarfs its rms forces
+  // a per-TENSOR int8 scale to waste its range), and the dead-value
+  // fraction under that per-tensor scale (values that would quantize
+  // to 0 at scale = global_absmax/127, i.e. |x| < gmax/254 — the
+  // resolution actually lost to the outlier dims). Run BEFORE
+  // committing an embedding table to int8/PQ compression (q145/q149
+  // measure the damage after; this says which dimensions cause it).
+  //
+  // Exactness: everything folds over a (dim, milli-value) tally —
+  // embeddings are unit-scale floats, so the tally's key domain is
+  // ≤ d·2001 groups REGARDLESS of corpus size and the only
+  // corpus-sized exchange carries partial counts of those keys
+  // (map-side combined). Sums/absmax/dead counts are exact
+  // DECIMAL/HUGEINT off the tally; mean and dead_ppm are truncating
+  // divisions; the outlier factor is ONE identical double expression
+  // over exact integers in both engines (NULL on an all-zero dim).
+  // The dead test |v|·254 < gmax is all-integer.
+  //
+  // 100 TB shape: one bounded-key tally exchange + dimension-domain
+  // rollups; the global max is a 1-row broadcast off the same tally.
+  // ------------------------------------------------------------------
+  def q257QuantRange(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val vals = Tables.embeddings(spark, dir)
+      .filter(col("embedding").isNotNull && size(col("embedding")) === EmbDim)
+      .select(posexplode(milliVec).as(Seq("dim", "v")))
+    val tally = vals.groupBy(col("dim"), col("v"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // reused: global max AND the per-dim rollup
+    val gmax = tally.agg(max(abs(col("v"))).as("gmax"))
+    tally.crossJoin(broadcast(gmax))
+      .withColumn("dead",
+        when(abs(col("v")) * 254 < col("gmax"), col("c")).otherwise(0L))
+      .groupBy(col("dim"))
+      .agg(sum(col("c")).as("n_vals"),
+        max(abs(col("v"))).as("absmax_milli"),
+        sum(col("v").cast(dec) * col("c").cast(dec)).as("s1"),
+        sum(col("v").cast(dec) * col("v").cast(dec) * col("c").cast(dec))
+          .as("s2"),
+        sum(col("dead")).as("dead_cnt"))
+      .select(col("dim").cast(IntegerType).as("dim"),
+        col("n_vals"),
+        col("absmax_milli"),
+        expr("CAST(s1 * 1000000 div n_vals AS BIGINT)").as("mean_nano"),
+        when(col("s2") > 0,
+          round(col("absmax_milli").cast(DoubleType) /
+            sqrt(col("s2").cast(DoubleType) / col("n_vals").cast(DoubleType)) *
+            lit(1000000.0), 0).cast(LongType))
+          .otherwise(lit(null).cast(LongType)).as("outlier_micro"),
+        expr("CAST(dead_cnt * 1000000 div n_vals AS BIGINT)").as("dead_ppm"))
+      .orderBy(col("dim"))
+  }
+
+  val q257Sql: String =
+    """WITH ok AS (
+      |  SELECT embedding FROM embeddings
+      |  WHERE embedding IS NOT NULL AND len(embedding) = 64),
+      |mil AS MATERIALIZED (
+      |  SELECT CAST(r.i AS INT) AS dim,
+      |    CAST(round(CAST(embedding[r.i + 1] AS DOUBLE) * 1000.0, 0)
+      |      AS BIGINT) AS v
+      |  FROM ok, range(64) r(i)),
+      |tally AS MATERIALIZED (
+      |  SELECT dim, v, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM mil GROUP BY dim, v),
+      |gm AS (SELECT MAX(abs(v)) AS gmax FROM tally),
+      |agg AS (
+      |  SELECT dim, CAST(SUM(c) AS BIGINT) AS n_vals,
+      |    MAX(abs(v)) AS absmax_milli,
+      |    SUM(CAST(v AS HUGEINT) * c) AS s1,
+      |    SUM(CAST(v AS HUGEINT) * v * c) AS s2,
+      |    CAST(SUM(CASE WHEN abs(v) * 254 < (SELECT gmax FROM gm)
+      |      THEN c ELSE 0 END) AS HUGEINT) AS dead
+      |  FROM tally GROUP BY dim)
+      |SELECT dim, n_vals, absmax_milli,
+      |  CAST(s1 * 1000000 // n_vals AS BIGINT) AS mean_nano,
+      |  CASE WHEN s2 > 0 THEN
+      |    CAST(round(CAST(absmax_milli AS DOUBLE) /
+      |      sqrt(CAST(s2 AS DOUBLE) / CAST(n_vals AS DOUBLE)) *
+      |      1000000.0, 0) AS BIGINT)
+      |  ELSE NULL END AS outlier_micro,
+      |  CAST(dead * 1000000 // n_vals AS BIGINT) AS dead_ppm
+      |FROM agg ORDER BY dim""".stripMargin
 }

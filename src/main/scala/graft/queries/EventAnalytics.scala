@@ -1193,4 +1193,62 @@ object EventAnalytics {
       |      (CAST(t.n AS HUGEINT) * t.q - t.s * t.s) AS DOUBLE), 6) AS acf
       |FROM lagged l JOIN tot t ON t.event_type = l.event_type
       |ORDER BY l.event_type, lag""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q259: rapid-repeat event screen — per event type, how many
+  // (user, type, UTC-minute) groups fire MORE than once, how many
+  // surplus events those repeats contribute, and the worst burst:
+  // the instrumentation double-fire / client-retry-storm audit an
+  // interaction log needs before its counts feed engagement metrics
+  // or an SFT export (a retry storm looks like enthusiasm to q102's
+  // profile and corrupts q253's transition model — this screen is
+  // where it's caught). Repeats are counted against a minute bucket,
+  // the double-fire window client SDKs typically retry within;
+  // legitimate re-engagement lands in different minutes.
+  //
+  // Exactness: all integer counts off one (user, type, minute) tally;
+  // repeat_ppm is one truncating division. Minute = floor-epoch div
+  // 60 (the q16/q254 epoch contract — unix_timestamp ≡ DuckDB
+  // FLOOR(epoch), both truncate the same positive seconds).
+  //
+  // 100 TB shape: the tally exchange is the only corpus-sized one
+  // (map-side combined — a user emits few distinct minutes per type);
+  // the type rollup is group-domain-sized. No window, no join.
+  // ------------------------------------------------------------------
+  def q259RapidRepeat(spark: SparkSession, dir: String): DataFrame = {
+    val groups = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("CAST(unix_timestamp(ts) div 60 AS BIGINT)").as("minute"))
+      .groupBy(col("user_id"), col("event_type"), col("minute"))
+      .agg(count(lit(1)).as("c"))
+    groups.groupBy(col("event_type"))
+      .agg(sum(col("c")).as("n_events"),
+        sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_repeat_groups"),
+        sum(when(col("c") > 1, col("c") - 1).otherwise(0L))
+          .as("n_repeat_events"),
+        max(col("c")).as("max_burst"))
+      .select(col("event_type"), col("n_events"), col("n_repeat_groups"),
+        col("n_repeat_events"),
+        expr("CAST(n_repeat_events * 1000000 div n_events AS BIGINT)")
+          .as("repeat_ppm"),
+        col("max_burst"))
+      .orderBy(col("event_type"))
+  }
+
+  val q259Sql: String =
+    """WITH g AS (
+      |  SELECT user_id, event_type,
+      |    CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 60
+      |      AS minute,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2, 3)
+      |SELECT event_type, CAST(SUM(c) AS BIGINT) AS n_events,
+      |  CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_repeat_groups,
+      |  CAST(SUM(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS BIGINT)
+      |    AS n_repeat_events,
+      |  CAST(SUM(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) * 1000000
+      |    // SUM(c) AS BIGINT) AS repeat_ppm,
+      |  CAST(MAX(c) AS BIGINT) AS max_burst
+      |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin
 }

@@ -389,32 +389,66 @@ object LlmQueries {
    * form is ~20×  faster and is the formulation that survives 100 TB.)
    */
   def q33NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    // compiled shingle kernel + checkpoint: the self-join below reads this
-    // frame twice, and interpreted shingling was the dominant cost
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"),
+    // Exact-class collapse FIRST (q31's duplicate-blowup guard, added
+    // round 15): the posting self-join below is quadratic in
+    // per-shingle df, and corpus duplication multiplies df by the
+    // duplication factor — the uncollapsed form measured 36× wall on
+    // the 10× replica (d ≈ 10 duplicate classes ⇒ d² posting pairs)
+    // vs 1.3× collapsed, with the ×d² duplicate OUTPUT pairs restored
+    // by the member expansion, whose cost is the output size itself.
+    // Classes key on (lang, text): the pair join is lang-local, and
+    // identical texts share every shingle, so member pairs inherit
+    // the class score (exactly 1.0 within a class).
+    val classes = Tables.documents(spark, dir)
+      .groupBy(col("lang"), col("text"))
+      .agg(min(col("doc_id")).as("cid"),
+        collect_list(col("doc_id")).as("members"))
+      .select(col("lang"), col("cid"), col("members"),
         array_distinct(graft.functions.TextHashFunctions
           .shingleMinhash(col("text"), 1, 3).getField("shingles")).as("sh"))
       .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), col("lang"), col("sh"), size(col("sh")).as("n_sh"))
-      .localCheckpoint()
+      .select(col("lang"), col("cid"), col("members"), col("sh"),
+        size(col("sh")).as("n_sh"))
+      .localCheckpoint() // read by the posting join + both expansion sides
 
-    val inverted = docs.select(col("doc_id"), col("lang"), col("n_sh"),
+    val inverted = classes.select(col("cid"), col("lang"), col("n_sh"),
       explode(col("sh")).as("shingle"))
 
-    val inter = inverted.alias("a")
+    val classPairs = inverted.alias("a")
       .join(inverted.alias("b"),
         col("a.lang") === col("b.lang") && col("a.shingle") === col("b.shingle") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          col("a.cid") < col("b.cid"))
+      .groupBy(col("a.cid").as("ca"), col("b.cid").as("cb"),
         col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
       .agg(count(lit(1)).as("inter"))
-
-    inter
       .withColumn("jaccard", col("inter").cast(DoubleType) /
         (col("n_a") + col("n_b") - col("inter")).cast(DoubleType))
       .filter(col("jaccard") >= 0.2)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .select(col("ca"), col("cb"), col("jaccard"))
+
+    // cross-class expansion: every member pair inherits the class
+    // score; least/greatest restores id_a < id_b (a member of the "b"
+    // class can carry the smaller doc_id)
+    val membersOf = classes.select(col("cid"), col("members"))
+    val cross = classPairs
+      .join(membersOf.select(col("cid").as("ca"), col("members").as("ma")), "ca")
+      .join(membersOf.select(col("cid").as("cb"), col("members").as("mb")), "cb")
+      .select(explode(col("ma")).as("xa"), col("mb"), col("jaccard"))
+      .select(col("xa"), explode(col("mb")).as("xb"), col("jaccard"))
+      .select(least(col("xa"), col("xb")).as("id_a"),
+        greatest(col("xa"), col("xb")).as("id_b"), col("jaccard"))
+
+    // within-class pairs: identical shingle sets ⇒ Jaccard exactly
+    // 1.0 ≥ 0.2, always emitted by the uncollapsed pipeline
+    val within = classes
+      .filter(size(col("members")) > 1)
+      .select(explode(col("members")).as("xa"), col("members"))
+      .select(col("xa"), explode(col("members")).as("xb"))
+      .filter(col("xa") < col("xb"))
+      .select(col("xa").as("id_a"), col("xb").as("id_b"),
+        lit(1.0).as("jaccard"))
+
+    cross.unionByName(within)
   }
 
   val q33Sql: String =

@@ -1376,4 +1376,96 @@ object PretrainQueries {
       |FROM d2 d JOIN embeddings e ON e.vec_id = d.vec_id
       |ORDER BY d.d2_micro DESC, d.vec_id
       |LIMIT 20""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q258: temperature-scaled mixing-weight sweep — sampling weights
+  // w_s ∝ n_s^α over per-source TOKEN counts for α ∈ {0.25, 0.5,
+  // 0.75} (the multilingual temperature-sampling family: mT5/XLM-R's
+  // exponent sweep; α=1 is proportional, α→0 uniform), with the
+  // effective epochs-per-source w_s·N/n_s each α implies under a
+  // one-total-pass token budget. The table a mixture decision reads
+  // BEFORE committing to q127's fixed α=0.5 doc-count weights or
+  // q136's epoch schedule: it shows which sources a lower temperature
+  // over-epochs (small sources repeated >2-3× = memorization risk,
+  // the q224/q91 axis).
+  //
+  // Float parity without pow(): n^0.25 = sqrt(sqrt(n)) and
+  // n^0.75 = sqrt(n)·sqrt(sqrt(n)) — sqrt is CORRECTLY ROUNDED in
+  // IEEE 754 (pow is not and differs across libm builds), and the
+  // product of two identical doubles is identical, so both engines
+  // compute bit-equal weights from exact integer n_s. Each weight
+  // addend is micro-rounded to an integer BEFORE the normalizing sum,
+  // so no float ever accumulates; weight_ppm and epochs_micro are
+  // truncating divisions of exact DECIMAL/HUGEINT products.
+  //
+  // 100 TB shape: per-doc token counts are row-local; ONE narrow
+  // (source, count) exchange with map-side combine; the α sweep
+  // explodes over the |sources|-row rollup, never the corpus.
+  // ------------------------------------------------------------------
+  def q258TemperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(col("source"),
+        size(array_remove(split(col("text"), " "), ""))
+          .cast(LongType).as("toks"))
+      .groupBy(col("source")).agg(sum(col("toks")).as("n_tokens"))
+      // an all-empty source has no sampleable tokens; dropping it also
+      // keeps every later division strictly positive in both engines
+      .filter(col("n_tokens") > 0)
+    val r4 = sqrt(sqrt(col("n_tokens").cast(DoubleType)))   // n^0.25
+    val r2 = sqrt(col("n_tokens").cast(DoubleType))         // n^0.5
+    val addend = (alphaPm: Long) => {
+      val a = alphaPm match {
+        case 250L => r4
+        case 500L => r2
+        case 750L => r2 * r4
+      }
+      round(a * lit(1000000.0), 0).cast(LongType)
+    }
+    val sweep = counts.select(
+      col("source"), col("n_tokens"),
+      explode(array(Seq(250L, 500L, 750L).map(a =>
+        struct(lit(a).as("alpha_pm"), addend(a).as("w"))): _*)).as("e"))
+      .select(col("source"), col("n_tokens"),
+        col("e.alpha_pm").as("alpha_pm"), col("e.w").as("w"))
+    val totals = sweep.groupBy(col("alpha_pm"))
+      .agg(sum(col("w")).as("w_tot"), sum(col("n_tokens")).as("n_tot"))
+    sweep.join(broadcast(totals), "alpha_pm")
+      .select(col("alpha_pm"), col("source"), col("n_tokens"),
+        expr("CAST(CAST(w AS DECIMAL(38,0)) * 1000000 div w_tot AS BIGINT)")
+          .as("weight_ppm"),
+        expr("CAST(CAST(w AS DECIMAL(38,0)) * n_tot * 1000000 " +
+          "div (CAST(w_tot AS DECIMAL(38,0)) * n_tokens) AS BIGINT)")
+          .as("epochs_micro"))
+      .orderBy(col("alpha_pm"), col("source"))
+  }
+
+  val q258Sql: String =
+    """WITH counts AS (
+      |  SELECT source,
+      |    CAST(SUM(len(list_filter(string_split(text, ' '), w -> w <> '')))
+      |      AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source
+      |  HAVING SUM(len(list_filter(string_split(text, ' '), w -> w <> ''))) > 0),
+      |sweep AS (
+      |  SELECT source, n_tokens, a.alpha_pm,
+      |    CAST(round(CASE a.alpha_pm
+      |      WHEN 250 THEN sqrt(sqrt(CAST(n_tokens AS DOUBLE)))
+      |      WHEN 500 THEN sqrt(CAST(n_tokens AS DOUBLE))
+      |      ELSE sqrt(CAST(n_tokens AS DOUBLE)) *
+      |        sqrt(sqrt(CAST(n_tokens AS DOUBLE)))
+      |      END * 1000000.0, 0) AS BIGINT) AS w
+      |  FROM counts
+      |  CROSS JOIN (VALUES (CAST(250 AS BIGINT)), (500), (750))
+      |    a(alpha_pm)),
+      |totals AS (
+      |  SELECT alpha_pm, CAST(SUM(w) AS HUGEINT) AS w_tot,
+      |    CAST(SUM(n_tokens) AS HUGEINT) AS n_tot
+      |  FROM sweep GROUP BY alpha_pm)
+      |SELECT s.alpha_pm, s.source, s.n_tokens,
+      |  CAST(CAST(s.w AS HUGEINT) * 1000000 // t.w_tot AS BIGINT)
+      |    AS weight_ppm,
+      |  CAST(CAST(s.w AS HUGEINT) * t.n_tot * 1000000
+      |    // (t.w_tot * s.n_tokens) AS BIGINT) AS epochs_micro
+      |FROM sweep s JOIN totals t ON t.alpha_pm = s.alpha_pm
+      |ORDER BY s.alpha_pm, s.source""".stripMargin
 }

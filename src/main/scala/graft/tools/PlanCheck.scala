@@ -236,7 +236,11 @@ object PlanCheck {
               "q255_dup_transitivity",
               // q256: 3-row tau sweep broadcast into the class-verdict
               // frame (q233's threshold-curve shape)
-              "q256_decontam_collateral")
+              "q256_decontam_collateral",
+              // q257: 1-row global-absmax broadcast onto the bounded
+              // (dim, milli-value) tally (q217/q88's one-row-stats
+              // shape)
+              "q257_quant_range")
               .contains(name))
         ).collect { case (f, true) => f } ++ {
           // measured-build-side audit for EVERY BNLJ, allowlisted or not

@@ -75,6 +75,44 @@ class CollapseEquivalenceSpec extends SparkTestBase {
     }
   }
 
+  test("collapsed q33 equals the uncollapsed posting-join dual on a duplicated corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-q33").toString
+    (1 to 4).foreach { seed =>
+      val rnd = new scala.util.Random(100 + seed)
+      val langs = Seq("en", "es")
+      val docs = randomCorpus(seed).map { case (id, t) =>
+        (id, langs(rnd.nextInt(2)), s"src${id % 3}", t)
+      }
+      docs.toDF("doc_id", "lang", "source", "text").write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+      val got = graft.queries.LlmQueries.q33NgramJaccard(spark, dir)
+        .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+      // uncollapsed round-14 dual: per-DOC inverted index, no collapse
+      val perDoc = graft.sources.Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"),
+          array_distinct(graft.functions.TextHashFunctions
+            .shingleMinhash(col("text"), 1, 3).getField("shingles")).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .select(col("doc_id"), col("lang"), col("sh"), size(col("sh")).as("n_sh"))
+      val inv = perDoc.select(col("doc_id"), col("lang"), col("n_sh"),
+        explode(col("sh")).as("shingle"))
+      val want = inv.alias("a")
+        .join(inv.alias("b"),
+          col("a.lang") === col("b.lang") &&
+            col("a.shingle") === col("b.shingle") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
+        .agg(count(lit(1)).as("inter"))
+        .withColumn("jaccard", col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")).cast("double"))
+        .filter(col("jaccard") >= 0.2)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+      assert(got == want, s"q33 divergence on seed $seed")
+    }
+  }
+
   test("collapsed q106/q116 equal their uncollapsed duals on a duplicated corpus") {
     // write a small duplicated corpus as the documents table, run the
     // SHIPPED queries against it, and compare with inline uncollapsed

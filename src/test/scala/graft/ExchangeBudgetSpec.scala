@@ -532,6 +532,24 @@ class ExchangeBudgetSpec extends SparkTestBase {
                                  // per-class max, verdict join, (tau,
                                  // source) rollup, order range — all
                                  // class- or pair-domain-sized
+    "q257_quant_range"    -> 3,  // (dim, milli-value) tally (bounded
+                                 // ≤ 64·2001 keys, map-side combined),
+                                 // 1-row global-max gather off the
+                                 // checkpointed tally, dim rollup +
+                                 // order range share the dim exchange
+    "q258_temperature_mix" -> 4, // ONE narrow (source, tokens) tally,
+                                 // re-grouped under the per-alpha
+                                 // totals, plus the alpha broadcast-
+                                 // join co-shuffle and the final order
+                                 // range — all |sources|-domain after
+                                 // the tally
+    "q259_rapid_repeat"   -> 3,  // (user, type, minute) tally (map-
+                                 // side combined), type rollup, order
+                                 // range; no window, no join
+    "q260_minhash_calibration" -> 3, // candidate-pair dedup (the band
+                                 // join's u,v exchange), est rollup,
+                                 // order range; class signature sides
+                                 // broadcast behind the checkpoint
     "q223_ngram_novelty"  -> 5,  // spread repartition (underpartition
                                  // guard), train-window distinct, the
                                  // eval join co-shuffle, countDistinct
