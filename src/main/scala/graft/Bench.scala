@@ -153,23 +153,21 @@ object Bench {
         outliers.map(n => n -> Seq(exec(n, sfDir), exec(n, sfDir))
           .filter(_ >= 0)).toMap
       }
-    val byQuery: Map[String, Seq[Double]] = names.map { n =>
+    // kept and dropped derive from ONE trim decision so BENCH_FULL's
+    // audit fields (outlier/dropped) can never disagree with the
+    // samples the medians actually used. The trim belongs ONLY to
+    // re-measured contention outliers — a clean repeats>=4 run must
+    // keep every sample or all medians bias low.
+    val trimmed: Map[String, (Seq[Double], Option[Double])] = names.map { n =>
       val ex = extra.getOrElse(n, Nil)
       val xs = base(n) ++ ex
-      // the trim belongs ONLY to re-measured contention outliers — a
-      // clean repeats>=4 run must keep every sample or all medians
-      // bias low
-      n -> (if (ex.nonEmpty && xs.size >= 4) xs.sorted.dropRight(1) else xs)
+      val s = xs.sorted
+      n -> (if (ex.nonEmpty && xs.size >= 4) (s.dropRight(1), s.lastOption)
+            else (xs, None))
     }.toMap
-    // the trim must be AUDITABLE from the artifact alone: BENCH_FULL
-    // records the dropped sample per re-measured query, so a reader
-    // can reconstruct the untrimmed sample set and judge the one-sided
-    // bias themselves
-    val droppedSample: Map[String, Double] = names.flatMap { n =>
-      val ex = extra.getOrElse(n, Nil)
-      val xs = base(n) ++ ex
-      if (ex.nonEmpty && xs.size >= 4) Some(n -> xs.max) else None
-    }.toMap
+    val byQuery: Map[String, Seq[Double]] = trimmed.map { case (n, kd) => n -> kd._1 }
+    val droppedSample: Map[String, Double] =
+      trimmed.collect { case (n, (_, Some(d))) => n -> d }
     val results = names.map(n => n -> median(byQuery(n)))
     // The driver captures only the last 2000 characters of output and
     // parses the JSON line out of that window, so the line must stay

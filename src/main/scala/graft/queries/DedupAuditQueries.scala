@@ -450,8 +450,11 @@ object DedupAuditQueries {
           .as("jac_ppm"))
     pairs.groupBy(col("est").as("est_matches"))
       .agg(count(lit(1)).as("n_pairs"),
-        expr("CAST(SUM(jac_ppm) div COUNT(*) AS BIGINT)")
-          .as("mean_jac_ppm"),
+        // SUM in DECIMAL: a corpus-scale est bin can hold > 9.2e12
+        // pairs of up-to-1e6 ppm values, past Long — the oracle sums
+        // in HUGEINT
+        expr("CAST(SUM(CAST(jac_ppm AS DECIMAL(38,0))) div COUNT(*) " +
+          "AS BIGINT)").as("mean_jac_ppm"),
         min(col("jac_ppm")).as("min_jac_ppm"),
         max(col("jac_ppm")).as("max_jac_ppm"))
       .orderBy(col("est_matches"))

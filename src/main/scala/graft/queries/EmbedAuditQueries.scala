@@ -377,7 +377,8 @@ object EmbedAuditQueries {
             sqrt(col("s2").cast(DoubleType) / col("n_vals").cast(DoubleType)) *
             lit(1000000.0), 0).cast(LongType))
           .otherwise(lit(null).cast(LongType)).as("outlier_micro"),
-        expr("CAST(dead_cnt * 1000000 div n_vals AS BIGINT)").as("dead_ppm"))
+        expr("CAST(CAST(dead_cnt AS DECIMAL(38,0)) * 1000000 " +
+          "div n_vals AS BIGINT)").as("dead_ppm"))
       .orderBy(col("dim"))
   }
 

@@ -1229,8 +1229,8 @@ object EventAnalytics {
         max(col("c")).as("max_burst"))
       .select(col("event_type"), col("n_events"), col("n_repeat_groups"),
         col("n_repeat_events"),
-        expr("CAST(n_repeat_events * 1000000 div n_events AS BIGINT)")
-          .as("repeat_ppm"),
+        expr("CAST(CAST(n_repeat_events AS DECIMAL(38,0)) * 1000000 " +
+          "div n_events AS BIGINT)").as("repeat_ppm"),
         col("max_burst"))
       .orderBy(col("event_type"))
   }

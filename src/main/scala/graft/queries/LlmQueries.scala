@@ -394,7 +394,7 @@ object LlmQueries {
     // per-shingle df, and corpus duplication multiplies df by the
     // duplication factor — the uncollapsed form measured 36× wall on
     // the 10× replica (d ≈ 10 duplicate classes ⇒ d² posting pairs)
-    // vs 1.3× collapsed, with the ×d² duplicate OUTPUT pairs restored
+    // vs 1.4× collapsed, with the ×d² duplicate OUTPUT pairs restored
     // by the member expansion, whose cost is the output size itself.
     // Classes key on (lang, text): the pair join is lang-local, and
     // identical texts share every shingle, so member pairs inherit

@@ -96,10 +96,13 @@ class TransitivitySpec extends SparkTestBase {
     (0 until 60).foreach { i =>
       val g = graphGen.pureApply(Gen.Parameters.default, Seed(i.toLong))
       // engine input contract: u < v, duplicate-free — the generator
-      // must uphold it or the run proves nothing
+      // must uphold it or the run proves nothing. Undirected dedup is
+      // real only if no edge appears in BOTH orientations: comparing
+      // against the unordered-endpoint-set count catches (u,v)+(v,u)
       assert(g.forall { case (u, v) => u < v },
         s"seed $i: generator emitted a reversed edge")
-      assert(g.size == g.map { case (u, v) => (u, v) }.size) // Set ⇒ no dups
+      assert(g.map { case (u, v) => Set(u, v) }.size == g.size,
+        s"seed $i: generator emitted a doubled undirected edge")
       if (g.nonEmpty) assert(run(g) == reference(g), s"seed $i: $g")
     }
   }
