@@ -187,25 +187,60 @@ object Similarity {
   }
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold, via LSH-prefix
-    * bucketing (same-bucket candidates only) — never O(n²). */
+    * bucketing (same-bucket candidates only) — never O(n²).
+    *
+    * Exact-VECTOR-class collapse first (q31's duplicate-blowup guard,
+    * round 15): bucket pair generation is quadratic in bucket
+    * MEMBERSHIP and identical vectors always land in the same bucket,
+    * so a corpus with vector-duplication factor d costs d² more per
+    * bucket raw — the 10× replica measured 37× wall uncollapsed.
+    * Collapsed, each distinct vector is hashed and joined once; a
+    * verified class pair (a, b) expands to members(a) × members(b)
+    * output pairs carrying the class-level sim (identical vectors ⇒
+    * identical dot products), and within-class pairs carry the class
+    * self-cosine (1.0 after rounding for any nonzero vector; zero
+    * vectors score 0.0 and fall to the threshold exactly as the
+    * uncollapsed join scored them). Output is identical to the
+    * uncollapsed formulation; the expansion cost IS the output size. */
   def embeddingNearDups(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, planes: Int = 16, prefixBits: Int = 8,
       roundDigits: Int = 4): DataFrame = {
-    // bucket + norm computed once per vector and materialized — the
-    // self-join would otherwise re-derive the signature for both sides
-    val withBucket = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    // bucket + norm computed once per distinct vector and materialized —
+    // the self-join would otherwise re-derive the signature per side,
+    // and the member lists ride along for the expansion
+    val classes = df.select(col(idCol).as("id0"), col(vecCol).as("vec"))
+      .groupBy(col("vec"))
+      .agg(min(col("id0")).as("id"), collect_list(col("id0")).as("members"))
       .withColumn("bucket", substring(lshSignature(col("vec"), planes), 1, prefixBits))
       .withColumn("norm", norm(col("vec")))
       .localCheckpoint()
-    val a = withBucket.alias("a")
-    val b = withBucket.alias("b")
-    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+    val a = classes.alias("a")
+    val b = classes.alias("b")
+    val classPairs = a
+      .join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .withColumn("sim", round(
         when(col("a.norm") * col("b.norm") > 0,
           dot(col("a.vec"), col("b.vec")) / (col("a.norm") * col("b.norm")))
           .otherwise(lit(0.0)), roundDigits))
       .filter(col("sim") >= threshold)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("sim"))
+      .select(col("a.members").as("ma"), col("b.members").as("mb"), col("sim"))
+    val cross = classPairs
+      .select(explode(col("ma")).as("xa"), col("mb"), col("sim"))
+      .select(col("xa"), explode(col("mb")).as("xb"), col("sim"))
+      .select(least(col("xa"), col("xb")).as("id_a"),
+        greatest(col("xa"), col("xb")).as("id_b"), col("sim"))
+    val within = classes
+      .filter(size(col("members")) > 1)
+      .withColumn("sim", round(
+        when(col("norm") * col("norm") > 0,
+          dot(col("vec"), col("vec")) / (col("norm") * col("norm")))
+          .otherwise(lit(0.0)), roundDigits))
+      .filter(col("sim") >= threshold)
+      .select(explode(col("members")).as("xa"), col("members"), col("sim"))
+      .select(col("xa"), explode(col("members")).as("xb"), col("sim"))
+      .filter(col("xa") < col("xb"))
+      .select(col("xa").as("id_a"), col("xb").as("id_b"), col("sim"))
+    cross.unionByName(within)
   }
 }

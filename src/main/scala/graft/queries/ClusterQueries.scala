@@ -46,10 +46,20 @@ object ClusterQueries {
   // q59: semantic dedup — cluster assignment (broadcast centroids, no
   // corpus shuffle) → within-cluster pair prune (the cluster is the
   // blocking key) → per-cluster keep/drop tallies.
+  //
+  // The cluster count SCALES with the corpus (round 15): at a fixed K
+  // the within-cluster pairwise stays N²/K — the SemDeDup convention
+  // is cluster count proportional to corpus size (50k clusters for
+  // LAION); k = max(8, ⌈√N⌉) keeps pair work at N^1.5 and the
+  // broadcast centroid table bounded (cap 10⁶). The oracle derives
+  // the SAME k from COUNT(*) (the q126 sampleModulus convention), so
+  // the gate pins the derivation, not a constant.
   // ------------------------------------------------------------------
   def q59SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val cents = Clustering.seedCentroids(e, "vec_id", "embedding", K)
+    val k = math.max(K.toLong,
+      math.ceil(math.sqrt(e.count().toDouble)).toLong).min(1000000L).toInt
+    val cents = Clustering.seedCentroids(e, "vec_id", "embedding", k)
     val side = e.join(
         Clustering.assign(e, "vec_id", "embedding", cents)
           .select(col("vec_id"), col("cluster")), "vec_id")
@@ -76,7 +86,11 @@ object ClusterQueries {
 
   val q59Sql: String =
     s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings),
-      |c0 AS (SELECT vec_id AS cid, vec AS cvec FROM v WHERE vec_id < $K),
+      |kk AS (SELECT greatest($K, least(1000000,
+      |  CAST(ceil(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT))) AS k
+      |  FROM embeddings),
+      |c0 AS (SELECT vec_id AS cid, vec AS cvec FROM v
+      |  WHERE vec_id < (SELECT k FROM kk)),
       |sims AS (SELECT v.vec_id, c0.cid,
       |    ROUND(list_dot_product(v.vec, c0.cvec) /
       |      (sqrt(list_dot_product(v.vec, v.vec)) * sqrt(list_dot_product(c0.cvec, c0.cvec))), 4) AS sim

@@ -113,6 +113,47 @@ class CollapseEquivalenceSpec extends SparkTestBase {
     }
   }
 
+  test("collapsed embeddingNearDups equals the uncollapsed bucket join on duplicated vectors") {
+    import graft.operators.Similarity
+    (1 to 4).foreach { seed =>
+      val rnd = new scala.util.Random(200 + seed)
+      val dim = 8
+      // few distinct vectors incl. near-dups, a zero vector, and 1-4
+      // exact copies of each — the vector-duplication shape the
+      // collapse guards against
+      val distinct = Seq.fill(5)(Array.fill(dim)(rnd.nextGaussian().toFloat)) ++
+        Seq(Array.fill(dim)(0.0f))
+      val perturbed = distinct.take(2).map(v =>
+        v.zipWithIndex.map { case (x, i) => if (i == 0) x + 0.01f else x })
+      val all = (distinct ++ perturbed).flatMap(v =>
+        Seq.fill(1 + rnd.nextInt(4))(v))
+      val rows = rnd.shuffle(all).zipWithIndex.map { case (v, i) =>
+        ((i + 1).toLong, v.toSeq)
+      }
+      val df = rows.toDF("vec_id", "embedding")
+      def run(d: org.apache.spark.sql.DataFrame) =
+        d.as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+      val got = run(Similarity.embeddingNearDups(
+        df, "vec_id", "embedding", threshold = 0.2, planes = 8, prefixBits = 4))
+      // uncollapsed round-14 dual: per-id bucket join
+      val withBucket = df.select(col("vec_id").as("id"), col("embedding").as("vec"))
+        .withColumn("bucket",
+          substring(Similarity.lshSignature(col("vec"), 8, dim), 1, 4))
+        .withColumn("norm", Similarity.norm(col("vec")))
+      val want = run(withBucket.alias("a")
+        .join(withBucket.alias("b"),
+          col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+        .withColumn("sim", round(
+          when(col("a.norm") * col("b.norm") > 0,
+            Similarity.dot(col("a.vec"), col("b.vec")) /
+              (col("a.norm") * col("b.norm")))
+            .otherwise(lit(0.0)), 4))
+        .filter(col("sim") >= 0.2)
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("sim")))
+      assert(got == want, s"q34 divergence on seed $seed")
+    }
+  }
+
   test("collapsed q106/q116 equal their uncollapsed duals on a duplicated corpus") {
     // write a small duplicated corpus as the documents table, run the
     // SHIPPED queries against it, and compare with inline uncollapsed
