@@ -412,4 +412,164 @@ object EmbedAuditQueries {
       |  ELSE NULL END AS outlier_micro,
       |  CAST(dead * 1000000 // n_vals AS BIGINT) AS dead_ppm
       |FROM agg ORDER BY dim""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q262: per-label norm-spread audit — min/max/mean L2 norm and the
+  // coefficient of variation per label. Dot-product rankers and
+  // un-normalized kNN assume norms carry signal; a label whose norm
+  // CV ≈ 0 has had its magnitudes collapsed (normalized twice, or a
+  // dead encoder head) and cosine vs dot makes no difference there,
+  // while a huge CV flags mixed provenance inside one label.
+  // Complements q250 (directional collapse) with the magnitude axis.
+  //
+  // Exactness: per-row norm = round(sqrt(Σx_milli²)) — the inner sum
+  // is an exact integer fold, sqrt is correctly rounded IEEE, so the
+  // integer milli-norm is bit-equal in both engines. Label moments
+  // are exact DECIMAL/HUGEINT over those integers; mean is a
+  // truncating division; the CV is ONE identical double expression
+  // (NULL for n < 2, zero mean, or zero variance numerator).
+  //
+  // 100 TB shape: row-local norms, ONE narrow (label, stats) exchange
+  // with map-side combine. No join, no window.
+  // ------------------------------------------------------------------
+  def q262NormSpread(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val sq = aggregate(milliVec, lit(0L), (acc, x) => acc + x * x)
+    val rows = Tables.embeddings(spark, dir)
+      .filter(col("embedding").isNotNull && size(col("embedding")) === EmbDim)
+      .select(col("label").cast(IntegerType).as("label"),
+        round(sqrt(sq.cast(DoubleType)), 0).cast(LongType).as("nm"))
+    rows.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("nm")).as("min_norm_milli"),
+        max(col("nm")).as("max_norm_milli"),
+        sum(col("nm").cast(dec)).as("s1"), // DECIMAL: oracle sums in HUGEINT
+        sum(col("nm").cast(dec) * col("nm").cast(dec)).as("s2"))
+      .select(col("label"), col("n_vecs"),
+        col("min_norm_milli"), col("max_norm_milli"),
+        expr("CAST(s1 div n_vecs AS BIGINT)").as("mean_norm_milli"),
+        expr("CAST(CASE WHEN n_vecs >= 2 AND s1 > 0 AND " +
+          "CAST(n_vecs AS DECIMAL(38,0)) * s2 - CAST(s1 AS DECIMAL(38,0)) " +
+          "* s1 > 0 THEN " +
+          "round(sqrt(CAST(CAST(n_vecs AS DECIMAL(38,0)) * s2 - " +
+          "CAST(s1 AS DECIMAL(38,0)) * s1 AS DOUBLE) / " +
+          "(CAST(n_vecs AS DOUBLE) * CAST(n_vecs - 1 AS DOUBLE))) * " +
+          "CAST(n_vecs AS DOUBLE) / CAST(s1 AS DOUBLE) * 1000000.0, 0) " +
+          "ELSE NULL END AS BIGINT)").as("cv_micro"))
+      .orderBy(col("label"))
+  }
+
+  val q262Sql: String =
+    """WITH ok AS (
+      |  SELECT label, embedding FROM embeddings
+      |  WHERE embedding IS NOT NULL AND len(embedding) = 64),
+      |nm AS (
+      |  SELECT CAST(label AS INT) AS label,
+      |    CAST(round(sqrt(CAST(list_sum(list_transform(embedding,
+      |      x -> CAST(round(CAST(x AS DOUBLE) * 1000.0, 0) AS BIGINT) *
+      |           CAST(round(CAST(x AS DOUBLE) * 1000.0, 0) AS BIGINT)))
+      |      AS DOUBLE)), 0) AS BIGINT) AS nm
+      |  FROM ok),
+      |agg AS (
+      |  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+      |    MIN(nm) AS min_norm_milli, MAX(nm) AS max_norm_milli,
+      |    CAST(SUM(nm) AS HUGEINT) AS s1,
+      |    SUM(CAST(nm AS HUGEINT) * nm) AS s2
+      |  FROM nm GROUP BY label)
+      |SELECT label, n_vecs, min_norm_milli, max_norm_milli,
+      |  CAST(s1 // n_vecs AS BIGINT) AS mean_norm_milli,
+      |  CAST(CASE WHEN n_vecs >= 2 AND s1 > 0 AND
+      |      CAST(n_vecs AS HUGEINT) * s2 - s1 * s1 > 0 THEN
+      |    round(sqrt(CAST(CAST(n_vecs AS HUGEINT) * s2 - s1 * s1 AS DOUBLE) /
+      |      (CAST(n_vecs AS DOUBLE) * CAST(n_vecs - 1 AS DOUBLE))) *
+      |      CAST(n_vecs AS DOUBLE) / CAST(s1 AS DOUBLE) * 1000000.0, 0)
+      |  ELSE NULL END AS BIGINT) AS cv_micro
+      |FROM agg ORDER BY label""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q263: label-centroid affinity matrix — the cosine between every
+  // pair of label centroids, as ppm integers. Labels whose centroids
+  // sit close are confusable AS CLASSES (q251's kNN disagreement
+  // localizes noisy VECTORS; this says which label pairs the space
+  // fails to separate at all — the signal a curriculum or a
+  // stratified split should merge or re-annotate on). Cosine of the
+  // centroid equals cosine of the per-label SUM vector (the 1/n
+  // scaling cancels), so no division happens before the final
+  // expression.
+  //
+  // Exactness: per-label per-dimension Σx_milli are exact integers
+  // from the SAME LongGramAggregate pass q250 uses (fixed buffers,
+  // map-side combine, |labels| buffers to the driver); pairwise dot
+  // and norm products fold in driver BigInt; the final cosine is one
+  // double expression over those exact integers, HALF_UP micro-
+  // rounded via RoundParity (≡ both engines' round()). NULL when
+  // either centroid sum is the zero vector.
+  //
+  // 100 TB shape: one exchange (the label gather of fixed-size
+  // buffers); |labels|² driver arithmetic.
+  // ------------------------------------------------------------------
+  def q263CentroidAffinity(spark: SparkSession, dir: String): DataFrame = {
+    val d = EmbDim
+    val triLen = d * (d + 1) / 2
+    import spark.implicits._
+    val rows = Tables.embeddings(spark, dir)
+      .filter(col("embedding").isNotNull && size(col("embedding")) === d)
+      .groupBy(col("label"))
+      .agg(graft.functions.LongGramAggregate.gram(milliVec, d).as("g"))
+      .collect()
+    val sums: Seq[(Int, Array[BigInt])] = rows.map { r =>
+      val label = r.getAs[Number](0).intValue
+      val g = r.getSeq[Long](1)
+      label -> Array.tabulate(d)(i => BigInt(g(triLen + i)))
+    }.sortBy(_._1).toSeq
+    val out = for {
+      i <- sums.indices; j <- (i + 1) until sums.size
+    } yield {
+      val (la, va) = sums(i)
+      val (lb, vb) = sums(j)
+      var dot = BigInt(0); var na = BigInt(0); var nb = BigInt(0)
+      var k = 0
+      while (k < d) {
+        dot += va(k) * vb(k); na += va(k) * va(k); nb += vb(k) * vb(k)
+        k += 1
+      }
+      val cos: Option[Long] =
+        if (na > 0 && nb > 0)
+          Some(graft.functions.RoundParity.round(
+            dot.doubleValue / (math.sqrt(na.doubleValue) *
+              math.sqrt(nb.doubleValue)) * 1000000.0, 0).toLong)
+        else None
+      (la, lb, cos)
+    }
+    out.toDF("label_a", "label_b", "cos_ppm")
+      .select(col("label_a"), col("label_b"),
+        col("cos_ppm").cast(LongType).as("cos_ppm"))
+      .orderBy(col("label_a"), col("label_b"))
+  }
+
+  val q263Sql: String =
+    """WITH ok AS (
+      |  SELECT label, embedding FROM embeddings
+      |  WHERE embedding IS NOT NULL AND len(embedding) = 64),
+      |mil AS MATERIALIZED (
+      |  SELECT CAST(label AS INT) AS label, CAST(r.i AS INT) AS i,
+      |    CAST(round(CAST(embedding[r.i + 1] AS DOUBLE) * 1000.0, 0)
+      |      AS BIGINT) AS x
+      |  FROM ok, range(64) r(i)),
+      |sums AS (
+      |  SELECT label, i, CAST(SUM(x) AS HUGEINT) AS sx
+      |  FROM mil GROUP BY label, i),
+      |pair AS (
+      |  SELECT a.label AS label_a, b.label AS label_b,
+      |    SUM(a.sx * b.sx) AS dot,
+      |    SUM(a.sx * a.sx) AS na,
+      |    SUM(b.sx * b.sx) AS nb
+      |  FROM sums a JOIN sums b ON a.i = b.i AND a.label < b.label
+      |  GROUP BY a.label, b.label)
+      |SELECT label_a, label_b,
+      |  CAST(CASE WHEN na > 0 AND nb > 0 THEN
+      |    round(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) *
+      |      sqrt(CAST(nb AS DOUBLE))) * 1000000.0, 0)
+      |  ELSE NULL END AS BIGINT) AS cos_ppm
+      |FROM pair ORDER BY label_a, label_b""".stripMargin
 }

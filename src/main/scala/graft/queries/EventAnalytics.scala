@@ -1251,4 +1251,78 @@ object EventAnalytics {
       |    // SUM(c) AS BIGINT) AS repeat_ppm,
       |  CAST(MAX(c) AS BIGINT) AS max_burst
       |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q264: circadian-regularity screen — per user, the Shannon entropy
+  // of their hour-of-day activity distribution (24 UTC buckets), users
+  // banded by whole bits of entropy: H ≈ 0 is a fixed-hour cron job,
+  // H ≈ log₂24 ≈ 4.58 is an implausibly uniform scheduler — humans
+  // sit in between. The diurnal companion to q253 (transition
+  // surprisal) and q259 (double-fire): all three quarantine synthetic
+  // actors before an interaction log feeds metrics or SFT export.
+  //
+  // Exactness: the q238 entropy protocol — per-(user, hour) counts
+  // are exact; each addend c·round(log₂c·10⁶) is an exact integer, so
+  // Σ is order-independent; H = log₂n − s/(10⁶·n) is ONE identical
+  // double expression over exact integers in both engines, micro-
+  // rounded once. The band is a truncating div (both engines truncate
+  // toward zero, so the ±1-micro wobble of a single-hour user's H ≈ 0
+  // lands in band 0 either way).
+  //
+  // 100 TB shape: one (user, hour) tally (map-side combined — ≤ 24
+  // rows per user), a user rollup reusing user-local data, a ≤6-row
+  // band rollup. No window, no join.
+  // ------------------------------------------------------------------
+  def q264CircadianBands(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr("CAST((unix_timestamp(ts) div 3600) % 24 AS BIGINT)").as("h"))
+      .groupBy(col("user_id"), col("h"))
+      .agg(count(lit(1)).as("c"))
+    // the addend sum folds in DECIMAL: a user's s ≈ n·log₂(c)·10⁶
+    // passes Long at ~4e11 events while the oracle's HUGEINT doesn't
+    val perUser = hourly.groupBy(col("user_id"))
+      .agg(sum(col("c")).as("n"),
+        sum((col("c") *
+          round(log2(col("c").cast(DoubleType)) * lit(1000000.0), 0)
+            .cast(LongType)).cast(DecimalType(38, 0))).as("s"))
+      .select(col("user_id"), col("n"),
+        expr("CAST(round((log2(CAST(n AS DOUBLE)) - CAST(s AS DOUBLE) / " +
+          "(CAST(n AS DOUBLE) * 1000000.0)) * 1000000.0, 0) AS BIGINT)")
+          .as("h_micro"))
+    perUser
+      .select(expr("CAST(h_micro div 1000000 AS BIGINT)").as("entropy_band"),
+        col("n"), col("h_micro"))
+      .groupBy(col("entropy_band"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("n")).as("n_events"),
+        min(col("h_micro")).as("min_h_micro"),
+        max(col("h_micro")).as("max_h_micro"))
+      .orderBy(col("entropy_band"))
+  }
+
+  val q264Sql: String =
+    """WITH hourly AS (
+      |  SELECT user_id,
+      |    (CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 3600) % 24
+      |      AS h,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |pu AS (
+      |  SELECT user_id, CAST(SUM(c) AS BIGINT) AS n,
+      |    SUM(CAST(c AS HUGEINT) * CAST(round(log2(CAST(c AS DOUBLE))
+      |      * 1000000.0, 0) AS BIGINT)) AS s
+      |  FROM hourly GROUP BY user_id),
+      |hm AS (
+      |  SELECT user_id, n,
+      |    CAST(round((log2(CAST(n AS DOUBLE)) - CAST(s AS DOUBLE) /
+      |      (CAST(n AS DOUBLE) * 1000000.0)) * 1000000.0, 0) AS BIGINT)
+      |      AS h_micro
+      |  FROM pu)
+      |SELECT h_micro // 1000000 AS entropy_band,
+      |  CAST(COUNT(*) AS BIGINT) AS n_users,
+      |  CAST(SUM(n) AS BIGINT) AS n_events,
+      |  MIN(h_micro) AS min_h_micro,
+      |  MAX(h_micro) AS max_h_micro
+      |FROM hm GROUP BY 1 ORDER BY 1""".stripMargin
 }

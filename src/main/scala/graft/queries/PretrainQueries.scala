@@ -1439,6 +1439,79 @@ object PretrainQueries {
       .orderBy(col("alpha_pm"), col("source"))
   }
 
+  // ------------------------------------------------------------------
+  // q261: context-window fit sweep — for ctx lengths L ∈ {32, 64,
+  // 128} tokens: how many documents fit whole, how many tokens a
+  // truncate-at-L policy discards, and how many chunks a split-at-L
+  // policy produces. The truncate-vs-split decision table a pipeline
+  // reads BEFORE q75's packing runs (q75/q219 measure packing
+  // efficiency AFTER the policy is chosen; this measures what each
+  // policy costs). L values sized to the synthetic corpus's 10–100
+  // token docs; production swaps {2k, 8k, 32k}.
+  //
+  // Exactness: all integer counts — fit flags, max(t−L, 0) losses,
+  // ⌈t/L⌉ = (t+L−1) div L chunks — folded in ONE single-row
+  // aggregate (the q254 sweep shape: per-L conditional sums, then a
+  // stack over the 1-row frame — the corpus is scanned once, never
+  // exploded per L); ppm ratios are truncating divisions.
+  // ------------------------------------------------------------------
+  def q261ContextFitSweep(spark: SparkSession, dir: String): DataFrame = {
+    val ls = Seq(32L, 64L, 128L)
+    val docs = Tables.documents(spark, dir)
+      .select(size(array_remove(split(col("text"), " "), ""))
+        .cast(LongType).as("t"))
+    val aggCols =
+      count(lit(1)).as("n_docs") ::
+      sum(col("t")).as("toks") ::
+      ls.flatMap(l => Seq(
+        sum(when(col("t") <= l, 1L).otherwise(0L)).as(s"f$l"),
+        sum(greatest(col("t") - l, lit(0L))).as(s"x$l"),
+        sum(expr(s"CAST((t + ${l - 1}) div $l AS BIGINT)")).as(s"c$l"))).toList
+    val one = docs.agg(aggCols.head, aggCols.tail: _*)
+    one.select(col("n_docs"), col("toks"),
+        expr("stack(3, " + ls.map(l => s"${l}L, f$l, x$l, c$l").mkString(", ") +
+          ")").as(Seq("ctx", "fit_docs", "tokens_lost", "chunks_split")))
+      .select(col("ctx"), col("n_docs"), col("fit_docs"),
+        expr("CAST(CASE WHEN n_docs > 0 THEN CAST(fit_docs AS DECIMAL(38,0)) " +
+          "* 1000000 div n_docs ELSE 0 END AS BIGINT)").as("fit_ppm"),
+        col("toks").as("tokens_total"), col("tokens_lost"),
+        expr("CAST(CASE WHEN toks > 0 THEN CAST(tokens_lost AS DECIMAL(38,0)) " +
+          "* 1000000 div toks ELSE 0 END AS BIGINT)").as("loss_ppm"),
+        col("chunks_split"))
+      .orderBy(col("ctx"))
+  }
+
+  val q261Sql: String = {
+    val ls = Seq(32, 64, 128)
+    val per = ls.map(l =>
+      s"""CAST(SUM(CASE WHEN t <= $l THEN 1 ELSE 0 END) AS BIGINT) AS f$l,
+         |  CAST(SUM(greatest(t - $l, 0)) AS BIGINT) AS x$l,
+         |  CAST(SUM((t + ${l - 1}) // $l) AS BIGINT) AS c$l""".stripMargin)
+      .mkString(",\n  ")
+    val arms = ls.map(l =>
+      s"SELECT CAST($l AS BIGINT) AS ctx, n_docs, f$l AS fit_docs, " +
+        s"x$l AS tokens_lost, c$l AS chunks_split, toks FROM a")
+      .mkString("\n  UNION ALL ")
+    s"""WITH t AS (
+       |  SELECT CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+       |    AS BIGINT) AS t
+       |  FROM documents),
+       |a AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(t) AS BIGINT) AS toks,
+       |  $per
+       |  FROM t)
+       |SELECT ctx, n_docs, fit_docs,
+       |  CAST(CASE WHEN n_docs > 0 THEN CAST(fit_docs AS HUGEINT) * 1000000
+       |    // n_docs ELSE 0 END AS BIGINT) AS fit_ppm,
+       |  toks AS tokens_total, tokens_lost,
+       |  CAST(CASE WHEN toks > 0 THEN CAST(tokens_lost AS HUGEINT) * 1000000
+       |    // toks ELSE 0 END AS BIGINT) AS loss_ppm,
+       |  chunks_split
+       |FROM ($arms)
+       |ORDER BY ctx""".stripMargin
+  }
+
   val q258Sql: String =
     """WITH counts AS (
       |  SELECT source,

@@ -550,6 +550,18 @@ class ExchangeBudgetSpec extends SparkTestBase {
                                  // join's u,v exchange), est rollup,
                                  // order range; class signature sides
                                  // broadcast behind the checkpoint
+    "q261_context_fit_sweep" -> 2, // ONE single-row aggregate (per-L
+                                 // conditional sums — the corpus is
+                                 // never exploded per L) + the 3-row
+                                 // stack's order range (q254's shape)
+    "q262_norm_spread"    -> 2,  // row-local integer norms, ONE
+                                 // (label, stats) rollup, order range
+    "q263_centroid_affinity" -> 1, // ONE label gather of fixed Gram
+                                 // buffers; the |labels|² pairing is
+                                 // driver arithmetic over a local frame
+    "q264_circadian_bands" -> 4, // (user, hour) tally, user rollup,
+                                 // band rollup, order range — tally is
+                                 // the only corpus-sized exchange
     "q223_ngram_novelty"  -> 5,  // spread repartition (underpartition
                                  // guard), train-window distinct, the
                                  // eval join co-shuffle, countDistinct
