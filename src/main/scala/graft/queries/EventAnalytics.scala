@@ -1279,13 +1279,14 @@ object EventAnalytics {
         expr("CAST((unix_timestamp(ts) div 3600) % 24 AS BIGINT)").as("h"))
       .groupBy(col("user_id"), col("h"))
       .agg(count(lit(1)).as("c"))
-    // the addend sum folds in DECIMAL: a user's s ≈ n·log₂(c)·10⁶
-    // passes Long at ~4e11 events while the oracle's HUGEINT doesn't
+    // the addend PRODUCT (not just the sum) folds in DECIMAL: a
+    // single bucket's c·round(log₂c·10⁶) passes Long at c ≈ 2.4e11
+    // events while the oracle computes it in HUGEINT
     val perUser = hourly.groupBy(col("user_id"))
       .agg(sum(col("c")).as("n"),
-        sum((col("c") *
+        sum(col("c").cast(DecimalType(38, 0)) *
           round(log2(col("c").cast(DoubleType)) * lit(1000000.0), 0)
-            .cast(LongType)).cast(DecimalType(38, 0))).as("s"))
+            .cast(LongType)).as("s"))
       .select(col("user_id"), col("n"),
         expr("CAST(round((log2(CAST(n AS DOUBLE)) - CAST(s AS DOUBLE) / " +
           "(CAST(n AS DOUBLE) * 1000000.0)) * 1000000.0, 0) AS BIGINT)")
