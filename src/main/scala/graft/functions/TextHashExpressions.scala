@@ -131,11 +131,30 @@ object ShingleMinhashExpression {
  * q32 oracle.
  */
 case class SimhashExpression(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = StringType
 
-  override def nullSafeEval(input: Any): Any = {
+  override def nullSafeEval(input: Any): Any =
+    SimhashExpression.compute(input.asInstanceOf[UTF8String])
+
+  /** Real codegen (round 15 — the static-invoke pattern of the other
+    * text kernels): keeps q32/q124's scans inside whole-stage spans. */
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SimhashExpression.compute($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "simhash"
+}
+
+object SimhashExpression {
+
+  /** Shared by the interpreted eval and the generated code. */
+  def compute(input: UTF8String): UTF8String = {
     val toks = input.toString.split("\\s+", -1)
     val sums = new Array[Int](64)
     var t = 0
@@ -155,9 +174,6 @@ case class SimhashExpression(child: Expression)
     while (j < 64) { sb.append(if (sums(j) > 0) '1' else '0'); j += 1 }
     UTF8String.fromString(sb.toString)
   }
-
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
-  override def prettyName: String = "simhash"
 }
 
 /**
@@ -166,11 +182,29 @@ case class SimhashExpression(child: Expression)
  * oracle: min over i ∈ [1, max(len−n+1, 1)] of md5(substr(text, i, n)).
  */
 case class FingerprintExpression(child: Expression, n: Int = 8)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = StringType
 
-  override def nullSafeEval(input: Any): Any = {
+  override def nullSafeEval(input: Any): Any =
+    FingerprintExpression.compute(input.asInstanceOf[UTF8String], n)
+
+  /** Real codegen (round 15, static-invoke pattern). */
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.FingerprintExpression.compute($c, $n)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "min_shingle_fingerprint"
+}
+
+object FingerprintExpression {
+
+  /** Shared by the interpreted eval and the generated code. */
+  def compute(input: UTF8String, n: Int): UTF8String = {
     val s = input.toString
     val count = math.max(s.length - n + 1, 1)
     var min: String = null
@@ -182,9 +216,6 @@ case class FingerprintExpression(child: Expression, n: Int = 8)
     }
     UTF8String.fromString(min)
   }
-
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
-  override def prettyName: String = "min_shingle_fingerprint"
 }
 
 /**
@@ -195,11 +226,29 @@ case class FingerprintExpression(child: Expression, n: Int = 8)
  * shuffles every word of every doc).
  */
 case class TopWordCountExpression(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = IntegerType
 
-  override def nullSafeEval(input: Any): Any = {
+  override def nullSafeEval(input: Any): Any =
+    TopWordCountExpression.compute(input.asInstanceOf[UTF8String])
+
+  /** Real codegen (round 15, static-invoke pattern). */
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TopWordCountExpression.compute($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "top_word_count"
+}
+
+object TopWordCountExpression {
+
+  /** Shared by the interpreted eval and the generated code. */
+  def compute(input: UTF8String): Int = {
     val toks = input.toString.split("\\s+", -1)
     val counts = new java.util.HashMap[String, Int](toks.length * 2)
     var best = 0
@@ -214,9 +263,6 @@ case class TopWordCountExpression(child: Expression)
     }
     best
   }
-
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
-  override def prettyName: String = "top_word_count"
 }
 
 /**
@@ -233,11 +279,33 @@ case class TopWordCountExpression(child: Expression)
  * callers round (6 dp) as with every float-emitting query.
  */
 case class WordEntropyExpression(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = DoubleType
 
-  override def nullSafeEval(input: Any): Any = {
+  override def nullSafeEval(input: Any): Any =
+    WordEntropyExpression.compute(input.asInstanceOf[UTF8String])
+
+  /** Real codegen (round 15, static-invoke pattern). */
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.WordEntropyExpression.compute($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "word_entropy"
+}
+
+object WordEntropyExpression {
+
+  /** Shared by the interpreted eval and the generated code. The
+    * HashMap iteration order feeds a float sum, but addends are
+    * c·log₂c over EXACT counts and iteration order is deterministic
+    * for a given insertion sequence, so one text always produces one
+    * value; callers round (6 dp) against the oracle. */
+  def compute(input: UTF8String): Double = {
     val toks = input.toString.split(" ", -1)
     val counts = new java.util.HashMap[String, Int](toks.length * 2)
     var n = 0
@@ -257,9 +325,6 @@ case class WordEntropyExpression(child: Expression)
     }
     math.log(n.toDouble) / ln2 - acc / n
   }
-
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
-  override def prettyName: String = "word_entropy"
 }
 
 /**
@@ -279,11 +344,30 @@ case class WordEntropyExpression(child: Expression)
  * including texts with trailing spaces.
  */
 case class RollingWindowsExpression(child: Expression, w: Int, hashed: Boolean)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
-  override def nullSafeEval(input: Any): Any = {
+  override def nullSafeEval(input: Any): Any =
+    RollingWindowsExpression.compute(input.asInstanceOf[UTF8String], w, hashed)
+
+  /** Real codegen (round 15, static-invoke pattern): q106/q113/q116's
+    * window generation stays inside the scan's whole-stage span. */
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.RollingWindowsExpression.compute($c, $w, $hashed)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = if (hashed) "rolling_window_hashes" else "rolling_windows"
+}
+
+object RollingWindowsExpression {
+
+  /** Shared by the interpreted eval and the generated code. */
+  def compute(input: UTF8String, w: Int, hashed: Boolean): ArrayData = {
     val toks = input.toString.split(" ", -1)
     val count = toks.length - w + 1
     if (count <= 0) return new GenericArrayData(Array.empty[Any])
@@ -303,9 +387,6 @@ case class RollingWindowsExpression(child: Expression, w: Int, hashed: Boolean)
     }
     new GenericArrayData(out)
   }
-
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
-  override def prettyName: String = if (hashed) "rolling_window_hashes" else "rolling_windows"
 }
 
 /**
@@ -326,21 +407,38 @@ case class RollingWindowsExpression(child: Expression, w: Int, hashed: Boolean)
  * state, and the oracle's stateless per-position replay is the point.
  */
 case class CdcChunksExpression(child: Expression, w: Int, d: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
+  override def nullSafeEval(input: Any): Any =
+    CdcChunksExpression.compute(input.asInstanceOf[UTF8String], w, d)
+
+  /** Real codegen (round 15, static-invoke pattern). */
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.CdcChunksExpression.compute($c, $w, $d)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "cdc_chunks"
+}
+
+object CdcChunksExpression {
+
   private val B = 1000003L
   private val M = 1000000007L
-  private val pow: Array[Long] = {
-    val a = new Array[Long](w)
-    a(0) = 1L
-    var j = 1
-    while (j < w) { a(j) = a(j - 1) * B % M; j += 1 }
-    a
-  }
 
-  override def nullSafeEval(input: Any): Any = {
+  /** Shared by the interpreted eval and the generated code. The w-entry
+    * power table rebuilds per row — negligible next to one md5 per
+    * word, and it keeps the kernel a pure static function. */
+  def compute(input: UTF8String, w: Int, d: Int): ArrayData = {
+    val pow = new Array[Long](w)
+    pow(0) = 1L
+    var j = 1
+    while (j < w) { pow(j) = pow(j - 1) * B % M; j += 1 }
     val toks = input.toString.split(" ", -1)
     val n = toks.length
     val v = new Array[Long](n)
@@ -356,8 +454,8 @@ case class CdcChunksExpression(child: Expression, w: Int, d: Int)
       val isLast = i == n - 1
       val cut = isLast || (i >= w - 1 && {
         var h = 0L
-        var j = 0
-        while (j < w) { h += v(i - j) % M * pow(j) % M; j += 1 }
+        var jj = 0
+        while (jj < w) { h += v(i - jj) % M * pow(jj) % M; jj += 1 }
         h % M % d == 0
       })
       if (cut) {
@@ -375,9 +473,6 @@ case class CdcChunksExpression(child: Expression, w: Int, d: Int)
     }
     new GenericArrayData(out.result().toArray)
   }
-
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
-  override def prettyName: String = "cdc_chunks"
 }
 
 /**
