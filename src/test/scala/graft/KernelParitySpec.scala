@@ -163,6 +163,48 @@ class KernelParitySpec extends SparkTestBase {
       s"shingle_minhash fell out of whole-stage codegen:\n$plan")
   }
 
+  test("the six round-15 codegen conversions: interpreted eval equals the codegen path") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions._
+    val texts = samples(150)
+    // each kernel: direct Literal eval (interpreted nullSafeEval) vs
+    // the DataFrame collect (generated projection); the two call the
+    // SAME static compute, so this pins the wiring, not the math
+    def arr(a: Any): Seq[String] = {
+      val d = a.asInstanceOf[ArrayData]
+      (0 until d.numElements()).map(i => d.getUTF8String(i).toString)
+    }
+    val kernels: Seq[(String, String => Expression,
+        org.apache.spark.sql.Column, Any => Any)] = Seq(
+      ("simhash", t => SimhashExpression(Literal(UTF8String.fromString(t))),
+        TextHashFunctions.simhash(col("text")), a => a.toString),
+      ("fingerprint", t => FingerprintExpression(Literal(UTF8String.fromString(t)), 8),
+        TextHashFunctions.fingerprint(col("text"), 8), a => a.toString),
+      ("top_word_count", t => TopWordCountExpression(Literal(UTF8String.fromString(t))),
+        TextHashFunctions.topWordCount(col("text")), identity),
+      ("word_entropy", t => WordEntropyExpression(Literal(UTF8String.fromString(t))),
+        TextHashFunctions.wordEntropy(col("text")), identity),
+      ("rolling_windows", t => RollingWindowsExpression(Literal(UTF8String.fromString(t)), 3, hashed = true),
+        TextHashFunctions.rollingWindowHashes(col("text"), 3), arr),
+      ("cdc_chunks", t => CdcChunksExpression(Literal(UTF8String.fromString(t)), 4, 32),
+        TextHashFunctions.cdcChunks(col("text"), 4, 32), arr))
+    kernels.foreach { case (name, interp, colExpr, normalize) =>
+      val viaCodegen = texts.toDF("text").select(col("text"), colExpr.as("k"))
+        .collect().map(r => r.getString(0) -> r.get(1)).toMap
+      texts.foreach { t =>
+        val i = normalize(interp(t).eval(InternalRow.empty))
+        val c = viaCodegen(t) match {
+          case s: Seq[_] => s.map(_.toString)
+          case other => other
+        }
+        assert(i == c, s"$name diverged on text='$t'")
+      }
+    }
+  }
+
   test("ReadabilityCountsExpression equals the declarative regexp form") {
     val df = samples(200).toDF("text")
     val toks = split(col("text"), " ")
