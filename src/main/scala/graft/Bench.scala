@@ -112,13 +112,18 @@ object Bench {
     // a loadavg-quiet host usually means contention the 1-minute
     // loadavg hasn't caught up with yet (it runs right after the
     // 32-thread warmup), so one bounded re-measure after another quiet
-    // wait; the best figure is the capability, both attempts honest
+    // wait; the best figure is the capability, and BOTH attempts land
+    // in BENCH_FULL so the trust decision is auditable against the
+    // reading that failed it (round-16 protocol fix — the discarded
+    // first attempt used to exist only on stderr).
     val first = measureIngest()
+    val ingestAttempts = scala.collection.mutable.ArrayBuffer(first)
     val (ingestLoad, ingestRps) =
       if (first._2 >= 0 && first._2 < trustFloor) {
         System.err.println(
           s"[bench] ingest ${first._2} rec/s below trust floor $trustFloor; re-measuring once")
         val second = measureIngest()
+        ingestAttempts += second
         if (second._2 > first._2) second else first
       } else first
     val ingestTrusted = ingestLoad >= 0 && ingestLoad <= loadThreshold &&
@@ -226,8 +231,11 @@ object Bench {
           "\"" + n + "\":{\"min\":" + ms(if (xs.isEmpty) -1 else xs.min) +
             ",\"max\":" + ms(if (xs.isEmpty) -1 else xs.max) + drop + "}"
         }.mkString("{", ",", "}")
+      val attempts = ingestAttempts.map { case (ld, rps) =>
+        s"""{"load":${r2(ld)},"rps":$rps}"""
+      }.mkString("[", ",", "]")
       java.nio.file.Files.write(p,
-        s"""{"line":$line,"repeats":$repeats,"all_queries":$full,"spread":$spread,"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}}""".getBytes("UTF-8"))
+        s"""{"line":$line,"repeats":$repeats,"ingest_attempts":$attempts,"ingest_stage_root":"${graft.tools.IngestBench.stageRoot()}","all_queries":$full,"spread":$spread,"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}}""".getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     println(line)
     spark.stop()

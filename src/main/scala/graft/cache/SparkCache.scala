@@ -441,12 +441,14 @@ object SparkCache {
    * later `CREATE TABLE` would fail with LOCATION_ALREADY_EXISTS. We give
    * the database an explicit location and physically clear it.
    */
-  def fresh(spark: SparkSession, name: String): SparkCache = {
+  def fresh(spark: SparkSession, name: String,
+      location: Option[String] = None): SparkCache = {
     spark.sql(s"DROP DATABASE IF EXISTS `$name` CASCADE")
-    val base = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), s"$name.db")
+    val base = location.map(new org.apache.hadoop.fs.Path(_)).getOrElse(
+      new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), s"$name.db"))
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(base)) fs.delete(base, true)
-    new SparkCache(spark, name)
+    new SparkCache(spark, name, location = location)
   }
 }

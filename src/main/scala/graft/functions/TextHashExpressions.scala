@@ -23,7 +23,8 @@ import org.apache.spark.unsafe.types.UTF8String
  * OUTPUT PARITY IS CONTRACTUAL: each expression produces bit-identical
  * results to the declarative version and to the DuckDB oracle SQL
  * (`LlmQueries.q31Sql`/`q32Sql`) — same tokenization (`\s+` split), same
- * lowercase-hex md5, same rotation family, same lexicographic min.
+ * lowercase-hex md5, same seeded-splitmix64 MinHash family
+ * (`MinhashSql`), same lexicographic min.
  */
 private[graft] object TextHash {
   def md5hex(s: String): String = {
@@ -36,6 +37,16 @@ private[graft] object TextHash {
       i += 1
     }
     sb.toString
+  }
+
+  /** First 8 bytes of md5(s), big-endian — the unsigned 64-bit value of
+    * the digest's first 16 hex chars (the oracle parses exactly those). */
+  def md5u64(s: String): Long = {
+    val d = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xFFL); i += 1 }
+    h
   }
 
   def shingles(text: String, n: Int): Array[String] = {
@@ -61,8 +72,18 @@ private[graft] object TextHash {
 
 /**
  * `struct(shingles: array<string>, sig: array<string>)` — word n-gram
- * shingles plus the k-component rotation-MinHash signature, one pass.
- * `sig` is null when the text has fewer than `n` tokens.
+ * shingles plus the k-component seeded-splitmix64 MinHash signature,
+ * one pass. `sig` is null when the text has fewer than `n` tokens.
+ *
+ * Signature family (round 16 — replaces the rotation-of-one-md5 family
+ * whose mid-range correlation q260's calibration exposed): component j
+ * is `min over shingles of splitmix64(md5u64(shingle) XOR j·GOLDEN)`,
+ * rendered as a 20-char zero-padded unsigned decimal so lexicographic
+ * min equals unsigned-numeric min and the signature stays
+ * `array<string>` for band keys and SQL oracles ([[graft.queries.MinhashSql]]
+ * generates the byte-identical DuckDB replay). k independent seeded
+ * permutations make the equal-component count an unbiased Jaccard
+ * estimator, which the 1−(1−s^r)^b banding recall math requires.
  */
 case class ShingleMinhashExpression(child: Expression, k: Int = 9, n: Int = 3)
     extends UnaryExpression {
@@ -93,9 +114,13 @@ case class ShingleMinhashExpression(child: Expression, k: Int = 9, n: Int = 3)
 
 object ShingleMinhashExpression {
 
-  /** tokenize → shingle → md5 → k-rotation min fold, one pass; shared
-    * by the interpreted eval and the generated code (parity by
-    * construction). */
+  /** GOLDEN ratio increment — seed j is j·GOLDEN (the repo-wide seeded
+    * draw convention: StreamingBloom, BloomExpressions). */
+  private val Golden = 0x9E3779B97F4A7C15L
+
+  /** tokenize → shingle → md5u64 → k seeded splitmix64 min folds, one
+    * pass; shared by the interpreted eval and the generated code
+    * (parity by construction). */
   def compute(input: UTF8String, k: Int, n: Int): InternalRow = {
     val sh = TextHash.shingles(input.toString, n)
     val shArr: ArrayData =
@@ -103,23 +128,37 @@ object ShingleMinhashExpression {
     if (sh.isEmpty) {
       InternalRow(shArr, null)
     } else {
-      val hashes = sh.map(TextHash.md5hex)
+      val hv = new Array[Long](sh.length)
+      var i = 0
+      while (i < hv.length) { hv(i) = TextHash.md5u64(sh(i)); i += 1 }
       val sig = new Array[Any](k)
       var j = 0
       while (j < k) {
-        val rot = 3 * j
-        var min: String = null
-        var i = 0
-        while (i < hashes.length) {
-          val h = hashes(i)
-          val rotated = h.substring(rot) + h.substring(0, rot)
-          if (min == null || rotated.compareTo(min) < 0) min = rotated
+        val seed = j.toLong * Golden
+        var min = HllAggregate.mix64(hv(0) ^ seed)
+        i = 1
+        while (i < hv.length) {
+          val m = HllAggregate.mix64(hv(i) ^ seed)
+          if (java.lang.Long.compareUnsigned(m, min) < 0) min = m
           i += 1
         }
-        sig(j) = UTF8String.fromString(min)
+        sig(j) = UTF8String.fromString(pad20(min))
         j += 1
       }
       InternalRow(shArr, new GenericArrayData(sig))
+    }
+  }
+
+  /** Unsigned decimal, zero-padded to 20 chars (max u64 is 20 digits)
+    * so lexicographic order equals unsigned-numeric order. */
+  private def pad20(v: Long): String = {
+    val s = java.lang.Long.toUnsignedString(v)
+    if (s.length == 20) s
+    else {
+      val sb = new java.lang.StringBuilder(20)
+      var i = s.length
+      while (i < 20) { sb.append('0'); i += 1 }
+      sb.append(s).toString
     }
   }
 }

@@ -23,8 +23,9 @@ import org.apache.spark.sql.types._
  *    array expressions, codegen'd, no UDF); candidate generation explodes
  *    to (band, bucket) keys and shuffles ONCE on the band hash — never
  *    the O(n²) cross join. Verification runs only inside buckets.
- *  - All hashes derive from md5 (content-seeded) so results are
- *    deterministic across runs, partitionings, and engines.
+ *  - All hashes derive from md5 + the frozen splitmix64 finalizer
+ *    (content-seeded) so results are deterministic across runs,
+ *    partitionings, and engines.
  */
 object Dedup {
 
@@ -41,23 +42,21 @@ object Dedup {
   }
 
   /**
-   * MinHash signature as `k` min-strings: each shingle is md5-hashed
-   * ONCE, and the j-th hash function is a rotation of the hex digest by
-   * 3j characters (a bijection per j, so each j induces a different
-   * ordering — the property min-hashing needs). One md5 per shingle
-   * instead of k (measured 9× cheaper at sf0.1: the higher-order md5
-   * runs interpreted, so hash count dominates); string-min keeps the
-   * whole pipeline portable to SQL oracles. The LSH candidate set is
-   * exact-Jaccard-verified downstream, so mild inter-j correlation only
-   * affects recall, not precision.
+   * MinHash signature as `k` min-strings: component j is
+   * `min over shingles of splitmix64(md5u64(shingle) XOR j·GOLDEN)`,
+   * rendered as a 20-char zero-padded unsigned decimal (lexicographic
+   * min ≡ unsigned-numeric min, and the whole pipeline stays portable
+   * to SQL oracles — `MinhashSql` replays the family byte-for-byte in
+   * DuckDB HUGEINT arithmetic). k independently seeded permutations
+   * make P(component match) = Jaccard per component, the independence
+   * the 1−(1−s^r)^b banding recall math needs; the retired
+   * rotation-of-one-digest family was measurably correlated mid-range
+   * (q260's calibration). Computed by the compiled
+   * [[graft.functions.ShingleMinhashExpression]] kernel.
    */
-  def minhashSignature(text: Column, k: Int = 9, shingle: Int = 3): Column = {
-    val bases = transform(wordShingles(text, shingle), s => md5(s))
-    transform(sequence(lit(0), lit(k - 1)),
-      j => array_min(transform(bases, h =>
-        concat(h.substr(j * lit(3) + lit(1), lit(32)),
-               h.substr(lit(1), j * lit(3))))))
-  }
+  def minhashSignature(text: Column, k: Int = 9, shingle: Int = 3): Column =
+    graft.functions.TextHashFunctions.shingleMinhash(text, k, shingle)
+      .getField("sig")
 
   /** One LSH band key: md5 over a slice of the signature components.
     * Docs sharing any band key become candidate pairs. */

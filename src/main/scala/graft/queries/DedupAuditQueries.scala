@@ -61,19 +61,31 @@ object DedupAuditQueries {
   // 2-path join + closing semi-join for triangles (a<b<c orientation
   // counts each triangle exactly once).
   //
-  // Corpus scale: `graft.q255.banded` swaps the pair SOURCE for
-  // MinHash-banded candidates + the identical capped-τ verify
-  // (`bandedEdges` below). The default 3-band×3-row layout is
-  // recall-unsafe at τ = 0.3 (per-pair hit probability
-  // 1−(1−0.3³)³ ≈ 8% at the threshold — q184's S-curve), so the
-  // banded source uses 9 bands × 1 row: 1−(1−s)⁹ ≥ 96% at s = 0.3
-  // and ≥ 99.98% at s = 0.6. Verification is the SAME integer test,
-  // so banded edges are a SUBSET of the exact edge set (precision 1
-  // by construction); BandedRecallSpec pins the recall floor.
+  // Corpus scale: the banded pair source AUTO-ENGAGES past a corpus
+  // probe (round 16 — a conf-gated scale path is a scale path that
+  // won't fire at 100×): `graft.q255.banded` forces either path, else
+  // the q237/q238 `tokenCountEstimate` probe (column-pruned n_chars
+  // scan) picks `bandedEdges` past `graft.q255.autoBandedTokens`
+  // (default 10⁹ tokens — far above every test SF, so the oracle pins
+  // the exact path; far below any production corpus). The banded
+  // source swaps ONLY the pair source for MinHash-banded candidates +
+  // the identical capped-τ verify (`bandedEdges` below). The default
+  // 3-band×3-row layout is recall-unsafe at τ = 0.3 (per-pair hit
+  // probability 1−(1−0.3³)³ ≈ 8% at the threshold — q184's S-curve),
+  // so the banded source uses 9 bands × 1 row: 1−(1−s)⁹ ≥ 96% at
+  // s = 0.3 and ≥ 99.98% at s = 0.6. Verification is the SAME integer
+  // test, so banded edges are a SUBSET of the exact edge set
+  // (precision 1 by construction); BandedRecallSpec pins the recall
+  // floor.
   // ------------------------------------------------------------------
   def q255DupGraphTransitivity(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val banded = spark.conf.getOption("graft.q255.banded").exists(_.toBoolean)
+    val banded = spark.conf.getOption("graft.q255.banded").map(_.toBoolean)
+      .getOrElse {
+        val threshold = spark.conf.getOption("graft.q255.autoBandedTokens")
+          .map(_.toLong).getOrElse(1000000000L)
+        CorpusQueries.tokenCountEstimate(spark, dir) > threshold
+      }
     graphTransitivity(if (banded) bandedEdges(docs) else exactEdges(docs))
   }
 
@@ -461,7 +473,7 @@ object DedupAuditQueries {
   }
 
   val q260Sql: String =
-    """WITH cls AS (SELECT MIN(doc_id) AS id, text FROM documents GROUP BY text),
+    s"""WITH cls AS (SELECT MIN(doc_id) AS id, text FROM documents GROUP BY text),
       |toks AS (SELECT id, string_split(text, ' ') AS t FROM cls),
       |sh AS (
       |  SELECT id, list_transform(
@@ -469,20 +481,16 @@ object DedupAuditQueries {
       |    i -> concat_ws(' ', t[i], t[i+1], t[i+2])) AS shingles
       |  FROM toks),
       |hashed AS (
+      |  SELECT id, shingles FROM sh WHERE len(shingles) > 0),
+      |${MinhashSql.sigCtes("hashed", "id")}
+      |sigx AS MATERIALIZED (
       |  SELECT id, list_distinct(shingles) AS dsh,
-      |    list_transform(shingles, s -> md5(s)) AS hs
-      |  FROM sh WHERE len(shingles) > 0),
-      |sig AS MATERIALIZED (
-      |  SELECT id, dsh, CAST(len(dsh) AS BIGINT) AS n,
-      |    list_transform(range(0, 9),
-      |      j -> list_min(list_transform(hs,
-      |        h -> substr(h, CAST(j*3+1 AS INT), 32) ||
-      |          substr(h, 1, CAST(j*3 AS INT))))) AS sg
-      |  FROM hashed),
+      |    CAST(len(list_distinct(shingles)) AS BIGINT) AS n, sig AS sg
+      |  FROM sig),
       |banded AS (
       |  SELECT id, unnest(list_transform(range(0, 9),
       |    b -> md5(concat_ws('|', sg[b+1], CAST(b AS VARCHAR))))) AS bk
-      |  FROM sig),
+      |  FROM sigx),
       |cand AS (
       |  SELECT DISTINCT a.id AS ia, b.id AS ib
       |  FROM banded a JOIN banded b ON a.bk = b.bk AND a.id < b.id),
@@ -493,8 +501,8 @@ object DedupAuditQueries {
       |    CAST(len(list_intersect(sa.dsh, sb.dsh)) AS BIGINT) AS inter,
       |    sa.n + sb.n AS nn
       |  FROM cand c
-      |  JOIN sig sa ON sa.id = c.ia
-      |  JOIN sig sb ON sb.id = c.ib),
+      |  JOIN sigx sa ON sa.id = c.ia
+      |  JOIN sigx sb ON sb.id = c.ib),
       |j AS (
       |  SELECT est,
       |    CAST(inter * 1000000 // (nn - inter) AS BIGINT) AS jac_ppm

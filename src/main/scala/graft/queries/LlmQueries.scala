@@ -112,7 +112,7 @@ object LlmQueries {
   }
 
   val q222Sql: String =
-    """WITH toks AS (
+    s"""WITH toks AS (
       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |sh AS (
       |  SELECT doc_id,
@@ -120,14 +120,8 @@ object LlmQueries {
       |      i -> concat_ws(' ', t[i], t[i+1], t[i+2])) AS shingles
       |  FROM toks),
       |hashed AS (
-      |  SELECT doc_id, shingles, list_transform(shingles, s -> md5(s)) AS hs
-      |  FROM sh WHERE len(shingles) > 0),
-      |sig AS (
-      |  SELECT doc_id, shingles,
-      |    list_transform(range(0, 9),
-      |      j -> list_min(list_transform(hs,
-      |        h -> substr(h, CAST(j*3+1 AS INT), 32) || substr(h, 1, CAST(j*3 AS INT))))) AS sig
-      |  FROM hashed),
+      |  SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
+      |${MinhashSql.sigCtes("hashed", "doc_id")}
       |banded AS (
       |  SELECT doc_id, shingles, unnest(list_transform(range(0, 3),
       |    b -> md5(concat_ws('|', sig[b*3+1], sig[b*3+2], sig[b*3+3], CAST(b AS VARCHAR))))) AS band_key
@@ -173,7 +167,7 @@ object LlmQueries {
       threshold = 0.35, numHashes = 9, bands = 3, shingle = 3)
 
   val q31Sql: String =
-    """WITH toks AS (
+    s"""WITH toks AS (
       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |sh AS (
       |  SELECT doc_id,
@@ -181,14 +175,8 @@ object LlmQueries {
       |      i -> concat_ws(' ', t[i], t[i+1], t[i+2])) AS shingles
       |  FROM toks),
       |hashed AS (
-      |  SELECT doc_id, shingles, list_transform(shingles, s -> md5(s)) AS hs
-      |  FROM sh WHERE len(shingles) > 0),
-      |sig AS (
-      |  SELECT doc_id, shingles,
-      |    list_transform(range(0, 9),
-      |      j -> list_min(list_transform(hs,
-      |        h -> substr(h, CAST(j*3+1 AS INT), 32) || substr(h, 1, CAST(j*3 AS INT))))) AS sig
-      |  FROM hashed),
+      |  SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
+      |${MinhashSql.sigCtes("hashed", "doc_id")}
       |banded AS (
       |  SELECT doc_id, shingles, unnest(list_transform(range(0, 3),
       |    b -> md5(concat_ws('|', sig[b*3+1], sig[b*3+2], sig[b*3+3], CAST(b AS VARCHAR))))) AS band_key
@@ -284,7 +272,7 @@ object LlmQueries {
   }
 
   val q184Sql: String =
-    """WITH base AS (
+    s"""WITH base AS (
       |  SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents
       |  WHERE doc_id < 300),
       |var AS (
@@ -302,14 +290,8 @@ object LlmQueries {
       |    i -> concat_ws(' ', t[i], t[i+1], t[i+2])) AS shingles
       |  FROM toks),
       |hashed AS (
-      |  SELECT id, shingles, list_transform(shingles, s -> md5(s)) AS hs
-      |  FROM sh WHERE len(shingles) > 0),
-      |sig AS (
-      |  SELECT id, shingles,
-      |    list_transform(range(0, 9),
-      |      j -> list_min(list_transform(hs,
-      |        h -> substr(h, CAST(j*3+1 AS INT), 32) || substr(h, 1, CAST(j*3 AS INT))))) AS sig
-      |  FROM hashed),
+      |  SELECT id, shingles FROM sh WHERE len(shingles) > 0),
+      |${MinhashSql.sigCtes("hashed", "id")}
       |inv AS (
       |  SELECT id, unnest(list_distinct(shingles)) AS s FROM hashed),
       |cpairs AS (
@@ -732,7 +714,7 @@ object LlmQueries {
   }
 
   val q43Sql: String =
-    """WITH quality AS (
+    s"""WITH quality AS (
       |  SELECT doc_id, lang, text,
       |    len(string_split(text, ' ')) AS n_tokens
       |  FROM documents
@@ -750,14 +732,8 @@ object LlmQueries {
       |    i -> concat_ws(' ', t[i], t[i+1], t[i+2])) AS shingles
       |  FROM toks),
       |hashed AS (
-      |  SELECT doc_id, shingles, list_transform(shingles, s -> md5(s)) AS hs
-      |  FROM sh WHERE len(shingles) > 0),
-      |sig AS (
-      |  SELECT doc_id, shingles,
-      |    list_transform(range(0, 9),
-      |      j -> list_min(list_transform(hs,
-      |        h -> substr(h, CAST(j*3+1 AS INT), 32) || substr(h, 1, CAST(j*3 AS INT))))) AS sig
-      |  FROM hashed),
+      |  SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
+      |${MinhashSql.sigCtes("hashed", "doc_id")}
       |banded AS (
       |  SELECT doc_id, shingles, unnest(list_transform(range(0, 3),
       |    b -> md5(concat_ws('|', sig[b*3+1], sig[b*3+2], sig[b*3+3], CAST(b AS VARCHAR))))) AS band_key
@@ -927,7 +903,7 @@ object LlmQueries {
   }
 
   val q66Sql: String =
-    """WITH toks AS (
+    s"""WITH toks AS (
       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |sh AS (
       |  SELECT doc_id,
@@ -935,14 +911,8 @@ object LlmQueries {
       |      i -> concat_ws(' ', t[i], t[i+1], t[i+2])) AS shingles
       |  FROM toks),
       |hashed AS (
-      |  SELECT doc_id, shingles, list_transform(shingles, s -> md5(s)) AS hs
-      |  FROM sh WHERE len(shingles) > 0),
-      |sig AS (
-      |  SELECT doc_id, shingles,
-      |    list_transform(range(0, 9),
-      |      j -> list_min(list_transform(hs,
-      |        h -> substr(h, CAST(j*3+1 AS INT), 32) || substr(h, 1, CAST(j*3 AS INT))))) AS sig
-      |  FROM hashed),
+      |  SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
+      |${MinhashSql.sigCtes("hashed", "doc_id")}
       |banded AS (
       |  SELECT doc_id, shingles, unnest(list_transform(range(0, 3),
       |    b -> md5(concat_ws('|', sig[b*3+1], sig[b*3+2], sig[b*3+3], CAST(b AS VARCHAR))))) AS band_key
@@ -984,7 +954,7 @@ object LlmQueries {
   }
 
   val q122Sql: String =
-    """WITH cls AS (
+    s"""WITH cls AS (
       |  SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS copies,
       |    MIN(text) AS text
       |  FROM documents GROUP BY md5(text)),
@@ -996,14 +966,8 @@ object LlmQueries {
       |      i -> concat_ws(' ', t[i], t[i+1], t[i+2])) AS shingles
       |  FROM toks),
       |hashed AS (
-      |  SELECT doc_id, shingles, list_transform(shingles, s -> md5(s)) AS hs
-      |  FROM sh WHERE len(shingles) > 0),
-      |sig AS (
-      |  SELECT doc_id, shingles,
-      |    list_transform(range(0, 9),
-      |      j -> list_min(list_transform(hs,
-      |        h -> substr(h, CAST(j*3+1 AS INT), 32) || substr(h, 1, CAST(j*3 AS INT))))) AS sig
-      |  FROM hashed),
+      |  SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
+      |${MinhashSql.sigCtes("hashed", "doc_id")}
       |banded AS (
       |  SELECT doc_id, shingles, unnest(list_transform(range(0, 3),
       |    b -> md5(concat_ws('|', sig[b*3+1], sig[b*3+2], sig[b*3+3], CAST(b AS VARCHAR))))) AS band_key
@@ -1057,7 +1021,7 @@ object LlmQueries {
   }
 
   val q112Sql: String =
-    """WITH RECURSIVE toks AS (
+    s"""WITH RECURSIVE toks AS (
       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |sh AS (
       |  SELECT doc_id,
@@ -1065,14 +1029,8 @@ object LlmQueries {
       |      i -> concat_ws(' ', t[i], t[i+1], t[i+2])) AS shingles
       |  FROM toks),
       |hashed AS (
-      |  SELECT doc_id, shingles, list_transform(shingles, s -> md5(s)) AS hs
-      |  FROM sh WHERE len(shingles) > 0),
-      |sig AS (
-      |  SELECT doc_id, shingles,
-      |    list_transform(range(0, 9),
-      |      j -> list_min(list_transform(hs,
-      |        h -> substr(h, CAST(j*3+1 AS INT), 32) || substr(h, 1, CAST(j*3 AS INT))))) AS sig
-      |  FROM hashed),
+      |  SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
+      |${MinhashSql.sigCtes("hashed", "doc_id")}
       |banded AS (
       |  SELECT doc_id, shingles, unnest(list_transform(range(0, 3),
       |    b -> md5(concat_ws('|', sig[b*3+1], sig[b*3+2], sig[b*3+3], CAST(b AS VARCHAR))))) AS band_key
@@ -1434,22 +1392,16 @@ object LlmQueries {
   }
 
   val q146Sql: String =
-    """WITH cls AS (SELECT MIN(doc_id) AS id, text FROM documents GROUP BY text),
+    s"""WITH cls AS (SELECT MIN(doc_id) AS id, text FROM documents GROUP BY text),
       |toks AS (SELECT id, string_split(text, ' ') AS t FROM cls),
       |sh AS (
       |  SELECT id, list_transform(range(1, greatest(len(t) - 2, 0) + 1),
       |    i -> concat_ws(' ', t[i], t[i+1], t[i+2])) AS shingles
       |  FROM toks),
       |hashed AS (
-      |  SELECT id, list_distinct(shingles) AS dsh,
-      |    list_transform(shingles, s -> md5(s)) AS hs
-      |  FROM sh WHERE len(shingles) > 0),
-      |sig AS (
-      |  SELECT id, dsh,
-      |    list_transform(range(0, 8),
-      |      j -> list_min(list_transform(hs,
-      |        h -> substr(h, CAST(j*3+1 AS INT), 32) || substr(h, 1, CAST(j*3 AS INT))))) AS sig
-      |  FROM hashed),
+      |  SELECT id, shingles FROM sh WHERE len(shingles) > 0),
+      |${MinhashSql.sigCtes("hashed", "id", 8)}
+      |dsets AS (SELECT id, list_distinct(shingles) AS dsh FROM hashed),
       |bs(bands) AS (VALUES (1), (2), (4), (8)),
       |banded AS (
       |  SELECT s.id, b.bands,
@@ -1462,7 +1414,7 @@ object LlmQueries {
       |  SELECT DISTINCT a.bands, a.id AS id_a, b.id AS id_b
       |  FROM banded a JOIN banded b
       |    ON a.bands = b.bands AND a.band_key = b.band_key AND a.id < b.id),
-      |posts_all AS (SELECT id, unnest(dsh) AS s FROM hashed),
+      |posts_all AS (SELECT id, unnest(dsh) AS s FROM dsets),
       |posts AS (
       |  SELECT id, s FROM posts_all
       |  WHERE s IN (SELECT s FROM posts_all GROUP BY s HAVING COUNT(*) <= 50)),
@@ -1470,7 +1422,7 @@ object LlmQueries {
       |  SELECT x.id AS id_a, y.id AS id_b, COUNT(*) AS inter
       |  FROM posts x JOIN posts y ON x.s = y.s AND x.id < y.id
       |  GROUP BY 1, 2),
-      |sizes AS (SELECT id, len(dsh) AS n FROM hashed),
+      |sizes AS (SELECT id, len(dsh) AS n FROM dsets),
       |truth AS (
       |  SELECT id_a, id_b FROM pairs
       |  JOIN sizes sa ON sa.id = pairs.id_a

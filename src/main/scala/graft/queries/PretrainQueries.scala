@@ -442,7 +442,7 @@ object PretrainQueries {
   }
 
   val q134Sql: String =
-    """WITH toks AS (
+    s"""WITH toks AS (
       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |sh AS (
       |  SELECT doc_id,
@@ -450,14 +450,8 @@ object PretrainQueries {
       |      i -> concat_ws(' ', t[i], t[i+1], t[i+2])) AS shingles
       |  FROM toks),
       |hashed AS (
-      |  SELECT doc_id, shingles, list_transform(shingles, s -> md5(s)) AS hs
-      |  FROM sh WHERE len(shingles) > 0),
-      |sig AS (
-      |  SELECT doc_id, shingles,
-      |    list_transform(range(0, 9),
-      |      j -> list_min(list_transform(hs,
-      |        h -> substr(h, CAST(j*3+1 AS INT), 32) || substr(h, 1, CAST(j*3 AS INT))))) AS sig
-      |  FROM hashed),
+      |  SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
+      |${MinhashSql.sigCtes("hashed", "doc_id")}
       |banded AS (
       |  SELECT doc_id, shingles, unnest(list_transform(range(0, 3),
       |    b -> md5(concat_ws('|', sig[b*3+1], sig[b*3+2], sig[b*3+3], CAST(b AS VARCHAR))))) AS band_key

@@ -78,4 +78,31 @@ class BandedRecallSpec extends SparkTestBase {
       s"banded n_edges ${bandedRow.getLong(1)} lost >15% of " +
         s"exact ${exactRow.getLong(1)}")
   }
+
+  test("the corpus probe auto-engages the banded source past the threshold") {
+    val dir = "/root/testdata/sf0.001"
+    def stats() = SparkEntry.queries("q255_dup_transitivity")(spark, dir)
+      .collect()(0)
+    // default probe (10⁹ tokens): the test corpus stays on the exact path
+    val exactRow = stats()
+    // lower the threshold below the corpus size: the banded source must
+    // engage WITHOUT the explicit graft.q255.banded conf
+    spark.conf.set("graft.q255.autoBandedTokens", "1")
+    val autoRow = try stats()
+      finally spark.conf.unset("graft.q255.autoBandedTokens")
+    assert(autoRow.getLong(1) <= exactRow.getLong(1),
+      s"auto-banded n_edges ${autoRow.getLong(1)} > exact ${exactRow.getLong(1)}")
+    assert(autoRow.getLong(1) >= (exactRow.getLong(1) * 0.85).toLong,
+      s"auto-banded n_edges ${autoRow.getLong(1)} lost >15% of " +
+        s"exact ${exactRow.getLong(1)}")
+    // explicit conf still wins over the probe in BOTH directions
+    spark.conf.set("graft.q255.banded", "false")
+    spark.conf.set("graft.q255.autoBandedTokens", "1")
+    val forcedExact = try stats() finally {
+      spark.conf.unset("graft.q255.banded")
+      spark.conf.unset("graft.q255.autoBandedTokens")
+    }
+    assert(forcedExact.getLong(1) == exactRow.getLong(1),
+      "explicit graft.q255.banded=false must override the probe")
+  }
 }
