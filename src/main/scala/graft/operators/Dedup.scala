@@ -140,31 +140,21 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
 
-    // cross-class expansion: every member pair inherits the class score;
-    // least/greatest restores the id_a < id_b orientation (classes
-    // partition ids arbitrarily, so a member of the "b" class can have
-    // the smaller id).
+    // member re-expansion (CollapseExpand owns the invariants): every
+    // cross-class member pair inherits the class score; within-class
+    // pairs are exact duplicates — identical texts share every band key
+    // and have Jaccard exactly 1.0, so the uncollapsed pipeline always
+    // emits them (when shingles are nonempty and the threshold admits
+    // 1.0).
     val membersOf = withSig.select(col("id"), col("members"))
-    val cross = classPairs
+    val pairsWithMembers = classPairs
       .join(membersOf.select(col("id").as("id_a"), col("members").as("ma")), "id_a")
       .join(membersOf.select(col("id").as("id_b"), col("members").as("mb")), "id_b")
-      .select(explode(col("ma")).as("xa"), col("mb"), col("jaccard"))
-      .select(col("xa"), explode(col("mb")).as("xb"), col("jaccard"))
-      .select(least(col("xa"), col("xb")).as("id_a"),
-        greatest(col("xa"), col("xb")).as("id_b"), col("jaccard"))
-
-    // within-class pairs: identical texts share every band key and have
-    // Jaccard exactly 1.0, so the uncollapsed pipeline always emits them
-    // (when shingles are nonempty and the threshold admits 1.0).
-    val within = withSig
-      .filter(size(col("members")) > 1 && lit(1.0) >= lit(threshold))
-      .select(col("members"))
-      .select(explode(col("members")).as("xa"), col("members"))
-      .select(col("xa"), explode(col("members")).as("xb"))
-      .filter(col("xa") < col("xb"))
-      .select(col("xa").as("id_a"), col("xb").as("id_b"), lit(1.0).as("jaccard"))
-
-    cross.unionByName(within)
+      .select(col("ma"), col("mb"), col("jaccard"))
+    val withinClasses = withSig
+      .filter(lit(1.0) >= lit(threshold))
+      .select(col("members"), lit(1.0).as("jaccard"))
+    CollapseExpand.expand(pairsWithMembers, withinClasses, "jaccard")
   }
 
   /**

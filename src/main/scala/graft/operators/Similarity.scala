@@ -225,22 +225,17 @@ object Similarity {
           .otherwise(lit(0.0)), roundDigits))
       .filter(col("sim") >= threshold)
       .select(col("a.members").as("ma"), col("b.members").as("mb"), col("sim"))
-    val cross = classPairs
-      .select(explode(col("ma")).as("xa"), col("mb"), col("sim"))
-      .select(col("xa"), explode(col("mb")).as("xb"), col("sim"))
-      .select(least(col("xa"), col("xb")).as("id_a"),
-        greatest(col("xa"), col("xb")).as("id_b"), col("sim"))
-    val within = classes
-      .filter(size(col("members")) > 1)
+    // member re-expansion (CollapseExpand owns the invariants); the
+    // within-class self-score is the class self-cosine — 1.0 after
+    // rounding for any nonzero vector, 0.0 for zero vectors, gated on
+    // the threshold exactly as the uncollapsed join scored them
+    val withinClasses = classes
       .withColumn("sim", round(
         when(col("norm") * col("norm") > 0,
           dot(col("vec"), col("vec")) / (col("norm") * col("norm")))
           .otherwise(lit(0.0)), roundDigits))
       .filter(col("sim") >= threshold)
-      .select(explode(col("members")).as("xa"), col("members"), col("sim"))
-      .select(col("xa"), explode(col("members")).as("xb"), col("sim"))
-      .filter(col("xa") < col("xb"))
-      .select(col("xa").as("id_a"), col("xb").as("id_b"), col("sim"))
-    cross.unionByName(within)
+      .select(col("members"), col("sim"))
+    CollapseExpand.expand(classPairs, withinClasses, "sim")
   }
 }

@@ -408,29 +408,16 @@ object LlmQueries {
       .filter(col("jaccard") >= 0.2)
       .select(col("ca"), col("cb"), col("jaccard"))
 
-    // cross-class expansion: every member pair inherits the class
-    // score; least/greatest restores id_a < id_b (a member of the "b"
-    // class can carry the smaller doc_id)
+    // member re-expansion (CollapseExpand owns the invariants):
+    // within-class pairs have identical shingle sets ⇒ Jaccard exactly
+    // 1.0 ≥ 0.2, always emitted by the uncollapsed pipeline
     val membersOf = classes.select(col("cid"), col("members"))
-    val cross = classPairs
+    val pairsWithMembers = classPairs
       .join(membersOf.select(col("cid").as("ca"), col("members").as("ma")), "ca")
       .join(membersOf.select(col("cid").as("cb"), col("members").as("mb")), "cb")
-      .select(explode(col("ma")).as("xa"), col("mb"), col("jaccard"))
-      .select(col("xa"), explode(col("mb")).as("xb"), col("jaccard"))
-      .select(least(col("xa"), col("xb")).as("id_a"),
-        greatest(col("xa"), col("xb")).as("id_b"), col("jaccard"))
-
-    // within-class pairs: identical shingle sets ⇒ Jaccard exactly
-    // 1.0 ≥ 0.2, always emitted by the uncollapsed pipeline
-    val within = classes
-      .filter(size(col("members")) > 1)
-      .select(explode(col("members")).as("xa"), col("members"))
-      .select(col("xa"), explode(col("members")).as("xb"))
-      .filter(col("xa") < col("xb"))
-      .select(col("xa").as("id_a"), col("xb").as("id_b"),
-        lit(1.0).as("jaccard"))
-
-    cross.unionByName(within)
+      .select(col("ma"), col("mb"), col("jaccard"))
+    graft.operators.CollapseExpand.expand(pairsWithMembers,
+      classes.select(col("members"), lit(1.0).as("jaccard")), "jaccard")
   }
 
   val q33Sql: String =

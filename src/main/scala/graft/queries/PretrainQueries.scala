@@ -1421,8 +1421,14 @@ object PretrainQueries {
         struct(lit(a).as("alpha_pm"), addend(a).as("w"))): _*)).as("e"))
       .select(col("source"), col("n_tokens"),
         col("e.alpha_pm").as("alpha_pm"), col("e.w").as("w"))
+    // totals fold in DECIMAL(38,0): the oracle sums these in HUGEINT,
+    // and a plain LongType SUM would silently wrap past ~9.2e18 — the
+    // same Long-wrap class the ppm products below already widen for
+    // (unreachable at test SFs, but the convention is uniform)
+    val dec38 = DecimalType(38, 0)
     val totals = sweep.groupBy(col("alpha_pm"))
-      .agg(sum(col("w")).as("w_tot"), sum(col("n_tokens")).as("n_tot"))
+      .agg(sum(col("w").cast(dec38)).as("w_tot"),
+        sum(col("n_tokens").cast(dec38)).as("n_tot"))
     sweep.join(broadcast(totals), "alpha_pm")
       .select(col("alpha_pm"), col("source"), col("n_tokens"),
         expr("CAST(CAST(w AS DECIMAL(38,0)) * 1000000 div w_tot AS BIGINT)")

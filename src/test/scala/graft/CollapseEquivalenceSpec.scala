@@ -154,6 +154,51 @@ class CollapseEquivalenceSpec extends SparkTestBase {
     }
   }
 
+  test("CollapseExpand.expand equals the brute member-pair reference on random class structures") {
+    // The helper now OWNS the re-expansion invariants for every
+    // collapsed operator (q31/q33/q34 call sites) — pin them directly:
+    // cross pairs = members(a) × members(b) with the class score and
+    // id_a < id_b restored; within pairs = all unordered member pairs
+    // with the class self-score; singletons emit nothing.
+    (1 to 8).foreach { seed =>
+      val rnd = new scala.util.Random(300 + seed)
+      val nClasses = 2 + rnd.nextInt(5)
+      val ids = rnd.shuffle((1L to 24L).toList)
+      // partition shuffled ids into member lists of size 1-5
+      val members = (0 until nClasses).map { c =>
+        val take = 1 + rnd.nextInt(5)
+        ids.slice(c * 5, c * 5 + take)
+      }.filter(_.nonEmpty)
+      val reps = members.map(_.min)
+      // random verified class pairs with scores
+      val pairIdx = for {
+        i <- members.indices; j <- members.indices
+        if i < j && rnd.nextBoolean()
+      } yield (i, j, math.floor(rnd.nextDouble() * 1000) / 1000)
+      val pairsDf = pairIdx.map { case (i, j, s) => (members(i), members(j), s) }
+        .toDF("ma", "mb", "score")
+      // random subset of classes carries a within self-score
+      val withinIdx = members.indices.filter(_ => rnd.nextBoolean())
+      val withinDf = withinIdx.map(i => (members(i), 1.0)).toDF("members", "score")
+
+      val got = graft.operators.CollapseExpand
+        .expand(pairsDf, withinDf, "score")
+        .as[(Long, Long, Double)].collect().toSeq.sorted
+
+      val wantCross = pairIdx.flatMap { case (i, j, s) =>
+        for (x <- members(i); y <- members(j))
+          yield (math.min(x, y), math.max(x, y), s)
+      }
+      val wantWithin = withinIdx.flatMap { i =>
+        val m = members(i)
+        for (x <- m; y <- m if x < y) yield (x, y, 1.0)
+      }
+      val want = (wantCross ++ wantWithin).sorted
+      assert(got == want, s"CollapseExpand divergence on seed $seed " +
+        s"(reps=$reps)")
+    }
+  }
+
   test("collapsed q106/q116 equal their uncollapsed duals on a duplicated corpus") {
     // write a small duplicated corpus as the documents table, run the
     // SHIPPED queries against it, and compare with inline uncollapsed
