@@ -2,7 +2,6 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -28,12 +27,22 @@ import org.apache.spark.unsafe.types.UTF8String
  * yields the text before the break, never an exception).
  */
 case class HtmlTextExtractExpression(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = StringType
 
   override def nullSafeEval(input: Any): Any =
     UTF8String.fromString(HtmlText.extract(input.toString))
+
+  /** Real codegen (round 16, static-invoke pattern): the state machine
+    * runs as one static call inside the enclosing whole-stage span. */
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.functions.HtmlText.extract($c.toString()))")
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)

@@ -2,7 +2,6 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -21,14 +20,36 @@ import org.apache.spark.unsafe.types.UTF8String
  */
 case class UnicodeNormalizeExpression(child: Expression, form: String,
     stripZeroWidth: Boolean)
-    extends UnaryExpression with CodegenFallback {
-
-  @transient private lazy val nf = java.text.Normalizer.Form.valueOf(form)
+    extends UnaryExpression {
 
   override def dataType: DataType = StringType
 
-  override def nullSafeEval(input: Any): Any = {
-    val normalized = java.text.Normalizer.normalize(input.toString, nf)
+  override def nullSafeEval(input: Any): Any =
+    UnicodeNormalizeExpression.compute(input.toString, form, stripZeroWidth)
+
+  /** Real codegen (round 16, static-invoke pattern): the form and
+    * strip flag inline as literals, so the normalize call stays inside
+    * the enclosing whole-stage span. */
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"""graft.functions.UnicodeNormalizeExpression.compute($c.toString(), "$form", $stripZeroWidth)""")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = s"unicode_${form.toLowerCase(java.util.Locale.ROOT)}"
+}
+
+object UnicodeNormalizeExpression {
+
+  /** Shared by the interpreted eval and the generated code (parity by
+    * construction). `Form.valueOf` is an enum map lookup \u2014 negligible
+    * next to the normalize pass itself. */
+  def compute(s: String, form: String, stripZeroWidth: Boolean): UTF8String = {
+    val normalized =
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.valueOf(form))
     val out =
       if (!stripZeroWidth) normalized
       else {
@@ -44,10 +65,6 @@ case class UnicodeNormalizeExpression(child: Expression, form: String,
       }
     UTF8String.fromString(out)
   }
-
-  override protected def withNewChildInternal(c: Expression): Expression =
-    copy(child = c)
-  override def prettyName: String = s"unicode_${form.toLowerCase(java.util.Locale.ROOT)}"
 }
 
 object UnicodeFunctions {

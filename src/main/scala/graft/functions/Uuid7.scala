@@ -33,6 +33,12 @@ object Uuid7 {
   }
 }
 
+/** DOCUMENTED CodegenFallback EXEMPTION (the only one left in the
+  * codebase, round 16): a nondeterministic leaf needs per-partition
+  * init plumbing to codegen, the expression does one clock read + two
+  * PRNG draws per row (no per-element loop for the interpreter to
+  * multiply), and it appears only in write-path projections (S5 id
+  * stamping), never in a bench-visible scan. */
 case class Uuid7Expression() extends LeafExpression
     with Nondeterministic with CodegenFallback {
   override def nullable: Boolean = false

@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -150,7 +149,7 @@ object L2NormExpression {
  * per expression instance — constants, not per-row work.
  */
 case class LshSignatureExpression(child: Expression, planes: Int, dims: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = StringType
   private lazy val isFloat = VecOps.isFloatArray(child.dataType)
@@ -164,8 +163,11 @@ case class LshSignatureExpression(child: Expression, planes: Int, dims: Int)
     }
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val x = input.asInstanceOf[ArrayData]
+  /** Shared by the interpreted eval and the generated code (the
+    * expression instance carries the sign payload, so codegen invokes
+    * it via a plan reference — the payload-kernel variant of the
+    * static-invoke pattern). */
+  def compute(x: ArrayData): UTF8String = {
     val n = math.min(x.numElements(), dims)
     val sb = new java.lang.StringBuilder(planes)
     var p = 0
@@ -181,6 +183,20 @@ case class LshSignatureExpression(child: Expression, planes: Int, dims: Int)
       p += 1
     }
     UTF8String.fromString(sb.toString)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  /** Real codegen (round 16): one virtual call per row through a plan
+    * reference instead of a CodegenFallback Expression walk, keeping
+    * the enclosing projection inside its whole-stage span. */
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("lshSig", this)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
@@ -246,7 +262,7 @@ case class MultiQuerySimsExpression(
     /** queryNorms(q)(w), aligned with queryReps. */
     queryNorms: Array[Array[Double]],
     scales: Array[Double],
-    bitsWidths: Array[Int]) extends UnaryExpression with CodegenFallback {
+    bitsWidths: Array[Int]) extends UnaryExpression {
 
   override def child: Expression = vec
   override def nullable: Boolean = true
@@ -256,6 +272,28 @@ case class MultiQuerySimsExpression(
     StructField("query_id", LongType, nullable = false) +:
       (0 +: bitsWidths.toSeq).map(b =>
         StructField(s"s$b", DoubleType, nullable = false))), containsNull = false)
+
+
+  /** Public entry for the generated code — delegates to the interpreted
+    * kernel (parity by construction); may return null (null vector
+    * elements null the row's entry), which the generated null check
+    * propagates. */
+  def compute(x: ArrayData): ArrayData =
+    nullSafeEval(x).asInstanceOf[ArrayData]
+
+  /** Real codegen (round 16): one virtual call per row through a plan
+    * reference instead of a CodegenFallback Expression walk, keeping
+    * the enclosing projection inside its whole-stage span. */
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("kernel", this)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = $ref.compute($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  }
 
   override def nullSafeEval(input: Any): Any = {
     val x = input.asInstanceOf[ArrayData]
@@ -328,7 +366,7 @@ case class PqMultiQuerySimsExpression(
     /** The raw codebook vectors (full dimension); subspace slices and
       * their self-dots are precomputed lazily per executor. */
     cbVecs: Array[Array[Double]],
-    ms: Array[Int]) extends UnaryExpression with CodegenFallback {
+    ms: Array[Int]) extends UnaryExpression {
 
   override def child: Expression = vec
   override def nullable: Boolean = true
@@ -351,6 +389,28 @@ case class PqMultiQuerySimsExpression(
         s
       }
     }
+  }
+
+
+  /** Public entry for the generated code — delegates to the interpreted
+    * kernel (parity by construction); may return null (null vector
+    * elements null the row's entry), which the generated null check
+    * propagates. */
+  def compute(x: ArrayData): ArrayData =
+    nullSafeEval(x).asInstanceOf[ArrayData]
+
+  /** Real codegen (round 16): one virtual call per row through a plan
+    * reference instead of a CodegenFallback Expression walk, keeping
+    * the enclosing projection inside its whole-stage span. */
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("kernel", this)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = $ref.compute($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
   }
 
   override def nullSafeEval(input: Any): Any = {
@@ -452,7 +512,7 @@ case class IvfMultiQuerySimsExpression(
       * query q's probe order. */
     crankByCentroid: Array[Array[Int]],
     centroidVecs: Array[Array[Double]],
-    centroidNorms: Array[Double]) extends UnaryExpression with CodegenFallback {
+    centroidNorms: Array[Double]) extends UnaryExpression {
 
   override def child: Expression = vec
   override def nullable: Boolean = true
@@ -462,6 +522,28 @@ case class IvfMultiQuerySimsExpression(
     StructField("query_id", LongType, nullable = false),
     StructField("crank", LongType, nullable = false),
     StructField("sim", DoubleType, nullable = false))), containsNull = false)
+
+
+  /** Public entry for the generated code — delegates to the interpreted
+    * kernel (parity by construction); may return null (null vector
+    * elements null the row's entry), which the generated null check
+    * propagates. */
+  def compute(x: ArrayData): ArrayData =
+    nullSafeEval(x).asInstanceOf[ArrayData]
+
+  /** Real codegen (round 16): one virtual call per row through a plan
+    * reference instead of a CodegenFallback Expression walk, keeping
+    * the enclosing projection inside its whole-stage span. */
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("kernel", this)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = $ref.compute($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  }
 
   override def nullSafeEval(input: Any): Any = {
     val x = input.asInstanceOf[ArrayData]

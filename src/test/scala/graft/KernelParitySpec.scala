@@ -205,6 +205,85 @@ class KernelParitySpec extends SparkTestBase {
     }
   }
 
+  test("the six round-15 codegen conversions inline into whole-stage codegen") {
+    // The parity test above compares Seq.toDF paths, which
+    // ConvertToLocalRelation folds with an INTERPRETED projection — a
+    // codegen compile error there would silently fall back and pass.
+    // This is the shingle_minhash real-scan gate extended to all six:
+    // over a parquet scan the kernel's plan line must carry the
+    // whole-stage '*' marker, proving the generated code compiled.
+    import graft.functions.TextHashFunctions
+    val kernels: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      ("simhash", TextHashFunctions.simhash(col("text"))),
+      ("min_shingle_fingerprint", TextHashFunctions.fingerprint(col("text"), 8)),
+      ("top_word_count", TextHashFunctions.topWordCount(col("text"))),
+      ("word_entropy", TextHashFunctions.wordEntropy(col("text"))),
+      ("rolling_window_hashes", TextHashFunctions.rollingWindowHashes(col("text"), 3)),
+      ("cdc_chunks", TextHashFunctions.cdcChunks(col("text"), 4, 32)))
+    kernels.foreach { case (name, kcol) =>
+      val df = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+        .select(kcol.as("k"))
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      val line = plan.linesIterator.find(_.contains(name))
+      assert(line.isDefined, s"$name not in executed plan:\n$plan")
+      assert(line.get.contains("*"),
+        s"$name fell out of whole-stage codegen:\n$plan")
+    }
+  }
+
+  test("the round-16 conversions (lsh_signature, unicode, html_text) inline into whole-stage codegen") {
+    import graft.functions.{HtmlFunctions, UnicodeFunctions}
+    val docKernels: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      ("unicode_nfc", UnicodeFunctions.nfcNormalize(col("text"))),
+      ("html_text", HtmlFunctions.htmlText(col("text"))))
+    docKernels.foreach { case (name, kcol) =>
+      val df = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+        .select(kcol.as("k"))
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      val line = plan.linesIterator.find(_.contains(name))
+      assert(line.isDefined, s"$name not in executed plan:\n$plan")
+      assert(line.get.contains("*"),
+        s"$name fell out of whole-stage codegen:\n$plan")
+    }
+    val lsh = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(graft.operators.Similarity
+        .lshSignature(col("embedding"), 8).as("k"))
+    lsh.collect()
+    val plan = lsh.queryExecution.executedPlan.toString
+    val line = plan.linesIterator.find(_.contains("lsh_signature"))
+    assert(line.isDefined, s"lsh_signature not in executed plan:\n$plan")
+    assert(line.get.contains("*"),
+      s"lsh_signature fell out of whole-stage codegen:\n$plan")
+  }
+
+  test("MultiQuerySims codegen keeps the payload kernel inlined and carries the null contract") {
+    import org.apache.spark.sql.GraftBridge
+    import graft.functions.MultiQuerySimsExpression
+    // minimal payload: one query, float anchor only + one width
+    val dim = 4
+    val qv = Array(1.0, 0.0, 1.0, 0.0)
+    val expr = (c: org.apache.spark.sql.Column) => GraftBridge.column(
+      MultiQuerySimsExpression(GraftBridge.expression(c),
+        Array(7L), Array(Array(qv, qv)), Array(Array(math.sqrt(2), math.sqrt(2))),
+        Array(1.0, 1.0, 1.0, 1.0), Array(8)))
+    val rows = Seq(
+      (1L, Seq[java.lang.Double](1.0, 1.0, 0.0, 0.0)),
+      (2L, Seq[java.lang.Double](1.0, null, 0.0, 0.0))) // null element → null entry
+    val df = rows.toDF("id", "vec")
+      .repartition(2) // defeat ConvertToLocalRelation: force a real exchange scan
+      .select(col("id"), expr(col("vec")).as("k"))
+    val got = df.collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(!got(1L), "non-null vector must score")
+    assert(got(2L), "null vector element must null the row's entry")
+    val plan = df.queryExecution.executedPlan.toString
+    val line = plan.linesIterator.find(_.contains("multi_query_sims"))
+    assert(line.isDefined, s"kernel not in executed plan:\n$plan")
+    assert(line.get.contains("*"),
+      s"multi_query_sims fell out of whole-stage codegen:\n$plan")
+  }
+
   test("ReadabilityCountsExpression equals the declarative regexp form") {
     val df = samples(200).toDF("text")
     val toks = split(col("text"), " ")
