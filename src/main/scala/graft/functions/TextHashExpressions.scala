@@ -826,11 +826,40 @@ case class CodeSwitchExpression(
   override def prettyName: String = "code_switch_profile"
 }
 
+/**
+ * First 8 bytes of md5(text), big-endian, as a SIGNED long — the
+ * string→64-bit bridge the seeded MinHash family and the KMV sketch
+ * share (`TextHash.md5u64`; the oracle parses the digest's first 16 hex
+ * chars and recenters the unsigned value into signed range, so both
+ * engines order values identically).
+ */
+case class Md5U64Expression(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    TextHash.md5u64(input.asInstanceOf[UTF8String].toString)
+
+  /** Real codegen (static-invoke pattern). */
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHash.md5u64($c.toString())")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "md5_u64"
+}
+
 object TextHashFunctions {
   import org.apache.spark.sql.GraftBridge
 
   def shingleMinhash(text: Column, k: Int = 9, n: Int = 3): Column =
     GraftBridge.column(ShingleMinhashExpression(GraftBridge.expression(text), k, n))
+
+  def md5U64(text: Column): Column =
+    GraftBridge.column(Md5U64Expression(GraftBridge.expression(text)))
 
   def simhash(text: Column): Column =
     GraftBridge.column(SimhashExpression(GraftBridge.expression(text)))

@@ -41,22 +41,17 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
-  /**
-   * MinHash signature as `k` min-strings: component j is
-   * `min over shingles of splitmix64(md5u64(shingle) XOR j·GOLDEN)`,
-   * rendered as a 20-char zero-padded unsigned decimal (lexicographic
-   * min ≡ unsigned-numeric min, and the whole pipeline stays portable
-   * to SQL oracles — `MinhashSql` replays the family byte-for-byte in
-   * DuckDB HUGEINT arithmetic). k independently seeded permutations
-   * make P(component match) = Jaccard per component, the independence
-   * the 1−(1−s^r)^b banding recall math needs; the retired
-   * rotation-of-one-digest family was measurably correlated mid-range
-   * (q260's calibration). Computed by the compiled
-   * [[graft.functions.ShingleMinhashExpression]] kernel.
-   */
-  def minhashSignature(text: Column, k: Int = 9, shingle: Int = 3): Column =
-    graft.functions.TextHashFunctions.shingleMinhash(text, k, shingle)
-      .getField("sig")
+  // The MinHash signature family (component j = min over shingles of
+  // splitmix64(md5u64(shingle) XOR j·GOLDEN), 20-char zero-padded
+  // unsigned decimals so lexicographic min ≡ unsigned-numeric min) is
+  // computed by the compiled ShingleMinhashExpression kernel — use
+  // TextHashFunctions.shingleMinhash(text, k, n): one pass yields both
+  // the shingles and the signature, and MinhashSql replays the family
+  // byte-for-byte in DuckDB HUGEINT arithmetic. k independently seeded
+  // permutations make P(component match) = Jaccard per component, the
+  // independence the 1−(1−s^r)^b banding recall math needs; the
+  // retired rotation-of-one-digest family was measurably correlated
+  // mid-range (q260's round-15 calibration).
 
   /** One LSH band key: md5 over a slice of the signature components.
     * Docs sharing any band key become candidate pairs. */

@@ -426,12 +426,17 @@ object DedupAuditQueries {
   // on the live corpus, binned by the estimate itself: for every
   // banded candidate pair, the number of equal components (1..9) vs
   // the exact distinct-shingle Jaccard — n_pairs, mean, min and max
-  // true J per estimated-match count. A calibrated signature shows
-  // mean_jac ≈ est/9 with tight min/max; heavy mass at high est with
-  // low true J means the rotation family is correlated on this corpus
-  // and every banded recall number upstream is optimistic. q184 audits
-  // the BANDING layout (candidate recall/precision); this audits the
-  // ESTIMATOR the banding is built from.
+  // true J per estimated-match count. Heavy mass in MID est bins with
+  // near-zero true J means the hash components are correlated on this
+  // corpus and every banded recall number upstream is optimistic —
+  // exactly what this audit caught in the retired rotation family
+  // (round 15: est=2..4 bins carried J ≈ 0.01–0.03), prompting the
+  // round-16 seeded-splitmix64 replacement it now certifies (mid bins
+  // empty on the natural corpus; low bins are Bayes-dominated by the
+  // corpus's near-zero-J pair mass, so ONLY the mid/high bins carry
+  // the correlation signal). q184 audits the BANDING layout (candidate
+  // recall/precision); this audits the ESTIMATOR the banding is built
+  // from.
   //
   // Exactness: est is an integer component count; true J is the
   // all-integer inter·10⁶ div (n_a+n_b−inter) over distinct shingle
@@ -513,4 +518,374 @@ object DedupAuditQueries {
       |  MIN(jac_ppm) AS min_jac_ppm,
       |  MAX(jac_ppm) AS max_jac_ppm
       |FROM j GROUP BY est ORDER BY est""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q265: MinHash k-sweep — how many hash components does THIS corpus
+  // need? For k ∈ {4, 9, 16} (prefixes of ONE 16-component seeded
+  // signature — seed j is j·GOLDEN, so a k-prefix IS the k-hash
+  // family), measure estimator accuracy est_k/k vs exact Jaccard over
+  // the banded candidate pairs (q260's 9-band × 1-row source; never
+  // all pairs). Output per k: pair count, mean |error| and mean
+  // squared error in ppm — the table that justifies (or indicts) the
+  // suite's default k = 9 after the round-16 family replacement.
+  //
+  // Scale shape: exact-class collapse → ONE 16-component signature
+  // pass → q260's band-key self-join on class ids → per-candidate
+  // component compare + exact array intersection → 3-row rollup.
+  // All-integer error arithmetic (est·10⁶ div k, DECIMAL-widened
+  // squares per the ppm-product convention).
+  // ------------------------------------------------------------------
+  def q265MinhashKSweep(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val cls = Tables.documents(spark, dir)
+      .groupBy(col("text")).agg(min(col("doc_id")).as("id"))
+      .select(col("id"), graft.functions.TextHashFunctions
+        .shingleMinhash(col("text"), 16, 3).as("sm"))
+      .localCheckpoint() // reused: band explode AND both verify sides
+      .select(col("id"), array_distinct(col("sm.shingles")).as("dsh"),
+        col("sm.sig").as("sg"))
+      .filter(size(col("dsh")) > 0)
+      .select(col("id"), col("dsh"),
+        size(col("dsh")).cast(LongType).as("n"), col("sg"))
+    val banded = cls.select(col("id"),
+      explode(array((0 until 9).map(b =>
+        md5(concat_ws("|", element_at(col("sg"), b + 1), lit(b.toString))))
+        : _*)).as("bk"))
+    val cand = banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("ia"), col("b.id").as("ib"))
+      .dropDuplicates("ia", "ib")
+    val pairs = cand
+      .join(cls.select(col("id").as("ia"), col("dsh").as("da"),
+        col("n").as("na"), col("sg").as("sga")), "ia")
+      .join(cls.select(col("id").as("ib"), col("dsh").as("db"),
+        col("n").as("nb"), col("sg").as("sgb")), "ib")
+      .select(
+        (Seq(
+          size(array_intersect(col("da"), col("db"))).cast(LongType).as("inter"),
+          (col("na") + col("nb")).as("nn")) ++
+        (0 until 16).map(j =>
+          when(element_at(col("sga"), j + 1) === element_at(col("sgb"), j + 1),
+            1L).otherwise(0L).as(s"m$j"))): _*)
+      .withColumn("jac_ppm",
+        expr("CAST(CAST(inter AS DECIMAL(38,0)) * 1000000 div (nn - inter) AS BIGINT)"))
+    val ks = Seq(4, 9, 16)
+    val swept = pairs.select(col("jac_ppm"),
+      explode(array(ks.map { k =>
+        struct(lit(k.toLong).as("k"),
+          expr(s"CAST(CAST((${(0 until k).map(j => s"m$j").mkString(" + ")}) " +
+            s"AS DECIMAL(38,0)) * 1000000 div $k AS BIGINT)").as("est_ppm"))
+      }: _*)).as("e"))
+      .select(col("e.k").as("k"), (col("e.est_ppm") - col("jac_ppm")).as("err"))
+    swept.groupBy(col("k"))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("CAST(SUM(CAST(abs(err) AS DECIMAL(38,0))) div COUNT(*) AS BIGINT)")
+          .as("mean_abs_err_ppm"),
+        expr("CAST(SUM(CAST(err AS DECIMAL(38,0)) * CAST(err AS DECIMAL(38,0))) " +
+          "div COUNT(*) AS BIGINT)").as("mse_ppm2"))
+      .orderBy(col("k"))
+  }
+
+  val q265Sql: String =
+    s"""WITH cls AS (SELECT MIN(doc_id) AS id, text FROM documents GROUP BY text),
+      |toks AS (SELECT id, string_split(text, ' ') AS t FROM cls),
+      |sh AS (
+      |  SELECT id, list_transform(
+      |    range(1, greatest(len(t) - 2, 0) + 1),
+      |    i -> concat_ws(' ', t[i], t[i+1], t[i+2])) AS shingles
+      |  FROM toks),
+      |hashed AS (
+      |  SELECT id, shingles FROM sh WHERE len(shingles) > 0),
+      |${MinhashSql.sigCtes("hashed", "id", 16)}
+      |sigx AS MATERIALIZED (
+      |  SELECT id, list_distinct(shingles) AS dsh,
+      |    CAST(len(list_distinct(shingles)) AS BIGINT) AS n, sig AS sg
+      |  FROM sig),
+      |banded AS (
+      |  SELECT id, unnest(list_transform(range(0, 9),
+      |    b -> md5(concat_ws('|', sg[b+1], CAST(b AS VARCHAR))))) AS bk
+      |  FROM sigx),
+      |cand AS (
+      |  SELECT DISTINCT a.id AS ia, b.id AS ib
+      |  FROM banded a JOIN banded b ON a.bk = b.bk AND a.id < b.id),
+      |pairs AS (
+      |  SELECT
+      |    CAST(len(list_intersect(sa.dsh, sb.dsh)) AS BIGINT) AS inter,
+      |    sa.n + sb.n AS nn,
+      |    list_transform(range(0, 16),
+      |      j -> CASE WHEN sa.sg[j+1] = sb.sg[j+1] THEN 1 ELSE 0 END) AS m
+      |  FROM cand c
+      |  JOIN sigx sa ON sa.id = c.ia
+      |  JOIN sigx sb ON sb.id = c.ib),
+      |ks(k) AS (VALUES (4), (9), (16)),
+      |errs AS (
+      |  SELECT ks.k,
+      |    CAST(CAST(list_sum(list_slice(p.m, 1, ks.k)) AS HUGEINT)
+      |      * 1000000 // ks.k AS BIGINT)
+      |    - CAST(CAST(p.inter AS HUGEINT) * 1000000 // (p.nn - p.inter)
+      |      AS BIGINT) AS err
+      |  FROM pairs p CROSS JOIN ks)
+      |SELECT CAST(k AS BIGINT) AS k, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |  CAST(SUM(CAST(abs(err) AS HUGEINT)) // COUNT(*) AS BIGINT)
+      |    AS mean_abs_err_ppm,
+      |  CAST(SUM(CAST(err AS HUGEINT) * CAST(err AS HUGEINT)) // COUNT(*)
+      |    AS BIGINT) AS mse_ppm2
+      |FROM errs GROUP BY k ORDER BY k""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q266: KMV cross-source shingle-overlap sketch — the source×source
+  // resemblance matrix WITHOUT the posting self-join q222 pays. Each
+  // source keeps the k = 256 smallest distinct md5-u64 shingle hashes
+  // (a [[graft.functions.KmvAggregate]] bounded sketch: map-side
+  // partials cap at k longs, ONE exchange of sources×k longs at any
+  // corpus size); source pairs then estimate Jaccard from sketches
+  // alone — K = k-th smallest of the sketch union, estimate =
+  // |common ≤ K| / |union ≤ K| (Beyer et al., SIGMOD 2007). Exact when
+  // a source has < k distinct shingles. The sketch build is the
+  // production path at 100 TB; q222's exact pair machinery stays the
+  // precision anchor.
+  //
+  // Determinism: md5-u64 is the frozen content hash (no RNG); ties
+  // impossible (distinct values); signed ordering in both engines (the
+  // oracle recenters its unsigned HUGEINT into signed range).
+  // ------------------------------------------------------------------
+  def q266KmvSourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val k = 256
+    val sk = Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(array_distinct(graft.functions.TextHashFunctions
+          .shingleMinhash(col("text"), 1, 3).getField("shingles"))).as("s"))
+      .select(col("source"), graft.functions.TextHashFunctions.md5U64(col("s")).as("h"))
+      .groupBy(col("source"))
+      .agg(graft.functions.KmvAggregate.kmv(col("h"), k).as("sk"))
+      .localCheckpoint() // both sides of the 20×20 pair cross
+    val pairs = sk.select(col("source").as("source_a"), col("sk").as("ska"))
+      .crossJoin(sk.select(col("source").as("source_b"), col("sk").as("skb")))
+      .filter(col("source_a") < col("source_b"))
+    pairs.select(col("source_a"), col("source_b"),
+        array_sort(array_union(col("ska"), col("skb"))).as("u"),
+        array_sort(array_intersect(col("ska"), col("skb"))).as("c"))
+      .select(col("source_a"), col("source_b"),
+        least(size(col("u")), lit(k)).cast(LongType).as("n_merged"),
+        element_at(col("u"), least(size(col("u")), lit(k))).as("kth"),
+        col("c"))
+      .select(col("source_a"), col("source_b"), col("n_merged"),
+        size(filter(col("c"), v => v <= col("kth"))).cast(LongType).as("n_common"))
+      .withColumn("jaccard_est_ppm",
+        expr("CAST(CAST(n_common AS DECIMAL(38,0)) * 1000000 div n_merged AS BIGINT)"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  val q266Sql: String =
+    s"""WITH ex AS (
+      |  SELECT DISTINCT source, unnest(list_distinct(list_transform(
+      |    range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+      |    i -> concat_ws(' ', string_split(text, ' ')[i],
+      |      string_split(text, ' ')[i+1], string_split(text, ' ')[i+2]))))
+      |    AS s
+      |  FROM documents),
+      |hx AS (SELECT source, md5(s) AS h FROM ex),
+      |hv AS (SELECT source,
+      |  ${MinhashSql.signedOf(MinhashSql.hex64Of("h"))} AS v FROM hx),
+      |sk AS (
+      |  SELECT source, v FROM (
+      |    SELECT source, v,
+      |      ROW_NUMBER() OVER (PARTITION BY source ORDER BY v) AS rn
+      |    FROM (SELECT DISTINCT source, v FROM hv))
+      |  WHERE rn <= 256),
+      |ska AS (SELECT source, list(v ORDER BY v) AS l FROM sk GROUP BY source),
+      |pr AS (
+      |  SELECT a.source AS source_a, b.source AS source_b,
+      |    list_sort(list_distinct(a.l || b.l)) AS u,
+      |    list_sort(list_intersect(a.l, b.l)) AS c
+      |  FROM ska a JOIN ska b ON a.source < b.source),
+      |est AS (
+      |  SELECT source_a, source_b,
+      |    CAST(least(len(u), 256) AS BIGINT) AS n_merged,
+      |    u[least(len(u), 256)] AS kth, c
+      |  FROM pr)
+      |SELECT source_a, source_b, n_merged,
+      |  CAST(len(list_filter(c, v -> v <= kth)) AS BIGINT) AS n_common,
+      |  CAST(CAST(len(list_filter(c, v -> v <= kth)) AS HUGEINT) * 1000000
+      |    // n_merged AS BIGINT) AS jaccard_est_ppm
+      |FROM est ORDER BY source_a, source_b""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q267: shingle document-frequency tail — the audit behind the
+  // suite's own df ≤ 50 posting cap (cappedPosts here, q114/q146/
+  // q232/q233/q255/q256...). Per power-of-two df bin: how many
+  // distinct shingles land there, how many posting rows (Σdf) they
+  // contribute, and how much of that posting mass the cap keeps. The
+  // quadratic cost of every posting self-join lives in Σdf² — this
+  // table shows where it concentrates and what the cap discards
+  // (boilerplate shingles are exactly the high-df tail).
+  //
+  // Scale shape: exact-class collapse → distinct-shingle explode →
+  // ONE df tally (map-side combined) → ~20-row log-binned rollup.
+  // Integer bin = bit length − 1 (length of the base-2 string — no
+  // floating log2, which is libm-dependent at bin edges).
+  // ------------------------------------------------------------------
+  def q267ShingleDfTail(spark: SparkSession, dir: String): DataFrame = {
+    val df = classShingles(Tables.documents(spark, dir))
+      .select(explode(col("sh")).as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("df"))
+    df.groupBy((length(conv(col("df").cast(StringType), 10, 2)) - 1)
+        .cast(LongType).as("df_bin"))
+      .agg(count(lit(1)).as("n_shingles"),
+        expr("CAST(SUM(CAST(df AS DECIMAL(38,0))) AS BIGINT)").as("posting_rows"),
+        expr("CAST(SUM(CASE WHEN df <= 50 THEN CAST(df AS DECIMAL(38,0)) " +
+          "ELSE CAST(0 AS DECIMAL(38,0)) END) AS BIGINT)").as("kept_rows"))
+      .withColumn("kept_ppm",
+        expr("CAST(CAST(kept_rows AS DECIMAL(38,0)) * 1000000 " +
+          "div greatest(posting_rows, 1) AS BIGINT)"))
+      .orderBy(col("df_bin"))
+  }
+
+  val q267Sql: String =
+    """WITH cls AS (SELECT MIN(doc_id) AS id, text FROM documents GROUP BY text),
+      |toks AS (SELECT id, string_split(text, ' ') AS t FROM cls),
+      |csh AS (
+      |  SELECT id, list_distinct(list_transform(
+      |    range(1, greatest(len(t) - 2, 0) + 1),
+      |    i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS dsh
+      |  FROM toks),
+      |posts AS (
+      |  SELECT unnest(dsh) AS s FROM csh WHERE len(dsh) > 0),
+      |dfs AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS df FROM posts GROUP BY s),
+      |bins AS (
+      |  SELECT CAST(length(bin(df)) - 1 AS BIGINT) AS df_bin,
+      |    CAST(COUNT(*) AS BIGINT) AS n_shingles,
+      |    CAST(SUM(CAST(df AS HUGEINT)) AS BIGINT) AS posting_rows,
+      |    CAST(SUM(CASE WHEN df <= 50 THEN CAST(df AS HUGEINT)
+      |      ELSE 0::HUGEINT END) AS BIGINT) AS kept_rows
+      |  FROM dfs GROUP BY 1)
+      |SELECT df_bin, n_shingles, posting_rows, kept_rows,
+      |  CAST(CAST(kept_rows AS HUGEINT) * 1000000
+      |    // greatest(posting_rows, 1) AS BIGINT) AS kept_ppm
+      |FROM bins ORDER BY df_bin""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q268: posting-cap distortion audit — what the df ≤ 50 cap COSTS in
+  // similarity fidelity. The capped-τ test every corpus-scale dedup
+  // path runs (q255's exact AND banded engines, q232, q233) computes
+  // Jaccard over CAPPED shingle sets; this measures, on a decimated
+  // class sample (the q248/q232 sampleModulus convention, ~200
+  // classes at any scale), the divergence |J_full − J_capped| per
+  // magnitude bucket. Near-zero divergence certifies the cap is
+  // dropping only boilerplate; mass in the high buckets means capped
+  // similarity is systematically biased on this corpus.
+  //
+  // Scale shape: corpus-wide df tally once (the cap is GLOBAL df, as
+  // in production); sample classes via modulus; shared-shingle
+  // inverted-index pair source over the SAMPLE (never all pairs);
+  // per-pair two Jaccards from the same intersection pass; 4-row
+  // bucket rollup.
+  // ------------------------------------------------------------------
+  def q268PostingCapEffect(spark: SparkSession, dir: String): DataFrame = {
+    val cls = classShingles(Tables.documents(spark, dir))
+      .localCheckpoint() // counted for the modulus AND df AND sampled
+    val modulus = StatsQueries.sampleModulus(cls.count(), 200L)
+    val dfs = cls.select(explode(col("sh")).as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val samp = cls.filter(col("id") % modulus === 0)
+      .select(col("id"), col("sh"), col("n"))
+      .select(col("id"), col("n"), explode(col("sh")).as("s"))
+      .join(dfs, "s")
+      .groupBy(col("id"), col("n"))
+      .agg(collect_list(col("s")).as("sh"),
+        collect_list(when(col("df") <= 50, col("s"))).as("capped"))
+      .select(col("id"), col("n"), col("sh"),
+        col("capped"), size(col("capped")).cast(LongType).as("nc"))
+      .localCheckpoint() // both sides of the pair join
+    val inv = samp.select(col("id"), explode(col("sh")).as("s"))
+    val cand = inv.alias("a")
+      .join(inv.alias("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("ia"), col("b.id").as("ib"))
+      .dropDuplicates("ia", "ib")
+    val pairs = cand
+      .join(samp.select(col("id").as("ia"), col("sh").as("fa"),
+        col("n").as("na"), col("capped").as("ca"), col("nc").as("nca")), "ia")
+      .join(samp.select(col("id").as("ib"), col("sh").as("fb"),
+        col("n").as("nb"), col("capped").as("cb"), col("nc").as("ncb")), "ib")
+      .select(
+        size(array_intersect(col("fa"), col("fb"))).cast(LongType).as("if_"),
+        (col("na") + col("nb")).as("nf"),
+        size(array_intersect(col("ca"), col("cb"))).cast(LongType).as("ic"),
+        (col("nca") + col("ncb")).as("nc2"))
+      .select(
+        expr("CAST(CAST(if_ AS DECIMAL(38,0)) * 1000000 div (nf - if_) AS BIGINT)")
+          .as("jf_ppm"),
+        expr("CAST(CASE WHEN nc2 - ic > 0 THEN CAST(ic AS DECIMAL(38,0)) " +
+          "* 1000000 div (nc2 - ic) ELSE 0 END AS BIGINT)").as("jc_ppm"))
+      .withColumn("d", abs(col("jf_ppm") - col("jc_ppm")))
+    pairs.groupBy(
+        when(col("d") === 0, 0L).when(col("d") <= 10000, 1L)
+          .when(col("d") <= 100000, 2L).otherwise(3L).as("divergence_bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("CAST(SUM(CAST(jf_ppm AS DECIMAL(38,0))) div COUNT(*) AS BIGINT)")
+          .as("mean_full_ppm"),
+        expr("CAST(SUM(CAST(jc_ppm AS DECIMAL(38,0))) div COUNT(*) AS BIGINT)")
+          .as("mean_capped_ppm"),
+        max(col("d")).as("max_divergence_ppm"))
+      .orderBy(col("divergence_bucket"))
+  }
+
+  val q268Sql: String =
+    """WITH cls AS (SELECT MIN(doc_id) AS id, text FROM documents GROUP BY text),
+      |toks AS (SELECT id, string_split(text, ' ') AS t FROM cls),
+      |csh AS (
+      |  SELECT id, list_distinct(list_transform(
+      |    range(1, greatest(len(t) - 2, 0) + 1),
+      |    i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS dsh
+      |  FROM toks),
+      |withsh AS (
+      |  SELECT id, dsh, CAST(len(dsh) AS BIGINT) AS n
+      |  FROM csh WHERE len(dsh) > 0),
+      |md AS (SELECT greatest(1, COUNT(*) // 200) AS m FROM withsh),
+      |dfs AS (
+      |  SELECT s, CAST(COUNT(*) AS BIGINT) AS df
+      |  FROM (SELECT unnest(dsh) AS s FROM withsh) GROUP BY s),
+      |keep AS (SELECT s FROM dfs WHERE df <= 50),
+      |sampx AS (
+      |  SELECT id, n, dsh FROM withsh, md WHERE id % md.m = 0),
+      |cagg AS (
+      |  SELECT c.id, list(c.s) AS capped
+      |  FROM (SELECT id, unnest(dsh) AS s FROM sampx) c
+      |  JOIN keep k ON c.s = k.s GROUP BY c.id),
+      |sx AS (
+      |  SELECT x.id, x.n, x.dsh,
+      |    COALESCE(g.capped, []::VARCHAR[]) AS capped,
+      |    CAST(len(COALESCE(g.capped, []::VARCHAR[])) AS BIGINT) AS nc
+      |  FROM sampx x LEFT JOIN cagg g ON g.id = x.id),
+      |inv AS (SELECT id, unnest(dsh) AS s FROM sx),
+      |cand AS (
+      |  SELECT DISTINCT a.id AS ia, b.id AS ib
+      |  FROM inv a JOIN inv b ON a.s = b.s AND a.id < b.id),
+      |pairs AS (
+      |  SELECT
+      |    CAST(len(list_intersect(sa.dsh, sb.dsh)) AS BIGINT) AS if_,
+      |    sa.n + sb.n AS nf,
+      |    CAST(len(list_intersect(sa.capped, sb.capped)) AS BIGINT) AS ic,
+      |    sa.nc + sb.nc AS nc2
+      |  FROM cand c JOIN sx sa ON sa.id = c.ia JOIN sx sb ON sb.id = c.ib),
+      |jacs AS (
+      |  SELECT
+      |    CAST(CAST(if_ AS HUGEINT) * 1000000 // (nf - if_) AS BIGINT) AS jf_ppm,
+      |    CAST(CASE WHEN nc2 - ic > 0
+      |      THEN CAST(ic AS HUGEINT) * 1000000 // (nc2 - ic)
+      |      ELSE 0 END AS BIGINT) AS jc_ppm
+      |  FROM pairs),
+      |diffs AS (
+      |  SELECT jf_ppm, jc_ppm, abs(jf_ppm - jc_ppm) AS d FROM jacs)
+      |SELECT
+      |  CAST(CASE WHEN d = 0 THEN 0 WHEN d <= 10000 THEN 1
+      |    WHEN d <= 100000 THEN 2 ELSE 3 END AS BIGINT) AS divergence_bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |  CAST(SUM(CAST(jf_ppm AS HUGEINT)) // COUNT(*) AS BIGINT)
+      |    AS mean_full_ppm,
+      |  CAST(SUM(CAST(jc_ppm AS HUGEINT)) // COUNT(*) AS BIGINT)
+      |    AS mean_capped_ppm,
+      |  CAST(MAX(d) AS BIGINT) AS max_divergence_ppm
+      |FROM diffs GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -1293,8 +1293,9 @@ object LlmQueries {
 
   // ------------------------------------------------------------------
   // q146: LSH banding tuning table — the dedup-side companion to
-  // q144/q145: for a FIXED 8-hash MinHash signature (same md5-rotation
-  // family as q31), sweep the band partition b ∈ {1,2,4,8} (rows r =
+  // q144/q145: for a FIXED 8-hash MinHash signature (same seeded-
+  // splitmix64 family as q31; an 8-prefix of the seed sequence IS the
+  // 8-hash family), sweep the band partition b ∈ {1,2,4,8} (rows r =
   // 8/b) and measure candidate count, recall, and precision against
   // exact-Jaccard ≥ 0.35 ground truth. Each config refines the
   // previous (r halves), so slice equality at r implies slice equality

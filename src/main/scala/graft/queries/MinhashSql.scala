@@ -53,10 +53,17 @@ object MinhashSql {
     s"((($z) % 4294967296) * $c" +
       s" + ((($z) // 4294967296) * $c % 4294967296) * 4294967296) % $M64"
 
+  /** Recenter an unsigned HUGEINT < 2^64 into signed BIGINT range —
+    * the oracle twin of reading the same 64 bits as a Java long, so
+    * "smallest k" (KMV, q266) agrees across engines. */
+  def signedOf(v: String): String =
+    s"CAST(CASE WHEN ($v) >= 9223372036854775808 THEN ($v) - $M64" +
+      s" ELSE ($v) END AS BIGINT)"
+
   /** h64: the md5 hex column `h`'s first 16 nibbles folded to an
     * unsigned 64-bit HUGEINT (column reference is cheap — referencing
     * it 16 times costs nothing relationally). */
-  private def hex64Of(h: String): String =
+  def hex64Of(h: String): String =
     (0 until 16).map { p =>
       val mult = java.math.BigInteger.valueOf(16).pow(15 - p)
       s"(strpos('0123456789abcdef', substr($h, ${p + 1}, 1)) - 1)::HUGEINT * $mult"

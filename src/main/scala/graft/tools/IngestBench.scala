@@ -33,7 +33,13 @@ object IngestBench {
     * the trust decision stays auditable. */
   private[graft] def stageRoot(): String = {
     val shm = new java.io.File("/dev/shm")
-    if (shm.isDirectory && shm.canWrite) "/dev/shm" else "/tmp"
+    // ~150 MB of staged JSONL + ~60 MB of parquet per sync round; ask
+    // for 2 GiB headroom so a small-tmpfs container (Docker defaults
+    // /dev/shm to 64 MB) falls back to /tmp instead of ENOSPC-ing the
+    // bench mid-write
+    if (shm.isDirectory && shm.canWrite &&
+        shm.getUsableSpace > 2L * 1024 * 1024 * 1024) "/dev/shm"
+    else "/tmp"
   }
 
   /** Stage the wire format (untimed, like the reference's generator),
@@ -48,23 +54,25 @@ object IngestBench {
       payload, lit(""","emitted_at":1700000000000}}"""))
     val root = stageRoot()
     val stage = s"$root/graft_ingest_jsonl"
-    // limit() collapses to one partition; stage as one file per core or
-    // the whole timed sync (parse AND parquet write) runs single-threaded
-    // — the realistic wire shape is many connector batch files anyway
-    // (reference file_writers.py:33 rotates every 100k records).
-    val cores = spark.sparkContext.defaultParallelism
-    li.select(msg.as("value")).repartition(cores)
-      .write.mode(SaveMode.Overwrite).text(stage)
-
     val declared = StructType(li.schema.fields.map(f => f.copy(nullable = true)))
     val catalog = ConfiguredCatalog(Seq(
       ConfiguredStream("lineitem", declared)))
     val source = new JsonlSource("perf", catalog,
       s => s.read.textFile(stage))
-    val cache = SparkCache.fresh(spark, "graft_ingest_bench",
-      location = Some(s"$root/graft_ingest_bench.db"))
 
+    // staging onward runs inside the cleanup scope: a failure mid-stage
+    // (e.g. an unexpectedly full tmpfs) must not leak RAM-backed files
     try {
+      // limit() collapses to one partition; stage as one file per core or
+      // the whole timed sync (parse AND parquet write) runs single-threaded
+      // — the realistic wire shape is many connector batch files anyway
+      // (reference file_writers.py:33 rotates every 100k records).
+      val cores = spark.sparkContext.defaultParallelism
+      li.select(msg.as("value")).repartition(cores)
+        .write.mode(SaveMode.Overwrite).text(stage)
+
+      val cache = SparkCache.fresh(spark, "graft_ingest_bench",
+        location = Some(s"$root/graft_ingest_bench.db"))
       // warm the parse path on a read-only pass (same one-pass envelope
       // normalization the timed sync uses, noop sink)
       graft.operators.Records.normalizeProtocol(

@@ -190,6 +190,9 @@ object PlanCheck {
               // q184: per-config 1-row tallies ride IdentityBroadcast
               // cross joins (truth/candidate counts are single rows)
               "q184_lsh_s_curve",
+              // q266: ~|sources|-row KMV sketch table self-paired on <
+              // (q147's shape) — sources×k longs regardless of corpus
+              "q266_kmv_source_overlap",
               // q203: class×source fan-out crosses the ~|sources|-row
               // marginal and the 1-row total, both broadcast by design
               "q203_t_closeness",

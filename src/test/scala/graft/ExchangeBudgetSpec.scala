@@ -562,6 +562,23 @@ class ExchangeBudgetSpec extends SparkTestBase {
     "q264_circadian_bands" -> 4, // (user, hour) tally, user rollup,
                                  // band rollup, order range — tally is
                                  // the only corpus-sized exchange
+    "q265_minhash_k_sweep" -> 3, // q260's shape: candidate-pair dedup,
+                                 // k rollup, order range; the 16-sig
+                                 // class frame sits behind its
+                                 // checkpoint and broadcasts
+    "q266_kmv_source_overlap" -> 1, // ONE bounded-sketch gather
+                                 // (sources×k longs, map-side partial
+                                 // KMV heaps) behind the checkpoint;
+                                 // final plan: order range only — the
+                                 // 20×20 pair cross is a tiny
+                                 // broadcast NLJ
+    "q267_shingle_df_tail" -> 4, // class collapse (text), df tally
+                                 // (s), ~20-bin rollup, order range
+    "q268_posting_cap_effect" -> 3, // candidate-pair dedup over the
+                                 // sampled inverted index, bucket
+                                 // rollup, order range; df tally and
+                                 // capped-set build sit behind the
+                                 // sample checkpoint
     "q223_ngram_novelty"  -> 5,  // spread repartition (underpartition
                                  // guard), train-window distinct, the
                                  // eval join co-shuffle, countDistinct

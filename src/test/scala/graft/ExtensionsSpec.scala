@@ -30,7 +30,9 @@ class ExtensionsSpec extends SparkTestBase {
       assert(row.getString(0).matches(
         "[0-9a-f]{8}-[0-9a-f]{4}-7[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}"))
       assert(row.getString(1).length == 64)
-      assert(row.getString(2).length == 32)
+      // seeded-splitmix64 family (round 16): components are 20-char
+      // zero-padded unsigned decimals
+      assert(row.getString(2).length == 20 && row.getString(2).forall(_.isDigit))
       assert(row.getInt(3) == 3) // 'a' appears 3 times
       val cdc = row.getSeq[String](4)
       assert(cdc.nonEmpty && cdc.forall(_.length == 32))
