@@ -572,4 +572,102 @@ object EmbedAuditQueries {
       |      sqrt(CAST(nb AS DOUBLE))) * 1000000.0, 0)
       |  ELSE NULL END AS BIGINT) AS cos_ppm
       |FROM pair ORDER BY label_a, label_b""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q269: quantization reconstruction-error audit — the ERROR-side
+  // companion to q145 (which measures what quantization does to
+  // RANKINGS) and q257 (which measures whether the per-dim ranges are
+  // quantization-ready): for each width b ∈ {2, 4, 6, 8} bits,
+  // symmetric per-dim absmax quantization (q145's exact formula:
+  // round(v/s·qmax), reconstruct qv·s/qmax), report the corpus mean
+  // squared reconstruction error, the mean squared signal, and the
+  // signal-to-error ratio — the table that says which width is safe
+  // BEFORE the recall sweep runs.
+  //
+  // Exactness: per-element error and signal round HALF_UP to micro
+  // units (the q258 addend protocol; the v/s·qmax → round → ·s/qmax
+  // chain is the identical IEEE double sequence in both engines, the
+  // q145 contract), then everything is exact integer sums —
+  // DECIMAL-widened squares, one truncating ppm division.
+  //
+  // 100 TB shape: ONE dimension-sized scales aggregate (collected like
+  // a centroid table), then ONE posexplode scan with a 4-width fan-out
+  // feeding a map-side-combined 4-group aggregate — no joins, no
+  // per-vector state; the fan-out multiplies rows 4× before the
+  // combine but each mapper emits 4 partial rows.
+  // ------------------------------------------------------------------
+  def q269QuantError(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val widths = Seq(2, 4, 6, 8)
+    val emb = Tables.embeddings(spark, dir)
+    val scales: Array[Double] = emb
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("pos")).agg(max(abs(col("x").cast(DoubleType))).as("mx"))
+      .orderBy(col("pos"))
+      .select(col("mx")).as[Double].collect()
+    val sArr = array(scales.map(lit): _*)
+    val pe = emb.select(posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("x").cast(DoubleType).as("v"),
+        element_at(sArr, col("i") + 1).as("s"))
+    val fan = pe.select(col("v"), col("s"),
+      explode(array(widths.map(b => struct(lit(b.toLong).as("bits"),
+        lit(((1L << (b - 1)) - 1).toDouble).as("qmax"))): _*)).as("w"))
+      .select(col("v"), col("s"),
+        col("w.bits").as("bits"), col("w.qmax").as("qmax"))
+    val qv = when(col("s") > 0,
+      round(col("v") / col("s") * col("qmax"), 0)).otherwise(lit(0.0))
+    val rec = when(col("s") > 0, qv * col("s") / col("qmax"))
+      .otherwise(lit(0.0))
+    fan.select(col("bits"),
+        round((col("v") - rec) * 1000000.0, 0).cast(LongType).as("e"),
+        round(col("v") * 1000000.0, 0).cast(LongType).as("g"))
+      .groupBy(col("bits"))
+      .agg(count(lit(1)).as("n_vals"),
+        expr("CAST(SUM(CAST(e AS DECIMAL(38,0)) * CAST(e AS DECIMAL(38,0))) " +
+          "div COUNT(*) AS BIGINT)").as("mean_err_micro2"),
+        expr("CAST(SUM(CAST(g AS DECIMAL(38,0)) * CAST(g AS DECIMAL(38,0))) " +
+          "div COUNT(*) AS BIGINT)").as("mean_sig_micro2"))
+      .withColumn("sig_over_err_ppm",
+        expr("CAST(CAST(mean_sig_micro2 AS DECIMAL(38,0)) * 1000000 " +
+          "div greatest(mean_err_micro2, 1) AS BIGINT)"))
+      .orderBy(col("bits"))
+  }
+
+  val q269Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |scales AS (
+      |  SELECT list(mx ORDER BY i) AS s FROM (
+      |    SELECT r.range AS i, MAX(ABS(v[r.range])) AS mx
+      |    FROM e CROSS JOIN range(1, 65) r GROUP BY r.range)),
+      |bs(bits) AS (VALUES (2), (4), (6), (8)),
+      |bq AS (SELECT bits, CAST(pow(2, bits - 1) AS BIGINT) - 1 AS qmax FROM bs),
+      |pe AS (
+      |  -- parallel unnests of equal-length lists zip positionally
+      |  SELECT unnest(e.v) AS v,
+      |    unnest(list_transform(range(1, len(e.v) + 1),
+      |      j -> s.s[CAST(j AS INT)])) AS sc
+      |  FROM e, scales s),
+      |fan AS (
+      |  SELECT b.bits, b.qmax, pe.v, pe.sc FROM pe CROSS JOIN bq b),
+      |vals AS (
+      |  SELECT bits,
+      |    CAST(round((v - CASE WHEN sc > 0
+      |      THEN round(v / sc * qmax) * sc / qmax ELSE 0 END) * 1000000)
+      |      AS BIGINT) AS e,
+      |    CAST(round(v * 1000000) AS BIGINT) AS g
+      |  FROM fan),
+      |agg AS (
+      |  SELECT bits, CAST(COUNT(*) AS BIGINT) AS n_vals,
+      |    CAST(SUM(CAST(e AS HUGEINT) * CAST(e AS HUGEINT)) // COUNT(*)
+      |      AS BIGINT) AS mean_err_micro2,
+      |    CAST(SUM(CAST(g AS HUGEINT) * CAST(g AS HUGEINT)) // COUNT(*)
+      |      AS BIGINT) AS mean_sig_micro2
+      |  FROM vals GROUP BY bits)
+      |SELECT CAST(bits AS BIGINT) AS bits, n_vals, mean_err_micro2,
+      |  mean_sig_micro2,
+      |  CAST(CAST(mean_sig_micro2 AS HUGEINT) * 1000000
+      |    // greatest(mean_err_micro2, 1) AS BIGINT) AS sig_over_err_ppm
+      |FROM agg ORDER BY bits""".stripMargin
 }

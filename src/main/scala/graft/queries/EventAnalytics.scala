@@ -1326,4 +1326,110 @@ object EventAnalytics {
       |  MIN(h_micro) AS min_h_micro,
       |  MAX(h_micro) AS max_h_micro
       |FROM hm GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q270: session co-occurrence lift — for each unordered event-type
+  // pair, how much more often do the two types share a SESSION than
+  // independence predicts? lift = P(a,b) / (P(a)·P(b)) over sessions
+  // (q16's 30-minute-gap sessionization convention, verbatim). The
+  // association table behind "users who X in a session also Y" —
+  // lift ≫ 1e6 ppm marks coupled behaviors, ≪ 1e6 mutually exclusive
+  // modes; the behavior-taxonomy audit q98's Markov transitions can't
+  // see (transitions are ORDER-local; co-occurrence is session-global).
+  //
+  // Exactness: session ids are integer running sums over the
+  // deterministic (ts, event_id) order; all counts are exact distinct
+  // tallies; lift is one DECIMAL-widened product per side and a
+  // truncating ppm division.
+  //
+  // 100 TB shape: one user-partitioned window (the sessionization
+  // family's exchange), one distinct (user, session, type) pass, then
+  // the pair self-join keys on (user, session) — quadratic only in
+  // per-session DISTINCT TYPES, bounded by the event taxonomy (|T|
+  // small by construction), never in events. Output is ≤ |T|²/2 rows;
+  // the totals ride 1-row/|T|-row broadcasts.
+  // ------------------------------------------------------------------
+  def q270SessionCooccurrence(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val sess = ev
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))) > 1800,
+          1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_session"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val st = sess.select(col("user_id"), col("session_id"), col("event_type"))
+      .distinct()
+      .localCheckpoint() // reused: total, per-type tally, both pair sides
+    val nSessions = st.select(col("user_id"), col("session_id")).distinct()
+      .agg(count(lit(1)).as("n_sessions"))
+    val perType = st.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val pairs = st.alias("a")
+      .join(st.alias("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.session_id") === col("b.session_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(perType.select(col("event_type").as("type_a"),
+        col("n").as("n_a"))), "type_a")
+      .join(broadcast(perType.select(col("event_type").as("type_b"),
+        col("n").as("n_b"))), "type_b")
+      .crossJoin(broadcast(nSessions))
+      .select(col("type_a"), col("type_b"), col("n_both"),
+        col("n_a"), col("n_b"),
+        expr("CAST(CAST(n_both AS DECIMAL(38,0)) * n_sessions * 1000000 " +
+          "div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)").as("lift_ppm"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  val q270Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, ts, event_type FROM events
+      |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+      |lagged AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    LAG(ts, 1) OVER (PARTITION BY user_id
+      |      ORDER BY ts ASC, event_id ASC) AS prev_ts
+      |  FROM ev),
+      |marked AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    CASE WHEN prev_ts IS NULL
+      |        OR CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+      |         - CAST(FLOOR(epoch(CAST(prev_ts AS TIMESTAMP))) AS BIGINT) > 1800
+      |      THEN 1 ELSE 0 END AS new_session
+      |  FROM lagged),
+      |sess AS (
+      |  SELECT user_id, event_type,
+      |    SUM(new_session) OVER (PARTITION BY user_id
+      |      ORDER BY ts ASC, event_id ASC
+      |      ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM marked),
+      |st AS (SELECT DISTINCT user_id, session_id, event_type FROM sess),
+      |ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions
+      |  FROM (SELECT DISTINCT user_id, session_id FROM st)),
+      |pt AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM st GROUP BY 1),
+      |pr AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    CAST(COUNT(*) AS BIGINT) AS n_both
+      |  FROM st a JOIN st b
+      |    ON a.user_id = b.user_id AND a.session_id = b.session_id
+      |    AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT pr.type_a, pr.type_b, pr.n_both, pa.n AS n_a, pb.n AS n_b,
+      |  CAST(CAST(pr.n_both AS HUGEINT) * ns.n_sessions * 1000000
+      |    // (CAST(pa.n AS HUGEINT) * pb.n) AS BIGINT) AS lift_ppm
+      |FROM pr
+      |JOIN pt pa ON pa.event_type = pr.type_a
+      |JOIN pt pb ON pb.event_type = pr.type_b
+      |CROSS JOIN ns
+      |ORDER BY type_a, type_b""".stripMargin
 }

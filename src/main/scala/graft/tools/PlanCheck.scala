@@ -193,6 +193,10 @@ object PlanCheck {
               // q266: ~|sources|-row KMV sketch table self-paired on <
               // (q147's shape) — sources×k longs regardless of corpus
               "q266_kmv_source_overlap",
+              // q270: 1-row session-count broadcast crossed into the
+              // ≤|types|²/2 pair table (the q86/q117 one-row-totals
+              // shape)
+              "q270_session_cooccurrence",
               // q203: class×source fan-out crosses the ~|sources|-row
               // marginal and the 1-row total, both broadcast by design
               "q203_t_closeness",

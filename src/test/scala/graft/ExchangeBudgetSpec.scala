@@ -579,6 +579,15 @@ class ExchangeBudgetSpec extends SparkTestBase {
                                  // rollup, order range; df tally and
                                  // capped-set build sit behind the
                                  // sample checkpoint
+    "q269_quant_error"    -> 2,  // ONE 4-group width rollup + order
+                                 // range (the dimension-sized scales
+                                 // pass is its own collected job)
+    "q270_session_cooccurrence" -> 5, // pair tally, per-type tally,
+                                 // session-count distinct + its 1-row
+                                 // gather, order range; the sessionized
+                                 // distinct frame sits behind its
+                                 // checkpoint (window exchange paid
+                                 // once)
     "q223_ngram_novelty"  -> 5,  // spread repartition (underpartition
                                  // guard), train-window distinct, the
                                  // eval join co-shuffle, countDistinct
