@@ -100,13 +100,16 @@ object Bench {
     // pre-measurement `ingest_load`, so no human has to re-derive it.
     val trustFloor =
       sys.env.getOrElse("SPARK_GRAFT_INGEST_TRUST_FLOOR", "500000").toLong
-    def measureIngest(): (Double, Long) = {
+    def measureIngest(): (Double, Long, String) = {
       val load = quietWait("ingest")
-      val rps = try graft.tools.IngestBench.measure(spark, 500000)._2
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] ingest failed: ${e.getMessage}"); -1L
-        }
-      (load, rps)
+      val (rps, root) = try {
+        val m = graft.tools.IngestBench.measure(spark, 500000)
+        (m._2, m._3)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] ingest failed: ${e.getMessage}")
+        (-1L, "none")
+      }
+      (load, rps, root)
     }
     // throughput CAPABILITY measurement: a below-floor first figure on
     // a loadavg-quiet host usually means contention the 1-minute
@@ -118,7 +121,7 @@ object Bench {
     // first attempt used to exist only on stderr).
     val first = measureIngest()
     val ingestAttempts = scala.collection.mutable.ArrayBuffer(first)
-    val (ingestLoad, ingestRps) =
+    val (ingestLoad, ingestRps, ingestRoot) =
       if (first._2 >= 0 && first._2 < trustFloor) {
         System.err.println(
           s"[bench] ingest ${first._2} rec/s below trust floor $trustFloor; re-measuring once")
@@ -231,11 +234,14 @@ object Bench {
           "\"" + n + "\":{\"min\":" + ms(if (xs.isEmpty) -1 else xs.min) +
             ",\"max\":" + ms(if (xs.isEmpty) -1 else xs.max) + drop + "}"
         }.mkString("{", ",", "}")
-      val attempts = ingestAttempts.map { case (ld, rps) =>
-        s"""{"load":${r2(ld)},"rps":$rps}"""
+      // per-attempt roots come from the measurements themselves — a
+      // re-probe here could disagree with what was actually staged
+      // (the tmpfs probe is free-space-dependent)
+      val attempts = ingestAttempts.map { case (ld, rps, root) =>
+        s"""{"load":${r2(ld)},"rps":$rps,"root":"$root"}"""
       }.mkString("[", ",", "]")
       java.nio.file.Files.write(p,
-        s"""{"line":$line,"repeats":$repeats,"ingest_attempts":$attempts,"ingest_stage_root":"${graft.tools.IngestBench.stageRoot()}","all_queries":$full,"spread":$spread,"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}}""".getBytes("UTF-8"))
+        s"""{"line":$line,"repeats":$repeats,"ingest_attempts":$attempts,"ingest_stage_root":"$ingestRoot","all_queries":$full,"spread":$spread,"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}}""".getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     println(line)
     spark.stop()

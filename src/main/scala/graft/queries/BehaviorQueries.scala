@@ -317,7 +317,11 @@ object BehaviorQueries {
 
   /** Shared sessionization: q16's 30-minute-gap rule, session id as a
     * per-user running sum of gap breaks. One user_id shuffle. */
-  private def sessionized(ev: DataFrame): DataFrame = {
+  /** 30-minute-gap sessionization (THE q16 convention — shared so the
+    * session definition cannot fork across q16/q160-family/q270):
+    * appends integer `sid` per user from the deterministic
+    * (ts, event_id) order. */
+  private[queries] def sessionized(ev: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts").asc, col("event_id").asc)
     ev.withColumn("prev_ts", lag(col("ts"), 1).over(w))

@@ -537,20 +537,24 @@ object DedupAuditQueries {
   // ------------------------------------------------------------------
   def q265MinhashKSweep(spark: SparkSession, dir: String): DataFrame = {
     val dec = DecimalType(38, 0)
+    // checkpoint the FINISHED projection (q260's sigClasses shape) so
+    // the distinct/size work runs once, not per reuse
     val cls = Tables.documents(spark, dir)
       .groupBy(col("text")).agg(min(col("doc_id")).as("id"))
       .select(col("id"), graft.functions.TextHashFunctions
         .shingleMinhash(col("text"), 16, 3).as("sm"))
-      .localCheckpoint() // reused: band explode AND both verify sides
       .select(col("id"), array_distinct(col("sm.shingles")).as("dsh"),
         col("sm.sig").as("sg"))
       .filter(size(col("dsh")) > 0)
       .select(col("id"), col("dsh"),
         size(col("dsh")).cast(LongType).as("n"), col("sg"))
+      .localCheckpoint() // reused: band explode AND both verify sides
+    // the SAME band key as q260's bandCandidates (Dedup.bandKey with
+    // rows = 1) — q265's validity rests on auditing exactly q260's
+    // candidate population
     val banded = cls.select(col("id"),
       explode(array((0 until 9).map(b =>
-        md5(concat_ws("|", element_at(col("sg"), b + 1), lit(b.toString))))
-        : _*)).as("bk"))
+        graft.operators.Dedup.bandKey(col("sg"), b, 1)): _*)).as("bk"))
     val cand = banded.alias("a")
       .join(banded.alias("b"),
         col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
@@ -678,13 +682,13 @@ object DedupAuditQueries {
   }
 
   val q266Sql: String =
-    s"""WITH ex AS (
+    s"""WITH toks AS (
+      |  SELECT source, string_split(text, ' ') AS t FROM documents),
+      |ex AS (
       |  SELECT DISTINCT source, unnest(list_distinct(list_transform(
-      |    range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
-      |    i -> concat_ws(' ', string_split(text, ' ')[i],
-      |      string_split(text, ' ')[i+1], string_split(text, ' ')[i+2]))))
-      |    AS s
-      |  FROM documents),
+      |    range(1, greatest(len(t) - 2, 0) + 1),
+      |    i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS s
+      |  FROM toks),
       |hx AS (SELECT source, md5(s) AS h FROM ex),
       |hv AS (SELECT source,
       |  ${MinhashSql.signedOf(MinhashSql.hex64Of("h"))} AS v FROM hx),

@@ -599,7 +599,13 @@ object EmbedAuditQueries {
   def q269QuantError(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val widths = Seq(2, 4, 6, 8)
+    // the sibling queries' EmbDim eligibility filter: the collected
+    // scales array is indexed by position, so the row population must
+    // be exactly the non-null 64-dim vectors the oracle's fixed
+    // range(1, 65) scales pass assumes
     val emb = Tables.embeddings(spark, dir)
+      .filter(col("embedding").isNotNull &&
+        size(col("embedding")) === EmbDim)
     val scales: Array[Double] = emb
       .select(posexplode(col("embedding")).as(Seq("pos", "x")))
       .groupBy(col("pos")).agg(max(abs(col("x").cast(DoubleType))).as("mx"))
@@ -636,7 +642,8 @@ object EmbedAuditQueries {
   val q269Sql: String =
     """WITH e AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      |  FROM embeddings),
+      |  FROM embeddings
+      |  WHERE embedding IS NOT NULL AND len(embedding) = 64),
       |scales AS (
       |  SELECT list(mx ORDER BY i) AS s FROM (
       |    SELECT r.range AS i, MAX(ABS(v[r.range])) AS mx

@@ -1350,20 +1350,12 @@ object EventAnalytics {
   // the totals ride 1-row/|T|-row broadcasts.
   // ------------------------------------------------------------------
   def q270SessionCooccurrence(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val ev = Tables.events(spark, dir)
       .filter(col("user_id").isNotNull && col("event_type").isNotNull)
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts").asc, col("event_id").asc)
-    val sess = ev
-      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
-      .withColumn("new_session",
-        when(col("prev_ts").isNull ||
-          (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))) > 1800,
-          1L).otherwise(0L))
-      .withColumn("session_id", sum(col("new_session"))
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val st = sess.select(col("user_id"), col("session_id"), col("event_type"))
+    // the SHARED 30-min-gap sessionizer (BehaviorQueries.sessionized —
+    // q16's convention; one definition so session semantics can't fork)
+    val st = BehaviorQueries.sessionized(ev)
+      .select(col("user_id"), col("sid").as("session_id"), col("event_type"))
       .distinct()
       .localCheckpoint() // reused: total, per-type tally, both pair sides
     val nSessions = st.select(col("user_id"), col("session_id")).distinct()

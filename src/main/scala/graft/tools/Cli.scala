@@ -110,7 +110,7 @@ object Cli {
       case "benchmark" =>
         val spark = session()
         val n = opts.getOrElse("records", "500000").toInt
-        val (secs, rps) = IngestBench.measure(spark, n)
+        val (secs, rps, _) = IngestBench.measure(spark, n)
         println(f"[cli] benchmark: $n records in $secs%.2f s ($rps records/s)")
         spark.stop()
 

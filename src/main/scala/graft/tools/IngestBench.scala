@@ -44,9 +44,13 @@ object IngestBench {
 
   /** Stage the wire format (untimed, like the reference's generator),
     * warm the JVM on a read-only pass, then time the full sync.
-    * Returns (seconds, records/s). Staged files and the bench cache
-    * table are deleted afterwards — tmpfs is RAM and must not leak. */
-  def measure(spark: SparkSession, n: Int): (Double, Long) = {
+    * Returns (seconds, records/s, stageRootUsed) — the root is part of
+    * the result so the artifact attests the root this measurement
+    * ACTUALLY staged on (the probe is free-space-dependent, so a
+    * re-probe at report time could disagree). Staged files and the
+    * bench cache table are deleted afterwards — tmpfs is RAM and must
+    * not leak. */
+  def measure(spark: SparkSession, n: Int): (Double, Long, String) = {
     val li = graft.sources.Tables.lineitem(spark, "/root/testdata/sf0.1").limit(n)
     val payload = to_json(struct(li.columns.map(col).toSeq: _*))
     val msg = concat(
@@ -92,7 +96,7 @@ object IngestBench {
       }.min
       val written = cache.table("lineitem").count()
       require(written == n, s"expected $n rows, got $written")
-      (sec, (n / sec).toLong)
+      (sec, (n / sec).toLong, root)
     } finally {
       spark.sql("DROP DATABASE IF EXISTS graft_ingest_bench CASCADE")
       for (dir <- Seq(stage, s"$root/graft_ingest_bench.db")) {
@@ -114,7 +118,7 @@ object IngestBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val (sec, rps) = measure(spark, n)
+    val (sec, rps, _) = measure(spark, n)
     println(f"""{"metric":"ingest","records":$n,"sec":$sec%.3f,"records_per_sec":$rps}""")
     spark.stop()
   }

@@ -232,11 +232,12 @@ class KernelParitySpec extends SparkTestBase {
     }
   }
 
-  test("the round-16 conversions (lsh_signature, unicode, html_text) inline into whole-stage codegen") {
+  test("the round-16 conversions (lsh_signature, unicode, html_text, md5_u64) inline into whole-stage codegen") {
     import graft.functions.{HtmlFunctions, UnicodeFunctions}
     val docKernels: Seq[(String, org.apache.spark.sql.Column)] = Seq(
       ("unicode_nfc", UnicodeFunctions.nfcNormalize(col("text"))),
-      ("html_text", HtmlFunctions.htmlText(col("text"))))
+      ("html_text", HtmlFunctions.htmlText(col("text"))),
+      ("md5_u64", TextHashFunctions.md5U64(col("text"))))
     docKernels.foreach { case (name, kcol) =>
       val df = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
         .select(kcol.as("k"))
