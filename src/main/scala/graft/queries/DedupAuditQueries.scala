@@ -90,19 +90,17 @@ object DedupAuditQueries {
   }
 
   /** Exact τ = 0.3 near-dup edge set over capped postings — the
-    * CORRECTNESS anchor (the oracle replays this path). The posting
-    * self-join is quadratic in per-shingle df, bounded by the ≤ 50
-    * cap. */
-  private[graft] def exactEdges(docs: DataFrame): DataFrame = {
-    val posts = cappedPosts(classShingles(docs).localCheckpoint())
-    posts.alias("a")
-      .join(posts.alias("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("u"), col("b.id").as("v"),
-        col("a.n").as("na"), col("b.n").as("nb"))
-      .agg(count(lit(1)).as("inter"))
-      .filter(col("inter") * 1000 >= (col("na") + col("nb") - col("inter")) * 300)
-      .select(col("u"), col("v"))
-  }
+    * CORRECTNESS anchor (the oracle replays this path). The in-bucket
+    * pair blowup is quadratic in per-shingle df, bounded by the ≤ 50
+    * cap ([[graft.operators.PostingPairs]] — round 16: the bucket-
+    * grouped engine replaced the posting self-join; the class frame is
+    * consumed exactly once now, so the former localCheckpoint pass is
+    * gone too). */
+  private[graft] def exactEdges(docs: DataFrame): DataFrame =
+    graft.operators.PostingPairs.cappedPairInter(classShingles(docs), 50)
+      .filter(col("inter") * 1000 >=
+        (col("n_a") + col("n_b") - col("inter")) * 300)
+      .select(col("id_a").as("u"), col("id_b").as("v"))
 
   /** Banded corpus-scale pair source for q255 (`graft.q255.banded`):
     * q31's candidate machinery with a τ≈0.3-tuned layout — 9 bands of
@@ -319,12 +317,29 @@ object DedupAuditQueries {
       .filter(size(col("sh")) > 0)
       .select(col("id"), col("source"), col("members"), col("cls_toks"),
         col("sh"), size(col("sh")).cast(LongType).as("n"))
-    val tPosts = cappedPosts(
-      trainSh.select(col("id"), col("sh"), col("n")))
-    val bPosts = cappedPosts(benchSh)
-      .select(col("id").as("bid"), col("n").as("nb"), col("s"))
-    val best = tPosts.join(bPosts, "s")
-      .groupBy(col("id"), col("bid"), col("n"), col("nb"))
+    // Directional bucket-grouped posting join (round 16, the
+    // PostingPairs shape): each side groups its postings per shingle
+    // ONCE — the df ≤ 50 cap is a size() test on the list — and the
+    // train×bench pair fan-out explodes in-bucket after a shingle-keyed
+    // join of the two bucket tables. Replaces the former per-side
+    // df-tally + semi-join + posting join (two extra aggregations and
+    // two broadcast builds over the same postings).
+    val tBuckets = trainSh
+      .select(col("id"), col("n"), explode(col("sh")).as("s"))
+      .groupBy(col("s"))
+      .agg(collect_list(struct(col("id"), col("n"))).as("tl"))
+      .filter(size(col("tl")) <= 50)
+    val bBuckets = benchSh
+      .select(col("id").as("bid"), col("n").as("nb"),
+        explode(col("sh")).as("s"))
+      .groupBy(col("s"))
+      .agg(collect_list(struct(col("bid"), col("nb"))).as("bl"))
+      .filter(size(col("bl")) <= 50)
+    val best = tBuckets.join(bBuckets, "s")
+      .select(explode(col("tl")).as("a"), col("bl"))
+      .select(col("a"), explode(col("bl")).as("b"))
+      .groupBy(col("a.id").as("id"), col("b.bid").as("bid"),
+        col("a.n").as("n"), col("b.nb").as("nb"))
       .agg(count(lit(1)).as("inter"))
       .select(col("id"),
         (col("inter") * 1000).as("i1000"),

@@ -1337,6 +1337,10 @@ object LlmQueries {
       .select(col("a.bands").as("bands"),
         col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("bands", "id_a", "id_b")
+    // NOT checkpointed although candCount + the hits join both read it:
+    // measured at sf0.1, materializing the 4-config candidate frame
+    // costs more than re-running the band explode + dedup (r16 bench
+    // A/B: checkpoint version was +0.5 s drift-adjusted)
     // exact ground truth via inverted index (set-semantics Jaccard on
     // distinct shingles: inter / (na + nb - inter)). The posting
     // self-join is quadratic in each shingle's document frequency, so
@@ -1345,22 +1349,17 @@ object LlmQueries {
     // is template mass, not near-duplication evidence, and without the
     // cap one hot shingle at corpus scale makes the truth side O(df²).
     val dfCap = 50
-    val postsAll = withSig.select(col("id"), explode(col("shingles")).as("s"))
-    val posts = postsAll.join(
-      postsAll.groupBy(col("s")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= dfCap).select(col("s")),
-      Seq("s"), "left_semi")
-    val pairInter = posts.alias("x")
-      .join(posts.alias("y"), col("x.s") === col("y.s") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
-    val sizes = withSig.select(col("id"), size(col("shingles")).as("n"))
-    val truth = pairInter
-      .join(broadcast(sizes.select(col("id").as("id_a"), col("n").as("na"))), "id_a")
-      .join(broadcast(sizes.select(col("id").as("id_b"), col("n").as("nb"))), "id_b")
+    // bucket-grouped pair engine (round 16): sizes ride the posting
+    // lists, so the former two broadcast size joins are gone with the
+    // per-side df tallies
+    val truth = graft.operators.PostingPairs.cappedPairInter(
+        withSig.select(col("id"), col("shingles").as("sh"),
+          size(col("shingles")).as("n")), dfCap)
       .filter(col("inter").cast(DoubleType) /
-        (col("na") + col("nb") - col("inter")) >= tau)
+        (col("n_a") + col("n_b") - col("inter")) >= tau)
       .select(col("id_a"), col("id_b"))
+      .localCheckpoint() // read by the hits join AND the n_truth count
+      // (q184's convention; the pair engine otherwise runs twice)
     val candCount = cand.groupBy(col("bands")).agg(count(lit(1)).as("n_cand"))
     val hits = cand.join(truth, Seq("id_a", "id_b"))
       .groupBy(col("bands")).agg(count(lit(1)).as("hits"))
@@ -1990,17 +1989,9 @@ object LlmQueries {
       .select(col("id"), col("toks"), col("sh"),
         size(col("sh")).cast(LongType).as("n"))
       .localCheckpoint()
-    val postsAll = withSh.select(col("id"), col("n"), explode(col("sh")).as("s"))
-    val posts = postsAll.join(
-      postsAll.groupBy(col("s")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= 50).select(col("s")),
-      Seq("s"), "left_semi")
-    val pairs = posts.alias("a")
-      .join(posts.alias("b"),
-        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.n").as("n_a"), col("b.n").as("n_b"))
-      .agg(count(lit(1)).as("inter"))
+    // shared bucket-grouped pair engine (round 16): one groupBy(s)
+    // posting-list pass replaces the per-side df-tally + self-join
+    val pairs = graft.operators.PostingPairs.cappedPairInter(withSh, 50)
       .withColumn("jac_pm", expr("inter * 1000 div (n_a + n_b - inter)"))
     // redundant set per τ: distinct HIGHER ids with a ≥τ partner below
     val taus = Seq(500L, 600L, 700L, 800L, 900L)

@@ -148,14 +148,23 @@ object StatsQueries {
     val b = p.select(col("p_partkey").as("k2"), col("p_name").as("n2"),
       col("adj"), col("b2"))
     val jw = jaroWinkler(col("p_name"), col("n2"))
+    // The jw >= 0.85 cut folds into CONDITIONAL aggregates instead of a
+    // Filter: a filter on a projected kernel column gets pushed into the
+    // join condition AND re-projected above it, so the optimizer
+    // evaluates the kernel TWICE per pair (round-16 plan audit; 91.7%
+    // of blocked pairs pass the cut, so the duplication was nearly 2×
+    // the whole kernel cost). Here jw is computed ONCE in the
+    // projection; groups with no qualifying pair are dropped post-agg,
+    // which is exactly the group set the filtered form produced.
     p.join(b, Seq("adj", "b2"))
       .filter(col("p_partkey") < col("k2"))
-      .withColumn("jw", jw)
-      .filter(col("jw") >= 0.85)
+      .select(col("adj"), jw.as("jw"))
       .groupBy(col("adj"))
-      .agg(count(lit(1)).as("n_pairs"),
+      .agg(sum(when(col("jw") >= 0.85, 1L).otherwise(0L)).as("n_pairs"),
         sum(when(col("jw") === 1.0, 1L).otherwise(0L)).as("n_exact"),
-        sum(round(col("jw") * 10000.0).cast(LongType)).as("s4"))
+        sum(when(col("jw") >= 0.85, round(col("jw") * 10000.0).cast(LongType))
+          .otherwise(0L)).as("s4"))
+      .filter(col("n_pairs") > 0)
       .select(col("adj"), col("n_pairs"), col("n_exact"),
         round(col("s4").cast(DoubleType) / col("n_pairs").cast(DoubleType)
           / 10000.0, 4).as("avg_jw"))

@@ -235,21 +235,30 @@ object SuffixQueries {
       .groupBy(col("cid"), col("i"), col("minh"))
       .agg(max(col("q")).as("sel_q"))
       .select(col("cid"), col("minh").as("h")).distinct()
-      .localCheckpoint() // read by the df cap and the pair join
     // document frequency counts DOCS (class copies included), matching
-    // the uncollapsed formulation the oracle computes
+    // the uncollapsed formulation the oracle computes. Bucket-grouped
+    // pair engine (round 16, the PostingPairs shape): ONE groupBy(h)
+    // builds each kept fingerprint's class list — the df ≤ 50 cap on
+    // COPIES bounds the bucket at 50 classes — replacing the former
+    // df-agg + semi-join + fingerprint self-join (which planned the
+    // kept-set subtree once per join side).
     val copies = classes.select(col("cid"), size(col("members")).as("copies"))
-    val keep = fp.join(copies, "cid")
-      .groupBy(col("h")).agg(sum(col("copies")).as("df"))
+    val buckets = fp.join(copies, "cid")
+      .groupBy(col("h"))
+      .agg(collect_list(col("cid")).as("cids"), sum(col("copies")).as("df"))
       .filter(col("df") <= 50)
-    val pruned = fp.join(keep.select("h"), Seq("h"), "left_semi")
-    val classPairs = pruned.as("a").join(pruned.as("b"),
-        col("a.h") === col("b.h") && col("a.cid") < col("b.cid"))
-      .select(col("a.cid").as("ca"), col("b.cid").as("cb"))
+      .select(col("cids"))
+      .localCheckpoint() // read by the pair explode AND the within tally
+    val classPairs = buckets
+      .select(explode(col("cids")).as("ca"), col("cids"))
+      .select(col("ca"), explode(col("cids")).as("cb"))
+      .filter(col("ca") < col("cb"))
       .groupBy(col("ca"), col("cb"))
       .agg(count(lit(1)).as("n_shared"))
     // identical docs share every df-kept fingerprint of their class
-    val withinShared = pruned.groupBy(col("cid")).agg(count(lit(1)).as("n_shared"))
+    val withinShared = buckets
+      .select(explode(col("cids")).as("cid"))
+      .groupBy(col("cid")).agg(count(lit(1)).as("n_shared"))
       .join(classes.filter(size(col("members")) > 1)
         .select(col("cid"), col("members")), "cid")
     val memb = classes.select(col("cid"), col("members"))

@@ -42,8 +42,12 @@ object PlanProbe {
       else Seq("q2_filter_pushdown", "q64_gopher_rules",
         "q86_length_bins", "q88_bigram_pmi")
     }
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    // honor the bench's core-count env so probe timings are comparable
+    // to Bench's local[$SPARK_GRAFT_CPUS] session (round 16; default 8
+    // keeps the historical probe behavior)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()

@@ -146,11 +146,14 @@ class ExchangeBudgetSpec extends SparkTestBase {
     "q143_token_fertility" -> 4, // encode map + docs⋈tokens join +
                                  // lang tally (merge learning runs
                                  // eagerly behind its checkpoint)
-    "q146_lsh_tuning"      -> 10, // dup-collapse agg + banded self-join
-                                 // (one sig pass, 4 configs share it) +
-                                 // pair dedup + inverted-index truth
-                                 // (posting join + pair agg) + per-band
-                                 // tallies + 1-row truth count
+    "q146_lsh_tuning"      -> 6, // truth sits behind a checkpoint (r16:
+                                 // the pair engine was planned once per
+                                 // consumer before); the banded cand
+                                 // dedup is deliberately NOT
+                                 // checkpointed (cheaper to recompute,
+                                 // measured) so its dedup agg counts
+                                 // once per consumer; + truth bucket
+                                 // agg + pair agg + per-band tallies
     "q149_pq_recall"       -> 9, // per-(m,j,vec) code argmin agg +
                                  // reconstruction agg + per-(m,query)
                                  // bounded-heap agg + brute anchor
@@ -205,9 +208,11 @@ class ExchangeBudgetSpec extends SparkTestBase {
                                  // daily table + one scored agg
     "q157_canary_scan"    -> 1,  // broadcast watchlist cross join +
                                  // one watchlist-sized agg
-    "q158_entity_resolution" -> 3, // blocked self-join (one exchange
-                                 // per side on the blocking key) +
-                                 // adjective-sized final agg
+    "q158_entity_resolution" -> 1, // broadcast blocked self-join feeds
+                                 // map-side partial aggs; the one
+                                 // shuffle is the adjective-sized
+                                 // final agg (r16: the jw >= 0.85 cut
+                                 // folded into conditional aggregates)
     "q159_naive_bayes"    -> 10, // model = (class,token) hash-agg +
                                  // 16-row class table assembled from
                                  // three dimension aggs (two single-
@@ -225,13 +230,13 @@ class ExchangeBudgetSpec extends SparkTestBase {
                                  // window passes ((user_id) satisfies
                                  // the (user_id,sid) clustering); then
                                  // the 4-row audit agg + final sort
-    "q165_winnowing"      -> 6,  // class collapse/grams/window minima
-                                 // sit behind checkpoints; the final
-                                 // assembly shuffles: fingerprint-set
-                                 // agg, df-cap agg, pair-hash join,
-                                 // class-pair agg, expansion joins
-                                 // ride broadcasts of dimension-sized
-                                 // member lists
+    "q165_winnowing"      -> 2,  // class collapse/grams/window minima/
+                                 // fingerprint buckets sit behind
+                                 // checkpoints (r16: bucket-grouped
+                                 // pair engine swallowed the df-cap
+                                 // agg + semi + pair-hash join); the
+                                 // final assembly shuffles: class-pair
+                                 // agg + top-20 order range
     "q166_image_decode"   -> 0,  // synth→encode→decode→measure is one
                                  // per-partition kernel chain; nothing
                                  // ever shuffles
@@ -413,8 +418,10 @@ class ExchangeBudgetSpec extends SparkTestBase {
                                  // posting join, (eid,cid) pair agg,
                                  // per-probe argmax window, final order
                                  // range (probe side explodes map-side)
-    "q233_dedup_threshold_curve" -> 9, // same posting machinery as
-                                 // q232 (self-join flavor) + (tau,id)
+    "q233_dedup_threshold_curve" -> 7, // bucket-grouped pair engine
+                                 // (r16: one groupBy(s) + pair agg
+                                 // replaced the per-side df gate +
+                                 // posting self-join) + (tau,id)
                                  // distinct, tau rollup, token
                                  // join-back, 1-row totals gather,
                                  // final order range
@@ -521,15 +528,15 @@ class ExchangeBudgetSpec extends SparkTestBase {
     "q254_session_gap_sweep" -> 2, // ONE per-user lag window + ONE
                                  // 1-row aggregate; the 4-tau sweep is
                                  // a stack over the 1-row frame
-    "q255_dup_transitivity" -> 8, // pair agg + degree tally + two 1-row
-                                 // gathers + 2-path co-shuffles (u, v)
-                                 // + closing-semi co-shuffle + final
-                                 // 1-row crossJoins — everything after
-                                 // the checkpointed edge set is
-                                 // edge-domain-sized
-    "q256_decontam_collateral" -> 8, // class tallies behind checkpoints;
-                                 // bench/train df gates, pair agg,
-                                 // per-class max, verdict join, (tau,
+    "q255_dup_transitivity" -> 5, // bucket agg + pair agg (r16 engine)
+                                 // + degree tally + 1-row gathers +
+                                 // 2-path/closing-semi co-shuffles —
+                                 // everything after the checkpointed
+                                 // edge set is edge-domain-sized
+    "q256_decontam_collateral" -> 6, // class tallies behind checkpoints;
+                                 // bench/train posting-bucket aggs
+                                 // (r16: the df gates fold into them),
+                                 // pair agg, per-class max, (tau,
                                  // source) rollup, order range — all
                                  // class- or pair-domain-sized
     "q257_quant_range"    -> 3,  // (dim, milli-value) tally (bounded
