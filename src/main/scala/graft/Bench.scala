@@ -30,6 +30,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Round 17: the bench computes everything from the parquet inputs —
+    // the suffix-array index queries (q106/q116/q163/q164/q224 family)
+    // must not serve a PRIOR run's persisted index from the warehouse
+    // (declared index infrastructure, but quoted bench numbers should be
+    // self-contained). With persistence off the index is built inside
+    // the run (the in-JVM session memo still serves the repeated passes,
+    // the declared build-once-query-many design, as in every prior
+    // round's warm passes).
+    spark.conf.set("graft.sa.persist", "false")
 
     def exec(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
@@ -198,7 +207,18 @@ object Bench {
       "q123_heavy_hitters", "q124_simhash_hamming_join",
       "q128_dsir_weights", "q132_embed_corr", "q134_decontaminate",
       "q135_bpe_merges", "q144_ivf_recall", "q145_quant_recall",
-      "q149_pq_recall", "q179_jpeg_decode")
+      "q149_pq_recall", "q179_jpeg_decode",
+      // round 17 additions (additions ONLY — the driver contract forbids
+      // removing or renaming entries): the top of the bench profile and
+      // every query the r16/r17 optimization rounds touched, so the
+      // driver's per-query comparison actually covers the optimization
+      // surface (r16 verdict item 2). Line stays well under the 2000-char
+      // driver capture window (~1.9k with 3-decimal values).
+      "q101_basket_pairs", "q146_lsh_tuning", "q158_entity_resolution",
+      "q165_winnowing", "q173_ranking_metrics", "q184_lsh_s_curve",
+      "q218_cluster_split", "q229_hits", "q233_dedup_threshold_curve",
+      "q255_dup_transitivity", "q256_decontam_collateral",
+      "q260_minhash_calibration", "q265_minhash_k_sweep")
     def ms(v: Double): Double = math.round(v * 1000).toDouble / 1000
     val qs = results.collect { case (k, v) if headline(k) =>
       "\"" + k + "\":" + ms(v)

@@ -144,7 +144,18 @@ final class SparkCache(
         } else {
           addMissingColumns(streamName, batch.schema)
           val existing = spark.table(t)
-          stageAndSwap(WriteStrategies.merge(Some(existing), batch, pks), t)
+          // round 17: probe the stream's PK skew ONCE per cache
+          // instance — a sync session that merges the same stream
+          // repeatedly (q20 runs three) paid a full sampled scan of
+          // both merge sides per merge for a plan choice that cannot
+          // change results (both dedup plans are output-identical,
+          // WriteStrategySpec-pinned) and rarely changes verdict
+          // within a session
+          val skewed = skewProbed.getOrElseUpdate(t,
+            WriteStrategies.probeSkew(
+              existing.unionByName(batch, allowMissingColumns = true), pks))
+          stageAndSwap(
+            WriteStrategies.merge(Some(existing), batch, pks, Some(skewed)), t)
         }
       case WriteStrategy.CdcDelete =>
         val pks = catalog.primaryKeys(streamName)
@@ -184,6 +195,12 @@ final class SparkCache(
     spark.sql(s"ALTER TABLE `$database`.`$tmpName` RENAME TO $t")
     spark.sql(s"DROP TABLE IF EXISTS `$database`.`$oldName`")
   }
+
+  // Merge skew-probe verdict per table (round 17): a PLAN-choice memo,
+  // not a result memo — see the Merge branch above. Scoped to this
+  // cache instance, so a fresh cache (every bench/oracle run constructs
+  // one) always re-probes its first merge.
+  private val skewProbed = scala.collection.mutable.Map.empty[String, Boolean]
 
   // Registration is idempotent per (source, stream): memoize so repeat
   // syncs of the same stream skip the 1-row append job (~0.3 s each).

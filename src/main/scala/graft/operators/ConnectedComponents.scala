@@ -45,10 +45,17 @@ object ConnectedComponents {
     // per round and re-aggregating the dup sliver. Isolated vertices
     // re-attach as self-labeled singletons at the end.
     // Lineage: every round's frame IS read twice (the convergence sum
-    // and the next round's join), so each is eagerly localCheckpointed
-    // — the q229 half-step convention.
+    // and the next round's join), so each is localCheckpointed — but
+    // LAZILY (round 17): the convergence aggregate right below is the
+    // first action on the frame, so ONE job both materializes the
+    // checkpoint blocks and computes the label sum, where the former
+    // eager checkpoint spent a materialization job AND a sum job per
+    // round. Catalyst lineage truncates at the LogicalRDD either way.
     val sub = und.select(col("src").as("id")).distinct().localCheckpoint()
-    var labels = sub.select(col("id"), col("id").as("label")).localCheckpoint()
+    // labels₀ is a trivial projection of the checkpointed `sub` — its
+    // round-16 eager checkpoint was one more startup job for no lineage
+    // benefit (round 17)
+    var labels = sub.select(col("id"), col("id").as("label"))
     var prevSum = BigDecimal(-1)
     var iters = 0
     var converged = false
@@ -57,7 +64,7 @@ object ConnectedComponents {
         .select(und("dst").as("id"), col("label"))
       val next = labels.union(viaNeighbor)
         .groupBy("id").agg(min("label").as("label"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val labelSum = BigDecimal(next
         .agg(coalesce(sum(col("label").cast(DecimalType(38, 0))),
           lit(0).cast(DecimalType(38, 0))))

@@ -27,12 +27,21 @@ import org.apache.spark.sql.functions._
  * per class, `sh` distinct), so a pair is counted once per shared
  * capped shingle — identical to the join formulation the oracles
  * replay. No hashing anywhere: string shingles compare by value.
+ *
+ * The bucket collect is BOUNDED at cap+1 elements (round 17,
+ * [[graft.functions.BoundedCollectList]]): a boilerplate shingle with
+ * corpus-scale df must not build an O(df) aggregation buffer in one
+ * task only to be discarded by the size() test — at cap+1 the filter's
+ * verdict is already decided either way (≤ cap ⇒ the list is complete
+ * and exact; = cap+1 ⇒ above cap, discarded), so results are identical
+ * while above-cap buckets cost O(cap) memory.
  */
 object PostingPairs {
   def cappedPairInter(withSh: DataFrame, cap: Int): DataFrame =
     withSh.select(col("id"), col("n"), explode(col("sh")).as("s"))
       .groupBy(col("s"))
-      .agg(collect_list(struct(col("id"), col("n"))).as("lst"))
+      .agg(graft.functions.BoundedCollectList.boundedCollectList(
+        struct(col("id"), col("n")), cap + 1).as("lst"))
       .filter(size(col("lst")) <= cap)
       .select(explode(col("lst")).as("a"), col("lst"))
       .select(col("a"), explode(col("lst")).as("b"))

@@ -120,7 +120,16 @@ object WriteStrategies {
    */
   def dedupLatestAuto(
       df: DataFrame, pks: Seq[String],
-      orderCols: Seq[String] = Seq(Records.ExtractedAtColumn, Records.RawIdColumn)): DataFrame = {
+      orderCols: Seq[String] = Seq(Records.ExtractedAtColumn, Records.RawIdColumn)): DataFrame =
+    dedupPick(df, pks, probeSkew(df, pks), orderCols)
+
+  /** The sampled skew probe factored out of [[dedupLatestAuto]] (round
+    * 17) so a caller that merges the same stream repeatedly in one
+    * session can run it once and reuse the DECISION — the probe is one
+    * full sampled scan of both merge sides per call, and both dedup
+    * plans it selects between produce identical output (spec-pinned),
+    * so the decision is free to be memoized. */
+  def probeSkew(df: DataFrame, pks: Seq[String]): Boolean = {
     require(pks.nonEmpty, "merge/dedup requires primary keys")
     val spark = df.sparkSession
     def conf(k: String, d: Double): Double =
@@ -128,26 +137,41 @@ object WriteStrategies {
     val fraction = conf("graft.merge.skewProbeFraction", 0.05)
     val minRows = conf("graft.merge.skewProbeMinRows", 1000.0)
     val shareThreshold = conf("graft.merge.saltSkewShare", 0.3)
-    val present = orderCols.filter(df.columns.map(_.toLowerCase(java.util.Locale.ROOT)).contains(_))
     val probe = df.sample(withReplacement = false, math.min(1.0, fraction), seed = 42L)
       .groupBy(pks.map(col): _*).agg(count(lit(1)).as("__n"))
       .agg(coalesce(max(col("__n")), lit(0L)).as("mx"),
         coalesce(sum(col("__n")), lit(0L)).as("tot"))
       .collect()(0)
     val (mx, tot) = (probe.getLong(0), probe.getLong(1))
-    val skewed = tot >= minRows && mx.toDouble / tot.toDouble > shareThreshold
+    tot >= minRows && mx.toDouble / tot.toDouble > shareThreshold
+  }
+
+  /** Route a (possibly memoized) skew verdict to the physical dedup
+    * plan — the selection half of [[dedupLatestAuto]]. */
+  def dedupPick(
+      df: DataFrame, pks: Seq[String], skewed: Boolean,
+      orderCols: Seq[String] = Seq(Records.ExtractedAtColumn, Records.RawIdColumn)): DataFrame = {
+    require(pks.nonEmpty, "merge/dedup requires primary keys")
+    val present = orderCols.filter(df.columns.map(_.toLowerCase(java.util.Locale.ROOT)).contains(_))
     if (skewed && present.nonEmpty) dedupLatestSalted(df, pks, orderCols = orderCols)
     else dedupLatest(df, pks, orderCols)
   }
 
   /** Merge incoming into existing: last-wins per PK, idempotent. The
-    * skew probe ([[dedupLatestAuto]]) picks the physical dedup plan. */
-  def merge(existing: Option[DataFrame], incoming: DataFrame, pks: Seq[String]): DataFrame = {
+    * skew probe ([[dedupLatestAuto]]) picks the physical dedup plan;
+    * `skewHint` (round 17) lets a session that already probed this
+    * stream skip the probe scan — the hint only selects between two
+    * output-identical plans. */
+  def merge(existing: Option[DataFrame], incoming: DataFrame, pks: Seq[String],
+      skewHint: Option[Boolean] = None): DataFrame = {
     val unioned = existing match {
       case Some(e) => e.unionByName(incoming, allowMissingColumns = true)
       case None    => incoming
     }
-    dedupLatestAuto(unioned, pks)
+    skewHint match {
+      case Some(s) => dedupPick(unioned, pks, s)
+      case None    => dedupLatestAuto(unioned, pks)
+    }
   }
 
   /**

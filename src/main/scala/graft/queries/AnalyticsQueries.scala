@@ -508,14 +508,27 @@ object AnalyticsQueries {
   // logs), rounded 4 dp, top-15 with lexicographic tiebreak.
   // ------------------------------------------------------------------
   def q101BasketPairs(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-      .localCheckpoint() // one distinct: reused by count, freq, both join sides
-    val orders = li.select(col("ok")).distinct().count()
-    val freq = li.groupBy(col("pk")).agg(count(lit(1)).as("f"))
-    val pairs = li.as("a").join(li.as("b"), Seq("ok"))
-      .filter(col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+    // round 17 (the PostingPairs bucket-group shape): ONE groupBy(ok)
+    // with a collect_set both DEDUPS (the former .distinct() exchange on
+    // (ok, pk)) and materializes each basket, and pairs explode
+    // IN-BUCKET — replacing the distinct + keyed self-join (two more
+    // posting shuffles, no exchange reuse). Baskets are naturally
+    // bounded (lines per order, ~4 at the test SFs), so the in-bucket
+    // blowup is basket², the same bound the join had; the basket frame
+    // is corpus-scale-safe to collect because an order's line count is
+    // a data-model constant, not a df-style hot key.
+    val baskets = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .groupBy(col("ok")).agg(collect_set(col("pk")).as("pks"))
+      .localCheckpoint() // reused by the order count, freq, and pairs
+    val orders = baskets.count()
+    val freq = baskets.select(explode(col("pks")).as("pk"))
+      .groupBy(col("pk")).agg(count(lit(1)).as("f"))
+    val pairs = baskets
+      .select(explode(col("pks")).as("pa"), col("pks"))
+      .select(col("pa"), explode(col("pks")).as("pb"))
+      .filter(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb"))
       .agg(count(lit(1)).as("n_both"))
       .filter(col("n_both") >= 3)
     // freq is part-dimension-sized (scales with SF) — plain joins, AQE

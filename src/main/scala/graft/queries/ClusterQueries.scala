@@ -362,6 +362,15 @@ object ClusterQueries {
     val deg = und.select(col("u").as("node"))
       .union(und.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("dg"))
+      // round 17: the node-dimension degree vector is read by both
+      // orientation joins — themselves re-planned once per wedge
+      // self-join side (the r16 no-reuse finding) — plus the final
+      // degree consumer; checkpoint the tiny frame once. The orient
+      // frame itself stays UN-checkpointed: GraphNodeJoinSpec pins the
+      // broadcast/co-shuffle auto-switch of the node-side joins on the
+      // FINAL plan, which a checkpoint would hide (q255's
+      // graphTransitivity, not plan-gated, takes the full treatment).
+      .localCheckpoint()
     val orient = und
       .join(nodeSide(spark, ns)(
         deg.select(col("node").as("u"), col("dg").as("du"))), "u")
@@ -623,6 +632,15 @@ object ClusterQueries {
     val deg = und.select(col("u").as("node"))
       .union(und.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("dg"))
+      // round 17: the node-dimension degree vector is read by both
+      // orientation joins — themselves re-planned once per wedge
+      // self-join side (the r16 no-reuse finding) — plus the final
+      // degree consumer; checkpoint the tiny frame once. The orient
+      // frame itself stays UN-checkpointed: GraphNodeJoinSpec pins the
+      // broadcast/co-shuffle auto-switch of the node-side joins on the
+      // FINAL plan, which a checkpoint would hide (q255's
+      // graphTransitivity, not plan-gated, takes the full treatment).
+      .localCheckpoint()
     val orient = und
       .join(nodeSide(spark, ns)(
         deg.select(col("node").as("u"), col("dg").as("du"))), "u")
@@ -779,11 +797,25 @@ object ClusterQueries {
       (if (useBroadcast) edgeBySrc else edgeBySrc.repartition(col("dst")))
         .localCheckpoint()
 
-    def renorm(scores: DataFrame, c: String): DataFrame =
-      scores.crossJoin(
-          broadcast(scores.agg(max(col(c)).as("mx"))))
-        .select(col("node"),
-          expr(s"$c * 1000000 div greatest(mx, 1)").as(c))
+    // Renorm (round 17): the pre-renorm half-step frame is LAZILY
+    // checkpointed and the renormalizing max fetched as a driver scalar
+    // from the SAME job that materializes it. The former
+    // `crossJoin(broadcast(scores.agg(max)))` planned the un-checkpointed
+    // half-step subtree once per consumer (the r16 no-reuse finding), so
+    // every half-step ran its edge join + aggregation TWICE — once under
+    // the broadcast max, once in the main plan — before the post-renorm
+    // checkpoint materialized it. Now: one job, one edge join, per
+    // half-step; the renorm division is a cheap projection over the
+    // cached blocks, re-run by its two readers (next half-step + final
+    // join). `greatest(mx, 1)` semantics unchanged — the scalar is the
+    // exact integer max the broadcast agg computed.
+    def renormed(raw: DataFrame, c: String): DataFrame = {
+      val frame = raw.localCheckpoint(eager = false)
+      val row = frame.agg(max(col(c))).collect()(0)
+      val mx = if (row.isNullAt(0)) 0L else row.getLong(0)
+      frame.select(col("node"),
+        expr(s"$c * 1000000 div greatest(${mx}L, 1)").as(c))
+    }
 
     var hub = sup.select(col("node"), lit(1000000L).as("h"))
     var auth = sup.select(col("node"), lit(0L).as("a"))
@@ -792,21 +824,16 @@ object ClusterQueries {
         .join(side(hub.withColumnRenamed("node", "src")), "src")
         .groupBy(col("dst")).agg(sum(col("h")).as("a"))
         .withColumnRenamed("dst", "node")
-      // each score vector is read TWICE (next half-step + final join);
-      // the eager checkpoint materializes the k-node frame once instead
-      // of re-executing the whole preceding iteration chain per reader
-      auth = renorm(
+      auth = renormed(
         sup.join(aRaw, Seq("node"), "left")
           .select(col("node"), coalesce(col("a"), lit(0L)).as("a")), "a")
-        .localCheckpoint()
       val hRaw = edgeByDst
         .join(side(auth.withColumnRenamed("node", "dst")), "dst")
         .groupBy(col("src")).agg(sum(col("a")).as("h"))
         .withColumnRenamed("src", "node")
-      hub = renorm(
+      hub = renormed(
         sup.join(hRaw, Seq("node"), "left")
           .select(col("node"), coalesce(col("h"), lit(0L)).as("h")), "h")
-        .localCheckpoint()
     }
     auth.join(hub, "node")
       .select(col("node"), col("a").as("auth_scaled"), col("h").as("hub_scaled"))

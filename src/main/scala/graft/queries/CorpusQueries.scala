@@ -51,7 +51,13 @@ object CorpusQueries {
     val dfGate = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") * 250 <= lit(nDocs + 500))
       .select(col("term"))
-    val kept = tf.join(dfGate, "term") // postings, term-partitioned
+    // round 17: `kept` is read THREE times (norms + both pair-join
+    // sides) and each consumer re-planned the tf aggregation + df gate
+    // (the r16 no-reuse finding) — checkpoint the posting table once.
+    // NOT pre-partitioned on term (q114's reasoning): the pair join's
+    // exchanges over the cached postings are cheap, and keeping them
+    // leaves a hot term AQE-skew-splittable.
+    val kept = tf.join(dfGate, "term").localCheckpoint()
     val norms = kept.groupBy(col("doc_id"))
       .agg(sum(col("tf") * col("tf")).as("nrm"))
     val pairs = kept.as("a").join(kept.as("b"), Seq("term"))
@@ -254,9 +260,14 @@ object CorpusQueries {
       .select(col("source"), col("doc_id"), explode(
         graft.functions.TextHashFunctions.rollingWindows(col("text"), w))
         .as("span"))
+    // round 17: `cnt` feeds both the per-source max AND the winner join
+    // — without the checkpoint each consumer re-ran the rolling-window
+    // explode + two-level distinct tally (the r16 no-reuse finding),
+    // the two most expensive passes of the query
     val cnt = wins.groupBy(col("source"), col("span"), col("doc_id")).agg(lit(1))
       .groupBy(col("source"), col("span"))
       .agg(count(lit(1)).as("nd"))
+      .localCheckpoint()
     val mx = cnt.groupBy(col("source"))
       .agg(max(col("nd")).as("top_span_docs"), count(lit(1)).as("n_spans"))
     cnt.join(mx, "source")
@@ -336,6 +347,15 @@ object CorpusQueries {
       .join(szs, "doc_id")
       .filter(col("rn") <= expr("sz div 2 + 1"))
       .select(col("doc_id"), col("tok"), col("sz"), col("rn"))
+      // round 17: the candidate self-join below read this whole subtree
+      // (df tally join + per-doc rank window + size join) once PER SIDE
+      // — the r16 no-reuse finding; the checkpoint builds the AllPairs
+      // prefix index ONCE. Deliberately NOT pre-partitioned on `tok`
+      // (the q79 exchange-elimination convention): prefix-token fan-out
+      // is unbounded, and a co-partitioned self-join can't be
+      // skew-split by AQE — the two cheap exchanges over the cached
+      // index keep a hot prefix token splittable at corpus scale.
+      .localCheckpoint()
     // AllPairs length filter: J ≥ ½ forces min(|a|,|b|)·2 ≥ max(|a|,|b|) —
     // prunes candidates before the (wider) verification joins; the
     // surviving-pair set is unchanged, so the oracle needs no mirror.

@@ -192,6 +192,13 @@ object DedupAuditQueries {
           struct(col("u").as("a"), col("v").as("b")))
           .otherwise(struct(col("v").as("a"), col("u").as("b"))).as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"))
+      // round 17 (q117's convention): the wedge self-join read the two
+      // orientation joins once PER SIDE; partition on the wedge key and
+      // checkpoint so they run once and the self-join needs no exchange
+      // (safe to forfeit AQE skew-split: degree orientation bounds the
+      // per-key wedge fan-out at O(√m) by construction)
+      .repartition(col("a"))
+      .localCheckpoint()
     val wedges2 = orient.alias("x")
       .join(orient.alias("y"),
         col("x.a") === col("y.a") && col("x.b") < col("y.b"))
@@ -323,17 +330,21 @@ object DedupAuditQueries {
     // train×bench pair fan-out explodes in-bucket after a shingle-keyed
     // join of the two bucket tables. Replaces the former per-side
     // df-tally + semi-join + posting join (two extra aggregations and
-    // two broadcast builds over the same postings).
+    // two broadcast builds over the same postings). Collects are
+    // BOUNDED at cap+1 (round 17, PostingPairs' convention) so a hot
+    // boilerplate shingle never buffers O(df) postings pre-filter.
     val tBuckets = trainSh
       .select(col("id"), col("n"), explode(col("sh")).as("s"))
       .groupBy(col("s"))
-      .agg(collect_list(struct(col("id"), col("n"))).as("tl"))
+      .agg(graft.functions.BoundedCollectList.boundedCollectList(
+        struct(col("id"), col("n")), 51).as("tl"))
       .filter(size(col("tl")) <= 50)
     val bBuckets = benchSh
       .select(col("id").as("bid"), col("n").as("nb"),
         explode(col("sh")).as("s"))
       .groupBy(col("s"))
-      .agg(collect_list(struct(col("bid"), col("nb"))).as("bl"))
+      .agg(graft.functions.BoundedCollectList.boundedCollectList(
+        struct(col("bid"), col("nb")), 51).as("bl"))
       .filter(size(col("bl")) <= 50)
     val best = tBuckets.join(bBuckets, "s")
       .select(explode(col("tl")).as("a"), col("bl"))
@@ -471,10 +482,15 @@ object DedupAuditQueries {
         col("n").as("na"), col("sig").as("siga")), "u")
       .join(sides.select(col("id").as("v"), col("sh").as("shb"),
         col("n").as("nb"), col("sig").as("sigb")), "v")
-      .withColumn("est", aggregate(
-        zip_with(col("siga"), col("sigb"),
-          (a, b) => when(a === b, 1L).otherwise(0L)),
-        lit(0L), (acc, x) => acc + x))
+      // round 17: matching-component count as an explicit sum of 9
+      // element_at comparisons (q265's form) — the former
+      // aggregate(zip_with(...)) pair of higher-order functions is
+      // CodegenFallback and ran interpreted per candidate pair, the one
+      // non-codegen expression in this query's verify stage (guide §4)
+      .withColumn("est", (0 until 9).map(j =>
+          when(element_at(col("siga"), j + 1) ===
+            element_at(col("sigb"), j + 1), 1L).otherwise(0L))
+        .reduce(_ + _))
       .withColumn("inter",
         size(array_intersect(col("sha"), col("shb"))).cast(LongType))
       .select(col("est"),

@@ -242,10 +242,16 @@ object SuffixQueries {
     // COPIES bounds the bucket at 50 classes — replacing the former
     // df-agg + semi-join + fingerprint self-join (which planned the
     // kept-set subtree once per join side).
+    // the cid collect is BOUNDED at 51 (round 17, PostingPairs'
+    // convention): the kept-bucket test is df = Σcopies ≤ 50 and every
+    // class carries ≥ 1 copy, so a bucket with > 51 classes is above
+    // the cap with certainty — a hot fingerprint never buffers O(df)
+    // class ids pre-filter, and kept buckets' lists stay complete
     val copies = classes.select(col("cid"), size(col("members")).as("copies"))
     val buckets = fp.join(copies, "cid")
       .groupBy(col("h"))
-      .agg(collect_list(col("cid")).as("cids"), sum(col("copies")).as("df"))
+      .agg(graft.functions.BoundedCollectList.boundedCollectList(
+        col("cid"), 51).as("cids"), sum(col("copies")).as("df"))
       .filter(col("df") <= 50)
       .select(col("cids"))
       .localCheckpoint() // read by the pair explode AND the within tally

@@ -25,15 +25,26 @@ object PlanDump {
     var tag = "before"
     val confs = Seq.newBuilder[(String, String)]
     val names = Seq.newBuilder[String]
+    def usage(msg: String): Nothing = {
+      System.err.println(s"[plandump] $msg")
+      System.err.println(
+        "usage: PlanDump [--dir D] [--out O] [--tag T] [--conf k=v] query...")
+      sys.exit(2)
+    }
     var i = 0
     while (i < args.length) {
       args(i) match {
+        case f @ ("--dir" | "--out" | "--tag" | "--conf") if i + 1 >= args.length =>
+          usage(s"$f needs a value")
         case "--dir" => dir = args(i + 1); i += 1
         case "--out" => out = args(i + 1); i += 1
         case "--tag" => tag = args(i + 1); i += 1
         case "--conf" =>
-          val Array(k, v) = args(i + 1).split("=", 2)
-          confs += ((k, v)); i += 1
+          args(i + 1).split("=", 2) match {
+            case Array(k, v) => confs += ((k, v))
+            case _ => usage(s"--conf wants k=v, got '${args(i + 1)}'")
+          }
+          i += 1
         case q => names += q
       }
       i += 1

@@ -47,9 +47,15 @@ class ExchangeBudgetSpec extends SparkTestBase {
     "q85_posting_lists"  -> 2,  // (term,doc) partials then per-term
     "q89_lm_surprisal"   -> 3,  // vocab counts, one-row total, per-doc
                                 // fold (vocab broadcast back)
-    "q103_tfidf_cosine"  -> 5,  // tf agg, df gate agg (broadcast back),
-                                // term repartition for the pair join,
-                                // pair agg, norm agg (broadcast back)
+    "q101_basket_pairs"  -> 3,  // r17 bucket-group shape: in-bucket pair
+                                // agg + freq agg over the checkpointed
+                                // basket frame + final TakeOrdered sort
+                                // (was distinct + keyed self-join)
+    "q103_tfidf_cosine"  -> 3,  // r17: tf agg + df gate sit behind the
+                                // posting checkpoint; final plan = pair
+                                // agg, norm agg, pair-side exchange
+                                // (sf0.1: 15 → 3 — the subtree was
+                                // re-planned once per consumer before)
     "q104_weighted_sample" -> 0, // TakeOrderedAndProject: per-task heaps
     "q105_train_split"   -> 4,  // content-hash spans agg, co-shuffled
                                 // join back, 3-row split tally
@@ -67,21 +73,28 @@ class ExchangeBudgetSpec extends SparkTestBase {
     "q112_dedup_keep_best" -> 3,  // LSH/CC shuffles sit behind their own
                                   // checkpoints (budgeted via q31/q61);
                                   // here: label join + cluster agg
-    "q113_boilerplate_spans" -> 5, // span-doc dedup, span counts, source
-                                   // max, join-back, tiebreak agg
-    "q114_prefix_filter_join" -> 10, // AllPairs stages: size/df aggs, df
-                                     // join, per-doc rank window, prefix
-                                     // self-join, candidate dedup, two
-                                     // verify joins, intersection tally
+    "q113_boilerplate_spans" -> 2, // r17: the span-count frame is
+                                   // checkpointed (was re-planned by
+                                   // max AND join-back); final plan =
+                                   // source max + tiebreak agg
+    "q114_prefix_filter_join" -> 4, // r17: size/df aggs + rank window sit
+                                    // behind the prefix-index checkpoint
+                                    // (built once, was once per join
+                                    // side); final plan = prefix
+                                    // self-join sides (skew-splittable
+                                    // by design), candidate dedup,
+                                    // verify/intersection tallies
+                                    // (sf0.1: 9 → 4)
     "q115_rolling_distinct" -> 4, // (day,user) dedup, day spine,
                                   // (target,user) dedup, final tally
     "q116_longest_dup_span" -> 5, // (doc,h) dedup, shared-h agg, semi
                                   // join, per-doc position window,
                                   // island tally (argmax rides the
                                   // window partitioning)
-    "q117_triangle_count" -> 6, // edge agg, degree tally (broadcast for
-                                // orientation), oriented self-join,
-                                // wedge-vs-edge probe, 1-row stats
+    "q117_triangle_count" -> 5, // r17: degree tally checkpointed (was
+                                // re-planned per wedge side); oriented
+                                // self-join, wedge-vs-edge probe,
+                                // 1-row stats (sf0.1: 8 → 5)
     "q118_timed_funnel" -> 5,   // three per-user stage aggs chained on
                                 // ONE reused user_id partitioning +
                                 // 1-row tallies

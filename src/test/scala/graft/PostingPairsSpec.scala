@@ -58,6 +58,49 @@ class PostingPairsSpec extends SparkTestBase {
     }
   }
 
+  test("hot-shingle-heavy corpus: parity holds where most shingles exceed the cap") {
+    import spark.implicits._
+    // 120 docs ALL share 6 boilerplate shingles (df = 120 >> cap) plus a
+    // sparse rare tail — the round-17 bounded-collect regime where the
+    // bucket buffer must truncate at cap+1 without touching kept buckets
+    val rnd = new scala.util.Random(7L)
+    val corpus = (0 until 120).map { i =>
+      val boiler = (0 until 6).map(j => s"boiler$j")
+      val rare = (0 until 2 + rnd.nextInt(4)).map(_ => s"r${rnd.nextInt(200)}")
+      (i.toLong, (boiler ++ rare).distinct)
+    }.toDF("id", "sh")
+      .withColumn("n", size(col("sh")).cast(LongType))
+      .localCheckpoint()
+    for (cap <- Seq(5, 50)) {
+      val got = PostingPairs.cappedPairInter(corpus, cap)
+        .orderBy("id_a", "id_b").collect().toSeq
+      val want = joinFormulation(corpus, cap)
+        .orderBy("id_a", "id_b").collect().toSeq
+      assert(got == want, s"cap=$cap")
+      assert(want.nonEmpty, s"degenerate fixture: cap=$cap produced no pairs")
+    }
+  }
+
+  test("duplicate-bearing input: engine matches the join formulation row for row") {
+    import spark.implicits._
+    // The operator's documented precondition is a DISTINCT shingle array
+    // per id; this fixture pins the actual behavior when a caller breaks
+    // it — both formulations count posting ROWS, so duplicates inflate
+    // df and inter identically and parity still holds (ADVICE round 16:
+    // the invariant is now spec-documented rather than silently assumed).
+    val corpus = Seq(
+      (1L, Seq("x", "x", "y")), (2L, Seq("x", "y", "y")),
+      (3L, Seq("x")), (4L, Seq("z", "z")))
+      .toDF("id", "sh").withColumn("n", size(col("sh")).cast(LongType))
+    for (cap <- Seq(2, 50)) {
+      val got = PostingPairs.cappedPairInter(corpus, cap)
+        .orderBy("id_a", "id_b").collect().toSeq
+      val want = joinFormulation(corpus, cap)
+        .orderBy("id_a", "id_b").collect().toSeq
+      assert(got == want, s"cap=$cap")
+    }
+  }
+
   test("a shingle past the cap contributes to no pair") {
     import spark.implicits._
     // 5 docs all share "boiler"; only docs 1,2 share "rare"
