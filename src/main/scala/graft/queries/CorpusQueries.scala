@@ -204,8 +204,14 @@ object CorpusQueries {
       .select(col("rep"), col("copies"), explode(
         graft.functions.TextHashFunctions.rollingWindowHashes(col("text"), w))
         .as("h"))
+    // round 17: perClassHash feeds the span-df aggregation AND the join
+    // back — each consumer re-ran the rolling-hash kernel explode + the
+    // partial aggregation (the r16 no-reuse finding); checkpoint the
+    // aggregated (class, window) frame once (q113's convention — the
+    // distinct-window level, much smaller than the raw window stream)
     val perClassHash = wins.groupBy(col("rep"), col("copies"), col("h"))
       .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val spanDocs = perClassHash.groupBy(col("h"))
       .agg(sum(col("copies")).as("nd")) // DOCS containing this window
     perClassHash.join(spanDocs, "h") // co-shuffled: same key as both aggs
@@ -355,6 +361,10 @@ object CorpusQueries {
       // is unbounded, and a co-partitioned self-join can't be
       // skew-split by AQE — the two cheap exchanges over the cached
       // index keep a hot prefix token splittable at corpus scale.
+      // (r17 A/B at sf0.1, 6 reps/JVM warm medians: checkpoint 2.78 s,
+      // checkpoint+repartition(tok) 3.11 s, no-checkpoint 2.87 s — all
+      // inside the noise band locally; the checkpoint wins on the scale
+      // argument, the repartition variant loses skew-split for nothing.)
       .localCheckpoint()
     // AllPairs length filter: J ≥ ½ forces min(|a|,|b|)·2 ≥ max(|a|,|b|) —
     // prunes candidates before the (wider) verification joins; the
@@ -484,10 +494,18 @@ object CorpusQueries {
         collect_list(col("doc_id")).as("members"),
         count(lit(1)).as("copies"))
       .localCheckpoint() // read by the window stage and the expansion
+    // round 17: `wins` feeds the shared-hash aggregation AND the
+    // semi-join probe side — each consumer re-ran the rolling-hash
+    // kernel explode over every class text (the r16 no-reuse finding).
+    // Checkpointing materializes the window stream once; MEMORY_AND_DISK
+    // blocks spill rather than OOM at scale, and the md5 kernel is the
+    // dearer side of the §5 cache-vs-recompute trade here (measured:
+    // the kernel pass dominates this query's wall).
     val wins = classes
       .select(col("rep"), col("copies"), posexplode(
         graft.functions.TextHashFunctions.rollingWindowHashes(col("text"), w))
         .as(Seq("pos", "h")))
+      .localCheckpoint()
     val shared = wins.select(col("rep"), col("copies"), col("h")).distinct()
       .groupBy(col("h")).agg(sum(col("copies")).as("nd"))
       .filter(col("nd") >= 2).select(col("h"))

@@ -59,8 +59,11 @@ class ExchangeBudgetSpec extends SparkTestBase {
     "q104_weighted_sample" -> 0, // TakeOrderedAndProject: per-task heaps
     "q105_train_split"   -> 4,  // content-hash spans agg, co-shuffled
                                 // join back, 3-row split tally
-    "q106_span_dedup"    -> 4,  // (doc,hash) partials, span-doc counts,
-                                // co-shuffled join back, per-doc tally
+    "q106_span_dedup"    -> 2,  // r17: the (class, window) tally sits
+                                // behind a checkpoint (was re-planned
+                                // by the span-df agg AND the join
+                                // back); final plan = span-doc counts
+                                // + per-class tally (sf0.1: 4 → 2)
     "q107_embed_outliers" -> 3, // centroid agg, its norm, per-vector
                                 // dot/norm agg (centroids broadcast)
     "q108_phrase_search" -> 3,  // two term-posting sides + per-doc tally
@@ -87,10 +90,12 @@ class ExchangeBudgetSpec extends SparkTestBase {
                                     // (sf0.1: 9 → 4)
     "q115_rolling_distinct" -> 4, // (day,user) dedup, day spine,
                                   // (target,user) dedup, final tally
-    "q116_longest_dup_span" -> 5, // (doc,h) dedup, shared-h agg, semi
-                                  // join, per-doc position window,
-                                  // island tally (argmax rides the
-                                  // window partitioning)
+    "q116_longest_dup_span" -> 3, // r17: the window stream sits behind
+                                  // a checkpoint (the rolling kernel
+                                  // ran once per consumer before);
+                                  // final plan = (doc,h) dedup +
+                                  // shared-h agg, per-doc position
+                                  // window (island tally rides it)
     "q117_triangle_count" -> 5, // r17: degree tally checkpointed (was
                                 // re-planned per wedge side); oriented
                                 // self-join, wedge-vs-edge probe,
